@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.anon
+
+/** End-to-end smoke drive of the public API on real testdata: read
+  * parquet -> anonymize -> write parquet -> re-read -> assert
+  * determinism. `sbt "runMain graft.tools.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val anonymized = customer.select(
+      $"c_custkey",
+      anon.fakeName($"c_name").as("c_name"),
+      $"c_nationkey",
+      anon.fakeEmail($"c_name").as("c_email_from_name"),
+      anon.fakePhone(format_string("+30 21%s", $"c_custkey")).as("c_phone"),
+      $"c_mktsegment")
+
+    anonymized.write.mode("overwrite").parquet(s"$out/customer")
+    val back = spark.read.parquet(s"$out/customer").orderBy($"c_custkey")
+    println("=== anonymized sample ===")
+    back.show(5, truncate = false)
+
+    // determinism: second independent run must produce identical bytes
+    val again = customer.select($"c_custkey", anon.fakeName($"c_name").as("n"))
+      .orderBy($"c_custkey").collect()
+    val first = back.select($"c_custkey", $"c_name".as("n")).collect()
+    val identical = first.zip(again).forall { case (a, b) => a == b }
+    println(s"determinism across runs: ${if (identical) "OK" else "MISMATCH"}")
+
+    println("=== plan (should be one WholeStageCodegen over the scan) ===")
+    anonymized.explain("formatted")
+    spark.stop()
+    if (!identical) sys.exit(1)
+  }
+}
