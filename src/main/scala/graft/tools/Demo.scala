@@ -3,11 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.config.ConfigLoader
 import graft.functions.anon
+import graft.pipeline.TablePipeline
 
 /** End-to-end smoke drive of the public API on real testdata: read
   * parquet -> anonymize -> write parquet -> re-read -> assert
-  * determinism. `sbt "runMain graft.tools.Demo"`. */
+  * determinism. `sbt "runMain graft.tools.Demo [sfDir] [configToml]"`.
+  * With a second arg, additionally runs the config-driven pipeline
+  * (TOML -> plan -> runAll) over customer+supplier+region. */
 object Demo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -45,6 +49,19 @@ object Demo {
 
     println("=== plan (should be one WholeStageCodegen over the scan) ===")
     anonymized.explain("formatted")
+
+    if (args.length > 1) {
+      val cfg = ConfigLoader.parseAnonymization(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(args(1))))
+      println(s"=== config-driven pipeline: ${cfg.tables.map(_.tableName).mkString(",")} ===")
+      TablePipeline.runAll(spark, cfg, sfDir, s"$out/configrun",
+        tables = Seq("customer", "supplier", "region"), parallelism = 3)
+      for (t <- Seq("customer", "supplier", "region")) {
+        val df = spark.read.parquet(s"$out/configrun/$t.parquet")
+        println(s"--- $t (${df.count()} rows) ---")
+        df.show(3, truncate = false)
+      }
+    }
     spark.stop()
     if (!identical) sys.exit(1)
   }
