@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local pre-verification of SparkEntry oracles, mimicking the driver's
+DuckDB compare: for each query, load the Spark result parquet (written by
+`sbt "runMain graft.Verify <sfDir> <outDir>"`) and the DuckDB result of
+the oracle SQL over the same tables, sort columns by name, sort rows, and
+compare values exactly.
+
+Usage: python3 scripts/check_oracles.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = [d[0] for d in spark_rel.description]
+            spark_rows = spark_rel.fetchall()
+            duck_rel = con.execute(sql)
+            duck_cols = [d[0] for d in duck_rel.description]
+            duck_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            print(f"FAIL {name}: columns spark={sorted(spark_cols)} "
+                  f"duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)
+        if a == b:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: spark {len(a)} rows vs duck {len(b)} rows")
+            sa, sb = set(a), set(b)
+            for r in list(sa - sb)[:3]:
+                print(f"  spark-only: {r}")
+            for r in list(sb - sa)[:3]:
+                print(f"  duck-only:  {r}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC (change-data-capture) semantics over DMS-shaped data
+  * (SURVEY.md §2.9, §7.6; cdc_operator.rs:225-331).
+  *
+  * DMS exports: `LOAD*` full-load files (plain table schema) and CDC
+  * delta files carrying an `Op` column ('I'|'U'|'D') and an ingestion
+  * timestamp. The reference upserts file-at-a-time into Postgres; here
+  * the same semantics are a deterministic DataFrame merge — one shuffle
+  * by PK, AQE-friendly.
+  *
+  * Scale notes (100 TB): `latestPerKey` is a single hash-partition +
+  * per-key top-1 (no global sort). Skewed PKs are impossible by
+  * definition (PK is unique per entity); the shuffle is as balanced as
+  * the key space. For a snapshot+delta merge the delta side is typically
+  * <<1% of the snapshot — the union keeps partition-local work minimal
+  * and AQE coalesces small post-shuffle partitions.
+  */
+object CdcMerge {
+
+  val OpColumn = "Op"
+  val TsColumn = "_dms_ingestion_timestamp"
+
+  /** LOAD-file detection (dms_cdc_operator `is_load_file` analog):
+    * per-row via input_file_name(), since Spark reads the whole file set
+    * as one scan. */
+  def isLoadFile(c: Column): Column = c.contains(lit("LOAD"))
+
+  /** Latest row per key: row_number over (pk ordered by ts desc, then
+    * tie-breakers desc) == 1. Tie-breakers make the winner deterministic
+    * when timestamps collide — REQUIRED for reproducible merges under
+    * retries. */
+  def latestPerKey(df: DataFrame, pk: Seq[String], ts: String,
+                   tieBreakers: Seq[String] = Nil): DataFrame = {
+    val ordering = (col(ts) +: tieBreakers.map(col)).map(_.desc)
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Apply a CDC delta batch onto a snapshot:
+    *   1. within-batch dedup: latest op per PK wins;
+    *   2. snapshot rows with a PK present in the delta are superseded;
+    *   3. surviving delta rows with Op in (I, U) are the new versions;
+    *      Op = 'D' deletes the key.
+    * Result has the snapshot schema (Op/ts stripped).
+    */
+  def applyDelta(snapshot: DataFrame, delta: DataFrame, pk: Seq[String],
+                 tieBreakers: Seq[String] = Nil): DataFrame = {
+    val latest = latestPerKey(delta, pk, TsColumn, tieBreakers)
+    val upserts = latest.filter(col(OpColumn).isin("I", "U"))
+      .select(snapshot.columns.map(col).toIndexedSeq: _*)
+    // left_anti: drop snapshot rows whose PK appears in the delta at all
+    // (updated rows are replaced; deleted rows just disappear)
+    val touched = latest.select(pk.map(col).toIndexedSeq: _*)
+    snapshot.join(touched, pk, "left_anti").unionByName(upserts)
+  }
+
+  /** Schema-drift check (cdc_operator.rs:255-273): every data column
+    * (minus Op/ts) must exist in the expected schema; extras => hard
+    * error, forcing a fresh full load upstream. */
+  def checkSchemaDrift(df: DataFrame, expectedColumns: Set[String]): Unit = {
+    val drift = df.schema.fieldNames
+      .filterNot(c => c == OpColumn || c == TsColumn)
+      .filterNot(expectedColumns.contains)
+    if (drift.nonEmpty)
+      throw new IllegalStateException(
+        s"schema drift: columns ${drift.mkString(", ")} not in expected schema; " +
+        "a new full load is required")
+  }
+}
