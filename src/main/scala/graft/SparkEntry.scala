@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.config._
 import graft.fakegen.FakeGen
-import graft.functions.anon
-import graft.operators.{CdcMerge, Transformators}
+import graft.functions.{anon, text}
+import graft.operators.{CdcMerge, Dedup, Multimodal, Similarity, Transformators}
 import graft.pipeline.TablePipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -169,6 +169,68 @@ object SparkEntry {
         .withColumn("id", col("c_custkey").cast("int"))
         .select(col("c_custkey"),
           anon.fakeEmailWithIdPrefix(col("id"), col("c_name")).as("email"))),
+    // ---- training-data pipeline: text analysis ------------------------
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        text.tokenCount(col("text")).as("n_tokens"))),
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(text.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        text.qualityScore(col("text")).as("quality"))),
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang").as("labeled"),
+        text.langId(col("text")).as("predicted"))),
+    "q_fingerprint_md5" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        text.fingerprintMd5(col("text")).as("fp"))),
+    "q_fingerprint_rolling" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        text.rollingFingerprint(col("text")).as("fp"))),
+
+    // ---- training-data pipeline: dedup family -------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))),
+    "q_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.45)),
+
+    // ---- training-data pipeline: similarity search --------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nBits = 8)
+    }),
+
+    // ---- training-data pipeline: multimodal plumbing ------------------
+    "q_multimodal_bytes" -> ((s, dir) =>
+      Multimodal.withFeatures(
+        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", col("text"),
+          "text/plain"))
+        .select(col("asset_id"), col("n_bytes"))),
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.withFeatures(
+        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", col("text"),
+          "text/plain"))
+        .select(col("asset_id"), col("n_bytes"), col("features"))),
+
     "q_anonymize_pipeline" -> ((s, dir) => {
       val cfg = TableConfig(
         tableName = "customer",
@@ -250,6 +312,75 @@ object SparkEntry {
       "CAST(row_number() OVER (PARTITION BY o_custkey " +
       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn " +
       "FROM orders " +
-      "QUALIFY rn <= 3")
+      "QUALIFY rn <= 3"),
+
+    // ---- text analysis ------------------------------------------------
+    "q_token_count" -> (
+      "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens " +
+      "FROM documents"),
+    "q_text_quality" -> {
+      val alpha = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / length(text) END"
+      val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+        "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END"
+      val stopList = "['the','a','an','and','of','to','in','is','it','that'," +
+        "'for','on','with','as','was','at','by']"
+      val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val stop = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
+        s"len(list_filter($toks, x -> list_contains($stopList, x))) * 1.0 / len($toks) END"
+      val ntok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END"
+      s"SELECT doc_id, round($alpha, 6) AS alpha_ratio, " +
+      s"round($punct, 6) AS punct_ratio, round($stop, 6) AS stopword_ratio, " +
+      s"round(0.35 * ($alpha) + 0.25 * least(($stop) * 3.0, 1.0) + " +
+      s"0.25 * least(($ntok) / 100.0, 1.0) + " +
+      s"0.15 * (1.0 - least(($punct) * 5.0, 1.0)), 6) AS quality FROM documents"
+    },
+    "q_fingerprint_md5" -> (
+      "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+      "FROM documents"),
+
+    // ---- dedup family --------------------------------------------------
+    "q_dedup_exact" ->
+      ("SELECT * FROM documents " +
+       "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"),
+    "q_dedup_fingerprint" ->
+      ("SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY " +
+       "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) ORDER BY doc_id) = 1"),
+    "q_dedup_ngram_jaccard" -> (
+      "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
+      "FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+      "WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5"),
+    "q_dedup_embedding" -> (
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c.cos, 6) AS cos " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, " +
+      "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
+      "WHERE c.cos >= 0.45"),
+
+    // ---- similarity search ---------------------------------------------
+    "q_ann_topk" -> (
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INT) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id != c.vec_id " +
+      "QUALIFY rank <= 10"),
+
+    // ---- multimodal -----------------------------------------------------
+    "q_multimodal_bytes" -> (
+      "SELECT doc_id AS asset_id, " +
+      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents")
   )
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the text-analysis kernels ([[TextKernels]]).
+  * Same design as [[FakeExpr]]: `defineCodeGen` emits a direct static
+  * call, keeping per-document hashing inside whole-stage codegen — these
+  * run once per document over the entire corpus, so they ARE the hot
+  * path of a 100 TB dedup.
+  */
+case class MinHashExpr(child: Expression, shingleWidth: Int, numHashes: Int,
+                       seed: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minHash(input.asInstanceOf[UTF8String], shingleWidth, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.minHash($c, $shingleWidth, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
+    copy(child = newChild)
+}
+
+case class SimHashExpr(child: Expression, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHash(input.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simHash($c, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_id"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.rollingFingerprint(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingFingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
+    copy(child = newChild)
+}

@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.fakegen.FakeGen
+
+/** Static kernels for the text-analysis / dedup expressions. Called from
+  * generated code (see [[TextExprs]]), so every method takes/returns
+  * Catalyst-native types and allocates as little as possible.
+  *
+  * These are the scale-path primitives of the training-data pipeline:
+  * a 100 TB dedup run evaluates minhash/simhash once per document inside
+  * whole-stage codegen, then everything downstream (banding, bucket
+  * joins) is plain shuffles on small fixed-width signatures.
+  */
+object TextKernels {
+
+  /** Lowercase + collapse runs of whitespace to single spaces + trim.
+    * The shared normalization for fingerprints and shingles. */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(Character.toLowerCase(c))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Split on whitespace runs; no empty tokens. */
+  def tokens(s: String): Array[String] = {
+    val n = normalize(s)
+    if (n.isEmpty) Array.empty else n.split(' ')
+  }
+
+  // ---- rolling fingerprint ---------------------------------------------
+
+  /** 64-bit Rabin-Karp-style rolling fingerprint of the normalized text,
+    * rendered as 16 hex chars. Cheaper than md5 (no digest allocation)
+    * and order-sensitive, unlike a bag-of-words hash. */
+  def rollingFingerprint(value: UTF8String): UTF8String = {
+    val s = normalize(value.toString)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h = h * 0x100000001b3L + s.charAt(i)
+      i += 1
+    }
+    UTF8String.fromString(java.lang.Long.toHexString(FakeGen.mix64(h)))
+  }
+
+  // ---- minhash ----------------------------------------------------------
+
+  /** Hash one word w-shingle (w consecutive tokens) starting at `from`. */
+  private def shingleHash(toks: Array[String], from: Int, w: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = from
+    while (j < from + w) {
+      val t = toks(j)
+      var k = 0
+      while (k < t.length) { h = (h ^ t.charAt(k)) * 0x100000001b3L; k += 1 }
+      h = (h ^ ' ') * 0x100000001b3L
+      j += 1
+    }
+    h
+  }
+
+  /** MinHash signature: `numHashes` permutations approximated by
+    * `mix64(shingleHash ^ perm-constant)`; entry i is the minimum over
+    * all shingles. Docs with < w tokens hash their whole token array as
+    * one shingle so short docs still get a signature. */
+  def minHash(value: UTF8String, w: Int, numHashes: Int, seed: Long): ArrayData = {
+    val toks = tokens(value.toString)
+    val nSh = math.max(toks.length - w + 1, if (toks.length > 0) 1 else 0)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      val h = shingleHash(toks, i, math.min(w, toks.length - i))
+      var p = 0
+      while (p < numHashes) {
+        val v = FakeGen.mix64(h ^ FakeGen.mix64(seed + p * 0x9e3779b97f4a7c15L))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  // ---- simhash ----------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: near-identical documents differ in
+    * few bits (hamming distance), enabling pigeonhole banding. */
+  def simHash(value: UTF8String, seed: Long): Long = {
+    val toks = tokens(value.toString)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = FakeGen.mix64(FakeGen.hash64(toks(i)) ^ seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // ---- language id ------------------------------------------------------
+
+  private val langNames = Array("en", "de", "fr", "es", "pt", "it", "nl")
+  private val stopwordSets: Array[java.util.HashSet[String]] = {
+    val lists = Array(
+      /* en */ "the and of to in is you that it for was on are with as his they at be this have from or had by but not what all were when we there can an your which their said if do will each about how up out them then she many some so these would other into has more her two like him see time could no make than first been its who now people my made over did down only way find use may water long little very after words called just where most know get through back much before go good new write our used me man too any day same right look think also around another came come work three word must because does part even place well such here take why things help put years different away again off went old number great tell men say small every found still between name should home big give air line set own under read last never us left end along while might next sound below saw something thought both few those always looked show large often together asked house don't world going want school important until form food keep children feet land side without boy once animals life enough took sometimes four head above kind began almost live page got earth need far hand high year mother light parts country father let night following picture being study second eyes soon times story boys since white days ever paper hard near sentence better best across during today others however sure means knew it's try told young miles sun ways thing whole hear example heard several change answer room against top turned three learn point city play toward five using himself usually",
+      /* de */ "der die das und ist nicht mit ein eine zu auf von den dem des sich auch als aber nach bei um noch wie wenn nur war sind oder aus so wir ich sie es an im für man hat dass war sein ihr ihre mein dein kein mehr sehr schon dann doch wird werden wurde kann könnte muss haben hatte gegen zwischen durch über unter vor hinter neben seit ohne",
+      /* fr */ "le la les et est un une des que pour dans ce cette qui ne pas au aux avec sur son ses leur mais ou où donc car ni votre notre vous nous ils elles je tu il elle on du de en y a ont été être avoir fait faire plus moins très bien tout tous toute toutes comme si alors quand même aussi autre après avant chez entre jusque pendant",
+      /* es */ "el la los las y es un una de que por para en no se su con como más pero sus le ya o fue este ha sí porque esta son entre cuando muy sin sobre también me hasta hay donde quien desde todo nos durante todos uno les ni contra otros ese eso ante ellos e esto mí antes algunos qué unos yo otro otras otra él tanto esa estos mucho quienes nada muchos cual poco ella estar estas algunas algo nosotros",
+      /* pt */ "o a os as e é um uma de que por para em não se sua com como mas foi ao das dos nas nos pelo pela até isso ela ele eles elas nós eu tu você vocês seu seus suas minha meu teu tua já mais muito bem onde quando porque também sem sobre entre depois antes agora então",
+      /* it */ "il lo la i gli le e è un uno una di che per in non si con come ma al del della dei delle nel nella più anche o se questo questa questi queste quello quella io tu lui lei noi voi loro mio tuo suo nostro vostro già molto bene dove quando perché anche senza sopra sotto dopo prima adesso allora",
+      /* nl */ "de het een en is niet met van voor in op te dat die dit zijn haar hun ons onze je jij u wij ze zij ik hij maar of als dan nog wel geen meer zeer al naar bij uit over onder tussen door zonder tegen sinds"
+    )
+    lists.map { l =>
+      val s = new java.util.HashSet[String]()
+      l.split(' ').foreach(s.add)
+      s
+    }
+  }
+
+  /** Heuristic language ID: CJK codepoint share first (=> "zh"), then
+    * argmax of per-language stopword hit ratios; "und" when nothing
+    * matches. Deterministic; ties break by the fixed language order. */
+  def langId(value: UTF8String): UTF8String = {
+    val s = value.toString
+    var cjk = 0
+    var letters = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val block = Character.UnicodeScript.of(c)
+        if (block == Character.UnicodeScript.HAN ||
+            block == Character.UnicodeScript.HIRAGANA ||
+            block == Character.UnicodeScript.KATAKANA ||
+            block == Character.UnicodeScript.HANGUL) cjk += 1
+      }
+      i += Character.charCount(c)
+    }
+    if (letters > 0 && cjk * 2 > letters) return UTF8String.fromString("zh")
+    val toks = tokens(s)
+    if (toks.isEmpty) return UTF8String.fromString("und")
+    var best = -1
+    var bestHits = 0
+    var li = 0
+    while (li < stopwordSets.length) {
+      var hits = 0
+      var ti = 0
+      while (ti < toks.length) {
+        if (stopwordSets(li).contains(toks(ti))) hits += 1
+        ti += 1
+      }
+      if (hits > bestHits) { bestHits = hits; best = li }
+      li += 1
+    }
+    // require a minimal signal: >= 5% stopword hits
+    if (best < 0 || bestHits * 20 < toks.length) UTF8String.fromString("und")
+    else UTF8String.fromString(langNames(best))
+  }
+}

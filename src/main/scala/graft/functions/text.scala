@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.fakegen.FakeGen
+
+/** Column-level text-analysis API for the training-data pipeline.
+  *
+  * Everything here that CAN be expressed in portable built-ins IS
+  * (token counts, quality ratios, md5 fingerprints) — those stay
+  * SQL-oracle-checkable and fully codegen'd. The hash-family operators
+  * (minhash/simhash/rolling fingerprint/language-ID) are custom
+  * codegen'd expressions over [[TextKernels]].
+  */
+object text {
+
+  /** Whitespace token count; empty/blank => 0. Matches the oracle SQL
+    * `CASE WHEN length(trim(x))=0 THEN 0 ELSE len(regexp_split_to_array(
+    * trim(x),'\s+')) END`. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Share of alphabetic characters. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^\\p{L}]", "")).cast("double") / length(c))
+
+  /** Share of punctuation characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") / length(c))
+
+  private val enStopwords = Seq("the", "a", "an", "and", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Share of tokens that are common English stopwords — a standard
+    * quality signal (natural prose has ~0.3-0.5; keyword soup ~0). */
+  def stopwordRatio(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(enStopwords: _*)))
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Composite document-quality score in [0,1]: rewards alphabetic
+    * content, prose-like stopword share, reasonable length; penalizes
+    * punctuation soup. Pure per-row double math => bit-identical across
+    * engines given the same expression shape. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
+    round(
+      lit(0.35) * alphaRatio(c) +
+      lit(0.25) * least(stopwordRatio(c) * 3.0, lit(1.0)) +
+      lit(0.25) * lenScore +
+      lit(0.15) * (lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))), 6)
+  }
+
+  /** Normalized md5 content fingerprint — portable (md5 exists in every
+    * engine), order-sensitive, exact-dedup key. */
+  def fingerprintMd5(c: Column): Column =
+    md5(lower(trim(regexp_replace(c, "\\s+", " "))))
+
+  /** 64-bit rolling (Rabin-Karp) fingerprint, 16 hex chars; cheaper than
+    * md5 at 100 TB scale (no digest allocation, pure codegen). */
+  def rollingFingerprint(c: Column): Column =
+    Bridge.column(RollingFingerprintExpr(Bridge.expression(c.cast("string"))))
+
+  /** MinHash signature (array<long>) over word `w`-shingles. */
+  def minhash(c: Column, shingleWidth: Int = 3, numHashes: Int = 128,
+              seed: Long = FakeGen.DefaultSeed): Column =
+    Bridge.column(MinHashExpr(Bridge.expression(c.cast("string")),
+      shingleWidth, numHashes, seed))
+
+  /** 64-bit SimHash (long). */
+  def simhash(c: Column, seed: Long = FakeGen.DefaultSeed): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(c.cast("string")), seed))
+
+  /** Heuristic language ID: "en","de","fr","es","pt","it","nl","zh" or
+    * "und". */
+  def langId(c: Column): Column =
+    Bridge.column(LangIdExpr(Bridge.expression(c.cast("string"))))
+}

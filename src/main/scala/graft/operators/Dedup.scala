@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.fakegen.FakeGen
+import graft.functions.text
+
+/** Deduplication family for the training-data pipeline (BASELINE.json
+  * north star). Four tiers, cheapest first:
+  *
+  *  1. exact            — one hash shuffle on the dedup key
+  *  2. fingerprint      — exact on a normalized fingerprint (near-free)
+  *  3. minhash LSH      — shuffle on (band, bandHash); candidate pairs
+  *                        verified by signature agreement. THE 100 TB
+  *                        path: cost ~ O(docs x bands), never O(docs^2)
+  *  4. ngram Jaccard    — exact set similarity via a shingle self-join;
+  *                        quadratic in bucket size, for validation and
+  *                        small corpora (it is the oracle for tier 3)
+  *
+  * All outputs are deterministic (stable ids, stable tie-breaks).
+  */
+object Dedup {
+
+  /** Exact dedup on `keyCols`, keeping the row with the smallest `idCol`
+    * — deterministic, unlike dropDuplicates (which keeps an arbitrary
+    * first-seen row per partition ordering). One shuffle. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact dedup on the normalized md5 fingerprint of `textCol`. */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df.withColumn("__fp", text.fingerprintMd5(col(textCol))), idCol, Seq("__fp"))
+      .drop("__fp")
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    *
+    * Signature: `numHashes` minhashes over word `shingleWidth`-shingles.
+    * Banding: `bands` bands of `numHashes/bands` rows; docs sharing ANY
+    * band hash become candidates (probability ~1-(1-j^r)^b). Candidates
+    * are then scored by full-signature agreement (estimated Jaccard) and
+    * kept when >= `threshold`.
+    *
+    * Scale shape: explode to (band, bandHash) — docs x bands rows of a
+    * few dozen bytes — shuffle once, self-join within buckets only.
+    * Output: (id_a < id_b, est_jaccard), distinct.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleWidth: Int = 3, numHashes: Int = 128,
+                   bands: Int = 32, threshold: Double = 0.5,
+                   seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
+
+    // band b's hash = hash of the signature slice [b*rows, (b+1)*rows);
+    // statically unrolled (bands is a plan-time constant)
+    val bandHashes = (0 until bands).map(b =>
+      hash(slice(col("sig"), b * rows + 1, rows), lit(b)))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+
+    val a = banded.select(col("band"), col("bandHash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bandHash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Near-duplicate pairs via SimHash + pigeonhole banding: two 64-bit
+    * simhashes within hamming distance `maxHamming` must agree on at
+    * least one of `maxHamming+1` equal-width bit bands. Bucket-join on
+    * (band, bandBits), then verify exact hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sigs = df.select(col(idCol).as("id"),
+      text.simhash(col(textCol), seed).as("sh"))
+    val bandBits = (0 until nBands).map(b =>
+      shiftrightunsigned(col("sh"), b * width).bitwiseAND(lit((1L << width) - 1)))
+    val banded = sigs.select(col("id"), col("sh"),
+      posexplode(array(bandBits: _*)).as(Seq("band", "bits")))
+    val a = banded.select(col("band"), col("bits"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bits"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** EXACT n-gram Jaccard similarity pairs — the verification tier and
+    * the SQL oracle for minhash. Shingle self-join: quadratic only
+    * within shared-shingle buckets. `threshold` in (0,1]. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val shingles = df.select(col(idCol).as("id"), toks.as("toks"))
+      .withColumn("sh", explode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", col("toks"))))))
+      .select(col("id"), col("sh")).distinct()
+
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col("id").as("id_a"), col("sh"))
+    val b = shingles.select(col("id").as("id_b"), col("sh"))
+    val common = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Small inputs:
+    * brute self-join. Scale path: pre-bucket with hyperplane LSH (see
+    * Similarity.lshTopK) — same verification expression. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    import graft.functions.vectors
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k; the correctness baseline.
+  *    Query side is broadcast (queries << corpus), so the corpus is
+  *    scanned once with NO shuffle of the vectors; only (queryId,
+  *    corpusId, cos) tuples shuffle for the per-query top-k window.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing; corpus hashed once,
+  *    candidates only from matching buckets (multi-probe over all
+  *    1-bit-flip neighbors for recall). The 100 TB path: bucket join
+  *    instead of cross product.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query vector by cosine similarity.
+    * Deterministic: ties break on corpus id asc. Excludes self-matches
+    * when ids collide. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-k: corpus bucketed by `nBits` hyperplane sign
+    * bits; each query probes its own bucket plus all single-bit-flip
+    * neighbors (multi-probe), then exact cosine re-ranks candidates.
+    * Recall < 1 by construction; compare against [[bruteForceTopK]] to
+    * measure. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("bucket"))
+    val probes = (0 until nBits).map(b =>
+      vectors.hyperplaneBucket(col(vecCol), nBits, seed)
+        .bitwiseXOR(shiftleft(lit(1L), b))) :+
+      vectors.hyperplaneBucket(col(vecCol), nBits, seed)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(array(probes: _*)).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+}

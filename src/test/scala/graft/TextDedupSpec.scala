@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.{text, vectors}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // -- text analysis ------------------------------------------------------
+
+  test("tokenCount: whitespace runs, blanks, empties") {
+    val df = Seq("one two  three", "  ", "", "single").toDF("t")
+    assert(df.select(text.tokenCount($"t")).as[Int].collect().toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("qualityScore: prose scores higher than symbol soup") {
+    val prose = "The quick brown fox jumps over the lazy dog and runs to the forest with a friend of the family"
+    val soup = ";;;; !!!! ???? ,,,, 1234 %%%% ;;;; !!!!"
+    val df = Seq(prose, soup).toDF("t")
+    val scores = df.select(text.qualityScore($"t")).as[Double].collect()
+    assert(scores(0) > 0.6, s"prose=${scores(0)}")
+    assert(scores(1) < 0.3, s"soup=${scores(1)}")
+  }
+
+  test("langId on real sentences") {
+    val samples = Seq(
+      "the cat sat on the mat and it was happy with that" -> "en",
+      "der Hund ist nicht mit der Katze und das ist ein Problem" -> "de",
+      "le chien est dans la maison et il est avec le chat pour la nuit" -> "fr",
+      "el perro es un animal y la casa es grande por que si" -> "es",
+      "今天天气很好我们去公园散步吧" -> "zh",
+      "xkcd qwerty zzz" -> "und")
+    val got = samples.map(_._1).toDF("t")
+      .select(text.langId($"t")).as[String].collect().toSeq
+    assert(got == samples.map(_._2), s"got $got")
+  }
+
+  test("fingerprints: normalization-invariant, content-sensitive") {
+    val df = Seq("Hello   World", "hello world", "hello worlds").toDF("t")
+    val md5s = df.select(text.fingerprintMd5($"t")).as[String].collect()
+    assert(md5s(0) == md5s(1) && md5s(1) != md5s(2))
+    val rolls = df.select(text.rollingFingerprint($"t")).as[String].collect()
+    assert(rolls(0) == rolls(1) && rolls(1) != rolls(2))
+  }
+
+  // -- dedup --------------------------------------------------------------
+
+  val docA = (1 to 60).map(i => s"word$i").mkString(" ")
+  val docAnear = ((1 to 30).map(i => s"word$i") ++ Seq("CHANGED") ++
+    (32 to 60).map(i => s"word$i")).mkString(" ")
+  val docB = (1 to 60).map(i => s"other$i").mkString(" ")
+
+  test("exact dedup keeps smallest id per key") {
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("id", "t")
+    val got = Dedup.exact(df, "id", Seq("t")).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "x"), (9L, "y")))
+  }
+
+  test("minhash LSH finds near-dups, skips unrelated, deterministic") {
+    val df = Seq((1L, docA), (2L, docAnear), (3L, docB), (4L, docA)).toDF("id", "t")
+    val pairs = Dedup.minhashPairs(df, "id", "t", threshold = 0.4)
+      .orderBy("id_a", "id_b").collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L)), s"exact dup missed: $keys")
+    assert(keys.contains((1L, 2L)), s"near dup missed: $keys")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $keys")
+    val exactPair = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(exactPair.getDouble(2) == 1.0)
+    // determinism
+    val again = Dedup.minhashPairs(df, "id", "t", threshold = 0.4)
+      .orderBy("id_a", "id_b").collect()
+    assert(pairs.sameElements(again))
+  }
+
+  test("simhash: near-dups within hamming bound, unrelated far") {
+    val df = Seq((1L, docA), (2L, docAnear), (3L, docB)).toDF("id", "t")
+    val pairs = Dedup.simhashPairs(df, "id", "t", maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"$pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), s"$pairs")
+  }
+
+  test("ngram Jaccard exact pairs vs minhash estimate") {
+    val df = Seq((1L, docA), (2L, docAnear), (3L, docB)).toDF("id", "t")
+    val exact = Dedup.ngramJaccardPairs(df, "id", "t", n = 3, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.contains((1L, 2L)))
+    // 58 shared of 58+58-... => jaccard ((60-3+1)=58 shingles each; changed
+    // word kills 3 shingles => 55 common / 61 union ~ 0.90
+    val j = exact((1L, 2L))
+    assert(j > 0.85 && j < 0.95, s"jaccard=$j")
+    val est = Dedup.minhashPairs(df, "id", "t", threshold = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(est((1L, 2L)) - j) < 0.15, s"est=${est((1L, 2L))} exact=$j")
+  }
+
+  test("embedding near-dup pairs on clustered vectors") {
+    val base = (0 until 8).map(i => (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nearDup = v.map(x => x + 0.001f)
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, nearDup))
+    }
+    val df = rows.toDF("id", "v")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 8).forall(i => pairs.contains((i * 2L, i * 2L + 1))), s"$pairs")
+    assert(pairs.size == 8, s"unexpected extra pairs: $pairs")
+  }
+
+  // -- similarity search --------------------------------------------------
+
+  test("bruteForceTopK: valid ranks, deterministic, self-excluded") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val rows = got.collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val again = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("lshTopK: near-identical vectors are found (recall on clustered data)") {
+    val base = (0 until 20).map(i => (0 until 32).map(d => math.sin(i * 32 + d).toFloat).toArray)
+    val corpus = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val queries = base.zipWithIndex.map { case (v, i) =>
+      (100L + i, v.map(x => x + 0.0005f)) }.toDF("id", "v")
+    val got = Similarity.lshTopK(corpus, queries, "id", "v", k = 1, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hit = (0 until 20).count(i => got.get(100L + i).contains(i.toLong))
+    assert(hit >= 18, s"recall@1 $hit/20") // near-identical => same bucket
+  }
+
+  // -- multimodal ---------------------------------------------------------
+
+  test("multimodal plumbing: schema, features, batch stub") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(50)
+    val assets = Multimodal.asAssets(docs, "doc_id", $"text", "text/plain")
+    assert(assets.columns.toSeq == Seq("asset_id", "content", "meta"))
+    val feats = Multimodal.withFeatures(assets)
+    val r = feats.orderBy("asset_id").first()
+    val fvec = r.getAs[scala.collection.Seq[Float]]("features")
+    assert(fvec.length == 16)
+    assert(math.abs(fvec.sum - 1.0f) < 1e-4)
+    assert(r.getAs[Long]("n_bytes") > 0)
+    val batched = Multimodal.mapBatchesStub(spark, assets)
+    val m = batched.orderBy("asset_id").first().getDouble(1)
+    assert(m > 32 && m < 127, s"mean byte $m") // ASCII text range
+  }
+}
