@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{Validation, Validations, ValueCheck}
+
+/** Post-run validation framework (rustic-result-validator analog,
+  * result_validator.rs:65-148): each probe runs a SQL query and asserts
+  * a predicate on EVERY returned row of `column_to_check`. The reference
+  * asserts against the freshly-loaded target DB; here probes run on
+  * registered Spark views (or anything `spark.sql` can see), so the
+  * same TOML config validates a Parquet output directory.
+  *
+  * The all-rows assertion is pushed into the engine as
+  * `count(rows violating pred) == 0` — one aggregate, no collect of the
+  * probe result.
+  */
+object Validator {
+
+  final case class Result(validation: Validation, violations: Long) {
+    def passed: Boolean = violations == 0
+  }
+
+  def compilePredicate(columnToCheck: String, check: ValueCheck) = check match {
+    case ValueCheck.Equals(v)   => col(columnToCheck).cast("string") === lit(v)
+    case ValueCheck.Contains(v) => col(columnToCheck).cast("string").contains(lit(v))
+  }
+
+  def run(spark: SparkSession, validations: Validations): Seq[Result] =
+    validations.validations.map { v =>
+      val probe = spark.sql(v.query)
+      val pred = compilePredicate(v.columnToCheck, v.check)
+      val violations = probe.filter(!pred || pred.isNull).count()
+      Result(v, violations)
+    }
+
+  /** SKIP_VALIDATIONS gate (result_validator.rs:143-148): returns true
+    * when all pass (or skipped); throws on first failure otherwise,
+    * mirroring the reference's panic. */
+  def runOrThrow(spark: SparkSession, validations: Validations,
+                 skip: Boolean = sys.env.get("SKIP_VALIDATIONS").contains("true"))
+      : Boolean = {
+    if (skip) return true
+    val results = run(spark, validations)
+    results.find(!_.passed).foreach { r =>
+      throw new IllegalStateException(
+        s"validation failed: query='${r.validation.query}' " +
+        s"column=${r.validation.columnToCheck} ${r.violations} violating rows")
+    }
+    true
+  }
+}

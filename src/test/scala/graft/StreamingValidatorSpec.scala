@@ -1,0 +1,91 @@
+package graft
+
+import graft.config.{ConfigLoader, Validation, Validations, ValueCheck}
+import graft.operators.CdcMerge
+import graft.pipeline.Validator
+import graft.streaming.CdcStream
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingValidatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsWithTs = spark.read.parquet(sf() + "/events.parquet")
+    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  test("streaming windowed agg with watermark matches batch computation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    eventsWithTs.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 2)
+    val agg = CdcStream.windowedCounts(stream, "ts", "1 hour", "6 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_agg")
+      .select($"window.start", $"event_type", $"n")
+    val batch = eventsWithTs
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start", $"event_type", $"n")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming latest-per-key state matches batch CdcMerge.latestPerKey") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+      .select($"user_id", $"ts", $"event_id")
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema)
+    val latest = CdcStream.latestPerKeyStream(stream, "user_id", "ts")
+    val q = latest.writeStream.outputMode("update")
+      .format("memory").queryName("latest_keys")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // last update per key in the stream output == batch latest-per-key ts
+    val streamedLatest = spark.table("latest_keys")
+      .groupBy($"key").agg(max($"ts").as("ts"))
+    val batchLatest = CdcMerge.latestPerKey(ev, Seq("user_id"), "ts")
+      .select($"user_id".as("key"), $"ts")
+    assert(streamedLatest.exceptAll(batchLatest).isEmpty)
+    assert(batchLatest.exceptAll(streamedLatest).isEmpty)
+  }
+
+  test("validator: equals/contains all-rows semantics, throw on violation") {
+    spark.read.parquet(sf() + "/region.parquet").createOrReplaceTempView("v_region")
+    val good = Validations(Seq(
+      Validation("SELECT r_name FROM v_region WHERE r_name = 'ASIA'",
+        "r_name", ValueCheck.Equals("ASIA")),
+      Validation("SELECT r_name FROM v_region WHERE r_name LIKE 'A%'",
+        "r_name", ValueCheck.Contains("A"))))
+    assert(Validator.runOrThrow(spark, good))
+
+    val bad = Validations(Seq(
+      Validation("SELECT r_name FROM v_region", "r_name", ValueCheck.Equals("ASIA"))))
+    val results = Validator.run(spark, bad)
+    assert(results.head.violations == 4) // all but ASIA
+    intercept[IllegalStateException](Validator.runOrThrow(spark, bad))
+    assert(Validator.runOrThrow(spark, bad, skip = true)) // SKIP_VALIDATIONS
+  }
+
+  test("validator config end-to-end from TOML") {
+    spark.read.parquet(sf() + "/customer.parquet").createOrReplaceTempView("v_customer")
+    val v = ConfigLoader.parseValidations("""
+      [[validations]]
+      query = "SELECT c_name FROM v_customer WHERE c_custkey < 10"
+      column_to_check = "c_name"
+      [validations.value_check_type]
+      type = "Contains"
+      value = "Customer#"
+    """)
+    assert(Validator.runOrThrow(spark, v))
+  }
+}
