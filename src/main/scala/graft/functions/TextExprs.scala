@@ -49,6 +49,25 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fraction of positions where two equal-length minhash signatures agree
+  * — the unbiased Jaccard estimate. Codegen'd (a zip_with/filter/size
+  * chain interprets its lambdas per element). */
+case class SigAgreementExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_agreement"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sigAgreement(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.sigAgreement($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

@@ -95,6 +95,17 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
+  /** Fraction of agreeing positions between two signatures. */
+  def sigAgreement(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   // ---- simhash ----------------------------------------------------------
 
   /** 64-bit SimHash over token hashes: near-identical documents differ in

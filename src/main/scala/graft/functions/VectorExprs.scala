@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd kernels for vector math over `array<float>` embeddings.
+  *
+  * Why not higher-order functions: `aggregate(zip_with(...))` lambdas
+  * are interpreted per ELEMENT (non-codegen expression evaluation +
+  * intermediate array allocation per row). On a 125k-pair cosine
+  * self-join that measured 42s at sf0.1; this fused loop brings it under
+  * a second. At 100 TB the difference is the job.
+  *
+  * Accumulation contract: elements are widened float->double and
+  * accumulated left-to-right in doubles — bit-identical to DuckDB's
+  * `list_cosine_similarity(CAST(x AS DOUBLE[]), ...)`, which the oracle
+  * relies on.
+  */
+object VectorKernels {
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  def l2Distance(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Rademacher hyperplane sign bits packed into a long; component
+    * (bit, dim) = sign of a seeded hash — deterministic on every
+    * executor with zero broadcast state. */
+  def hyperplaneBucket(a: ArrayData, nBits: Int, seed: Long): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      var proj = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        val h = graft.fakegen.FakeGen.mix64(seed ^ (b.toLong << 32) ^ i.toLong)
+        val x = a.getFloat(i).toDouble
+        proj += (if ((h & 1L) == 0L) x else -x)
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}
+
+abstract class VectorBinaryExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  protected def kernel: String
+  override def nullSafeEval(a: Any, b: Any): Any = evalKernel(
+    a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.$kernel($a, $b)")
+}
+
+case class CosineSimExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "cosine_sim"
+  protected def kernel = "cosine"
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = VectorKernels.cosine(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class DotExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "vec_dot"
+  protected def kernel = "dot"
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = VectorKernels.dot(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class L2DistanceExpr(left: Expression, right: Expression) extends VectorBinaryExpr {
+  override def prettyName: String = "l2_distance"
+  protected def kernel = "l2Distance"
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = VectorKernels.l2Distance(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class NormExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm"
+  override def nullSafeEval(a: Any): Any = VectorKernels.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.norm($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class HyperplaneBucketExpr(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_bucket"
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.hyperplaneBucket(a.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernels.hyperplaneBucket($a, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -74,6 +74,10 @@ object text {
     Bridge.column(MinHashExpr(Bridge.expression(c.cast("string")),
       shingleWidth, numHashes, seed))
 
+  /** Jaccard estimate between two minhash signatures (array<long>). */
+  def sigAgreement(a: Column, b: Column): Column =
+    Bridge.column(SigAgreementExpr(Bridge.expression(a), Bridge.expression(b)))
+
   /** 64-bit SimHash (long). */
   def simhash(c: Column, seed: Long = FakeGen.DefaultSeed): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c.cast("string")), seed))
