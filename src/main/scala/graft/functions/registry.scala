@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.fakegen.FakeGen
+import graft.operators.DecodeStubExpr
+
+/** SQL-surface registration: every graft expression as a SQL function,
+  * so `spark.sql("SELECT fake_email(c_name) FROM t")` works — the
+  * library is usable from pure-SQL contexts (thrift server, notebooks)
+  * with zero Scala imports.
+  *
+  * Two entry points:
+  *  - [[registerAll]] on a live session (temp functions);
+  *  - [[GraftExtensions]] via `spark.sql.extensions` config / builder
+  *    `.withExtensions`, for sessions created by infra that owns the
+  *    builder.
+  */
+object registry {
+
+  private def seedOf(args: Seq[Expression], at: Int): Long =
+    if (args.length > at) args(at) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        v.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"seed argument must be a literal, got $other")
+    } else FakeGen.DefaultSeed
+
+  /** (name, builder) for every SQL-exposed function. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    def fake(kind: Int): Seq[Expression] => Expression =
+      args => FakeExpr(args.head, kind, seedOf(args, 1))
+    Seq(
+      "fake_first_name" -> fake(FakeGen.KindFirstName),
+      "fake_last_name" -> fake(FakeGen.KindLastName),
+      "fake_name" -> fake(FakeGen.KindFullName),
+      "fake_company_name" -> fake(FakeGen.KindCompany),
+      "fake_email" -> fake(FakeGen.KindEmail),
+      "fake_address" -> fake(FakeGen.KindAddress),
+      "fake_uuid" -> fake(FakeGen.KindUuid),
+      "fake_phone" -> fake(FakeGen.KindPhone),
+      "fake_multi_email" -> fake(FakeGen.KindMultiEmail),
+      "lang_id" -> (args => LangIdExpr(args.head)),
+      "rolling_fingerprint" -> (args => RollingFingerprintExpr(args.head)),
+      "minhash" -> (args => MinHashExpr(args.head,
+        shingleWidth = intArg(args, 1, 3), numHashes = intArg(args, 2, 128),
+        seed = seedOf(args, 3))),
+      "simhash" -> (args => SimHashExpr(args.head, seedOf(args, 1))),
+      "sig_agreement" -> (args => SigAgreementExpr(args(0), args(1))),
+      "cosine_sim" -> (args => CosineSimExpr(args(0), args(1))),
+      "vec_dot" -> (args => DotExpr(args(0), args(1))),
+      "vec_norm" -> (args => NormExpr(args.head)),
+      "l2_distance" -> (args => L2DistanceExpr(args(0), args(1))),
+      "hyperplane_bucket" -> (args => HyperplaneBucketExpr(args.head,
+        intArg(args, 1, 12), seedOf(args, 2))),
+      "decode_stub" -> (args => DecodeStubExpr(args.head)))
+  }
+
+  private def intArg(args: Seq[Expression], at: Int, default: Int): Int =
+    if (args.length > at) args(at) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument $at must be a literal, got $other")
+    } else default
+
+  /** Register as session temp functions on an existing session. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    registry.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.CdcMerge
+
+/** DMS-shaped file-set source (SURVEY.md §2.1): a table lives under a
+  * prefix as full-load files (`LOAD*.parquet`, plain schema) plus CDC
+  * delta files (any other name, carrying `Op` and
+  * `_dms_ingestion_timestamp`). Mirrors the reference's three listing
+  * modes (cdc_operator.rs:180-219) and reconstructs the current table
+  * state with [[CdcMerge.applyDelta]].
+  *
+  * Listing happens driver-side through the Hadoop FileSystem API (works
+  * for file://, s3a://, hdfs:// alike); the data reads are plain
+  * multi-path parquet scans, so Spark parallelizes by file/row-group
+  * and pushes filters down — there is no per-file loop.
+  */
+object DmsFiles {
+
+  sealed trait Mode
+  /** Only `LOAD*` full-load files. */
+  case object FullLoadOnly extends Mode
+  /** LOAD files + CDC files whose `yyyyMMdd`-prefixed name falls in
+    * [start, stop] (either bound optional). */
+  final case class DateAware(start: Option[String] = None,
+                             stop: Option[String] = None) extends Mode
+  /** Everything under the prefix, as-is. */
+  case object AbsolutePath extends Mode
+
+  final case class TableFiles(loadFiles: Seq[String], cdcFiles: Seq[String])
+
+  def isLoadFile(name: String): Boolean = name.startsWith("LOAD")
+
+  /** Leading digits of a CDC file name (e.g. `20240102-...parquet` =>
+    * "20240102"); empty when the name carries no date. */
+  private[sources] def datePrefix(name: String): String =
+    name.takeWhile(_.isDigit)
+
+  def list(spark: SparkSession, dir: String, mode: Mode): TableFiles = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .sorted
+    val (load, cdc) = all.partition(p => isLoadFile(new Path(p).getName))
+    mode match {
+      case FullLoadOnly => TableFiles(load, Nil)
+      case AbsolutePath => TableFiles(load, cdc)
+      case DateAware(start, stop) =>
+        TableFiles(load, cdc.filter { p =>
+          val d = datePrefix(new Path(p).getName)
+          d.nonEmpty &&
+            start.forall(s => d >= datePrefix(s)) &&
+            stop.forall(s => d <= datePrefix(s))
+        })
+    }
+  }
+
+  /** Current table state: union of LOAD files, schema-drift-checked,
+    * with CDC deltas applied (latest op per PK wins, D deletes). */
+  def snapshot(spark: SparkSession, dir: String, pk: Seq[String],
+               mode: Mode = AbsolutePath,
+               expectedColumns: Option[Set[String]] = None): DataFrame = {
+    val files = list(spark, dir, mode)
+    require(files.loadFiles.nonEmpty, s"no LOAD files under $dir")
+    val full = spark.read.parquet(files.loadFiles: _*)
+    expectedColumns.foreach(cols => CdcMerge.checkSchemaDrift(full, cols))
+    if (files.cdcFiles.isEmpty) full
+    else {
+      val delta = spark.read.parquet(files.cdcFiles: _*)
+      expectedColumns.foreach(cols => CdcMerge.checkSchemaDrift(delta, cols))
+      CdcMerge.applyDelta(full, delta, pk)
+    }
+  }
+}

@@ -51,6 +51,16 @@ object Demo {
     println("=== plan (should be one WholeStageCodegen over the scan) ===")
     anonymized.explain("formatted")
 
+    // pure-SQL surface
+    graft.functions.registry.registerAll(spark)
+    customer.createOrReplaceTempView("customer")
+    println("=== SQL surface ===")
+    spark.sql("""SELECT c_custkey, fake_email(c_name) AS email,
+                        lang_id(c_mktsegment) AS seg_lang,
+                        rolling_fingerprint(c_name) AS fp
+                 FROM customer ORDER BY c_custkey LIMIT 3""")
+      .show(truncate = false)
+
     if (args.length > 1) {
       val cfg = ConfigLoader.parseAnonymization(
         java.nio.file.Files.readString(java.nio.file.Paths.get(args(1))))

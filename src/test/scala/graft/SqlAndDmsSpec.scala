@@ -1,0 +1,97 @@
+package graft
+
+import graft.fakegen.FakeGen
+import graft.functions.registry
+import graft.operators.CdcMerge
+import graft.sources.DmsFiles
+
+import org.apache.spark.sql.functions._
+
+class SqlAndDmsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("SQL surface: fakers, hashes, vectors callable from pure SQL") {
+    registry.registerAll(spark)
+    spark.read.parquet(sf() + "/customer.parquet").createOrReplaceTempView("sql_customer")
+    val got = spark.sql("""
+      SELECT c_custkey,
+             fake_email(c_name) AS email,
+             fake_email(c_name, 43) AS email_seed43,
+             lang_id('the cat sat on the mat and it was happy') AS lang,
+             simhash(c_name) AS sh,
+             rolling_fingerprint(c_name) AS fp
+      FROM sql_customer WHERE c_custkey < 3""").collect()
+    assert(got(0).getString(1) == FakeGen.email("Customer#000000000", 42L))
+    assert(got(0).getString(2) == FakeGen.email("Customer#000000000", 43L))
+    assert(got(0).getString(2) != got(0).getString(1))
+    assert(got(0).getString(3) == "en")
+    val vec = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+      "vec_norm(array(3.0F, 4.0F)) AS n, " +
+      "l2_distance(array(0.0F, 0.0F), array(3.0F, 4.0F)) AS d").first()
+    assert(vec.getDouble(0) == 1.0 && vec.getDouble(1) == 5.0 && vec.getDouble(2) == 5.0)
+    val mh = spark.sql(
+      "SELECT sig_agreement(minhash('a b c d e'), minhash('a b c d e')) AS s").first()
+    assert(mh.getDouble(0) == 1.0)
+  }
+
+  test("DMS file-set: listing modes + snapshot reconstruction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dms").toString
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+
+    // two LOAD halves + one CDC batch with U and D ops
+    orders.filter($"o_orderkey" % 2 === 0).coalesce(1)
+      .write.parquet(s"$dir/tmp_load1")
+    orders.filter($"o_orderkey" % 2 === 1).coalesce(1)
+      .write.parquet(s"$dir/tmp_load2")
+    val updates = orders.filter($"o_orderkey" % 5 === 0)
+      .withColumn("o_totalprice", lit(0.0))
+      .withColumn(CdcMerge.OpColumn, lit("U"))
+      .withColumn(CdcMerge.TsColumn, lit(10L))
+    val deletes = orders.filter($"o_orderkey" % 7 === 0)
+      .withColumn(CdcMerge.OpColumn, lit("D"))
+      .withColumn(CdcMerge.TsColumn, lit(20L))
+    updates.unionByName(deletes).coalesce(1).write.parquet(s"$dir/tmp_cdc")
+
+    def promote(tmp: String, name: String): Unit = {
+      val src = new java.io.File(s"$dir/$tmp").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(src.toPath, java.nio.file.Paths.get(dir, name))
+    }
+    promote("tmp_load1", "LOAD00000001.parquet")
+    promote("tmp_load2", "LOAD00000002.parquet")
+    promote("tmp_cdc", "20240102-000000001.parquet")
+
+    val fullOnly = DmsFiles.list(spark, dir, DmsFiles.FullLoadOnly)
+    assert(fullOnly.loadFiles.size == 2 && fullOnly.cdcFiles.isEmpty)
+    val dated = DmsFiles.list(spark, dir, DmsFiles.DateAware(Some("20240101"), Some("20240103")))
+    assert(dated.cdcFiles.size == 1)
+    val outOfWindow = DmsFiles.list(spark, dir, DmsFiles.DateAware(Some("20240201"), None))
+    assert(outOfWindow.cdcFiles.isEmpty)
+
+    val snap = DmsFiles.snapshot(spark, dir, pk = Seq("o_orderkey"))
+    val total = orders.count()
+    val deleted = orders.filter($"o_orderkey" % 7 === 0).count()
+    assert(snap.count() == total - deleted)
+    // updated (and not deleted) rows carry the new price
+    assert(snap.filter($"o_orderkey" % 5 === 0).agg(max($"o_totalprice")).first().getDouble(0) == 0.0)
+    // untouched rows unchanged
+    val untouched = snap.filter($"o_orderkey" % 5 =!= 0 && $"o_orderkey" % 7 =!= 0)
+    val expected = orders.filter($"o_orderkey" % 5 =!= 0 && $"o_orderkey" % 7 =!= 0)
+    assert(untouched.exceptAll(expected).isEmpty && expected.exceptAll(untouched).isEmpty)
+  }
+
+  test("DMS snapshot: schema drift detected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dms2").toString
+    val region = spark.read.parquet(sf() + "/region.parquet")
+    region.coalesce(1).write.parquet(s"$dir/tmp")
+    val src = new java.io.File(s"$dir/tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(src.toPath,
+      java.nio.file.Paths.get(dir, "LOAD00000001.parquet"))
+    intercept[IllegalStateException] {
+      DmsFiles.snapshot(spark, dir, pk = Seq("r_regionkey"),
+        expectedColumns = Some(Set("r_regionkey"))) // r_name is drift
+    }
+  }
+}
