@@ -1,0 +1,135 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Output adapters (SURVEY.md §2.9). The engine core only ever sees the
+  * trait; the JDBC implementation is isolated here because the offline
+  * environment has no live database — it is exercised structurally (SQL
+  * generation) while the parquet sink is tested end-to-end.
+  */
+trait TableSink extends Serializable {
+  /** Full-load write (reference: bulk insert of LOAD files). */
+  def writeFull(df: DataFrame, table: String): Unit
+  /** Upsert by primary key (reference: CDC-file upsert). */
+  def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit
+}
+
+/** Parquet directory sink — the anonymized-bucket analog. */
+final class ParquetSink(outDir: String) extends TableSink {
+  def writeFull(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table.parquet")
+
+  /** Parquet upsert = merge into the existing snapshot (read + window
+    * dedup + rewrite). Atomicity comes from writing to a temp dir and
+    * swapping — at real scale this is a table-format job (Iceberg/Delta
+    * MERGE); plain-parquet semantics are kept here for parity. */
+  def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val path = s"$outDir/$table.parquet"
+    val merged =
+      if (new java.io.File(path).exists()) {
+        val current = spark.read.parquet(path)
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy(pk.map(col): _*).orderBy(col("__pri").desc)
+        current.withColumn("__pri", lit(0))
+          .unionByName(df.withColumn("__pri", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__pri", "__rn")
+      } else df
+    val tmp = s"$outDir/.tmp_$table"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) deleteRecursive(target)
+    new java.io.File(tmp).renameTo(target)
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete()
+  }
+}
+
+/** JDBC (Postgres-compatible) sink. Full loads go through Spark's JDBC
+  * writer (parallel, batched — `batchsize` mirrors the reference's
+  * chunk_size 1000, src/main.rs:169); upserts stage into a temp table
+  * and run one INSERT ... ON CONFLICT DO UPDATE. NOT exercisable in the
+  * offline test env — kept deliberately thin.
+  */
+final class JdbcSink(url: String, props: Properties,
+                     batchSize: Int = 1000) extends TableSink {
+  def writeFull(df: DataFrame, table: String): Unit = {
+    val p = new Properties(); p.putAll(props)
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode(SaveMode.Append).jdbc(url, table, p)
+  }
+
+  def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit = {
+    val staging = s"${table}_staging_graft"
+    val p = new Properties(); p.putAll(props)
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, p)
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.createStatement().execute(
+        JdbcSink.upsertSql(table, staging, df.columns.toSeq, pk))
+      conn.createStatement().execute(s"DROP TABLE $staging")
+    } finally conn.close()
+  }
+}
+
+object JdbcSink {
+  /** INSERT ... SELECT ... ON CONFLICT (pk) DO UPDATE SET col = EXCLUDED.col */
+  def upsertSql(table: String, staging: String, columns: Seq[String],
+                pk: Seq[String]): String = {
+    val cols = columns.mkString(", ")
+    val updates = columns.filterNot(pk.contains)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
+    s"ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $updates"
+  }
+}
+
+/** Source-catalog access (SURVEY.md §2.1 catalog scans): table list,
+  * columns, primary key. JDBC impl reads information_schema through
+  * spark.read.jdbc; the static impl backs offline tests and file-only
+  * runs. */
+trait SourceCatalog {
+  def tables(schema: String): Seq[String]
+  def columns(schema: String, table: String): Seq[(String, String)]
+  def primaryKey(schema: String, table: String): Seq[String]
+}
+
+final class StaticCatalog(meta: Map[String, (Seq[(String, String)], Seq[String])])
+    extends SourceCatalog {
+  def tables(schema: String): Seq[String] = meta.keys.toSeq.sorted
+  def columns(schema: String, table: String): Seq[(String, String)] = meta(table)._1
+  def primaryKey(schema: String, table: String): Seq[String] = meta(table)._2
+}
+
+final class JdbcCatalog(spark: SparkSession, url: String, props: Properties)
+    extends SourceCatalog {
+  private def q(sql: String): DataFrame = {
+    val p = new Properties(); p.putAll(props)
+    spark.read.jdbc(url, s"($sql) AS sub", p)
+  }
+  def tables(schema: String): Seq[String] =
+    q(s"SELECT table_name FROM information_schema.tables " +
+      s"WHERE table_schema = '$schema' AND table_type = 'BASE TABLE'")
+      .collect().map(_.getString(0)).toSeq.sorted
+  def columns(schema: String, table: String): Seq[(String, String)] =
+    q(s"SELECT column_name, data_type FROM information_schema.columns " +
+      s"WHERE table_schema = '$schema' AND table_name = '$table' " +
+      s"ORDER BY ordinal_position")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  def primaryKey(schema: String, table: String): Seq[String] =
+    q(s"SELECT a.attname FROM pg_index i " +
+      s"JOIN pg_class c ON c.oid = i.indrelid " +
+      s"JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      s"JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = ANY(i.indkey) " +
+      s"WHERE i.indisprimary AND n.nspname = '$schema' AND c.relname = '$table'")
+      .collect().map(_.getString(0)).toSeq
+}

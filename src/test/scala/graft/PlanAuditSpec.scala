@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make these
+  * operators scale are asserted, not assumed (prompt: ".explain the
+  * plan and iterate until it's the plan you'd want").
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    for (q <- Seq("q_filter_startswith", "q_filter_equals", "q_filter_contains")) {
+      val plan = planOf(q)
+      assert(plan.contains("PushedFilters: ["), s"$q plan lacks pushdown:\n$plan")
+      assert(!plan.contains("PushedFilters: []"), s"$q pushed nothing:\n$plan")
+    }
+  }
+
+  test("projection queries prune columns at the scan") {
+    val plan = planOf("q_fake_email") // selects 2 of 5 customer columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && readSchema.contains("c_name"))
+    assert(!readSchema.contains("c_acctbal") && !readSchema.contains("c_mktsegment"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("dimension join broadcasts the small side") {
+    assert(planOf("q_join_agg").contains("BroadcastHashJoin"))
+    assert(planOf("q_ann_topk").contains("BroadcastNestedLoopJoin") ||
+           planOf("q_ann_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("faker pipeline is one WholeStageCodegen over the scan (no UDF barrier)") {
+    val plan = planOf("q_anonymize_pipeline")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // '*(n)' prefixes mark WholeStageCodegen stages; the faker Project
+    // must be inside one
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("fake_name")),
+      s"faker projection not codegen'd:\n$plan")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val plan = planOf("q1_agg")
+    // HashAggregate(partial) -> Exchange -> HashAggregate(final)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("cdc merge plans one shuffle per side keyed on the PK") {
+    val plan = planOf("q_cdc_latest_per_key")
+    assert(plan.contains("Window") && plan.contains("hashpartitioning(user_id"),
+      s"latest-per-key should hash-partition by key:\n$plan")
+  }
+}

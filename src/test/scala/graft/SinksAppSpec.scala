@@ -1,0 +1,45 @@
+package graft
+
+import graft.app.Main
+import graft.sinks.{JdbcSink, ParquetSink}
+import graft.sources.DmsFiles
+
+import org.apache.spark.sql.functions._
+
+class SinksAppSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ParquetSink: full write then PK upsert merges latest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val sink = new ParquetSink(dir)
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink.writeFull(v1, "t")
+    val delta = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+    sink.upsert(delta, "t", Seq("id"))
+    val got = spark.read.parquet(s"$dir/t.parquet").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("JdbcSink upsert SQL shape") {
+    val sql = JdbcSink.upsertSql("tgt", "stg", Seq("id", "a", "b"), Seq("id"))
+    assert(sql ==
+      "INSERT INTO tgt (id, a, b) SELECT id, a, b FROM stg " +
+      "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+  }
+
+  test("CLI arg parsing incl. modes and lists") {
+    val a = Main.parse(Seq("anonymize",
+      "--input-dir", "/in", "--output-dir", "/out",
+      "--db-name", "d", "--schema-name", "s",
+      "--included-tables", "x,y", "--excluded-tables", "y",
+      "--mode", "date-aware", "--start-date", "20240101",
+      "--parallelism", "4"))
+    assert(a.inputDir == "/in" && a.dbName == "d")
+    assert(a.mode == DmsFiles.DateAware(Some("20240101"), None))
+    assert(Main.resolveTables(a) == Seq("x"))
+    intercept[IllegalArgumentException](Main.parse(Seq("--nope", "v")))
+    intercept[IllegalArgumentException](
+      Main.parse(Seq("--mode", "bogus")))
+  }
+}
