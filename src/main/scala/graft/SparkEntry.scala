@@ -175,6 +175,9 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         text.tokenCount(col("text")).as("n_tokens"))),
+    "q_token_count_bpe" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        text.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         round(text.alphaRatio(col("text")), 6).as("alpha_ratio"),

@@ -1,0 +1,123 @@
+package graft.controlplane
+
+import scala.collection.mutable.ArrayBuffer
+import scala.sys.process.{Process, ProcessLogger}
+
+/** Control-plane operators (SURVEY.md §2.10): the schema/DDL lifecycle
+  * around the dataflow. The SQL/DDL GENERATION is implemented and
+  * unit-tested here; execution goes through [[SqlExecutor]] so the
+  * offline environment (no live Postgres) tests generation while
+  * production plugs a JDBC connection in.
+  */
+object ControlPlane {
+
+  /** Sequence SETVAL statements (target_db_finalizer.rs:17-58): for each
+    * (sequence, table, column) owned pair, set the sequence to the
+    * column's max. The reference discovers pairs from pg_depend —
+    * [[sequenceOwnershipQuery]] is that catalog probe. */
+  def sequenceOwnershipQuery(schema: String): String =
+    s"""SELECT s.relname AS sequence_name, t.relname AS table_name,
+       |       a.attname AS column_name
+       |FROM pg_depend d
+       |JOIN pg_class s ON s.oid = d.objid AND s.relkind = 'S'
+       |JOIN pg_class t ON t.oid = d.refobjid
+       |JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = d.refobjsubid
+       |JOIN pg_namespace n ON n.oid = s.relnamespace
+       |WHERE n.nspname = '$schema' AND d.deptype IN ('a', 'i')""".stripMargin
+
+  def setvalSql(schema: String, sequence: String, table: String,
+                column: String): String =
+    s"SELECT SETVAL('$schema.$sequence', " +
+    s"COALESCE((SELECT MAX($column) FROM $schema.$table), 1))"
+
+  /** Import-role DDL (target_db_preparator.rs:143-226): a role that
+    * bypasses triggers/FKs during bulk load. */
+  def createImportRoleSql(role: String, password: String,
+                          superuser: Boolean): Seq[String] = Seq(
+    s"CREATE ROLE $role WITH LOGIN PASSWORD '$password'" +
+      (if (superuser) " SUPERUSER" else ""),
+    s"ALTER ROLE $role SET session_replication_role = 'replica'")
+
+  def dropSchemaSql(schema: String): String =
+    s"DROP SCHEMA IF EXISTS $schema CASCADE"
+
+  def createExtensionsSql(extensions: Seq[String]): Seq[String] =
+    extensions.map(e => s"CREATE EXTENSION IF NOT EXISTS $e")
+
+  /** Grants to application users (target_db_finalizer.rs:62-109). */
+  def grantSql(schema: String, user: String, owner: Boolean): Seq[String] =
+    if (owner) Seq(
+      s"GRANT ALL ON SCHEMA $schema TO $user",
+      s"GRANT ALL ON ALL TABLES IN SCHEMA $schema TO $user",
+      s"GRANT ALL ON ALL SEQUENCES IN SCHEMA $schema TO $user",
+      s"ALTER DEFAULT PRIVILEGES IN SCHEMA $schema GRANT ALL ON TABLES TO $user")
+    else Seq(
+      s"GRANT USAGE ON SCHEMA $schema TO $user",
+      s"GRANT SELECT ON ALL TABLES IN SCHEMA $schema TO $user",
+      s"GRANT USAGE ON ALL SEQUENCES IN SCHEMA $schema TO $user")
+
+  /** Post-import SQL from env (`{DB}_{SCHEMA}_POST_IMPORT_SQL_QUERIES`,
+    * semicolon-split — target_db_finalizer.rs:114-198). */
+  def postImportStatements(raw: String): Seq[String] =
+    raw.split(';').map(_.trim).filter(_.nonEmpty).toSeq
+
+  def postImportEnvKey(db: String, schema: String): String =
+    s"${db.toUpperCase}_${schema.toUpperCase}_POST_IMPORT_SQL_QUERIES"
+
+  /** pg_dump/pg_restore invocations (target_db_preparator.rs:29-49,
+    * 109-135) — returned as argv for [[Shell.run]]. */
+  def pgDumpSchemaArgs(url: String, schema: String, outFile: String): Seq[String] =
+    Seq("pg_dump", "--schema-only", "--schema", schema,
+      "--format", "custom", "--file", outFile, url)
+
+  def pgRestoreArgs(url: String, dumpFile: String): Seq[String] =
+    Seq("pg_restore", "--no-owner", "--no-privileges",
+      "--dbname", url, dumpFile)
+}
+
+/** Statement execution seam: production = JDBC connection; tests =
+  * recording stub. */
+trait SqlExecutor {
+  def execute(sql: String): Unit
+  def executeAll(sqls: Seq[String]): Unit = sqls.foreach(execute)
+}
+
+final class RecordingSqlExecutor extends SqlExecutor {
+  val statements = ArrayBuffer.empty[String]
+  def execute(sql: String): Unit = statements += sql
+}
+
+final class JdbcSqlExecutor(url: String, props: java.util.Properties)
+    extends SqlExecutor {
+  def execute(sql: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try conn.createStatement().execute(sql) finally conn.close()
+  }
+}
+
+/** Shell executor with line-streamed stdout/stderr capture
+  * (rustic-shell/src/shell_command_executor.rs:8-106 analog). */
+object Shell {
+  final case class ShellResult(exitCode: Int, stdout: Seq[String],
+                               stderr: Seq[String]) {
+    def success: Boolean = exitCode == 0
+  }
+
+  def run(argv: Seq[String], onLine: String => Unit = _ => ()): ShellResult = {
+    val out = ArrayBuffer.empty[String]
+    val err = ArrayBuffer.empty[String]
+    val code = Process(argv).!(ProcessLogger(
+      l => { out += l; onLine(l) },
+      l => { err += l; onLine(l) }))
+    ShellResult(code, out.toSeq, err.toSeq)
+  }
+
+  def runOrThrow(argv: Seq[String]): ShellResult = {
+    val r = run(argv)
+    if (!r.success)
+      throw new RuntimeException(
+        s"command failed (${r.exitCode}): ${argv.mkString(" ")}\n" +
+        r.stderr.takeRight(20).mkString("\n"))
+    r
+  }
+}

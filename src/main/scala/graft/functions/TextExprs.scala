@@ -37,6 +37,18 @@ case class SimHashExpr(child: Expression, seed: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_token_count"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bpeTokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bpeTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
 case class LangIdExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

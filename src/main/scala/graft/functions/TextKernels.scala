@@ -40,6 +40,38 @@ object TextKernels {
     if (n.isEmpty) Array.empty else n.split(' ')
   }
 
+  /** BPE-style pre-tokenization count: runs of letters, runs of digits,
+    * runs of other non-space symbols each count as one token, with a
+    * leading space attaching to the following run (the GPT-2 pattern's
+    * shape, without the merge table — merges only split tokens further,
+    * so this is a stable lower bound and a far better length signal for
+    * LLM data budgeting than whitespace counts). */
+  def bpeTokenCount(value: UTF8String): Int = {
+    val s = value.toString
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else {
+        val kind =
+          if (Character.isLetter(c)) 0
+          else if (Character.isDigit(c)) 1
+          else 2
+        count += 1
+        i += 1
+        while (i < n && !Character.isWhitespace(s.charAt(i)) && {
+          val cc = s.charAt(i)
+          val k = if (Character.isLetter(cc)) 0
+                  else if (Character.isDigit(cc)) 1 else 2
+          k == kind
+        }) i += 1
+      }
+    }
+    count
+  }
+
   // ---- rolling fingerprint ---------------------------------------------
 
   /** 64-bit Rabin-Karp-style rolling fingerprint of the normalized text,

@@ -42,6 +42,7 @@ object registry {
       "fake_phone" -> fake(FakeGen.KindPhone),
       "fake_multi_email" -> fake(FakeGen.KindMultiEmail),
       "lang_id" -> (args => LangIdExpr(args.head)),
+      "bpe_token_count" -> (args => BpeTokenCountExpr(args.head)),
       "rolling_fingerprint" -> (args => RollingFingerprintExpr(args.head)),
       "minhash" -> (args => MinHashExpr(args.head,
         shingleWidth = intArg(args, 1, 3), numHashes = intArg(args, 2, 128),

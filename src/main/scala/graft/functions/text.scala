@@ -23,6 +23,11 @@ object text {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
+  /** BPE-style pre-token count (letter runs / digit runs / symbol runs)
+    * — the LLM-budgeting length signal; see TextKernels.bpeTokenCount. */
+  def bpeTokenCount(c: Column): Column =
+    Bridge.column(BpeTokenCountExpr(Bridge.expression(c.cast("string"))))
+
   /** Share of alphabetic characters. */
   def alphaRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))

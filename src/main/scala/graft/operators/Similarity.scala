@@ -47,12 +47,14 @@ object Similarity {
               nBits: Int = 12, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("bucket"))
-    val probes = (0 until nBits).map(b =>
-      vectors.hyperplaneBucket(col(vecCol), nBits, seed)
-        .bitwiseXOR(shiftleft(lit(1L), b))) :+
-      vectors.hyperplaneBucket(col(vecCol), nBits, seed)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(array(probes: _*)).as("bucket"))
+    // evaluate the bucket kernel ONCE per query; probe buckets are just
+    // XOR bit-flips of it
+    val probes = lit(0L) +: (0 until nBits).map(b => shiftleft(lit(1L), b))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("qbucket"))
+      .select(col("query_id"), col("qv"),
+        explode(array(probes.map(col("qbucket").bitwiseXOR(_)): _*)).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")

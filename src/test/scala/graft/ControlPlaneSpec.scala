@@ -1,0 +1,54 @@
+package graft
+
+import graft.controlplane.{ControlPlane, RecordingSqlExecutor, Shell}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ControlPlaneSpec extends AnyFunSuite {
+
+  test("SETVAL + ownership catalog SQL") {
+    assert(ControlPlane.setvalSql("public", "users_id_seq", "users", "id") ==
+      "SELECT SETVAL('public.users_id_seq', " +
+      "COALESCE((SELECT MAX(id) FROM public.users), 1))")
+    val q = ControlPlane.sequenceOwnershipQuery("public")
+    assert(q.contains("pg_depend") && q.contains("relkind = 'S'"))
+  }
+
+  test("import role, grants, post-import splitting") {
+    val role = ControlPlane.createImportRoleSql("importer", "pw", superuser = false)
+    assert(role.exists(_.contains("session_replication_role = 'replica'")))
+    assert(ControlPlane.grantSql("s", "app", owner = true)
+      .exists(_.startsWith("ALTER DEFAULT PRIVILEGES")))
+    assert(ControlPlane.grantSql("s", "ro", owner = false)
+      .forall(sql => !sql.contains("ALL ON ALL TABLES")))
+    assert(ControlPlane.postImportStatements(" A; B ;;C; ") == Seq("A", "B", "C"))
+    assert(ControlPlane.postImportEnvKey("mydb", "public") ==
+      "MYDB_PUBLIC_POST_IMPORT_SQL_QUERIES")
+  }
+
+  test("executor seam records in order") {
+    val rec = new RecordingSqlExecutor
+    rec.executeAll(ControlPlane.grantSql("s", "u", owner = false))
+    assert(rec.statements.length == 3 && rec.statements.head.startsWith("GRANT USAGE"))
+  }
+
+  test("shell executor streams lines and reports exit codes") {
+    val ok = Shell.run(Seq("sh", "-c", "echo out1; echo err1 1>&2; echo out2"))
+    assert(ok.success && ok.stdout == Seq("out1", "out2") && ok.stderr == Seq("err1"))
+    val bad = Shell.run(Seq("sh", "-c", "exit 3"))
+    assert(bad.exitCode == 3)
+    intercept[RuntimeException](Shell.runOrThrow(Seq("sh", "-c", "echo boom 1>&2; exit 1")))
+  }
+
+  test("bpe token count kernel") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextKernels
+    def n(s: String) = TextKernels.bpeTokenCount(UTF8String.fromString(s))
+    assert(n("hello world") == 2)
+    assert(n("hello, world!") == 4)   // hello , world !
+    assert(n("abc123def") == 3)       // letters digits letters
+    assert(n("") == 0)
+    assert(n("   ") == 0)
+    assert(n("price: $42.99") == 6)   // price :  $  42 . 99
+  }
+}
