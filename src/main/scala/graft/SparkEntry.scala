@@ -223,6 +223,13 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, nBits = 8)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding",
+        nlist = 16, iters = 2)
+      graft.operators.Ivf.topK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, centroids, nprobe = 4)
+    }),
 
     // ---- training-data pipeline: multimodal plumbing ------------------
     "q_multimodal_bytes" -> ((s, dir) =>

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.{vectors, NearestCentroidExpr, NearestCentroidsExpr}
+
+/** IVF-style ANN: a k-means coarse quantizer partitions the corpus into
+  * `nlist` inverted lists; queries probe the `nprobe` nearest lists and
+  * re-rank candidates exactly. The second scale tier next to
+  * [[Similarity.lshTopK]] — IVF adapts to the data distribution where
+  * LSH is data-independent.
+  *
+  * Scale shape: training is `iters` passes of (assign -> per-cluster
+  * elementwise mean) — each a single scan + one small shuffle (nlist x
+  * dim aggregates). The centroid table (nlist x dim floats — 64 KB at
+  * 256x64) travels inside the plan; assignment is a projection, the
+  * probe join shuffles only (cluster, id, vec) of candidates in probed
+  * lists. Never O(corpus x queries).
+  */
+object Ivf {
+
+  /** Deterministic k-means: centroids seeded from an id-ordered sample
+    * (no RNG), `iters` Lloyd rounds computed with DataFrame aggregates.
+    * Returns nlist x dim (driver-side: this IS the coarse quantizer,
+    * bounded by nlist, not by data). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, iters: Int = 3): Array[Array[Float]] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(
+        assign(col(vecCol), centroids).as("cluster"), col(vecCol).as("v"))
+      // elementwise mean per cluster: explode to (cluster, pos, x)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Cluster id column for a vector column. */
+  def assign(vec: Column, centroids: Array[Array[Float]]): Column =
+    Bridge.column(NearestCentroidExpr(
+      Bridge.expression(vec.cast("array<float>")), centroids))
+
+  /** `nprobe` nearest cluster ids, for the query side. */
+  def probes(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    Bridge.column(NearestCentroidsExpr(
+      Bridge.expression(vec.cast("array<float>")), centroids, nprobe))
+
+  /** ANN top-k through the inverted lists. Deterministic (ties on
+    * corpus id). */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int, centroids: Array[Array[Float]],
+           nprobe: Int = 4): DataFrame = {
+    val lists = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"), assign(col(vecCol), centroids).as("cluster"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probes(col(vecCol), centroids, nprobe)).as("cluster"))
+    val scored = lists.join(q, Seq("cluster"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+}

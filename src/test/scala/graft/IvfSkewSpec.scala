@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Ivf, Skew}
+
+import org.apache.spark.sql.functions._
+
+class IvfSkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("IVF: train deterministic, topK finds near-identical vectors") {
+    val base = (0 until 40).map(i =>
+      (0 until 32).map(d => math.sin(i * 32 + d).toFloat).toArray)
+    val corpus = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cent1 = Ivf.train(corpus, "id", "v", nlist = 8, iters = 2)
+    val cent2 = Ivf.train(corpus, "id", "v", nlist = 8, iters = 2)
+    assert(cent1.map(_.toSeq).toSeq == cent2.map(_.toSeq).toSeq, "training not deterministic")
+
+    val queries = base.zipWithIndex.map { case (v, i) =>
+      (100L + i, v.map(x => x + 0.0005f)) }.toDF("id", "v")
+    val got = Ivf.topK(corpus, queries, "id", "v", k = 1, cent1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hit = (0 until 40).count(i => got.get(100L + i).contains(i.toLong))
+    assert(hit >= 38, s"recall@1 $hit/40")
+  }
+
+  test("IVF assignment covers all rows exactly once") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cent = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iters = 1)
+    val assigned = emb.select(Ivf.assign($"embedding", cent).as("c"))
+    assert(assigned.count() == emb.count())
+    val clusters = assigned.groupBy("c").count().collect()
+    assert(clusters.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
+    assert(clusters.length > 4, "degenerate clustering")
+  }
+
+  test("salted aggregates equal plain aggregates") {
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val plainCount = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(ev, Seq("event_type"), buckets = 16)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plainCount)
+
+    val plainSum = ev.groupBy($"event_type").agg(sum($"value"))
+      .as[(String, Double)].collect().toMap
+    val saltedSum = Skew.saltedSum(ev, Seq("event_type"), "value", buckets = 16)
+      .as[(String, Double)].collect().toMap
+    assert(saltedSum.keySet == plainSum.keySet)
+    saltedSum.foreach { case (k, v) =>
+      assert(math.abs(v - plainSum(k)) < 1e-6, s"$k: $v vs ${plainSum(k)}")
+    }
+  }
+
+  test("salted join equals plain join") {
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val customer = spark.read.parquet(sf() + "/customer.parquet")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    val plain = orders.join(customer, "o_custkey")
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", buckets = 4)
+      .select(plain.columns.map(col).toIndexedSeq: _*)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
