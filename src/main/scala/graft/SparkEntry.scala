@@ -142,6 +142,64 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
     }),
 
+    // ---- engine generality: joins / set ops / windows / scalars -------
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    }),
+    "q_join_outer" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val s2 = t(s, dir, "supplier")
+      n.join(s2, n("n_nationkey") === s2("s_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+    }),
+    "q_set_ops" -> ((s, dir) => {
+      val hot = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      hot.intersect(urgent)
+        .unionByName(hot.exceptAll(hot)) // exercises except (empty) + union
+        .distinct()
+    }),
+    "q_agg_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders").rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))),
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("running_cents"))
+    }),
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))),
+    "q_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+          count(lit(1)).as("total"))),
+
     // ---- §2.4 deterministic fakers (not SQL-expressible: rows-only
     // driver check; exact semantics pinned by ScalaTest + determinism) --
     "q_fake_name" -> ((s, dir) =>
@@ -325,6 +383,46 @@ object SparkEntry {
       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn " +
       "FROM orders " +
       "QUALIFY rn <= 3"),
+
+    // ---- engine generality ---------------------------------------------
+    "q_join_semi" ->
+      ("SELECT * FROM customer WHERE EXISTS (SELECT 1 FROM orders " +
+       "WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
+    "q_join_anti" ->
+      ("SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+       "WHERE o_custkey = c_custkey)"),
+    "q_join_outer" ->
+      ("SELECT n_nationkey, n_name, s_suppkey, s_name FROM nation " +
+       "LEFT JOIN supplier ON n_nationkey = s_nationkey"),
+    "q_set_ops" ->
+      ("SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000 " +
+       "INTERSECT " +
+       "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"),
+    "q_agg_stats" ->
+      ("SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+       "count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows " +
+       "FROM lineitem GROUP BY l_returnflag"),
+    "q_rollup" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
+       "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
+       "PARTITION BY o_custkey ORDER BY o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents " +
+       "FROM orders"),
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k " +
+       "FROM events"),
+    "q_date_parts" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS y, " +
+       "CAST(month(o_orderdate) AS INT) AS m, count(*) AS n " +
+       "FROM orders GROUP BY 1, 2"),
+    "q_conditional_agg" ->
+      ("SELECT user_id, " +
+       "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases, " +
+       "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, " +
+       "count(*) AS total FROM events GROUP BY user_id"),
 
     // ---- text analysis ------------------------------------------------
     "q_token_count" -> (
