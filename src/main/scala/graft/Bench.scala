@@ -32,9 +32,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warmup so the first measured query doesn't pay
-    // classloading for the whole SQL engine.
+    // classloading for the whole SQL engine, vectorized parquet reader,
+    // shuffle, and window machinery.
     spark.range(1000000).selectExpr("sum(id)").write
       .format("noop").mode("overwrite").save()
+    val warm = spark.read.parquet(s"$sfDir/nation.parquet")
+    warm.groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    warm.withColumn("rn", row_number().over(
+      Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))))
+      .write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
