@@ -38,6 +38,17 @@ object CdcStream {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming exact dedup: drops rows whose `keyCols` were already seen
+    * within the watermark horizon — the streaming face of Dedup.exact
+    * for continuous ingestion. State is bounded by the watermark (keys
+    * older than the horizon are dropped from the store), which is what
+    * makes it safe on an unbounded 100 TB/day feed. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+                           keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Continuously-maintained latest-row-per-key via typed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): the streaming
     * equivalent of CdcMerge.latestPerKey. Emits the new latest row for

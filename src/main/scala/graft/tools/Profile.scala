@@ -49,6 +49,28 @@ object Profile {
     time("docs_ngram_pairs")(graft.operators.Dedup.ngramJaccardPairs(
       docs(), "doc_id", "text", n = 3, threshold = 0.5))
 
+    // bucketed co-located join vs plain shuffle join
+    {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      graft.operators.Bucketing.writeBucketed(orders, "p_orders", "o_orderkey", 16,
+        sortCols = Seq("o_orderkey"))
+      graft.operators.Bucketing.writeBucketed(li, "p_lineitem", "o_orderkey", 16,
+        sortCols = Seq("o_orderkey"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time("join_shuffle")(orders.join(li, "o_orderkey")
+        .groupBy("o_orderpriority").count())
+      time("join_bucketed")(graft.operators.Bucketing
+        .coLocatedJoin(spark, "p_orders", "p_lineitem", "o_orderkey")
+        .groupBy("o_orderpriority").count())
+      val plan = graft.operators.Bucketing
+        .coLocatedJoin(spark, "p_orders", "p_lineitem", "o_orderkey")
+        .queryExecution.executedPlan.toString
+      println(s"[profile] bucketed join shuffle-free = ${!plan.contains("ShuffleExchange")}")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    }
+
     // cardinality breakdown of the minhash pipeline
     {
       val sigs = docs().select(col("doc_id").as("id"),
