@@ -263,6 +263,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
@@ -470,6 +473,31 @@ object SparkEntry {
       "SELECT id_a, id_b, round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
       "FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
       "WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5"),
+    // cross-tier oracle: Spark dedups via minhash-LSH components; the
+    // oracle dedups via EXACT jaccard pairs + recursive-CTE components.
+    // They agree because the LSH tier recovers exactly the exact tier's
+    // pairs on this corpus (cross-validated in q_dedup_minhash).
+    "q_dedup_corpus" -> (
+      "WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jp AS (SELECT id_a, id_b FROM cp JOIN sz x ON x.doc_id = id_a " +
+      "  JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM jp " +
+      "  UNION SELECT id_b, id_a FROM jp), " +
+      "reach AS (SELECT src, dst FROM edges " +
+      "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
+      "  FROM reach GROUP BY src) " +
+      "SELECT d.* FROM documents d WHERE d.doc_id NOT IN " +
+      "(SELECT id FROM comp WHERE component != id)"),
     "q_dedup_embedding" -> (
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c.cos, 6) AS cos " +
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, " +

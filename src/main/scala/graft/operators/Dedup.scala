@@ -137,6 +137,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair list ((id_a, id_b)
+    * edges): returns (id, component) where component = the minimum id
+    * reachable from `id`. Iterative min-label propagation — each round
+    * is one join + aggregate, converging in O(component diameter)
+    * rounds (near-dup clusters are shallow; 25 rounds covers a
+    * 33M-node path). Deterministic.
+    */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    // Each round references the previous round's result: without lineage
+    // truncation the logical plan doubles per iteration (OOM by ~30
+    // rounds). localCheckpoint materializes and cuts the lineage; on a
+    // real cluster prefer reliable checkpoint (HDFS) for fault
+    // tolerance of long chains.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for each node: min over neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full near-dup dedup: detect pairs (minhash LSH), cluster them, and
+    * keep only each component's minimum-id document. Returns the
+    * surviving rows of `df`. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleWidth: Int = 3, numHashes: Int = 128,
+                  bands: Int = 32, threshold: Double = 0.5,
+                  seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleWidth, numHashes,
+      bands, threshold, seed)
+    val comp = components(pairs)
+    val dropIds = comp.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold. Small inputs:
     * brute self-join. Scale path: pre-bucket with hyperplane LSH (see
     * Similarity.lshTopK) — same verification expression. */

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Dedup
+
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("components: chains, singletons, disjoint clusters") {
+    // a-b, b-c (chain), d-e, isolated f never appears in pairs
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(!comp.contains(99L))
+  }
+
+  test("components converge on a long chain") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain, maxIter = 40).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(0L))
+  }
+
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    val docA = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docAnear = ((1 to 30).map(i => s"word$i") ++ Seq("CHANGED") ++
+      (32 to 60).map(i => s"word$i")).mkString(" ")
+    val docB = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((5L, docA), (2L, docAnear), (9L, docB), (7L, docA)).toDF("id", "t")
+    val kept = Dedup.dedupCorpus(df, "id", "t", threshold = 0.4)
+      .select("id").as[Long].collect().toSet
+    // cluster {5,2,7} -> keep 2 (min); 9 unrelated -> kept
+    assert(kept == Set(2L, 9L), s"kept $kept")
+  }
+}
