@@ -200,6 +200,20 @@ object SparkEntry {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
           count(lit(1)).as("total"))),
 
+    // ---- training-data pipeline: sampling & mixing --------------------
+    "q_sample_mod" -> ((s, dir) =>
+      graft.operators.Sampling.modSample(t(s, dir, "customer"), "c_custkey", 10)),
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratified(t(s, dir, "documents"),
+        "lang", "doc_id", nPerClass = 20)),
+    "q_sample_hash" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(t(s, dir, "customer"), "c_custkey", 0.25)),
+    "q_mix_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedMix(Seq(
+        ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),
+        ("events", t(s, dir, "events").select(col("event_id").as("id")), 0.1)),
+        keyCol = "id")),
+
     // ---- §2.4 deterministic fakers (not SQL-expressible: rows-only
     // driver check; exact semantics pinned by ScalaTest + determinism) --
     "q_fake_name" -> ((s, dir) =>
@@ -426,6 +440,13 @@ object SparkEntry {
        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases, " +
        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, " +
        "count(*) AS total FROM events GROUP BY user_id"),
+
+    // ---- sampling ------------------------------------------------------
+    "q_sample_mod" ->
+      "SELECT * FROM customer WHERE c_custkey % 100 < 10",
+    "q_sample_stratified" ->
+      ("SELECT * FROM documents " +
+       "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 20"),
 
     // ---- text analysis ------------------------------------------------
     "q_token_count" -> (

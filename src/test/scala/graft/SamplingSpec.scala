@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Sampling
+
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashSample: deterministic, partition-invariant, ~fraction") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.25).as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), "id", 0.25)
+      .as[Long].collect().toSet
+    assert(a == b, "sample depends on partitioning")
+    assert(math.abs(a.size - 2500) < 250, s"got ${a.size} of expected ~2500")
+    val otherSeed = Sampling.hashSample(df, "id", 0.25, seed = 7L)
+      .as[Long].collect().toSet
+    assert(a != otherSeed)
+  }
+
+  test("stratified: exact per-class caps, deterministic choice") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val got = Sampling.stratified(docs, "lang", "doc_id", 20)
+    val counts = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 20))
+    assert(counts("en") == 20) // en has 218 docs => capped
+    // picks the smallest doc_ids per class
+    val enIds = got.filter($"lang" === "en").select("doc_id").as[Long].collect().sorted
+    val expected = docs.filter($"lang" === "en").select("doc_id")
+      .as[Long].collect().sorted.take(20)
+    assert(enIds.sameElements(expected))
+  }
+
+  test("weightedMix: provenance column, independent per-source draws") {
+    val a = spark.range(1000).toDF("id")
+    val b = spark.range(1000).toDF("id")
+    val mixed = Sampling.weightedMix(Seq(("a", a, 0.5), ("b", b, 0.1)), "id")
+    val bySource = mixed.groupBy("__source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(bySource("a") - 500) < 120, bySource.toString)
+    assert(math.abs(bySource("b") - 100) < 60, bySource.toString)
+    // same key, different sources: decisions are independent (domain-
+    // separated seeds), so the kept-id sets differ
+    val aIds = mixed.filter($"__source" === "a").select("id").as[Long].collect().toSet
+    val bIds = mixed.filter($"__source" === "b").select("id").as[Long].collect().toSet
+    assert(!bIds.subsetOf(aIds) || bIds.size < 20)
+  }
+}
