@@ -20,6 +20,26 @@ object NoOpWholeTableTransformator extends WholeTableTransformator {
   def apply(df: DataFrame): DataFrame = df
 }
 
+/** A real whole-table transformation (the reference ships only NoOp in
+  * its open-source build; its production impl is private —
+  * whole_table_transformator.rs:1-21): deterministically fake EVERY
+  * string column, preserving all other types. The blanket-anonymization
+  * hammer for tables with no per-column config. */
+final class FakeAllStringsTransformator(seed: Long = graft.fakegen.FakeGen.DefaultSeed)
+    extends WholeTableTransformator {
+  val name = "fake_all_strings"
+  def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    val outCols = df.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        graft.functions.anon.fakeUuid(col(f.name), seed).as(f.name)
+      else col(f.name)
+    }
+    df.select(outCols.toIndexedSeq: _*)
+  }
+}
+
 /** Per-table plan builder — the Spark re-expression of the reference's
   * per-file dataflow (anonymization_dataframe_operator.rs:50-326):
   *
