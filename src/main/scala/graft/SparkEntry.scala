@@ -200,6 +200,18 @@ object SparkEntry {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
           count(lit(1)).as("total"))),
 
+    // ---- temporal: backward as-of join --------------------------------
+    // last click before each purchase, per user (point-in-time join)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.Temporal.asofJoin(purchases, clicks,
+        keyCols = Seq("user_id"), tsCol = "ts", rightPrefix = "")
+    }),
+
     // ---- training-data pipeline: sampling & mixing --------------------
     "q_sample_mod" -> ((s, dir) =>
       graft.operators.Sampling.modSample(t(s, dir, "customer"), "c_custkey", 10)),
@@ -440,6 +452,15 @@ object SparkEntry {
        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases, " +
        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, " +
        "count(*) AS total FROM events GROUP BY user_id"),
+
+    // ---- temporal ------------------------------------------------------
+    "q_asof_join" -> (
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts, c.click_id " +
+      "FROM (SELECT event_id, user_id, ts FROM events " +
+      "      WHERE event_type = 'purchase') p " +
+      "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events " +
+      "      WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id AND p.ts >= c.ts"),
 
     // ---- sampling ------------------------------------------------------
     "q_sample_mod" ->

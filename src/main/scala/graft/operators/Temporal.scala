@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark lacks natively.
+  *
+  * [[asofJoin]]: for every left row, attach the most recent right row
+  * with `right.ts <= left.ts` within the same key (backward as-of; the
+  * point-in-time join of feature stores and market data).
+  *
+  * Implementation follows the preference ladder (compose built-ins
+  * before custom SparkStrategy): both sides union into one stream,
+  * partitioned by key and ordered by (ts, side) with right rows first
+  * at equal timestamps (inclusive <=); a running `last(ignoreNulls)`
+  * carries the latest right payload forward; left rows then project it.
+  *
+  * Scale shape: ONE shuffle of (key, ts, payload) — same cost as the
+  * sort-merge join a custom physical operator would do, with AQE and
+  * codegen'd window execution for free. No per-key materialization:
+  * the window is running state over a sorted partition stream.
+  */
+object Temporal {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, rightPrefix: String = "r_"): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(c =>
+      keyCols.contains(c) || c == tsCol)
+    val payload = struct(rightPayloadCols.map(col).toIndexedSeq: _*)
+
+    val keyed = keyCols.map(col)
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rp", lit(null).cast(
+        right.select(payload).schema.head.dataType))
+    val r = right
+      .withColumn("__side", lit(0))
+      .withColumn("__rp", payload)
+      .select((keyed ++ Seq(col(tsCol), col("__side"), col("__rp"))): _*)
+    // align schemas: right rows carry nulls for left-only columns
+    val leftOnly = left.columns.filterNot(c =>
+      keyCols.contains(c) || c == tsCol)
+    val rAligned = leftOnly.foldLeft(r) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col).toIndexedSeq: _*)
+
+    // __rp in the ordering: deterministic winner among right rows that
+    // share (key, ts) — struct ordering is field-wise
+    val w = Window.partitionBy(keyed: _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__rp").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = l.unionByName(rAligned)
+      .withColumn("__last_r", last(col("__rp"), ignoreNulls = true).over(w))
+
+    val out = merged.filter(col("__side") === 1)
+      .drop("__side", "__rp")
+    rightPayloadCols.foldLeft(out) { (df, c) =>
+      df.withColumn(rightPrefix + c, col("__last_r").getField(c))
+    }.drop("__last_r")
+  }
+}
