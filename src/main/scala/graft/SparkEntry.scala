@@ -212,6 +212,22 @@ object SparkEntry {
         keyCols = Seq("user_id"), tsCol = "ts", rightPrefix = "")
     }),
 
+    // purchases falling inside a 30-minute window after each click
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sessions = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("start"),
+          (col("ts") + lit(1800000000L)).as("end"),
+          col("event_id").as("click_id"))
+      graft.operators.Temporal.rangeJoin(purchases, sessions,
+        keyCols = Seq("user_id"), leftTs = "ts",
+        rightStart = "start", rightEnd = "end",
+        blockWidth = 1800000000L)
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_id"))
+    }),
+
     // ---- training-data pipeline: sampling & mixing --------------------
     "q_sample_mod" -> ((s, dir) =>
       graft.operators.Sampling.modSample(t(s, dir, "customer"), "c_custkey", 10)),
@@ -461,6 +477,16 @@ object SparkEntry {
       "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events " +
       "      WHERE event_type = 'click') c " +
       "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+
+    "q_range_join" -> (
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts, c.event_id AS click_id " +
+      "FROM (SELECT event_id, user_id, ts FROM events " +
+      "      WHERE event_type = 'purchase') p " +
+      "JOIN (SELECT event_id, user_id, ts FROM events " +
+      "      WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id " +
+      "AND epoch_us(p.ts) >= epoch_us(c.ts) " +
+      "AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000"),
 
     // ---- sampling ------------------------------------------------------
     "q_sample_mod" ->

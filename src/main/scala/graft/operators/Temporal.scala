@@ -58,4 +58,30 @@ object Temporal {
       df.withColumn(rightPrefix + c, col("__last_r").getField(c))
     }.drop("__last_r")
   }
+
+  /** Range (interval) join: pairs where `left.ts` falls in
+    * `[right.start, right.end]`, equi-keyed on `keyCols`.
+    *
+    * Spark plans a bare band condition as a nested-loop join — O(n*m)
+    * per key. Bucket blocking makes it an equi-join: both sides map to
+    * fixed-width ts blocks (right intervals explode to every block they
+    * overlap), join on (key, block), then the exact band predicate
+    * filters. Each matching pair meets in EXACTLY one block (the one
+    * containing left.ts), so no dedup is needed.
+    *
+    * `blockWidth` should be ~the typical interval length: wider means
+    * fewer replicas per interval, narrower means fewer false candidates
+    * per block.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                leftTs: String, rightStart: String, rightEnd: String,
+                blockWidth: Long): DataFrame = {
+    require(blockWidth > 0)
+    val l = left.withColumn("__block", floor(col(leftTs) / blockWidth))
+    val r = right.withColumn("__block", explode(sequence(
+      floor(col(rightStart) / blockWidth), floor(col(rightEnd) / blockWidth))))
+    l.join(r, keyCols :+ "__block")
+      .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
+      .drop("__block")
+  }
 }

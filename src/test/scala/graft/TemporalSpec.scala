@@ -21,6 +21,21 @@ class TemporalSpec extends SparkTestBase {
       (2L, 100L, "q1", null)))  // key with no right rows at all
   }
 
+  test("range join: block boundaries, inclusive ends, equals nested-loop result") {
+    val l = Seq((1L, 100L, "a"), (1L, 150L, "b"), (1L, 201L, "c"), (2L, 100L, "d"))
+      .toDF("k", "ts", "n")
+    val r = Seq((1L, 90L, 150L, "w1"), (1L, 140L, 200L, "w2"), (2L, 500L, 600L, "w3"))
+      .toDF("k", "s", "e", "w")
+    // tiny blockWidth forces multi-block interval replication
+    val got = Temporal.rangeJoin(l, r, Seq("k"), "ts", "s", "e", blockWidth = 7L)
+      .select("n", "w").as[(String, String)].collect().toSet
+    val expected = l.join(r, Seq("k"))
+      .filter($"ts" >= $"s" && $"ts" <= $"e")
+      .select("n", "w").as[(String, String)].collect().toSet
+    assert(got == expected)
+    assert(got == Set(("a", "w1"), ("b", "w1"), ("b", "w2"))) // inclusive 150
+  }
+
   test("asof join deterministic across partitionings") {
     val ev = spark.read.parquet(sf("sf0.01") + "/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
