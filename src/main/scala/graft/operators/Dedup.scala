@@ -178,18 +178,65 @@ object Dedup {
     labels
   }
 
+  /** Driver-side union-find over a collected pair list — the fast path
+    * when candidate pairs fit in driver memory (they usually do: pairs
+    * ~ dup-rate x docs, NOT docs^2). Returns ids to DROP (every member
+    * of a component except its minimum). */
+  private[graft] def unionFindDropIds(pairs: Array[(Long, Long)]): Set[Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min root wins => representative = min id
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val members = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    members.filter(id => find(id) != id)
+  }
+
   /** Full near-dup dedup: detect pairs (minhash LSH), cluster them, and
     * keep only each component's minimum-id document. Returns the
-    * surviving rows of `df`. */
+    * surviving rows of `df`.
+    *
+    * Clustering is hybrid: when the candidate-pair count fits the
+    * driver (`maxDriverPairs`, ~16 bytes/pair), union-find runs locally
+    * in one pass — like IVF centroids, a bounded driver-side structure,
+    * much cheaper than an iterative distributed fixpoint. Above the
+    * bound it falls back to [[components]] (min-label propagation).
+    */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
                   shingleWidth: Int = 3, numHashes: Int = 128,
                   bands: Int = 32, threshold: Double = 0.5,
-                  seed: Long = FakeGen.DefaultSeed): DataFrame = {
+                  seed: Long = FakeGen.DefaultSeed,
+                  maxDriverPairs: Long = 5000000L): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, shingleWidth, numHashes,
       bands, threshold, seed)
-    val comp = components(pairs)
-    val dropIds = comp.filter(col("id") =!= col("component")).select(col("id"))
-    df.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .localCheckpoint(true)
+    if (pairs.count() <= maxDriverPairs) {
+      val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val drop = unionFindDropIds(collected)
+      if (drop.isEmpty) df
+      else {
+        // broadcast anti-join (drop set is small by construction); an
+        // isin() literal list would bloat the plan at millions of ids
+        val spark = df.sparkSession
+        import spark.implicits._
+        val dropDf = broadcast(drop.toSeq.toDF(idCol))
+        df.join(dropDf, Seq(idCol), "left_anti")
+      }
+    } else {
+      val comp = components(pairs.toDF("id_a", "id_b"))
+      val dropIds = comp.filter(col("id") =!= col("component")).select(col("id"))
+      df.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    }
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Small inputs:

@@ -20,6 +20,23 @@ class ComponentsSpec extends SparkTestBase {
     assert(comp.values.toSet == Set(0L))
   }
 
+  test("unionFindDropIds: chains and disjoint clusters") {
+    val drop = Dedup.unionFindDropIds(Array((2L, 1L), (2L, 3L), (10L, 11L)))
+    assert(drop == Set(2L, 3L, 11L)) // keep 1 (chain min) and 10
+    assert(Dedup.unionFindDropIds(Array.empty).isEmpty)
+  }
+
+  test("dedupCorpus: driver and distributed paths agree") {
+    val docA = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docB = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((5L, docA), (7L, docA), (9L, docB)).toDF("id", "t")
+    val driver = Dedup.dedupCorpus(df, "id", "t", threshold = 0.4)
+      .select("id").as[Long].collect().toSet
+    val dist = Dedup.dedupCorpus(df, "id", "t", threshold = 0.4,
+      maxDriverPairs = 0L).select("id").as[Long].collect().toSet
+    assert(driver == dist && driver == Set(5L, 9L))
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     val docA = (1 to 60).map(i => s"word$i").mkString(" ")
     val docAnear = ((1 to 30).map(i => s"word$i") ++ Seq("CHANGED") ++
