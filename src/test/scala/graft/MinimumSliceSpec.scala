@@ -45,6 +45,16 @@ class MinimumSliceSpec extends SparkTestBase {
     assert(spark.table("slice_out").filter($"c_acctbal".isNotNull).count() == 0)
   }
 
+  test("driver entry(): flagship pipeline yields rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("whole-table fake_all_strings transformator") {
     val cfg = TableConfig("supplier", AnonymizationType.Single("fake_all_strings"))
     val df = spark.read.parquet(sf() + "/supplier.parquet")
