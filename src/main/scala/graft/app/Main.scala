@@ -41,7 +41,12 @@ object Main {
       excludedTables: Seq[String] = Nil,
       mode: DmsFiles.Mode = DmsFiles.AbsolutePath,
       parallelism: Int = sys.env.get("NUM_OF_BUFFERS").map(_.toInt).getOrElse(8),
-      master: String = "local[32]")
+      master: String = "local[32]",
+      /** DMS layout: inputDir/<table>/ holds LOAD + CDC parquet files;
+        * tables are reconstructed (CDC merge) before anonymization. */
+      dms: Boolean = false,
+      /** PKs for DMS CDC merge: "orders=o_orderkey;lineitem=l_orderkey,l_linenumber" */
+      pks: Map[String, Seq[String]] = Map.empty)
 
   def parse(argv: Seq[String]): Args = {
     var a = Args()
@@ -69,6 +74,12 @@ object Main {
       case "--stop-date" :: v :: t => stopDate = Some(v); rest = t
       case "--parallelism" :: v :: t => a = a.copy(parallelism = v.toInt); rest = t
       case "--master" :: v :: t => a = a.copy(master = v); rest = t
+      case "--dms" :: t => a = a.copy(dms = true); rest = t
+      case "--pk" :: v :: t =>
+        a = a.copy(pks = v.split(';').filter(_.nonEmpty).map { e =>
+          val Array(tbl, cols) = e.split("=", 2)
+          tbl -> cols.split(',').toSeq
+        }.toMap); rest = t
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
       case Nil => ()
@@ -91,6 +102,9 @@ object Main {
         case Some(f) =>
           scala.io.Source.fromFile(f).getLines().map(_.trim)
             .filter(_.nonEmpty).toSeq
+        case None if a.dms =>
+          new java.io.File(a.inputDir).listFiles()
+            .filter(_.isDirectory).map(_.getName).toSeq.sorted
         case None =>
           new java.io.File(a.inputDir).listFiles()
             .filter(f => f.getName.endsWith(".parquet"))
@@ -131,8 +145,30 @@ object Main {
       s"(${config.tables.size} configured) from ${a.inputDir} -> ${a.outputDir}")
 
     val t0 = System.nanoTime()
-    TablePipeline.runAll(spark, config, a.inputDir, a.outputDir, tables,
-      seed = seed, parallelism = a.parallelism)
+    if (a.dms) {
+      // DMS layout: reconstruct each table (LOAD + CDC merge) first, then
+      // anonymize — the full reference flow (cdc_operator.rs:225-331)
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(a.parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(tables.map { table =>
+        Future {
+          val pk = a.pks.getOrElse(table,
+            throw new IllegalArgumentException(s"--pk missing for DMS table $table"))
+          val snap = graft.sources.DmsFiles.snapshot(
+            spark, s"${a.inputDir}/$table", pk, a.mode)
+          val cfg = config.tableConfig(table).getOrElse(
+            graft.config.TableConfig(table, graft.config.AnonymizationType.Multi(Nil)))
+          TablePipeline.build(snap, cfg, seed).write.mode("overwrite")
+            .parquet(s"${a.outputDir}/$table.parquet")
+        }
+      }), Duration.Inf) finally pool.shutdown()
+    } else {
+      TablePipeline.runAll(spark, config, a.inputDir, a.outputDir, tables,
+        seed = seed, parallelism = a.parallelism)
+    }
     println(f"[graft] done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // post-run validations, reference step 7 (src/main.rs:256-270)

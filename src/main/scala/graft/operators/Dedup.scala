@@ -111,9 +111,19 @@ object Dedup {
 
   /** EXACT n-gram Jaccard similarity pairs — the verification tier and
     * the SQL oracle for minhash. Shingle self-join: quadratic only
-    * within shared-shingle buckets. `threshold` in (0,1]. */
+    * within shared-shingle buckets. `threshold` in (0,1].
+    *
+    * `maxShingleDocFreq` (0 = off) drops shingles shared by more than
+    * that many documents before the self-join — the standard
+    * stop-shingle cap. A boilerplate shingle in k docs contributes k^2
+    * join rows; at corpus scale one hot shingle is the whole job. The
+    * cap UNDERCOUNTS common; with sizes computed on the uncapped sets
+    * (as here) the reported jaccard is a lower bound, so pairs near the
+    * threshold may be missed — a recall/cost dial, off by default and
+    * excluded from the oracle-checked queries. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDocFreq: Long = 0L): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
     val shingles = df.select(col(idCol).as("id"), toks.as("toks"))
       .withColumn("sh", explode(
@@ -124,8 +134,17 @@ object Dedup {
       .select(col("id"), col("sh")).distinct()
 
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = shingles.select(col("id").as("id_a"), col("sh"))
-    val b = shingles.select(col("id").as("id_b"), col("sh"))
+    val joinable =
+      if (maxShingleDocFreq <= 0) shingles
+      else {
+        val rare = shingles.groupBy(col("sh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDocFreq)
+          .select(col("sh"))
+        shingles.join(rare, Seq("sh"), "left_semi")
+      }
+    val a = joinable.select(col("id").as("id_a"), col("sh"))
+    val b = joinable.select(col("id").as("id_b"), col("sh"))
     val common = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     common

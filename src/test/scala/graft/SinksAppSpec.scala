@@ -28,6 +28,31 @@ class SinksAppSpec extends SparkTestBase {
       "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
   }
 
+  test("CLI --pk and --dms parsing") {
+    val a = Main.parse(Seq("anonymize", "--dms",
+      "--pk", "orders=o_orderkey;lineitem=l_orderkey,l_linenumber"))
+    assert(a.dms)
+    assert(a.pks == Map("orders" -> Seq("o_orderkey"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber")))
+  }
+
+  test("ngram jaccard df-cap: hot shingles dropped, rare pairs survive") {
+    val hot = "common common common" // one repeated shingle everywhere
+    val df = Seq((1L, s"$hot alpha beta gamma delta"),
+                 (2L, s"$hot alpha beta gamma delta"),
+                 (3L, s"$hot x y z w")).toDF("id", "t")
+    val uncapped = graft.operators.Dedup
+      .ngramJaccardPairs(df, "id", "t", n = 2, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = graft.operators.Dedup
+      .ngramJaccardPairs(df, "id", "t", n = 2, threshold = 0.1,
+        maxShingleDocFreq = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((1L, 3L)))
+    assert(capped.contains((1L, 2L)))      // rare shared shingles remain
+    assert(!capped.contains((1L, 3L)))     // only hot shingles linked 1-3
+  }
+
   test("CLI arg parsing incl. modes and lists") {
     val a = Main.parse(Seq("anonymize",
       "--input-dir", "/in", "--output-dir", "/out",
