@@ -200,6 +200,11 @@ object SparkEntry {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
           count(lit(1)).as("total"))),
 
+    // custom physical operator: bounded-heap top-k per key (no sort)
+    "q_topk_custom" -> ((s, dir) =>
+      graft.plans.TopK.perKey(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)),
+
     // ---- temporal: backward as-of join --------------------------------
     // last click before each purchase, per user (point-in-time join)
     "q_asof_join" -> ((s, dir) => {
@@ -468,6 +473,10 @@ object SparkEntry {
        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases, " +
        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, " +
        "count(*) AS total FROM events GROUP BY user_id"),
+
+    "q_topk_custom" ->
+      ("SELECT * FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3"),
 
     // ---- temporal ------------------------------------------------------
     "q_asof_join" -> (

@@ -76,7 +76,7 @@ object registry {
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     registry.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -84,4 +84,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "graft.functions", name),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.SparkSession
+
+/** Custom whole-operator: top-k rows per key.
+  *
+  * The built-in formulation — `row_number().over(partitionBy(key)
+  * .orderBy(o))` then `filter(rank <= k)` — fully SORTS every key group
+  * (O(n log n) per partition, full spill surface) only to discard all
+  * but k rows. This operator keeps a bounded k-heap per key:
+  * O(n log k) time, O(keys x k) memory, no sort spill, same single hash
+  * shuffle (`requiredChildDistribution` lets EnsureRequirements insert
+  * the exchange exactly as it would for the window).
+  *
+  * Preference-ladder justification (SURVEY.md / build brief): this
+  * semantics-preserving physical rewrite is NOT expressible by
+  * composing DataFrame ops — it needs a physical operator. Logical
+  * node + Strategy, injected per session (idempotent) via
+  * `spark.experimental.extraStrategies`; also registered by
+  * GraftExtensions.
+  *
+  * Row order within a key group is the `order` descending-rank order
+  * (rows emit heap-sorted), matching the window formulation minus the
+  * rank column.
+  */
+final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
+                                k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                                k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val ordExprs = order
+    val childOutput = child.output
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // ordering in RANK direction (best first); heap keeps the k best,
+      // with the WORST retained row at its head for O(1) replacement
+      val rankOrd = GenerateOrdering.generate(ordExprs, childOutput)
+      val heapOrd = new java.util.Comparator[UnsafeRow] {
+        def compare(a: UnsafeRow, b: UnsafeRow): Int = rankOrd.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      while (iter.hasNext) {
+        val row = iter.next().asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kk, heapOrd)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size() < kk) heap.add(row.copy())
+        else if (rankOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+      val it = heaps.values().iterator()
+      while (it.hasNext) {
+        val heap = it.next()
+        val group = new Array[UnsafeRow](heap.size())
+        var i = group.length - 1
+        while (i >= 0) { group(i) = heap.poll(); i -= 1 } // heap pops worst-first
+        out ++= group
+      }
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Ensure the strategy is active on this session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** Top `k` rows per `keyCols`, ranked by `orderCols` (descending by
+    * default). Drop-in replacement for the window row_number pattern. */
+  def perKey(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+             orderCols: Seq[(String, Boolean)], k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute = analyzed.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name)}"))
+    val order = orderCols.map { case (c, asc) =>
+      SortOrder(attr(c), if (asc) org.apache.spark.sql.catalyst.expressions.Ascending
+                         else org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      TopKPerKeyPlan(keyCols.map(attr), order, k, analyzed))
+  }
+}

@@ -49,6 +49,18 @@ object Profile {
     time("docs_ngram_pairs")(graft.operators.Dedup.ngramJaccardPairs(
       docs(), "doc_id", "text", n = 3, threshold = 0.5))
 
+    // custom TopKPerKeyExec vs window row_number formulation
+    {
+      import org.apache.spark.sql.expressions.Window
+      val orders = () => spark.read.parquet(s"$sfDir/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      time("topk_window")(orders().withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn"))
+      time("topk_custom")(graft.plans.TopK.perKey(orders(), Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3))
+    }
+
     // bucketed co-located join vs plain shuffle join
     {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")

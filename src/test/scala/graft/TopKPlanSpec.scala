@@ -1,0 +1,57 @@
+package graft
+
+import graft.plans.TopK
+
+import org.apache.spark.sql.functions._
+
+class TopKPlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("TopKPerKey equals the window formulation exactly") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val custom = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+
+    assert(custom.count() == viaWindow.count())
+    assert(custom.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(custom).isEmpty)
+  }
+
+  test("physical plan: TopKPerKeyExec with one hash exchange, no Sort") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val custom = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false)), k = 2)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("hashpartitioning(o_custkey"), plan)
+    assert(!plan.contains("Sort "), s"custom operator should not sort:\n$plan")
+  }
+
+  test("edge cases: k larger than group, ties, empty input") {
+    val df = Seq((1L, 10.0, 100L), (1L, 10.0, 101L), (1L, 5.0, 102L), (2L, 1.0, 103L))
+      .toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), Seq(("v", false), ("id", true)), k = 10)
+    assert(got.count() == 4) // k > group size keeps everything
+    val top2 = TopK.perKey(df, Seq("k"), Seq(("v", false), ("id", true)), k = 2)
+      .filter($"k" === 1).select("id").as[Long].collect().toSet
+    assert(top2 == Set(100L, 101L)) // tie on v broken by id asc
+    val empty = TopK.perKey(df.limit(0), Seq("k"), Seq(("v", false)), k = 2)
+    assert(empty.count() == 0)
+  }
+
+  test("deterministic across partitionings") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val a = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      .orderBy("o_custkey", "o_orderkey").collect()
+    val b = TopK.perKey(orders.repartition(17), Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      .orderBy("o_custkey", "o_orderkey").collect()
+    assert(a.sameElements(b))
+  }
+}
