@@ -30,18 +30,16 @@ object CdcMerge {
     * as one scan. */
   def isLoadFile(c: Column): Column = c.contains(lit("LOAD"))
 
-  /** Latest row per key: row_number over (pk ordered by ts desc, then
-    * tie-breakers desc) == 1. Tie-breakers make the winner deterministic
-    * when timestamps collide — REQUIRED for reproducible merges under
-    * retries. */
+  /** Latest row per key: the k=1 case of the custom sort-free top-k
+    * operator (graft.plans.TopKPerKeyExec) — one hash shuffle on the PK
+    * and a single retained row per key, instead of the window
+    * formulation's full per-group sort. Tie-breakers make the winner
+    * deterministic when timestamps collide — REQUIRED for reproducible
+    * merges under retries. */
   def latestPerKey(df: DataFrame, pk: Seq[String], ts: String,
-                   tieBreakers: Seq[String] = Nil): DataFrame = {
-    val ordering = (col(ts) +: tieBreakers.map(col)).map(_.desc)
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+                   tieBreakers: Seq[String] = Nil): DataFrame =
+    graft.plans.TopK.perKey(df, pk,
+      (ts +: tieBreakers).map(c => (c, false)), k = 1)
 
   /** Apply a CDC delta batch onto a snapshot:
     *   1. within-batch dedup: latest op per PK wins;

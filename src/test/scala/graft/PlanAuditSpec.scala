@@ -49,9 +49,10 @@ class PlanAuditSpec extends SparkTestBase {
       s"no map-side partial aggregation:\n$plan")
   }
 
-  test("cdc merge plans one shuffle per side keyed on the PK") {
+  test("cdc latest-per-key: custom sort-free top-k over one PK shuffle") {
     val plan = planOf("q_cdc_latest_per_key")
-    assert(plan.contains("Window") && plan.contains("hashpartitioning(user_id"),
-      s"latest-per-key should hash-partition by key:\n$plan")
+    assert(plan.contains("TopKPerKey") && plan.contains("hashpartitioning(user_id"),
+      s"latest-per-key should hash-partition by key into TopKPerKeyExec:\n$plan")
+    assert(!plan.contains("Window"), s"window formulation should be gone:\n$plan")
   }
 }
