@@ -74,10 +74,13 @@ object Ivf {
     val scored = lists.join(q, Seq("cluster"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
+    // heap-select in the custom operator, then rank only queries x k rows
+    val top = graft.plans.TopK.perKey(
+      scored.select(col("query_id"), col("corpus_id"), col("cos")),
+      Seq("query_id"), Seq(("cos", false), ("corpus_id", true)), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 }

@@ -21,6 +21,19 @@ import graft.functions.vectors
   */
 object Similarity {
 
+  /** Rank the (already top-k-selected) candidates: selection happens in
+    * the sort-free custom operator over ALL scored pairs; the window
+    * then orders only queries x k rows — never the full score matrix. */
+  private def selectAndRank(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(
+      scored.select(col("query_id"), col("corpus_id"), col("cos")),
+      Seq("query_id"), Seq(("cos", false), ("corpus_id", true)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
   /** Exact top-k neighbors per query vector by cosine similarity.
     * Deterministic: ties break on corpus id asc. Excludes self-matches
     * when ids collide. */
@@ -30,11 +43,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+    selectAndRank(scored, k)
   }
 
   /** LSH-bucketed ANN top-k: corpus bucketed by `nBits` hyperplane sign
@@ -59,10 +68,6 @@ object Similarity {
       .filter(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
       .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+    selectAndRank(scored, k)
   }
 }
