@@ -24,13 +24,10 @@ object Dedup {
 
   /** Exact dedup on `keyCols`, keeping the row with the smallest `idCol`
     * — deterministic, unlike dropDuplicates (which keeps an arbitrary
-    * first-seen row per partition ordering). One shuffle. */
-  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+    * first-seen row per partition ordering). One shuffle, no sort: the
+    * k=1 case of the custom top-k operator. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    graft.plans.TopK.perKey(df, keyCols, Seq((idCol, true)), k = 1)
 
   /** Exact dedup on the normalized md5 fingerprint of `textCol`. */
   def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

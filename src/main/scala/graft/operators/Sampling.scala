@@ -35,13 +35,11 @@ object Sampling {
     df.filter(pmod(col(keyCol), lit(100)) < pct)
 
   /** At most `nPerClass` rows per class, deterministically chosen by
-    * `orderCol` — stratified downsampling (class balancing). */
+    * `orderCol` (ascending) — stratified downsampling (class
+    * balancing), via the sort-free top-k operator. */
   def stratified(df: DataFrame, classCol: String, orderCol: String,
-                 nPerClass: Int): DataFrame = {
-    val w = Window.partitionBy(col(classCol)).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nPerClass).drop("__rn")
-  }
+                 nPerClass: Int): DataFrame =
+    graft.plans.TopK.perKey(df, Seq(classCol), Seq((orderCol, true)), nPerClass)
 
   /** Weighted deterministic mix of datasets (a training mixture):
     * each source is hash-subsampled to its weight, then unioned with a
