@@ -45,6 +45,11 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  // rows stay in their key partitions: declare it, or every downstream
+  // keyed operator re-shuffles the already-clustered (tiny) output
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val ordExprs = order
