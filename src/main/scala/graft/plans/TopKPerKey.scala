@@ -32,6 +32,8 @@ import org.apache.spark.sql.SparkSession
   */
 final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
                                 k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k requires k > 0, got $k")
+  require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
