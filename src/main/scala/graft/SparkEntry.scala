@@ -319,6 +319,21 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45)),
+    // the subquadratic LSH tier, exercised in its actual regime: plant
+    // 25 deterministic near-copies (coord 0 nudged by +0.05f => cos ~
+    // 0.9988 vs a 0.51 background max), find them via bucket join +
+    // exact-cosine verify. Oracle = exact all-pairs SQL on the same
+    // augmented table, so recall shortfalls fail the hash check.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) + lit(0.05f)),
+            slice(col("embedding"), 2, 100000)).as("embedding"))
+      Dedup.embeddingNearDupPairsLsh(emb.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)
+    }),
 
     // ---- training-data pipeline: similarity search --------------------
     "q_ann_topk" -> ((s, dir) => {
@@ -345,11 +360,18 @@ object SparkEntry {
         Multimodal.asAssets(t(s, dir, "documents"), "doc_id", col("text"),
           "text/plain"))
         .select(col("asset_id"), col("n_bytes"))),
+    // posexplode to scalar rows (driver harness can't sort array cells);
+    // recover integer bin counts from the normalized float32 histogram
+    // (round is exact: counts <= doc length << 2^24) so the DuckDB
+    // char-code oracle matches bit-for-bit on this ASCII corpus.
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.withFeatures(
         Multimodal.asAssets(t(s, dir, "documents"), "doc_id", col("text"),
           "text/plain"))
-        .select(col("asset_id"), col("n_bytes"), col("features"))),
+        .select(col("asset_id"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("bin", "share")))
+        .select(col("asset_id"), col("bin"),
+          round(col("share") * col("n_bytes")).cast("long").as("cnt"))),
 
     "q_anonymize_pipeline" -> ((s, dir) => {
       val cfg = TableConfig(
@@ -455,11 +477,13 @@ object SparkEntry {
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
        "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
+    // CAST the outer sum: DuckDB sums BIGINT into HUGEINT, which pandas
+    // widens to float64 and the typed hash diverges from Spark's int64.
     "q_window_running" ->
       ("SELECT o_custkey, o_orderkey, " +
-       "sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
+       "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
        "PARTITION BY o_custkey ORDER BY o_orderkey " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents " +
        "FROM orders"),
     "q_json_extract" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k " +
@@ -468,10 +492,12 @@ object SparkEntry {
       ("SELECT CAST(year(o_orderdate) AS INT) AS y, " +
        "CAST(month(o_orderdate) AS INT) AS m, count(*) AS n " +
        "FROM orders GROUP BY 1, 2"),
+    // CAST the integer sums: DuckDB types sum(int) as HUGEINT -> float64
+    // in pandas, while Spark emits int64 (judge-verified dtype mismatch).
     "q_conditional_agg" ->
       ("SELECT user_id, " +
-       "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases, " +
-       "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors, " +
+       "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, " +
+       "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors, " +
        "count(*) AS total FROM events GROUP BY user_id"),
 
     "q_topk_custom" ->
@@ -581,6 +607,21 @@ object SparkEntry {
       "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
       "WHERE c.cos >= 0.45"),
+    // float32 nudge is bit-identical in both engines (IEEE single add);
+    // cosine then runs in doubles on both sides (established recipe).
+    "q_dedup_embedding_lsh" -> (
+      "WITH aug AS (" +
+      "  SELECT vec_id, embedding FROM embeddings " +
+      "  UNION ALL " +
+      "  SELECT vec_id + 100000, " +
+      "    list_prepend(embedding[1] + CAST(0.05 AS FLOAT), embedding[2:]) " +
+      "  FROM embeddings WHERE vec_id < 25" +
+      ") " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c.cos, 6) AS cos " +
+      "FROM aug a JOIN aug b ON a.vec_id < b.vec_id, " +
+      "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
+      "WHERE c.cos >= 0.7"),
 
     // ---- similarity search ---------------------------------------------
     "q_ann_topk" -> (
@@ -596,6 +637,20 @@ object SparkEntry {
     // ---- multimodal -----------------------------------------------------
     "q_multimodal_bytes" -> (
       "SELECT doc_id AS asset_id, " +
-      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents")
+      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents"),
+    // byte histogram via char codes: corpus is pure ASCII (verified), so
+    // unicode(char) == byte value and char count == octet count.
+    "q_multimodal_features" -> (
+      "WITH chars AS (" +
+      "  SELECT doc_id, unicode(c) // 16 AS bin " +
+      "  FROM documents, LATERAL unnest(string_split(text, '')) AS t(c)" +
+      "), counts AS (" +
+      "  SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2" +
+      "), grid AS (" +
+      "  SELECT doc_id, unnest(range(16)) AS bin FROM documents" +
+      ") " +
+      "SELECT g.doc_id AS asset_id, CAST(g.bin AS INT) AS bin, " +
+      "CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt " +
+      "FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin")
   )
 }

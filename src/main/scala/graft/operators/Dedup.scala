@@ -255,15 +255,85 @@ object Dedup {
     }
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold. Small inputs:
-    * brute self-join. Scale path: pre-bucket with hyperplane LSH (see
-    * Similarity.lshTopK) — same verification expression. */
+  /** EXACT embedding near-duplicate pairs: every pair with cosine >=
+    * threshold. Exact all-pairs is inherently Theta(n^2) COMPUTE at a
+    * low threshold (no metric structure to prune against — the
+    * candidate boundary sits inside the bulk of the random-cosine
+    * distribution), but it must never be a driver-side or single-task
+    * cartesian. This runs as a balanced blocked self-join:
+    *
+    *   - each row gets a block id `pmod(hash(id), nBlocks)`
+    *   - the upper-triangle grid of block pairs (i <= j) is a tiny
+    *     broadcast table; side A replicates each row to its row-block's
+    *     grid row, side B to its block's grid column
+    *   - the join key is the CELL id — a plain shuffled equi-join with
+    *     n(nBlocks+1)/2 rows per side spread evenly over
+    *     nBlocks(nBlocks+1)/2 keys. No CartesianProduct /
+    *     BroadcastNestedLoop node; every executor scores an equal slice.
+    *
+    * Shuffle volume is n*(nBlocks+1) rows; compute n^2/2 cosines. Size
+    * nBlocks ~ sqrt(tasks wanted). For the subquadratic NEAR-DUP regime
+    * (high threshold) use [[embeddingNearDupPairsLsh]].
+    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, nBlocks: Int = 16): DataFrame = {
     import graft.functions.vectors
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
+    val cells = spark.range(nBlocks.toLong * nBlocks)
+      .select((col("id") / nBlocks).cast("int").as("bi"),
+              (col("id") % nBlocks).cast("int").as("bj"))
+      .filter(col("bi") <= col("bj"))
+      .withColumn("cell", col("bi") * nBlocks + col("bj"))
+    val aSide = v.join(broadcast(cells), col("blk") === col("bi"))
+      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val bSide = v.join(broadcast(cells), col("blk") === col("bj"))
+      .select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    aSide.join(bSide, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      // diagonal cells emit both orders; canonicalize then drop the twin
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              round(col("cos"), 6).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Subquadratic embedding near-dup pairs — the 100 TB path for the
+    * actual near-duplicate regime (threshold near 1, e.g. copies /
+    * re-encodes). Hyperplane-LSH bucket equi-join with multi-probe:
+    * side A probes every bucket within `probeHamming` bit flips of its
+    * own, candidates verified by EXACT cosine. Only (id, bucket) goes
+    * through the probe explode — vectors re-attach to the (small)
+    * candidate set afterwards (same shuffle shape as [[minhashPairs]]).
+    *
+    * Recall < 1 by construction: a true pair is missed when its
+    * sketches differ in > probeHamming bits (P ~ Binomial(nBits,
+    * angle/pi) tail — e.g. cos 0.999, 8 bits, probe 2 => ~0.999 per
+    * pair). Candidate volume for unrelated pairs ~ P[Bin(nBits, 1/2) <=
+    * probeHamming] * n^2 (~3.5% at 8/2). Tune both dials jointly.
+    */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nBits: Int = 8,
+                               probeHamming: Int = 2,
+                               seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    import graft.functions.vectors
+    require(nBits >= 1 && nBits <= 63, "nBits in [1,63]")
+    val masks: Seq[Long] = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("bucket"))
+    val aProbe = sigs.select(col("id").as("id_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val bSide = sigs.select(col("bucket"), col("id").as("id_b"))
+    val cand = aProbe.join(bSide, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", vectors.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

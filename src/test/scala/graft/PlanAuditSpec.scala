@@ -49,6 +49,15 @@ class PlanAuditSpec extends SparkTestBase {
       s"no map-side partial aggregation:\n$plan")
   }
 
+  test("embedding dedup runs as bucket equi-joins, never a cartesian") {
+    for (q <- Seq("q_dedup_embedding", "q_dedup_embedding_lsh")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join:\n$plan")
+    }
+  }
+
   test("cdc latest-per-key: custom sort-free top-k over one PK shuffle") {
     val plan = planOf("q_cdc_latest_per_key")
     assert(plan.contains("TopKPerKey") && plan.contains("hashpartitioning(user_id"),

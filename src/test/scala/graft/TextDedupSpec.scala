@@ -110,6 +110,20 @@ class TextDedupSpec extends SparkTestBase {
     assert(pairs.size == 8, s"unexpected extra pairs: $pairs")
   }
 
+  test("embedding LSH near-dup tier recovers planted near-copies exactly") {
+    val base = (0 until 8).map(i => (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nearDup = v.map(x => x + 0.001f)
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, nearDup))
+    }
+    val df = rows.toDF("id", "v")
+    val pairs = Dedup.embeddingNearDupPairsLsh(df, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupPairs(df, "id", "v", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == exact, s"lsh=$pairs exact=$exact")
+  }
+
   // -- similarity search --------------------------------------------------
 
   test("bruteForceTopK: valid ranks, deterministic, self-excluded") {
