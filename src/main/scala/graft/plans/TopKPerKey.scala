@@ -2,11 +2,13 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 import org.apache.spark.sql.SparkSession
 
 /** Custom whole-operator: top-k rows per key.
@@ -18,6 +20,19 @@ import org.apache.spark.sql.SparkSession
   * O(n log k) time, O(keys x k) memory, no sort spill, same single hash
   * shuffle (`requiredChildDistribution` lets EnsureRequirements insert
   * the exchange exactly as it would for the window).
+  *
+  * Memory safety at unbounded key cardinality (exact dedup keys ~ rows;
+  * CDC latest-per-key keys = PKs): the heap map's retained bytes are
+  * tracked against `spillThresholdBytes` (session conf
+  * `spark.graft.topk.maxHeapBytes`, default 64 MB per task). Past the
+  * threshold the partition FALLS BACK to sort-based grouped
+  * processing: retained rows and the rest of the stream go into
+  * Spark's UnsafeExternalRowSorter — which spills to disk under
+  * executor memory pressure exactly like SortExec — sorted by
+  * (key, rank); a streaming grouped scan then emits the first k rows
+  * per key. Bounded-key workloads never leave the O(keys x k) heap
+  * fast path; worst-case degrades to the window plan's own sort, not
+  * an OOM.
   *
   * Preference-ladder justification (SURVEY.md / build brief): this
   * semantics-preserving physical rewrite is NOT expressible by
@@ -31,9 +46,11 @@ import org.apache.spark.sql.SparkSession
   * rank column.
   */
 final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
-                                k: Int, child: LogicalPlan) extends UnaryNode {
+                                k: Int, spillThresholdBytes: Long,
+                                child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"top-k requires k > 0, got $k")
   require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
+  require(spillThresholdBytes > 0, "spill threshold must be positive")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
@@ -41,7 +58,8 @@ final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                                k: Int, child: SparkPlan) extends UnaryExecNode {
+                                k: Int, spillThresholdBytes: Long,
+                                child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -57,6 +75,7 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val ordExprs = order
     val childOutput = child.output
     val kk = k
+    val threshold = spillThresholdBytes
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // ordering in RANK direction (best first); heap keeps the k best,
@@ -66,30 +85,89 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         def compare(a: UnsafeRow, b: UnsafeRow): Int = rankOrd.compare(b, a)
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
+      // per-entry bookkeeping overhead (HashMap node + heap + refs); the
+      // exact constant matters less than that growth is LINEAR in keys
+      val perKeyOverhead = 64L
+      var retained = 0L
+      var overflowed = false
+      while (iter.hasNext && !overflowed) {
         val row = iter.next().asInstanceOf[UnsafeRow]
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[UnsafeRow](kk, heapOrd)
-          heaps.put(key.copy(), heap)
+          val keyCopy = key.copy()
+          heaps.put(keyCopy, heap)
+          retained += keyCopy.getSizeInBytes + perKeyOverhead
         }
-        if (heap.size() < kk) heap.add(row.copy())
-        else if (rankOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap.size() < kk) {
+          val c = row.copy()
+          heap.add(c)
+          retained += c.getSizeInBytes
+        } else if (rankOrd.compare(row, heap.peek()) < 0) {
+          retained -= heap.poll().getSizeInBytes
+          val c = row.copy()
+          heap.add(c)
+          retained += c.getSizeInBytes
+        }
+        overflowed = retained > threshold
+      }
+
+      if (!overflowed) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+        val it = heaps.values().iterator()
+        while (it.hasNext) {
+          val heap = it.next()
+          val group = new Array[UnsafeRow](heap.size())
+          var i = group.length - 1
+          while (i >= 0) { group(i) = heap.poll(); i -= 1 } // heap pops worst-first
+          out ++= group
+        }
+        out.iterator
+      } else {
+        // sort-based fallback: (key asc, rank) external sort (disk spill
+        // under memory pressure), then a streaming first-k-per-group scan
+        val schema = StructType(childOutput.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        val keyOrders = keyExprs.map(SortOrder(_, Ascending))
+        val fullOrd = GenerateOrdering.generate(keyOrders ++ ordExprs, childOutput)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = { zero.value = 0L; zero }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, fullOrd, PrefixComparators.LONG, prefixComputer,
+          4L * 1024 * 1024, false)
+        val hIt = heaps.values().iterator()
+        while (hIt.hasNext) {
+          val heap = hIt.next()
+          while (!heap.isEmpty) sorter.insertRow(heap.poll())
+        }
+        heaps.clear()
+        val sorted = sorter.sort(iter.map(_.asInstanceOf[UnsafeRow]))
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var emitted = 0
+          private var nextRow: InternalRow = null
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyProj(row)
+              if (curKey == null || !key.equals(curKey)) {
+                curKey = key.copy()
+                emitted = 0
+              }
+              if (emitted < kk) { emitted += 1; nextRow = row }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextRow != null
+          override def next(): InternalRow = {
+            val r = nextRow; advance(); r
+          }
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-      val it = heaps.values().iterator()
-      while (it.hasNext) {
-        val heap = it.next()
-        val group = new Array[UnsafeRow](heap.size())
-        var i = group.length - 1
-        while (i >= 0) { group(i) = heap.poll(); i -= 1 } // heap pops worst-first
-        out ++= group
-      }
-      out.iterator
     }, preservesPartitioning = true)
   }
 
@@ -99,13 +177,16 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKeyPlan(keys, order, k, spill, child) =>
+      TopKPerKeyExec(keys, order, k, spill, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 object TopK {
+  val SpillThresholdConf = "spark.graft.topk.maxHeapBytes"
+  val DefaultSpillThreshold: Long = 64L * 1024 * 1024
+
   /** Ensure the strategy is active on this session (idempotent). */
   def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
@@ -119,6 +200,8 @@ object TopK {
       : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     register(spark)
+    val spillThreshold = spark.conf.getOption(SpillThresholdConf)
+      .map(_.toLong).getOrElse(DefaultSpillThreshold)
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute = analyzed.output.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(
@@ -128,6 +211,6 @@ object TopK {
                          else org.apache.spark.sql.catalyst.expressions.Descending)
     }
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
-      TopKPerKeyPlan(keyCols.map(attr), order, k, analyzed))
+      TopKPerKeyPlan(keyCols.map(attr), order, k, spillThreshold, analyzed))
   }
 }

@@ -44,6 +44,28 @@ class TopKPlanSpec extends SparkTestBase {
     assert(empty.count() == 0)
   }
 
+  test("spill fallback: keys ~ rows under a tiny heap budget matches the window plan") {
+    // near-unique keys (the exact-dedup shape that OOMs an unbounded
+    // map) + a 4 KB heap budget => every partition takes the external
+    // sort-based path; results must be identical to the heap path.
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    spark.conf.set(TopK.SpillThresholdConf, "4096")
+    try {
+      val spilled = TopK.perKey(orders, Seq("o_orderkey"),
+        Seq(("o_totalprice", false)), k = 1)
+      assert(spilled.queryExecution.executedPlan.toString.contains("4096"),
+        "threshold not carried into the physical plan")
+      assert(spilled.count() == orders.count()) // unique key => all rows kept
+      // and a real top-k per repeated key, both paths agreeing:
+      val viaSpill = TopK.perKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      spark.conf.unset(TopK.SpillThresholdConf)
+      val viaHeap = TopK.perKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+      assert(viaSpill.exceptAll(viaHeap).isEmpty && viaHeap.exceptAll(viaSpill).isEmpty)
+    } finally spark.conf.unset(TopK.SpillThresholdConf)
+  }
+
   test("deterministic across partitionings") {
     val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
     val a = TopK.perKey(orders, Seq("o_custkey"),
