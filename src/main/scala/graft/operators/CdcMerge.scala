@@ -29,16 +29,15 @@ object CdcMerge {
     * as one scan. */
   def isLoadFile(c: Column): Column = c.contains(lit("LOAD"))
 
-  /** Latest row per key: the k=1 case of the custom sort-free top-k
-    * operator (graft.plans.TopKPerKeyExec) — one hash shuffle on the PK
-    * and a single retained row per key, instead of the window
-    * formulation's full per-group sort. Tie-breakers make the winner
+  /** Latest row per key: max_by aggregate over (ts, tieBreakers) — a
+    * CDC delta repeats hot PKs many times, and the aggregate's partial
+    * (map-side) combine shrinks the PK shuffle to ~one row per
+    * (partition, key) before the exchange. Tie-breakers make the winner
     * deterministic when timestamps collide — REQUIRED for reproducible
     * merges under retries. */
   def latestPerKey(df: DataFrame, pk: Seq[String], ts: String,
                    tieBreakers: Seq[String] = Nil): DataFrame =
-    graft.plans.TopK.perKey(df, pk,
-      (ts +: tieBreakers).map(c => (c, false)), k = 1)
+    KeyedReduce.reduceByKey(df, pk, ts +: tieBreakers, largest = true)
 
   /** Apply a CDC delta batch onto a snapshot:
     *   1. within-batch dedup: latest op per PK wins;

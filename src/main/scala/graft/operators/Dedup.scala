@@ -24,10 +24,11 @@ object Dedup {
 
   /** Exact dedup on `keyCols`, keeping the row with the smallest `idCol`
     * — deterministic, unlike dropDuplicates (which keeps an arbitrary
-    * first-seen row per partition ordering). One shuffle, no sort: the
-    * k=1 case of the custom top-k operator. */
+    * first-seen row per partition ordering). Aggregate formulation
+    * (min_by): partial map-side combine, so on a dup-heavy corpus the
+    * one shuffle carries ~distinct keys, not all rows. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    graft.plans.TopK.perKey(df, keyCols, Seq((idCol, true)), k = 1)
+    KeyedReduce.reduceByKey(df, keyCols, Seq(idCol), largest = false)
 
   /** Exact dedup on the normalized md5 fingerprint of `textCol`. */
   def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

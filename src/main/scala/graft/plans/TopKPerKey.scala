@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.types.{StructField, StructType}
-import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 import org.apache.spark.sql.SparkSession
 
 /** Custom whole-operator: top-k rows per key.
@@ -57,13 +56,29 @@ final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Physical top-k-per-key. Runs in TWO PHASES, like an aggregate:
+  * a `partial` instance (no distribution requirement) first reduces
+  * each input partition to at most k rows per key seen there — the
+  * map-side combine — and the final instance (ClusteredDistribution →
+  * EnsureRequirements inserts the hash exchange above the partial)
+  * merges the per-partition winners. Top-k selection under a total
+  * order is a semigroup, so the split is lossless. On dup-heavy input
+  * (CDC deltas, exact dedup of a crawl) the exchange now carries
+  * ~keys-per-partition x k rows instead of ALL rows — the r2 scale
+  * concern — while keys~rows input costs only one extra O(n) hash pass.
+  */
 final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                                 k: Int, spillThresholdBytes: Long,
+                                partial: Boolean,
                                 child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   // rows stay in their key partitions: declare it, or every downstream
   // keyed operator re-shuffles the already-clustered (tiny) output
@@ -131,12 +146,13 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           StructField(a.name, a.dataType, a.nullable)))
         val keyOrders = keyExprs.map(SortOrder(_, Ascending))
         val fullOrd = GenerateOrdering.generate(keyOrders ++ ordExprs, childOutput)
-        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
-          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
-          override def computePrefix(row: InternalRow) = { zero.value = 0L; zero }
-        }
+        // real 8-byte prefix on the leading key column: the sorter settles
+        // most comparisons on the cached prefix instead of a full-row
+        // ordering call (radix stays off — the order has >1 column)
+        val (prefixCmp, prefixComputer) =
+          org.apache.spark.sql.graftbridge.Bridge.rowPrefix(keyOrders.head, childOutput)
         val sorter = UnsafeExternalRowSorter.create(
-          schema, fullOrd, PrefixComparators.LONG, prefixComputer,
+          schema, fullOrd, prefixCmp, prefixComputer,
           4L * 1024 * 1024, false)
         val hIt = heaps.values().iterator()
         while (hIt.hasNext) {
@@ -158,7 +174,11 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                 curKey = key.copy()
                 emitted = 0
               }
-              if (emitted < kk) { emitted += 1; nextRow = row }
+              // the sorter's iterator REUSES one UnsafeRow (repointed on
+              // every next()); next() below prefetches before the consumer
+              // reads the returned row, so emit a copy or the row mutates
+              // under the consumer (r2 corruption bug)
+              if (emitted < kk) { emitted += 1; nextRow = row.copy() }
             }
           }
           advance()
@@ -178,7 +198,9 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, spill, child) =>
-      TopKPerKeyExec(keys, order, k, spill, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, spill, partial = false,
+        TopKPerKeyExec(keys, order, k, spill, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -19,4 +19,33 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Prefix comparator + computer for an external row sort, derived from
+    * the leading sort column (the same machinery SortExec uses via
+    * `private[sql]` SortPrefixUtils). A real prefix lets the sorter
+    * resolve most comparisons on the cached 8-byte prefix instead of a
+    * full row ordering call. Called executor-side, once per partition.
+    */
+  def rowPrefix(order: org.apache.spark.sql.catalyst.expressions.SortOrder,
+                output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : (org.apache.spark.util.collection.unsafe.sort.PrefixComparator,
+         org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer) = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, SortPrefix, UnsafeProjection}
+    import org.apache.spark.sql.execution.{SortPrefixUtils, UnsafeExternalRowSorter}
+    val bound = BindReferences.bindReference(order, output)
+    val cmp = SortPrefixUtils.getPrefixComparator(bound)
+    val proj = UnsafeProjection.create(Seq(SortPrefix(bound)))
+    val computer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        val p = proj.apply(row)
+        result.isNull = p.isNullAt(0)
+        result.value = if (result.isNull) 0L else p.getLong(0)
+        result
+      }
+    }
+    (cmp, computer)
+  }
 }

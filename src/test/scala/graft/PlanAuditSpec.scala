@@ -58,10 +58,14 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("cdc latest-per-key: custom sort-free top-k over one PK shuffle") {
+  test("cdc latest-per-key: max_by aggregate with map-side combine on one PK shuffle") {
     val plan = planOf("q_cdc_latest_per_key")
-    assert(plan.contains("TopKPerKey") && plan.contains("hashpartitioning(user_id"),
-      s"latest-per-key should hash-partition by key into TopKPerKeyExec:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"latest-per-key should hash-partition by PK:\n$plan")
+    // partial (map-side) combine BELOW the exchange: a CDC delta repeats
+    // hot PKs, so the shuffle must carry per-partition winners, not rows
+    assert(plan.indexOf("partial_max_by") > plan.indexOf("Exchange hashpartitioning"),
+      s"expected partial max_by below the PK exchange:\n$plan")
     assert(!plan.contains("Window"), s"window formulation should be gone:\n$plan")
   }
 }

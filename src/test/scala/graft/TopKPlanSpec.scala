@@ -66,6 +66,20 @@ class TopKPlanSpec extends SparkTestBase {
     } finally spark.conf.unset(TopK.SpillThresholdConf)
   }
 
+  test("two-phase: partial TopK below the exchange, final above") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    val custom = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+    val plan = custom.queryExecution.executedPlan.toString
+    // children print BELOW parents: partial must sit under the exchange
+    val exch = plan.indexOf("Exchange hashpartitioning")
+    val partial = plan.indexOf("TopKPerKeyPartial")
+    assert(exch >= 0, s"no hash exchange:\n$plan")
+    assert(plan.indexOf("Exchange hashpartitioning", exch + 1) < 0,
+      s"expected exactly one exchange:\n$plan")
+    assert(partial > exch, s"no partial TopK below the exchange:\n$plan")
+  }
+
   test("deterministic across partitionings") {
     val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
     val a = TopK.perKey(orders, Seq("o_custkey"),
