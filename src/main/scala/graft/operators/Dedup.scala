@@ -322,8 +322,23 @@ object Dedup {
                                seed: Long = FakeGen.DefaultSeed): DataFrame = {
     import graft.functions.vectors
     require(nBits >= 1 && nBits <= 63, "nBits in [1,63]")
-    val masks: Seq[Long] = (0L until (1L << nBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming in [0,$nBits]")
+    // masks = every XOR pattern flipping <= probeHamming of the nBits.
+    // Generated combinatorially — C(nBits, <=h) masks — NOT by scanning
+    // all 2^nBits longs (driver OOM past ~30 bits, and 1L<<63 overflows
+    // to an empty range => silent zero pairs). The probe explode
+    // multiplies side A by masks.size, so cap the fan-out — counted
+    // arithmetically BEFORE generating anything.
+    val maskCount = (0 to probeHamming).map { h =>
+      (0 until h).foldLeft(BigInt(1))((acc, i) => acc * (nBits - i) / (i + 1))
+    }.sum
+    require(maskCount <= 65536,
+      s"probe fan-out $maskCount (C($nBits, <=$probeHamming)) too large; " +
+      "lower probeHamming or nBits")
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until nBits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("bucket"))
     val aProbe = sigs.select(col("id").as("id_a"),

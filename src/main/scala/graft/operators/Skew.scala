@@ -21,8 +21,13 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
                       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    // salt from ROW CONTENT, never monotonically_increasing_id(): a
+    // recomputed task would re-salt its rows differently and the
+    // two-stage aggregate would double-count/drop through the shuffle.
+    // Identical rows co-bucket (less spread for a degenerate
+    // all-duplicate key), but assignment is retry-stable.
     val salted = df.withColumn("__salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(buckets)))
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
@@ -44,14 +49,16 @@ object Skew {
       merge = Seq(sum(col("__ps")).as(s"sum_$valueCol")))
 
   /** Salted equi-join for a skewed LEFT side against a non-broadcastable
-    * right side: left rows get a random-but-deterministic salt in
+    * right side: left rows get a content-derived deterministic salt in
     * [0, buckets); the right side replicates `buckets` times. One
-    * shuffle each, hot keys spread over `buckets` reducers.
+    * shuffle each, hot keys spread over `buckets` reducers, and the
+    * assignment survives partial stage recompute (same row bytes =>
+    * same bucket).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int = 8): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

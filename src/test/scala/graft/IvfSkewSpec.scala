@@ -51,6 +51,19 @@ class IvfSkewSpec extends SparkTestBase {
     }
   }
 
+  test("salt is content-derived: stable across repartitionings (retry-safe)") {
+    // monotonically_increasing_id-style salts change when a stage is
+    // recomputed with a different row order; content hashes do not.
+    // Repartitioning is a proxy for "the same rows arrive differently".
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(16)))
+      .select($"event_id", $"__salt").as[(Long, Int)].collect().toMap
+    val a = buckets(ev)
+    val b = buckets(ev.repartition(13))
+    assert(a == b, "salt assignment must not depend on row placement")
+  }
+
   test("salted join equals plain join") {
     val orders = spark.read.parquet(sf() + "/orders.parquet")
       .select($"o_orderkey", $"o_custkey")

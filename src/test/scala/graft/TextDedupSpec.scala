@@ -124,6 +124,47 @@ class TextDedupSpec extends SparkTestBase {
     assert(pairs == exact, s"lsh=$pairs exact=$exact")
   }
 
+  test("embedding LSH: recall==1 at the q_dedup_embedding_lsh oracle config (pinned)") {
+    // The driver oracle for q_dedup_embedding_lsh is EXACT all-pairs SQL;
+    // it passes only because this configuration (threshold 0.7, nBits 8,
+    // probeHamming 2, default seed) achieves full recall on the sf0.01
+    // planted near-copies. That equality is INTENTIONAL — this test pins
+    // it, so a seed/parameter/testdata change surfaces here as a recall
+    // shortfall instead of an opaque oracle hash mismatch.
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" < 25)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        concat(array(element_at($"embedding", 1) + lit(0.05f)),
+          slice($"embedding", 2, 100000)).as("embedding"))
+    val aug = emb.unionByName(planted)
+    val lsh = Dedup.embeddingNearDupPairsLsh(aug, "vec_id", "embedding",
+      threshold = 0.7, nBits = 8, probeHamming = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupPairs(aug, "vec_id", "embedding", 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"recall<1 at the pinned oracle config: " +
+      s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("embedding LSH: wide sketches don't enumerate 2^nBits masks") {
+    // pre-fix this OOM'd the driver (2^48 longs); combinatorial masks
+    // make wide sketches usable: C(48,<=1) = 49 probes
+    val base = (0 until 6).map(i => (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, v.map(x => x + 0.0001f)))
+    }
+    val df = rows.toDF("id", "v")
+    val pairs = Dedup.embeddingNearDupPairsLsh(df, "id", "v", 0.999,
+      nBits = 48, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 6).forall(i => pairs.contains((i * 2L, i * 2L + 1))), s"$pairs")
+    // fan-out cap rejects an infeasible probe budget instead of OOM
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupPairsLsh(df, "id", "v", 0.999, nBits = 60, probeHamming = 10)
+    }
+  }
+
   // -- similarity search --------------------------------------------------
 
   test("bruteForceTopK: valid ranks, deterministic, self-excluded") {
