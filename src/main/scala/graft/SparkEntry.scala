@@ -307,15 +307,26 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
+    // prune-then-verify: minhash-LSH candidates (loose 0.35 prune on the
+    // signature estimate) verified by EXACT n-gram jaccard — so the
+    // exact-jaccard SQL IS the oracle, and an LSH recall shortfall on
+    // the planted near-dups fails the hash check. The raw estimate tier
+    // stays spec-tested (TextDedupSpec).
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 32,
+        candThreshold = 0.35, threshold = 0.5)),
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
+    // same prune-then-verify shape with the simhash hamming pruner.
+    // maxHamming 6: the planted near-dups (jaccard 0.95-0.99) sit at
+    // simhash hamming up to 6 on this corpus, so 7-band pigeonhole
+    // GUARANTEES them as candidates; background pairs entering at
+    // hamming 4-6 are dropped by the exact-jaccard verify.
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+      Dedup.simhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6, n = 3, threshold = 0.5)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.45)),
@@ -341,17 +352,24 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
     }),
+    // ANN exercised in its honest regime — retrieving a planted
+    // near-copy (cos ~0.9998) from the corpus, where bucketing is
+    // expected to have recall 1 (pinned in TextDedupSpec for the dedup
+    // twin of this config); the exact brute-force SQL is then a true
+    // oracle. Top-10-over-random-vectors recall (the regime where ANN
+    // is inherently approximate) is measured by RecallEval + specs, not
+    // hash-compared.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 10, nBits = 8)
+      Similarity.lshTopK(emb, annQueries(emb), "vec_id", "embedding",
+        k = 1, nBits = 8)
     }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding",
         nlist = 16, iters = 2)
-      graft.operators.Ivf.topK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 10, centroids, nprobe = 4)
+      graft.operators.Ivf.topK(emb, annQueries(emb),
+        "vec_id", "embedding", k = 1, centroids, nprobe = 2)
     }),
 
     // ---- training-data pipeline: multimodal plumbing ------------------
@@ -373,11 +391,16 @@ object SparkEntry {
         .select(col("asset_id"), col("bin"),
           round(col("share") * col("n_bytes")).cast("long").as("cnt"))),
 
+    // the full pipeline spine (limit -> sanitize -> filter -> transforms)
+    // with SQL-expressible transforms (Replace + Nullify), so the whole
+    // composition is oracle-checked end to end. The faker-bearing
+    // pipeline runs in entry() and the CLI e2e spec; fakers themselves
+    // are pinned by the q_fake_* rows-only checks + ScalaTest.
     "q_anonymize_pipeline" -> ((s, dir) => {
       val cfg = TableConfig(
         tableName = "customer",
         anonymizationType = AnonymizationType.Multi(Seq(
-          ColumnTransformation("c_name", TransformationType.Custom("fake_name_transformation")),
+          ColumnTransformation("c_name", TransformationType.Replace("ANONYMIZED")),
           ColumnTransformation("c_acctbal", TransformationType.Nullify))),
         keepNumOfRecords = Some(1000),
         filterType = FilterType.AnyOfInt("c_nationkey", Seq(3, 4)),
@@ -385,6 +408,95 @@ object SparkEntry {
       TablePipeline.build(t(s, dir, "customer"), cfg, orderForLimit = Seq("c_custkey"))
     })
   )
+
+  /** Planted ANN queries: the first 5 corpus vectors, coord 0 nudged by
+    * +0.02f (cos ~0.9998 with the source — the near-copy retrieval
+    * regime), ids offset so no self-match fires. Shared by
+    * q_ann_lsh / q_ann_ivf and their brute-force oracles. */
+  private def annQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.02f)),
+          slice(col("embedding"), 2, 100000)).as("embedding"))
+
+  /** Exact n-gram (n=3) jaccard pairs at threshold 0.5 over documents —
+    * the shared oracle for the exact tier and both prune-then-verify
+    * tiers (minhash / simhash). */
+  private val exactJaccardSql: String =
+    "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+    "  FROM documents), " +
+    "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+    "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+    "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
+    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+    "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+    "SELECT id_a, id_b, round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
+    "FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+    "WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5"
+
+  /** Brute-force exact top-1 cosine over the planted [[annQueries]] —
+    * the oracle for both ANN tiers in the near-copy retrieval regime. */
+  private val annTop1Sql: String = {
+    val cos = "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
+    "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+    "  FROM embeddings WHERE vec_id < 5) " +
+    s"SELECT query_id, c.vec_id AS corpus_id, $cos AS cos, " +
+    "CAST(row_number() OVER (PARTITION BY query_id " +
+    s"ORDER BY $cos DESC, c.vec_id ASC) AS INT) AS rank " +
+    "FROM q JOIN embeddings c ON query_id != c.vec_id " +
+    "QUALIFY rank <= 1"
+  }
+
+  /** SQL replica of TextKernels.rollingFingerprint: the FNV-style
+    * rolling hash then the SplitMix64 finalizer, in HUGEINT arithmetic
+    * mod 2^64. 64x64-bit multiplies are split at 32 bits so no
+    * intermediate exceeds HUGEINT range. */
+  private val rollingFpSql: String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    def mulmod(x: String, c: String) =
+      s"(((($x) % 4294967296) * $c + (((($x) // 4294967296) * $c) % 4294967296) * 4294967296) % $M)"
+    def xorshift(x: String, s: Long) = s"xor($x, ($x) // ${1L << s})"
+    val roll = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(string_split(n, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(h, c) -> (h * 1099511628211 + c) % $M)"
+    val x1 = xorshift("rh", 30)
+    val x2 = mulmod(s"($x1)", java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L))
+    val x3 = xorshift(s"($x2)", 27)
+    val x4 = mulmod(s"($x3)", java.lang.Long.toUnsignedString(0x94d049bb133111ebL))
+    val x5 = xorshift(s"($x4)", 31)
+    "WITH nn AS (SELECT doc_id, " +
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n FROM documents), " +
+    "rr AS (SELECT doc_id, CASE WHEN n = '' THEN 14695981039346656037::HUGEINT " +
+    s"ELSE $roll END AS rh FROM nn) " +
+    s"SELECT doc_id, lower(hex(CAST(($x5) AS UBIGINT))) AS fp FROM rr"
+  }
+
+  /** SQL replica of TextKernels.langId, GENERATED from the kernel's own
+    * stopword lists (one source of truth): per-language token hit
+    * counts, argmax with first-in-order tie-break, 'und' below the 5%
+    * stopword-signal floor. The CJK branch is vacuous on this ASCII
+    * corpus (verified) and omitted. */
+  private val langIdSql: String = {
+    val langs = graft.functions.TextKernels.stopwordSource
+    def arr(words: Seq[String]) =
+      words.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
+    val hits = langs.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> list_contains(${arr(ws)}, x))) AS h_$l"
+    }.mkString(", ")
+    val m = langs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ",", ")")
+    val firstMax = langs.map { case (l, _) => s"WHEN h_$l = m THEN '$l'" }.mkString(" ")
+    "WITH tk AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN [] " +
+    "ELSE regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') " +
+    "END AS toks FROM documents), " +
+    s"h AS (SELECT doc_id, lang, len(toks) AS ntoks, $hits FROM tk), " +
+    s"mm AS (SELECT *, $m AS m FROM h) " +
+    "SELECT doc_id, lang AS labeled, " +
+    "CASE WHEN m = 0 OR m * 20 < ntoks THEN 'und' " +
+    s"ELSE CASE $firstMax END END AS predicted FROM mm"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -529,6 +641,21 @@ object SparkEntry {
     "q_sample_stratified" ->
       ("SELECT * FROM documents " +
        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 20"),
+    // the md5 sampling contract is engine-portable by design: the same
+    // decision string + lexicographic threshold, byte for byte. The hex
+    // literals come from Sampling.thresholdHex — one source of truth.
+    "q_sample_hash" ->
+      ("SELECT * FROM customer WHERE " +
+       "substr(md5('42::' || CAST(c_custkey AS VARCHAR)), 1, 15) < " +
+       s"'${graft.operators.Sampling.thresholdHex(0.25)}'"),
+    "q_mix_weighted" ->
+      ("SELECT doc_id AS id, 'docs' AS __source FROM documents WHERE " +
+       "substr(md5('42:docs:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+       s"'${graft.operators.Sampling.thresholdHex(0.5)}' " +
+       "UNION ALL " +
+       "SELECT event_id AS id, 'events' AS __source FROM events WHERE " +
+       "substr(md5('42:events:' || CAST(event_id AS VARCHAR)), 1, 15) < " +
+       s"'${graft.operators.Sampling.thresholdHex(0.1)}'"),
 
     // ---- text analysis ------------------------------------------------
     "q_token_count" -> (
@@ -556,6 +683,14 @@ object SparkEntry {
     "q_fingerprint_md5" -> (
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
       "FROM documents"),
+    "q_fingerprint_rolling" -> rollingFpSql,
+    // ASCII corpus (verified): letter/digit/symbol runs are exactly the
+    // kernel's character classes, so one regexp_extract_all counts them
+    "q_token_count_bpe" -> (
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+      "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]+')) AS INT) AS n_bpe_tokens " +
+      "FROM documents"),
+    "q_lang_id" -> langIdSql,
 
     // ---- dedup family --------------------------------------------------
     "q_dedup_exact" ->
@@ -564,18 +699,13 @@ object SparkEntry {
     "q_dedup_fingerprint" ->
       ("SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY " +
        "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) ORDER BY doc_id) = 1"),
-    "q_dedup_ngram_jaccard" -> (
-      "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
-      "  FROM documents), " +
-      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
-      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
-      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
-      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
-      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-      "SELECT id_a, id_b, round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
-      "FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
-      "WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5"),
+    "q_dedup_ngram_jaccard" -> exactJaccardSql,
+    // cross-tier oracles: the prune-then-verify queries emit EXACT
+    // n-gram jaccard for LSH/simhash candidates, so the exact-pairs SQL
+    // is a true oracle wherever the pruner's recall is 1 (it is, on the
+    // planted corpus — pinned in TextDedupSpec).
+    "q_dedup_minhash" -> exactJaccardSql,
+    "q_dedup_simhash" -> exactJaccardSql,
     // cross-tier oracle: Spark dedups via minhash-LSH components; the
     // oracle dedups via EXACT jaccard pairs + recursive-CTE components.
     // They agree because the LSH tier recovers exactly the exact tier's
@@ -624,6 +754,8 @@ object SparkEntry {
       "WHERE c.cos >= 0.7"),
 
     // ---- similarity search ---------------------------------------------
+    "q_ann_lsh" -> annTop1Sql,
+    "q_ann_ivf" -> annTop1Sql,
     "q_ann_topk" -> (
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
       "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
@@ -651,6 +783,14 @@ object SparkEntry {
       ") " +
       "SELECT g.doc_id AS asset_id, CAST(g.bin AS INT) AS bin, " +
       "CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt " +
-      "FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin")
+      "FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin"),
+
+    // pipeline spine: limit (ordered) -> sanitize (identity on this
+    // clean table) -> AnyOfInt filter (drops matching) -> Replace+Nullify
+    "q_anonymize_pipeline" -> (
+      "SELECT c_custkey, 'ANONYMIZED' AS c_name, c_nationkey, " +
+      "CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment " +
+      "FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 1000) " +
+      "WHERE c_nationkey IS NULL OR c_nationkey NOT IN (3, 4)")
   )
 }

@@ -164,8 +164,7 @@ object TextKernels {
   // ---- language id ------------------------------------------------------
 
   private val langNames = Array("en", "de", "fr", "es", "pt", "it", "nl")
-  private val stopwordSets: Array[java.util.HashSet[String]] = {
-    val lists = Array(
+  private val rawLists: Array[String] = Array(
       /* en */ "the and of to in is you that it for was on are with as his they at be this have from or had by but not what all were when we there can an your which their said if do will each about how up out them then she many some so these would other into has more her two like him see time could no make than first been its who now people my made over did down only way find use may water long little very after words called just where most know get through back much before go good new write our used me man too any day same right look think also around another came come work three word must because does part even place well such here take why things help put years different away again off went old number great tell men say small every found still between name should home big give air line set own under read last never us left end along while might next sound below saw something thought both few those always looked show large often together asked house don't world going want school important until form food keep children feet land side without boy once animals life enough took sometimes four head above kind began almost live page got earth need far hand high year mother light parts country father let night following picture being study second eyes soon times story boys since white days ever paper hard near sentence better best across during today others however sure means knew it's try told young miles sun ways thing whole hear example heard several change answer room against top turned three learn point city play toward five using himself usually",
       /* de */ "der die das und ist nicht mit ein eine zu auf von den dem des sich auch als aber nach bei um noch wie wenn nur war sind oder aus so wir ich sie es an im für man hat dass war sein ihr ihre mein dein kein mehr sehr schon dann doch wird werden wurde kann könnte muss haben hatte gegen zwischen durch über unter vor hinter neben seit ohne",
       /* fr */ "le la les et est un une des que pour dans ce cette qui ne pas au aux avec sur son ses leur mais ou où donc car ni votre notre vous nous ils elles je tu il elle on du de en y a ont été être avoir fait faire plus moins très bien tout tous toute toutes comme si alors quand même aussi autre après avant chez entre jusque pendant",
@@ -174,12 +173,17 @@ object TextKernels {
       /* it */ "il lo la i gli le e è un uno una di che per in non si con come ma al del della dei delle nel nella più anche o se questo questa questi queste quello quella io tu lui lei noi voi loro mio tuo suo nostro vostro già molto bene dove quando perché anche senza sopra sotto dopo prima adesso allora",
       /* nl */ "de het een en is niet met van voor in op te dat die dit zijn haar hun ons onze je jij u wij ze zij ik hij maar of als dan nog wel geen meer zeer al naar bij uit over onder tussen door zonder tegen sinds"
     )
-    lists.map { l =>
+  /** Raw per-language stopword lists, in [[langNames]] order — exposed
+    * so the driver oracle can be GENERATED from the same data the kernel
+    * uses (one source of truth for the SQL replica of [[langId]]). */
+  private[graft] def stopwordSource: Seq[(String, Seq[String])] =
+    langNames.toSeq.zip(rawLists.toSeq.map(_.split(' ').toSeq))
+  private val stopwordSets: Array[java.util.HashSet[String]] =
+    rawLists.map { l =>
       val s = new java.util.HashSet[String]()
       l.split(' ').foreach(s.add)
       s
     }
-  }
 
   /** Heuristic language ID: CJK codepoint share first (=> "zh"), then
     * argmax of per-language stopword hit ratios; "und" when nothing

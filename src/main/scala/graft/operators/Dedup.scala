@@ -119,18 +119,24 @@ object Dedup {
     * (as here) the reported jaccard is a lower bound, so pairs near the
     * threshold may be missed — a recall/cost dial, off by default and
     * excluded from the oracle-checked queries. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5,
-                        maxShingleDocFreq: Long = 0L): DataFrame = {
+  /** Distinct word n-shingles per document: (id, sh). Docs shorter than
+    * n tokens contribute their whole token string as one shingle. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    val shingles = df.select(col(idCol).as("id"), toks.as("toks"))
+    df.select(col(idCol).as("id"), toks.as("toks"))
       .withColumn("sh", explode(
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", col("toks"))))))
       .select(col("id"), col("sh")).distinct()
+  }
 
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxShingleDocFreq: Long = 0L): DataFrame = {
+    val shingles = shingleSets(df, idCol, textCol, n)
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val joinable =
       if (maxShingleDocFreq <= 0) shingles
@@ -153,6 +159,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** EXACT n-gram Jaccard computed ONLY for the given candidate pairs —
+    * the verification stage of a prune-then-verify dedup. Cost is linear
+    * in candidates x shingles-per-doc (never corpus-quadratic): the
+    * shingle stream is first semi-join-pruned to candidate docs, then
+    * each pair's common-shingle count comes from one equi-join on
+    * (doc, shingle). Returns (id_a, id_b, jaccard) with jaccard >=
+    * `threshold`; candidate pairs below it (including zero-overlap
+    * pairs) are dropped. */
+  def verifyPairsJaccard(df: DataFrame, idCol: String, textCol: String,
+                         pairs: DataFrame, n: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val cand = pairs.select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val sh = shingleSets(df, idCol, textCol, n)
+    val docs = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val shC = sh.join(docs, Seq("id"), "left_semi")
+    val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(shC.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(shC.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Production prune-then-verify near-dup pairs: MinHash-LSH candidates
+    * (pruned LOOSELY at `candThreshold` on the signature estimate, so
+    * estimate noise near the boundary doesn't cost recall), each
+    * verified by EXACT n-gram Jaccard at `threshold`. Output equals the
+    * exact tier's pairs wherever LSH recall is 1 — which is what the
+    * DuckDB oracle checks on the planted corpus. */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleWidth: Int = 3, numHashes: Int = 128,
+                           bands: Int = 32, candThreshold: Double = 0.35,
+                           threshold: Double = 0.5,
+                           seed: Long = FakeGen.DefaultSeed): DataFrame =
+    verifyPairsJaccard(df, idCol, textCol,
+      minhashPairs(df, idCol, textCol, shingleWidth, numHashes, bands,
+        candThreshold, seed),
+      shingleWidth, threshold)
+
+  /** SimHash-banded candidates verified by EXACT n-gram Jaccard — same
+    * prune-then-verify shape with the hamming-pigeonhole pruner. */
+  def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3, n: Int = 3,
+                           threshold: Double = 0.5,
+                           seed: Long = FakeGen.DefaultSeed): DataFrame =
+    verifyPairsJaccard(df, idCol, textCol,
+      simhashPairs(df, idCol, textCol, maxHamming, seed), n, threshold)
 
   /** Connected components over an undirected pair list ((id_a, id_b)
     * edges): returns (id, component) where component = the minimum id

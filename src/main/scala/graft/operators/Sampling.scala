@@ -15,17 +15,40 @@ import graft.fakegen.FakeGen
 object Sampling {
 
   /** Stable per-row uniform in [0, 1) derived from a key column + seed
-    * (SplitMix64 finalizer => high-quality avalanche). */
+    * (SplitMix64 finalizer => high-quality avalanche). Engine-internal
+    * uniform; the SAMPLING decision below uses the md5 scheme instead so
+    * any engine (and the DuckDB oracle) can reproduce it. */
   def uniform(key: Column, seed: Long = FakeGen.DefaultSeed): Column = {
     val mixed = Bridge.column(graft.functions.Mix64Expr(
       Bridge.expression(hash(key).cast("long")), seed))
     (mixed / lit(Long.MaxValue.toDouble)).cast("double") * 0.5 + 0.5
   }
 
-  /** Keep ~`fraction` of rows, decided by hash(key, seed). */
+  /** The sampling decision value: first 15 hex chars of
+    * md5("seed:domain:key"). 60 uniform bits, compared LEXICOGRAPHICALLY
+    * against [[thresholdHex]] — string-vs-string on both sides, so the
+    * boundary cannot drift through a float round-trip, and the whole
+    * decision is portable to any engine with md5 (the contract that lets
+    * a 100 TB sample drawn here be re-derived or audited elsewhere).
+    * md5 on a short key costs ~0.1 µs/row — noise next to scan+decode. */
+  def sampleHex(key: Column, domain: String = "",
+                seed: Long = FakeGen.DefaultSeed): Column =
+    substring(md5(concat(lit(s"$seed:$domain:"), key.cast("string"))), 1, 15)
+
+  /** `fraction` as a 15-hex-digit threshold: floor(fraction * 16^15),
+    * zero-padded. Exposed so oracles embed the IDENTICAL literal. */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    f"${(fraction * math.pow(16, 15)).toLong}%015x"
+  }
+
+  /** Keep ~`fraction` of rows, decided by content (md5 of key + seed +
+    * domain): stable across runs, partitionings, and task retries. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
-                 seed: Long = FakeGen.DefaultSeed): DataFrame =
-    df.filter(uniform(col(keyCol), seed) < fraction)
+                 seed: Long = FakeGen.DefaultSeed,
+                 domain: String = ""): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(sampleHex(col(keyCol), domain, seed) < lit(thresholdHex(fraction)))
 
   /** Exact modulo sample (oracle-friendly): keep rows where
     * key % 100 < pct. Deterministic but correlated with key structure —
@@ -48,10 +71,10 @@ object Sampling {
                   seed: Long = FakeGen.DefaultSeed): DataFrame = {
     require(sources.nonEmpty)
     sources.map { case (name, df, weight) =>
-      // domain-separate the seed per source so the same key draws
-      // independently in different sources
-      val s = FakeGen.mix64(seed ^ FakeGen.hash64(name))
-      hashSample(df, keyCol, weight, s).withColumn("__source", lit(name))
+      // the source name domain-separates the md5 input, so the same key
+      // draws independently in different sources
+      hashSample(df, keyCol, weight, seed, domain = name)
+        .withColumn("__source", lit(name))
     }.reduce(_ unionByName _)
   }
 }

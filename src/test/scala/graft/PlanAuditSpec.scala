@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("faker pipeline is one WholeStageCodegen over the scan (no UDF barrier)") {
-    val plan = planOf("q_anonymize_pipeline")
+    // entry() is the faker-bearing pipeline (q_anonymize_pipeline is the
+    // SQL-expressible spine variant since r3, with no fake_* exprs)
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
     // '*(n)' prefixes mark WholeStageCodegen stages; the faker Project
     // must be inside one
