@@ -8,6 +8,10 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // embedded DB for exercising the JDBC sink/catalog seam in-process
+  // (pre-warmed in the offline cache; the runtime library has NO jdbc
+  // dependency — production targets whatever driver the cluster ships)
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test,
 )
 Test / fork := true
 run / fork := true

@@ -61,19 +61,28 @@ final class ParquetSink(outDir: String) extends TableSink {
   */
 final class JdbcSink(url: String, props: Properties,
                      batchSize: Int = 1000) extends TableSink {
+  /** Target tables pre-exist (the reference imports schemas through the
+    * control plane's pg_restore before any data write) — so this is a
+    * plain parallel batched Append. */
   def writeFull(df: DataFrame, table: String): Unit = {
     val p = new Properties(); p.putAll(props)
     p.setProperty("batchsize", batchSize.toString)
     df.write.mode(SaveMode.Append).jdbc(url, table, p)
   }
 
+  /** Staged upsert: the staging table is created HERE with explicit DDL
+    * (not Spark's Overwrite, whose exists-probe requires a dialect that
+    * classifies the driver's missing-table error — unknowable for
+    * arbitrary JDBC targets), then Append + one ON CONFLICT merge. */
   def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit = {
     val staging = s"${table}_staging_graft"
-    val p = new Properties(); p.putAll(props)
-    p.setProperty("batchsize", batchSize.toString)
-    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, p)
     val conn = DriverManager.getConnection(url, props)
     try {
+      conn.createStatement().execute(s"DROP TABLE IF EXISTS $staging")
+      conn.createStatement().execute(JdbcSink.createTableSql(staging, df))
+      val p = new Properties(); p.putAll(props)
+      p.setProperty("batchsize", batchSize.toString)
+      df.write.mode(SaveMode.Append).jdbc(url, staging, p)
       conn.createStatement().execute(
         JdbcSink.upsertSql(table, staging, df.columns.toSeq, pk))
       conn.createStatement().execute(s"DROP TABLE $staging")
@@ -90,6 +99,28 @@ object JdbcSink {
       .map(c => s"$c = EXCLUDED.$c").mkString(", ")
     s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
     s"ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $updates"
+  }
+
+  /** Portable ANSI-ish DDL for a staging table from a DataFrame schema. */
+  def createTableSql(table: String, df: DataFrame): String = {
+    import org.apache.spark.sql.types._
+    def sqlType(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType => "VARCHAR"
+      case other => throw new IllegalArgumentException(
+        s"no staging DDL mapping for $other")
+    }
+    val cols = df.schema.fields
+      .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+    s"CREATE TABLE $table ($cols)"
   }
 }
 
@@ -110,7 +141,13 @@ final class StaticCatalog(meta: Map[String, (Seq[(String, String)], Seq[String])
   def primaryKey(schema: String, table: String): Seq[String] = meta(table)._2
 }
 
-final class JdbcCatalog(spark: SparkSession, url: String, props: Properties)
+/** information_schema is portable; the primary-key lookup is not — the
+  * default is the reference's Postgres pg_index query, and `pkQuery`
+  * swaps in another dialect's (the DuckDB integration test injects a
+  * duckdb_constraints() variant). */
+final class JdbcCatalog(spark: SparkSession, url: String, props: Properties,
+                        pkQuery: (String, String) => String =
+                          JdbcCatalog.postgresPkQuery)
     extends SourceCatalog {
   private def q(sql: String): DataFrame = {
     val p = new Properties(); p.putAll(props)
@@ -126,10 +163,15 @@ final class JdbcCatalog(spark: SparkSession, url: String, props: Properties)
       s"ORDER BY ordinal_position")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   def primaryKey(schema: String, table: String): Seq[String] =
-    q(s"SELECT a.attname FROM pg_index i " +
-      s"JOIN pg_class c ON c.oid = i.indrelid " +
-      s"JOIN pg_namespace n ON n.oid = c.relnamespace " +
-      s"JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = ANY(i.indkey) " +
-      s"WHERE i.indisprimary AND n.nspname = '$schema' AND c.relname = '$table'")
-      .collect().map(_.getString(0)).toSeq
+    q(pkQuery(schema, table)).collect().map(_.getString(0)).toSeq
+}
+
+object JdbcCatalog {
+  /** PK columns via pg_index (the reference's source dialect). */
+  def postgresPkQuery(schema: String, table: String): String =
+    s"SELECT a.attname FROM pg_index i " +
+    s"JOIN pg_class c ON c.oid = i.indrelid " +
+    s"JOIN pg_namespace n ON n.oid = c.relnamespace " +
+    s"JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = ANY(i.indkey) " +
+    s"WHERE i.indisprimary AND n.nspname = '$schema' AND c.relname = '$table'"
 }
