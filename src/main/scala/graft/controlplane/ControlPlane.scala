@@ -11,6 +11,20 @@ import scala.sys.process.{Process, ProcessLogger}
   */
 object ControlPlane {
 
+  /** Quoted SQL identifier: double-quoted, embedded quotes doubled —
+    * config-sourced names (schemas, roles, tables) can't break out of
+    * identifier position in generated DDL. */
+  def ident(name: String): String = {
+    require(name.nonEmpty && !name.contains('\u0000'), s"bad identifier: $name")
+    "\"" + name.replace("\"", "\"\"") + "\""
+  }
+
+  /** Quoted SQL string literal: single quotes doubled. */
+  def literal(v: String): String = {
+    require(!v.contains('\u0000'), "NUL in literal")
+    "'" + v.replace("'", "''") + "'"
+  }
+
   /** Sequence SETVAL statements (target_db_finalizer.rs:17-58): for each
     * (sequence, table, column) owned pair, set the sequence to the
     * column's max. The reference discovers pairs from pg_depend —
@@ -23,38 +37,42 @@ object ControlPlane {
        |JOIN pg_class t ON t.oid = d.refobjid
        |JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = d.refobjsubid
        |JOIN pg_namespace n ON n.oid = s.relnamespace
-       |WHERE n.nspname = '$schema' AND d.deptype IN ('a', 'i')""".stripMargin
+       |WHERE n.nspname = ${literal(schema)} AND d.deptype IN ('a', 'i')""".stripMargin
 
   def setvalSql(schema: String, sequence: String, table: String,
                 column: String): String =
-    s"SELECT SETVAL('$schema.$sequence', " +
-    s"COALESCE((SELECT MAX($column) FROM $schema.$table), 1))"
+    // the regclass arg is a LITERAL carrying quoted identifiers
+    s"SELECT SETVAL(${literal(s"${ident(schema)}.${ident(sequence)}")}, " +
+    s"COALESCE((SELECT MAX(${ident(column)}) " +
+    s"FROM ${ident(schema)}.${ident(table)}), 1))"
 
   /** Import-role DDL (target_db_preparator.rs:143-226): a role that
     * bypasses triggers/FKs during bulk load. */
   def createImportRoleSql(role: String, password: String,
                           superuser: Boolean): Seq[String] = Seq(
-    s"CREATE ROLE $role WITH LOGIN PASSWORD '$password'" +
+    s"CREATE ROLE ${ident(role)} WITH LOGIN PASSWORD ${literal(password)}" +
       (if (superuser) " SUPERUSER" else ""),
-    s"ALTER ROLE $role SET session_replication_role = 'replica'")
+    s"ALTER ROLE ${ident(role)} SET session_replication_role = 'replica'")
 
   def dropSchemaSql(schema: String): String =
-    s"DROP SCHEMA IF EXISTS $schema CASCADE"
+    s"DROP SCHEMA IF EXISTS ${ident(schema)} CASCADE"
 
   def createExtensionsSql(extensions: Seq[String]): Seq[String] =
-    extensions.map(e => s"CREATE EXTENSION IF NOT EXISTS $e")
+    extensions.map(e => s"CREATE EXTENSION IF NOT EXISTS ${ident(e)}")
 
   /** Grants to application users (target_db_finalizer.rs:62-109). */
-  def grantSql(schema: String, user: String, owner: Boolean): Seq[String] =
+  def grantSql(schema: String, user: String, owner: Boolean): Seq[String] = {
+    val s = ident(schema); val u = ident(user)
     if (owner) Seq(
-      s"GRANT ALL ON SCHEMA $schema TO $user",
-      s"GRANT ALL ON ALL TABLES IN SCHEMA $schema TO $user",
-      s"GRANT ALL ON ALL SEQUENCES IN SCHEMA $schema TO $user",
-      s"ALTER DEFAULT PRIVILEGES IN SCHEMA $schema GRANT ALL ON TABLES TO $user")
+      s"GRANT ALL ON SCHEMA $s TO $u",
+      s"GRANT ALL ON ALL TABLES IN SCHEMA $s TO $u",
+      s"GRANT ALL ON ALL SEQUENCES IN SCHEMA $s TO $u",
+      s"ALTER DEFAULT PRIVILEGES IN SCHEMA $s GRANT ALL ON TABLES TO $u")
     else Seq(
-      s"GRANT USAGE ON SCHEMA $schema TO $user",
-      s"GRANT SELECT ON ALL TABLES IN SCHEMA $schema TO $user",
-      s"GRANT USAGE ON ALL SEQUENCES IN SCHEMA $schema TO $user")
+      s"GRANT USAGE ON SCHEMA $s TO $u",
+      s"GRANT SELECT ON ALL TABLES IN SCHEMA $s TO $u",
+      s"GRANT USAGE ON ALL SEQUENCES IN SCHEMA $s TO $u")
+  }
 
   /** Post-import SQL from env (`{DB}_{SCHEMA}_POST_IMPORT_SQL_QUERIES`,
     * semicolon-split — target_db_finalizer.rs:114-198). */

@@ -22,7 +22,10 @@ import graft.fakegen.FakeGen
   * partitions without producing divergent fakes.
   */
 case class FakeExpr(child: Expression, kind: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true

@@ -48,7 +48,9 @@ object IvfKernels {
 }
 
 case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "nearest_centroid"
@@ -62,7 +64,9 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]]
 }
 
 case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]],
-                                nprobe: Int) extends UnaryExpression with CodegenFallback {
+                                nprobe: Int) extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "nearest_centroids"

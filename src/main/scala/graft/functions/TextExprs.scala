@@ -12,7 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * path of a 100 TB dedup.
   */
 case class MinHashExpr(child: Expression, shingleWidth: Int, numHashes: Int,
-                       seed: Long) extends UnaryExpression {
+                       seed: Long) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash"
@@ -25,7 +27,9 @@ case class MinHashExpr(child: Expression, shingleWidth: Int, numHashes: Int,
     copy(child = newChild)
 }
 
-case class SimHashExpr(child: Expression, seed: Long) extends UnaryExpression {
+case class SimHashExpr(child: Expression, seed: Long) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash"
@@ -37,7 +41,9 @@ case class SimHashExpr(child: Expression, seed: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
+case class BpeTokenCountExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_token_count"
@@ -49,7 +55,9 @@ case class BpeTokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class LangIdExpr(child: Expression) extends UnaryExpression {
+case class LangIdExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lang_id"
@@ -65,7 +73,10 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
   * — the unbiased Jaccard estimate. Codegen'd (a zip_with/filter/size
   * chain interprets its lambdas per element). */
 case class SigAgreementExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sig_agreement"
@@ -80,7 +91,9 @@ case class SigAgreementExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_fingerprint"

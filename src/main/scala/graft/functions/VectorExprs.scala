@@ -85,7 +85,9 @@ object VectorKernels {
 
 /** mix64(child ^ mix64(seed)) — stable 64-bit avalanche for sampling
   * decisions (codegen'd static call). */
-case class Mix64Expr(child: Expression, seed: Long) extends UnaryExpression {
+case class Mix64Expr(child: Expression, seed: Long) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "mix64"
@@ -97,7 +99,10 @@ case class Mix64Expr(child: Expression, seed: Long) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-abstract class VectorBinaryExpr extends BinaryExpression {
+abstract class VectorBinaryExpr extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   protected def kernel: String
@@ -133,7 +138,9 @@ case class L2DistanceExpr(left: Expression, right: Expression) extends VectorBin
     copy(left = l, right = r)
 }
 
-case class NormExpr(child: Expression) extends UnaryExpression {
+case class NormExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_norm"
@@ -144,7 +151,9 @@ case class NormExpr(child: Expression) extends UnaryExpression {
 }
 
 case class HyperplaneBucketExpr(child: Expression, nBits: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_bucket"

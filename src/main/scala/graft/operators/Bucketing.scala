@@ -17,6 +17,10 @@ object Bucketing {
     * join skips its sort too. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    // the name reaches BOTH a SQL statement and a recursive filesystem
+    // delete below — a '../'-bearing or quoted name must never get there
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table name must be a plain identifier, got: $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a stale location without a catalog entry (crashed run) blocks

@@ -79,7 +79,9 @@ object Multimodal {
   * place of a real image/audio feature extractor (no codecs in this
   * container). Real decoder replaces [[MultimodalKernels.byteHistogram]]
   * only; expression shape (binary -> array<float>) stays. */
-case class DecodeStubExpr(child: Expression) extends UnaryExpression {
+case class DecodeStubExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "decode_stub"

@@ -9,6 +9,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * bridge (in the org.apache.spark.sql package on purpose) is the single
   * place the library crosses that boundary.
   */
+/** Strict input-type declaration for graft expressions. Spark 4 made
+  * `AbstractDataType` private[sql], so a library expression can't spell
+  * the `inputTypes` signature of ExpectsInputTypes in its own package;
+  * this trait (inside the sql package on purpose) adapts a plain
+  * `Seq[DataType]` — DataType is public — to it. Gives SQL-registered
+  * functions real analysis-time type checking (`fake_email(42)` fails
+  * with a clear data-type mismatch instead of a runtime ClassCastException).
+  */
+trait DeclaredInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  /** Concrete expected type per child, in order. */
+  def declaredInputTypes: Seq[org.apache.spark.sql.types.DataType]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    declaredInputTypes
+}
+
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

@@ -8,10 +8,35 @@ class ControlPlaneSpec extends AnyFunSuite {
 
   test("SETVAL + ownership catalog SQL") {
     assert(ControlPlane.setvalSql("public", "users_id_seq", "users", "id") ==
-      "SELECT SETVAL('public.users_id_seq', " +
-      "COALESCE((SELECT MAX(id) FROM public.users), 1))")
+      "SELECT SETVAL('\"public\".\"users_id_seq\"', " +
+      "COALESCE((SELECT MAX(\"id\") FROM \"public\".\"users\"), 1))")
     val q = ControlPlane.sequenceOwnershipQuery("public")
     assert(q.contains("pg_depend") && q.contains("relkind = 'S'"))
+  }
+
+  test("DDL generation quotes identifiers and escapes literals") {
+    // a quote-bearing password stays inside its literal
+    val role = ControlPlane.createImportRoleSql(
+      "importer", "p'w; DROP SCHEMA x; --", superuser = false)
+    assert(role.head ==
+      "CREATE ROLE \"importer\" WITH LOGIN PASSWORD 'p''w; DROP SCHEMA x; --'")
+    // a quote-bearing schema name stays inside its identifier
+    assert(ControlPlane.dropSchemaSql("we\"ird") ==
+      "DROP SCHEMA IF EXISTS \"we\"\"ird\" CASCADE")
+    // literal position in the catalog probe
+    assert(ControlPlane.sequenceOwnershipQuery("o'hara")
+      .contains("n.nspname = 'o''hara'"))
+    intercept[IllegalArgumentException](ControlPlane.ident(""))
+    intercept[IllegalArgumentException](ControlPlane.literal("a\u0000b"))
+  }
+
+  test("bucketed-table writer rejects non-identifier table names") {
+    // the table name reaches a recursive warehouse delete: traversal
+    // and SQL metacharacters must be rejected up front
+    val df = graft.SparkTestBase.session.range(1).toDF("id")
+    for (bad <- Seq("../etc", "t; DROP TABLE x", "a b", "\"q\""))
+      intercept[IllegalArgumentException](
+        graft.operators.Bucketing.writeBucketed(df, bad, "id", 2))
   }
 
   test("import role, grants, post-import splitting") {

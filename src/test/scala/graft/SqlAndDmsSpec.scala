@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
 class SqlAndDmsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("SQL surface: wrong input types fail ANALYSIS with a clear error") {
+    registry.registerAll(spark)
+    // strict ExpectsInputTypes: no silent int->string coercion followed
+    // by a runtime ClassCastException deep in a 100 TB job
+    for (bad <- Seq(
+        "SELECT fake_email(42)",
+        "SELECT minhash(123)",
+        "SELECT cosine_sim('a', 'b')",
+        "SELECT sig_agreement(array('x'), array('y'))",
+        "SELECT rolling_fingerprint(7)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad))
+      assert(e.getMessage.toLowerCase.contains("type"),
+        s"$bad: expected a data-type mismatch, got: ${e.getMessage}")
+    }
+    // the typed column API still accepts non-strings via its explicit cast
+    import graft.functions.anon
+    val ok = spark.range(1).select(anon.fakeEmail(col("id")).as("e")).first()
+    assert(ok.getString(0).nonEmpty)
+  }
+
   test("SQL surface: fakers, hashes, vectors callable from pure SQL") {
     registry.registerAll(spark)
     spark.read.parquet(sf() + "/customer.parquet").createOrReplaceTempView("sql_customer")
