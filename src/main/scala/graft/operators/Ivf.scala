@@ -29,9 +29,18 @@ object Ivf {
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             nlist: Int, iters: Int = 3): Array[Array[Float]] = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    var centroids: Array[Array[Float]] = corpus
-      .orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
+    // deterministic seed rows WITHOUT a global sort: rank by a hash of
+    // the id (spreads seeds across the corpus instead of the
+    // lowest-id corner) through the two-phase top-k — each partition is
+    // first reduced to nlist candidates, so the single merge reducer
+    // sees partitions x nlist rows, never the corpus
+    var centroids: Array[Array[Float]] = graft.plans.TopK.perKey(
+        corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+            pmod(hash(col(idCol)), lit(1 << 30)).as("__spread"))
+          .withColumn("__g", lit(0)),
+        Seq("__g"), Seq(("__spread", true), ("__id", true)), nlist)
+      .orderBy(col("__spread"), col("__id")) // nlist rows: trivial sort
+      .select(col("__v")).collect()
       .map(_.getSeq[Float](0).toArray)
 
     for (_ <- 1 to iters) {

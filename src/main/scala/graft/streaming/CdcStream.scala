@@ -51,34 +51,44 @@ object CdcStream {
 
   /** Continuously-maintained latest-row-per-key via typed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): the streaming
-    * equivalent of CdcMerge.latestPerKey. Emits the new latest row for
-    * a key whenever it changes. */
+    * equivalent of CdcMerge.latestPerKey. Emits the new latest row
+    * (FULL original schema, plus `__key`/`__ts` meta columns — prefixed
+    * so they can't collide with payload columns) whenever a key's
+    * latest version changes; state per key is one Row. */
   def latestPerKeyStream(events: DataFrame, keyCol: String, tsCol: String)
       : DataFrame = {
-    import events.sparkSession.implicits._
-    case class KV(key: Long, ts: Long, payload: String)
-    val typed = events.select(
-      col(keyCol).cast("long").as("key"),
-      col(tsCol).cast("long").as("ts"),
-      to_json(struct(events.columns.map(col).toIndexedSeq: _*)).as("payload"))
-      .as[(Long, Long, String)]
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val rowEnc: Encoder[Row] = Encoders.row(
+      StructType(events.schema.fields))
+    val entryEnc: Encoder[(Long, Long, Row)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, rowEnc)
+    val stateEnc: Encoder[(Long, Row)] =
+      Encoders.tuple(Encoders.scalaLong, rowEnc)
 
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, String), (Long, Long, String)](
+    val keyed = events.select(
+        col(keyCol).cast("long").as("_1"),
+        col(tsCol).cast("long").as("_2"),
+        struct(events.columns.map(col).toIndexedSeq: _*).as("_3"))
+      .as(entryEnc)
+
+    keyed.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Row), (Long, Long, Row)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, String)],
-         state: GroupState[(Long, String)]) =>
-          val incoming = rows.maxByOption(r => (r._2, r._3))
+        (key: Long, rows: Iterator[(Long, Long, Row)],
+         state: GroupState[(Long, Row)]) =>
+          // deterministic within-batch winner: max (ts, row rendering)
+          val incoming = rows.maxByOption(r => (r._2, r._3.toString))
           incoming match {
-            case Some((_, ts, payload)) =>
+            case Some((_, ts, row)) =>
               val newer = !state.exists || ts > state.get._1
               if (newer) {
-                state.update((ts, payload))
-                Iterator.single((key, ts, payload))
+                state.update((ts, row))
+                Iterator.single((key, ts, row))
               } else Iterator.empty
             case None => Iterator.empty
           }
-      }
-      .toDF("key", "ts", "payload")
+      }(stateEnc, entryEnc)
+      .toDF("__key", "__ts", "__row")
+      .select(col("__key"), col("__ts"), col("__row.*"))
   }
 }

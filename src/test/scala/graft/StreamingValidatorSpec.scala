@@ -50,11 +50,17 @@ class StreamingValidatorSpec extends SparkTestBase {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
-    // last update per key in the stream output == batch latest-per-key ts
+    // schema-preserving: meta columns + the ORIGINAL payload columns
+    assert(spark.table("latest_keys").columns.toSeq ==
+      Seq("__key", "__ts", "user_id", "ts", "event_id"))
+    // last update per key in the stream output == batch latest-per-key,
+    // compared on the full original row (not just the timestamp)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"__key").orderBy($"__ts".desc, $"event_id".desc)
     val streamedLatest = spark.table("latest_keys")
-      .groupBy($"key").agg(max($"ts").as("ts"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"ts", $"event_id")
     val batchLatest = CdcMerge.latestPerKey(ev, Seq("user_id"), "ts")
-      .select($"user_id".as("key"), $"ts")
     assert(streamedLatest.exceptAll(batchLatest).isEmpty)
     assert(batchLatest.exceptAll(streamedLatest).isEmpty)
   }
