@@ -91,6 +91,24 @@ case class SigAgreementExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** One-pass [alphaChars, punctChars, nTokens, stopwordHits] — see
+  * TextKernels.qualityStats. Referenced several times inside the quality
+  * projection; whole-stage codegen's subexpression elimination evaluates
+  * it once per row. */
+case class QualityStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quality_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.qualityStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.qualityStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): QualityStatsExpr =
+    copy(child = newChild)
+}
+
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)

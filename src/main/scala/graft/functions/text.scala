@@ -28,27 +28,29 @@ object text {
   def bpeTokenCount(c: Column): Column =
     Bridge.column(BpeTokenCountExpr(Bridge.expression(c.cast("string"))))
 
+  /** One-pass [alpha, punct, nTokens, stopHits] — a single codegen'd
+    * scan replacing four regex passes + an interpreted higher-order
+    * filter (HOF lambdas evaluate per ELEMENT outside codegen).
+    * Repeated references collapse via codegen subexpression
+    * elimination. */
+  private def qstats(c: Column): Column =
+    Bridge.column(QualityStatsExpr(Bridge.expression(c.cast("string"))))
+
   /** Share of alphabetic characters. */
   def alphaRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(c, "[^\\p{L}]", "")).cast("double") / length(c))
+      .otherwise(element_at(qstats(c), 1).cast("double") / length(c))
 
   /** Share of punctuation characters. */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") / length(c))
-
-  private val enStopwords = Seq("the", "a", "an", "and", "of", "to", "in",
-    "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
+      .otherwise(element_at(qstats(c), 2).cast("double") / length(c))
 
   /** Share of tokens that are common English stopwords — a standard
     * quality signal (natural prose has ~0.3-0.5; keyword soup ~0). */
-  def stopwordRatio(c: Column): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
-    val hits = size(filter(toks, t => t.isin(enStopwords: _*)))
+  def stopwordRatio(c: Column): Column =
     when(length(trim(c)) === 0, lit(0.0))
-      .otherwise(hits.cast("double") / size(toks))
-  }
+      .otherwise(element_at(qstats(c), 4).cast("double") / element_at(qstats(c), 3))
 
   /** Composite document-quality score in [0,1]: rewards alphabetic
     * content, prose-like stopword share, reasonable length; penalizes
