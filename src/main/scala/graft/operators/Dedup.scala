@@ -202,10 +202,13 @@ object Dedup {
                          pairs: DataFrame, n: Int = 3,
                          threshold: Double = 0.5): DataFrame = {
     val cand = pairs.select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
-    val sh = shingleSets(df, idCol, textCol, n)
-    val docs = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    val shC = sh.join(docs, Seq("id"), "left_semi")
+    val docs = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+    // prune to candidate DOCS before shingling: candidate docs are a
+    // sliver of the corpus (dup-rate x docs), so the shingle explode —
+    // ~60 rows/doc — must never run over rows that no pair references
+    val shC = shingleSets(
+      df.join(docs, Seq(idCol), "left_semi"), idCol, textCol, n)
     val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = cand
       .join(shC.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
