@@ -391,6 +391,18 @@ object SparkEntry {
         .select(col("asset_id"), col("bin"),
           round(col("share") * col("n_bytes")).cast("long").as("cnt"))),
 
+    // frame sampling (video/audio window shape) over text-as-bytes:
+    // overlapping 64-byte windows at stride 48. Frames surface as
+    // STRING (ASCII corpus: chars == bytes) because DuckDB 1.0 has no
+    // blob substring for the oracle.
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asAssets(t(s, dir, "documents"), "doc_id", col("text"),
+          "text/plain"),
+        frameBytes = 64, strideBytes = 48)
+        .select(col("asset_id"), col("frame_idx"),
+          col("frame").cast("string").as("frame"))),
+
     // the full pipeline spine (limit -> sanitize -> filter -> transforms)
     // with SQL-expressible transforms (Replace + Nullify), so the whole
     // composition is oracle-checked end to end. The faker-bearing
@@ -784,6 +796,13 @@ object SparkEntry {
       "SELECT g.doc_id AS asset_id, CAST(g.bin AS INT) AS bin, " +
       "CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt " +
       "FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin"),
+
+    "q_multimodal_frames" -> (
+      "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx, " +
+      "substring(text, CAST(i * 48 + 1 AS INT), 64) AS frame " +
+      "FROM documents, LATERAL (SELECT unnest(range(" +
+      "CASE WHEN length(text) >= 64 THEN (length(text) - 64) // 48 + 1 " +
+      "ELSE 0 END)) AS i)"),
 
     // pipeline spine: limit (ordered) -> sanitize (identity on this
     // clean table) -> AnyOfInt filter (drops matching) -> Replace+Nullify

@@ -47,6 +47,30 @@ object Multimodal {
       .withColumn("features",
         Bridge.column(DecodeStubExpr(Bridge.expression(col("content")))))
 
+  /** Resize to a fixed byte budget (stub): nearest-neighbor strided
+    * resample of the raw bytes — a real image resize replaces the
+    * kernel; the plumbing (binary -> fixed-size binary projection, meta
+    * width/height update, null propagation) is the real contract. */
+  def resized(assets: DataFrame, width: Int, height: Int): DataFrame =
+    assets
+      .withColumn("content",
+        Bridge.column(ResizeStubExpr(
+          Bridge.expression(col("content")), width * height)))
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"), lit(width).as("width"),
+        lit(height).as("height"), col("meta.duration_ms").as("duration_ms")))
+
+  /** Frame sampling (stub): overlapping fixed-size windows at a fixed
+    * stride over the raw bytes — the video-frame / audio-window shape.
+    * One row per (asset, frame_idx); blobs stay out of any shuffle key.
+    * A real demuxer replaces the slicing kernel only. */
+  def sampleFrames(assets: DataFrame, frameBytes: Int,
+                   strideBytes: Int): DataFrame =
+    assets.select(col("asset_id"), col("meta"),
+      posexplode(Bridge.column(FrameSampleStubExpr(
+        Bridge.expression(col("content")), frameBytes, strideBytes)))
+        .as(Seq("frame_idx", "frame")))
+
   /** Per-partition batched processing — the seam where a real codec
     * library would live (one decoder instance per PARTITION, not per
     * row, mirroring mapInPandas-style batching). The stub computes mean
@@ -93,7 +117,73 @@ case class DecodeStubExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** STUB resize: strided nearest-neighbor byte resample to `outBytes`.
+  * binary -> binary, deterministic; empty input => empty output. */
+case class ResizeStubExpr(child: Expression, outBytes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(outBytes > 0, "outBytes must be positive")
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "resize_stub"
+  override def nullSafeEval(input: Any): Any =
+    MultimodalKernels.resample(input.asInstanceOf[Array[Byte]], outBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.MultimodalKernels.resample($c, $outBytes)")
+  override protected def withNewChildInternal(newChild: Expression): ResizeStubExpr =
+    copy(child = newChild)
+}
+
+/** STUB frame sampler: windows of `frameBytes` every `strideBytes`,
+  * while the whole window fits. binary -> array<binary>. */
+case class FrameSampleStubExpr(child: Expression, frameBytes: Int,
+                               strideBytes: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(frameBytes > 0 && strideBytes > 0, "frame/stride must be positive")
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "frame_sample_stub"
+  override def nullSafeEval(input: Any): Any =
+    MultimodalKernels.frames(input.asInstanceOf[Array[Byte]], frameBytes, strideBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.operators.MultimodalKernels.frames($c, $frameBytes, $strideBytes)")
+  override protected def withNewChildInternal(newChild: Expression): FrameSampleStubExpr =
+    copy(child = newChild)
+}
+
 object MultimodalKernels {
+  /** Nearest-neighbor strided byte resample (resize stub). */
+  def resample(bytes: Array[Byte], outBytes: Int): Array[Byte] = {
+    if (bytes.length == 0) return Array.emptyByteArray
+    val out = new Array[Byte](outBytes)
+    var i = 0
+    while (i < outBytes) {
+      out(i) = bytes(((i.toLong * bytes.length) / outBytes).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Fixed-size windows at a fixed stride while fully inside the input. */
+  def frames(bytes: Array[Byte], frameBytes: Int, strideBytes: Int): GenericArrayData = {
+    val n =
+      if (bytes.length < frameBytes) 0
+      else (bytes.length - frameBytes) / strideBytes + 1
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = java.util.Arrays.copyOfRange(
+        bytes, i * strideBytes, i * strideBytes + frameBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def byteHistogram(bytes: Array[Byte]): GenericArrayData = {
     val bins = new Array[Float](16)
     if (bytes.length > 0) {

@@ -192,6 +192,27 @@ class TextDedupSpec extends SparkTestBase {
 
   // -- multimodal ---------------------------------------------------------
 
+  test("multimodal resize + frame sampling stubs: shapes and exact slicing") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("id", "t")
+    val assets = Multimodal.asAssets(df, "id", $"t", "text/plain")
+    // resize: fixed byte budget, meta carries the new dims
+    val r = Multimodal.resized(assets, width = 2, height = 2)
+      .orderBy("asset_id").collect()
+    assert(r(0).getAs[Array[Byte]]("content").length == 4)
+    assert(r(0).getAs[org.apache.spark.sql.Row]("meta").getInt(1) == 2) // width
+    assert(r(2).getAs[Array[Byte]]("content").isEmpty) // empty in => empty out
+    // frames: windows of 4 every 3, only while fully inside
+    val f = Multimodal.sampleFrames(assets, frameBytes = 4, strideBytes = 3)
+      .select($"asset_id", $"frame_idx", $"frame".cast("string"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSet
+    assert(f == Set((1L, 0, "abcd"), (1L, 1, "defg"), (1L, 2, "ghij")))
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(assets, 4, 3)
+      .select($"asset_id", $"frame_idx", $"frame".cast("string"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSet
+    assert(f == again)
+  }
+
   test("multimodal plumbing: schema, features, batch stub") {
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(50)
     val assets = Multimodal.asAssets(docs, "doc_id", $"text", "text/plain")
