@@ -391,6 +391,16 @@ object SparkEntry {
         .select(col("asset_id"), col("bin"),
           round(col("share") * col("n_bytes")).cast("long").as("cnt"))),
 
+    // contiguous sequence packing: per-lang shards, 512-token budget,
+    // deterministic doc order — the LLM-batch pre-packing shape
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.contiguous(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            graft.functions.text.tokenCount(col("text")).as("n_tokens")),
+        shardCol = "lang", idCol = "doc_id", tokenCol = "n_tokens",
+        budgetTokens = 512)),
+
     // frame sampling (video/audio window shape) over text-as-bytes:
     // overlapping 64-byte windows at stride 48. Frames surface as
     // STRING (ASCII corpus: chars == bytes) because DuckDB 1.0 has no
@@ -796,6 +806,16 @@ object SparkEntry {
       "SELECT g.doc_id AS asset_id, CAST(g.bin AS INT) AS bin, " +
       "CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt " +
       "FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin"),
+
+    "q_pack_sequences" -> (
+      "WITH t AS (SELECT doc_id, lang, " +
+      "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens " +
+      "FROM documents) " +
+      "SELECT doc_id, lang, n_tokens, " +
+      "CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) " +
+      "// 512 AS BIGINT) AS pack_id FROM t"),
 
     "q_multimodal_frames" -> (
       "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx, " +

@@ -26,8 +26,28 @@ object Ivf {
     * (no RNG), `iters` Lloyd rounds computed with DataFrame aggregates.
     * Returns nlist x dim (driver-side: this IS the coarse quantizer,
     * bounded by nlist, not by data). */
+  /** `maxTrainRows` (0 = off): train the quantizer on a deterministic
+    * content-keyed sample — at corpus scale k-means quality saturates
+    * far below full data, and every Lloyd round is a full scan of the
+    * training set, so capping the training rows is the 100 TB dial
+    * (assignment still runs over everything). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, iters: Int = 3): Array[Array[Float]] = {
+            nlist: Int, iters: Int = 3,
+            maxTrainRows: Long = 0L): Array[Array[Float]] = {
+    val corpus0 = corpus
+    val corpusT =
+      if (maxTrainRows <= 0) corpus0
+      else {
+        val n = corpus0.count() // parquet metadata count: cheap
+        if (n <= maxTrainRows) corpus0
+        else Sampling.hashSample(corpus0, idCol,
+          maxTrainRows.toDouble / n, domain = "ivf-train")
+      }
+    return trainImpl(corpusT, idCol, vecCol, nlist, iters)
+  }
+
+  private def trainImpl(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int): Array[Array[Float]] = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     // deterministic seed rows WITHOUT a global sort: rank by a hash of
     // the id (spreads seeds across the corpus instead of the

@@ -23,6 +23,18 @@ class IvfSkewSpec extends SparkTestBase {
     assert(hit >= 38, s"recall@1 $hit/40")
   }
 
+  test("IVF: sampled training (maxTrainRows) is deterministic and still clusters") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val c1 = Ivf.train(emb, "vec_id", "embedding", nlist = 8, iters = 1,
+      maxTrainRows = 100)
+    val c2 = Ivf.train(emb, "vec_id", "embedding", nlist = 8, iters = 1,
+      maxTrainRows = 100)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val assigned = emb.select(Ivf.assign($"embedding", c1).as("c"))
+      .groupBy("c").count().collect()
+    assert(assigned.length > 2, "sampled training degenerated")
+  }
+
   test("IVF assignment covers all rows exactly once") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cent = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iters = 1)

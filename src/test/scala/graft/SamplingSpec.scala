@@ -32,6 +32,24 @@ class SamplingSpec extends SparkTestBase {
     assert(enIds.sameElements(expected))
   }
 
+  test("contiguous sequence packing: budget boundaries, per-shard, deterministic") {
+    val docs = Seq(
+      ("a", 1L, 300), ("a", 2L, 300), ("a", 3L, 300), ("a", 4L, 50),
+      ("b", 1L, 600), ("b", 2L, 10)).toDF("shard", "id", "n")
+    val packed = graft.operators.Packing.contiguous(docs, "shard", "id", "n", 512)
+      .select($"shard", $"id", $"pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // shard a prefixes: 0,300,600,900 => packs 0,0,1,1; shard b: 0,600 => 0,1
+    assert(packed == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("a", 4L, 1L), ("b", 1L, 0L), ("b", 2L, 1L)))
+    // stable under repartitioning (per-shard window, deterministic order)
+    val again = graft.operators.Packing.contiguous(
+      docs.repartition(7), "shard", "id", "n", 512)
+      .select($"shard", $"id", $"pack_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == packed)
+  }
+
   test("weightedMix: provenance column, independent per-source draws") {
     val a = spark.range(1000).toDF("id")
     val b = spark.range(1000).toDF("id")
