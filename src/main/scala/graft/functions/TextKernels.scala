@@ -101,12 +101,15 @@ object TextKernels {
     var alpha = 0
     var punct = 0
     var i = 0
+    // iterate CODEPOINTS: Spark's length() counts codepoints and \p{L}
+    // matches per codepoint, so supplementary-plane letters must count
+    // once, not per surrogate half
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isLetter(c)) alpha += 1
-      else if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp)) alpha += 1
+      else if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?')
         punct += 1
-      i += 1
+      i += Character.charCount(cp)
     }
     var nTok = 0
     var hits = 0

@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.TextKernels
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized-equivalence tests pinning the codegen'd kernels to
+  * INDEPENDENT replicas (regex / BigInt formulations) — the fixed corpus
+  * can't exercise every normalization edge; 500 seeded-random strings
+  * per property do. Pure JVM, no Spark jobs, deterministic (fixed
+  * seed). */
+class KernelPropertySpec extends AnyFunSuite {
+
+  // letters (incl. accented), digits, quality punct, symbols, regex-\s
+  private val alphabet: Array[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ "éüßñØ" ++ ('0' to '9') ++
+     ".,;:!?" ++ "#$%&@-_/()" ++ " \t\n\f\r").toArray
+
+  private def randomTexts(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val len = rnd.nextInt(200)
+      Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+  }
+
+  test("qualityStats == regex/split replica on 500 random strings") {
+    val stops = TextKernels.enStopwords.toSet
+    for (s <- randomTexts(500, 1L)) {
+      val got = TextKernels.qualityStats(UTF8String.fromString(s))
+      val alpha = s.replaceAll("[^\\p{L}]", "").length
+      val punct = s.replaceAll("[^.,;:!?]", "").length
+      val toks =
+        if (s.trim.isEmpty) Array.empty[String] else s.trim.split("\\s+")
+      val hits = toks.count(t => stops.contains(t.toLowerCase))
+      assert(got.getInt(0) == alpha, s"alpha of ${s.take(40).replace("\n", "\\n")}")
+      assert(got.getInt(1) == punct, s"punct of ${s.take(40).replace("\n", "\\n")}")
+      assert(got.getInt(2) == toks.length, s"ntok of ${s.take(40).replace("\n", "\\n")}")
+      assert(got.getInt(3) == hits, s"hits of ${s.take(40).replace("\n", "\\n")}")
+    }
+  }
+
+  test("bpeTokenCount == independent span-scan replica") {
+    def replica(s: String): Int = {
+      def kind(c: Char): Int =
+        if (Character.isLetter(c)) 0
+        else if (Character.isDigit(c)) 1 else 2
+      var rest = s.dropWhile(Character.isWhitespace)
+      var n = 0
+      while (rest.nonEmpty) {
+        val k = kind(rest.head)
+        rest = rest.dropWhile(c => !Character.isWhitespace(c) && kind(c) == k)
+          .dropWhile(Character.isWhitespace)
+        n += 1
+      }
+      n
+    }
+    for (s <- randomTexts(500, 2L))
+      assert(TextKernels.bpeTokenCount(UTF8String.fromString(s)) == replica(s), s)
+  }
+
+  test("rollingFingerprint == BigInt mod-2^64 replica") {
+    val M = BigInt(1) << 64
+    def mix64(x0: BigInt): BigInt = {
+      var x = x0
+      x = x ^ (x >> 30); x = (x * BigInt("bf58476d1ce4e5b9", 16)) mod M
+      x = x ^ (x >> 27); x = (x * BigInt("94d049bb133111eb", 16)) mod M
+      x ^ (x >> 31)
+    }
+    def replica(s: String): String = {
+      val n = TextKernels.normalize(s)
+      var h = BigInt("cbf29ce484222325", 16)
+      n.foreach { c => h = (h * BigInt("100000001b3", 16) + c.toInt) mod M }
+      mix64(h).toString(16)
+    }
+    for (s <- randomTexts(300, 3L))
+      assert(TextKernels.rollingFingerprint(UTF8String.fromString(s)).toString
+        == replica(s), s)
+  }
+
+  test("thresholdHex: 15 hex chars, lexicographic order == numeric order") {
+    import graft.operators.Sampling.thresholdHex
+    assert(thresholdHex(0.0) == "0" * 15)
+    assert(thresholdHex(0.25) == "4" + "0" * 14)
+    assert(thresholdHex(0.5) == "8" + "0" * 14)
+    val rnd = new scala.util.Random(4L)
+    for (_ <- 1 to 500) {
+      val (a, b) = (rnd.nextDouble(), rnd.nextDouble())
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      assert(thresholdHex(lo).length == 15)
+      assert(thresholdHex(lo) <= thresholdHex(hi))
+    }
+  }
+
+  test("multimodal frames: count and exact slicing vs replica") {
+    val rnd = new scala.util.Random(5L)
+    for (_ <- 1 to 300) {
+      val arr = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      val frame = 1 + rnd.nextInt(8)
+      val stride = 1 + rnd.nextInt(8)
+      val got = graft.operators.MultimodalKernels.frames(arr, frame, stride)
+      val want = if (arr.length < frame) 0 else (arr.length - frame) / stride + 1
+      assert(got.numElements() == want)
+      (0 until got.numElements()).foreach { i =>
+        assert(java.util.Arrays.equals(got.getBinary(i),
+          java.util.Arrays.copyOfRange(arr, i * stride, i * stride + frame)))
+      }
+    }
+  }
+}
