@@ -36,6 +36,28 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("md5 sampler is batch/stream unified: same rows either way") {
+    // the sampling decision is a stateless content-keyed filter, so the
+    // SAME operator runs unchanged on a stream and selects the SAME
+    // rows — a training mix drawn incrementally equals one drawn batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    val ev = spark.read.parquet(sf() + "/events.parquet").select($"event_id")
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val sampled = graft.operators.Sampling.hashSample(stream, "event_id", 0.2)
+    val q = sampled.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sample")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_sample").as[Long].collect().toSet
+    val batch = graft.operators.Sampling.hashSample(ev, "event_id", 0.2)
+      .as[Long].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming latest-per-key state matches batch CdcMerge.latestPerKey") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val ev = spark.read.parquet(sf() + "/events.parquet")
