@@ -346,6 +346,22 @@ object SparkEntry {
         "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)
     }),
 
+    // end-to-end embedding dedup: LSH pairs -> components -> keep the
+    // min-id member; survivors = the original corpus (planted copies
+    // have larger ids). vec_id-only output: the driver harness can't
+    // hash float-array cells.
+    "q_dedup_embedding_corpus" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) + lit(0.05f)),
+            slice(col("embedding"), 2, 100000)).as("embedding"))
+      Dedup.dedupCorpusEmbedding(emb.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)
+        .select(col("vec_id"))
+    }),
+
     // ---- training-data pipeline: similarity search --------------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -774,6 +790,27 @@ object SparkEntry {
       "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
       "WHERE c.cos >= 0.7"),
+
+    "q_dedup_embedding_corpus" -> (
+      "WITH RECURSIVE aug AS (" +
+      "  SELECT vec_id, embedding FROM embeddings " +
+      "  UNION ALL " +
+      "  SELECT vec_id + 100000, " +
+      "    list_prepend(embedding[1] + CAST(0.05 AS FLOAT), embedding[2:]) " +
+      "  FROM embeddings WHERE vec_id < 25" +
+      "), jp AS (" +
+      "  SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "  FROM aug a JOIN aug b ON a.vec_id < b.vec_id, " +
+      "  LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "  CAST(b.embedding AS DOUBLE[])) AS cos) c WHERE c.cos >= 0.7" +
+      "), edges AS (SELECT id_a AS src, id_b AS dst FROM jp " +
+      "  UNION SELECT id_b, id_a FROM jp" +
+      "), reach AS (SELECT src, dst FROM edges " +
+      "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src" +
+      "), comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
+      "  FROM reach GROUP BY src) " +
+      "SELECT vec_id FROM aug WHERE vec_id NOT IN " +
+      "(SELECT id FROM comp WHERE component != id)"),
 
     // ---- similarity search ---------------------------------------------
     "q_ann_lsh" -> annTop1Sql,

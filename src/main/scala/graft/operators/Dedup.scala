@@ -326,9 +326,34 @@ object Dedup {
                   shingleWidth: Int = 3, numHashes: Int = 128,
                   bands: Int = 32, threshold: Double = 0.5,
                   seed: Long = FakeGen.DefaultSeed,
-                  maxDriverPairs: Long = 5000000L): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, shingleWidth, numHashes,
-      bands, threshold, seed)
+                  maxDriverPairs: Long = 5000000L): DataFrame =
+    dropNearDupsByPairs(df, idCol,
+      minhashPairs(df, idCol, textCol, shingleWidth, numHashes,
+        bands, threshold, seed),
+      maxDriverPairs)
+
+  /** Full embedding near-dup dedup: subquadratic LSH pair detection,
+    * cluster, keep each component's minimum-id row — the embedding twin
+    * of [[dedupCorpus]] with the same hybrid clustering. */
+  def dedupCorpusEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, nBits: Int = 8,
+                           probeHamming: Int = 2,
+                           seed: Long = FakeGen.DefaultSeed,
+                           maxDriverPairs: Long = 5000000L): DataFrame =
+    dropNearDupsByPairs(df, idCol,
+      embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, nBits,
+        probeHamming, seed),
+      maxDriverPairs)
+
+  /** Shared clustering tail of the corpus dedups: cluster the (id_a,
+    * id_b) near-dup pairs and anti-join every non-minimum component
+    * member out of `df`. Hybrid: pair lists that fit the driver
+    * (`maxDriverPairs` x ~16 bytes) use one-pass union-find; larger
+    * ones the distributed min-label fixpoint. */
+  private def dropNearDupsByPairs(df: DataFrame, idCol: String,
+                                  rawPairs: DataFrame,
+                                  maxDriverPairs: Long): DataFrame = {
+    val pairs = rawPairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .localCheckpoint(true)
     if (pairs.count() <= maxDriverPairs) {
