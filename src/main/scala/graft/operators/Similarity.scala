@@ -53,17 +53,25 @@ object Similarity {
     * measure. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nBits: Int = 12, seed: Long = 42L): DataFrame = {
+              nBits: Int = 12, seed: Long = 42L,
+              probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      s"probeHamming in [0,$nBits]")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("bucket"))
-    // evaluate the bucket kernel ONCE per query; probe buckets are just
-    // XOR bit-flips of it
-    val probes = lit(0L) +: (0 until nBits).map(b => shiftleft(lit(1L), b))
+    // evaluate the bucket kernel ONCE per query; probe buckets are all
+    // <=probeHamming-bit XOR flips of it (combinatorial masks, same
+    // scheme as Dedup.embeddingNearDupPairsLsh)
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until nBits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    require(masks.size <= 65536,
+      s"probe fan-out ${masks.size} too large; lower probeHamming or nBits")
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("qbucket"))
       .select(col("query_id"), col("qv"),
-        explode(array(probes.map(col("qbucket").bitwiseXOR(_)): _*)).as("bucket"))
+        explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
