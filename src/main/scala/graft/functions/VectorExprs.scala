@@ -83,22 +83,6 @@ object VectorKernels {
   }
 }
 
-/** mix64(child ^ mix64(seed)) — stable 64-bit avalanche for sampling
-  * decisions (codegen'd static call). */
-case class Mix64Expr(child: Expression, seed: Long) extends UnaryExpression
-    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
-  override def declaredInputTypes: Seq[DataType] = Seq(LongType)
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "mix64"
-  override def nullSafeEval(input: Any): Any =
-    graft.fakegen.FakeGen.mix64(input.asInstanceOf[Long] ^ graft.fakegen.FakeGen.mix64(seed))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.fakegen.FakeGen.mix64($c ^ graft.fakegen.FakeGen.mix64(${seed}L))")
-  override protected def withNewChildInternal(c: Expression) = copy(child = c)
-}
-
 abstract class VectorBinaryExpr extends BinaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] =

@@ -14,16 +14,6 @@ import graft.fakegen.FakeGen
   */
 object Sampling {
 
-  /** Stable per-row uniform in [0, 1) derived from a key column + seed
-    * (SplitMix64 finalizer => high-quality avalanche). Engine-internal
-    * uniform; the SAMPLING decision below uses the md5 scheme instead so
-    * any engine (and the DuckDB oracle) can reproduce it. */
-  def uniform(key: Column, seed: Long = FakeGen.DefaultSeed): Column = {
-    val mixed = Bridge.column(graft.functions.Mix64Expr(
-      Bridge.expression(hash(key).cast("long")), seed))
-    (mixed / lit(Long.MaxValue.toDouble)).cast("double") * 0.5 + 0.5
-  }
-
   /** The sampling decision value: first 15 hex chars of
     * md5("seed:domain:key"). 60 uniform bits, compared LEXICOGRAPHICALLY
     * against [[thresholdHex]] — string-vs-string on both sides, so the
