@@ -346,6 +346,17 @@ object SparkEntry {
         "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)
     }),
 
+    // decontamination: docs 0..19 play the eval set; every other doc
+    // near-duplicating one of them (planted pairs straddling the split)
+    // is dropped. Reference side broadcasts; corpus never shuffles until
+    // the candidate verify.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text")
+    }),
+
     // end-to-end embedding dedup: LSH pairs -> components -> keep the
     // min-id member; survivors = the original corpus (planted copies
     // have larger ids). vec_id-only output: the driver harness can't
@@ -790,6 +801,24 @@ object SparkEntry {
       "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
       "WHERE c.cos >= 0.7"),
+
+    // exact cross-split jaccard pairs decide contamination; survivors =
+    // corpus docs with no >=0.5 partner in the reference split
+    "q_decontaminate" -> (
+      "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id >= 20 AND b.doc_id < 20 " +
+      "  GROUP BY 1, 2), " +
+      "bad AS (SELECT DISTINCT id_a FROM cp " +
+      "  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5) " +
+      "SELECT d.* FROM documents d WHERE d.doc_id >= 20 " +
+      "AND d.doc_id NOT IN (SELECT id_a FROM bad)"),
 
     "q_dedup_embedding_corpus" -> (
       "WITH RECURSIVE aug AS (" +

@@ -248,6 +248,54 @@ object Dedup {
     verifyPairsJaccard(df, idCol, textCol,
       simhashPairs(df, idCol, textCol, maxHamming, seed), n, threshold)
 
+  /** Training-set DECONTAMINATION: drop every corpus document that is a
+    * near-duplicate (n-gram jaccard >= `threshold`) of some document in
+    * `reference` (an eval/benchmark set). Asymmetric by design: the
+    * reference is tiny next to the corpus, so its banded minhash table
+    * BROADCASTS and the corpus streams through one map-side bucket join
+    * — no corpus shuffle at all until the (small) candidate verify.
+    * Candidates are pruned loosely on signature agreement
+    * (`candThreshold`) and verified by exact jaccard, like the
+    * symmetric tiers. */
+  def decontaminate(corpus: DataFrame, reference: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleWidth: Int = 3, numHashes: Int = 128,
+                    bands: Int = 32, candThreshold: Double = 0.35,
+                    threshold: Double = 0.5,
+                    seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def sigsOf(df: DataFrame) = df.select(col(idCol).as("id"),
+      text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
+    def bandedOf(sigs: DataFrame) = {
+      val bandHashes = (0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows), lit(b)))
+      sigs.select(col("id"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+    }
+    val sigsC = sigsOf(corpus)
+    val sigsR = sigsOf(reference)
+    val cand = bandedOf(sigsC).select(col("band"), col("bandHash"), col("id").as("id_a"))
+      .join(broadcast(
+        bandedOf(sigsR).select(col("band"), col("bandHash"), col("id").as("id_b"))),
+        Seq("band", "bandHash"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      // loose signature prune before the exact verify
+      .join(sigsC.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(broadcast(sigsR.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
+      .filter(graft.functions.text.sigAgreement(col("sig_a"), col("sig_b")) >= candThreshold)
+      .select(col("id_a"), col("id_b"))
+    // exact verify over BOTH sides' shingles (one shingle job over the
+    // union; id spaces must be disjoint — corpus ids vs eval-set ids)
+    val contaminated = verifyPairsJaccard(
+      corpus.select(col(idCol), col(textCol))
+        .unionByName(reference.select(col(idCol), col(textCol))),
+      idCol, textCol, cand, shingleWidth, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair list ((id_a, id_b)
     * edges): returns (id, component) where component = the minimum id
     * reachable from `id`. Iterative min-label propagation — each round

@@ -97,6 +97,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(math.abs(est((1L, 2L)) - j) < 0.15, s"est=${est((1L, 2L))} exact=$j")
   }
 
+  test("decontaminate: drops near-dups of the reference set, broadcasts the reference") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val ref = docs.filter($"doc_id" < 20)
+    val corpus = docs.filter($"doc_id" >= 20)
+    val clean = Dedup.decontaminate(corpus, ref, "doc_id", "text")
+    // ground truth: corpus docs with an exact-jaccard >= 0.5 partner in ref
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bad = pairs.collect {
+      case (a, b) if a < 20 && b >= 20 => b
+      case (a, b) if b < 20 && a >= 20 => a
+    }.toSet
+    val got = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = corpus.select("doc_id").collect().map(_.getLong(0)).toSet -- bad
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // scale shape: the reference's banded table broadcasts
+    assert(clean.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
+
   test("embedding near-dup pairs on clustered vectors") {
     val base = (0 until 8).map(i => (0 until 16).map(d => math.sin(i * 16 + d).toFloat).toArray)
     val rows = base.zipWithIndex.flatMap { case (v, i) =>
