@@ -734,10 +734,12 @@ object SparkEntry {
       "FROM documents"),
     "q_fingerprint_rolling" -> rollingFpSql,
     // ASCII corpus (verified): letter/digit/symbol runs are exactly the
-    // kernel's character classes, so one regexp_extract_all counts them
+    // kernel's character classes, so one regexp_extract_all counts them.
+    // \s in the symbol class so any regex-whitespace separates runs
+    // (the kernel's isWhitespace is broader only outside ASCII).
     "q_token_count_bpe" -> (
       "SELECT doc_id, CAST(len(regexp_extract_all(text, " +
-      "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]+')) AS INT) AS n_bpe_tokens " +
+      "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS INT) AS n_bpe_tokens " +
       "FROM documents"),
     "q_lang_id" -> langIdSql,
 

@@ -13,7 +13,11 @@ object ControlPlane {
 
   /** Quoted SQL identifier: double-quoted, embedded quotes doubled —
     * config-sourced names (schemas, roles, tables) can't break out of
-    * identifier position in generated DDL. */
+    * identifier position in generated DDL. NOTE the contract change vs
+    * unquoted interpolation: quoted identifiers are CASE-EXACT in
+    * Postgres (unquoted ones fold to lowercase), so config names must
+    * match catalog case exactly — pass lowercase names for objects
+    * created unquoted. */
   def ident(name: String): String = {
     require(name.nonEmpty && !name.contains('\u0000'), s"bad identifier: $name")
     "\"" + name.replace("\"", "\"\"") + "\""

@@ -111,21 +111,37 @@ object TextKernels {
         punct += 1
       i += Character.charCount(cp)
     }
+    // token semantics = size(split(trim(c), "\s+")) EXACTLY: trim strips
+    // SPACES only (Spark trim), and Spark's split keeps leading/trailing
+    // empty segments (limit -1), so segment count = \s+ runs + 1 on a
+    // nonempty trimmed string. Stopword hits only ever come from
+    // non-empty segments, counted from the non-ws runs.
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
     var nTok = 0
     var hits = 0
-    var start = -1
-    var j = 0
-    val t = s
-    while (j <= t.length) {
-      val atEnd = j == t.length
-      val ws = !atEnd && isWsRegex(t.charAt(j))
-      if (!atEnd && !ws) { if (start < 0) start = j }
-      else if (start >= 0) {
-        nTok += 1
-        if (enStopwordSet.contains(t.substring(start, j).toLowerCase)) hits += 1
-        start = -1
+    if (hi > lo) {
+      var wsRuns = 0
+      var inWs = false
+      var start = -1
+      var j = lo
+      while (j <= hi) {
+        val atEnd = j == hi
+        val ws = !atEnd && isWsRegex(s.charAt(j))
+        if (ws && !inWs) { wsRuns += 1; inWs = true }
+        if (!ws) inWs = false
+        if (!atEnd && !ws) { if (start < 0) start = j }
+        else if (start >= 0) {
+          if (enStopwordSet.contains(
+              s.substring(start, j).toLowerCase(java.util.Locale.ROOT)))
+            hits += 1
+          start = -1
+        }
+        j += 1
       }
-      j += 1
+      nTok = wsRuns + 1
     }
     new GenericArrayData(Array(alpha, punct, nTok, hits))
   }

@@ -275,14 +275,19 @@ object Dedup {
     }
     val sigsC = sigsOf(corpus)
     val sigsR = sigsOf(reference)
-    val cand = bandedOf(sigsC).select(col("band"), col("bandHash"), col("id").as("id_a"))
+    val bucketHits = bandedOf(sigsC).select(col("band"), col("bandHash"), col("id").as("id_a"))
       .join(broadcast(
         bandedOf(sigsR).select(col("band"), col("bandHash"), col("id").as("id_b"))),
         Seq("band", "bandHash"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      // loose signature prune before the exact verify
-      .join(sigsC.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+    // loose signature prune before the exact verify. Corpus signatures
+    // are recomputed ONLY for bucket-hit docs (semi-join on the raw rows
+    // first) — never a second corpus-wide minhash pass.
+    val hitDocs = bucketHits.select(col("id_a").as(idCol)).distinct()
+    val sigsHit = sigsOf(corpus.join(hitDocs, Seq(idCol), "left_semi"))
+    val cand = bucketHits
+      .join(sigsHit.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(broadcast(sigsR.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
       .filter(graft.functions.text.sigAgreement(col("sig_a"), col("sig_b")) >= candThreshold)
       .select(col("id_a"), col("id_b"))

@@ -38,10 +38,16 @@ object Ivf {
     val corpusT =
       if (maxTrainRows <= 0) corpus0
       else {
-        val n = corpus0.count() // parquet metadata count: cheap
-        if (n <= maxTrainRows) corpus0
+        // one counting pass (a full scan when the corpus has filters —
+        // still cheaper than `iters` Lloyd scans over everything)
+        val n = corpus0.count()
+        // floor the sample target at 8x nlist and oversample 25%: the
+        // md5 sample is expected-size (binomial), and a draw under
+        // nlist rows would silently under-seed the quantizer
+        val target = math.max(maxTrainRows, 8L * nlist)
+        if (n <= target) corpus0
         else Sampling.hashSample(corpus0, idCol,
-          maxTrainRows.toDouble / n, domain = "ivf-train")
+          math.min(1.0, 1.25 * target.toDouble / n), domain = "ivf-train")
       }
     return trainImpl(corpusT, idCol, vecCol, nlist, iters)
   }

@@ -26,9 +26,13 @@ object Sampling {
     substring(md5(concat(lit(s"$seed:$domain:"), key.cast("string"))), 1, 15)
 
   /** `fraction` as a 15-hex-digit threshold: floor(fraction * 16^15),
-    * zero-padded. Exposed so oracles embed the IDENTICAL literal. */
+    * zero-padded. Exposed so oracles embed the IDENTICAL literal.
+    * Defined for fraction < 1 only — at 1.0 the value needs 16 digits
+    * and would compare lexicographically wrong; "keep everything" has
+    * no threshold (hashSample simply skips the filter). */
   def thresholdHex(fraction: Double): String = {
-    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    require(fraction >= 0.0 && fraction < 1.0,
+      s"fraction $fraction not in [0,1); >=1 means no filter at all")
     f"${(fraction * math.pow(16, 15)).toLong}%015x"
   }
 

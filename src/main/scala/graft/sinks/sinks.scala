@@ -76,38 +76,46 @@ final class JdbcSink(url: String, props: Properties,
     * arbitrary JDBC targets), then Append + one ON CONFLICT merge. */
   def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit = {
     val staging = s"${table}_staging_graft"
+    val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.createStatement().execute(s"DROP TABLE IF EXISTS $staging")
-      conn.createStatement().execute(JdbcSink.createTableSql(staging, df))
+      conn.createStatement().execute(JdbcSink.createTableSql(staging, df, url))
       val p = new Properties(); p.putAll(props)
       p.setProperty("batchsize", batchSize.toString)
       df.write.mode(SaveMode.Append).jdbc(url, staging, p)
       conn.createStatement().execute(
-        JdbcSink.upsertSql(table, staging, df.columns.toSeq, pk))
+        JdbcSink.upsertSql(table, staging, df.columns.toSeq, pk, quote))
       conn.createStatement().execute(s"DROP TABLE $staging")
     } finally conn.close()
   }
 }
 
 object JdbcSink {
-  /** INSERT ... SELECT ... ON CONFLICT (pk) DO UPDATE SET col = EXCLUDED.col */
+  /** INSERT ... SELECT ... ON CONFLICT (pk) DO UPDATE SET col = EXCLUDED.col.
+    * Column identifiers (data-derived — the reserved-word surface) go
+    * through `quote`; table names are caller-controlled and may be
+    * schema-qualified, so they pass through as-is. */
   def upsertSql(table: String, staging: String, columns: Seq[String],
-                pk: Seq[String]): String = {
-    val cols = columns.mkString(", ")
+                pk: Seq[String], quote: String => String = identity): String = {
+    val cols = columns.map(quote).mkString(", ")
     val updates = columns.filterNot(pk.contains)
-      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")
     s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
-    s"ON CONFLICT (${pk.mkString(", ")}) DO UPDATE SET $updates"
+    s"ON CONFLICT (${pk.map(quote).mkString(", ")}) DO UPDATE SET $updates"
   }
 
-  /** Portable ANSI-ish DDL for a staging table from a DataFrame schema. */
-  def createTableSql(table: String, df: DataFrame): String = {
+  /** Staging-table DDL from a DataFrame schema: identifiers quoted and
+    * types resolved through the url's JdbcDialect (BYTEA vs BLOB etc.),
+    * with an ANSI-ish fallback for dialects Spark doesn't know. */
+  def createTableSql(table: String, df: DataFrame, url: String): String = {
     import org.apache.spark.sql.types._
-    def sqlType(dt: DataType): String = dt match {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    def fallback(dt: DataType): String = dt match {
       case LongType => "BIGINT"
       case IntegerType => "INTEGER"
       case ShortType => "SMALLINT"
+      case ByteType => "SMALLINT"
       case DoubleType => "DOUBLE PRECISION"
       case FloatType => "REAL"
       case BooleanType => "BOOLEAN"
@@ -115,11 +123,15 @@ object JdbcSink {
       case _: TimestampType => "TIMESTAMP"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case StringType => "VARCHAR"
+      case BinaryType => "BLOB"
       case other => throw new IllegalArgumentException(
         s"no staging DDL mapping for $other")
     }
+    def sqlType(dt: DataType): String =
+      dialect.getJDBCType(dt).map(_.databaseTypeDefinition).getOrElse(fallback(dt))
     val cols = df.schema.fields
-      .map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+      .map(f => s"${dialect.quoteIdentifier(f.name)} ${sqlType(f.dataType)}")
+      .mkString(", ")
     s"CREATE TABLE $table ($cols)"
   }
 }

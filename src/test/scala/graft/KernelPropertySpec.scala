@@ -31,9 +31,12 @@ class KernelPropertySpec extends AnyFunSuite {
       val got = TextKernels.qualityStats(UTF8String.fromString(s))
       val alpha = s.replaceAll("[^\\p{L}]", "").length
       val punct = s.replaceAll("[^.,;:!?]", "").length
-      val toks =
-        if (s.trim.isEmpty) Array.empty[String] else s.trim.split("\\s+")
-      val hits = toks.count(t => stops.contains(t.toLowerCase))
+      // Spark semantics replica: trim() strips SPACES only; split() keeps
+      // leading/trailing empty segments (limit -1)
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
+      val hits = toks.count(x =>
+        x.nonEmpty && stops.contains(x.toLowerCase(java.util.Locale.ROOT)))
       assert(got.getInt(0) == alpha, s"alpha of ${s.take(40).replace("\n", "\\n")}")
       assert(got.getInt(1) == punct, s"punct of ${s.take(40).replace("\n", "\\n")}")
       assert(got.getInt(2) == toks.length, s"ntok of ${s.take(40).replace("\n", "\\n")}")

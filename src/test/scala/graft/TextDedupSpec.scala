@@ -97,6 +97,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(math.abs(est((1L, 2L)) - j) < 0.15, s"est=${est((1L, 2L))} exact=$j")
   }
 
+  test("verified tiers: recall==1 at the oracle configs (pinned)") {
+    // q_dedup_minhash / q_dedup_simhash hash-compare against the exact
+    // jaccard SQL; that only holds while the pruners recover EVERY exact
+    // pair at these configs. Pin it here so a seed/band-plan/testdata
+    // change fails as a recall shortfall, not an opaque oracle mismatch.
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMinhash = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+      3, 128, 32, candThreshold = 0.35, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMinhash == exact,
+      s"minhash recall<1: missed=${exact -- viaMinhash} extra=${viaMinhash -- exact}")
+    val viaSimhash = Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
+      maxHamming = 6, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSimhash == exact,
+      s"simhash recall<1: missed=${exact -- viaSimhash} extra=${viaSimhash -- exact}")
+  }
+
   test("decontaminate: drops near-dups of the reference set, broadcasts the reference") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val ref = docs.filter($"doc_id" < 20)
