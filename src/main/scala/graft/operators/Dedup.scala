@@ -74,9 +74,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // re-attach signatures by recomputing them ONLY for candidate docs
+    // (semi-join the raw rows first): referencing `sigs` here would
+    // re-run the 128-hash kernel over the whole corpus once per join
+    // side — three corpus-wide passes of the most expensive kernel in
+    // the job instead of one
+    val candDocs = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val sigsCand = df
+      .join(candDocs.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"),
+        text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
     cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigsCand.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigsCand.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", graft.functions.text.sigAgreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
