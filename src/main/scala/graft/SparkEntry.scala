@@ -733,10 +733,11 @@ object SparkEntry {
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
       "FROM documents"),
     "q_fingerprint_rolling" -> rollingFpSql,
-    // ASCII corpus (verified): letter/digit/symbol runs are exactly the
-    // kernel's character classes, so one regexp_extract_all counts them.
-    // \s in the symbol class so any regex-whitespace separates runs
-    // (the kernel's isWhitespace is broader only outside ASCII).
+    // \s in the symbol class so regex-whitespace separates runs. The
+    // kernel separates on Character.isWhitespace, which additionally
+    // covers \x0B and \x1C-\x1F (ASCII) plus some unicode spaces — the
+    // corpus is verified free of all of those, which is what makes this
+    // oracle exact here.
     "q_token_count_bpe" -> (
       "SELECT doc_id, CAST(len(regexp_extract_all(text, " +
       "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS INT) AS n_bpe_tokens " +

@@ -79,12 +79,10 @@ object Dedup {
     // re-run the 128-hash kernel over the whole corpus once per join
     // side — three corpus-wide passes of the most expensive kernel in
     // the job instead of one
-    val candDocs = cand.select(col("id_a").as("id"))
-      .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    val sigsCand = df
-      .join(candDocs.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
-      .select(col(idCol).as("id"),
-        text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
+    val sigsCand = sigsForDocs(df, idCol, textCol,
+      cand.select(col("id_a").as(idCol))
+        .unionByName(cand.select(col("id_b").as(idCol))).distinct(),
+      shingleWidth, numHashes, seed)
     cand
       .join(sigsCand.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigsCand.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -160,6 +158,17 @@ object Dedup {
     * (as here) the reported jaccard is a lower bound, so pairs near the
     * threshold may be missed — a recall/cost dial, off by default and
     * excluded from the oracle-checked queries. */
+  /** Minhash signatures (id, sig) for ONLY the docs named in `docIds`
+    * (a column named `idCol`): the shared recompute-after-pruning idiom
+    * — candidate sets are a sliver of the corpus, so signature
+    * re-attachment must never trigger a corpus-wide kernel pass. */
+  private def sigsForDocs(df: DataFrame, idCol: String, textCol: String,
+                          docIds: DataFrame, shingleWidth: Int,
+                          numHashes: Int, seed: Long): DataFrame =
+    df.join(docIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"),
+        text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
+
   /** Distinct word n-shingles per document: (id, sh). Docs shorter than
     * n tokens contribute their whole token string as one shingle. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
@@ -293,10 +302,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // loose signature prune before the exact verify. Corpus signatures
-    // are recomputed ONLY for bucket-hit docs (semi-join on the raw rows
-    // first) — never a second corpus-wide minhash pass.
-    val hitDocs = bucketHits.select(col("id_a").as(idCol)).distinct()
-    val sigsHit = sigsOf(corpus.join(hitDocs, Seq(idCol), "left_semi"))
+    // are recomputed ONLY for bucket-hit docs — never a second
+    // corpus-wide minhash pass.
+    val sigsHit = sigsForDocs(corpus, idCol, textCol,
+      bucketHits.select(col("id_a").as(idCol)).distinct(),
+      shingleWidth, numHashes, seed)
     val cand = bucketHits
       .join(sigsHit.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(broadcast(sigsR.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
