@@ -97,6 +97,32 @@ class TextDedupSpec extends SparkTestBase {
     assert(math.abs(est((1L, 2L)) - j) < 0.15, s"est=${est((1L, 2L))} exact=$j")
   }
 
+  test("dedup family: null/empty text rows survive and never pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]),
+      (5L, ""), (6L, "completely different content here entirely")
+    ).toDF("id", "t")
+    // exact dedup groups NULLs together (same as SQL PARTITION BY) and
+    // keeps the min id of each group
+    val exact = Dedup.exact(df, "id", Seq("t"))
+      .select("id").as[Long].collect().toSet
+    assert(exact == Set(1L, 3L, 5L, 6L))
+    // approximate tiers: null/empty docs produce no signature rows =>
+    // never candidates, never paired, no crash
+    val mh = Dedup.minhashPairs(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L)))
+    val sh = Dedup.simhashPairs(df, "id", "t", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sh.exists(p => Set(3L, 4L).contains(p._1) || Set(3L, 4L).contains(p._2)))
+    // corpus dedup drops only the detected near-dup, keeps null/empty rows
+    val survivors = Dedup.dedupCorpus(df, "id", "t")
+      .select("id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
   test("verified tiers: recall==1 at the oracle configs (pinned)") {
     // q_dedup_minhash / q_dedup_simhash hash-compare against the exact
     // jaccard SQL; that only holds while the pruners recover EVERY exact
