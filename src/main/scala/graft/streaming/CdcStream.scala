@@ -28,6 +28,39 @@ object CdcStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Continuously maintain a parquet SNAPSHOT from a CDC delta stream —
+    * the streaming closure of the reference's batch loop: every
+    * micro-batch applies [[graft.operators.CdcMerge.applyDelta]]
+    * (within-batch latest-per-key, then I/U upsert + D delete) onto the
+    * snapshot and swaps it atomically (temp dir + rename, the
+    * ParquetSink pattern). Exactly-once per batch comes from the
+    * checkpointed source offsets; the merge itself is deterministic, so
+    * a replayed batch converges to the same snapshot. At scale the
+    * rewrite step is where a table format (Iceberg/Delta MERGE) slots
+    * in; plain-parquet semantics are kept for reference parity. */
+  def maintainSnapshot(deltas: DataFrame, snapshotDir: String,
+                       pk: Seq[String], checkpointDir: String,
+                       tieBreakers: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltas.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val snap = spark.read.parquet(snapshotDir)
+        val merged = graft.operators.CdcMerge
+          .applyDelta(snap, batch, pk, tieBreakers)
+        val tmp = snapshotDir + ".tmp_swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        val target = new java.io.File(snapshotDir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(target)
+        new java.io.File(tmp).renameTo(target)
+        ()
+      }
+
   /** Event-time windowed aggregation with a watermark (counts + value
     * sums per event_type per window). Late data beyond the watermark is
     * dropped and its state reclaimed. */

@@ -87,6 +87,49 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(batchLatest.exceptAll(streamedLatest).isEmpty)
   }
 
+  test("streaming snapshot maintenance == batch applyDelta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+    orders.write.mode("overwrite").parquet(s"$dir/snapshot")
+
+    // two delta files with increasing ingestion ts: an update wave, then
+    // a delete wave touching a subset of the updated keys
+    val u = orders.filter($"o_orderkey" % 5 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 111.0)
+      .withColumn(CdcMerge.OpColumn, lit("U"))
+      .withColumn(CdcMerge.TsColumn, lit(1L))
+    val d = orders.filter($"o_orderkey" % 10 === 0)
+      .withColumn(CdcMerge.OpColumn, lit("D"))
+      .withColumn(CdcMerge.TsColumn, lit(2L))
+    u.coalesce(1).write.mode("overwrite").parquet(s"$dir/deltas_stage/f1")
+    d.coalesce(1).write.mode("overwrite").parquet(s"$dir/deltas_stage/f2")
+    // land files in order — the file source orders by modification time,
+    // so give them EXPLICIT increasing mtimes (copies land too fast to
+    // rely on the clock; CDC application order matters: a delete
+    // replayed before its earlier update would resurrect rows)
+    new java.io.File(s"$dir/deltas").mkdirs()
+    for ((f, i) <- Seq("f1", "f2").zipWithIndex) {
+      val src = new java.io.File(s"$dir/deltas_stage/$f").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/deltas/$f.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() - 60000 + i * 30000)
+    }
+
+    val schema = spark.read.parquet(s"$dir/deltas/f1.parquet").schema
+    val stream = CdcStream.readFiles(spark, s"$dir/deltas", schema,
+      maxFilesPerTrigger = 1)
+    val q = CdcStream.maintainSnapshot(stream, s"$dir/snapshot",
+      Seq("o_orderkey"), s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(s"$dir/snapshot")
+    val want = CdcMerge.applyDelta(orders, u.unionByName(d), Seq("o_orderkey"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("validator: equals/contains all-rows semantics, throw on violation") {
     spark.read.parquet(sf() + "/region.parquet").createOrReplaceTempView("v_region")
     val good = Validations(Seq(
