@@ -47,7 +47,9 @@ object Bench {
     // min of N runs per query: the sandbox carries background load that
     // swung single-run numbers up to 10x round-over-round (r2 judge
     // finding); the min is the least-noise estimate of the plan's cost.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ >= 1).getOrElse(2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

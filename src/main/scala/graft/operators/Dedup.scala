@@ -132,9 +132,9 @@ object Dedup {
       posexplode(array(bandBits: _*)).as(Seq("band", "bits")))
     val b = banded.select(col("band"), col("bits"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    // side A: every <=flips-bit variant of each band value
-    val masks: Seq[Long] = (0 to flips).flatMap(k =>
-      (0 until width).combinations(k).map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+    // side A: every <=flips-bit variant of each band value (the plan
+    // search above already bounded nb * C(width, <=flips) <= maxProbes)
+    val masks: Seq[Long] = ProbeMasks.masks(width, flips, cap = maxProbes.toLong)
     val a = banded.select(col("band"),
       explode(array(masks.map(m => col("bits").bitwiseXOR(lit(m))): _*)).as("bits"),
       col("id").as("id_a"), col("sh").as("sh_a"))
@@ -284,6 +284,13 @@ object Dedup {
                     threshold: Double = 0.5,
                     seed: Long = FakeGen.DefaultSeed): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the exact verify shingles corpus+reference as ONE id space — an
+    // id collision would silently merge two documents' shingle sets and
+    // corrupt every jaccard involving them. The reference side is tiny,
+    // so this guard is one broadcast semi-join + limit(1).
+    require(corpus.join(reference.select(col(idCol)), Seq(idCol), "left_semi")
+        .limit(1).isEmpty,
+      s"corpus and reference share $idCol values; id spaces must be disjoint")
     val rows = numHashes / bands
     def sigsOf(df: DataFrame) = df.select(col(idCol).as("id"),
       text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
@@ -514,24 +521,10 @@ object Dedup {
                                probeHamming: Int = 2,
                                seed: Long = FakeGen.DefaultSeed): DataFrame = {
     import graft.functions.vectors
-    require(nBits >= 1 && nBits <= 63, "nBits in [1,63]")
-    require(probeHamming >= 0 && probeHamming <= nBits,
-      s"probeHamming in [0,$nBits]")
-    // masks = every XOR pattern flipping <= probeHamming of the nBits.
-    // Generated combinatorially — C(nBits, <=h) masks — NOT by scanning
-    // all 2^nBits longs (driver OOM past ~30 bits, and 1L<<63 overflows
-    // to an empty range => silent zero pairs). The probe explode
-    // multiplies side A by masks.size, so cap the fan-out — counted
-    // arithmetically BEFORE generating anything.
-    val maskCount = (0 to probeHamming).map { h =>
-      (0 until h).foldLeft(BigInt(1))((acc, i) => acc * (nBits - i) / (i + 1))
-    }.sum
-    require(maskCount <= 65536,
-      s"probe fan-out $maskCount (C($nBits, <=$probeHamming)) too large; " +
-      "lower probeHamming or nBits")
-    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
-      (0 until nBits).combinations(h)
-        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    // every XOR pattern flipping <= probeHamming of the nBits, with a
+    // pre-counted fan-out cap (the probe explode multiplies side A by
+    // masks.size)
+    val masks: Seq[Long] = ProbeMasks.masks(nBits, probeHamming)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("bucket"))
     val aProbe = sigs.select(col("id").as("id_a"),

@@ -55,18 +55,12 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nBits: Int = 12, seed: Long = 42L,
               probeHamming: Int = 1): DataFrame = {
-    require(probeHamming >= 0 && probeHamming <= nBits,
-      s"probeHamming in [0,$nBits]")
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("bucket"))
     // evaluate the bucket kernel ONCE per query; probe buckets are all
-    // <=probeHamming-bit XOR flips of it (combinatorial masks, same
-    // scheme as Dedup.embeddingNearDupPairsLsh)
-    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
-      (0 until nBits).combinations(h)
-        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
-    require(masks.size <= 65536,
-      s"probe fan-out ${masks.size} too large; lower probeHamming or nBits")
+    // <=probeHamming-bit XOR flips of it (shared generator with the
+    // pre-counted fan-out cap)
+    val masks: Seq[Long] = ProbeMasks.masks(nBits, probeHamming)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("qbucket"))

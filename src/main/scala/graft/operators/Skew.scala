@@ -19,15 +19,31 @@ object Skew {
     * count -> sum, sum -> sum, max -> max. Helpers below cover the
     * common ones.
     */
+  /** Columns of `df` whose types hash() accepts (MapType anywhere in the
+    * type rejects the whole expression at analysis). */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(e, _) => hasMap(e)
+      case StructType(fs) => fs.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toIndexedSeq
+  }
+
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int,
                       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     // salt from ROW CONTENT, never monotonically_increasing_id(): a
     // recomputed task would re-salt its rows differently and the
     // two-stage aggregate would double-count/drop through the shuffle.
-    // Identical rows co-bucket (less spread for a degenerate
-    // all-duplicate key), but assignment is retry-stable.
+    // Inherent limit of ANY retry-stable salt: byte-identical duplicate
+    // rows co-bucket (indistinguishable content has one deterministic
+    // image) — spreading them needs nondeterminism, which is exactly
+    // what breaks recompute safety. Map-typed columns are skipped
+    // (hash() rejects MapType).
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+      pmod(hash(hashableCols(df): _*), lit(buckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
@@ -58,7 +74,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int = 8): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+      pmod(hash(hashableCols(left): _*), lit(buckets)))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

@@ -99,10 +99,16 @@ object JdbcSink {
   def upsertSql(table: String, staging: String, columns: Seq[String],
                 pk: Seq[String], quote: String => String = identity): String = {
     val cols = columns.map(quote).mkString(", ")
-    val updates = columns.filterNot(pk.contains)
-      .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")
+    val nonPk = columns.filterNot(pk.contains)
+    // pure link tables (pk == all columns) have nothing to update: a
+    // conflicting row is already identical — DO NOTHING, not a
+    // malformed empty SET list
+    val action =
+      if (nonPk.isEmpty) "DO NOTHING"
+      else "DO UPDATE SET " + nonPk
+        .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")
     s"INSERT INTO $table ($cols) SELECT $cols FROM $staging " +
-    s"ON CONFLICT (${pk.map(quote).mkString(", ")}) DO UPDATE SET $updates"
+    s"ON CONFLICT (${pk.map(quote).mkString(", ")}) $action"
   }
 
   /** Staging-table DDL from a DataFrame schema: identifiers quoted and

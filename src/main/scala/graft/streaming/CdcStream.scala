@@ -32,12 +32,14 @@ object CdcStream {
     * the streaming closure of the reference's batch loop: every
     * micro-batch applies [[graft.operators.CdcMerge.applyDelta]]
     * (within-batch latest-per-key, then I/U upsert + D delete) onto the
-    * snapshot and swaps it atomically (temp dir + rename, the
-    * ParquetSink pattern). Exactly-once per batch comes from the
-    * checkpointed source offsets; the merge itself is deterministic, so
-    * a replayed batch converges to the same snapshot. At scale the
-    * rewrite step is where a table format (Iceberg/Delta MERGE) slots
-    * in; plain-parquet semantics are kept for reference parity. */
+    * snapshot and swaps it in via temp dir + rename. Failure contract:
+    * a failed rename THROWS (failing the batch, so the checkpoint does
+    * not advance and the batch replays — the merge is deterministic, so
+    * replay converges), and a crash in the delete-rename window is
+    * recovered at the next batch start (the tmp dir IS the newest
+    * complete snapshot). At scale the rewrite step is where a table
+    * format (Iceberg/Delta MERGE) slots in; plain-parquet semantics are
+    * kept for reference parity. */
   def maintainSnapshot(deltas: DataFrame, snapshotDir: String,
                        pk: Seq[String], checkpointDir: String,
                        tieBreakers: Seq[String] = Nil)
@@ -46,18 +48,27 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val target = new java.io.File(snapshotDir)
+        val tmp = new java.io.File(snapshotDir + ".tmp_swap")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          if (!f.delete() && f.exists())
+            throw new java.io.IOException(s"could not delete $f")
+        }
+        // crash recovery: death between delete and rename leaves only
+        // the tmp dir — it is the newest complete snapshot
+        if (!target.exists() && tmp.exists() && !tmp.renameTo(target))
+          throw new java.io.IOException(
+            s"snapshot recovery rename failed: $tmp -> $target")
         val snap = spark.read.parquet(snapshotDir)
         val merged = graft.operators.CdcMerge
           .applyDelta(snap, batch, pk, tieBreakers)
-        val tmp = snapshotDir + ".tmp_swap"
-        merged.write.mode("overwrite").parquet(tmp)
-        val target = new java.io.File(snapshotDir)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
+        if (tmp.exists()) rm(tmp)
+        merged.write.mode("overwrite").parquet(tmp.getPath)
         rm(target)
-        new java.io.File(tmp).renameTo(target)
+        if (!tmp.renameTo(target))
+          throw new java.io.IOException(
+            s"snapshot swap rename failed: $tmp -> $target")
         ()
       }
 

@@ -26,6 +26,16 @@ class SinksAppSpec extends SparkTestBase {
     assert(sql ==
       "INSERT INTO tgt (id, a, b) SELECT id, a, b FROM stg " +
       "ON CONFLICT (id) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+    // pure link table: pk == all columns => DO NOTHING, not an empty SET
+    assert(JdbcSink.upsertSql("rel", "stg", Seq("a_id", "b_id"), Seq("a_id", "b_id")) ==
+      "INSERT INTO rel (a_id, b_id) SELECT a_id, b_id FROM stg " +
+      "ON CONFLICT (a_id, b_id) DO NOTHING")
+    // identifier quoting flows through every column position
+    val quoted = JdbcSink.upsertSql("t", "s", Seq("id", "order"), Seq("id"),
+      c => "\"" + c + "\"")
+    assert(quoted ==
+      "INSERT INTO t (\"id\", \"order\") SELECT \"id\", \"order\" FROM s " +
+      "ON CONFLICT (\"id\") DO UPDATE SET \"order\" = EXCLUDED.\"order\"")
   }
 
   test("CLI --pk and --dms parsing") {
