@@ -108,16 +108,16 @@ object Dedup {
                    maxHamming: Int = 3,
                    seed: Long = FakeGen.DefaultSeed,
                    maxProbes: Int = 256): DataFrame = {
-    def choose(n: Int, k: Int): Long =
-      (0 until k).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
     val plans = (1 to maxHamming + 1).flatMap { nb =>
       val width = 64 / nb
       val f = maxHamming / nb
-      if (f > width) None
+      // width capped at 63: a 64-bit band mask (1L << 64) - 1 wraps to 0
+      // in Scala (shift mod 64), so the single-band plan is never valid
+      if (width > 63 || f > width) None
       else {
-        val probes = nb.toLong * (0 to f).map(choose(width, _)).sum
+        val probes = BigInt(nb) * ProbeMasks.count(width, f)
         if (probes > maxProbes) None
-        else Some((nb, width, f, probes * math.pow(2.0, -width)))
+        else Some((nb, width, f, probes.toDouble * math.pow(2.0, -width)))
       }
     }
     require(plans.nonEmpty, s"no feasible band plan for maxHamming=$maxHamming")
@@ -146,18 +146,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** EXACT n-gram Jaccard similarity pairs — the verification tier and
-    * the SQL oracle for minhash. Shingle self-join: quadratic only
-    * within shared-shingle buckets. `threshold` in (0,1].
-    *
-    * `maxShingleDocFreq` (0 = off) drops shingles shared by more than
-    * that many documents before the self-join — the standard
-    * stop-shingle cap. A boilerplate shingle in k docs contributes k^2
-    * join rows; at corpus scale one hot shingle is the whole job. The
-    * cap UNDERCOUNTS common; with sizes computed on the uncapped sets
-    * (as here) the reported jaccard is a lower bound, so pairs near the
-    * threshold may be missed — a recall/cost dial, off by default and
-    * excluded from the oracle-checked queries. */
   /** Minhash signatures (id, sig) for ONLY the docs named in `docIds`
     * (a column named `idCol`): the shared recompute-after-pruning idiom
     * — candidate sets are a sliver of the corpus, so signature
@@ -183,6 +171,18 @@ object Dedup {
       .select(col("id"), col("sh")).distinct()
   }
 
+  /** EXACT n-gram Jaccard similarity pairs — the verification tier and
+    * the SQL oracle for minhash. Shingle self-join: quadratic only
+    * within shared-shingle buckets. `threshold` in (0,1].
+    *
+    * `maxShingleDocFreq` (0 = off) drops shingles shared by more than
+    * that many documents before the self-join — the standard
+    * stop-shingle cap. A boilerplate shingle in k docs contributes k^2
+    * join rows; at corpus scale one hot shingle is the whole job. The
+    * cap UNDERCOUNTS common; with sizes computed on the uncapped sets
+    * (as here) the reported jaccard is a lower bound, so pairs near the
+    * threshold may be missed — a recall/cost dial, off by default and
+    * excluded from the oracle-checked queries. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDocFreq: Long = 0L): DataFrame = {
@@ -287,8 +287,10 @@ object Dedup {
     // the exact verify shingles corpus+reference as ONE id space — an
     // id collision would silently merge two documents' shingle sets and
     // corrupt every jaccard involving them. The reference side is tiny,
-    // so this guard is one broadcast semi-join + limit(1).
-    require(corpus.join(reference.select(col(idCol)), Seq(idCol), "left_semi")
+    // so this guard is one explicitly-BROADCAST semi-join (no corpus
+    // shuffle; the scan prunes to the id column) + limit(1).
+    require(corpus
+        .join(broadcast(reference.select(col(idCol))), Seq(idCol), "left_semi")
         .limit(1).isEmpty,
       s"corpus and reference share $idCol values; id spaces must be disjoint")
     val rows = numHashes / bands

@@ -32,12 +32,17 @@ object CdcStream {
     * the streaming closure of the reference's batch loop: every
     * micro-batch applies [[graft.operators.CdcMerge.applyDelta]]
     * (within-batch latest-per-key, then I/U upsert + D delete) onto the
-    * snapshot and swaps it in via temp dir + rename. Failure contract:
-    * a failed rename THROWS (failing the batch, so the checkpoint does
-    * not advance and the batch replays — the merge is deterministic, so
-    * replay converges), and a crash in the delete-rename window is
-    * recovered at the next batch start (the tmp dir IS the newest
-    * complete snapshot). At scale the rewrite step is where a table
+    * snapshot and swaps it in via temp dir + rename, using Hadoop
+    * FileSystem throughout so the same code runs on file://, hdfs://,
+    * s3a://. The snapshot must be SEEDED before the stream starts (the
+    * reference's initial full load); the checkpoint then owns delta
+    * progress. Failure contract: a failed delete/rename THROWS — the
+    * batch fails, the checkpoint does not advance, and the replayed
+    * merge converges (applyDelta is deterministic and idempotent over a
+    * replayed delta). Crash recovery at batch start: if the tmp dir
+    * holds a COMPLETE write (_SUCCESS marker), it is the newest
+    * snapshot — it replaces the target even if a partial delete left
+    * the target present. At scale the rewrite step is where a table
     * format (Iceberg/Delta MERGE) slots in; plain-parquet semantics are
     * kept for reference parity. */
   def maintainSnapshot(deltas: DataFrame, snapshotDir: String,
@@ -48,27 +53,28 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val target = new java.io.File(snapshotDir)
-        val tmp = new java.io.File(snapshotDir + ".tmp_swap")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          if (!f.delete() && f.exists())
-            throw new java.io.IOException(s"could not delete $f")
+        import org.apache.hadoop.fs.Path
+        val target = new Path(snapshotDir)
+        val tmp = new Path(snapshotDir + ".tmp_swap")
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def rmrf(p: Path): Unit =
+          if (fs.exists(p) && !fs.delete(p, true))
+            throw new java.io.IOException(s"could not delete $p")
+        def swapIn(): Unit = {
+          rmrf(target)
+          if (!fs.rename(tmp, target))
+            throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
         }
-        // crash recovery: death between delete and rename leaves only
-        // the tmp dir — it is the newest complete snapshot
-        if (!target.exists() && tmp.exists() && !tmp.renameTo(target))
-          throw new java.io.IOException(
-            s"snapshot recovery rename failed: $tmp -> $target")
+        // crash recovery: a COMPLETE tmp (the _SUCCESS marker Spark's
+        // committer writes last) is the newest snapshot, regardless of
+        // what a half-finished delete left at the target
+        if (fs.exists(new Path(tmp, "_SUCCESS"))) swapIn()
+        else rmrf(tmp) // incomplete write from a dead batch
         val snap = spark.read.parquet(snapshotDir)
         val merged = graft.operators.CdcMerge
           .applyDelta(snap, batch, pk, tieBreakers)
-        if (tmp.exists()) rm(tmp)
-        merged.write.mode("overwrite").parquet(tmp.getPath)
-        rm(target)
-        if (!tmp.renameTo(target))
-          throw new java.io.IOException(
-            s"snapshot swap rename failed: $tmp -> $target")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        swapIn()
         ()
       }
 
