@@ -97,6 +97,18 @@ class TextDedupSpec extends SparkTestBase {
     assert(math.abs(est((1L, 2L)) - j) < 0.15, s"est=${est((1L, 2L))} exact=$j")
   }
 
+  test("simhash band-plan search: every maxHamming in 1..8 yields a working plan") {
+    // regression: maxHamming=1 used to select a single 64-bit band
+    // (degenerate mask) and crash in the mask generator
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "unrelated words entirely different")).toDF("id", "t")
+    for (h <- 1 to 8) {
+      val pairs = Dedup.simhashPairs(df, "id", "t", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"maxHamming=$h lost the identical pair")
+    }
+  }
+
   test("dedup family: null/empty text rows survive and never pair") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
