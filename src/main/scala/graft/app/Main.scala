@@ -5,7 +5,6 @@ import org.apache.spark.sql.SparkSession
 import graft.config.{AnonymizationConfig, ConfigLoader}
 import graft.fakegen.FakeGen
 import graft.pipeline.{TablePipeline, Validator}
-import graft.sinks.ParquetSink
 import graft.sources.DmsFiles
 
 /** CLI entry mirroring the reference's `anonymize` command surface
@@ -96,19 +95,24 @@ object Main {
   /** Table list: explicit > file > every `<table>.parquet` in inputDir;
     * minus exclusions (src/main.rs:109-119 semantics). */
   def resolveTables(a: Args): Seq[String] = {
+    def ls(dir: String): Seq[java.io.File] = {
+      val files = new java.io.File(dir).listFiles()
+      require(files != null,
+        s"--input-dir '$dir' does not exist or is not a readable directory")
+      files.toSeq
+    }
     val base =
       if (a.includedTables.nonEmpty) a.includedTables
       else a.includedTablesFile match {
         case Some(f) =>
-          scala.io.Source.fromFile(f).getLines().map(_.trim)
-            .filter(_.nonEmpty).toSeq
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+          finally src.close()
         case None if a.dms =>
-          new java.io.File(a.inputDir).listFiles()
-            .filter(_.isDirectory).map(_.getName).toSeq.sorted
+          ls(a.inputDir).filter(_.isDirectory).map(_.getName).sorted
         case None =>
-          new java.io.File(a.inputDir).listFiles()
-            .filter(f => f.getName.endsWith(".parquet"))
-            .map(_.getName.stripSuffix(".parquet")).toSeq.sorted
+          ls(a.inputDir).filter(_.getName.endsWith(".parquet"))
+            .map(_.getName.stripSuffix(".parquet")).sorted
       }
     base.filterNot(a.excludedTables.contains)
   }
@@ -120,7 +124,9 @@ object Main {
       "--input-dir and --output-dir are required")
 
     val seed = sys.env.get("RNG_SEED").map(_.toLong).getOrElse(FakeGen.DefaultSeed)
-    val reductionEnabled = sys.env.get("RECORD_REDUCTION_ENABLED").forall(_ == "true")
+    // reference parity: record reduction is OPT-IN, default false
+    // (anonymization_dataframe_operator.rs:434-439 unwrap_or "false")
+    val reductionEnabled = sys.env.get("RECORD_REDUCTION_ENABLED").contains("true")
 
     val spark = SparkSession.builder()
       .master(a.master)

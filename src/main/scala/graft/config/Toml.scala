@@ -69,13 +69,23 @@ object Toml {
     fresh
   }
 
+  // All three line scanners use the same string discipline: inside a
+  // basic string a backslash CONSUMES the next character, so quote
+  // parity survives any mix of \" and \\ (a trailing-escaped-backslash
+  // before the closing quote broke the old looks-back-one-char check).
+
   private def stripComment(line: String): String = {
     var inStr = false
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
-      if (c == '"' && (i == 0 || line.charAt(i - 1) != '\\')) inStr = !inStr
-      else if (c == '#' && !inStr) return line.substring(0, i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else {
+        if (c == '"') inStr = true
+        else if (c == '#') return line.substring(0, i)
+      }
       i += 1
     }
     line
@@ -86,8 +96,13 @@ object Toml {
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
-      if (c == '"') inStr = !inStr
-      else if (c == '=' && !inStr) return i
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else {
+        if (c == '"') inStr = true
+        else if (c == '=') return i
+      }
       i += 1
     }
     -1
@@ -102,7 +117,8 @@ object Toml {
     case "" => None
     case "true" => Some(Bool(true))
     case "false" => Some(Bool(false))
-    case _ if s.startsWith("\"") && s.endsWith("\"") && s.length >= 2 =>
+    case _ if s.length >= 2 && s.head == '"' && s.last == '"' &&
+        !escapedTail(s) =>
       Some(Str(unescape(s.substring(1, s.length - 1))))
     case _ if s.startsWith("[") && s.endsWith("]") =>
       val inner = s.substring(1, s.length - 1).trim
@@ -118,15 +134,33 @@ object Toml {
       catch { case _: NumberFormatException => None }
   }
 
+  /** The closing quote is escaped (odd number of preceding backslashes)
+    * — i.e. the candidate string literal is actually unterminated. */
+  private def escapedTail(s: String): Boolean = {
+    var bs = 0
+    var j = s.length - 2
+    while (j >= 0 && s.charAt(j) == '\\') { bs += 1; j -= 1 }
+    bs % 2 == 1
+  }
+
   /** Split an array body on commas that are not inside strings. */
   private def splitTopLevel(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var inStr = false
-    for (c <- s) {
-      if (c == '"') { inStr = !inStr; cur.append(c) }
-      else if (c == ',' && !inStr) { out += cur.toString; cur.clear() }
-      else cur.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '"') inStr = false
+      } else {
+        if (c == '"') { inStr = true; cur.append(c) }
+        else if (c == ',') { out += cur.toString; cur.clear() }
+        else cur.append(c)
+      }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.result()

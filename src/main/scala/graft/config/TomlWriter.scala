@@ -62,6 +62,22 @@ object TomlWriter {
     }
   }
 
-  private def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** TOML basic-string quoting: escapes backslash/quote AND the control
+    * characters (newline, tab, ...) — the line-based parser could never
+    * re-read a raw multi-line value it wrote itself. */
+  private def q(s: String): String = {
+    val sb = new StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case '\r' => sb.append("\\r")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
 }

@@ -57,6 +57,15 @@ final class FakeAllStringsTransformator(seed: Long = graft.fakegen.FakeGen.Defau
   */
 object TablePipeline {
 
+  /** Built-in whole-table transformations; caller registries extend or
+    * override. An anonymization tool must FAIL CLOSED: an unknown name
+    * throws (like Transformators.custom) instead of silently passing
+    * raw PII through as a NoOp. */
+  def defaultWholeTableRegistry(seed: Long): Map[String, WholeTableTransformator] =
+    Map(
+      NoOpWholeTableTransformator.name -> NoOpWholeTableTransformator,
+      "fake_all_strings" -> new FakeAllStringsTransformator(seed))
+
   /** `keep_num_of_records` (§2.2): the reference slices the FIRST load
     * file and skips the rest; table-level `limit(n)` is the declared
     * Spark contract (a semantic superset — see SURVEY.md §2.2). When
@@ -69,6 +78,9 @@ object TablePipeline {
       : DataFrame = {
     var out = df
     cfg.keepNumOfRecords.foreach { n =>
+      require(n > 0 && n <= Int.MaxValue,
+        s"keep_num_of_records $n not in (0, ${Int.MaxValue}] — " +
+        "limit(n.toInt) would silently wrap")
       out = if (orderForLimit.nonEmpty)
         out.orderBy(orderForLimit.map(col): _*).limit(n.toInt)
       else out.limit(n.toInt)
@@ -82,7 +94,11 @@ object TablePipeline {
       case AnonymizationType.Multi(transforms) =>
         out = Transformators.applyMulti(out, transforms, seed)
       case AnonymizationType.Single(name) =>
-        val t = wholeTableRegistry.getOrElse(name, NoOpWholeTableTransformator)
+        val registry = defaultWholeTableRegistry(seed) ++ wholeTableRegistry
+        val t = registry.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown whole-table transformation '$name' " +
+          s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")}); " +
+          "refusing to silently pass the table through un-anonymized"))
         out = t(out)
     }
     out
@@ -118,8 +134,8 @@ object TablePipeline {
               build(df, cfg, seed).write.mode("overwrite")
                 .parquet(s"$outDir/$table.parquet")
             case None => // pass-through fast path: no decode, no Spark job
-              copyRecursive(java.nio.file.Paths.get(inDir, s"$table.parquet"),
-                            java.nio.file.Paths.get(outDir, s"$table.parquet"))
+              copyRecursive(spark, s"$inDir/$table.parquet",
+                            s"$outDir/$table.parquet")
           }
         }
       }
@@ -127,14 +143,18 @@ object TablePipeline {
     } finally pool.shutdown()
   }
 
-  private def copyRecursive(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    import java.nio.file._
-    if (Files.isDirectory(src)) {
-      Files.createDirectories(dst)
-      Files.list(src).forEach(p => copyRecursive(p, dst.resolve(p.getFileName)))
-    } else {
-      Files.createDirectories(dst.getParent)
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-    }
+  /** Byte copy through Hadoop FileSystem — works for file://, hdfs://,
+    * s3a:// alike (java.nio would treat a URI as a relative local path),
+    * mirroring the reference's server-side S3 copy. */
+  private def copyRecursive(spark: SparkSession, src: String, dst: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new Path(src)
+    val dstP = new Path(dst)
+    val srcFs = srcP.getFileSystem(conf)
+    val dstFs = dstP.getFileSystem(conf)
+    if (!FileUtil.copy(srcFs, srcP, dstFs, dstP,
+        /* deleteSource = */ false, /* overwrite = */ true, conf))
+      throw new java.io.IOException(s"pass-through copy failed: $src -> $dst")
   }
 }

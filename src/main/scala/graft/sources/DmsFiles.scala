@@ -38,6 +38,17 @@ object DmsFiles {
   private[sources] def datePrefix(name: String): String =
     name.takeWhile(_.isDigit)
 
+  /** Normalize a user-supplied date bound to its digits and require the
+    * full YYYYMMDD shape: "2024-01-05" => "20240105". The old
+    * leading-digits parse silently truncated dashed dates to "2024",
+    * which lexicographically excluded EVERY dated CDC file. */
+  private[sources] def dateBound(s: String): String = {
+    val digits = s.filter(_.isDigit)
+    require(digits.length >= 8,
+      s"date bound '$s' must contain a full YYYYMMDD date")
+    digits
+  }
+
   def list(spark: SparkSession, dir: String, mode: Mode): TableFiles = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -50,11 +61,11 @@ object DmsFiles {
       case FullLoadOnly => TableFiles(load, Nil)
       case AbsolutePath => TableFiles(load, cdc)
       case DateAware(start, stop) =>
+        val lo = start.map(dateBound)
+        val hi = stop.map(dateBound)
         TableFiles(load, cdc.filter { p =>
           val d = datePrefix(new Path(p).getName)
-          d.nonEmpty &&
-            start.forall(s => d >= datePrefix(s)) &&
-            stop.forall(s => d <= datePrefix(s))
+          d.nonEmpty && lo.forall(d >= _) && hi.forall(d <= _)
         })
     }
   }

@@ -96,10 +96,21 @@ class FiltersAndPipelineSpec extends SparkTestBase {
     assert(orig == copied)
   }
 
-  test("Single whole-table type dispatches registry, defaults to NoOp") {
+  test("Single whole-table type dispatches registry, FAILS CLOSED on unknown names") {
     val df = Seq(("a", 1)).toDF("s", "i")
-    val cfg = TableConfig("t", AnonymizationType.Single("unregistered"))
-    assert(TablePipeline.build(df, cfg).collect().toSeq == df.collect().toSeq)
+    // an unknown transformation must throw, not silently pass raw PII
+    // through as a NoOp (a data-leak failure mode)
+    val e = intercept[IllegalArgumentException](
+      TablePipeline.build(df, TableConfig("t", AnonymizationType.Single("unregistered"))))
+    assert(e.getMessage.contains("unknown whole-table transformation"))
+    // the built-ins resolve without a caller registry
+    assert(TablePipeline.build(df,
+      TableConfig("t", AnonymizationType.Single("noop"))).collect().toSeq
+      == df.collect().toSeq)
+    val faked = TablePipeline.build(df,
+      TableConfig("t", AnonymizationType.Single("fake_all_strings")))
+      .collect().head
+    assert(faked.getString(0) != "a" && faked.getInt(1) == 1)
     val upper = new graft.pipeline.WholeTableTransformator {
       val name = "upper"
       def apply(d: org.apache.spark.sql.DataFrame) =

@@ -13,7 +13,10 @@ class TomlPropertySpec extends AnyFunSuite {
 
   private val name: Gen[String] = for {
     base <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
-    decoration <- Gen.oneOf("", "_x", " sp ", "\"q\"", "\\bs", "#h")
+    // quotes, backslashes, comment chars, trailing backslash-before-
+    // close, and control characters (escaped by the writer since r3)
+    decoration <- Gen.oneOf("", "_x", " sp ", "\"q\"", "\\bs", "#h",
+      "tail\\", "nl\nx", "tab\tx", "cr\rx", "ctl")
   } yield base + decoration
 
   private val transformationType: Gen[TransformationType] = Gen.oneOf(
