@@ -169,13 +169,16 @@ object FakeGen {
   /** Postgres-array-literal email rewrite: "{a,b,c}" -> "{f1,f2,f3}" with
     * each element faked independently (seeded by the ELEMENT value, so the
     * same address fakes identically here and in scalar email columns).
-    * Length <= 1 returned unchanged (fake_multi_email_transformator.rs:15-54). */
+    * Length <= 1 returned unchanged (fake_multi_email_transformator.rs:15-54).
+    * A longer NON-braced value is treated as one address and faked —
+    * an anonymization primitive must FAIL CLOSED: passing a malformed
+    * or bare scalar through verbatim would leak the original PII. */
   def multiEmail(value: String, seed: Long): String = {
     if (value.length <= 1) return value
     val inner =
-      if (value.length >= 2 && value.charAt(0) == '{' && value.charAt(value.length - 1) == '}')
+      if (value.charAt(0) == '{' && value.charAt(value.length - 1) == '}')
         value.substring(1, value.length - 1)
-      else return value
+      else return email(value, seed)
     if (inner.isEmpty) return value
     val parts = inner.split(",", -1)
     val sb = new java.lang.StringBuilder(value.length + 16)

@@ -30,7 +30,14 @@ object VectorKernels {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: the raw division yields NaN, and Spark orders
+    // NaN ABOVE every real double — a zero vector would become every
+    // query's rank-1 neighbor in a descending top-k. -2.0 sorts below
+    // any true cosine (same sentinel as IvfKernels.cosineTo). Divergence
+    // from DuckDB's list_cosine_similarity (NaN) is unreachable in the
+    // oracle corpora, which contain no zero vectors.
+    if (na == 0.0 || nb == 0.0) -2.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -62,18 +69,42 @@ object VectorKernels {
 
   /** Rademacher hyperplane sign bits packed into a long; component
     * (bit, dim) = sign of a seeded hash — deterministic on every
-    * executor with zero broadcast state. */
+    * executor with zero broadcast state. The sign table depends only on
+    * (seed, nBits, dim), so it is computed once per executor and cached:
+    * the per-row work is pure add/subtract accumulation instead of
+    * nBits x dim mix64 calls per vector (the 100 TB ANN hot path). */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Boolean]]()
+
+  private def signs(seed: Long, nBits: Int, dim: Int): Array[Boolean] =
+    signCache.computeIfAbsent((seed, nBits, dim), { key =>
+      val (s, bits, n) = key
+      val arr = new Array[Boolean](bits * n)
+      var b = 0
+      while (b < bits) {
+        var i = 0
+        while (i < n) {
+          val h = graft.fakegen.FakeGen.mix64(s ^ (b.toLong << 32) ^ i.toLong)
+          arr(b * n + i) = (h & 1L) == 0L
+          i += 1
+        }
+        b += 1
+      }
+      arr
+    })
+
   def hyperplaneBucket(a: ArrayData, nBits: Int, seed: Long): Long = {
+    val n = a.numElements()
+    val sg = signs(seed, nBits, n)
     var bucket = 0L
     var b = 0
     while (b < nBits) {
       var proj = 0.0
       var i = 0
-      val n = a.numElements()
+      val base = b * n
       while (i < n) {
-        val h = graft.fakegen.FakeGen.mix64(seed ^ (b.toLong << 32) ^ i.toLong)
         val x = a.getFloat(i).toDouble
-        proj += (if ((h & 1L) == 0L) x else -x)
+        proj += (if (sg(base + i)) x else -x)
         i += 1
       }
       if (proj >= 0) bucket |= (1L << b)

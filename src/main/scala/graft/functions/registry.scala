@@ -21,10 +21,14 @@ object registry {
 
   private def seedOf(args: Seq[Expression], at: Int): Long =
     if (args.length > at) args(at) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+          if v != null && (dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType ||
+            dt == org.apache.spark.sql.types.ShortType ||
+            dt == org.apache.spark.sql.types.ByteType) =>
         v.toString.toLong
       case other => throw new IllegalArgumentException(
-        s"seed argument must be a literal, got $other")
+        s"seed argument must be a non-null integer literal, got $other")
     } else FakeGen.DefaultSeed
 
   /** (name, builder) for every SQL-exposed function. */

@@ -24,17 +24,14 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a stale location without a catalog entry (crashed run) blocks
-    // managed-table creation; clear it
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    // managed-table creation; clear it through Hadoop FileSystem so a
+    // non-local warehouse (hdfs://, s3a://) is handled too
+    import org.apache.hadoop.fs.Path
+    val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new Path(warehouse, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc) && !fs.delete(loc, true))
+      throw new java.io.IOException(s"could not clear stale table location $loc")
     var w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, bucketCol)

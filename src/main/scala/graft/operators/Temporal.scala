@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** NOTE: right-payload columns participate in a window ORDERING (the
+    * deterministic tie-break among right rows sharing (key, ts)), so
+    * they must be orderable types — drop or pre-hash map-typed payload
+    * columns before the join (Spark rejects them at analysis). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightPrefix: String = "r_"): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c =>

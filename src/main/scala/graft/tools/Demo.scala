@@ -45,7 +45,8 @@ object Demo {
     val again = customer.select($"c_custkey", anon.fakeName($"c_name").as("n"))
       .orderBy($"c_custkey").collect()
     val first = back.select($"c_custkey", $"c_name".as("n")).collect()
-    val identical = first.zip(again).forall { case (a, b) => a == b }
+    val identical = first.length == again.length &&
+      first.zip(again).forall { case (a, b) => a == b }
     println(s"determinism across runs: ${if (identical) "OK" else "MISMATCH"}")
 
     println("=== plan (should be one WholeStageCodegen over the scan) ===")

@@ -79,7 +79,10 @@ object Profile {
       val plan = graft.operators.Bucketing
         .coLocatedJoin(spark, "p_orders", "p_lineitem", "o_orderkey")
         .queryExecution.executedPlan.toString
-      println(s"[profile] bucketed join shuffle-free = ${!plan.contains("ShuffleExchange")}")
+      // shuffle nodes print as 'Exchange hashpartitioning' (the class
+      // name ShuffleExchangeExec never appears in plan strings)
+      println(s"[profile] bucketed join shuffle-free = " +
+        s"${!plan.contains("Exchange hashpartitioning")}")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
     }
 
