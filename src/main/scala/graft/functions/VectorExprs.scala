@@ -75,23 +75,41 @@ object VectorKernels {
     * nBits x dim mix64 calls per vector (the 100 TB ANN hot path). */
   private val signCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Boolean]]()
+  // single-entry fast path: (seed, nBits, dim) are constant within a
+  // scan, so the per-row cost is three primitive compares — no tuple
+  // allocation, no map probe
+  @volatile private var lastKey: (Long, Int, Int) = _
+  @volatile private var lastSigns: Array[Boolean] = _
 
-  private def signs(seed: Long, nBits: Int, dim: Int): Array[Boolean] =
-    signCache.computeIfAbsent((seed, nBits, dim), { key =>
+  private def signs(seed: Long, nBits: Int, dim: Int): Array[Boolean] = {
+    val lk = lastKey
+    if (lk != null && lk._1 == seed && lk._2 == nBits && lk._3 == dim) {
+      val ls = lastSigns
+      if (ls != null) return ls
+    }
+    // ragged vector lengths / many configs could otherwise grow the
+    // cache for the JVM's lifetime; the bound is far above any sane
+    // number of simultaneous (seed, nBits, dim) configurations
+    if (signCache.size() > 256) signCache.clear()
+    val arr = signCache.computeIfAbsent((seed, nBits, dim), { key =>
       val (s, bits, n) = key
-      val arr = new Array[Boolean](bits * n)
+      val a = new Array[Boolean](bits * n)
       var b = 0
       while (b < bits) {
         var i = 0
         while (i < n) {
           val h = graft.fakegen.FakeGen.mix64(s ^ (b.toLong << 32) ^ i.toLong)
-          arr(b * n + i) = (h & 1L) == 0L
+          a(b * n + i) = (h & 1L) == 0L
           i += 1
         }
         b += 1
       }
-      arr
+      a
     })
+    lastKey = (seed, nBits, dim)
+    lastSigns = arr
+    arr
+  }
 
   def hyperplaneBucket(a: ArrayData, nBits: Int, seed: Long): Long = {
     val n = a.numElements()

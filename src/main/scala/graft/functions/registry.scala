@@ -19,17 +19,23 @@ import graft.operators.DecodeStubExpr
   */
 object registry {
 
-  private def seedOf(args: Seq[Expression], at: Int): Long =
+  /** Literal arg as a Long: integral literals and integer-shaped string
+    * literals ('42' — long accepted on the SQL surface) both work; null
+    * or non-numeric values get a clear analysis error, not an NPE. */
+  private def longLiteral(args: Seq[Expression], at: Int, what: String): Option[Long] =
     if (args.length > at) args(at) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
-          if v != null && (dt == org.apache.spark.sql.types.LongType ||
-            dt == org.apache.spark.sql.types.IntegerType ||
-            dt == org.apache.spark.sql.types.ShortType ||
-            dt == org.apache.spark.sql.types.ByteType) =>
-        v.toString.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+        scala.util.Try(v.toString.toLong).toOption match {
+          case some @ Some(_) => some
+          case None => throw new IllegalArgumentException(
+            s"$what argument must be an integer literal, got '$v'")
+        }
       case other => throw new IllegalArgumentException(
-        s"seed argument must be a non-null integer literal, got $other")
-    } else FakeGen.DefaultSeed
+        s"$what argument must be a non-null integer literal, got $other")
+    } else None
+
+  private def seedOf(args: Seq[Expression], at: Int): Long =
+    longLiteral(args, at, "seed").getOrElse(FakeGen.DefaultSeed)
 
   /** (name, builder) for every SQL-exposed function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = {
@@ -63,11 +69,7 @@ object registry {
   }
 
   private def intArg(args: Seq[Expression], at: Int, default: Int): Int =
-    if (args.length > at) args(at) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
-      case other => throw new IllegalArgumentException(
-        s"argument $at must be a literal, got $other")
-    } else default
+    longLiteral(args, at, s"argument $at").map(_.toInt).getOrElse(default)
 
   /** Register as session temp functions on an existing session. */
   def registerAll(spark: SparkSession): Unit =

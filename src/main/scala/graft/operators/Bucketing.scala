@@ -30,7 +30,9 @@ object Bucketing {
     val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new Path(warehouse, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc) && !fs.delete(loc, true))
+    // fs.delete returns false for an already-gone path too: only a
+    // STILL-existing location after a failed delete is an error
+    if (fs.exists(loc) && !fs.delete(loc, true) && fs.exists(loc))
       throw new java.io.IOException(s"could not clear stale table location $loc")
     var w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")

@@ -96,6 +96,32 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine: zero-norm vectors get the -2.0 sentinel, never NaN") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Float*) = new GenericArrayData(xs.toArray)
+    val zero = arr(0f, 0f, 0f)
+    val v = arr(1f, 2f, 3f)
+    // NaN would sort ABOVE every real cosine in a descending top-k and
+    // make zero vectors everyone's nearest neighbor
+    assert(graft.functions.VectorKernels.cosine(zero, v) == -2.0)
+    assert(graft.functions.VectorKernels.cosine(v, zero) == -2.0)
+    assert(graft.functions.VectorKernels.cosine(zero, zero) == -2.0)
+    assert(math.abs(graft.functions.VectorKernels.cosine(v, v) - 1.0) < 1e-12)
+  }
+
+  test("multiEmail fails closed: non-braced values are faked, never passed through") {
+    import graft.fakegen.FakeGen
+    val bare = FakeGen.multiEmail("alice@corp.com", 42L)
+    assert(bare != "alice@corp.com" && bare.nonEmpty)
+    assert(bare == FakeGen.email("alice@corp.com", 42L)) // treated as one address
+    val malformed = FakeGen.multiEmail("{a@x.com", 42L) // unclosed brace
+    assert(malformed != "{a@x.com")
+    // braced and length<=1 contracts unchanged
+    assert(FakeGen.multiEmail("{a@x.com,b@y.com}", 42L).startsWith("{"))
+    assert(FakeGen.multiEmail("", 42L) == "")
+    assert(FakeGen.multiEmail("x", 42L) == "x")
+  }
+
   test("multimodal frames: count and exact slicing vs replica") {
     val rnd = new scala.util.Random(5L)
     for (_ <- 1 to 300) {
