@@ -455,7 +455,35 @@ object SparkEntry {
         filterType = FilterType.AnyOfInt("c_nationkey", Seq(3, 4)),
         sanitizeNullBytes = true)
       TablePipeline.build(t(s, dir, "customer"), cfg, orderForLimit = Seq("c_custkey"))
-    })
+    }),
+
+    // ---- corpus analysis / sessionization (round 4) --------------------
+    // gap sessions over the event stream: 30-minute gap, µs timestamps
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Temporal.sessionize(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+        keyCol = "user_id", tsCol = "ts", gap = 1800000000L,
+        tieCol = "event_id")),
+    // Gopher-style repetition signals: raw integers (exact) + the two
+    // derived ratios (round(6), same double formulation as the oracle)
+    "q_quality_repetition" -> ((s, dir) => {
+      val st = text.repetitionStats(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        element_at(st, 1).as("n_tokens"),
+        element_at(st, 2).as("n_distinct"),
+        text.dupWordRatio(col("text")).as("dup_word_ratio"),
+        text.topBigramRatio(col("text")).as("top_bigram_ratio"))
+    }),
+    "q_vocab_topk" -> ((s, dir) =>
+      graft.operators.Corpus.vocabTopK(t(s, dir, "documents"), "text", 50)),
+    "q_corpus_stats" -> ((s, dir) =>
+      graft.operators.Corpus.lengthStats(t(s, dir, "documents"),
+        groupCol = "source", lenCol = "n_chars")),
+    "q_pii_redact" -> ((s, dir) =>
+      Transformators.redactPii(t(s, dir, "customer"), Seq("c_name"))),
+    "q_dedup_chunks" -> ((s, dir) =>
+      Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
+        chunkWords = 10))
   )
 
   /** Planted ANN queries: the first 5 corpus vectors, coord 0 nudged by
@@ -899,6 +927,68 @@ object SparkEntry {
       "SELECT c_custkey, 'ANONYMIZED' AS c_name, c_nationkey, " +
       "CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment " +
       "FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 1000) " +
-      "WHERE c_nationkey IS NULL OR c_nationkey NOT IN (3, 4)")
+      "WHERE c_nationkey IS NULL OR c_nationkey NOT IN (3, 4)"),
+
+    // ---- corpus analysis / sessionization (round 4) --------------------
+    "q_sessionize" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events), " +
+      "m AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER " +
+      "  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 " +
+      "  THEN 1 ELSE 0 END AS ns FROM e), " +
+      "si AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id " +
+      "  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "  AS BIGINT) AS session_idx FROM m) " +
+      "SELECT user_id, session_idx, count(*) AS n_events, " +
+      "min(ts) AS session_start, max(ts) AS session_end " +
+      "FROM si GROUP BY 1, 2"),
+    "q_quality_repetition" -> (
+      "WITH tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 " +
+      "  THEN CAST([] AS VARCHAR[]) " +
+      "  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ts " +
+      "  FROM documents), " +
+      "base AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, " +
+      "  CAST(len(list_distinct(ts)) AS INT) AS n_distinct FROM tok), " +
+      "bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bc GROUP BY 1) " +
+      "SELECT b.doc_id, b.n_tokens, b.n_distinct, " +
+      "round(CASE WHEN b.n_tokens = 0 THEN 0.0 " +
+      "  ELSE 1.0 - b.n_distinct * 1.0 / b.n_tokens END, 6) AS dup_word_ratio, " +
+      "round(CASE WHEN mx.nb IS NULL THEN 0.0 " +
+      "  ELSE mx.mc * 1.0 / mx.nb END, 6) AS top_bigram_ratio " +
+      "FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id"),
+    "q_vocab_topk" -> (
+      "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), " +
+      "'\\s+')) AS token FROM documents) " +
+      "SELECT token, count(*) AS cnt FROM tok WHERE length(token) > 0 " +
+      "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"),
+    "q_corpus_stats" -> (
+      "SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_len, " +
+      "round(quantile_cont(n_chars, 0.25), 6) AS p25, " +
+      "round(quantile_cont(n_chars, 0.5), 6) AS p50, " +
+      "round(quantile_cont(n_chars, 0.9), 6) AS p90, " +
+      "round(quantile_cont(n_chars, 0.99), 6) AS p99 " +
+      "FROM documents GROUP BY source"),
+    // generated from Transformators.PiiRules — one source of truth for
+    // the pattern strings (they are RE2-compatible by construction)
+    "q_pii_redact" -> {
+      val redacted = graft.operators.Transformators.PiiRules
+        .foldLeft("c_name") { case (acc, (re, tag)) =>
+          s"regexp_replace($acc, '$re', '$tag', 'g')"
+        }
+      s"SELECT c_custkey, $redacted AS c_name, c_nationkey, c_acctbal, " +
+      "c_mktsegment FROM customer"
+    },
+    "q_dedup_chunks" -> (
+      "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), " +
+      "  '\\s+') AS ts FROM documents), " +
+      "ch AS (SELECT doc_id, i, array_to_string(ts[i*10+1:i*10+10], ' ') AS chunk " +
+      "  FROM tok, LATERAL (SELECT unnest(range(CAST(ceil(len(ts) / 10.0) " +
+      "  AS BIGINT))) AS i)), " +
+      "win AS (SELECT doc_id, i, chunk FROM ch QUALIFY " +
+      "  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) = 1) " +
+      "SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS text_clean " +
+      "FROM win GROUP BY doc_id")
   )
 }

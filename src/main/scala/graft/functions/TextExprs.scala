@@ -109,6 +109,23 @@ case class QualityStatsExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Array<int> [nTokens, nDistinctTokens, nBigrams, maxBigramCount] from
+  * TextKernels.repetitionStats — raw integers behind the repetition
+  * ratios; subexpression elimination evaluates it once per row. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)

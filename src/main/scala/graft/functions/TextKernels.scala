@@ -146,6 +146,38 @@ object TextKernels {
     new GenericArrayData(Array(alpha, punct, nTok, hits))
   }
 
+  /** One-pass repetition stats over the normalized token stream:
+    * `[nTokens, nDistinctTokens, nBigrams, maxBigramCount]` — the raw
+    * integers behind Gopher-style repetition filters (duplicate-word
+    * fraction, most-common-bigram fraction). Integers on purpose: the
+    * ratios are derived in the Column layer with the exact same double
+    * expression the SQL oracle uses, so only one formulation exists.
+    *
+    * A per-row hash map is fine here: documents are KB-sized, and this
+    * runs as a projection inside whole-stage codegen — no shuffle, no
+    * state across rows, trivially parallel at 100 TB.
+    */
+  def repetitionStats(value: UTF8String): ArrayData = {
+    val toks = tokens(value.toString)
+    val n = toks.length
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    val nBigrams = math.max(n - 1, 0)
+    var maxBg = 0
+    if (nBigrams > 0) {
+      val counts = new java.util.HashMap[String, Int]()
+      var j = 0
+      while (j < nBigrams) {
+        val bg = toks(j) + " " + toks(j + 1)
+        val c = counts.merge(bg, 1, (a, b) => a + b)
+        if (c > maxBg) maxBg = c
+        j += 1
+      }
+    }
+    new GenericArrayData(Array(n, distinct.size, nBigrams, maxBg))
+  }
+
   // ---- rolling fingerprint ---------------------------------------------
 
   /** 64-bit Rabin-Karp-style rolling fingerprint of the normalized text,

@@ -65,6 +65,28 @@ object text {
       lit(0.15) * (lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))), 6)
   }
 
+  /** One-pass [nTokens, nDistinct, nBigrams, maxBigramCount] over the
+    * normalized token stream (see TextKernels.repetitionStats). */
+  def repetitionStats(c: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(c.cast("string"))))
+
+  /** Gopher-style duplicate-word fraction: 1 - distinct/total tokens.
+    * High values flag keyword-stuffed / looping documents. */
+  def dupWordRatio(c: Column): Column = {
+    val st = repetitionStats(c)
+    round(when(element_at(st, 1) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        element_at(st, 2).cast("double") / element_at(st, 1)), 6)
+  }
+
+  /** Fraction of word-bigrams occupied by the single most frequent
+    * bigram — the "top 2-gram fraction" repetition signal. */
+  def topBigramRatio(c: Column): Column = {
+    val st = repetitionStats(c)
+    round(when(element_at(st, 3) === 0, lit(0.0))
+      .otherwise(element_at(st, 4).cast("double") / element_at(st, 3)), 6)
+  }
+
   /** Normalized md5 content fingerprint — portable (md5 exists in every
     * engine), order-sensitive, exact-dedup key. */
   def fingerprintMd5(c: Column): Column =

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level analysis operators for the training-data pipeline:
+  * vocabulary statistics and distribution summaries that in practice
+  * run over the WHOLE corpus (billions of documents), so every one of
+  * them is shaped as partial-aggregate -> single hash exchange ->
+  * final aggregate.
+  */
+object Corpus {
+
+  /** Top-k corpus vocabulary by token frequency.
+    *
+    * Shape at scale: explode is a local projection; the per-token count
+    * is a HashAggregate with MAP-SIDE partial combine, so the shuffle
+    * carries one (token, partial-count) row per distinct token per task
+    * — proportional to vocabulary size, not corpus size. The final
+    * top-k is TakeOrderedAndProject (per-partition heaps + driver merge
+    * of k rows), never a global sort.
+    *
+    * Ordering ties break by token ascending, so the selected k rows are
+    * deterministic and engine-portable.
+    */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-group length-distribution summary: exact interpolated
+    * percentiles (Spark `percentile`, the R-7 / quantile_cont
+    * definition every engine uses), mean, and count.
+    *
+    * Exact percentiles need the values per group — Spark's percentile
+    * aggregate buffers them per group, which is the honest cost of
+    * EXACT quantiles and fine for bounded group counts (sources,
+    * languages). For free-cardinality groups at 100 TB you'd switch to
+    * approx_percentile (t-digest, constant memory); this operator is
+    * the oracle-checkable exact tier.
+    *
+    * Ratios/means are rounded to 6 decimals: interpolation order of
+    * operations may differ across engines in the last ulp.
+    */
+  def lengthStats(docs: DataFrame, groupCol: String, lenCol: String): DataFrame = {
+    val pct = expr(s"percentile($lenCol, array(0.25D, 0.5D, 0.9D, 0.99D))")
+    docs.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col(lenCol)), 6).as("avg_len"),
+        round(element_at(pct, 1), 6).as("p25"),
+        round(element_at(pct, 2), 6).as("p50"),
+        round(element_at(pct, 3), 6).as("p90"),
+        round(element_at(pct, 4), 6).as("p99"))
+  }
+}

@@ -542,4 +542,41 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Chunk-level exact dedup (the "line dedup" of CCNet/RefinedWeb,
+    * word-chunk flavored since this corpus has no newlines): split each
+    * document into consecutive `chunkWords`-word chunks, keep only the
+    * globally FIRST occurrence of every distinct chunk (ordered by
+    * (id, chunk index) — deterministic), and reassemble the surviving
+    * chunks per document in their original order. Documents whose every
+    * chunk appeared earlier elsewhere drop out entirely.
+    *
+    * Scale shape: chunking is a local projection (lambdas evaluate per
+    * CHUNK, not per char, so interpretation overhead is ~len/chunkWords
+    * per doc); first-occurrence is `min(struct(id, idx))` grouped by
+    * chunk — a hash aggregate with MAP-SIDE partial combine, so the
+    * exchange carries ~one row per distinct chunk per task; reassembly
+    * re-groups winners by doc id (winners only — already shrunk).
+    * Chunk text rides the first shuffle once; that is the same bytes
+    * the scan already paid, and it avoids the second full corpus scan
+    * a hash-then-reattach formulation would need.
+    */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    val chunks = expr(
+      s"transform(sequence(0, cast(ceil(size(__toks) / ${chunkWords}.0) as int) - 1), " +
+      s"i -> array_join(slice(__toks, i * $chunkWords + 1, $chunkWords), ' '))")
+    val exploded = df
+      .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
+      .select(col(idCol), posexplode(chunks).as(Seq("idx", "chunk")))
+    exploded
+      .groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("idx"))).as("__w"))
+      .select(col("__w")(idCol).as(idCol), col("__w")("idx").as("idx"), col("chunk"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("text_clean"))
+  }
 }

@@ -63,6 +63,37 @@ object Temporal {
     }.drop("__last_r")
   }
 
+  /** Gap-based sessionization: events within `gap` of the previous
+    * event (per key) share a session; a larger gap starts a new one.
+    * Emits one row per (key, session): index, event count, start/end.
+    *
+    * Classic two-window formulation — `lag` marks session starts,
+    * a running sum numbers them — then an aggregate rolls sessions up.
+    * Scale shape: ONE hash exchange on the key; the windows sort within
+    * partitions, and the final groupBy(key, session_idx) reuses the
+    * key partitioning (HashPartitioning(key) satisfies the clustered
+    * distribution on (key, session_idx) — no second shuffle; asserted
+    * in PlanAuditSpec).
+    *
+    * `tieCol` makes the ordering total when timestamps collide, so
+    * session numbering is deterministic under retries.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: Long, tieCol: String): DataFrame = {
+    require(gap > 0, s"session gap must be positive, got $gap")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val isNew = when(
+      col(tsCol) - lag(col(tsCol), 1).over(w) > gap, lit(1L)).otherwise(lit(0L))
+    events
+      .withColumn("session_idx",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+  }
+
   /** Range (interval) join: pairs where `left.ts` falls in
     * `[right.start, right.end]`, equi-keyed on `keyCols`.
     *

@@ -110,4 +110,32 @@ object Transformators {
     }
     df.select(outCols.toIndexedSeq: _*)
   }
+
+  /** Structural PII redaction rules, applied IN ORDER (emails before
+    * the bare-digit rule, or the digits inside an address would be
+    * masked first and break the email match; IPs likewise). Patterns
+    * are deliberately RE2-compatible (no backrefs/lookaround) so the
+    * identical pattern string runs in Spark, DuckDB, and the usual
+    * data-validation tooling.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("[0-9]{4,}", "<NUM>"))
+
+  /** Regex PII scrub of free-text columns: emails, IPv4s, and long
+    * digit runs (ids/phones/accounts) replaced by typed placeholders.
+    * The redaction complement of the faker transforms: where fakers
+    * preserve realism per COLUMN, this scrubs pii embedded INSIDE
+    * unstructured text. Pure chained regexp_replace — a codegen'd
+    * projection, no shuffle, linear at any corpus size. */
+  def redactPii(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"redactPii: no such columns: ${missing.mkString(", ")}")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, PiiRules.foldLeft(col(c)) { case (acc, (re, tag)) =>
+        regexp_replace(acc, re, tag)
+      })
+    }
+  }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+import graft.operators.{Corpus, Dedup, Temporal, Transformators}
+
+/** Round-4 corpus-analysis operators: sessionization, repetition
+  * signals, vocabulary top-k, length stats, PII redaction, chunk dedup.
+  * Semantics pinned on literal rows; the sf0.01 parquet behavior is
+  * covered by the DuckDB oracle harness (q_sessionize & co).
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- sessionize ------------------------------------------------------
+
+  test("sessionize splits on gaps and rolls up per session") {
+    // user 1: events at 0,10,20 then 1000 (gap>100) then 1010
+    // user 2: a single event
+    val ev = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L),
+      (1L, 1000L, 4L), (1L, 1010L, 5L), (2L, 5L, 6L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Temporal.sessionize(ev, "user_id", "ts", gap = 100L,
+      tieCol = "event_id")
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Seq(
+      (1L, 0L, 3L, 0L, 20L),
+      (1L, 1L, 2L, 1000L, 1010L),
+      (2L, 0L, 1L, 5L, 5L)))
+  }
+
+  test("sessionize: boundary gap == gap stays in one session") {
+    val ev = Seq((1L, 0L, 1L), (1L, 100L, 2L)).toDF("user_id", "ts", "event_id")
+    val out = Temporal.sessionize(ev, "user_id", "ts", gap = 100L,
+      tieCol = "event_id").collect()
+    assert(out.length === 1 && out.head.getLong(2) === 2L)
+  }
+
+  test("sessionize plans ONE exchange (groupBy reuses the window's key partitioning)") {
+    val ev = SparkEntry.queries("q_sessionize")(spark, sf("sf0.001"))
+    val plan = ev.queryExecution.executedPlan.toString
+    val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 1, s"expected 1 hash exchange, got $n:\n$plan")
+  }
+
+  // ---- repetition stats ------------------------------------------------
+
+  test("repetitionStats: counts and ratios on crafted docs") {
+    val docs = Seq(
+      (1L, "a a a a"),          // 4 tok, 1 distinct, bigram "a a" x3
+      (2L, "w x y z"),          // all distinct, 3 distinct bigrams
+      (3L, "solo"),             // 1 token, no bigrams
+      (4L, ""),                 // empty
+      (5L, "go go stop go go")  // "go go" 2 of 4 bigrams
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        text.repetitionStats(col("text")).as("st"),
+        text.dupWordRatio(col("text")).as("dwr"),
+        text.topBigramRatio(col("text")).as("tbr"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getSeq[Int](1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) === (Seq(4, 1, 3, 3), 0.75, 1.0))
+    assert(out(1) === (Seq(4, 4, 3, 1), 0.0, 0.333333))
+    assert(out(2) === (Seq(1, 1, 0, 0), 0.0, 0.0))
+    assert(out(3) === (Seq(0, 0, 0, 0), 0.0, 0.0))
+    assert(out(4) === (Seq(5, 2, 4, 2), 0.6, 0.5))
+  }
+
+  // ---- vocab top-k -----------------------------------------------------
+
+  test("vocabTopK counts tokens and breaks ties by token asc") {
+    val docs = Seq((1L, "b a b"), (2L, "A c a"), (3L, "  ")).toDF("doc_id", "text")
+    val out = Corpus.vocabTopK(docs, "text", 2).as[(String, Long)].collect()
+    // a: 3 (case-folded), b: 2, c: 1 -> top2 = a,b
+    assert(out === Array(("a", 3L), ("b", 2L)))
+    // tie between b and c at k boundary resolves by token asc
+    val out3 = Corpus.vocabTopK(docs, "text", 3).as[(String, Long)].collect()
+    assert(out3 === Array(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("vocabTopK plan: partial count before the exchange, TakeOrdered not Sort") {
+    val plan = Corpus.vocabTopK(
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet"), "text", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
+  }
+
+  // ---- length stats ----------------------------------------------------
+
+  test("lengthStats: exact interpolated percentiles") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 7L))
+      .toDF("g", "len")
+    val row = Corpus.lengthStats(df, "g", "len").filter($"g" === "a").collect().head
+    assert(row.getLong(1) === 4L)            // n_docs
+    assert(row.getDouble(2) === 25.0)        // avg
+    assert(row.getDouble(3) === 17.5)        // p25 = 10 + 0.75*10
+    assert(row.getDouble(4) === 25.0)        // p50
+    assert(row.getDouble(5) === 37.0)        // p90 = 30 + 0.7*10
+    assert(row.getDouble(6) === 39.7)        // p99
+  }
+
+  // ---- PII redaction ---------------------------------------------------
+
+  test("redactPii masks emails, IPs, and digit runs — in that order") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@ex-ample.co.uk now"),
+      (2L, "host 192.168.0.255 port"),
+      (3L, "card 4111222233334444 pin 123"),   // short runs survive
+      (4L, "id9999 and ann@b.io at 10.0.0.1")
+    ).toDF("id", "note")
+    val out = Transformators.redactPii(df, Seq("note"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "host <IP> port")
+    assert(out(2) === "card <NUM> pin 123")
+    assert(out(3) === "id<NUM> and <EMAIL> at <IP>")
+  }
+
+  test("redactPii rejects unknown columns") {
+    val df = Seq((1L, "x")).toDF("id", "note")
+    val e = intercept[IllegalArgumentException] {
+      Transformators.redactPii(df, Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  // ---- chunk dedup -----------------------------------------------------
+
+  test("dedupChunks keeps first occurrence globally and reassembles in order") {
+    // chunkWords=2: doc 1 = [a b][c d], doc 2 = [c d][e f] (loses "c d"),
+    // doc 3 duplicates doc 1 entirely -> drops out
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkWords = 2)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out === Array((1L, "a b c d"), (2L, "e f")))
+  }
+
+  test("dedupChunks: within-doc repeats collapse to the first index") {
+    val docs = Seq((7L, "x y x y x y")).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs, "doc_id", "text", chunkWords = 2)
+      .as[(Long, String)].collect()
+    assert(out === Array((7L, "x y")))
+  }
+
+  test("dedupChunks plan: map-side combine on the chunk aggregate") {
+    val plan = SparkEntry.queries("q_dedup_chunks")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), s"no partial min(struct) combine:\n$plan")
+  }
+}
