@@ -50,7 +50,13 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(_ >= 1).getOrElse(2)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated allowlist for focused A/B timing while iterating;
+    // unset (the driver's mode) = every query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

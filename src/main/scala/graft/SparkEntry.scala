@@ -30,6 +30,17 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
 
+  /** documents scan for the signature-heavy dedup family. The testdata
+    * parquet is ONE row group per table (unsplittable), so without this
+    * every minhash/simhash/shingle kernel would run in a single task no
+    * matter how many cores exist. The hash repartition recreates the
+    * parallelism a real multi-file corpus gets from its file layout; the
+    * shuffled bytes ~ table size, which the signature shuffle pays
+    * anyway. On a real corpus (many splits) this repartition is a no-op
+    * to DELETE, not tune — the scan already parallelizes. */
+  private def docsSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(col("doc_id"))
+
   /** Exact, order-independent aggregate for 2-decimal money/quantity
     * columns: scale to integer cents, sum as long (pure codegen'd
     * primitive math — decimal sums measured 5x slower), divide once.
@@ -305,7 +316,7 @@ object SparkEntry {
     "q_dedup_fingerprint" -> ((s, dir) =>
       Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(docsSplit(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5)),
     // prune-then-verify: minhash-LSH candidates (loose 0.35 prune on the
     // signature estimate) verified by EXACT n-gram jaccard — so the
@@ -313,11 +324,11 @@ object SparkEntry {
     // the planted near-dups fails the hash check. The raw estimate tier
     // stays spec-tested (TextDedupSpec).
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashVerifiedPairs(docsSplit(s, dir), "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32,
         candThreshold = 0.35, threshold = 0.5)),
     "q_dedup_corpus" -> ((s, dir) =>
-      Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.dedupCorpus(docsSplit(s, dir), "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
     // same prune-then-verify shape with the simhash hamming pruner.
     // maxHamming 6: the planted near-dups (jaccard 0.95-0.99) sit at
@@ -325,7 +336,7 @@ object SparkEntry {
     // GUARANTEES them as candidates; background pairs entering at
     // hamming 4-6 are dropped by the exact-jaccard verify.
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashVerifiedPairs(docsSplit(s, dir), "doc_id", "text",
         maxHamming = 6, n = 3, threshold = 0.5)),
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
@@ -350,6 +361,9 @@ object SparkEntry {
     // near-duplicating one of them (planted pairs straddling the split)
     // is dropped. Reference side broadcasts; corpus never shuffles until
     // the candidate verify.
+    // NO docsSplit here: decontaminate's whole design is zero corpus
+    // shuffle (reference side broadcasts) — a repartition would add the
+    // exact exchange the operator exists to avoid (measured 1.7x worse)
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminate(

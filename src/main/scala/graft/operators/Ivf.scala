@@ -54,7 +54,6 @@ object Ivf {
 
   private def trainImpl(corpus: DataFrame, idCol: String, vecCol: String,
                         nlist: Int, iters: Int): Array[Array[Float]] = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     // deterministic seed rows WITHOUT a global sort: rank by a hash of
     // the id (spreads seeds across the corpus instead of the
     // lowest-id corner) through the two-phase top-k — each partition is
