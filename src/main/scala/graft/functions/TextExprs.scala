@@ -109,6 +109,25 @@ case class QualityStatsExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Distinct 64-bit word-shingle hashes (sorted array<long>) — the
+  * shingle-set representation for the exact-jaccard tier; per-doc
+  * dedupe inside the kernel saves the corpus-wide distinct exchange. */
+case class ShingleHashesExpr(child: Expression, shingleWidth: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], shingleWidth)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.shingleHashes($c, $shingleWidth)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
 /** Array<int> [nTokens, nDistinctTokens, nBigrams, maxBigramCount] from
   * TextKernels.repetitionStats — raw integers behind the repetition
   * ratios; subexpression elimination evaluates it once per row. */

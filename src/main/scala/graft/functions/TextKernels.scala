@@ -222,6 +222,34 @@ object TextKernels {
       Array.tabulate(n)(p => FakeGen.mix64(s + p * 0x9e3779b97f4a7c15L))
     })
 
+  /** DISTINCT 64-bit hashes of the word `w`-shingles — the shingle-set
+    * representation the exact-jaccard tier joins on. Deduped per doc
+    * INSIDE the kernel, so the consumer needs no corpus-wide distinct
+    * exchange, and set sizes are `size(...)` projections instead of an
+    * aggregation. Same short-doc rule as [[minHash]] (docs with < w
+    * tokens hash their whole token array as one shingle). Two docs
+    * share a hash iff they share the shingle, up to 64-bit collisions
+    * (~n_shingles^2 / 2^64 spurious pairs corpus-wide — at 10^12
+    * shingles that is ~10^-5 of pairs, each perturbing one jaccard
+    * count by 1; negligible against a 0.5 threshold). Sorted ascending
+    * so output is deterministic. */
+  def shingleHashes(value: UTF8String, w: Int): ArrayData = {
+    val toks = tokens(value.toString)
+    val nSh = math.max(toks.length - w + 1, if (toks.length > 0) 1 else 0)
+    val set = new java.util.HashSet[java.lang.Long](math.max(nSh * 2, 16))
+    var i = 0
+    while (i < nSh) {
+      set.add(FakeGen.mix64(shingleHash(toks, i, math.min(w, toks.length - i))))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: `numHashes` permutations approximated by
     * `mix64(shingleHash ^ perm-constant)`; entry i is the minimum over
     * all shingles. Docs with < w tokens hash their whole token array as

@@ -97,6 +97,13 @@ object text {
   def rollingFingerprint(c: Column): Column =
     Bridge.column(RollingFingerprintExpr(Bridge.expression(c.cast("string"))))
 
+  /** Distinct 64-bit word `w`-shingle hashes (sorted array<long>) —
+    * the exact-jaccard set representation; see
+    * TextKernels.shingleHashes for the collision bound. */
+  def shingleHashes(c: Column, shingleWidth: Int = 3): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(c.cast("string")),
+      shingleWidth))
+
   /** MinHash signature (array<long>) over word `w`-shingles. */
   def minhash(c: Column, shingleWidth: Int = 3, numHashes: Int = 128,
               seed: Long = FakeGen.DefaultSeed): Column =

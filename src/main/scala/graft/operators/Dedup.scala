@@ -162,19 +162,28 @@ object Dedup {
       .select(col(idCol).as("id"),
         text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
 
-  /** Distinct word n-shingles per document: (id, sh). Docs shorter than
-    * n tokens contribute their whole token string as one shingle. */
+  /** Distinct HASHED word n-shingles per document: (id, sh: long).
+    * Docs shorter than n tokens contribute their whole token string as
+    * one shingle. The per-doc dedupe happens inside the codegen'd
+    * kernel ([[graft.functions.TextKernels.shingleHashes]]), which
+    * deletes the corpus-wide distinct exchange the string formulation
+    * needed, and the self-join downstream shuffles 8-byte keys instead
+    * of shingle text (~8x fewer shuffle bytes at 3-word shingles). The
+    * 2^-64 collision rate perturbs a common-count by 1 only when BOTH
+    * docs of a pair contain the colliding shingles — see the kernel
+    * doc for the corpus-scale bound. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame = {
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    df.select(col(idCol).as("id"), toks.as("toks"))
-      .withColumn("sh", explode(
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", col("toks"))))))
-      .select(col("id"), col("sh")).distinct()
-  }
+                          n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(text.shingleHashes(col(textCol), n)).as("sh"))
+
+  /** Shingle-set SIZE as a pure projection (the kernel array's length)
+    * — replaces a groupBy(id).count over the exploded shingle stream,
+    * i.e. one less corpus-wide aggregation exchange. */
+  private def shingleSizes(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(text.shingleHashes(col(textCol), n)).as("sz"))
 
   /** EXACT n-gram Jaccard similarity pairs — the verification tier and
     * the SQL oracle for minhash. Shingle self-join: quadratic only
@@ -192,7 +201,7 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5,
                         maxShingleDocFreq: Long = 0L): DataFrame = {
     val shingles = shingleSets(df, idCol, textCol, n)
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = shingleSizes(df, idCol, textCol, n)
     val joinable =
       if (maxShingleDocFreq <= 0) shingles
       else {
@@ -238,9 +247,9 @@ object Dedup {
     // prune to candidate DOCS before shingling: candidate docs are a
     // sliver of the corpus (dup-rate x docs), so the shingle explode —
     // ~60 rows/doc — must never run over rows that no pair references
-    val shC = shingleSets(
-      df.join(docs, Seq(idCol), "left_semi"), idCol, textCol, n)
-    val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val candDocs = df.join(docs, Seq(idCol), "left_semi")
+    val shC = shingleSets(candDocs, idCol, textCol, n)
+    val sizes = shingleSizes(candDocs, idCol, textCol, n)
     val common = cand
       .join(shC.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
       .join(shC.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
