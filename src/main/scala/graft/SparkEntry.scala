@@ -346,16 +346,9 @@ object SparkEntry {
     // 0.9988 vs a 0.51 background max), find them via bucket join +
     // exact-cosine verify. Oracle = exact all-pairs SQL on the same
     // augmented table, so recall shortfalls fail the hash check.
-    "q_dedup_embedding_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 25)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          concat(
-            array(element_at(col("embedding"), 1) + lit(0.05f)),
-            slice(col("embedding"), 2, 100000)).as("embedding"))
-      Dedup.embeddingNearDupPairsLsh(emb.unionByName(planted), "vec_id",
-        "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)
-    }),
+    "q_dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(plantedEmbeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)),
 
     // decontamination: docs 0..19 play the eval set; every other doc
     // near-duplicating one of them (planted pairs straddling the split)
@@ -375,17 +368,10 @@ object SparkEntry {
     // min-id member; survivors = the original corpus (planted copies
     // have larger ids). vec_id-only output: the driver harness can't
     // hash float-array cells.
-    "q_dedup_embedding_corpus" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 25)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          concat(
-            array(element_at(col("embedding"), 1) + lit(0.05f)),
-            slice(col("embedding"), 2, 100000)).as("embedding"))
-      Dedup.dedupCorpusEmbedding(emb.unionByName(planted), "vec_id",
+    "q_dedup_embedding_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpusEmbedding(plantedEmbeddings(s, dir), "vec_id",
         "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)
-        .select(col("vec_id"))
-    }),
+        .select(col("vec_id"))),
 
     // ---- training-data pipeline: similarity search --------------------
     "q_ann_topk" -> ((s, dir) => {
@@ -497,8 +483,33 @@ object SparkEntry {
       Transformators.redactPii(t(s, dir, "customer"), Seq("c_name"))),
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
-        chunkWords = 10))
+        chunkWords = 10)),
+    // SemDeDup: one k-means training run (the IVF quantizer) bounds the
+    // pair search to clusters; survivors = the original corpus (planted
+    // copies land in their source's cluster — pinned in TextDedupSpec)
+    "q_semantic_dedup" -> ((s, dir) => {
+      val aug = plantedEmbeddings(s, dir)
+      val centroids = graft.operators.Ivf.train(aug, "vec_id", "embedding",
+        nlist = 16, iters = 2)
+      Dedup.semanticDedup(aug, "vec_id", "embedding", centroids,
+        threshold = 0.7).select(col("vec_id"))
+    })
   )
+
+  /** Embeddings table augmented with 25 planted near-copies (coord 0
+    * nudged +0.05f => cos ~0.9988 vs a 0.51 background max; the float32
+    * nudge is bit-identical in Spark and DuckDB). Shared input of the
+    * LSH-pairs / corpus-dedup / semantic-dedup queries and their
+    * all-pairs SQL oracles. */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) + lit(0.05f)),
+          slice(col("embedding"), 2, 100000)).as("embedding"))
+    emb.unionByName(planted)
+  }
 
   /** Planted ANN queries: the first 5 corpus vectors, coord 0 nudged by
     * +0.02f (cos ~0.9998 with the source — the near-copy retrieval
@@ -865,7 +876,15 @@ object SparkEntry {
       "SELECT d.* FROM documents d WHERE d.doc_id >= 20 " +
       "AND d.doc_id NOT IN (SELECT id_a FROM bad)"),
 
-    "q_dedup_embedding_corpus" -> (
+    "q_dedup_embedding_corpus" -> embCorpusDedupSql,
+    // cluster-bounded (SemDeDup) dedup shares the all-pairs oracle: on
+    // this corpus every >=0.7 pair is a planted near-copy, and each
+    // lands in one k-means cell (co-clustering pinned in
+    // TextDedupSpec), so cluster bounding drops nothing the all-pairs
+    // tier keeps — a recall shortfall WOULD fail this hash check.
+    "q_semantic_dedup" -> embCorpusDedupSql) ++ oracleSqlTail
+
+  private val embCorpusDedupSql: String = (
       "WITH RECURSIVE aug AS (" +
       "  SELECT vec_id, embedding FROM embeddings " +
       "  UNION ALL " +
@@ -884,7 +903,9 @@ object SparkEntry {
       "), comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
       "  FROM reach GROUP BY src) " +
       "SELECT vec_id FROM aug WHERE vec_id NOT IN " +
-      "(SELECT id FROM comp WHERE component != id)"),
+      "(SELECT id FROM comp WHERE component != id)")
+
+  private val oracleSqlTail: Map[String, String] = Map(
 
     // ---- similarity search ---------------------------------------------
     "q_ann_lsh" -> annTop1Sql,

@@ -528,6 +528,61 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SemDeDup-style within-cluster near-dup pairs: a k-means coarse
+    * quantizer (the IVF centroid table — reuse one training run for
+    * both search and dedup) partitions the corpus; pairs are scored
+    * ONLY inside a cluster. Compute drops from n^2/2 to
+    * sum(cluster_size^2)/2 — with nlist ~ n/target_cluster_size the
+    * standard corpus-scale recipe (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540). A near-dup pair straddling a centroid boundary
+    * is missed by construction; that is the accepted recall trade of
+    * the method (the LSH tier [[embeddingNearDupPairsLsh]] is the
+    * boundary-free alternative).
+    *
+    * Inside a cluster the same balanced upper-triangle cell grid as
+    * [[embeddingNearDupPairs]] applies — join key (cluster, cell) — so
+    * a hot cluster spreads over nBlocks(nBlocks+1)/2 tasks instead of
+    * one: cluster skew is the known failure mode of semantic dedup at
+    * scale and the grid is the fix, not a bigger executor.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: Array[Array[Float]],
+                           threshold: Double, nBlocks: Int = 8): DataFrame = {
+    import graft.functions.vectors
+    val spark = df.sparkSession
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Ivf.assign(col(vecCol), centroids).as("cluster"),
+      pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
+    val cells = spark.range(nBlocks.toLong * nBlocks)
+      .select((col("id") / nBlocks).cast("int").as("bi"),
+              (col("id") % nBlocks).cast("int").as("bj"))
+      .filter(col("bi") <= col("bj"))
+      .withColumn("cell", col("bi") * nBlocks + col("bj"))
+    val aSide = v.join(broadcast(cells), col("blk") === col("bi"))
+      .select(col("cluster"), col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val bSide = v.join(broadcast(cells), col("blk") === col("bj"))
+      .select(col("cluster"), col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    aSide.join(bSide, Seq("cluster", "cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              round(col("cos"), 6).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Semantic (cluster-bounded) embedding dedup end to end: within-
+    * cluster pairs -> shared clustering tail -> keep each component's
+    * minimum id. The SemDeDup pipeline shape. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Float]], threshold: Double,
+                    nBlocks: Int = 8,
+                    maxDriverPairs: Long = 5000000L): DataFrame =
+    dropNearDupsByPairs(df, idCol,
+      semanticNearDupPairs(df, idCol, vecCol, centroids, threshold, nBlocks),
+      maxDriverPairs)
+
   /** Subquadratic embedding near-dup pairs — the 100 TB path for the
     * actual near-duplicate regime (threshold near 1, e.g. copies /
     * re-encodes). Hyperplane-LSH bucket equi-join with multi-probe:

@@ -88,6 +88,26 @@ object CdcStream {
       .groupBy(window(col(tsCol), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Event-time gap sessions on a stream — the streaming twin of
+    * [[graft.operators.Temporal.sessionize]], via the native
+    * session_window: the state store MERGES a key's overlapping
+    * windows as events arrive (sessions can join up across
+    * micro-batches), and the watermark closes sessions and reclaims
+    * their state — so an unbounded stream holds state only for OPEN
+    * sessions, bounded by concurrently-active keys, not history.
+    * Emits (key, session_start, session_end, n_events); end = last
+    * event + gap, the session_window convention. */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+                       gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming exact dedup: drops rows whose `keyCols` were already seen
     * within the watermark horizon — the streaming face of Dedup.exact
     * for continuous ingestion. State is bounded by the watermark (keys

@@ -58,6 +58,31 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming session_window sessions match the batch computation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    eventsWithTs.select($"user_id", $"ts").write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    // several micro-batches, so per-key sessions must MERGE across
+    // batches in the state store to match the batch result
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val sess = CdcStream.sessionizeStream(stream, "user_id", "ts",
+      gap = "30 minutes", watermark = "1 hour")
+    val q = sess.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_sessions")
+    val batch = eventsWithTs
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming latest-per-key state matches batch CdcMerge.latestPerKey") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val ev = spark.read.parquet(sf() + "/events.parquet")

@@ -224,6 +224,35 @@ class TextDedupSpec extends SparkTestBase {
       s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("semantic (SemDeDup) dedup: planted pairs co-cluster, so it matches the all-pairs oracle") {
+    // The q_semantic_dedup oracle is the SAME all-pairs recursive-CTE
+    // SQL as q_dedup_embedding_corpus; that is valid only while (a)
+    // every >=0.7 pair is a planted near-copy and (b) each planted pair
+    // assigns to one k-means cell. This test pins both: a straddling
+    // pair surfaces here as a named co-clustering failure instead of an
+    // opaque oracle hash mismatch.
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" < 25)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        concat(array(element_at($"embedding", 1) + lit(0.05f)),
+          slice($"embedding", 2, 100000)).as("embedding"))
+    val aug = emb.unionByName(planted)
+    val centroids = graft.operators.Ivf.train(aug, "vec_id", "embedding",
+      nlist = 16, iters = 2)
+    val clusters = aug
+      .select($"vec_id", graft.operators.Ivf.assign($"embedding", centroids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (i <- 0L until 25L)
+      assert(clusters(i) == clusters(i + 100000),
+        s"planted pair $i straddles clusters ${clusters(i)} vs ${clusters(i + 100000)}")
+    val survivors = Dedup.semanticDedup(aug, "vec_id", "embedding",
+      centroids, threshold = 0.7).select("vec_id")
+      .as[Long].collect().toSet
+    assert(survivors == emb.select("vec_id").as[Long].collect().toSet,
+      "semantic dedup must drop exactly the planted copies")
+  }
+
   test("embedding LSH: wide sketches don't enumerate 2^nBits masks") {
     // pre-fix this OOM'd the driver (2^48 longs); combinatorial masks
     // make wide sketches usable: C(48,<=1) = 49 probes
