@@ -484,6 +484,12 @@ object SparkEntry {
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
         chunkWords = 10)),
+    // Gopher-style composed quality gate: token bounds + composite
+    // quality + both repetition signals, as ONE codegen'd filter
+    "q_quality_filter" -> ((s, dir) =>
+      graft.operators.Corpus.qualityFilter(t(s, dir, "documents"), "text",
+        graft.operators.Corpus.QualityGates(minTokens = 20, maxTokens = 1000,
+          minQuality = 0.55, maxDupWordRatio = 0.6, maxTopBigramRatio = 0.1))),
     // SemDeDup: one k-means training run (the IVF quantizer) bounds the
     // pair search to clusters; survivors = the original corpus (planted
     // copies land in their source's cluster — pinned in TextDedupSpec)
@@ -525,6 +531,24 @@ object SparkEntry {
   /** Exact n-gram (n=3) jaccard pairs at threshold 0.5 over documents —
     * the shared oracle for the exact tier and both prune-then-verify
     * tiers (minhash / simhash). */
+  // ---- shared quality-signal SQL fragments (q_text_quality +
+  // q_quality_filter oracles; one source of truth for the formulas) ----
+  private val qAlphaSql = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+    "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / length(text) END"
+  private val qPunctSql = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+    "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END"
+  private val qStopListSql = "['the','a','an','and','of','to','in','is','it','that'," +
+    "'for','on','with','as','was','at','by']"
+  private val qToksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val qStopSql = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
+    s"len(list_filter($qToksSql, x -> list_contains($qStopListSql, x))) * 1.0 / len($qToksSql) END"
+  private val qNtokSql = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+    "len(regexp_split_to_array(trim(text), '\\s+')) END"
+  private val qQualitySql =
+    s"0.35 * ($qAlphaSql) + 0.25 * least(($qStopSql) * 3.0, 1.0) + " +
+    s"0.25 * least(($qNtokSql) / 100.0, 1.0) + " +
+    s"0.15 * (1.0 - least(($qPunctSql) * 5.0, 1.0))"
+
   private val exactJaccardSql: String =
     "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
     "  FROM documents), " +
@@ -764,24 +788,10 @@ object SparkEntry {
       "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
       "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens " +
       "FROM documents"),
-    "q_text_quality" -> {
-      val alpha = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-        "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / length(text) END"
-      val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
-        "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END"
-      val stopList = "['the','a','an','and','of','to','in','is','it','that'," +
-        "'for','on','with','as','was','at','by']"
-      val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-      val stop = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
-        s"len(list_filter($toks, x -> list_contains($stopList, x))) * 1.0 / len($toks) END"
-      val ntok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-        "len(regexp_split_to_array(trim(text), '\\s+')) END"
-      s"SELECT doc_id, round($alpha, 6) AS alpha_ratio, " +
-      s"round($punct, 6) AS punct_ratio, round($stop, 6) AS stopword_ratio, " +
-      s"round(0.35 * ($alpha) + 0.25 * least(($stop) * 3.0, 1.0) + " +
-      s"0.25 * least(($ntok) / 100.0, 1.0) + " +
-      s"0.15 * (1.0 - least(($punct) * 5.0, 1.0)), 6) AS quality FROM documents"
-    },
+    "q_text_quality" -> (
+      s"SELECT doc_id, round($qAlphaSql, 6) AS alpha_ratio, " +
+      s"round($qPunctSql, 6) AS punct_ratio, round($qStopSql, 6) AS stopword_ratio, " +
+      s"round($qQualitySql, 6) AS quality FROM documents"),
     "q_fingerprint_md5" -> (
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
       "FROM documents"),
@@ -1015,6 +1025,30 @@ object SparkEntry {
       s"SELECT c_custkey, $redacted AS c_name, c_nationkey, c_acctbal, " +
       "c_mktsegment FROM customer"
     },
+    // repetition CTEs shared with q_quality_repetition; quality formula
+    // shared with q_text_quality — all comparisons on round-6 values,
+    // matching the Spark side's rounded signals exactly
+    "q_quality_filter" -> (
+      "WITH tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 " +
+      "  THEN CAST([] AS VARCHAR[]) " +
+      "  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ts " +
+      "  FROM documents), " +
+      "base AS (SELECT doc_id, len(ts) AS n_tokens, " +
+      "  len(list_distinct(ts)) AS n_distinct FROM tok), " +
+      "bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bc GROUP BY 1), " +
+      "rep AS (SELECT b.doc_id, b.n_tokens, " +
+      "  round(CASE WHEN b.n_tokens = 0 THEN 0.0 " +
+      "    ELSE 1.0 - b.n_distinct * 1.0 / b.n_tokens END, 6) AS dwr, " +
+      "  round(CASE WHEN mx.nb IS NULL THEN 0.0 " +
+      "    ELSE mx.mc * 1.0 / mx.nb END, 6) AS tbr " +
+      "  FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id) " +
+      "SELECT d.* FROM documents d JOIN rep r ON d.doc_id = r.doc_id " +
+      "WHERE r.n_tokens BETWEEN 20 AND 1000 " +
+      s"AND round($qQualitySql, 6) >= 0.55 " +
+      "AND r.dwr <= 0.6 AND r.tbr <= 0.1"),
     "q_dedup_chunks" -> (
       "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), " +
       "  '\\s+') AS ts FROM documents), " +

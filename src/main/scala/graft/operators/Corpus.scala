@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.text
+
 /** Corpus-level analysis operators for the training-data pipeline:
   * vocabulary statistics and distribution summaries that in practice
   * run over the WHOLE corpus (billions of documents), so every one of
@@ -31,6 +33,32 @@ object Corpus {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
+
+  /** Gopher-style quality gates — every signal must pass. Bounds are
+    * inclusive; ratios compare at the shared round-6 precision so the
+    * decision is engine-portable (same rounded value on both sides of
+    * the SQL oracle). */
+  final case class QualityGates(
+      minTokens: Int = 20,
+      maxTokens: Int = 100000,
+      minQuality: Double = 0.5,
+      maxDupWordRatio: Double = 0.6,
+      maxTopBigramRatio: Double = 0.1)
+
+  /** Composed quality filtering (the Gopher/C4 pipeline stage): drop
+    * documents failing ANY of token-count bounds, composite quality
+    * score, duplicate-word fraction, or top-bigram fraction. One
+    * codegen'd filter over the scan — all four signals come from two
+    * one-pass kernels, no shuffle, linear at any corpus size. */
+  def qualityFilter(docs: DataFrame, textCol: String,
+                    gates: QualityGates = QualityGates()): DataFrame = {
+    val c = col(textCol)
+    docs.filter(
+      text.tokenCount(c).between(gates.minTokens, gates.maxTokens) &&
+      text.qualityScore(c) >= gates.minQuality &&
+      text.dupWordRatio(c) <= gates.maxDupWordRatio &&
+      text.topBigramRatio(c) <= gates.maxTopBigramRatio)
+  }
 
   /** Per-group length-distribution summary: exact interpolated
     * percentiles (Spark `percentile`, the R-7 / quantile_cont

@@ -104,6 +104,25 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(row.getDouble(6) === 39.7)        // p99
   }
 
+  // ---- composed quality filter ----------------------------------------
+
+  test("qualityFilter: each gate independently rejects") {
+    val prose = ("the data is good and it was found that the value " +
+      "of the table is what we know about it ").trim          // passes all
+    val docs = Seq(
+      (1L, prose),
+      (2L, "too short"),                                      // minTokens
+      (3L, Seq.fill(40)("spam").mkString(" ")),               // dup words
+      (4L, Seq.fill(20)("buy now").mkString(" ")),            // top bigram
+      (5L, ".,;: !? .,;: " * 8 + "x y z w v u t s r q p o n") // quality
+    ).toDF("doc_id", "text")
+    val kept = Corpus.qualityFilter(docs, "text",
+      Corpus.QualityGates(minTokens = 10, maxTokens = 1000, minQuality = 0.5,
+        maxDupWordRatio = 0.6, maxTopBigramRatio = 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
   // ---- PII redaction ---------------------------------------------------
 
   test("redactPii masks emails, IPs, and digit runs — in that order") {

@@ -137,4 +137,48 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("repetitionStats == independent tokenize/count replica") {
+    for (s <- randomTexts(500, 5L)) {
+      val got = TextKernels.repetitionStats(UTF8String.fromString(s))
+      val toks = TextKernels.tokens(s) // shared normalization on purpose:
+      // the replica recounts independently, the tokenizer itself is
+      // pinned by the qualityStats property above
+      val bigrams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      assert(got.getInt(0) == toks.length)
+      assert(got.getInt(1) == toks.distinct.length)
+      assert(got.getInt(2) == math.max(toks.length - 1, 0))
+      val maxBg = if (bigrams.isEmpty) 0
+        else bigrams.groupBy(identity).values.map(_.size).max
+      assert(got.getInt(3) == maxBg, s"maxBigram of ${s.take(40)}")
+    }
+  }
+
+  test("shingleHashes: sorted, distinct, and == per-shingle hash set replica") {
+    for ((s, idx) <- randomTexts(500, 6L).zipWithIndex; w <- Seq(1, 3, 5)) {
+      val got = TextKernels.shingleHashes(UTF8String.fromString(s), w)
+      val arr = got.toLongArray()
+      assert(arr.sameElements(arr.sorted.distinct), s"not sorted-distinct at $idx")
+      // independent replica: hash every w-shingle string through the
+      // SAME shingle hash the minhash kernel uses (string -> FNV -> mix)
+      val toks = TextKernels.tokens(s)
+      val expected: Set[Long] =
+        if (toks.isEmpty) Set.empty
+        else {
+          val n = math.max(toks.length - w + 1, 1)
+          (0 until n).map { i =>
+            val sh = toks.slice(i, math.min(i + w, toks.length))
+            var h = 0xcbf29ce484222325L
+            for (t <- sh) {
+              for (k <- 0 until t.length) h = (h ^ t.charAt(k)) * 0x100000001b3L
+              h = (h ^ ' ') * 0x100000001b3L
+            }
+            graft.fakegen.FakeGen.mix64(h)
+          }.toSet
+        }
+      assert(arr.toSet == expected, s"shingle set of ${s.take(40)} w=$w")
+      // parity with minhash: empty doc <=> empty signature source
+      assert((arr.length == 0) == (toks.length == 0))
+    }
+  }
 }
