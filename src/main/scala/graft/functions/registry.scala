@@ -91,5 +91,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -209,11 +209,16 @@ object TopK {
   val SpillThresholdConf = "spark.graft.topk.maxHeapBytes"
   val DefaultSpillThreshold: Long = 64L * 1024 * 1024
 
-  /** Ensure the strategy is active on this session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Ensure the strategy + the window-idiom rewrite are active on this
+    * session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+  }
 
   /** Top `k` rows per `keyCols`, ranked by `orderCols` (descending by
     * default). Drop-in replacement for the window row_number pattern. */

@@ -15,11 +15,56 @@ class TopKPlanSpec extends SparkTestBase {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"o_custkey")
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-    val viaWindow = orders.withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 3).drop("rn")
+    // the reference MUST stay a genuine window plan: this drop-rank
+    // shape is exactly what TopKRewrite targets, so disable the rule
+    // or the test compares the operator against itself
+    spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "false")
+    try {
+      val viaWindow = orders.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+      assert(viaWindow.queryExecution.executedPlan.toString.contains("Window"),
+        "reference plan must be the real window formulation")
+      assert(custom.count() == viaWindow.count())
+      assert(custom.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(custom).isEmpty)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
 
-    assert(custom.count() == viaWindow.count())
-    assert(custom.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(custom).isEmpty)
+  test("TopKRewrite: the drop-rank window idiom plans as TopKPerKeyExec") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    graft.plans.TopK.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val idiom = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+    val plan = idiom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    // results equal the un-rewritten window plan
+    spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "false")
+    try {
+      val ref = orders.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3).drop("rn")
+      assert(idiom.exceptAll(ref).isEmpty && ref.exceptAll(idiom).isEmpty)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+  }
+
+  test("TopKRewrite: rn = 1 (latest-per-key) rewrites; kept rank does NOT") {
+    val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
+    graft.plans.TopK.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey".desc)
+    val latest = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    assert(latest.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(latest.count() ==
+      orders.select($"o_custkey").distinct().count())
+    // rank kept in the output => the rewrite must NOT fire
+    val ranked = orders.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+    val rankedPlan = ranked.queryExecution.executedPlan.toString
+    assert(!rankedPlan.contains("TopKPerKey") && rankedPlan.contains("Window"),
+      s"rewrite fired on a query that OBSERVES the rank:\n$rankedPlan")
   }
 
   test("physical plan: TopKPerKeyExec with one hash exchange, no Sort") {
