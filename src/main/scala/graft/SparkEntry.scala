@@ -549,12 +549,18 @@ object SparkEntry {
     s"0.25 * least(($qNtokSql) / 100.0, 1.0) + " +
     s"0.15 * (1.0 - least(($qPunctSql) * 5.0, 1.0))"
 
+  // kernel-parity tokenization (TextKernels.tokens): lower + \s+ split
+  // + DROP empty segments; empty docs produce NO shingles (the WHERE),
+  // exactly like shingleHashes — r4 review finding on edge-whitespace
+  // and empty-doc divergence
   private val exactJaccardSql: String =
-    "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(text), '\\s+'), t -> t != '') AS ts " +
     "  FROM documents), " +
     "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
     "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
-    "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
+    "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+    "  WHERE len(ts) > 0), " +
     "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
     "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
     "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -796,11 +802,10 @@ object SparkEntry {
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
       "FROM documents"),
     "q_fingerprint_rolling" -> rollingFpSql,
-    // \s in the symbol class so regex-whitespace separates runs. The
-    // kernel separates on Character.isWhitespace, which additionally
-    // covers \x0B and \x1C-\x1F (ASCII) plus some unicode spaces — the
-    // corpus is verified free of all of those, which is what makes this
-    // oracle exact here.
+    // \s in the symbol class so regex-whitespace separates runs — the
+    // kernel separates on the SAME regex-\s class (isWsRegex, unified
+    // in r4), so this oracle is exact on any input, not just this
+    // corpus.
     "q_token_count_bpe" -> (
       "SELECT doc_id, CAST(len(regexp_extract_all(text, " +
       "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS INT) AS n_bpe_tokens " +
@@ -827,11 +832,13 @@ object SparkEntry {
     // pairs on this corpus (cross-validated in q_dedup_minhash).
     "q_dedup_corpus" -> (
       "WITH RECURSIVE " +
-      "tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+      "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
       "  FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
       "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
-      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
       "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
       "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
       "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
@@ -871,11 +878,13 @@ object SparkEntry {
     // exact cross-split jaccard pairs decide contamination; survivors =
     // corpus docs with no >=0.5 partner in the reference split
     "q_decontaminate" -> (
-      "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts " +
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
       "  FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
       "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
-      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i)), " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
       "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
       "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
       "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id >= 20 AND b.doc_id < 20 " +
@@ -987,9 +996,8 @@ object SparkEntry {
       "min(ts) AS session_start, max(ts) AS session_end " +
       "FROM si GROUP BY 1, 2"),
     "q_quality_repetition" -> (
-      "WITH tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 " +
-      "  THEN CAST([] AS VARCHAR[]) " +
-      "  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ts " +
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
       "  FROM documents), " +
       "base AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, " +
       "  CAST(len(list_distinct(ts)) AS INT) AS n_distinct FROM tok), " +
@@ -1029,9 +1037,8 @@ object SparkEntry {
     // shared with q_text_quality — all comparisons on round-6 values,
     // matching the Spark side's rounded signals exactly
     "q_quality_filter" -> (
-      "WITH tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 " +
-      "  THEN CAST([] AS VARCHAR[]) " +
-      "  ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS ts " +
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
       "  FROM documents), " +
       "base AS (SELECT doc_id, len(ts) AS n_tokens, " +
       "  len(list_distinct(ts)) AS n_distinct FROM tok), " +

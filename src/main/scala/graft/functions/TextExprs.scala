@@ -14,6 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashExpr(child: Expression, shingleWidth: Int, numHashes: Int,
                        seed: Long) extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(shingleWidth > 0,
+    s"shingle width must be positive, got $shingleWidth")
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -115,6 +118,8 @@ case class QualityStatsExpr(child: Expression) extends UnaryExpression
 case class ShingleHashesExpr(child: Expression, shingleWidth: Int)
     extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(shingleWidth > 0,
+    s"shingle width must be positive, got $shingleWidth")
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

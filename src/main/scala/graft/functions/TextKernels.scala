@@ -17,14 +17,20 @@ import graft.fakegen.FakeGen
 object TextKernels {
 
   /** Lowercase + collapse runs of whitespace to single spaces + trim.
-    * The shared normalization for fingerprints and shingles. */
+    * The shared normalization for fingerprints, shingles, and token
+    * kernels. Whitespace = the regex `\s` class ([[isWsRegex]]), NOT
+    * Character.isWhitespace (which additionally matches \x1C-\x1F and
+    * Unicode spaces): every oracle replica of these kernels is written
+    * with `\s` regexes, and the two classes must agree or texts
+    * containing the exotic separators silently diverge from the SQL
+    * contract (r4 review finding). */
   def normalize(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var pendingSpace = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      if (isWsRegex(c)) { if (sb.length > 0) pendingSpace = true }
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
         sb.append(Character.toLowerCase(c))
@@ -53,7 +59,7 @@ object TextKernels {
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) i += 1
+      if (isWsRegex(c)) i += 1
       else {
         val kind =
           if (Character.isLetter(c)) 0
@@ -61,7 +67,7 @@ object TextKernels {
           else 2
         count += 1
         i += 1
-        while (i < n && !Character.isWhitespace(s.charAt(i)) && {
+        while (i < n && !isWsRegex(s.charAt(i)) && {
           val cc = s.charAt(i)
           val k = if (Character.isLetter(cc)) 0
                   else if (Character.isDigit(cc)) 1 else 2

@@ -53,8 +53,13 @@ object Corpus {
   def qualityFilter(docs: DataFrame, textCol: String,
                     gates: QualityGates = QualityGates()): DataFrame = {
     val c = col(textCol)
+    // token gate from the SAME kernel as the repetition ratios (r4
+    // review finding: tokenCount keeps empty split segments, the
+    // repetition kernel drops them — mixing the two made the gate
+    // diverge from the oracle on edge-whitespace docs)
     docs.filter(
-      text.tokenCount(c).between(gates.minTokens, gates.maxTokens) &&
+      element_at(text.repetitionStats(c), 1)
+        .between(gates.minTokens, gates.maxTokens) &&
       text.qualityScore(c) >= gates.minQuality &&
       text.dupWordRatio(c) <= gates.maxDupWordRatio &&
       text.topBigramRatio(c) <= gates.maxTopBigramRatio)

@@ -31,6 +31,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * like any aggregate rewrite this is unobservable in the unordered
   * DataFrame model; the physical node declares no outputOrdering, so
   * any downstream order requirement still inserts its sort.
+  *
+  * Ties: when the window ordering is not a total order, `row_number`
+  * itself is NONDETERMINISTIC at the k boundary (which tied row ranks
+  * k vs k+1 depends on partitioning and physical row order), and the
+  * heap operator may select a different tied row than a given window
+  * execution would — the same contract, a different draw. Spark's own
+  * InferWindowGroupLimit makes the identical trade. Queries that need
+  * a stable winner must make the ordering total (add a tiebreaker
+  * column), with or without this rewrite.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
 

@@ -36,16 +36,26 @@ object DedupProfile {
     timeCount("minhash_sigs") {
       docs.select(graft.functions.text.minhash(col("text"), 3, 128, 42).as("sig"))
     }
-    val mhCand = Dedup.minhashPairs(docs, "doc_id", "text",
-      shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.35)
-    timeCount("minhash_candidates")(mhCand)
-    timeCount("minhash_verify") {
-      Dedup.verifyPairsJaccard(docs, "doc_id", "text", mhCand, 3, 0.5)
+    // construct INSIDE the timed thunk: the pair operators contain an
+    // eager localCheckpoint, so building the DataFrame outside would run
+    // the dominant banding job before the clock starts (r4 review
+    // finding). The verify stages therefore time candidates + verify.
+    timeCount("minhash_candidates") {
+      Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.35)
     }
-    val shCand = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
-    timeCount("simhash_candidates")(shCand)
-    timeCount("simhash_verify") {
-      Dedup.verifyPairsJaccard(docs, "doc_id", "text", shCand, 3, 0.5)
+    timeCount("minhash_cand+verify") {
+      Dedup.verifyPairsJaccard(docs, "doc_id", "text",
+        Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.35),
+        3, 0.5)
+    }
+    timeCount("simhash_candidates") {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    }
+    timeCount("simhash_cand+verify") {
+      Dedup.verifyPairsJaccard(docs, "doc_id", "text",
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6), 3, 0.5)
     }
     timeCount("exact_jaccard")(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))

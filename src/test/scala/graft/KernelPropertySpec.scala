@@ -45,16 +45,19 @@ class KernelPropertySpec extends AnyFunSuite {
   }
 
   test("bpeTokenCount == independent span-scan replica") {
+    // regex-\s separator class, matching the kernel (and the oracle's
+    // '[^\sA-Za-z0-9]+' symbol-run exclusion) exactly
+    def ws(c: Char): Boolean = c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
     def replica(s: String): Int = {
       def kind(c: Char): Int =
         if (Character.isLetter(c)) 0
         else if (Character.isDigit(c)) 1 else 2
-      var rest = s.dropWhile(Character.isWhitespace)
+      var rest = s.dropWhile(ws)
       var n = 0
       while (rest.nonEmpty) {
         val k = kind(rest.head)
-        rest = rest.dropWhile(c => !Character.isWhitespace(c) && kind(c) == k)
-          .dropWhile(Character.isWhitespace)
+        rest = rest.dropWhile(c => !ws(c) && kind(c) == k)
+          .dropWhile(ws)
         n += 1
       }
       n

@@ -40,12 +40,17 @@ class TopKPlanSpec extends SparkTestBase {
     val plan = idiom.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
     assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
-    // results equal the un-rewritten window plan
+    // MATERIALIZE the rewritten result BEFORE flipping the kill-switch:
+    // Datasets are lazy, so comparing two live frames after disabling
+    // the rule would re-plan both as windows and compare the window
+    // plan against itself (r4 review finding)
+    val rewrittenRows = idiom.collect().map(_.toSeq).toSet
     spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "false")
     try {
       val ref = orders.withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3).drop("rn")
-      assert(idiom.exceptAll(ref).isEmpty && ref.exceptAll(idiom).isEmpty)
+      assert(ref.queryExecution.executedPlan.toString.contains("Window"))
+      assert(rewrittenRows == ref.collect().map(_.toSeq).toSet)
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
