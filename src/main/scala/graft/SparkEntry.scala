@@ -484,6 +484,21 @@ object SparkEntry {
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
         chunkWords = 10)),
+    // per-source corpus health dashboard
+    "q_source_report" -> ((s, dir) =>
+      graft.operators.Corpus.sourceReport(t(s, dir, "documents"),
+        groupCol = "source", textCol = "text")),
+    // token-budget mixing: even docs capped at 5000 tokens (rate < 1),
+    // odd docs under an ample budget (rate = 1 — the keep-all path)
+    "q_mix_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__tok", text.tokenCount(col("text")))
+      graft.operators.Sampling.mixByTokenBudget(Seq(
+          ("even", docs.filter(col("doc_id") % 2 === 0), 5000L),
+          ("odd", docs.filter(col("doc_id") % 2 =!= 0), 1000000000L)),
+        keyCol = "doc_id", tokenCol = "__tok")
+        .select(col("doc_id"), col("__source"))
+    }),
     // Gopher-style composed quality gate: token bounds + composite
     // quality + both repetition signals, as ONE codegen'd filter
     "q_quality_filter" -> ((s, dir) =>
@@ -1033,6 +1048,32 @@ object SparkEntry {
       s"SELECT c_custkey, $redacted AS c_name, c_nationkey, c_acctbal, " +
       "c_mktsegment FROM customer"
     },
+    "q_source_report" -> (
+      "WITH t AS (SELECT source, " +
+      "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +
+      s"CAST($qNtokSql AS BIGINT) AS tok, " +
+      s"round($qQualitySql, 6) AS q FROM documents) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "count(DISTINCT fp) AS n_distinct, " +
+      "round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate, " +
+      "sum(tok) AS total_tokens, round(avg(q), 6) AS avg_quality " +
+      "FROM t GROUP BY source"),
+    // replays the runtime-derived keep-rate in SQL: rate = budget /
+    // exact integer token total (both engines do the same float64
+    // division), threshold = floor(rate * 16^15) rendered as 15 hex
+    // digits — the same math as Sampling.thresholdHex, so the per-row
+    // lexicographic md5 compare selects the identical rows
+    "q_mix_token_budget" -> (
+      "WITH t AS (SELECT doc_id, " +
+      s"CAST($qNtokSql AS BIGINT) AS tok FROM documents), " +
+      "ev AS (SELECT doc_id FROM t WHERE doc_id % 2 = 0), " +
+      "rate AS (SELECT CAST(5000 AS DOUBLE) / sum(tok) AS r FROM t " +
+      "  WHERE doc_id % 2 = 0) " +
+      "SELECT doc_id, 'even' AS __source FROM ev, rate " +
+      "WHERE substr(md5('42:even:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      "  lpad(lower(hex(CAST(floor(r * power(16.0, 15)) AS BIGINT))), 15, '0') " +
+      "UNION ALL " +
+      "SELECT doc_id, 'odd' AS __source FROM t WHERE doc_id % 2 = 1"),
     // repetition CTEs shared with q_quality_repetition; quality formula
     // shared with q_text_quality — all comparisons on round-6 values,
     // matching the Spark side's rounded signals exactly

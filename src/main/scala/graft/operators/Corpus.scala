@@ -65,6 +65,28 @@ object Corpus {
       text.topBigramRatio(c) <= gates.maxTopBigramRatio)
   }
 
+  /** Per-source corpus health report: document and distinct-content
+    * counts, exact-dup rate, token volume, and mean quality — the
+    * one-pass dashboard a curation run starts from. All aggregates are
+    * map-side-combining (count / count-distinct-on-fingerprint / sum /
+    * avg over kernel projections); one shuffle on the group key.
+    * Doubles round to 6 like every cross-engine ratio here. */
+  def sourceReport(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    docs
+      .select(col(groupCol), text.fingerprintMd5(c).as("__fp"),
+        text.tokenCount(c).cast("long").as("__tok"),
+        text.qualityScore(c).as("__q"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_distinct"),
+        round(lit(1.0) - countDistinct(col("__fp")).cast("double") /
+          count(lit(1)), 6).as("dup_rate"),
+        sum(col("__tok")).as("total_tokens"),
+        round(avg(col("__q")), 6).as("avg_quality"))
+  }
+
   /** Per-group length-distribution summary: exact interpolated
     * percentiles (Spark `percentile`, the R-7 / quantile_cont
     * definition every engine uses), mean, and count.

@@ -70,4 +70,29 @@ object Sampling {
         .withColumn("__source", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** Mix sources to per-source TOKEN budgets — the LLM data recipe is
+    * "this many tokens from each source", not "this fraction of rows".
+    * One aggregate scan per source measures its total tokens (column-
+    * pruned: reads only `tokenCol`); keep-rate = budget/total (capped
+    * at 1), then the standard content-keyed md5 sample applies at that
+    * rate. Expected sampled tokens = budget ± binomial noise; the
+    * decision stays engine-portable because the rate is derived from
+    * an EXACT integer total, and the threshold math (floor(rate *
+    * 16^15), compared as hex strings) replays identically in SQL —
+    * which is what the q_mix_token_budget oracle does.
+    */
+  def mixByTokenBudget(sources: Seq[(String, DataFrame, Long)],
+                       keyCol: String, tokenCol: String,
+                       seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    require(sources.nonEmpty)
+    require(sources.forall(_._3 >= 0), "token budgets must be >= 0")
+    sources.map { case (name, df, budget) =>
+      val row = df.agg(sum(col(tokenCol)).cast("long")).first()
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val rate = if (total <= budget) 1.0 else budget.toDouble / total
+      hashSample(df, keyCol, rate, seed, domain = name)
+        .withColumn("__source", lit(name))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -90,6 +90,24 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
   }
 
+  // ---- source report ---------------------------------------------------
+
+  test("sourceReport: counts, dup rate, token volume per source") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma"),
+      (2L, "s1", "alpha beta gamma"),   // exact dup of 1
+      (3L, "s1", "delta epsilon"),
+      (4L, "s2", "zeta")
+    ).toDF("doc_id", "source", "text")
+    val rep = Corpus.sourceReport(docs, "source", "text")
+      .orderBy("source").collect()
+    assert(rep(0).getLong(1) === 3L)      // s1 n_docs
+    assert(rep(0).getLong(2) === 2L)      // s1 distinct
+    assert(rep(0).getDouble(3) === 0.333333)
+    assert(rep(0).getLong(4) === 8L)      // 3+3+2 tokens
+    assert(rep(1).getLong(1) === 1L && rep(1).getDouble(3) === 0.0)
+  }
+
   // ---- length stats ----------------------------------------------------
 
   test("lengthStats: exact interpolated percentiles") {

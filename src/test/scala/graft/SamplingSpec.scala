@@ -63,4 +63,23 @@ class SamplingSpec extends SparkTestBase {
     val bIds = mixed.filter($"__source" === "b").select("id").as[Long].collect().toSet
     assert(!bIds.subsetOf(aIds) || bIds.size < 20)
   }
+
+  test("mixByTokenBudget: sampled tokens land near the budget; ample budget keeps all") {
+    val a = spark.range(1000).toDF("id").withColumn("tok", lit(10L)) // 10k total
+    val b = spark.range(100).toDF("id").withColumn("tok", lit(10L))  // 1k total
+    val mixed = Sampling.mixByTokenBudget(
+      Seq(("a", a, 2000L), ("b", b, 50000L)), "id", "tok")
+    val toks = mixed.groupBy("__source").agg(sum($"tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(toks("a") - 2000L) < 600, toks.toString) // rate 0.2 +- noise
+    assert(toks("b") == 1000L, "under-budget source must keep every row")
+    // deterministic: the same mix again selects identical rows
+    val again = Sampling.mixByTokenBudget(
+      Seq(("a", a, 2000L), ("b", b, 50000L)), "id", "tok")
+      .select("id", "__source").collect().map(_.toSeq).toSet
+    assert(again == mixed.select("id", "__source").collect().map(_.toSeq).toSet)
+    // zero budget drops everything from that source
+    val none = Sampling.mixByTokenBudget(Seq(("a", a, 0L)), "id", "tok")
+    assert(none.count() == 0)
+  }
 }
