@@ -46,6 +46,21 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(n === 1, s"expected 1 hash exchange, got $n:\n$plan")
   }
 
+  test("sourceReport plan: partial aggregation before the one exchange") {
+    val plan = SparkEntry.queries("q_source_report")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side combine:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("mixByTokenBudget plan: sampling filter is a scan-level projection, no shuffle") {
+    val plan = SparkEntry.queries("q_mix_token_budget")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 0, s"the mix union must not shuffle:\n$plan")
+  }
+
   // ---- repetition stats ------------------------------------------------
 
   test("repetitionStats: counts and ratios on crafted docs") {

@@ -83,6 +83,36 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("curation ops are batch/stream unified: qualityFilter + redactPii on a stream") {
+    // both are stateless per-row operators, so the SAME code runs
+    // unchanged on a micro-batch stream and selects/produces the SAME
+    // rows — curation applied at ingest equals curation applied batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream5").toString
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val curated = graft.operators.Transformators.redactPii(
+      graft.operators.Corpus.qualityFilter(stream, "text",
+        graft.operators.Corpus.QualityGates(minTokens = 20, maxTokens = 1000,
+          minQuality = 0.55, maxDupWordRatio = 0.6, maxTopBigramRatio = 0.1)),
+      Seq("text"))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("stream_curated")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_curated").collect().map(_.toSeq).toSet
+    val batch = graft.operators.Transformators.redactPii(
+      graft.operators.Corpus.qualityFilter(docs, "text",
+        graft.operators.Corpus.QualityGates(minTokens = 20, maxTokens = 1000,
+          minQuality = 0.55, maxDupWordRatio = 0.6, maxTopBigramRatio = 0.1)),
+      Seq("text")).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming latest-per-key state matches batch CdcMerge.latestPerKey") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val ev = spark.read.parquet(sf() + "/events.parquet")
