@@ -1069,11 +1069,16 @@ object SparkEntry {
       "ev AS (SELECT doc_id FROM t WHERE doc_id % 2 = 0), " +
       "rate AS (SELECT CAST(5000 AS DOUBLE) / sum(tok) AS r FROM t " +
       "  WHERE doc_id % 2 = 0) " +
+      // r >= 1 replicates hashSample's keep-all branch: thresholdHex is
+      // undefined at rate 1 (needs 16 hex digits) and Spark skips the
+      // filter entirely — without this guard the truncated threshold
+      // would silently keep ~1/16 of rows (r4 review finding)
       "SELECT doc_id, 'even' AS __source FROM ev, rate " +
-      "WHERE substr(md5('42:even:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      "WHERE r >= 1.0 OR " +
+      "substr(md5('42:even:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
       "  lpad(lower(hex(CAST(floor(r * power(16.0, 15)) AS BIGINT))), 15, '0') " +
       "UNION ALL " +
-      "SELECT doc_id, 'odd' AS __source FROM t WHERE doc_id % 2 = 1"),
+      "SELECT doc_id, 'odd' AS __source FROM t WHERE doc_id % 2 != 0"),
     // repetition CTEs shared with q_quality_repetition; quality formula
     // shared with q_text_quality — all comparisons on round-6 values,
     // matching the Spark side's rounded signals exactly

@@ -67,10 +67,16 @@ object Corpus {
 
   /** Per-source corpus health report: document and distinct-content
     * counts, exact-dup rate, token volume, and mean quality — the
-    * one-pass dashboard a curation run starts from. All aggregates are
-    * map-side-combining (count / count-distinct-on-fingerprint / sum /
-    * avg over kernel projections); one shuffle on the group key.
-    * Doubles round to 6 like every cross-engine ratio here. */
+    * one-pass dashboard a curation run starts from. The plain
+    * aggregates combine map-side; the EXACT count-distinct is the
+    * honest cost: it plans as a two-round distinct aggregate whose
+    * first exchange carries one row per distinct (source, fingerprint)
+    * pair — proportional to distinct CONTENT, not to source count
+    * (plan-pinned at 2 exchanges in CorpusOpsSpec). At 100 TB swap in
+    * approx_count_distinct (HLL, one exchange) when a ±2% dup rate is
+    * acceptable; the exact form is kept here because it is what the
+    * DuckDB oracle can check. Doubles round to 6 like every
+    * cross-engine ratio. */
   def sourceReport(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
     docs

@@ -87,12 +87,24 @@ object Sampling {
                        seed: Long = FakeGen.DefaultSeed): DataFrame = {
     require(sources.nonEmpty)
     require(sources.forall(_._3 >= 0), "token budgets must be >= 0")
-    sources.map { case (name, df, budget) =>
-      val row = df.agg(sum(col(tokenCol)).cast("long")).first()
-      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-      val rate = if (total <= budget) 1.0 else budget.toDouble / total
-      hashSample(df, keyCol, rate, seed, domain = name)
-        .withColumn("__source", lit(name))
-    }.reduce(_ unionByName _)
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique (they domain-separate the draws)")
+    // ONE Spark job measures every source's total (a union of tagged
+    // single-row aggregates — the per-source scans run as parallel
+    // stages, not S sequential driver round-trips)
+    val totals: Map[String, Long] = sources.map { case (name, df, _) =>
+        df.agg(sum(col(tokenCol)).cast("long").as("t"))
+          .select(lit(name).as("n"), col("t"))
+      }.reduce(_ unionByName _)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    // rate-capped-at-1 keep-all branch lives in hashSample; the mix
+    // semantics (domain separation, provenance column, union) are
+    // weightedMix's — one implementation, two entry points
+    weightedMix(sources.map { case (name, df, budget) =>
+      val total = totals(name)
+      (name, df, if (total <= budget) 1.0 else budget.toDouble / total)
+    }, keyCol, seed)
   }
 }

@@ -46,11 +46,15 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(n === 1, s"expected 1 hash exchange, got $n:\n$plan")
   }
 
-  test("sourceReport plan: partial aggregation before the one exchange") {
+  test("sourceReport plan: partial aggregation; exactly the 2 exchanges the doc states") {
     val plan = SparkEntry.queries("q_source_report")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"no map-side combine:\n$plan")
+    // exact count-distinct = two-round distinct aggregate: exchange on
+    // (source, fingerprint) then on (source) — the documented cost
+    val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 2, s"expected the 2 distinct-agg exchanges, got $n:\n$plan")
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
