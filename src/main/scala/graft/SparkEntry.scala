@@ -484,6 +484,11 @@ object SparkEntry {
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
         chunkWords = 10)),
+    // self-trained unigram LM scoring; vocabSize 20 < the corpus's ~31
+    // distinct tokens, so the OOV floor path is genuinely exercised
+    "q_lm_score" -> ((s, dir) =>
+      graft.operators.Corpus.unigramScore(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", vocabSize = 20)),
     // per-source corpus health dashboard
     "q_source_report" -> ((s, dir) =>
       graft.operators.Corpus.sourceReport(t(s, dir, "documents"),
@@ -582,6 +587,64 @@ object SparkEntry {
     "SELECT id_a, id_b, round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
     "FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
     "WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5"
+
+  /** Exact SQL replica of `simhashVerifiedPairs` SEMANTICS: pairs with
+    * (simhash hamming <= maxHamming) AND (exact n-gram jaccard >=
+    * threshold). The pigeonhole banding finds exactly the hamming-
+    * bounded pairs, so the band plan never appears here — only the
+    * hamming predicate does. The simhash itself is recomputed in
+    * DuckDB: FNV-1a token hashes xor seed through the SplitMix64
+    * HUGEINT replica (the rollingFpSql machinery), per-bit +-1 vote
+    * sums, bit table joined per true pair. This makes the oracle exact
+    * on ANY corpus — the previous exact-jaccard oracle was only valid
+    * where hamming(true pair) <= maxHamming held corpus-wide, which
+    * the sf0.001/sf0.1 soak disproved (true-pair hamming reaches 13).
+    */
+  private val simhashPrunedJaccardSql: String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    def mulmod(x: String, c: String) =
+      s"(((($x) % 4294967296) * $c + (((($x) // 4294967296) * $c) % 4294967296) * 4294967296) % $M)"
+    def xorshift(x: String, s: Long) = s"xor($x, ($x) // ${1L << s})"
+    // FNV-1a over the token's chars (ASCII corpus: bytes == codepoints)
+    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      s"(h, c) -> (xor(h, c) * 1099511628211) % $M)"
+    val seeded = s"xor(($fnv), ${FakeGen.DefaultSeed})"
+    val x1 = xorshift(s"($seeded)", 30)
+    val x2 = mulmod(s"($x1)", java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L))
+    val x3 = xorshift(s"($x2)", 27)
+    val x4 = mulmod(s"($x3)", java.lang.Long.toUnsignedString(0x94d049bb133111ebL))
+    val x5 = xorshift(s"($x4)", 31)
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(" +
+    "  lower(text), '\\s+'), t -> t != '')) AS w FROM documents), " +
+    s"wh AS (SELECT doc_id, ($x5) AS h FROM tok), " +
+    "pw AS (SELECT CAST(b AS INT) AS b, list_reduce(list_prepend(1::HUGEINT, " +
+    "  list_transform(range(b), x -> 2::HUGEINT)), (a, c) -> a * c) AS p " +
+    "  FROM (SELECT unnest(range(64)) AS b)), " +
+    "bits AS (SELECT doc_id, b, CASE WHEN sum(CASE WHEN (h // p) % 2 = 1 " +
+    "  THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit " +
+    "  FROM wh, pw GROUP BY doc_id, b), " +
+    // exact-jaccard tier (kernel-parity shingles, same as exactJaccardSql)
+    "ts AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
+    "  '\\s+'), t -> t != '') AS ts FROM documents), " +
+    "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+    "  array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+    "  FROM ts, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+    "  WHERE len(ts) > 0), " +
+    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+    "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "jj AS (SELECT id_a, id_b, " +
+    "  round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
+    "  FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+    "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5), " +
+    "ham AS (SELECT jj.id_a, jj.id_b, " +
+    "  sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS hd " +
+    "  FROM jj JOIN bits ba ON ba.doc_id = jj.id_a " +
+    "  JOIN bits bb ON bb.doc_id = jj.id_b AND bb.b = ba.b GROUP BY 1, 2) " +
+    "SELECT jj.id_a, jj.id_b, jj.jaccard FROM jj " +
+    "JOIN ham ON ham.id_a = jj.id_a AND ham.id_b = jj.id_b WHERE ham.hd <= 6"
+  }
 
   /** Brute-force exact top-1 cosine over the planted [[annQueries]] —
     * the oracle for both ANN tiers in the near-copy retrieval regime. */
@@ -840,7 +903,10 @@ object SparkEntry {
     // is a true oracle wherever the pruner's recall is 1 (it is, on the
     // planted corpus — pinned in TextDedupSpec).
     "q_dedup_minhash" -> exactJaccardSql,
-    "q_dedup_simhash" -> exactJaccardSql,
+    // NOT the exact-jaccard oracle: simhash prunes by HAMMING, and
+    // true-jaccard pairs reach hamming 13 on this data (HammingAudit)
+    // — the oracle replicates the pruner's exact semantics instead
+    "q_dedup_simhash" -> simhashPrunedJaccardSql,
     // cross-tier oracle: Spark dedups via minhash-LSH components; the
     // oracle dedups via EXACT jaccard pairs + recursive-CTE components.
     // They agree because the LSH tier recovers exactly the exact tier's
@@ -1048,6 +1114,26 @@ object SparkEntry {
       s"SELECT c_custkey, $redacted AS c_name, c_nationkey, c_acctbal, " +
       "c_mktsegment FROM customer"
     },
+    // scaled-log arithmetic written IDENTICALLY on both sides:
+    // floor(1e6*ln(p)+0.5) as exact longs (order-independent integer
+    // sums), perplexity from the same division shape, round 6
+    "q_lm_score" -> (
+      "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+      "  regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS w " +
+      "  FROM documents), " +
+      "cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w), " +
+      "tot AS (SELECT sum(c) AS t FROM cnt), " +
+      "vocab AS (SELECT w, CAST(floor(1e6 * ln(c * 1.0 / t) + 0.5) AS BIGINT) AS lp " +
+      "  FROM cnt, tot QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 20), " +
+      "oov AS (SELECT CAST(floor(1e6 * ln(0.5 / t) + 0.5) AS BIGINT) AS lp FROM tot), " +
+      "scored AS (SELECT doc_id, count(*) AS n, " +
+      "  sum(coalesce(v.lp, o.lp)) AS s " +
+      "  FROM tok LEFT JOIN vocab v USING (w) CROSS JOIN oov o GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS INT) AS n_tokens, " +
+      "CAST(coalesce(sc.s, 0) AS BIGINT) AS lp_scaled, " +
+      "CASE WHEN coalesce(sc.n, 0) = 0 THEN 0.0 ELSE " +
+      "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.n * 1000000.0)), 6) END AS ppl " +
+      "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id"),
     "q_source_report" -> (
       "WITH t AS (SELECT source, " +
       "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +

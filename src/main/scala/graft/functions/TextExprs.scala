@@ -112,6 +112,36 @@ case class QualityStatsExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** [nTokens, sumScaledLogProb] under a plan-embedded unigram
+  * vocabulary (token -> floor(1e6*ln(p)+0.5)); OOV tokens take the
+  * floor value. The map travels as a codegen reference object — no
+  * join, no shuffle: LM scoring is a projection. */
+case class UnigramScoreExpr(child: Expression,
+                            vocab: Map[String, Long], oovScaled: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_score"
+
+  @transient private lazy val jmap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+    m
+  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.unigramScore(input.asInstanceOf[UTF8String], jmap, oovScaled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: janino (the codegen compiler) has no generics support
+    val mapRef = ctx.addReferenceObj("unigramVocab", jmap, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.unigramScore($c, $mapRef, ${oovScaled}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramScoreExpr =
+    copy(child = newChild)
+}
+
 /** Distinct 64-bit word-shingle hashes (sorted array<long>) — the
   * shingle-set representation for the exact-jaccard tier; per-doc
   * dedupe inside the kernel saves the corpus-wide distinct exchange. */

@@ -184,6 +184,28 @@ object TextKernels {
     new GenericArrayData(Array(n, distinct.size, nBigrams, maxBg))
   }
 
+  /** Unigram-LM document score: `[nTokens, sumScaledLogProb]` where
+    * each token contributes its vocabulary log-probability scaled to
+    * an exact long (floor(1e6*ln(p)+0.5) — integer sums are
+    * order-independent and engine-exact, the repo's scaled-long
+    * aggregate trick applied to floats-from-logs). Tokens outside the
+    * vocabulary contribute the precomputed OOV floor. One pass, no
+    * allocation beyond the token array; the vocabulary rides the plan
+    * as a reference object (driver-bounded: top-K tokens). */
+  def unigramScore(value: UTF8String,
+                   vocab: java.util.HashMap[String, java.lang.Long],
+                   oovScaled: Long): ArrayData = {
+    val toks = tokens(value.toString)
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      val lp = vocab.get(toks(i))
+      sum += (if (lp == null) oovScaled else lp.longValue())
+      i += 1
+    }
+    new GenericArrayData(Array(toks.length.toLong, sum))
+  }
+
   // ---- rolling fingerprint ---------------------------------------------
 
   /** 64-bit Rabin-Karp-style rolling fingerprint of the normalized text,

@@ -87,6 +87,12 @@ object text {
       .otherwise(element_at(st, 4).cast("double") / element_at(st, 3)), 6)
   }
 
+  /** [nTokens, sumScaledLogProb] under a plan-embedded unigram
+    * vocabulary — see Corpus.unigramScore for the full operator. */
+  def unigramScore(c: Column, vocab: Map[String, Long], oovScaled: Long): Column =
+    Bridge.column(UnigramScoreExpr(Bridge.expression(c.cast("string")),
+      vocab, oovScaled))
+
   /** Normalized md5 content fingerprint — portable (md5 exists in every
     * engine), order-sensitive, exact-dedup key. */
   def fingerprintMd5(c: Column): Column =

@@ -34,6 +34,50 @@ object Corpus {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** Unigram language-model document scoring — the CCNet/KenLM quality
+    * idea at its simplest useful tier, self-trained on the corpus:
+    *
+    *  1. ONE aggregation builds token counts; the top `vocabSize`
+    *     tokens (by count desc, token asc — deterministic) become the
+    *     vocabulary, log-probabilities scaled to exact longs
+    *     (floor(1e6*ln(count/total)+0.5)); everything else scores the
+    *     OOV floor ln(0.5/total).
+    *  2. Scoring is then a pure PROJECTION: the vocabulary rides the
+    *     plan as a reference object (driver-bounded, ~vocabSize
+    *     entries), so per-document mean log-prob / perplexity costs no
+    *     join and no shuffle — the shape that lets a 100 TB corpus be
+    *     scored in the same pass that reads it.
+    *
+    * Integer-scaled log-probs make the per-doc sum order-independent
+    * and engine-exact; only the final perplexity is a rounded double.
+    * Output: (id, n_tokens, lp_scaled, ppl); empty docs score ppl 0.
+    */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val counts = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totalRow = counts.agg(sum(col("c")).cast("long")).first()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    def scaled(p: Double): Long = math.floor(1e6 * math.log(p) + 0.5).toLong
+    val (vocab, oov) =
+      if (total == 0L) (Map.empty[String, Long], 0L)
+      else {
+        val top = counts.orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+          .collect().map(r => r.getString(0) -> scaled(r.getLong(1).toDouble / total))
+        (top.toMap, scaled(0.5 / total))
+      }
+    val st = graft.functions.text.unigramScore(col(textCol), vocab, oov)
+    docs.select(col(idCol),
+        element_at(st, 1).cast("int").as("n_tokens"),
+        element_at(st, 2).as("lp_scaled"))
+      .withColumn("ppl", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(round(exp(-(col("lp_scaled").cast("double")) /
+          (col("n_tokens") * lit(1e6))), 6)))
+  }
+
   /** Gopher-style quality gates — every signal must pass. Bounds are
     * inclusive; ratios compare at the shared round-6 precision so the
     * decision is engine-portable (same rounded value on both sides of

@@ -544,14 +544,24 @@ object Dedup {
     * a hot cluster spreads over nBlocks(nBlocks+1)/2 tasks instead of
     * one: cluster skew is the known failure mode of semantic dedup at
     * scale and the grid is the fix, not a bigger executor.
+    *
+    * `nprobe`: SOFT assignment — each vector enters its `nprobe`
+    * nearest clusters, and a pair is found if ANY probed cluster is
+    * shared. nprobe=1 is hard SemDeDup (boundary pairs whose members
+    * fall on different sides of a Voronoi face are missed — observed
+    * on the planted corpus at 2 of 3 SFs); nprobe=2 recovers them
+    * for ~2x the replicated rows (candidate volume per cluster-pair
+    * is unchanged; duplicate discoveries collapse in the final
+    * distinct). The standard multi-probe recall/cost dial.
     */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                            centroids: Array[Array[Float]],
-                           threshold: Double, nBlocks: Int = 8): DataFrame = {
+                           threshold: Double, nBlocks: Int = 8,
+                           nprobe: Int = 2): DataFrame = {
     import graft.functions.vectors
     val spark = df.sparkSession
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Ivf.assign(col(vecCol), centroids).as("cluster"),
+      explode(Ivf.probes(col(vecCol), centroids, nprobe)).as("cluster"),
       pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
     val cells = spark.range(nBlocks.toLong * nBlocks)
       .select((col("id") / nBlocks).cast("int").as("bi"),
@@ -577,10 +587,11 @@ object Dedup {
     * minimum id. The SemDeDup pipeline shape. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[Array[Float]], threshold: Double,
-                    nBlocks: Int = 8,
+                    nBlocks: Int = 8, nprobe: Int = 2,
                     maxDriverPairs: Long = 5000000L): DataFrame =
     dropNearDupsByPairs(df, idCol,
-      semanticNearDupPairs(df, idCol, vecCol, centroids, threshold, nBlocks),
+      semanticNearDupPairs(df, idCol, vecCol, centroids, threshold, nBlocks,
+        nprobe),
       maxDriverPairs)
 
   /** Subquadratic embedding near-dup pairs — the 100 TB path for the

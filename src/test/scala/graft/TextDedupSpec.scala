@@ -224,33 +224,40 @@ class TextDedupSpec extends SparkTestBase {
       s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
-  test("semantic (SemDeDup) dedup: planted pairs co-cluster, so it matches the all-pairs oracle") {
+  test("semantic (SemDeDup) dedup: planted pairs CO-PROBE at every SF, matching the all-pairs oracle") {
     // The q_semantic_dedup oracle is the SAME all-pairs recursive-CTE
     // SQL as q_dedup_embedding_corpus; that is valid only while (a)
     // every >=0.7 pair is a planted near-copy and (b) each planted pair
-    // assigns to one k-means cell. This test pins both: a straddling
-    // pair surfaces here as a named co-clustering failure instead of an
-    // opaque oracle hash mismatch.
-    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
-      .select($"vec_id", $"embedding")
-    val planted = emb.filter($"vec_id" < 25)
-      .select(($"vec_id" + 100000).as("vec_id"),
-        concat(array(element_at($"embedding", 1) + lit(0.05f)),
-          slice($"embedding", 2, 100000)).as("embedding"))
-    val aug = emb.unionByName(planted)
-    val centroids = graft.operators.Ivf.train(aug, "vec_id", "embedding",
-      nlist = 16, iters = 2)
-    val clusters = aug
-      .select($"vec_id", graft.operators.Ivf.assign($"embedding", centroids).as("c"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    for (i <- 0L until 25L)
-      assert(clusters(i) == clusters(i + 100000),
-        s"planted pair $i straddles clusters ${clusters(i)} vs ${clusters(i + 100000)}")
-    val survivors = Dedup.semanticDedup(aug, "vec_id", "embedding",
-      centroids, threshold = 0.7).select("vec_id")
-      .as[Long].collect().toSet
-    assert(survivors == emb.select("vec_id").as[Long].collect().toSet,
-      "semantic dedup must drop exactly the planted copies")
+    // SHARES A PROBED CLUSTER. Hard assignment (nprobe=1) violated (b)
+    // at sf0.001 and sf0.1 — a planted pair straddled a Voronoi face —
+    // which is exactly the boundary miss multi-probe exists to fix.
+    // This test pins co-probing AND end-to-end survivors at all three
+    // SFs, so a recall shortfall surfaces here by name instead of as
+    // an opaque oracle hash mismatch.
+    for (sfDir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = spark.read.parquet(sf(sfDir) + "/embeddings.parquet")
+        .select($"vec_id", $"embedding")
+      val planted = emb.filter($"vec_id" < 25)
+        .select(($"vec_id" + 100000).as("vec_id"),
+          concat(array(element_at($"embedding", 1) + lit(0.05f)),
+            slice($"embedding", 2, 100000)).as("embedding"))
+      val aug = emb.unionByName(planted)
+      val centroids = graft.operators.Ivf.train(aug, "vec_id", "embedding",
+        nlist = 16, iters = 2)
+      val probes = aug
+        .select($"vec_id",
+          graft.operators.Ivf.probes($"embedding", centroids, 2).as("cs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+      for (i <- 0L until 25L)
+        assert(probes(i).intersect(probes(i + 100000)).nonEmpty,
+          s"$sfDir: planted pair $i shares no probed cluster " +
+          s"(${probes(i)} vs ${probes(i + 100000)})")
+      val survivors = Dedup.semanticDedup(aug, "vec_id", "embedding",
+        centroids, threshold = 0.7).select("vec_id")
+        .as[Long].collect().toSet
+      assert(survivors == emb.select("vec_id").as[Long].collect().toSet,
+        s"$sfDir: semantic dedup must drop exactly the planted copies")
+    }
   }
 
   test("embedding LSH: wide sketches don't enumerate 2^nBits masks") {
