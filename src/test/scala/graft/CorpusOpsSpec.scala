@@ -109,6 +109,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$plan")
   }
 
+  // ---- unigram LM scoring ----------------------------------------------
+
+  test("unigramScore: exact scaled log-probs on a tiny corpus, OOV floor applied") {
+    // corpus tokens: a x3, b x2, c x1 -> total 6
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    def lp(p: Double): Long = math.floor(1e6 * math.log(p) + 0.5).toLong
+    // vocabSize 2 -> vocab {a: ln(3/6), b: ln(2/6)}; c is OOV: ln(0.5/6)
+    val out = graft.operators.Corpus.unigramScore(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) === 3)
+    assert(out(0).getLong(2) === 2 * lp(3.0 / 6) + lp(2.0 / 6))
+    assert(out(1).getLong(2) === lp(3.0 / 6) + lp(2.0 / 6) + lp(0.5 / 6))
+    assert(out(2).getInt(1) === 0 && out(2).getLong(2) === 0L
+      && out(2).getDouble(3) === 0.0)
+    // perplexity of doc 1: exp(-mean logprob)
+    val expected = BigDecimal(math.exp(-(2 * lp(3.0 / 6) + lp(2.0 / 6)) / (3 * 1e6)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(3) === expected)
+  }
+
   // ---- source report ---------------------------------------------------
 
   test("sourceReport: counts, dup rate, token volume per source") {
