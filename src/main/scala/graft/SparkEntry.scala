@@ -511,8 +511,10 @@ object SparkEntry {
         graft.operators.Corpus.QualityGates(minTokens = 20, maxTokens = 1000,
           minQuality = 0.55, maxDupWordRatio = 0.6, maxTopBigramRatio = 0.1))),
     // SemDeDup: one k-means training run (the IVF quantizer) bounds the
-    // pair search to clusters; survivors = the original corpus (planted
-    // copies land in their source's cluster — pinned in TextDedupSpec)
+    // pair search to clusters, with nprobe=2 soft assignment (a planted
+    // pair straddled a hard-assignment Voronoi face at 2 of 3 SFs);
+    // survivors = the original corpus (co-probing pinned per SF in
+    // TextDedupSpec)
     "q_semantic_dedup" -> ((s, dir) => {
       val aug = plantedEmbeddings(s, dir)
       val centroids = graft.operators.Ivf.train(aug, "vec_id", "embedding",
@@ -572,21 +574,44 @@ object SparkEntry {
   // kernel-parity tokenization (TextKernels.tokens): lower + \s+ split
   // + DROP empty segments; empty docs produce NO shingles (the WHERE),
   // exactly like shingleHashes — r4 review finding on edge-whitespace
-  // and empty-doc divergence
-  private val exactJaccardSql: String =
-    "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+  // and empty-doc divergence. ONE copy of the jaccard CTE chain,
+  // shared by the exact-tier oracle and the simhash-pruned oracle.
+  private val jaccardCtesSql: String =
+    "jtok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
     "lower(text), '\\s+'), t -> t != '') AS ts " +
     "  FROM documents), " +
     "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
     "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
-    "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+    "  FROM jtok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
     "  WHERE len(ts) > 0), " +
     "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
-    "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-    "SELECT id_a, id_b, round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
-    "FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
-    "WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5"
+    "jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+    "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "jj AS (SELECT id_a, id_b, " +
+    "  round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
+    "  FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+    "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5)"
+
+  private val exactJaccardSql: String =
+    s"WITH $jaccardCtesSql SELECT id_a, id_b, jaccard FROM jj"
+
+  /** SplitMix64 finalizer applied to a HUGEINT SQL expression, in
+    * mod-2^64 arithmetic (64x64 multiplies split at 32 bits so the
+    * product stays inside the signed 128-bit HUGEINT). ONE copy,
+    * shared by the rolling-fingerprint and simhash oracle replicas —
+    * apply it to a short CTE COLUMN reference, not a big expression:
+    * the chain substitutes its input several times. */
+  private def splitMix64Sql(input: String): String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    def mulmod(x: String, c: String) =
+      s"(((($x) % 4294967296) * $c + (((($x) // 4294967296) * $c) % 4294967296) * 4294967296) % $M)"
+    def xorshift(x: String, s: Long) = s"xor($x, ($x) // ${1L << s})"
+    val x1 = xorshift(input, 30)
+    val x2 = mulmod(s"($x1)", java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L))
+    val x3 = xorshift(s"($x2)", 27)
+    val x4 = mulmod(s"($x3)", java.lang.Long.toUnsignedString(0x94d049bb133111ebL))
+    xorshift(s"($x4)", 31)
+  }
 
   /** Exact SQL replica of `simhashVerifiedPairs` SEMANTICS: pairs with
     * (simhash hamming <= maxHamming) AND (exact n-gram jaccard >=
@@ -601,43 +626,23 @@ object SparkEntry {
     * the sf0.001/sf0.1 soak disproved (true-pair hamming reaches 13).
     */
   private val simhashPrunedJaccardSql: String = {
-    val M = "18446744073709551616::HUGEINT" // 2^64
-    def mulmod(x: String, c: String) =
-      s"(((($x) % 4294967296) * $c + (((($x) // 4294967296) * $c) % 4294967296) * 4294967296) % $M)"
-    def xorshift(x: String, s: Long) = s"xor($x, ($x) // ${1L << s})"
-    // FNV-1a over the token's chars (ASCII corpus: bytes == codepoints)
+    // FNV-1a over the token's chars (ASCII corpus: bytes == codepoints);
+    // staged through CTE COLUMNS (fh -> h) so the SplitMix64 chain
+    // expands over a 2-char column name, not the whole fold expression
     val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
       "list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(h, c) -> (xor(h, c) * 1099511628211) % $M)"
-    val seeded = s"xor(($fnv), ${FakeGen.DefaultSeed})"
-    val x1 = xorshift(s"($seeded)", 30)
-    val x2 = mulmod(s"($x1)", java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L))
-    val x3 = xorshift(s"($x2)", 27)
-    val x4 = mulmod(s"($x3)", java.lang.Long.toUnsignedString(0x94d049bb133111ebL))
-    val x5 = xorshift(s"($x4)", 31)
+      "(h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616::HUGEINT)"
     "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(" +
     "  lower(text), '\\s+'), t -> t != '')) AS w FROM documents), " +
-    s"wh AS (SELECT doc_id, ($x5) AS h FROM tok), " +
+    s"wh0 AS (SELECT doc_id, xor(($fnv), ${FakeGen.DefaultSeed}) AS fh FROM tok), " +
+    s"wh AS (SELECT doc_id, (${splitMix64Sql("fh")}) AS h FROM wh0), " +
     "pw AS (SELECT CAST(b AS INT) AS b, list_reduce(list_prepend(1::HUGEINT, " +
     "  list_transform(range(b), x -> 2::HUGEINT)), (a, c) -> a * c) AS p " +
     "  FROM (SELECT unnest(range(64)) AS b)), " +
     "bits AS (SELECT doc_id, b, CASE WHEN sum(CASE WHEN (h // p) % 2 = 1 " +
     "  THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit " +
     "  FROM wh, pw GROUP BY doc_id, b), " +
-    // exact-jaccard tier (kernel-parity shingles, same as exactJaccardSql)
-    "ts AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
-    "  '\\s+'), t -> t != '') AS ts FROM documents), " +
-    "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
-    "  array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
-    "  FROM ts, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
-    "  WHERE len(ts) > 0), " +
-    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-    "jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
-    "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-    "jj AS (SELECT id_a, id_b, " +
-    "  round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
-    "  FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
-    "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5), " +
+    s"$jaccardCtesSql, " +
     "ham AS (SELECT jj.id_a, jj.id_b, " +
     "  sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS hd " +
     "  FROM jj JOIN bits ba ON ba.doc_id = jj.id_a " +
@@ -665,23 +670,14 @@ object SparkEntry {
     * mod 2^64. 64x64-bit multiplies are split at 32 bits so no
     * intermediate exceeds HUGEINT range. */
   private val rollingFpSql: String = {
-    val M = "18446744073709551616::HUGEINT" // 2^64
-    def mulmod(x: String, c: String) =
-      s"(((($x) % 4294967296) * $c + (((($x) // 4294967296) * $c) % 4294967296) * 4294967296) % $M)"
-    def xorshift(x: String, s: Long) = s"xor($x, ($x) // ${1L << s})"
     val roll = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
       "list_transform(string_split(n, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      s"(h, c) -> (h * 1099511628211 + c) % $M)"
-    val x1 = xorshift("rh", 30)
-    val x2 = mulmod(s"($x1)", java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L))
-    val x3 = xorshift(s"($x2)", 27)
-    val x4 = mulmod(s"($x3)", java.lang.Long.toUnsignedString(0x94d049bb133111ebL))
-    val x5 = xorshift(s"($x4)", 31)
+      "(h, c) -> (h * 1099511628211 + c) % 18446744073709551616::HUGEINT)"
     "WITH nn AS (SELECT doc_id, " +
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n FROM documents), " +
     "rr AS (SELECT doc_id, CASE WHEN n = '' THEN 14695981039346656037::HUGEINT " +
     s"ELSE $roll END AS rh FROM nn) " +
-    s"SELECT doc_id, lower(hex(CAST(($x5) AS UBIGINT))) AS fp FROM rr"
+    s"SELECT doc_id, lower(hex(CAST((${splitMix64Sql("rh")}) AS UBIGINT))) AS fp FROM rr"
   }
 
   /** SQL replica of TextKernels.langId, GENERATED from the kernel's own
@@ -979,9 +975,11 @@ object SparkEntry {
     "q_dedup_embedding_corpus" -> embCorpusDedupSql,
     // cluster-bounded (SemDeDup) dedup shares the all-pairs oracle: on
     // this corpus every >=0.7 pair is a planted near-copy, and each
-    // lands in one k-means cell (co-clustering pinned in
-    // TextDedupSpec), so cluster bounding drops nothing the all-pairs
-    // tier keeps — a recall shortfall WOULD fail this hash check.
+    // pair SHARES A PROBED CLUSTER under nprobe=2 soft assignment
+    // (co-probing pinned at all three SFs in TextDedupSpec — hard
+    // nprobe=1 assignment provably misses boundary pairs), so cluster
+    // bounding drops nothing the all-pairs tier keeps; a recall
+    // shortfall WOULD fail this hash check.
     "q_semantic_dedup" -> embCorpusDedupSql) ++ oracleSqlTail
 
   private val embCorpusDedupSql: String = (

@@ -55,21 +55,29 @@ object Corpus {
   def unigramScore(docs: DataFrame, idCol: String, textCol: String,
                    vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    // persisted: the counts aggregation feeds TWO actions (grand total
+    // + top-K collect); without it the corpus-wide tokenize/count scan
+    // runs twice (r4 review finding)
     val counts = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val totalRow = counts.agg(sum(col("c")).cast("long")).first()
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    def scaled(p: Double): Long = math.floor(1e6 * math.log(p) + 0.5).toLong
-    val (vocab, oov) =
+      .persist()
+    val (vocab, oov) = try {
+      val totalRow = counts.agg(sum(col("c")).cast("long")).first()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      def scaled(p: Double): Long = math.floor(1e6 * math.log(p) + 0.5).toLong
       if (total == 0L) (Map.empty[String, Long], 0L)
       else {
         val top = counts.orderBy(col("c").desc, col("w").asc).limit(vocabSize)
           .collect().map(r => r.getString(0) -> scaled(r.getLong(1).toDouble / total))
         (top.toMap, scaled(0.5 / total))
       }
-    val st = graft.functions.text.unigramScore(col(textCol), vocab, oov)
+    } finally counts.unpersist()
+    // null text scores as empty (0 tokens, ppl 0) — pipeline-friendly,
+    // and what the SQL oracle's outer join naturally produces
+    val st = graft.functions.text.unigramScore(
+      coalesce(col(textCol), lit("")), vocab, oov)
     docs.select(col(idCol),
         element_at(st, 1).cast("int").as("n_tokens"),
         element_at(st, 2).as("lp_scaled"))

@@ -560,6 +560,14 @@ object Dedup {
                            nprobe: Int = 2): DataFrame = {
     import graft.functions.vectors
     val spark = df.sparkSession
+    // vectors ride the nprobe x grid replication INLINE — deliberately
+    // NOT the minhash/LSH re-attach shape: those tiers prune before
+    // verifying, so their candidate sets are small, while SemDeDup's
+    // "candidates" are ALL within-cluster pairs (sum(size^2)/2 —
+    // quadratic in cluster size). Re-attaching would materialize that
+    // pair stream; inline vectors cost a LINEAR ~nprobe*(nBlocks+1)
+    // copies per row and let the cosine filter run inside the join
+    // with nothing quadratic ever stored.
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(Ivf.probes(col(vecCol), centroids, nprobe)).as("cluster"),
       pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
