@@ -489,6 +489,9 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.unigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20)),
+    // per-column null/distinct profile (schema-drift sweep)
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Corpus.profile(t(s, dir, "customer"))),
     // per-source corpus health dashboard
     "q_source_report" -> ((s, dir) =>
       graft.operators.Corpus.sourceReport(t(s, dir, "documents"),
@@ -1132,6 +1135,13 @@ object SparkEntry {
       "CASE WHEN coalesce(sc.n, 0) = 0 THEN 0.0 ELSE " +
       "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.n * 1000000.0)), 6) END AS ppl " +
       "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id"),
+    // generated per column — one UNION ALL branch per customer column
+    "q_profile" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .map(c => s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM customer")
+      .mkString(" UNION ALL "),
     "q_source_report" -> (
       "WITH t AS (SELECT source, " +
       "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +
