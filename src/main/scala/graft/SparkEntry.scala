@@ -484,6 +484,15 @@ object SparkEntry {
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
         chunkWords = 10)),
+    // incremental ingest: docs >= 400 arrive as the new batch and dedup
+    // against the fingerprint index of the already-accepted corpus
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existingFps = docs.filter(col("doc_id") < 400)
+        .select(text.fingerprintMd5(col("text")).as("fp")).distinct()
+      Dedup.incrementalByFingerprint(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", existingFps)
+    }),
     // self-trained unigram LM scoring; vocabSize 20 < the corpus's ~31
     // distinct tokens, so the OOV floor path is genuinely exercised
     "q_lm_score" -> ((s, dir) =>
@@ -1196,6 +1205,15 @@ object SparkEntry {
       "WHERE r.n_tokens BETWEEN 20 AND 1000 " +
       s"AND round($qQualitySql, 6) >= 0.55 " +
       "AND r.dwr <= 0.6 AND r.tbr <= 0.1"),
+    "q_dedup_incremental" -> (
+      "WITH fp AS (SELECT doc_id, " +
+      "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+      "FROM documents), " +
+      "new_first AS (SELECT doc_id FROM fp WHERE doc_id >= 400 " +
+      "QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
+      "clean AS (SELECT n.doc_id FROM new_first n JOIN fp f USING (doc_id) " +
+      "WHERE f.fp NOT IN (SELECT fp FROM fp WHERE doc_id < 400)) " +
+      "SELECT d.* FROM documents d JOIN clean USING (doc_id)"),
     "q_dedup_chunks" -> (
       "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), " +
       "  '\\s+') AS ts FROM documents), " +

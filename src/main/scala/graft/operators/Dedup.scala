@@ -641,6 +641,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** INCREMENTAL exact dedup: filter a NEW batch against an existing
+    * corpus's fingerprint index without rescanning the corpus — the
+    * continuous-curation shape (every ingest batch dedups against
+    * everything already accepted). `existingFps` is the persisted
+    * one-column fingerprint table the pipeline maintains (append the
+    * survivors' fingerprints after each batch); at 100 TB it is the
+    * only corpus-sized state touched, and the anti-join against it is
+    * a plain hash join on a 32-char key. Within-batch duplicates also
+    * collapse (min-id winner, like [[exact]]). */
+  def incrementalByFingerprint(newDocs: DataFrame, idCol: String,
+                               textCol: String,
+                               existingFps: DataFrame): DataFrame = {
+    require(existingFps.columns.length == 1,
+      s"existingFps must be a one-column fingerprint table, got " +
+      existingFps.columns.mkString(", "))
+    val fpCol = existingFps.columns.head
+    byFingerprint(newDocs, idCol, textCol)
+      .withColumn("__fp", text.fingerprintMd5(col(textCol)))
+      .join(existingFps.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Chunk-level exact dedup (the "line dedup" of CCNet/RefinedWeb,
     * word-chunk flavored since this corpus has no newlines): split each
     * document into consecutive `chunkWords`-word chunks, keep only the

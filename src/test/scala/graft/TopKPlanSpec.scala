@@ -54,6 +54,32 @@ class TopKPlanSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
   }
 
+  test("TopKRewrite fuzz: random data and k, rewritten rows == window rows") {
+    graft.plans.TopK.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 200 + rnd.nextInt(300)
+      // unique tiebreak column => total order => both plans select the
+      // same SET regardless of physical row order
+      val data = (0 until n).map(i =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(50).toDouble, i.toLong))
+      val df = data.toDF("k", "v", "tie")
+      val kk = 1 + rnd.nextInt(5)
+      val w = Window.partitionBy($"k").orderBy($"v".desc, $"tie".asc)
+      val idiom = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= kk).drop("rn")
+      assert(idiom.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val got = idiom.collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConf, "false")
+      val ref = try {
+        df.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= kk).drop("rn").collect().map(_.toSeq).toSet
+      } finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConf)
+      assert(got == ref, s"k=$kk n=$n: rewrite selected different rows")
+    }
+  }
+
   test("TopKRewrite: rn = 1 (latest-per-key) rewrites; kept rank does NOT") {
     val orders = spark.read.parquet(sf("sf0.01") + "/orders.parquet")
     graft.plans.TopK.register(spark)
