@@ -1211,8 +1211,13 @@ object SparkEntry {
       "FROM documents), " +
       "new_first AS (SELECT doc_id FROM fp WHERE doc_id >= 400 " +
       "QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
+      // NOT EXISTS, not NOT IN: one NULL fingerprint in the index would
+      // make NOT IN return NULL for EVERY row (0 survivors) while the
+      // Spark left_anti keeps null-keyed rows — the null-aware form
+      // matches the operator on any future corpus
       "clean AS (SELECT n.doc_id FROM new_first n JOIN fp f USING (doc_id) " +
-      "WHERE f.fp NOT IN (SELECT fp FROM fp WHERE doc_id < 400)) " +
+      "WHERE NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id < 400 " +
+      "AND e.fp = f.fp)) " +
       "SELECT d.* FROM documents d JOIN clean USING (doc_id)"),
     "q_dedup_chunks" -> (
       "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), " +

@@ -89,24 +89,28 @@ object Corpus {
   /** Per-column data profile: row/null/distinct counts for every
     * column of the frame — the schema-drift / data-quality sweep a
     * pipeline runs before trusting an ingest batch. ONE pass over the
-    * data: each column contributes three aggregates to a single
-    * grouped-less aggregation (count is shared), then the wide row
-    * unpivots driver-side to (column, n_rows, n_nulls, n_distinct).
+    * data: each column contributes two aggregates to a single
+    * grouped-less aggregation (row count is shared), then `stack`
+    * unpivots the wide row INSIDE the plan — the operator stays lazy
+    * (no construction-time job, the real aggregation is visible to
+    * plan audits) and returns (col_name, n_rows, n_nulls, n_distinct).
     * Exact distinct counts (oracle-checkable); swap in
     * approx_count_distinct at 100 TB when ±2% suffices. */
   def profile(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val cols = df.columns.toSeq
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "profile: column names must not contain quotes/backticks")
     val aggs = count(lit(1)).as("__n") +:
       cols.flatMap(c => Seq(
         count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
         countDistinct(col(c)).as(s"__dist_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).first()
-    val n = row.getLong(0)
-    cols.map { c =>
-      (c, n, row.getAs[Long](s"__nulls_$c"), row.getAs[Long](s"__dist_$c"))
-    }.toDF("col_name", "n_rows", "n_nulls", "n_distinct")
+    val stackArgs = cols
+      .map(c => s"'$c', `__nulls_$c`, `__dist_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)",
+        "__n AS n_rows")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
   }
 
   /** Gopher-style quality gates — every signal must pass. Bounds are

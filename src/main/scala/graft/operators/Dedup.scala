@@ -657,8 +657,11 @@ object Dedup {
       s"existingFps must be a one-column fingerprint table, got " +
       existingFps.columns.mkString(", "))
     val fpCol = existingFps.columns.head
-    byFingerprint(newDocs, idCol, textCol)
-      .withColumn("__fp", text.fingerprintMd5(col(textCol)))
+    // fingerprint ONCE (the md5 over full text is the dominant per-row
+    // cost): within-batch min-id collapse and the index anti-join both
+    // ride the same __fp column
+    exact(newDocs.withColumn("__fp", text.fingerprintMd5(col(textCol))),
+        idCol, Seq("__fp"))
       .join(existingFps.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
   }
