@@ -154,23 +154,16 @@ object Main {
     if (a.dms) {
       // DMS layout: reconstruct each table (LOAD + CDC merge) first, then
       // anonymize — the full reference flow (cdc_operator.rs:225-331)
-      import java.util.concurrent.Executors
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = Executors.newFixedThreadPool(a.parallelism)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(tables.map { table =>
-        Future {
-          val pk = a.pks.getOrElse(table,
-            throw new IllegalArgumentException(s"--pk missing for DMS table $table"))
-          val snap = graft.sources.DmsFiles.snapshot(
-            spark, s"${a.inputDir}/$table", pk, a.mode)
-          val cfg = config.tableConfig(table).getOrElse(
-            graft.config.TableConfig(table, graft.config.AnonymizationType.Multi(Nil)))
-          TablePipeline.build(snap, cfg, seed).write.mode("overwrite")
-            .parquet(s"${a.outputDir}/$table.parquet")
-        }
-      }), Duration.Inf) finally pool.shutdown()
+      TablePipeline.foreachTableConcurrently(tables, a.parallelism) { table =>
+        val pk = a.pks.getOrElse(table,
+          throw new IllegalArgumentException(s"--pk missing for DMS table $table"))
+        val snap = graft.sources.DmsFiles.snapshot(
+          spark, s"${a.inputDir}/$table", pk, a.mode)
+        val cfg = config.tableConfig(table).getOrElse(
+          graft.config.TableConfig(table, graft.config.AnonymizationType.Multi(Nil)))
+        TablePipeline.build(snap, cfg, seed).write.mode("overwrite")
+          .parquet(s"${a.outputDir}/$table.parquet")
+      }
     } else {
       TablePipeline.runAll(spark, config, a.inputDir, a.outputDir, tables,
         seed = seed, parallelism = a.parallelism)

@@ -83,8 +83,12 @@ object ControlPlane {
   def postImportStatements(raw: String): Seq[String] =
     raw.split(';').map(_.trim).filter(_.nonEmpty).toSeq
 
-  def postImportEnvKey(db: String, schema: String): String =
-    s"${db.toUpperCase}_${schema.toUpperCase}_POST_IMPORT_SQL_QUERIES"
+  def postImportEnvKey(db: String, schema: String): String = {
+    // Locale.ROOT: under tr-TR, "insights".toUpperCase is "İNSİGHTS"
+    // (dotted capital I) and the env lookup silently never matches
+    val L = java.util.Locale.ROOT
+    s"${db.toUpperCase(L)}_${schema.toUpperCase(L)}_POST_IMPORT_SQL_QUERIES"
+  }
 
   /** pg_dump/pg_restore invocations (target_db_preparator.rs:29-49,
     * 109-135) — returned as argv for [[Shell.run]]. */
@@ -128,9 +132,14 @@ object Shell {
   def run(argv: Seq[String], onLine: String => Unit = _ => ()): ShellResult = {
     val out = ArrayBuffer.empty[String]
     val err = ArrayBuffer.empty[String]
+    // ProcessLogger drives the two callbacks from SEPARATE gobbler
+    // threads (one per stream); serialize so the buffers — and the
+    // caller's onLine, which has no reason to expect concurrency —
+    // see one line at a time
+    val lock = new Object
     val code = Process(argv).!(ProcessLogger(
-      l => { out += l; onLine(l) },
-      l => { err += l; onLine(l) }))
+      l => lock.synchronized { out += l; onLine(l) },
+      l => lock.synchronized { err += l; onLine(l) }))
     ShellResult(code, out.toSeq, err.toSeq)
   }
 

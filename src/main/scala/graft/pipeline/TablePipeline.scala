@@ -61,10 +61,12 @@ object TablePipeline {
     * override. An anonymization tool must FAIL CLOSED: an unknown name
     * throws (like Transformators.custom) instead of silently passing
     * raw PII through as a NoOp. */
-  def defaultWholeTableRegistry(seed: Long): Map[String, WholeTableTransformator] =
+  def defaultWholeTableRegistry(seed: Long): Map[String, WholeTableTransformator] = {
+    val fakeAll = new FakeAllStringsTransformator(seed)
     Map(
       NoOpWholeTableTransformator.name -> NoOpWholeTableTransformator,
-      "fake_all_strings" -> new FakeAllStringsTransformator(seed))
+      fakeAll.name -> fakeAll)
+  }
 
   /** `keep_num_of_records` (§2.2): the reference slices the FIRST load
     * file and skips the rest; table-level `limit(n)` is the declared
@@ -118,29 +120,33 @@ object TablePipeline {
              inDir: String, outDir: String,
              tables: Seq[String],
              seed: Long = FakeGen.DefaultSeed,
-             parallelism: Int = 8): Unit = {
+             parallelism: Int = 8): Unit =
+    foreachTableConcurrently(tables, parallelism) { table =>
+      config.tableConfig(table) match {
+        case Some(cfg) =>
+          val df = spark.read.parquet(s"$inDir/$table.parquet")
+          build(df, cfg, seed).write.mode("overwrite")
+            .parquet(s"$outDir/$table.parquet")
+        case None => // pass-through fast path: no decode, no Spark job
+          copyRecursive(spark, s"$inDir/$table.parquet",
+                        s"$outDir/$table.parquet")
+      }
+    }
+
+  /** Shared driver-side concurrency scaffold (NUM_OF_BUFFERS analog):
+    * run `work` per table on a bounded pool, propagate the first
+    * failure, always shut the pool down. One implementation for every
+    * table-parallel driver loop (runAll, the CLI's DMS branch). */
+  def foreachTableConcurrently(tables: Seq[String], parallelism: Int)
+                              (work: String => Unit): Unit = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futures = tables.map { table =>
-        Future {
-          config.tableConfig(table) match {
-            case Some(cfg) =>
-              val df = spark.read.parquet(s"$inDir/$table.parquet")
-              build(df, cfg, seed).write.mode("overwrite")
-                .parquet(s"$outDir/$table.parquet")
-            case None => // pass-through fast path: no decode, no Spark job
-              copyRecursive(spark, s"$inDir/$table.parquet",
-                            s"$outDir/$table.parquet")
-          }
-        }
-      }
-      Await.result(Future.sequence(futures), Duration.Inf)
-    } finally pool.shutdown()
+    try Await.result(
+      Future.sequence(tables.map(t => Future(work(t)))), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Byte copy through Hadoop FileSystem — works for file://, hdfs://,

@@ -17,39 +17,49 @@ trait TableSink extends Serializable {
   def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit
 }
 
-/** Parquet directory sink — the anonymized-bucket analog. */
-final class ParquetSink(outDir: String) extends TableSink {
+/** Parquet directory sink — the anonymized-bucket analog.
+  *
+  * `tieBreakers`: extra ordering columns deciding the winner among
+  * duplicate-PK rows WITHIN one upsert batch (same contract as
+  * CdcMerge.latestPerKey) — without them a within-batch duplicate
+  * picks a partition-order-dependent winner. */
+final class ParquetSink(outDir: String,
+                        tieBreakers: Seq[String] = Nil) extends TableSink {
   def writeFull(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table.parquet")
 
   /** Parquet upsert = merge into the existing snapshot (read + window
     * dedup + rewrite). Atomicity comes from writing to a temp dir and
-    * swapping — at real scale this is a table-format job (Iceberg/Delta
-    * MERGE); plain-parquet semantics are kept here for parity. */
+    * swapping through Hadoop FileSystem — the same code path works on
+    * file://, hdfs://, s3a:// (java.io.File would silently no-op on
+    * remote filesystems: the exists-probe returns false and the whole
+    * snapshot gets replaced by the delta). Failed deletes/renames
+    * THROW — a swap that didn't happen must not report success. At
+    * real scale this is a table-format job (Iceberg/Delta MERGE);
+    * plain-parquet semantics are kept here for parity. */
   def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val path = s"$outDir/$table.parquet"
+    import org.apache.hadoop.fs.Path
+    val target = new Path(s"$outDir/$table.parquet")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (new java.io.File(path).exists()) {
-        val current = spark.read.parquet(path)
+      if (fs.exists(target)) {
+        val current = spark.read.parquet(target.toString)
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
-        val w = Window.partitionBy(pk.map(col): _*).orderBy(col("__pri").desc)
+        val w = Window.partitionBy(pk.map(col): _*)
+          .orderBy(col("__pri").desc +: tieBreakers.map(col(_).desc): _*)
         current.withColumn("__pri", lit(0))
           .unionByName(df.withColumn("__pri", lit(1)))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__pri", "__rn")
       } else df
-    val tmp = s"$outDir/.tmp_$table"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) deleteRecursive(target)
-    new java.io.File(tmp).renameTo(target)
-  }
-
-  private def deleteRecursive(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
-    f.delete()
+    val tmp = new Path(s"$outDir/.tmp_$table")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"could not delete $target for swap")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
   }
 }
 
@@ -75,19 +85,26 @@ final class JdbcSink(url: String, props: Properties,
     * classifies the driver's missing-table error — unknowable for
     * arbitrary JDBC targets), then Append + one ON CONFLICT merge. */
   def upsert(df: DataFrame, table: String, pk: Seq[String]): Unit = {
-    val staging = s"${table}_staging_graft"
+    // per-invocation staging name: a FIXED name lets two overlapping
+    // upserts (retry racing the original, parallel jobs) drop each
+    // other's staged rows mid-merge
+    val staging = s"${table}_staging_graft_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier _
     val conn = DriverManager.getConnection(url, props)
     try {
-      conn.createStatement().execute(s"DROP TABLE IF EXISTS $staging")
       conn.createStatement().execute(JdbcSink.createTableSql(staging, df, url))
       val p = new Properties(); p.putAll(props)
       p.setProperty("batchsize", batchSize.toString)
       df.write.mode(SaveMode.Append).jdbc(url, staging, p)
       conn.createStatement().execute(
         JdbcSink.upsertSql(table, staging, df.columns.toSeq, pk, quote))
-      conn.createStatement().execute(s"DROP TABLE $staging")
-    } finally conn.close()
+    } finally {
+      // best-effort cleanup even when the merge throws — a leaked
+      // staging table would otherwise survive until manual drop
+      try conn.createStatement().execute(s"DROP TABLE IF EXISTS $staging")
+      finally conn.close()
+    }
   }
 }
 
@@ -171,13 +188,18 @@ final class JdbcCatalog(spark: SparkSession, url: String, props: Properties,
     val p = new Properties(); p.putAll(props)
     spark.read.jdbc(url, s"($sql) AS sub", p)
   }
+  // schema/table names reach here from the live catalog (tables() output
+  // feeds columns()/primaryKey()), so they are DATA, not trusted code —
+  // escape through the shared literal helper or a quote-bearing table
+  // name breaks the query (second-order injection surface)
+  private def lit(s: String): String = graft.controlplane.ControlPlane.literal(s)
   def tables(schema: String): Seq[String] =
     q(s"SELECT table_name FROM information_schema.tables " +
-      s"WHERE table_schema = '$schema' AND table_type = 'BASE TABLE'")
+      s"WHERE table_schema = ${lit(schema)} AND table_type = 'BASE TABLE'")
       .collect().map(_.getString(0)).toSeq.sorted
   def columns(schema: String, table: String): Seq[(String, String)] =
     q(s"SELECT column_name, data_type FROM information_schema.columns " +
-      s"WHERE table_schema = '$schema' AND table_name = '$table' " +
+      s"WHERE table_schema = ${lit(schema)} AND table_name = ${lit(table)} " +
       s"ORDER BY ordinal_position")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   def primaryKey(schema: String, table: String): Seq[String] =
@@ -186,10 +208,13 @@ final class JdbcCatalog(spark: SparkSession, url: String, props: Properties,
 
 object JdbcCatalog {
   /** PK columns via pg_index (the reference's source dialect). */
-  def postgresPkQuery(schema: String, table: String): String =
+  def postgresPkQuery(schema: String, table: String): String = {
+    import graft.controlplane.ControlPlane.literal
     s"SELECT a.attname FROM pg_index i " +
     s"JOIN pg_class c ON c.oid = i.indrelid " +
     s"JOIN pg_namespace n ON n.oid = c.relnamespace " +
     s"JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = ANY(i.indkey) " +
-    s"WHERE i.indisprimary AND n.nspname = '$schema' AND c.relname = '$table'"
+    s"WHERE i.indisprimary AND n.nspname = ${literal(schema)} " +
+    s"AND c.relname = ${literal(table)}"
+  }
 }

@@ -35,8 +35,12 @@ object DmsFiles {
 
   /** Leading digits of a CDC file name (e.g. `20240102-...parquet` =>
     * "20240102"); empty when the name carries no date. */
+  /** First 8 leading digits only: a timestamped file name
+    * (20240105183000-...) must compare as its DATE, or a 14-digit
+    * prefix sorts lexicographically past every 8-digit bound and the
+    * file silently drops out of the inclusive [start, stop] window. */
   private[sources] def datePrefix(name: String): String =
-    name.takeWhile(_.isDigit)
+    name.takeWhile(_.isDigit).take(8)
 
   /** Normalize a user-supplied date bound to its digits and require the
     * full YYYYMMDD shape: "2024-01-05" => "20240105". The old
@@ -46,7 +50,9 @@ object DmsFiles {
     val digits = s.filter(_.isDigit)
     require(digits.length >= 8,
       s"date bound '$s' must contain a full YYYYMMDD date")
-    digits
+    // truncate to the date: a datetime bound ("2024-01-05 12:30") must
+    // not carry its time digits into the 8-digit lexicographic compare
+    digits.take(8)
   }
 
   def list(spark: SparkSession, dir: String, mode: Mode): TableFiles = {

@@ -21,6 +21,26 @@ class SinksAppSpec extends SparkTestBase {
     assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("ParquetSink upsert: within-batch duplicate PKs resolve by the tiebreaker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_tie").toString
+    val sink = new ParquetSink(dir, tieBreakers = Seq("ver"))
+    sink.writeFull(Seq((1L, 0L, "old")).toDF("id", "ver", "v"), "t")
+    // two versions of id=1 in ONE batch: highest ver must win,
+    // deterministically, regardless of partition order
+    val delta = Seq((1L, 2L, "new2"), (1L, 1L, "new1")).toDF("id", "ver", "v")
+      .repartition(4)
+    sink.upsert(delta, "t", Seq("id"))
+    val got = spark.read.parquet(s"$dir/t.parquet")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "new2")))
+  }
+
+  test("catalog queries escape quote-bearing schema/table names") {
+    val sql = graft.sinks.JdbcCatalog.postgresPkQuery("it's", "o''table")
+    assert(sql.contains("n.nspname = 'it''s'"))
+    assert(sql.contains("c.relname = 'o''''table'"))
+  }
+
   test("JdbcSink upsert SQL shape") {
     val sql = JdbcSink.upsertSql("tgt", "stg", Seq("id", "a", "b"), Seq("id"))
     assert(sql ==

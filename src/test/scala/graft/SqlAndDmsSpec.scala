@@ -88,6 +88,11 @@ class SqlAndDmsSpec extends SparkTestBase {
     assert(dated.cdcFiles.size == 1)
     val outOfWindow = DmsFiles.list(spark, dir, DmsFiles.DateAware(Some("20240201"), None))
     assert(outOfWindow.cdcFiles.isEmpty)
+    // datetime BOUNDS compare as their 8-digit DATE (pre-truncation,
+    // the extra time digits lexicographically excluded in-window files)
+    val datetimeBound = DmsFiles.list(spark, dir,
+      DmsFiles.DateAware(Some("2024-01-01 09:15"), Some("2024-01-03 18:00")))
+    assert(datetimeBound.cdcFiles.size == 1)
 
     val snap = DmsFiles.snapshot(spark, dir, pk = Seq("o_orderkey"))
     val total = orders.count()
