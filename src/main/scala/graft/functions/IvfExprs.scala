@@ -24,17 +24,41 @@ object IvfKernels {
     best
   }
 
-  /** indices of the `nprobe` most-similar centroids, descending. */
+  /** indices of the `nprobe` most-similar centroids, descending.
+    * Allocation-free selection scan (O(nlist x nprobe), primitive
+    * arrays, ties to the lowest index like the stable sort it
+    * replaces): this runs once per CORPUS row in semantic dedup, so a
+    * boxed sort of all nlist sims per row was pure GC pressure on the
+    * hot path. */
   def nearestN(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
-    val sims = new Array[Double](centroids.length)
+    val m = centroids.length
+    val sims = new Array[Double](m)
     var c = 0
-    while (c < centroids.length) { sims(c) = cosineTo(v, centroids(c)); c += 1 }
-    val order = sims.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
-    new GenericArrayData(order)
+    while (c < m) { sims(c) = cosineTo(v, centroids(c)); c += 1 }
+    val k = math.min(nprobe, m)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](m)
+    var j = 0
+    while (j < k) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < m) {
+        if (!used(i) && sims(i) > bestSim) { bestSim = sims(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   private def cosineTo(v: ArrayData, c: Array[Float]): Double = {
-    val n = math.min(v.numElements(), c.length)
+    val n = v.numElements()
+    if (n != c.length)
+      throw new IllegalArgumentException(
+        s"centroid dimension mismatch: vector $n vs centroid ${c.length}")
     var dot = 0.0; var nv = 0.0; var nc = 0.0
     var i = 0
     while (i < n) {
@@ -47,7 +71,28 @@ object IvfKernels {
   }
 }
 
-case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]])
+/** Value wrapper for the plan-embedded centroid table: case-class
+  * Array fields compare by REFERENCE, which defeats semanticEquals /
+  * subexpression reuse for identical quantizers and prints as
+  * `[[F@1a2b3c` in explain output. This gives deep equality and a
+  * compact rendering. */
+final class CentroidTable(val table: Array[Array[Float]]) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case t: CentroidTable => table.length == t.table.length &&
+      table.indices.forall(i => java.util.Arrays.equals(table(i), t.table(i)))
+    case _ => false
+  }
+  override def hashCode: Int = {
+    var h = 17
+    var i = 0
+    while (i < table.length) { h = h * 31 + java.util.Arrays.hashCode(table(i)); i += 1 }
+    h
+  }
+  override def toString: String =
+    s"CentroidTable(${table.length}x${if (table.isEmpty) 0 else table(0).length})"
+}
+
+case class NearestCentroidExpr(child: Expression, centroids: CentroidTable)
     extends UnaryExpression with CodegenFallback
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
@@ -55,7 +100,7 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]]
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "nearest_centroid"
   override def nullSafeEval(input: Any): Any =
-    IvfKernels.nearest(input.asInstanceOf[ArrayData], centroids)
+    IvfKernels.nearest(input.asInstanceOf[ArrayData], centroids.table)
   // centroids are instance state => no static-call codegen; runs as a
   // non-codegen leaf inside the surrounding stage (assignment is one
   // pass per table, dominated by the k*dim flops either way)
@@ -63,7 +108,7 @@ case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]]
     copy(child = newChild)
 }
 
-case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]],
+case class NearestCentroidsExpr(child: Expression, centroids: CentroidTable,
                                 nprobe: Int) extends UnaryExpression with CodegenFallback
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
@@ -71,7 +116,7 @@ case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "nearest_centroids"
   override def nullSafeEval(input: Any): Any =
-    IvfKernels.nearestN(input.asInstanceOf[ArrayData], centroids, nprobe)
+    IvfKernels.nearestN(input.asInstanceOf[ArrayData], centroids.table, nprobe)
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
     copy(child = newChild)
 }

@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
 object VectorKernels {
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -41,7 +44,10 @@ object VectorKernels {
   }
 
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -57,7 +63,10 @@ object VectorKernels {
   }
 
   def l2Distance(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"l2Distance: dimension mismatch ${a.numElements()} vs ${b.numElements()}")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -77,16 +86,19 @@ object VectorKernels {
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Boolean]]()
   // single-entry fast path: (seed, nBits, dim) are constant within a
   // scan, so the per-row cost is three primitive compares — no tuple
-  // allocation, no map probe
-  @volatile private var lastKey: (Long, Int, Int) = _
-  @volatile private var lastSigns: Array[Boolean] = _
+  // allocation, no map probe. ONE volatile holding an immutable
+  // (key, signs) pair: two separate volatiles could tear under
+  // concurrent tasks with different configs — one config's key paired
+  // with another's sign table silently corrupts every bucket (r4
+  // review finding)
+  private final class CachedSigns(val seed: Long, val nBits: Int,
+                                  val dim: Int, val signs: Array[Boolean])
+  @volatile private var last: CachedSigns = _
 
   private def signs(seed: Long, nBits: Int, dim: Int): Array[Boolean] = {
-    val lk = lastKey
-    if (lk != null && lk._1 == seed && lk._2 == nBits && lk._3 == dim) {
-      val ls = lastSigns
-      if (ls != null) return ls
-    }
+    val lk = last
+    if (lk != null && lk.seed == seed && lk.nBits == nBits && lk.dim == dim)
+      return lk.signs
     // ragged vector lengths / many configs could otherwise grow the
     // cache for the JVM's lifetime; the bound is far above any sane
     // number of simultaneous (seed, nBits, dim) configurations
@@ -106,8 +118,7 @@ object VectorKernels {
       }
       a
     })
-    lastKey = (seed, nBits, dim)
-    lastSigns = arr
+    last = new CachedSigns(seed, nBits, dim, arr)
     arr
   }
 
@@ -186,6 +197,12 @@ case class NormExpr(child: Expression) extends UnaryExpression
 case class HyperplaneBucketExpr(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  // 1..63: 0 makes every row bucket 0 (a bucket join degenerates to a
+  // cross join), >63 wraps the shift so planes alias. Guard HERE so
+  // the unchecked SQL surface (hyperplane_bucket literal args) fails
+  // at plan build, not with silent wrong buckets
+  require(nBits >= 1 && nBits <= 63,
+    s"hyperplane nBits must be in [1, 63], got $nBits")
   override def declaredInputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

@@ -59,8 +59,11 @@ object Ivf {
     // lowest-id corner) through the two-phase top-k — each partition is
     // first reduced to nlist candidates, so the single merge reducer
     // sees partitions x nlist rows, never the corpus
+    // cast like every other entry point: array<double> embeddings would
+    // otherwise pass assign/probes but crash THIS collect (getSeq[Float])
     var centroids: Array[Array[Float]] = graft.plans.TopK.perKey(
-        corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        corpus.select(col(idCol).as("__id"),
+            col(vecCol).cast("array<float>").as("__v"),
             pmod(hash(col(idCol)), lit(1 << 30)).as("__spread"))
           .withColumn("__g", lit(0)),
         Seq("__g"), Seq(("__spread", true), ("__id", true)), nlist)
@@ -89,12 +92,14 @@ object Ivf {
   /** Cluster id column for a vector column. */
   def assign(vec: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroidExpr(
-      Bridge.expression(vec.cast("array<float>")), centroids))
+      Bridge.expression(vec.cast("array<float>")),
+      new graft.functions.CentroidTable(centroids)))
 
   /** `nprobe` nearest cluster ids, for the query side. */
   def probes(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     Bridge.column(NearestCentroidsExpr(
-      Bridge.expression(vec.cast("array<float>")), centroids, nprobe))
+      Bridge.expression(vec.cast("array<float>")),
+      new graft.functions.CentroidTable(centroids), nprobe))
 
   /** ANN top-k through the inverted lists. Deterministic (ties on
     * corpus id). */
@@ -108,13 +113,9 @@ object Ivf {
     val scored = lists.join(q, Seq("cluster"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
-    // heap-select in the custom operator, then rank only queries x k rows
-    val top = graft.plans.TopK.perKey(
-      scored.select(col("query_id"), col("corpus_id"), col("cos")),
-      Seq("query_id"), Seq(("cos", false), ("corpus_id", true)), k)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    top.withColumn("rank", row_number().over(w))
-      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+    // shared selection/ranking contract with the other ANN tiers (one
+    // implementation of the tie-break and rank shape RecallEval compares)
+    Similarity.selectAndRank(
+      scored.select(col("query_id"), col("corpus_id"), col("cos")), k)
   }
 }

@@ -24,7 +24,7 @@ object Similarity {
   /** Rank the (already top-k-selected) candidates: selection happens in
     * the sort-free custom operator over ALL scored pairs; the window
     * then orders only queries x k rows — never the full score matrix. */
-  private def selectAndRank(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def selectAndRank(scored: DataFrame, k: Int): DataFrame = {
     val top = graft.plans.TopK.perKey(
       scored.select(col("query_id"), col("corpus_id"), col("cos")),
       Seq("query_id"), Seq(("cos", false), ("corpus_id", true)), k)
@@ -66,9 +66,13 @@ object Similarity {
         vectors.hyperplaneBucket(col(vecCol), nBits, seed).as("qbucket"))
       .select(col("query_id"), col("qv"),
         explode(array(masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // no pair dedup needed: distinct probe masks give distinct probe
+    // buckets, and a corpus row lives in exactly ONE bucket, so each
+    // (query, corpus) pair meets at most once — the dropDuplicates this
+    // used to carry shuffled the full candidate set WITH both vectors
+    // for zero removed rows (r4 review finding)
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .dropDuplicates("query_id", "corpus_id")
       .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
     selectAndRank(scored, k)
   }
