@@ -1159,7 +1159,11 @@ object SparkEntry {
       "SELECT source, count(*) AS n_docs, " +
       "count(DISTINCT fp) AS n_distinct, " +
       "round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate, " +
-      "sum(tok) AS total_tokens, round(avg(q), 6) AS avg_quality " +
+      "sum(tok) AS total_tokens, " +
+      // mirror of the Spark side's exact scaled-long mean (q is round-6,
+      // so floor(q*1e6+0.5) is lossless; integer sum is order-free)
+      "round(CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) " +
+      "/ (count(*) * 1000000.0), 6) AS avg_quality " +
       "FROM t GROUP BY source"),
     // replays the runtime-derived keep-rate in SQL: rate = budget /
     // exact integer token total (both engines do the same float64

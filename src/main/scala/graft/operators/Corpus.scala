@@ -156,8 +156,17 @@ object Corpus {
     * acceptable; the exact form is kept here because it is what the
     * DuckDB oracle can check. Doubles round to 6 like every
     * cross-engine ratio. */
-  def sourceReport(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+  def sourceReport(docs: DataFrame, groupCol: String, textCol: String,
+                   approx: Boolean = false): DataFrame = {
     val c = col(textCol)
+    // the 100 TB dial: approx=true swaps the exact two-exchange distinct
+    // aggregate for approx_count_distinct (HLL++, rsd 2%) — a plain
+    // partial/final aggregate, ONE exchange carrying one sketch per
+    // (source) per task instead of one row per distinct fingerprint.
+    // The exact form stays the default because it is what the DuckDB
+    // oracle can check; the approx tier is tolerance-spec'd against it.
+    def nDistinct = if (approx) approx_count_distinct(col("__fp"), 0.02)
+                    else countDistinct(col("__fp"))
     docs
       .select(col(groupCol), text.fingerprintMd5(c).as("__fp"),
         text.tokenCount(c).cast("long").as("__tok"),
@@ -165,11 +174,17 @@ object Corpus {
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(col("__fp")).as("n_distinct"),
-        round(lit(1.0) - countDistinct(col("__fp")).cast("double") /
+        nDistinct.as("n_distinct"),
+        round(lit(1.0) - nDistinct.cast("double") /
           count(lit(1)), 6).as("dup_rate"),
         sum(col("__tok")).as("total_tokens"),
-        round(avg(col("__q")), 6).as("avg_quality"))
+        // exact order-independent mean: __q is already round-6, so
+        // floor(q*1e6 + 0.5) is a lossless long (avg() over doubles sums
+        // in partition-completion order and flips the last ulp run to
+        // run — the r4 driver caught it as a hash flake). Sum as exact
+        // longs, divide once; both engines do the identical double ops.
+        round(sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1e6)), 6).as("avg_quality"))
   }
 
   /** Per-group length-distribution summary: exact interpolated
@@ -186,8 +201,18 @@ object Corpus {
     * Ratios/means are rounded to 6 decimals: interpolation order of
     * operations may differ across engines in the last ulp.
     */
-  def lengthStats(docs: DataFrame, groupCol: String, lenCol: String): DataFrame = {
-    val pct = expr(s"percentile($lenCol, array(0.25D, 0.5D, 0.9D, 0.99D))")
+  def lengthStats(docs: DataFrame, groupCol: String, lenCol: String,
+                  approx: Boolean = false): DataFrame = {
+    // approx=true is the free-cardinality-group / 100 TB tier:
+    // approx_percentile keeps a constant-size sketch per group instead
+    // of buffering every value, same partial/final one-exchange shape.
+    // (accuracy 10000 => within 1e-4 relative rank; tolerance-spec'd
+    // against the exact tier in CorpusOpsSpec.)
+    val pct =
+      if (approx)
+        expr(s"approx_percentile($lenCol, array(0.25D, 0.5D, 0.9D, 0.99D), 10000)")
+          .cast("array<double>")
+      else expr(s"percentile($lenCol, array(0.25D, 0.5D, 0.9D, 0.99D))")
     docs.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_docs"),

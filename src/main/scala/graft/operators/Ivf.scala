@@ -75,14 +75,22 @@ object Ivf {
       val assigned = corpus.select(
         assign(col(vecCol), centroids).as("cluster"), col(vecCol).as("v"))
       // elementwise mean per cluster: explode to (cluster, pos, x)
+      // exact decimal mean, not avg-of-double: a double avg() sums in
+      // partition-completion order, so the last ulp — and through
+      // .toFloat, the centroid, and through it near-boundary cluster
+      // assignments — can flip run to run (the flake class the r4 driver
+      // caught on q_source_report). Decimal addition is exact, so the
+      // mean is order-independent by construction; the float->decimal(12)
+      // input rounding (<=5e-13) is deterministic and far below any
+      // assignment margin that isn't already a coin flip.
       val means = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg(avg(col("x").cast("decimal(27,12)")).as("m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        next(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue.toFloat
       }
       centroids = next
     }

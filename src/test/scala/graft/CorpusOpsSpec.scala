@@ -147,6 +147,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rep(1).getLong(1) === 1L && rep(1).getDouble(3) === 0.0)
   }
 
+  test("sourceReport approx tier: within HLL tolerance of exact; ONE exchange") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val exact = Corpus.sourceReport(docs, "source", "text")
+      .select("source", "n_docs", "n_distinct", "total_tokens", "avg_quality")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Corpus.sourceReport(docs, "source", "text", approx = true)
+    approx
+      .select("source", "n_docs", "n_distinct", "total_tokens", "avg_quality")
+      .collect().foreach { r =>
+      val e = exact(r.getString(0))
+      // the non-sketched aggregates are identical
+      assert(r.getLong(1) === e.getLong(1))
+      assert(r.getLong(3) === e.getLong(3))
+      assert(r.getDouble(4) === e.getDouble(4))
+      // HLL++ at rsd=0.02: allow 3 sigma => 6%
+      val (ad, ed) = (r.getLong(2).toDouble, e.getLong(2).toDouble)
+      assert(math.abs(ad - ed) <= math.max(3.0, 0.06 * ed),
+        s"approx n_distinct $ad vs exact $ed for ${r.getString(0)}")
+    }
+    // the point of the tier: one exchange, not the exact form's two
+    // (truncate the AQE "Initial Plan" echo before counting)
+    val plan = approx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 1, s"approx sourceReport must plan ONE exchange, got $n:\n$plan")
+  }
+
   // ---- length stats ----------------------------------------------------
 
   test("lengthStats: exact interpolated percentiles") {
@@ -159,6 +186,39 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(row.getDouble(4) === 25.0)        // p50
     assert(row.getDouble(5) === 37.0)        // p90 = 30 + 0.7*10
     assert(row.getDouble(6) === 39.7)        // p99
+  }
+
+  test("lengthStats approx tier: within rank tolerance of exact; one exchange") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    // approx_percentile is rank-exact at accuracy 10000 but reports a
+    // nearest-rank VALUE (no interpolation), so the right tolerance is
+    // a rank bracket: approx p must land between the exact quantiles at
+    // p +- 0.05 (wide enough to cover one order statistic on the 25-row
+    // sf0.01 groups).
+    val brackets = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, array(0.20D,0.30D, 0.45D,0.55D, " +
+        "0.85D,0.95D, 0.94D,1.0D))").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = Corpus.lengthStats(docs, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Corpus.lengthStats(docs, "source", "n_chars", approx = true)
+    approx.collect().foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) === e.getLong(1))
+      assert(r.getDouble(2) === e.getDouble(2)) // avg is not sketched
+      val b = brackets(r.getString(0))
+      (3 to 6).foreach { i =>
+        val (lo, hi) = (b(2 * (i - 3)), b(2 * (i - 3) + 1))
+        assert(r.getDouble(i) >= lo && r.getDouble(i) <= hi,
+          s"p-col $i: approx ${r.getDouble(i)} outside exact rank bracket [$lo, $hi]")
+      }
+    }
+    // executed AQE plans append an "== Initial Plan ==" section that
+    // repeats the exchange — count only the final plan
+    val plan = approx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n === 1, s"approx lengthStats must plan ONE exchange, got $n:\n$plan")
   }
 
   // ---- composed quality filter ----------------------------------------
