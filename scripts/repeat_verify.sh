@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# Repeat-verify of the driver pathway for a focused query set (r5 verdict
+# item #1): fresh sbt build -> graft.Verify -> check_oracles.py, N times,
+# capturing a canonical content hash of each query's parquet output per
+# iteration. If this loop is green N times with a stable hash and the
+# driver's CORRECTNESS row stays red, the remaining delta is in the
+# driver's hasher, not this repo.
+#
+# Usage: scripts/repeat_verify.sh <sfDir> [queries_csv] [n_runs]
+set -u
+SF_DIR=${1:?sfDir}
+QUERIES=${2:-q_source_report}
+N=${3:-3}
+
+cd "$(dirname "$0")/.."
+sbt -batch clean compile >/tmp/repeat_verify_build.log 2>&1 || {
+  echo "BUILD FAILED"; tail -20 /tmp/repeat_verify_build.log; exit 1; }
+
+fail=0
+for i in $(seq 1 "$N"); do
+  out=$(mktemp -d /tmp/verify_rep_XXXX)
+  SPARK_GRAFT_VERIFY_ONLY="$QUERIES" \
+    sbt -batch "runMain graft.Verify $SF_DIR $out" \
+    >/tmp/repeat_verify_run_$i.log 2>&1 || { echo "run $i: Verify FAILED"; fail=1; continue; }
+  for q in ${QUERIES//,/ }; do
+    # canonical hash: row-sorted full-precision CSV via duckdb
+    h=$(python3 - "$out" "$q" <<'EOF'
+import sys, duckdb, hashlib
+out, q = sys.argv[1], sys.argv[2]
+rel = duckdb.connect().execute(f"SELECT * FROM '{out}/{q}/*.parquet'")
+cols = [d[0] for d in rel.description]
+order = sorted(range(len(cols)), key=lambda i: cols[i])
+rows = sorted(tuple(repr(r[i]) for i in order) for r in rel.fetchall())
+print(hashlib.md5(repr(rows).encode()).hexdigest())
+EOF
+)
+    echo "run $i $q content_hash=$h"
+  done
+  # focused Verify dumps only the selected queries: prune the oracle list
+  # to match before the compare
+  python3 - "$out" "$QUERIES" <<'EOF'
+import json, sys
+out, qs = sys.argv[1], set(sys.argv[2].split(","))
+p = f"{out}/oracle_sql.json"
+sql = json.load(open(p))
+json.dump({k: v for k, v in sql.items() if k in qs}, open(p, "w"))
+EOF
+  res=$(python3 scripts/check_oracles.py "$SF_DIR" "$out")
+  echo "$res" | grep -E "^(PASS|FAIL|==)" | sed "s/^/run $i: /"
+  echo "$res" | grep -q ", 0 fail" || fail=1
+  rm -rf "$out"
+done
+[ $fail -eq 0 ] && echo "REPEAT-VERIFY GREEN ($N/$N)" || echo "REPEAT-VERIFY RED"
+exit $fail

@@ -34,14 +34,19 @@ object SparkEntry {
     * parquet is ONE row group per table (unsplittable), so without a
     * repair every minhash/simhash/shingle kernel would run in a single
     * task no matter how many cores exist. The repair is GATED on the
-    * scan actually being starved (partitions << cores): on a real
-    * multi-file corpus the gate never fires and the plan carries zero
-    * extra exchanges (PlanAuditSpec pins this) — the r4 verdict's
-    * "bench crutch baked into query semantics" is now a conditional
-    * repair, not part of the queries' definitions. */
+    * scan actually being starved (splits << cores): on a healthy
+    * multi-file layout the gate declines and the input plan is
+    * returned unchanged — both branches are asserted in PlanAuditSpec
+    * ("ensureParallelism" cases). Memoized per (session, dir) so the
+    * probe's file listing and planning happen once, not once per query
+    * construction (r5 advisor note). */
+  private val docsSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def docsSplit(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Repartitioning.ensureParallelism(
-      t(s, dir, "documents"), col("doc_id"))
+    docsSplitCache.computeIfAbsent((s, dir), { _ =>
+      graft.operators.Repartitioning.ensureParallelism(
+        t(s, dir, "documents"), col("doc_id"))
+    })
 
   /** Exact, order-independent aggregate for 2-decimal money/quantity
     * columns: scale to integer cents, sum as long (pure codegen'd
@@ -1160,12 +1165,16 @@ object SparkEntry {
       s"round($qQualitySql, 6) AS q FROM documents) " +
       "SELECT source, count(*) AS n_docs, " +
       "count(DISTINCT fp) AS n_distinct, " +
-      "round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate, " +
+      // no final round-to-6 on the ratios (mirrors Corpus.sourceReport):
+      // both operands are exact integer aggregates, so the single IEEE
+      // division is bit-identical across engines; a trailing round() is
+      // the one place engine rounding rules could still diverge
+      "1.0 - count(DISTINCT fp) * 1.0 / count(*) AS dup_rate, " +
       "sum(tok) AS total_tokens, " +
       // mirror of the Spark side's exact scaled-long mean (q is round-6,
       // so floor(q*1e6+0.5) is lossless; integer sum is order-free)
-      "round(CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) " +
-      "/ (count(*) * 1000000.0), 6) AS avg_quality " +
+      "CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) " +
+      "/ (count(*) * 1000000.0) AS avg_quality " +
       "FROM t GROUP BY source"),
     // replays the runtime-derived keep-rate in SQL: rate = budget /
     // exact integer token total (both engines do the same float64

@@ -154,8 +154,12 @@ object Corpus {
     * (plan-pinned at 2 exchanges in CorpusOpsSpec). At 100 TB swap in
     * approx_count_distinct (HLL, one exchange) when a ±2% dup rate is
     * acceptable; the exact form is kept here because it is what the
-    * DuckDB oracle can check. Doubles round to 6 like every
-    * cross-engine ratio. */
+    * DuckDB oracle can check. The ratio outputs are deliberately NOT
+    * rounded: every operand is an exact integer aggregate, so the one
+    * IEEE-754 division is bit-identical in any engine — whereas a final
+    * round-to-6 reintroduces cross-engine last-ulp risk (BigDecimal
+    * HALF_UP here vs the oracle engine's own rounding) on tie-adjacent
+    * values. */
   def sourceReport(docs: DataFrame, groupCol: String, textCol: String,
                    approx: Boolean = false): DataFrame = {
     val c = col(textCol)
@@ -175,16 +179,16 @@ object Corpus {
       .agg(
         count(lit(1)).as("n_docs"),
         nDistinct.as("n_distinct"),
-        round(lit(1.0) - nDistinct.cast("double") /
-          count(lit(1)), 6).as("dup_rate"),
+        (lit(1.0) - nDistinct.cast("double") /
+          count(lit(1))).as("dup_rate"),
         sum(col("__tok")).as("total_tokens"),
         // exact order-independent mean: __q is already round-6, so
         // floor(q*1e6 + 0.5) is a lossless long (avg() over doubles sums
         // in partition-completion order and flips the last ulp run to
         // run — the r4 driver caught it as a hash flake). Sum as exact
         // longs, divide once; both engines do the identical double ops.
-        round(sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
-          .cast("double") / (count(lit(1)) * lit(1e6)), 6).as("avg_quality"))
+        (sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1e6))).as("avg_quality"))
   }
 
   /** Per-group length-distribution summary: exact interpolated

@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.FileSourceScanExec
 
 /** Parallelism repair for under-split scans.
   *
@@ -17,20 +19,47 @@ import org.apache.spark.sql.{Column, DataFrame}
   * [[ensureParallelism]] applies the repair ONLY when the scan is
   * actually starved: fewer physical partitions than `minFraction` of
   * the session's default parallelism. On a healthy layout it returns
-  * the input DataFrame unchanged (same plan object — zero added
-  * exchanges, asserted in PlanAuditSpec).
+  * the input DataFrame unchanged — literally the same object, so zero
+  * added exchanges (both branches asserted in PlanAuditSpec: healthy
+  * multi-file scan ⇒ `eq` input / no Exchange; single-file scan ⇒
+  * repartition present).
+  *
+  * The partition probe reads the non-adaptive physical plan's file-scan
+  * leaves ([[FileSourceScanExec]]) and sums their split counts — file
+  * listing only, no job, and (unlike a `df.rdd` probe) it never
+  * materializes AQE query stages when the input carries joins or
+  * shuffles. A plan with no file-scan leaf (in-memory test data, JDBC)
+  * reports Int.MaxValue — i.e. "not starved", repair declines: the
+  * operator targets scans, and guessing for other sources would risk
+  * an unobserved full-input shuffle.
   */
-object Repartitioning {
+object Repartitioning extends Logging {
 
-  /** Repartition `df` by `key` iff its physical scan yields fewer
-    * partitions than `minFraction * defaultParallelism`. Inspecting
-    * the partition count plans the scan (file listing) but runs no
-    * job; the scan would list files anyway on first use.
+  /** Total split count across the plan's file-scan leaves; Int.MaxValue
+    * when the plan has none (non-file sources are never "starved"). */
+  def scanPartitions(df: DataFrame): Int = {
+    val counts = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+    }
+    if (counts.isEmpty) Int.MaxValue else counts.sum
+  }
+
+  /** Repartition `df` by `key` iff its file scan yields fewer splits
+    * than `minFraction * defaultParallelism`. When the repair fires it
+    * logs the observed/target counts — on a production corpus this
+    * firing means compacted/undersplit input and a full-input shuffle,
+    * which should be visible, not silent.
     */
   def ensureParallelism(df: DataFrame, key: Column,
                         minFraction: Double = 0.5): DataFrame = {
     val target = math.max(1,
       math.ceil(df.sparkSession.sparkContext.defaultParallelism * minFraction).toInt)
-    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+    val observed = scanPartitions(df)
+    if (observed < target) {
+      logWarning(s"ensureParallelism: scan is starved ($observed splits < " +
+        s"target $target = ceil($minFraction x defaultParallelism)); " +
+        s"repartitioning by $key — a full-input shuffle")
+      df.repartition(key)
+    } else df
   }
 }

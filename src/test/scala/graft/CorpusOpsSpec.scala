@@ -142,7 +142,7 @@ class CorpusOpsSpec extends SparkTestBase {
       .orderBy("source").collect()
     assert(rep(0).getLong(1) === 3L)      // s1 n_docs
     assert(rep(0).getLong(2) === 2L)      // s1 distinct
-    assert(rep(0).getDouble(3) === 0.333333)
+    assert(rep(0).getDouble(3) === 1.0 - 2.0 / 3.0) // unrounded exact-int ratio
     assert(rep(0).getLong(4) === 8L)      // 3+3+2 tokens
     assert(rep(1).getLong(1) === 1L && rep(1).getDouble(3) === 0.0)
   }

@@ -60,6 +60,39 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("ensureParallelism declines on a healthy multi-file scan: same plan, no Exchange") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("healthy_scan").toString
+    spark.range(1000).toDF("id").repartition(4).write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    val obs = graft.operators.Repartitioning.scanPartitions(scan)
+    assert(obs >= 2, s"fixture must be multi-split, got $obs") // target = ceil(4*0.5) = 2
+    val out = graft.operators.Repartitioning.ensureParallelism(scan, col("id"))
+    assert(out eq scan, "healthy layout must return the identical DataFrame object")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"healthy scan grew an exchange:\n$plan")
+  }
+
+  test("ensureParallelism repairs a starved single-file scan: repartition fires") {
+    import org.apache.spark.sql.functions.col
+    val scan = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    assert(graft.operators.Repartitioning.scanPartitions(scan) === 1,
+      "testdata documents must be a single split for this case to bite")
+    val out = graft.operators.Repartitioning.ensureParallelism(scan, col("doc_id"))
+    assert(!(out eq scan))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(doc_id"),
+      s"starved scan not repartitioned by key:\n$plan")
+  }
+
+  test("ensureParallelism declines on non-file sources (no scan leaf => never starved)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val mem = Seq(1, 2, 3).toDF("id").coalesce(1)
+    assert(graft.operators.Repartitioning.scanPartitions(mem) === Int.MaxValue)
+    assert(graft.operators.Repartitioning.ensureParallelism(mem, col("id")) eq mem)
+  }
+
   test("cdc latest-per-key: max_by aggregate with map-side combine on one PK shuffle") {
     val plan = planOf("q_cdc_latest_per_key")
     assert(plan.contains("hashpartitioning(user_id"),
