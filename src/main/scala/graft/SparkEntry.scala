@@ -48,6 +48,12 @@ object SparkEntry {
         t(s, dir, "documents"), col("doc_id"))
     })
 
+  /** Shape of every fakegen safe email (FakeGen.email): first.last with
+    * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used
+    * by the faker shape-invariant queries below. */
+  private val FakeEmailRe =
+    "^[a-z]+\\.[a-z]+[0-9]{0,2}@example\\.(com|org|net)$"
+
   /** Exact, order-independent aggregate for 2-decimal money/quantity
     * columns: scale to integer cents, sum as long (pure codegen'd
     * primitive math — decimal sums measured 5x slower), divide once.
@@ -265,35 +271,109 @@ object SparkEntry {
         ("events", t(s, dir, "events").select(col("event_id").as("id")), 0.1)),
         keyCol = "id")),
 
-    // ---- §2.4 deterministic fakers (not SQL-expressible: rows-only
-    // driver check; exact semantics pinned by ScalaTest + determinism) --
+    // ---- §2.4 deterministic fakers. The fake VALUES are not
+    // SQL-expressible (wordlist draws from a seeded hash), but their
+    // CONTRACT is: each query emits per-row shape invariants the DuckDB
+    // oracle recomputes from the ORIGINAL data alone (r5 verdict item
+    // #2), so the driver hash-checks the faker surface instead of
+    // recording rows-only. Exact output values stay pinned by
+    // FakeGenSpec/AnonFunctionsSpec; q_fake_determinism turns the
+    // value-seeded determinism contract (transformator.rs:94-99) into a
+    // hard CORRECTNESS row. ------------------------------------------
     "q_fake_name" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"),
-        anon.fakeName(col("c_name")).as("c_name"))),
+        anon.fakeName(col("c_name"))
+          .rlike("^[A-Z][a-z]+ [A-Z][a-z]+$").as("shape_ok"),
+        (anon.fakeName(col("c_name")) =!= col("c_name")).as("differs"))),
     "q_fake_email" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"),
-        anon.fakeEmail(col("c_name")).as("email"))),
+        anon.fakeEmail(col("c_name")).rlike(FakeEmailRe).as("shape_ok"))),
     "q_fake_company" -> ((s, dir) =>
       t(s, dir, "supplier").select(col("s_suppkey"),
-        anon.fakeCompanyName(col("s_name")).as("s_name"))),
+        anon.fakeCompanyName(col("s_name"))
+          .rlike("^[A-Za-z ]+ (LLC|Inc|Group|Holdings|Labs|Partners|" +
+            "Systems|Industries|Ventures|Co)$").as("shape_ok"),
+        (anon.fakeCompanyName(col("s_name")) =!= col("s_name")).as("differs"))),
+    // bldg(1-9999) street(2 words) zip(5) city(1 word) postcode(5)
     "q_fake_address" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"),
-        anon.fakeAddress(col("c_name")).as("address"))),
+        anon.fakeAddress(col("c_name"))
+          .rlike("^[0-9]{1,4} [A-Z][a-z]+ [A-Z][a-z]+ [0-9]{5} " +
+            "[A-Z][a-z]+ [0-9]{5}$").as("shape_ok"))),
+    // "fake_md5" emits a UUIDv4: version nibble 4, variant in [89ab]
     "q_fake_uuid" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"),
-        anon.fakeUuid(col("c_name")).as("token"))),
-    "q_fake_phone" -> ((s, dir) =>
+        anon.fakeUuid(col("c_name"))
+          .rlike("^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}" +
+            "-[0-9a-f]{12}$").as("shape_ok"))),
+    // the reference contract (fake_phone_transformator.rs:29-35): every
+    // non-digit byte preserved, every digit replaced by a DIFFERENT
+    // digit. skeleton (digits -> 'D') is recomputed by the oracle from
+    // the original; digits_same counts positions where the digit
+    // survived (must be 0).
+    "q_fake_phone" -> ((s, dir) => {
+      val orig = format_string("+30 21 %07d", col("c_custkey"))
+      val fake = anon.fakePhone(orig)
       t(s, dir, "customer").select(col("c_custkey"),
-        anon.fakePhone(format_string("+30 21 %07d", col("c_custkey"))).as("phone"))),
-    "q_fake_multi_email" -> ((s, dir) =>
+        regexp_replace(fake, "[0-9]", "D").as("skeleton"),
+        size(filter(zip_with(split(fake, ""), split(orig, ""),
+          (a, b) => a === b && b.rlike("^[0-9]$")), x => x))
+          .as("digits_same"))
+    }),
+    // brace-wrap preserved, element count preserved, every element a
+    // well-formed safe email, no element passed through unchanged
+    // (fake_multi_email_transformator.rs:15-54)
+    "q_fake_multi_email" -> ((s, dir) => {
+      val orig = format_string("{a%s@x.com,b%s@y.com}",
+        col("c_custkey"), col("c_custkey"))
+      val fake = anon.fakeMultiEmail(orig)
+      val inner = regexp_replace(fake, "^\\{|\\}$", "")
+      val origInner = regexp_replace(orig, "^\\{|\\}$", "")
       t(s, dir, "customer").select(col("c_custkey"),
-        anon.fakeMultiEmail(format_string("{a%s@x.com,b%s@y.com}",
-          col("c_custkey"), col("c_custkey"))).as("emails"))),
-    "q_fake_email_id_prefix" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .withColumn("id", col("c_custkey").cast("int"))
-        .select(col("c_custkey"),
-          anon.fakeEmailWithIdPrefix(col("id"), col("c_name")).as("email"))),
+        (fake.startsWith("{") && fake.endsWith("}")).as("braced"),
+        size(split(inner, ",")).as("n_elems"),
+        size(filter(split(inner, ","), e => e.rlike(FakeEmailRe)))
+          .as("n_valid"),
+        size(filter(zip_with(split(inner, ","), split(origInner, ","),
+          (a, b) => a === b), x => x)).as("n_unchanged"))
+    }),
+    // "{id}-{fakeEmail(email)}": the oracle recomputes the id prefix
+    // from the key column (fake_email_with_id_prefix_transformator.rs:19-62)
+    "q_fake_email_id_prefix" -> ((s, dir) => {
+      val fake = anon.fakeEmailWithIdPrefix(
+        col("c_custkey").cast("int"), col("c_name"))
+      t(s, dir, "customer").select(col("c_custkey"),
+        split(fake, "-").getItem(0).cast("int").as("id_prefix"),
+        regexp_extract(fake, "^[0-9]+-(.*)$", 1).rlike(FakeEmailRe)
+          .as("rest_ok"))
+    }),
+    // the load-bearing contract: every generator is a pure function of
+    // (cell value, seed). Each faker runs twice per row on two
+    // syntactically-distinct but equal inputs (substring identity — CSE
+    // cannot collapse the pair), and the query emits the total mismatch
+    // count, which the oracle pins to zero.
+    "q_fake_determinism" -> ((s, dir) => {
+      val c = col("c_name")
+      val c2 = substring(col("c_name"), 1, 1 << 20)
+      val phoneA = format_string("+30 21 %07d", col("c_custkey"))
+      val phoneB = substring(phoneA, 1, 1 << 20)
+      val meA = format_string("{a%s@x.com,b%s@y.com}",
+        col("c_custkey"), col("c_custkey"))
+      val meB = substring(meA, 1, 1 << 20)
+      val pairs = Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)](
+        anon.fakeFirstName(c) -> anon.fakeFirstName(c2),
+        anon.fakeLastName(c) -> anon.fakeLastName(c2),
+        anon.fakeName(c) -> anon.fakeName(c2),
+        anon.fakeCompanyName(c) -> anon.fakeCompanyName(c2),
+        anon.fakeEmail(c) -> anon.fakeEmail(c2),
+        anon.fakeAddress(c) -> anon.fakeAddress(c2),
+        anon.fakeUuid(c) -> anon.fakeUuid(c2),
+        anon.fakePhone(phoneA) -> anon.fakePhone(phoneB),
+        anon.fakeMultiEmail(meA) -> anon.fakeMultiEmail(meB))
+      val mismatch = pairs.map { case (a, b) =>
+        when(!(a <=> b), lit(1)).otherwise(lit(0)) }.reduce(_ + _)
+      t(s, dir, "customer").agg(sum(mismatch).as("mismatches"))
+    }),
     // ---- training-data pipeline: text analysis ------------------------
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -451,7 +531,7 @@ object SparkEntry {
     // with SQL-expressible transforms (Replace + Nullify), so the whole
     // composition is oracle-checked end to end. The faker-bearing
     // pipeline runs in entry() and the CLI e2e spec; fakers themselves
-    // are pinned by the q_fake_* rows-only checks + ScalaTest.
+    // are pinned by the q_fake_* shape-invariant oracles + ScalaTest.
     "q_anonymize_pipeline" -> ((s, dir) => {
       val cfg = TableConfig(
         tableName = "customer",
@@ -726,6 +806,34 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // ---- faker shape invariants: the oracle recomputes every expected
+    // value from the ORIGINAL tables; the Spark side computes the same
+    // columns from the FAKED values, so any contract break (shape,
+    // preserved formatting, surviving digit, passed-through element,
+    // nondeterminism) flips the driver's hash compare. -----------------
+    "q_fake_name" ->
+      "SELECT c_custkey, true AS shape_ok, true AS differs FROM customer",
+    "q_fake_email" ->
+      "SELECT c_custkey, true AS shape_ok FROM customer",
+    "q_fake_company" ->
+      "SELECT s_suppkey, true AS shape_ok, true AS differs FROM supplier",
+    "q_fake_address" ->
+      "SELECT c_custkey, true AS shape_ok FROM customer",
+    "q_fake_uuid" ->
+      "SELECT c_custkey, true AS shape_ok FROM customer",
+    "q_fake_phone" ->
+      ("SELECT c_custkey, " +
+       "regexp_replace(printf('+30 21 %07d', c_custkey), '[0-9]', 'D', 'g')" +
+       " AS skeleton, CAST(0 AS INTEGER) AS digits_same FROM customer"),
+    "q_fake_multi_email" ->
+      ("SELECT c_custkey, true AS braced, CAST(2 AS INTEGER) AS n_elems, " +
+       "CAST(2 AS INTEGER) AS n_valid, CAST(0 AS INTEGER) AS n_unchanged " +
+       "FROM customer"),
+    "q_fake_email_id_prefix" ->
+      ("SELECT c_custkey, CAST(c_custkey AS INTEGER) AS id_prefix, " +
+       "true AS rest_ok FROM customer"),
+    "q_fake_determinism" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches",
     "q_filter_contains" ->
       "SELECT * FROM customer WHERE c_name LIKE '%11%'",
     "q_filter_startswith" ->
