@@ -229,6 +229,22 @@ object SparkEntry {
       graft.plans.TopK.perKey(t(s, dir, "orders"), Seq("o_custkey"),
         Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)),
 
+    // the same result through the OPTIMIZER RULE: the user writes the
+    // idiomatic window top-k and DROPS the rank, TopKRewrite replaces
+    // the Window+Filter with TopKPerKeyPlan (rule-fires asserted in
+    // TopKPlanSpec; q_window_topk, which SELECTS rn, is the negative
+    // case where the rule must decline)
+    "q_topk_rewrite" -> ((s, dir) => {
+      graft.plans.TopK.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // ---- temporal: backward as-of join --------------------------------
     // last click before each purchase, per user (point-in-time join)
     "q_asof_join" -> ((s, dir) => {
@@ -900,6 +916,10 @@ object SparkEntry {
       "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn " +
       "FROM orders " +
       "QUALIFY rn <= 3"),
+    "q_topk_rewrite" -> (
+      "SELECT o_custkey, o_orderkey, o_totalprice FROM orders " +
+      "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3"),
 
     // ---- engine generality ---------------------------------------------
     "q_join_semi" ->

@@ -60,6 +60,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q_topk_rewrite plans as rule-inserted TopKPerKey; q_window_topk keeps its Window") {
+    val rewritten = planOf("q_topk_rewrite")
+    assert(rewritten.contains("TopKPerKey"),
+      s"rule did not insert the heap operator:\n$rewritten")
+    assert(!rewritten.contains("Window"),
+      s"window survived the rewrite:\n$rewritten")
+    // selecting rn makes the rewrite observable => rule must decline
+    val kept = planOf("q_window_topk")
+    assert(kept.contains("Window") && !kept.contains("TopKPerKey"),
+      s"rule fired on a rank-keeping query:\n$kept")
+  }
+
   test("ensureParallelism declines on a healthy multi-file scan: same plan, no Exchange") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("healthy_scan").toString
