@@ -155,6 +155,43 @@ class TextDedupSpec extends SparkTestBase {
       s"simhash recall<1: missed=${exact -- viaSimhash} extra=${viaSimhash -- exact}")
   }
 
+  test("verified tiers: recall==1 is parameter-robust (3 seeds x 2 band plans)") {
+    // r4/r5 verdict item: the oracle configs above are exact BECAUSE
+    // recall is 1 there — but a single pinned config can hide a knife's
+    // edge. Sweep seeds and band plans so parameter drift fails HERE as
+    // a named recall shortfall instead of flipping a driver hash.
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "sweep is vacuous without planted near-dups")
+    val seeds = Seq(graft.fakegen.FakeGen.DefaultSeed, 7L, 987654321L)
+    // (numHashes, bands): rows-per-band 4 (oracle config) and 3 — LOOSER
+    // plans than the oracle's, so candidate recall can only grow; both
+    // must still verify down to the identical exact pair set
+    for (seed <- seeds; (numHashes, bands) <- Seq((128, 32), (96, 32))) {
+      val got = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+        3, numHashes, bands, candThreshold = 0.35, threshold = 0.5, seed = seed)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exact, s"minhash seed=$seed plan=($numHashes,$bands): " +
+        s"missed=${exact -- got} extra=${got -- exact}")
+    }
+    // simhash: this sweep DISCOVERED that hamming<=6 is seed-marginal
+    // (seed=7 places one true pair at hamming 7), so 6 is pinned only
+    // for the oracle seed (test above). Seed-robust claims: the verify
+    // step makes precision 1 unconditionally, and hamming<=8 recovers
+    // every pair for every seed swept.
+    for (seed <- seeds; maxHamming <- Seq(6, 8)) {
+      val got = Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
+        maxHamming = maxHamming, n = 3, threshold = 0.5, seed = seed)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact), s"simhash seed=$seed maxHamming=$maxHamming " +
+        s"passed a sub-threshold pair through verify: ${got -- exact}")
+      if (maxHamming >= 8)
+        assert(got == exact, s"simhash seed=$seed maxHamming=$maxHamming: " +
+          s"missed=${exact -- got}")
+    }
+  }
+
   test("decontaminate: drops near-dups of the reference set, broadcasts the reference") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val ref = docs.filter($"doc_id" < 20)
