@@ -45,7 +45,18 @@ object Main {
         * tables are reconstructed (CDC merge) before anonymization. */
       dms: Boolean = false,
       /** PKs for DMS CDC merge: "orders=o_orderkey;lineitem=l_orderkey,l_linenumber" */
-      pks: Map[String, Seq[String]] = Map.empty)
+      pks: Map[String, Seq[String]] = Map.empty,
+      /** Expected data columns per DMS table (the reference reads these
+        * from the target DB catalog, cdc_operator.rs:243-255); when
+        * present the snapshot is schema-drift-checked and extra columns
+        * abort the run (drift => a fresh full load is required). */
+      expectCols: Map[String, Seq[String]] = Map.empty)
+
+  private def parseTableCols(v: String): Map[String, Seq[String]] =
+    v.split(';').filter(_.nonEmpty).map { e =>
+      val Array(tbl, cols) = e.split("=", 2)
+      tbl -> cols.split(',').toSeq
+    }.toMap
 
   def parse(argv: Seq[String]): Args = {
     var a = Args()
@@ -75,10 +86,9 @@ object Main {
       case "--master" :: v :: t => a = a.copy(master = v); rest = t
       case "--dms" :: t => a = a.copy(dms = true); rest = t
       case "--pk" :: v :: t =>
-        a = a.copy(pks = v.split(';').filter(_.nonEmpty).map { e =>
-          val Array(tbl, cols) = e.split("=", 2)
-          tbl -> cols.split(',').toSeq
-        }.toMap); rest = t
+        a = a.copy(pks = parseTableCols(v)); rest = t
+      case "--expect-cols" :: v :: t =>
+        a = a.copy(expectCols = parseTableCols(v)); rest = t
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument: $other")
       case Nil => ()
@@ -123,11 +133,6 @@ object Main {
     require(a.inputDir.nonEmpty && a.outputDir.nonEmpty,
       "--input-dir and --output-dir are required")
 
-    val seed = sys.env.get("RNG_SEED").map(_.toLong).getOrElse(FakeGen.DefaultSeed)
-    // reference parity: record reduction is OPT-IN, default false
-    // (anonymization_dataframe_operator.rs:434-439 unwrap_or "false")
-    val reductionEnabled = sys.env.get("RECORD_REDUCTION_ENABLED").contains("true")
-
     val spark = SparkSession.builder()
       .master(a.master)
       .appName(s"graft-anonymize-${a.dbName}-${a.schemaName}")
@@ -141,6 +146,17 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(a, spark) finally spark.stop()
+  }
+
+  /** The whole CLI flow minus session lifecycle — e2e-testable in-JVM
+    * against a shared test session (SinksAppSpec drives both the
+    * pass-through fast path and the drift-check abort through here). */
+  def run(a: Args, spark: SparkSession): Unit = {
+    val seed = sys.env.get("RNG_SEED").map(_.toLong).getOrElse(FakeGen.DefaultSeed)
+    // reference parity: record reduction is OPT-IN, default false
+    // (anonymization_dataframe_operator.rs:434-439 unwrap_or "false")
+    val reductionEnabled = sys.env.get("RECORD_REDUCTION_ENABLED").contains("true")
 
     val rawConfig = ConfigLoader.loadAnonymizationFor(a.configDir, a.dbName, a.schemaName)
     val config =
@@ -158,7 +174,8 @@ object Main {
         val pk = a.pks.getOrElse(table,
           throw new IllegalArgumentException(s"--pk missing for DMS table $table"))
         val snap = graft.sources.DmsFiles.snapshot(
-          spark, s"${a.inputDir}/$table", pk, a.mode)
+          spark, s"${a.inputDir}/$table", pk, a.mode,
+          expectedColumns = a.expectCols.get(table).map(_.toSet))
         val cfg = config.tableConfig(table).getOrElse(
           graft.config.TableConfig(table, graft.config.AnonymizationType.Multi(Nil)))
         TablePipeline.build(snap, cfg, seed).write.mode("overwrite")
@@ -181,6 +198,5 @@ object Main {
         ConfigLoader.parseValidations(java.nio.file.Files.readString(validationsPath)))
       println("[graft] validations passed")
     }
-    spark.stop()
   }
 }

@@ -66,6 +66,75 @@ class SinksAppSpec extends SparkTestBase {
       "lineitem" -> Seq("l_orderkey", "l_linenumber")))
   }
 
+  test("CLI e2e: unconfigured table passes through as a byte-identical copy (no Spark rewrite)") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cli_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_out").toString
+    val cfgDir = java.nio.file.Files.createTempDirectory("graft_cli_cfg").toString
+    for (tbl <- Seq("region", "supplier"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sf(), s"$tbl.parquet"),
+        java.nio.file.Paths.get(in, s"$tbl.parquet"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cfgDir, "d-s-sync.toml"),
+      """
+      [[tables]]
+      table_name = "supplier"
+      [tables.anonymization_type]
+      type = "Multi"
+      [[tables.anonymization_type.column_transformations]]
+      column_name = "s_name"
+      [tables.anonymization_type.column_transformations.transformation_type]
+      type = "Custom"
+      operation_type = "fake_companyname_transformation"
+      """)
+    Main.run(Main.parse(Seq("anonymize",
+      "--input-dir", in, "--output-dir", out,
+      "--db-name", "d", "--schema-name", "s", "--config-dir", cfgDir)), spark)
+    // region had no config entry: the fast path must COPY the file —
+    // byte identity proves no decode/re-encode Spark job touched it
+    // (anonymization_dataframe_operator.rs:246-258 server-side copy)
+    val origBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(in, "region.parquet"))
+    val copiedBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "region.parquet"))
+    assert(java.util.Arrays.equals(origBytes, copiedBytes))
+    // supplier was configured: rewritten (a directory, not the same file)
+    assert(new java.io.File(s"$out/supplier.parquet").isDirectory)
+    assert(spark.read.parquet(s"$out/supplier.parquet")
+      .select("s_name").as[String].collect()
+      .forall(n => !n.startsWith("Supplier#")))
+  }
+
+  test("CLI e2e: DMS schema drift aborts the run (reference cdc_operator.rs:257-273)") {
+    val in = java.nio.file.Files.createTempDirectory("graft_cli_dms").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_dms_out").toString
+    val cfgDir = java.nio.file.Files.createTempDirectory("graft_cli_dms_cfg").toString
+    // LOAD file whose schema grew a column the catalog doesn't know
+    val dir = s"$in/orders"
+    spark.read.parquet(sf() + "/orders.parquet")
+      .withColumn("o_surprise", lit("ALTER TABLE happened"))
+      .coalesce(1).write.parquet(s"$dir/tmp")
+    val part = new java.io.File(s"$dir/tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "LOAD00000001.parquet"))
+    val args = Main.parse(Seq("anonymize",
+      "--input-dir", in, "--output-dir", out,
+      "--db-name", "d", "--schema-name", "s", "--config-dir", cfgDir,
+      "--dms", "--pk", "orders=o_orderkey",
+      "--expect-cols", "orders=o_orderkey,o_custkey,o_orderstatus," +
+        "o_totalprice,o_orderdate,o_orderpriority"))
+    val e = intercept[Exception](Main.run(args, spark))
+    // the drift error may surface wrapped by the concurrent table pool
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("o_surprise")),
+      s"expected schema-drift abort naming o_surprise, got: $e")
+    // and nothing was written for the drifted table
+    assert(!new java.io.File(s"$out/orders.parquet").exists())
+  }
+
   test("ngram jaccard df-cap: hot shingles dropped, rare pairs survive") {
     val hot = "common common common" // one repeated shingle everywhere
     val df = Seq((1L, s"$hot alpha beta gamma delta"),
