@@ -127,6 +127,59 @@ class ConfigSpec extends AnyFunSuite {
       TransformationType.Replace("with \"quotes\" and #hash"))
   }
 
+  test("interactive config generator: scripted dialogue, re-prompt, merge-and-write") {
+    import graft.app.ConfigGen
+    val dir = java.nio.file.Files.createTempDirectory("cfggen").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "alpha-public-sync.toml"), "")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "beta-public-sync.toml"), multiToml)
+    // dialogue: bad selection -> re-prompt -> pick beta by name; table,
+    // column; custom op by number (sorted list); then a second pass via
+    // replace on config #1
+    val script = Seq(
+      "42",                 // invalid index -> re-prompt
+      "beta-public",        // select by name
+      "users", "email",
+      "2",                  // "custom"
+      "fake_email_transformation",
+      "").mkString("\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val written = ConfigGen.interactive(dir,
+      new java.io.BufferedReader(new java.io.StringReader(script)),
+      new java.io.PrintStream(out, true, "UTF-8"))
+    assert(written.endsWith("beta-public-sync.toml"))
+    assert(new String(out.toByteArray, "UTF-8").contains("not an option"))
+    val cfg = ConfigLoader.parseAnonymization(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(written)))
+    // merged alongside the pre-existing table1 entry from multiToml
+    assert(cfg.tables.map(_.tableName).toSet == Set("table1", "users"))
+    val AnonymizationType.Multi(cols) =
+      cfg.tableConfig("users").get.anonymizationType: @unchecked
+    assert(cols == Seq(ColumnTransformation("email",
+      TransformationType.Custom("fake_email_transformation"))))
+
+    // replace path on the empty config, selected by index
+    val script2 = Seq("1", "t2", "c2", "1", "REDACTED").mkString("\n")
+    val written2 = ConfigGen.interactive(dir,
+      new java.io.BufferedReader(new java.io.StringReader(script2)),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+    assert(written2.endsWith("alpha-public-sync.toml"))
+    val cfg2 = ConfigLoader.parseAnonymization(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(written2)))
+    val AnonymizationType.Multi(cols2) =
+      cfg2.tableConfig("t2").get.anonymizationType: @unchecked
+    assert(cols2 == Seq(ColumnTransformation("c2",
+      TransformationType.Replace("REDACTED"))))
+
+    // EOF mid-dialogue aborts without writing
+    intercept[IllegalArgumentException](ConfigGen.interactive(dir,
+      new java.io.BufferedReader(new java.io.StringReader("1\nt3\n")),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream())))
+    assert(!java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "alpha-public-sync.toml")).contains("t3"))
+  }
+
   test("validations config (validation_struct.rs:7-12)") {
     val v = ConfigLoader.parseValidations("""
       [[validations]]
