@@ -466,6 +466,14 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
         "doc_id", "text")
     }),
+    // the pre-decontamination audit: per-source flagged-doc and match
+    // counts against the same eval split as q_decontaminate
+    "q_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", groupCol = "source")
+    }),
 
     // end-to-end embedding dedup: LSH pairs -> components -> keep the
     // min-id member; survivors = the original corpus (planted copies
@@ -619,6 +627,21 @@ object SparkEntry {
         keyCol = "doc_id", tokenCol = "__tok")
         .select(col("doc_id"), col("__source"))
     }),
+    // temperature-flattened mixture at tau=2 (the sqrt instance — the
+    // correctly-rounded, oracle-exact power; see Sampling.temperatureMix)
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("__tok", text.tokenCount(col("text")))
+      graft.operators.Sampling.temperatureMix(Seq(
+          ("even", docs.filter(col("doc_id") % 2 === 0)),
+          ("odd", docs.filter(col("doc_id") % 2 =!= 0))),
+        keyCol = "doc_id", tokenCol = "__tok", totalBudget = 6000L)
+        .select(col("doc_id"), col("__source"))
+    }),
+    // deterministic shard + position assignment (training-data export)
+    "q_shard_assign" -> ((s, dir) =>
+      graft.operators.Sampling.shardAssign(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)),
     // Gopher-style composed quality gate: token bounds + composite
     // quality + both repetition signals, as ONE codegen'd filter
     "q_quality_filter" -> ((s, dir) =>
@@ -1118,6 +1141,26 @@ object SparkEntry {
       "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5) " +
       "SELECT d.* FROM documents d WHERE d.doc_id >= 20 " +
       "AND d.doc_id NOT IN (SELECT id_a FROM bad)"),
+    // same exact-jaccard verification as q_decontaminate, aggregated
+    // per corpus source over the verified (doc, eval-item) pairs
+    "q_contamination_report" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id >= 20 AND b.doc_id < 20 " +
+      "  GROUP BY 1, 2), " +
+      "bad AS (SELECT id_a, id_b FROM cp " +
+      "  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5) " +
+      "SELECT d.source, count(DISTINCT b.id_a) AS n_docs_flagged, " +
+      "count(*) AS n_matches " +
+      "FROM bad b JOIN documents d ON d.doc_id = b.id_a GROUP BY d.source"),
 
     "q_dedup_embedding_corpus" -> embCorpusDedupSql,
     // cluster-bounded (SemDeDup) dedup shares the all-pairs oracle: on
@@ -1325,6 +1368,41 @@ object SparkEntry {
       "  lpad(lower(hex(CAST(floor(r * power(16.0, 15)) AS BIGINT))), 15, '0') " +
       "UNION ALL " +
       "SELECT doc_id, 'odd' AS __source FROM t WHERE doc_id % 2 != 0"),
+    // temperature mix at tau=2: shares via sqrt (IEEE correctly rounded
+    // => engine-identical from the same exact integer totals); operand
+    // order mirrors Sampling.temperatureMix exactly: (p/denom * B) / t
+    "q_mix_temperature" -> (
+      "WITH t AS (SELECT doc_id, " +
+      s"CAST($qNtokSql AS BIGINT) AS tok FROM documents), " +
+      "te AS (SELECT CAST(sum(tok) AS DOUBLE) AS v FROM t WHERE doc_id % 2 = 0), " +
+      "tod AS (SELECT CAST(sum(tok) AS DOUBLE) AS v FROM t WHERE doc_id % 2 != 0), " +
+      "rates AS (SELECT " +
+      "  sqrt(te.v) / (sqrt(te.v) + sqrt(tod.v)) * CAST(6000 AS DOUBLE) / te.v AS re, " +
+      "  sqrt(tod.v) / (sqrt(te.v) + sqrt(tod.v)) * CAST(6000 AS DOUBLE) / tod.v AS ro " +
+      "  FROM te, tod) " +
+      "SELECT doc_id, 'even' AS __source FROM t, rates WHERE doc_id % 2 = 0 " +
+      "AND (re >= 1.0 OR " +
+      "substr(md5('42:even:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      "  lpad(lower(hex(CAST(floor(re * power(16.0, 15)) AS BIGINT))), 15, '0')) " +
+      "UNION ALL " +
+      "SELECT doc_id, 'odd' AS __source FROM t, rates WHERE doc_id % 2 != 0 " +
+      "AND (ro >= 1.0 OR " +
+      "substr(md5('42:odd:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      "  lpad(lower(hex(CAST(floor(ro * power(16.0, 15)) AS BIGINT))), 15, '0'))"),
+    // the 60-bit md5 value rebuilt digit-by-digit as exact BIGINT math
+    // (v < 16^15 fits int64); v is non-negative so % == pmod
+    "q_shard_assign" -> {
+      val poly = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+          (1L << (4 * (15 - i)))).mkString(" + ")
+      "WITH t AS (SELECT doc_id, " +
+      "substr(md5('42:shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
+      "FROM documents), " +
+      s"v AS (SELECT doc_id, h, CAST($poly AS BIGINT) AS v FROM t) " +
+      "SELECT doc_id, CAST(v % 8 AS INT) AS __shard, " +
+      "CAST(row_number() OVER (PARTITION BY v % 8 ORDER BY h, doc_id) - 1 " +
+      "AS BIGINT) AS __pos FROM v"
+    },
     // repetition CTEs shared with q_quality_repetition; quality formula
     // shared with q_text_quality — all comparisons on round-6 values,
     // matching the Spark side's rounded signals exactly

@@ -302,7 +302,23 @@ object Dedup {
                     shingleWidth: Int = 3, numHashes: Int = 128,
                     bands: Int = 32, candThreshold: Double = 0.35,
                     threshold: Double = 0.5,
-                    seed: Long = FakeGen.DefaultSeed): DataFrame = {
+                    seed: Long = FakeGen.DefaultSeed): DataFrame =
+    corpus.join(
+      contaminationPairs(corpus, reference, idCol, textCol, shingleWidth,
+        numHashes, bands, candThreshold, threshold, seed)
+        .select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** The verified (corpus id_a, reference id_b) contamination matches —
+    * the shared core of [[decontaminate]] (anti-join) and
+    * [[contaminationReport]] (aggregate). Same prune-then-verify shape
+    * and broadcast asymmetry as documented on [[decontaminate]]. */
+  def contaminationPairs(corpus: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleWidth: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32, candThreshold: Double = 0.35,
+                         threshold: Double = 0.5,
+                         seed: Long = FakeGen.DefaultSeed): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // the exact verify shingles corpus+reference as ONE id space — an
     // id collision would silently merge two documents' shingle sets and
@@ -347,13 +363,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // exact verify over BOTH sides' shingles (one shingle job over the
     // union; id spaces must be disjoint — corpus ids vs eval-set ids)
-    val contaminated = verifyPairsJaccard(
+    verifyPairsJaccard(
       corpus.select(col(idCol), col(textCol))
         .unionByName(reference.select(col(idCol), col(textCol))),
       idCol, textCol, cand, shingleWidth, threshold)
-      .select(col("id_a").as(idCol)).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
+      .select(col("id_a"), col("id_b"))
   }
+
+  /** Contamination DASHBOARD: per `groupCol` of the corpus (source,
+    * language, shard…), how many documents are near-dups of the eval
+    * set and how many (document, eval-item) matches there are — the
+    * audit you run BEFORE deciding to decontaminate, and the evidence
+    * artifact afterwards. Groups with zero matches don't appear (the
+    * report is about contamination found). Cost = [[contaminationPairs]]
+    * (broadcast-asymmetric, no corpus shuffle) + one aggregate over the
+    * tiny match set. */
+  def contaminationReport(corpus: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String, groupCol: String,
+                          shingleWidth: Int = 3, numHashes: Int = 128,
+                          bands: Int = 32, candThreshold: Double = 0.35,
+                          threshold: Double = 0.5,
+                          seed: Long = FakeGen.DefaultSeed): DataFrame =
+    contaminationPairs(corpus, reference, idCol, textCol, shingleWidth,
+      numHashes, bands, candThreshold, threshold, seed)
+      .join(corpus.select(col(idCol).as("id_a"), col(groupCol)), Seq("id_a"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("id_a")).as("n_docs_flagged"),
+           count(lit(1)).as("n_matches"))
 
   /** Connected components over an undirected pair list ((id_a, id_b)
     * edges): returns (id, component) where component = the minimum id

@@ -107,4 +107,80 @@ object Sampling {
       (name, df, if (total <= budget) 1.0 else budget.toDouble / total)
     }, keyCol, seed)
   }
+
+  /** Temperature-flattened mixture — the multilingual/web-corpus recipe
+    * (sample source i with share ∝ total_i^(1/τ)): τ=1 keeps natural
+    * proportions, τ→∞ approaches uniform across sources, in between it
+    * up-samples the tail without letting the head dominate. Shares are
+    * computed from EXACT per-source integer token totals (one Spark job,
+    * like [[mixByTokenBudget]]), converted to per-source keep-rates
+    * against `totalBudget`, then the standard content-keyed md5 draw
+    * applies.
+    *
+    * Engine portability: at the default τ=2 the share power is
+    * `sqrt`, which IEEE 754 requires to be CORRECTLY ROUNDED — so any
+    * engine replays the rate bit-for-bit from the same integer totals
+    * (the q_mix_temperature oracle does, in fixed operand order).
+    * Generic τ uses `pow`, which is NOT correctly rounded and may
+    * differ across math libraries in the last ulp; fine in production
+    * (a ±1-ulp rate moves the md5 threshold by at most one row in
+    * 2^60), but only the sqrt instance is oracle-exact. */
+  def temperatureMix(sources: Seq[(String, DataFrame)], keyCol: String,
+                     tokenCol: String, totalBudget: Long,
+                     tau: Double = 2.0,
+                     seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    require(sources.nonEmpty)
+    require(tau > 0, s"temperature must be > 0, got $tau")
+    require(totalBudget >= 0, "token budget must be >= 0")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source names must be unique (they domain-separate the draws)")
+    val totals: Map[String, Long] = sources.map { case (name, df) =>
+        df.agg(sum(col(tokenCol)).cast("long").as("t"))
+          .select(lit(name).as("n"), col("t"))
+      }.reduce(_ unionByName _)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    def share(t: Double): Double =
+      if (tau == 2.0) math.sqrt(t) else math.pow(t, 1.0 / tau)
+    // fixed left-to-right source order, plain double ops — the exact
+    // sequence an oracle replays
+    val shares = sources.map { case (name, _) => share(totals(name).toDouble) }
+    val denom = shares.sum
+    weightedMix(sources.zip(shares).map { case ((name, df), p) =>
+      val total = totals(name)
+      val rate =
+        if (total <= 0L || denom == 0.0) 0.0
+        else p / denom * totalBudget.toDouble / total
+      (name, df, math.min(1.0, rate))
+    }, keyCol, seed)
+  }
+
+  /** Deterministic shard assignment for training-data export: shard =
+    * (60-bit md5 value of the key) mod `nShards`, position = dense
+    * 0-based rank within the shard ordered by (hash, key) — a
+    * reproducible global shuffle + split, the last step before writing
+    * training shards. Content-keyed like every operator here: the same
+    * corpus shards identically on any cluster size or engine.
+    *
+    * Scale: one exchange on the shard id, then a per-shard sort for the
+    * position — the honest cost of a DEFINED within-shard order. Size
+    * `nShards` to the target shard size (thousands at 100 TB), not to
+    * the cluster: shards are the output contract, cores just execute.
+    * Skew-free by construction (md5 is uniform over keys). */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                  seed: Long = FakeGen.DefaultSeed,
+                  domain: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val hex = sampleHex(col(keyCol), domain, seed)
+    // conv(hex, 16, 10): 60 bits, exact in a long; non-negative, so
+    // `% nShards` == pmod — any engine agrees
+    val v = conv(hex, 16, 10).cast("long")
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__hex"), col(keyCol))
+    df.withColumn("__hex", hex)
+      .withColumn("__shard", pmod(v, lit(nShards)).cast("int"))
+      .withColumn("__pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__hex")
+  }
 }

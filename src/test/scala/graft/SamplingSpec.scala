@@ -82,4 +82,66 @@ class SamplingSpec extends SparkTestBase {
     val none = Sampling.mixByTokenBudget(Seq(("a", a, 0L)), "id", "tok")
     assert(none.count() == 0)
   }
+
+  test("temperatureMix: tau flattens shares toward uniform; deterministic; zero-total safe") {
+    // source a: 10x the tokens of b
+    val a = spark.range(0, 1000).select($"id", lit(100L).as("tok"))
+    val b = spark.range(2000, 2100).select($"id", lit(100L).as("tok"))
+    def sampledTokens(tau: Double, budget: Long): Map[String, Long] =
+      Sampling.temperatureMix(Seq(("a", a), ("b", b)), "id", "tok",
+        totalBudget = budget, tau = tau)
+        .groupBy("__source").agg(sum($"tok").as("t"))
+        .as[(String, Long)].collect().toMap
+    // tau=1: proportional — a gets ~10x b's tokens
+    val t1 = sampledTokens(1.0, 20000L)
+    assert(t1("a").toDouble / t1("b") > 5.0, t1.toString)
+    // tau=2 (sqrt): compression — a's advantage shrinks toward sqrt(10)
+    val t2 = sampledTokens(2.0, 20000L)
+    val ratio2 = t2("a").toDouble / t2("b")
+    assert(ratio2 < t1("a").toDouble / t1("b") && ratio2 > 1.0, (t1, t2).toString)
+    // expected budgets: share_a = sqrt(1e5)/(sqrt(1e5)+sqrt(1e4)) ~= 0.76
+    assert(math.abs(t2("a") + t2("b") - 20000L) < 4000, t2.toString)
+    // determinism
+    assert(sampledTokens(2.0, 20000L) == t2)
+    // a zero-total source contributes nothing and doesn't NaN the rest
+    val empty = spark.range(0, 0).select($"id", lit(0L).as("tok"))
+    val withEmpty = Sampling.temperatureMix(Seq(("a", a), ("z", empty)),
+      "id", "tok", totalBudget = 20000L)
+    assert(withEmpty.filter($"__source" === "z").count() == 0)
+    assert(withEmpty.count() > 0)
+  }
+
+  test("shardAssign: deterministic, partition-invariant, contiguous positions, balanced") {
+    val df = spark.range(0, 2000).toDF("id")
+    val sharded = Sampling.shardAssign(df, "id", nShards = 8)
+      .select($"id", $"__shard", $"__pos")
+    val rows = sharded.as[(Long, Int, Long)].collect().sortBy(_._1)
+    // same assignment regardless of input partitioning
+    val again = Sampling.shardAssign(df.repartition(17), "id", nShards = 8)
+      .select($"id", $"__shard", $"__pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(rows.sameElements(again))
+    // every shard's positions are exactly 0..n_i-1 (dense, no gaps)
+    rows.groupBy(_._2).foreach { case (shard, grp) =>
+      val ps = grp.map(_._3).sorted
+      assert(ps.sameElements(0L until ps.length.toLong),
+        s"shard $shard positions not dense: ${ps.take(5).mkString(",")}")
+    }
+    // md5 balance: no shard is pathologically loaded (2000/8 = 250 +- 5 sigma)
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == 8 && sizes.forall(s => s > 170 && s < 330), sizes.toString)
+  }
+
+  test("contaminationReport agrees with decontaminate's complement") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val corpus = docs.filter($"doc_id" >= 20)
+    val ref = docs.filter($"doc_id" < 20)
+    val flagged = graft.operators.Dedup.contaminationReport(
+      corpus, ref, "doc_id", "text", groupCol = "source")
+      .agg(sum($"n_docs_flagged")).as[Long].collect().head
+    val kept = graft.operators.Dedup.decontaminate(
+      corpus, ref, "doc_id", "text").count()
+    assert(flagged == corpus.count() - kept,
+      s"report flags $flagged but decontaminate dropped ${corpus.count() - kept}")
+  }
 }
