@@ -173,7 +173,14 @@ object Sampling {
                   domain: String = "shard"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    val hex = sampleHex(col(keyCol), domain, seed)
+    // FAIL CLOSED on null keys: md5(null) would propagate to a null
+    // shard and an UNDEFINED within-shard order (every null-key row
+    // lands in one window partition with no tiebreaker) — silently
+    // nondeterministic shards. A row-level branch, free under codegen.
+    val key = coalesce(col(keyCol),
+      raise_error(lit(s"shardAssign: null $keyCol — shard keys must be " +
+        "non-null (dedupe/validate upstream)")))
+    val hex = sampleHex(key, domain, seed)
     // conv(hex, 16, 10): 60 bits, exact in a long; non-negative, so
     // `% nShards` == pmod — any engine agrees
     val v = conv(hex, 16, 10).cast("long")
