@@ -35,6 +35,12 @@ print(hashlib.md5(repr(rows).encode()).hexdigest())
 EOF
 )
     echo "run $i $q content_hash=$h"
+    # hashes must be IDENTICAL across iterations (the stability claim)
+    eval "prev=\${hash_$q:-}"
+    if [ -n "$prev" ] && [ "$prev" != "$h" ]; then
+      echo "run $i: $q content hash CHANGED ($prev -> $h)"; fail=1
+    fi
+    eval "hash_$q=$h"
   done
   # focused Verify dumps only the selected queries: prune the oracle list
   # to match before the compare
@@ -48,6 +54,14 @@ EOF
   res=$(python3 scripts/check_oracles.py "$SF_DIR" "$out")
   echo "$res" | grep -E "^(PASS|FAIL|==)" | sed "s/^/run $i: /"
   echo "$res" | grep -q ", 0 fail" || fail=1
+  # fail closed on a vacuous run: a typo'd query name selects nothing,
+  # which would otherwise sail through as "0 pass, 0 fail"
+  n_expect=$(echo "$QUERIES" | tr ',' '\n' | grep -c .)
+  n_pass=$(echo "$res" | grep -c "^PASS")
+  if [ "$n_pass" -ne "$n_expect" ]; then
+    echo "run $i: expected $n_expect PASSes, got $n_pass (unknown query name?)"
+    fail=1
+  fi
   rm -rf "$out"
 done
 [ $fail -eq 0 ] && echo "REPEAT-VERIFY GREEN ($N/$N)" || echo "REPEAT-VERIFY RED"

@@ -40,13 +40,24 @@ object SparkEntry {
     * ("ensureParallelism" cases). Memoized per (session, dir) so the
     * probe's file listing and planning happen once, not once per query
     * construction (r5 advisor note). */
+  // bounded LRU (not an unbounded static map): a long-lived JVM cycling
+  // SparkSessions must not pin stopped sessions + their file-index
+  // snapshots forever. NB the memoized DataFrame holds the LISTING at
+  // first use — regenerate the session (or evict past 16 dirs) if the
+  // directory's files change underneath.
   private val docsSplitCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 16
+    }
   private def docsSplit(s: SparkSession, dir: String): DataFrame =
-    docsSplitCache.computeIfAbsent((s, dir), { _ =>
-      graft.operators.Repartitioning.ensureParallelism(
-        t(s, dir, "documents"), col("doc_id"))
-    })
+    docsSplitCache.synchronized {
+      docsSplitCache.computeIfAbsent((s, dir), { _ =>
+        graft.operators.Repartitioning.ensureParallelism(
+          t(s, dir, "documents"), col("doc_id"))
+      })
+    }
 
   /** Shape of every fakegen safe email (FakeGen.email): first.last with
     * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used

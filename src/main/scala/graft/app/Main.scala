@@ -54,8 +54,12 @@ object Main {
 
   private def parseTableCols(v: String): Map[String, Seq[String]] =
     v.split(';').filter(_.nonEmpty).map { e =>
-      val Array(tbl, cols) = e.split("=", 2)
-      tbl -> cols.split(',').toSeq
+      e.split("=", 2) match {
+        case Array(tbl, cols) if tbl.nonEmpty && cols.nonEmpty =>
+          tbl -> cols.split(',').toSeq
+        case _ => throw new IllegalArgumentException(
+          s"malformed entry '$e': expected table=col1,col2;table2=...")
+      }
     }.toMap
 
   def parse(argv: Seq[String]): Args = {

@@ -59,14 +59,28 @@ object CdcMerge {
 
   /** Schema-drift check (cdc_operator.rs:255-273): every data column
     * (minus Op/ts) must exist in the expected schema; extras => hard
-    * error, forcing a fresh full load upstream. */
-  def checkSchemaDrift(df: DataFrame, expectedColumns: Set[String]): Unit = {
-    val drift = df.schema.fieldNames
+    * error, forcing a fresh full load upstream. With `requireAll` the
+    * check is symmetric — expected columns MISSING from the file (an
+    * upstream DROP COLUMN) also abort. The reference checks extras
+    * only; the CLI's --expect-cols path opts into the symmetric form
+    * because its expected set IS the target catalog, and shipping a
+    * reconstructed table silently missing a column is the same class
+    * of drift. */
+  def checkSchemaDrift(df: DataFrame, expectedColumns: Set[String],
+                       requireAll: Boolean = false): Unit = {
+    val present = df.schema.fieldNames
       .filterNot(c => c == OpColumn || c == TsColumn)
-      .filterNot(expectedColumns.contains)
+    val drift = present.filterNot(expectedColumns.contains)
     if (drift.nonEmpty)
       throw new IllegalStateException(
         s"schema drift: columns ${drift.mkString(", ")} not in expected schema; " +
         "a new full load is required")
+    if (requireAll) {
+      val missing = expectedColumns -- present
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"schema drift: expected columns ${missing.toSeq.sorted.mkString(", ")} " +
+          "missing from the file; a new full load is required")
+    }
   }
 }

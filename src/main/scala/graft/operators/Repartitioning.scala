@@ -35,11 +35,18 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   */
 object Repartitioning extends Logging {
 
-  /** Total split count across the plan's file-scan leaves; Int.MaxValue
-    * when the plan has none (non-file sources are never "starved"). */
+  /** Total split count across the plan's scan leaves — DSv1
+    * ([[FileSourceScanExec]]) and DSv2
+    * ([[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]]:
+    * parquet with v1 disabled, Delta/Iceberg-style sources) alike, so
+    * the starvation repair can't be silently defeated by the source API
+    * in use. Int.MaxValue when the plan has no scan leaf (in-memory,
+    * JDBC — never "starved"). */
   def scanPartitions(df: DataFrame): Int = {
     val counts = df.queryExecution.sparkPlan.collectLeaves().collect {
       case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
     }
     if (counts.isEmpty) Int.MaxValue else counts.sum
   }

@@ -84,11 +84,15 @@ object DmsFiles {
     val files = list(spark, dir, mode)
     require(files.loadFiles.nonEmpty, s"no LOAD files under $dir")
     val full = spark.read.parquet(files.loadFiles: _*)
-    expectedColumns.foreach(cols => CdcMerge.checkSchemaDrift(full, cols))
+    // expectedColumns is the target catalog: check symmetrically (extra
+    // AND missing columns abort — see CdcMerge.checkSchemaDrift)
+    expectedColumns.foreach(cols =>
+      CdcMerge.checkSchemaDrift(full, cols, requireAll = true))
     if (files.cdcFiles.isEmpty) full
     else {
       val delta = spark.read.parquet(files.cdcFiles: _*)
-      expectedColumns.foreach(cols => CdcMerge.checkSchemaDrift(delta, cols))
+      expectedColumns.foreach(cols =>
+        CdcMerge.checkSchemaDrift(delta, cols, requireAll = true))
       CdcMerge.applyDelta(full, delta, pk)
     }
   }

@@ -130,11 +130,15 @@ class SamplingSpec extends SparkTestBase {
     // md5 balance: no shard is pathologically loaded (2000/8 = 250 +- 5 sigma)
     val sizes = rows.groupBy(_._2).values.map(_.length)
     assert(sizes.size == 8 && sizes.forall(s => s > 170 && s < 330), sizes.toString)
-    // null keys fail closed (undefined shard order otherwise)
+    // null keys fail closed (undefined shard order otherwise) — pin the
+    // ACTUAL guard, not just any exception
     val withNull = Seq(Some(1L), None, Some(3L)).toDF("id")
     val e = intercept[Exception](
       Sampling.shardAssign(withNull, "id", nShards = 4).collect())
-    assert(e.getMessage != null)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("shardAssign: null")), s"wrong failure: $e")
   }
 
   test("contaminationReport agrees with decontaminate's complement") {

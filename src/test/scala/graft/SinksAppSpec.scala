@@ -133,6 +133,25 @@ class SinksAppSpec extends SparkTestBase {
       s"expected schema-drift abort naming o_surprise, got: $e")
     // and nothing was written for the drifted table
     assert(!new java.io.File(s"$out/orders.parquet").exists())
+
+    // the symmetric direction: an expected column MISSING from the file
+    // (upstream DROP COLUMN) must also abort — --expect-cols is the
+    // target catalog, not just an extras blocklist
+    val args2 = Main.parse(Seq("anonymize",
+      "--input-dir", in, "--output-dir", out,
+      "--db-name", "d", "--schema-name", "s", "--config-dir", cfgDir,
+      "--dms", "--pk", "orders=o_orderkey",
+      "--expect-cols", "orders=o_orderkey,o_custkey,o_orderstatus," +
+        "o_totalprice,o_orderdate,o_orderpriority,o_surprise,o_dropped"))
+    val e2 = intercept[Exception](Main.run(args2, spark))
+    assert(chain(e2).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("o_dropped")),
+      s"expected missing-column abort naming o_dropped, got: $e2")
+
+    // malformed --expect-cols entries fail with the syntax, not a MatchError
+    val e3 = intercept[IllegalArgumentException](
+      Main.parse(Seq("anonymize", "--expect-cols", "orders")))
+    assert(e3.getMessage.contains("table=col1,col2"))
   }
 
   test("ngram jaccard df-cap: hot shingles dropped, rare pairs survive") {
