@@ -477,6 +477,14 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
         "doc_id", "text")
     }),
+    // the strict (any-shared-8-gram) decontamination tier on the same
+    // eval split — broadcast semi-join, no verify stage
+    "q_decontaminate_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateExactNgram(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 8)
+    }),
     // the pre-decontamination audit: per-source flagged-doc and match
     // counts against the same eval split as q_decontaminate
     "q_contamination_report" -> ((s, dir) => {
@@ -1152,6 +1160,20 @@ object SparkEntry {
       "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5) " +
       "SELECT d.* FROM documents d WHERE d.doc_id >= 20 " +
       "AND d.doc_id NOT IN (SELECT id_a FROM bad)"),
+    // any-shared-8-gram contamination: same tok CTE, width-8 windows
+    // (i : i+7, end = len-6), whole-doc fallback under 8 tokens
+    "q_decontaminate_exact" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 8 THEN " +
+      "    array_to_string(ts[i:i+7], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 6, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "bad AS (SELECT DISTINCT a.doc_id AS id FROM sh a " +
+      "  JOIN sh b ON a.sh = b.sh AND a.doc_id >= 20 AND b.doc_id < 20) " +
+      "SELECT d.* FROM documents d WHERE d.doc_id >= 20 " +
+      "AND d.doc_id NOT IN (SELECT id FROM bad)"),
     // same exact-jaccard verification as q_decontaminate, aggregated
     // per corpus source over the verified (doc, eval-item) pairs
     "q_contamination_report" -> (

@@ -370,6 +370,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** EXACT-overlap decontamination — the strict variant used for
+    * GPT/PaLM-style eval hygiene: drop every corpus document that
+    * shares ANY length-`n` token shingle with the eval set (no
+    * similarity threshold; one shared n-gram is contamination). The
+    * jaccard-threshold [[decontaminate]] is the lenient tier; this is
+    * the paranoid one, and it is CHEAPER: the eval set's distinct
+    * shingle hashes broadcast, the corpus streams through one map-side
+    * semi-join — no candidate verify stage at all, zero corpus
+    * shuffle. Same whole-doc fallback as every shingle kernel: a
+    * document shorter than `n` tokens is one exact-text shingle. */
+  def decontaminateExactNgram(corpus: DataFrame, reference: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 13): DataFrame = {
+    val refSh = shingleSets(reference, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    val hit = shingleSets(corpus, idCol, textCol, n)
+      .join(broadcast(refSh), Seq("sh"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Contamination DASHBOARD: per `groupCol` of the corpus (source,
     * language, shard…), how many documents are near-dups of the eval
     * set and how many (document, eval-item) matches there are — the

@@ -192,6 +192,32 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminateExactNgram: one shared n-gram is contamination; short docs match whole-text") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "short eval")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares exactly one 8-gram window with ref doc 1 => dropped
+      (100L, "INTRO quick brown fox jumps over the lazy dog OUTRO extra tail"),
+      // high word overlap but never 8 consecutive shared tokens => kept
+      (101L, "quick brown cat jumps over the lazy dog tonight maybe"),
+      // unrelated => kept
+      (102L, "completely different content with many unrelated words here"),
+      // short doc, exact text match of short eval doc => dropped
+      (103L, "short eval"),
+      // short doc, different text => kept
+      (104L, "short evals")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.decontaminateExactNgram(
+      corpus, ref, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L, 102L, 104L), s"got $kept")
+    // plan shape: the eval shingle table broadcasts (no corpus shuffle)
+    val plan = graft.operators.Dedup.decontaminateExactNgram(
+      corpus, ref, "doc_id", "text", n = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval shingles should broadcast:\n$plan")
+  }
+
   test("decontaminate: drops near-dups of the reference set, broadcasts the reference") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val ref = docs.filter($"doc_id" < 20)
