@@ -97,6 +97,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"starved scan not repartitioned by key:\n$plan")
   }
 
+  test("scanPartitions counts DSv2 BatchScan leaves (v1 disabled) like v1 scans") {
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.get(key,
+      "avro,csv,json,kafka,orc,parquet,text")
+    spark.conf.set(key, "")
+    try {
+      val scan = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      val plan = scan.queryExecution.sparkPlan.toString
+      assert(plan.contains("BatchScan"), s"fixture is not a v2 scan:\n$plan")
+      assert(graft.operators.Repartitioning.scanPartitions(scan) === 1,
+        "v2 single-file scan must report its real split count, not MaxValue")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("ensureParallelism declines on non-file sources (no scan leaf => never starved)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
