@@ -405,6 +405,18 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         text.tokenCount(col("text")).as("n_tokens"))),
+    // lexical diversity: unigram entropy (order-free scaled-long nats)
+    // + type-token ratio — templated-text signals
+    "q_diversity" -> ((s, dir) => {
+      val st = text.diversityStats(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        element_at(st, 1).as("n_tokens"),
+        element_at(st, 2).as("n_distinct"),
+        element_at(st, 3).as("entropy_scaled"),
+        when(element_at(st, 1) === 0, lit(0.0))
+          .otherwise(element_at(st, 2).cast("double") / element_at(st, 1))
+          .as("ttr"))
+    }),
     "q_token_count_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         text.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
@@ -1061,6 +1073,25 @@ object SparkEntry {
       s"SELECT doc_id, round($qAlphaSql, 6) AS alpha_ratio, " +
       s"round($qPunctSql, 6) AS punct_ratio, round($qStopSql, 6) AS stopword_ratio, " +
       s"round($qQualitySql, 6) AS quality FROM documents"),
+    // entropy terms floored to 1e6-scaled longs PER WORD and summed as
+    // integers (order-free); ttr is one exact-int division, unrounded
+    "q_diversity" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts FROM documents), " +
+      "w AS (SELECT doc_id, unnest(ts) AS w FROM tok), " +
+      "n AS (SELECT doc_id, len(ts) AS n FROM tok), " +
+      "cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), " +
+      "e AS (SELECT cnt.doc_id, count(*) AS d, " +
+      "  sum(CAST(floor(1e6 * ((c * 1.0 / n.n) * ln(c * 1.0 / n.n)) + 0.5) " +
+      "      AS BIGINT)) AS s " +
+      "  FROM cnt JOIN n ON cnt.doc_id = n.doc_id GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(e.d, 0) AS BIGINT) AS n_distinct, " +
+      "CAST(coalesce(-e.s, 0) AS BIGINT) AS entropy_scaled, " +
+      "CASE WHEN coalesce(n.n, 0) = 0 THEN 0.0 ELSE " +
+      "CAST(e.d AS DOUBLE) / n.n END AS ttr " +
+      "FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id " +
+      "LEFT JOIN e ON d.doc_id = e.doc_id"),
     "q_fingerprint_md5" -> (
       "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
       "FROM documents"),

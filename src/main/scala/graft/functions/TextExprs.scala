@@ -180,6 +180,22 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Array<long> [nTokens, nDistinctTokens, entropyScaled(1e6 nats)] from
+  * TextKernels.diversityStats — order-free integer entropy terms. */
+case class DiversityStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "diversity_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.diversityStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.diversityStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): DiversityStatsExpr =
+    copy(child = newChild)
+}
+
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)

@@ -184,6 +184,32 @@ object TextKernels {
     new GenericArrayData(Array(n, distinct.size, nBigrams, maxBg))
   }
 
+  /** One-pass lexical-diversity stats: `[nTokens, nDistinctTokens,
+    * entropyScaled]` where entropyScaled is the unigram Shannon entropy
+    * in nats, scaled to an exact long PER TERM: each distinct word
+    * contributes `-floor(1e6 * (p * ln(p)) + 0.5)` with p = count/n.
+    * Summing the per-term integers (not the doubles) makes the total
+    * independent of hash-map iteration order and bit-replicable by any
+    * engine that computes the identical per-term expression — the
+    * q_lm_score scaled-log trick applied to entropy. Low entropy +
+    * low type-token ratio flag TEMPLATED text that string-level dedup
+    * misses (DataComp/Gopher-style diversity signals). */
+  def diversityStats(value: UTF8String): ArrayData = {
+    val toks = tokens(value.toString)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < n) { counts.merge(toks(i), 1, (a, b) => a + b); i += 1 }
+    var entropy = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      entropy -= math.floor(1e6 * (p * math.log(p)) + 0.5).toLong
+    }
+    new GenericArrayData(Array(n.toLong, counts.size.toLong, entropy))
+  }
+
   /** Unigram-LM document score: `[nTokens, sumScaledLogProb]` where
     * each token contributes its vocabulary log-probability scaled to
     * an exact long (floor(1e6*ln(p)+0.5) — integer sums are

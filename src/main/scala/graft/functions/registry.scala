@@ -54,6 +54,7 @@ object registry {
       "lang_id" -> (args => LangIdExpr(args.head)),
       "bpe_token_count" -> (args => BpeTokenCountExpr(args.head)),
       "rolling_fingerprint" -> (args => RollingFingerprintExpr(args.head)),
+      "diversity_stats" -> (args => DiversityStatsExpr(args.head)),
       "minhash" -> (args => MinHashExpr(args.head,
         shingleWidth = intArg(args, 1, 3), numHashes = intArg(args, 2, 128),
         seed = seedOf(args, 3))),

@@ -87,6 +87,12 @@ object text {
       .otherwise(element_at(st, 4).cast("double") / element_at(st, 3)), 6)
   }
 
+  /** One-pass [nTokens, nDistinct, entropyScaled] lexical-diversity
+    * stats (see TextKernels.diversityStats): unigram Shannon entropy as
+    * order-free scaled-long nats plus the type-token-ratio inputs. */
+  def diversityStats(c: Column): Column =
+    Bridge.column(DiversityStatsExpr(Bridge.expression(c.cast("string"))))
+
   /** [nTokens, sumScaledLogProb] under a plan-embedded unigram
     * vocabulary — see Corpus.unigramScore for the full operator. */
   def unigramScore(c: Column, vocab: Map[String, Long], oovScaled: Long): Column =

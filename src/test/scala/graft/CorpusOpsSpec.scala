@@ -129,6 +129,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(0).getDouble(3) === expected)
   }
 
+  test("diversityStats: entropy/ttr on crafted docs, order-free scaling") {
+    import graft.functions.text
+    val docs = Seq(
+      (1L, "a b c d"),            // uniform over 4: entropy = ln 4
+      (2L, "spam spam spam spam"),// single type: entropy 0, ttr 1/4
+      (3L, "a a b"),              // H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+      (4L, ""),                   // empty: all zeros
+      (5L, "  \t \n ")            // whitespace-only: all zeros
+    ).toDF("doc_id", "text")
+    val st = text.diversityStats(col("text"))
+    val out = docs.select(col("doc_id"), element_at(st, 1), element_at(st, 2),
+        element_at(st, 3)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def term(p: Double): Long = math.floor(1e6 * (p * math.log(p)) + 0.5).toLong
+    assert(out(0) == ((1L, 4L, 4L, -4 * term(0.25))))
+    assert(out(1) == ((2L, 4L, 1L, 0L)))
+    assert(out(2) == ((3L, 3L, 2L, -(term(2.0 / 3) + term(1.0 / 3)))))
+    assert(out(3) == ((4L, 0L, 0L, 0L)) && out(4) == ((5L, 0L, 0L, 0L)))
+    // codegen path: the projection stays inside WholeStageCodegen
+    val plan = docs.select(st).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   // ---- source report ---------------------------------------------------
 
   test("sourceReport: counts, dup rate, token volume per source") {
