@@ -11,6 +11,10 @@ set -u
 SF_DIR=${1:?sfDir}
 QUERIES=${2:-q_source_report}
 N=${3:-3}
+# normalize once: every consumer (Verify's env filter, the oracle prune,
+# the expected-PASS count) must tokenize identically, or a space after a
+# comma flags a green run as RED
+QUERIES=$(echo "$QUERIES" | tr -d '[:space:]')
 
 cd "$(dirname "$0")/.."
 sbt -batch clean compile >/tmp/repeat_verify_build.log 2>&1 || {

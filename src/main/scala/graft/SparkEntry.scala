@@ -51,13 +51,20 @@ object SparkEntry {
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
         size() > 16
     }
-  private def docsSplit(s: SparkSession, dir: String): DataFrame =
-    docsSplitCache.synchronized {
-      docsSplitCache.computeIfAbsent((s, dir), { _ =>
-        graft.operators.Repartitioning.ensureParallelism(
-          t(s, dir, "documents"), col("doc_id"))
-      })
+  private def docsSplit(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val cached = docsSplitCache.synchronized(docsSplitCache.get(key))
+    if (cached != null) cached
+    else {
+      // plan + list OUTSIDE the lock (seconds on a big dir) — unrelated
+      // (session, dir) probes must not serialize on the cache monitor;
+      // a concurrent duplicate probe is idempotent, last write wins
+      val built = graft.operators.Repartitioning.ensureParallelism(
+        t(s, dir, "documents"), col("doc_id"))
+      docsSplitCache.synchronized(docsSplitCache.put(key, built))
+      built
     }
+  }
 
   /** Shape of every fakegen safe email (FakeGen.email): first.last with
     * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used

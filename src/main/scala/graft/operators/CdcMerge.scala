@@ -70,17 +70,21 @@ object CdcMerge {
                        requireAll: Boolean = false): Unit = {
     val present = df.schema.fieldNames
       .filterNot(c => c == OpColumn || c == TsColumn)
-    val drift = present.filterNot(expectedColumns.contains)
-    if (drift.nonEmpty)
+    val extra = present.filterNot(expectedColumns.contains)
+    val missing = if (requireAll) (expectedColumns -- present).toSeq.sorted
+                  else Nil
+    // report BOTH directions in one error: a RENAME is one extra plus
+    // one missing, and naming only the extra would cost a second round
+    // trip to diagnose it
+    if (extra.nonEmpty || missing.nonEmpty) {
+      val parts = Seq(
+        if (extra.nonEmpty)
+          Some(s"unexpected columns ${extra.mkString(", ")}") else None,
+        if (missing.nonEmpty)
+          Some(s"expected columns missing: ${missing.mkString(", ")}") else None
+      ).flatten
       throw new IllegalStateException(
-        s"schema drift: columns ${drift.mkString(", ")} not in expected schema; " +
-        "a new full load is required")
-    if (requireAll) {
-      val missing = expectedColumns -- present
-      if (missing.nonEmpty)
-        throw new IllegalStateException(
-          s"schema drift: expected columns ${missing.toSeq.sorted.mkString(", ")} " +
-          "missing from the file; a new full load is required")
+        s"schema drift: ${parts.mkString("; ")}; a new full load is required")
     }
   }
 }

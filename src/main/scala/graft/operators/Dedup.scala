@@ -379,7 +379,17 @@ object Dedup {
     * shingle hashes broadcast, the corpus streams through one map-side
     * semi-join — no candidate verify stage at all, zero corpus
     * shuffle. Same whole-doc fallback as every shingle kernel: a
-    * document shorter than `n` tokens is one exact-text shingle. */
+    * document shorter than `n` tokens is one exact-text shingle.
+    *
+    * Collision bound: shingles compare by 64-bit hash, and under the
+    * any-shared-shingle rule a single corpus-vs-eval hash collision
+    * false-drops a whole document (unlike the jaccard tiers, where a
+    * collision only perturbs a count by 1). Expected cross-set
+    * collisions ≈ |corpus shingles| x |eval shingles| / 2^64 — at
+    * ~10^12 x 10^7 that is order-1 documents lost from ~10^9, an
+    * acceptable decontamination-side error (it over-drops, never
+    * under-drops). If even that is unacceptable, re-verify the (tiny)
+    * hit set against exact shingle strings before the anti-join. */
   def decontaminateExactNgram(corpus: DataFrame, reference: DataFrame,
                               idCol: String, textCol: String,
                               n: Int = 13): DataFrame = {

@@ -19,7 +19,15 @@ object Sampling {
     * boundary cannot drift through a float round-trip, and the whole
     * decision is portable to any engine with md5 (the contract that lets
     * a 100 TB sample drawn here be re-derived or audited elsewhere).
-    * md5 on a short key costs ~0.1 µs/row — noise next to scan+decode. */
+    * md5 on a short key costs ~0.1 µs/row — noise next to scan+decode.
+    *
+    * Null keys: the hex is null, so every `<` comparison is null and the
+    * row is FILTERED OUT — standard SQL predicate semantics, and exactly
+    * what the DuckDB oracles do, so the two engines agree. This is the
+    * deliberate policy for the SAMPLING family (a null-key row has no
+    * stable identity to sample on); [[shardAssign]] instead fails closed
+    * because its contract (dense per-shard positions) would be silently
+    * corrupted, not merely filtered. */
   def sampleHex(key: Column, domain: String = "",
                 seed: Long = FakeGen.DefaultSeed): Column =
     substring(md5(concat(lit(s"$seed:$domain:"), key.cast("string"))), 1, 15)
