@@ -94,22 +94,25 @@ class StreamingValidatorSpec extends SparkTestBase {
     val schema = spark.read.parquet(s"$dir/in").schema
 
     val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
-    val curated = graft.operators.Transformators.redactPii(
+    def annotate(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("entropy_scaled",
+        element_at(graft.functions.text.diversityStats($"text"), 3))
+    val curated = annotate(graft.operators.Transformators.redactPii(
       graft.operators.Corpus.qualityFilter(stream, "text",
         graft.operators.Corpus.QualityGates(minTokens = 20, maxTokens = 1000,
           minQuality = 0.55, maxDupWordRatio = 0.6, maxTopBigramRatio = 0.1)),
-      Seq("text"))
+      Seq("text")))
     val q = curated.writeStream.outputMode("append")
       .format("memory").queryName("stream_curated")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
     val streamed = spark.table("stream_curated").collect().map(_.toSeq).toSet
-    val batch = graft.operators.Transformators.redactPii(
+    val batch = annotate(graft.operators.Transformators.redactPii(
       graft.operators.Corpus.qualityFilter(docs, "text",
         graft.operators.Corpus.QualityGates(minTokens = 20, maxTokens = 1000,
           minQuality = 0.55, maxDupWordRatio = 0.6, maxTopBigramRatio = 0.1)),
-      Seq("text")).collect().map(_.toSeq).toSet
+      Seq("text"))).collect().map(_.toSeq).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
 
