@@ -547,6 +547,20 @@ object SparkEntry {
       graft.operators.Ivf.topK(emb, annQueries(emb),
         "vec_id", "embedding", k = 1, centroids, nprobe = 2)
     }),
+    // the PERSISTED-index serving path: build+write the inverted lists,
+    // load them back, query with partition-pruned probing — the whole
+    // save/load/query cycle under the driver's oracle (results must
+    // equal the retrain path, so the brute-force oracle applies)
+    "q_ann_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index").toString
+      graft.operators.IvfIndex.build(emb, "vec_id", "embedding", idxDir,
+        nlist = 16, iters = 2)
+      val idx = graft.operators.IvfIndex.load(s, idxDir)
+      graft.operators.IvfIndex.topK(idx, annQueries(emb),
+        "vec_id", "embedding", k = 1, nprobe = 2)
+    }),
 
     // ---- training-data pipeline: multimodal plumbing ------------------
     "q_multimodal_bytes" -> ((s, dir) =>
@@ -1269,6 +1283,7 @@ object SparkEntry {
     // ---- similarity search ---------------------------------------------
     "q_ann_lsh" -> annTop1Sql,
     "q_ann_ivf" -> annTop1Sql,
+    "q_ann_ivf_index" -> annTop1Sql,
     "q_ann_topk" -> (
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
       "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +

@@ -45,6 +45,36 @@ class IvfSkewSpec extends SparkTestBase {
     assert(clusters.length > 4, "degenerate clustering")
   }
 
+  test("IvfIndex: build/load round-trip, pruned probing == retrain-and-query") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nlist = 16, iters = 2)
+    val idx = IvfIndex.load(spark, dir)
+    // centroids round-trip parquet floats EXACTLY
+    val direct = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    assert(idx.centroids.length == 16 &&
+      idx.centroids.zip(direct).forall { case (a, b) => a.sameElements(b) })
+
+    // query via the persisted lists == retrain-and-query
+    val viaIndex = IvfIndex.topK(idx, queries, "vec_id", "embedding",
+        k = 1, nprobe = 2)
+      .select("query_id", "corpus_id", "rank").collect().map(_.toSeq).toSet
+    val viaTrain = Ivf.topK(emb, queries, "vec_id", "embedding",
+        k = 1, direct, nprobe = 2)
+      .select("query_id", "corpus_id", "rank").collect().map(_.toSeq).toSet
+    assert(viaIndex == viaTrain && viaIndex.nonEmpty)
+
+    // the scale property: only PROBED lists are read — the scan must
+    // carry a cluster partition filter, not list every directory
+    val plan = IvfIndex.topK(idx, queries, "vec_id", "embedding",
+      k = 1, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"),
+      s"probe should prune list directories:\n$plan")
+  }
+
   test("salted aggregates equal plain aggregates") {
     val ev = spark.read.parquet(sf() + "/events.parquet")
     val plainCount = ev.groupBy($"event_type").count()

@@ -157,6 +157,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("diversityStats == independent replica; entropy bounds and invariances hold") {
+    for (s <- randomTexts(500, 7L)) {
+      val got = TextKernels.diversityStats(UTF8String.fromString(s))
+      val (n, d, e) = (got.getLong(0), got.getLong(1), got.getLong(2))
+      // independent replica: regex tokenize, Map-based counts
+      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).view.mapValues(_.length)
+      val expectE = -counts.values.map { c =>
+        val p = c.toDouble / toks.length
+        math.floor(1e6 * (p * math.log(p)) + 0.5).toLong
+      }.sum
+      assert(n == toks.length && d == counts.size)
+      assert(e == (if (toks.isEmpty) 0L else expectE),
+        s"entropy of '${s.take(40).replace("\n", "\\n")}'")
+      // bounds: 0 <= H <= ln(distinct) (+1 ulp-per-term slack from rounding)
+      assert(e >= -d && (d == 0 ||
+        e <= math.ceil(1e6 * math.log(d.toDouble)).toLong + d))
+      // invariance: extra surrounding/internal whitespace changes nothing
+      val padded = "  " + s.replace(" ", "   ") + "\t"
+      val again = TextKernels.diversityStats(UTF8String.fromString(padded))
+      assert(again.getLong(2) == e && again.getLong(0) == n)
+    }
+  }
+
   test("shingleHashes: sorted, distinct, and == per-shingle hash set replica") {
     for ((s, idx) <- randomTexts(500, 6L).zipWithIndex; w <- Seq(1, 3, 5)) {
       val got = TextKernels.shingleHashes(UTF8String.fromString(s), w)
