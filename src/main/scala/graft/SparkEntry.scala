@@ -553,8 +553,13 @@ object SparkEntry {
     // equal the retrain path, so the brute-force oracle applies)
     "q_ann_ivf_index" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index").toString
+      // deterministic per-sf location, OVERWRITTEN each run — a fresh
+      // createTempDirectory here would leak one corpus copy per
+      // invocation (driver + bench re-run every query per round)
+      val idxDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft_ivf_index_" + java.lang.Integer.toHexString(dir.hashCode)
+      ).toString
       graft.operators.IvfIndex.build(emb, "vec_id", "embedding", idxDir,
         nlist = 16, iters = 2)
       val idx = graft.operators.IvfIndex.load(s, idxDir)

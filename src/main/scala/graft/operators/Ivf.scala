@@ -118,11 +118,20 @@ object Ivf {
       col(vecCol).as("cv"), assign(col(vecCol), centroids).as("cluster"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(probes(col(vecCol), centroids, nprobe)).as("cluster"))
+    rankListCandidates(lists, q, k)
+  }
+
+  /** Shared candidate scoring for the inverted-list tiers (this trainer
+    * path and [[IvfIndex.topK]]): join probed queries to lists on
+    * cluster, exclude self-pairs, cosine-score, rank through the common
+    * ANN selection contract — ONE implementation of the tie-break that
+    * RecallEval compares across tiers. `lists`: (cluster, corpus_id,
+    * cv); `q`: (cluster, query_id, qv). */
+  private[operators] def rankListCandidates(lists: DataFrame, q: DataFrame,
+                                            k: Int): DataFrame = {
     val scored = lists.join(q, Seq("cluster"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
-    // shared selection/ranking contract with the other ANN tiers (one
-    // implementation of the tie-break and rank shape RecallEval compares)
     Similarity.selectAndRank(
       scored.select(col("query_id"), col("corpus_id"), col("cos")), k)
   }

@@ -39,6 +39,11 @@ object IvfIndex {
     corpus.select(
         Ivf.assign(col(vecCol), centroids).as("cluster"),
         col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"))
+      // co-locate each list before the partitioned write: without this,
+      // EVERY upstream task opens up to nlist writers (at 100 TB with
+      // nlist=4096 that is millions of tiny files + per-task writer
+      // churn); repartitioned, each list lands as ~one file
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$dir/lists.parquet")
   }
@@ -64,12 +69,7 @@ object IvfIndex {
       .collect().map(_.getInt(0)) // ≤ nlist values
     val lists = index.lists
       .filter(col("cluster").isin(probed.toIndexedSeq: _*))
-    val scored = lists.withColumnRenamed("id", "corpus_id")
-      .join(q, Seq("cluster"))
-      .filter(col("query_id") =!= col("corpus_id")) // self-exclusion, like Ivf.topK
-      .withColumn("cos",
-        graft.functions.vectors.cosine(col("qv"), col("vec")))
-    Similarity.selectAndRank(
-      scored.select(col("query_id"), col("corpus_id"), col("cos")), k)
+      .select(col("cluster"), col("id").as("corpus_id"), col("vec").as("cv"))
+    Ivf.rankListCandidates(lists, q, k) // one scoring/tie-break contract
   }
 }

@@ -162,7 +162,10 @@ class KernelPropertySpec extends AnyFunSuite {
       val got = TextKernels.diversityStats(UTF8String.fromString(s))
       val (n, d, e) = (got.getLong(0), got.getLong(1), got.getLong(2))
       // independent replica: regex tokenize, Map-based counts
-      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // per-char lowercase like the kernel (locale-independent; a full
+      // String.toLowerCase under tr_TR diverges on 'I')
+      val toks = s.map(Character.toLowerCase)
+        .split("\\s+").filter(_.nonEmpty)
       val counts = toks.groupBy(identity).view.mapValues(_.length)
       val expectE = -counts.values.map { c =>
         val p = c.toDouble / toks.length
