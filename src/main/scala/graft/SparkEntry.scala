@@ -661,6 +661,17 @@ object SparkEntry {
       Dedup.incrementalByFingerprint(
         docs.filter(col("doc_id") >= 400), "doc_id", "text", existingFps)
     }),
+    // the bloom-join tier of the same operation: result-identical by
+    // construction (no false negatives; false positives verified by the
+    // exact join), so the SAME oracle checks it
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existingFps = docs.filter(col("doc_id") < 400)
+        .select(text.fingerprintMd5(col("text")).as("fp")).distinct()
+      Dedup.incrementalByFingerprintBloom(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", existingFps,
+        expectedItems = 1000L, fpp = 0.01)
+    }),
     // self-trained unigram LM scoring; vocabSize 20 < the corpus's ~31
     // distinct tokens, so the OOV floor path is genuinely exercised
     "q_lm_score" -> ((s, dir) =>
@@ -848,6 +859,21 @@ object SparkEntry {
 
   /** Brute-force exact top-1 cosine over the planted [[annQueries]] —
     * the oracle for both ANN tiers in the near-copy retrieval regime. */
+  private val incrementalDedupSql: String =
+    "WITH fp AS (SELECT doc_id, " +
+    "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+    "FROM documents), " +
+    "new_first AS (SELECT doc_id FROM fp WHERE doc_id >= 400 " +
+    "QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
+    // NOT EXISTS, not NOT IN: one NULL fingerprint in the index would
+    // make NOT IN return NULL for EVERY row (0 survivors) while the
+    // Spark left_anti keeps null-keyed rows — the null-aware form
+    // matches the operator on any future corpus
+    "clean AS (SELECT n.doc_id FROM new_first n JOIN fp f USING (doc_id) " +
+    "WHERE NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id < 400 " +
+    "AND e.fp = f.fp)) " +
+    "SELECT d.* FROM documents d JOIN clean USING (doc_id)"
+
   private val annTop1Sql: String = {
     val cos = "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
     "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
@@ -1517,20 +1543,10 @@ object SparkEntry {
       "WHERE r.n_tokens BETWEEN 20 AND 1000 " +
       s"AND round($qQualitySql, 6) >= 0.55 " +
       "AND r.dwr <= 0.6 AND r.tbr <= 0.1"),
-    "q_dedup_incremental" -> (
-      "WITH fp AS (SELECT doc_id, " +
-      "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
-      "FROM documents), " +
-      "new_first AS (SELECT doc_id FROM fp WHERE doc_id >= 400 " +
-      "QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
-      // NOT EXISTS, not NOT IN: one NULL fingerprint in the index would
-      // make NOT IN return NULL for EVERY row (0 survivors) while the
-      // Spark left_anti keeps null-keyed rows — the null-aware form
-      // matches the operator on any future corpus
-      "clean AS (SELECT n.doc_id FROM new_first n JOIN fp f USING (doc_id) " +
-      "WHERE NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id < 400 " +
-      "AND e.fp = f.fp)) " +
-      "SELECT d.* FROM documents d JOIN clean USING (doc_id)"),
+    "q_dedup_incremental" -> incrementalDedupSql,
+    // the bloom pre-filter is result-invisible (no false negatives;
+    // false positives removed by the verify join) => same oracle
+    "q_dedup_incremental_bloom" -> incrementalDedupSql,
     "q_dedup_chunks" -> (
       "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), " +
       "  '\\s+') AS ts FROM documents), " +

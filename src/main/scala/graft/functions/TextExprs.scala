@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -177,6 +177,34 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionStats($c)")
   override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+/** Holder giving a Spark sketch BloomFilter a compact plan rendering
+  * (the raw filter prints nothing useful in explain output). Reference
+  * equality is correct here: two independently-built filters are never
+  * interchangeable plan-wise. */
+final class BloomRef(val bloom: org.apache.spark.util.sketch.BloomFilter,
+                     val label: String) extends Serializable {
+  override def toString: String = s"BloomRef($label)"
+}
+
+/** might-contain probe against a plan-embedded Bloom filter — the
+  * pre-filter side of the bloom-join pattern (Dedup
+  * .incrementalByFingerprintBloom). Probes binary UTF-8 bytes, matching
+  * how DataFrameStatFunctions.bloomFilter puts string columns. False
+  * positives possible (verified downstream), false negatives never. */
+case class BloomMightContainExpr(child: Expression, bloomRef: BloomRef)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+  override def nullSafeEval(input: Any): Any =
+    bloomRef.bloom.mightContainBinary(
+      input.asInstanceOf[UTF8String].getBytes)
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
     copy(child = newChild)
 }
 

@@ -733,6 +733,42 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** [[incrementalByFingerprint]] with a BLOOM pre-filter — the
+    * bloom-join pattern for when the fingerprint index is too large to
+    * broadcast (billions of fps): one distributed pass builds a Bloom
+    * filter over the index (`df.stat.bloomFilter`, tree-aggregated);
+    * batch rows whose fingerprint MISSES the filter are definitely new
+    * (no false negatives) and skip the join entirely, so the exact
+    * anti-join's shuffle carries only possible-hits — true dups plus
+    * `fpp` of the batch — instead of the whole batch. Result is
+    * IDENTICAL to the exact tier (false positives are eliminated by
+    * the verify join), which is why the same oracle checks both.
+    * Size `expectedItems` to the index cardinality: at 1e9 fps and
+    * fpp=0.01 the filter is ~1.2 GB (executor-resident, plan-embedded);
+    * prefer the plain anti-join while the index still broadcasts. */
+  def incrementalByFingerprintBloom(newDocs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    existingFps: DataFrame,
+                                    expectedItems: Long,
+                                    fpp: Double = 0.01): DataFrame = {
+    require(existingFps.columns.length == 1,
+      s"existingFps must be a one-column fingerprint table, got " +
+      existingFps.columns.mkString(", "))
+    val fpName = existingFps.columns.head
+    val bloom = existingFps.stat.bloomFilter(fpName, expectedItems, fpp)
+    val mightContain = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("__fp")),
+        new graft.functions.BloomRef(bloom, s"fp-index~$expectedItems@$fpp")))
+    val batch = exact(
+      newDocs.withColumn("__fp", text.fingerprintMd5(col(textCol))),
+      idCol, Seq("__fp"))
+    val definitelyNew = batch.filter(!mightContain)
+    val verified = batch.filter(mightContain)
+      .join(existingFps.select(col(fpName).as("__fp")), Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(verified).drop("__fp")
+  }
+
   /** Chunk-level exact dedup (the "line dedup" of CCNet/RefinedWeb,
     * word-chunk flavored since this corpus has no newlines): split each
     * document into consecutive `chunkWords`-word chunks, keep only the

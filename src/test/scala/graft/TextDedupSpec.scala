@@ -192,6 +192,29 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("bloom incremental dedup == exact tier; misses skip the join; no false negatives") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val fps = docs.filter($"doc_id" < 400)
+      .select(graft.functions.text.fingerprintMd5($"text").as("fp")).distinct()
+    val batch = docs.filter($"doc_id" >= 400)
+    val viaExact = Dedup.incrementalByFingerprint(batch, "doc_id", "text", fps)
+      .select("doc_id").as[Long].collect().toSet
+    // sweep fpp: result must be IDENTICAL at any false-positive rate
+    for (fpp <- Seq(0.5, 0.01, 0.0001)) {
+      val viaBloom = Dedup.incrementalByFingerprintBloom(
+        batch, "doc_id", "text", fps, expectedItems = 1000L, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaBloom == viaExact, s"fpp=$fpp diverged")
+    }
+    // no false negatives: every batch row whose fp IS in the index must
+    // probe true (a put/probe encoding mismatch would surface here)
+    val bloom = fps.stat.bloomFilter("fp", 1000L, 0.0001)
+    val indexed = fps.as[String].collect()
+    assert(indexed.nonEmpty &&
+      indexed.forall(fp => bloom.mightContainBinary(
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+  }
+
   test("decontaminateExactNgram: one shared n-gram is contamination; short docs match whole-text") {
     val ref = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
