@@ -66,6 +66,67 @@ object SparkEntry {
     }
   }
 
+  /** DMS-shaped fixture layout for q_cdc_dateaware, derived
+    * DETERMINISTICALLY from the orders table so the DuckDB oracle can
+    * rebuild the same delta content from `orders` alone. Layout under a
+    * per-process temp dir (pid-keyed — concurrent JVMs on the same sf
+    * dir must not race each other's files):
+    *   LOAD00000001/2.parquet        even/odd o_orderkey halves
+    *   20240102000000-1.parquet      U dts=1: %5 keys, price+111
+    *   20240106000000-1.parquet      U dts=2: %7 keys, price+222
+    *   20240112000000-1.parquet      D dts=3: %11 keys  (OUT of window)
+    *   manual-backfill.parquet       D dts=9: %2 keys   (no date prefix)
+    * The last two are the classification tripwires: if DateAware ever
+    * admits an out-of-window or undated CDC file, half the table
+    * disappears and the oracle row goes red. Memoized per
+    * (session, dir) — the fixture is written once, not per query
+    * construction. */
+  private val dmsFixtureCache =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+  private def dmsFixture(s: SparkSession, dir: String): String = {
+    dmsFixtureCache.synchronized(dmsFixtureCache.get((s, dir))) match {
+      case Some(p) => p
+      case None =>
+        val pid = ProcessHandle.current().pid()
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_dms_fixture_${pid}_${math.abs(dir.hashCode)}")
+        val orders = t(s, dir, "orders")
+        def write(df: DataFrame, name: String): Unit = {
+          val tmp = new java.io.File(base, s".tmp_$name")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(base, name).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tmp.listFiles().foreach(_.delete()); tmp.delete()
+        }
+        write(orders.filter(col("o_orderkey") % 2 === 0), "LOAD00000001.parquet")
+        write(orders.filter(col("o_orderkey") % 2 === 1), "LOAD00000002.parquet")
+        write(orders.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(111.0))
+            .withColumn(CdcMerge.OpColumn, lit("U"))
+            .withColumn(CdcMerge.TsColumn, lit(1L)),
+          "20240102000000-1.parquet")
+        write(orders.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(222.0))
+            .withColumn(CdcMerge.OpColumn, lit("U"))
+            .withColumn(CdcMerge.TsColumn, lit(2L)),
+          "20240106000000-1.parquet")
+        write(orders.filter(col("o_orderkey") % 11 === 0)
+            .withColumn(CdcMerge.OpColumn, lit("D"))
+            .withColumn(CdcMerge.TsColumn, lit(3L)),
+          "20240112000000-1.parquet")
+        write(orders.filter(col("o_orderkey") % 2 === 0)
+            .withColumn(CdcMerge.OpColumn, lit("D"))
+            .withColumn(CdcMerge.TsColumn, lit(9L)),
+          "manual-backfill.parquet")
+        val p = base.toString
+        dmsFixtureCache.synchronized(dmsFixtureCache.put((s, dir), p))
+        p
+    }
+  }
+
   /** Shape of every fakegen safe email (FakeGen.email): first.last with
     * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used
     * by the faker shape-invariant queries below. */
@@ -156,6 +217,16 @@ object SparkEntry {
         .withColumn(CdcMerge.TsColumn, lit(1L))
       CdcMerge.applyDelta(orders, u.unionByName(d), Seq("o_orderkey"))
     }),
+    // DMS 3-mode file listing flowing through the oracle gate: a real
+    // on-disk LOAD+CDC layout (see dmsFixture) listed in DateAware mode
+    // [2024-01-01, 2024-01-08] — exactly two of the four CDC files are
+    // in-window; admitting the out-of-window delete batch or the
+    // undated backfill file flips the row red
+    "q_cdc_dateaware" -> ((s, dir) =>
+      graft.sources.DmsFiles.snapshot(s, dmsFixture(s, dir),
+        pk = Seq("o_orderkey"),
+        mode = graft.sources.DmsFiles.DateAware(
+          Some("2024-01-01"), Some("2024-01-08")))),
 
     // ---- §2.6-§2.7 aggregation / join / window (engine generality) ----
     "q1_agg" -> ((s, dir) =>
@@ -1009,6 +1080,28 @@ object SparkEntry {
       "UNION ALL " +
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
       "o_orderpriority FROM latest WHERE op IN ('I', 'U')"),
+    // replays dmsFixture's IN-WINDOW delta content (the %5/dts=1 and
+    // %7/dts=2 update batches; the %11 delete and the undated backfill
+    // are outside the DateAware window, so they must NOT appear here):
+    // latest dts per key wins => %35 keys carry +222
+    "q_cdc_dateaware" -> (
+      "WITH delta AS (" +
+      "  SELECT 1 AS dts, o_orderkey, o_custkey, o_orderstatus, " +
+      "         o_totalprice + 111.0 AS o_totalprice, o_orderdate, o_orderpriority " +
+      "  FROM orders WHERE o_orderkey % 5 = 0 " +
+      "  UNION ALL " +
+      "  SELECT 2, o_orderkey, o_custkey, o_orderstatus, " +
+      "         o_totalprice + 222.0, o_orderdate, o_orderpriority " +
+      "  FROM orders WHERE o_orderkey % 7 = 0" +
+      "), latest AS (" +
+      "  SELECT * FROM delta " +
+      "  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY dts DESC) = 1" +
+      ") " +
+      "SELECT o.* FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey " +
+      "WHERE l.o_orderkey IS NULL " +
+      "UNION ALL " +
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+      "o_orderpriority FROM latest"),
     "q1_agg" -> (
       "SELECT l_returnflag, l_linestatus, " +
       "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty, " +
