@@ -657,6 +657,25 @@ object SparkEntry {
         .select(col("asset_id"), col("bin"),
           round(col("share") * col("n_bytes")).cast("long").as("cnt"))),
 
+    // REAL image decode through the oracle gate: deterministic test
+    // images (even doc_id => PPM, odd => BMP; dims and pixels pure
+    // functions of doc_id) decoded by the actual raster codec, stats
+    // emitted as integers. The oracle recomputes width/height/channel
+    // sums from doc_id alone — a bug in either decoder (BGR order,
+    // bottom-up rows, row padding, netpbm header scan) flips the row.
+    "q_multimodal_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bridge.column(graft.operators.ImageStatsExpr(
+            Bridge.expression(Bridge.column(graft.operators.TestImageExpr(
+              Bridge.expression(col("doc_id"))))))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.channels").as("channels"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // contiguous sequence packing: per-lang shards, 512-token budget,
     // deterministic doc order — the LLM-batch pre-packing shape
     "q_pack_sequences" -> ((s, dir) =>
@@ -1441,6 +1460,23 @@ object SparkEntry {
       "SELECT g.doc_id AS asset_id, CAST(g.bin AS INT) AS bin, " +
       "CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt " +
       "FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin"),
+
+    // recomputes the decoded-image stats from doc_id alone (the test
+    // image's dims/pixels are pure functions of the id): any decoder
+    // bug — BGR order, bottom-up rows, row padding, header scan —
+    // diverges from this closed form
+    "q_multimodal_decode" -> (
+      "WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS width, " +
+      "  CAST(1 + doc_id % 5 AS INT) AS height FROM documents), " +
+      "px AS (SELECT doc_id, width, height, " +
+      "  unnest(range(0, 3*width*height)) AS i FROM dims), " +
+      "pv AS (SELECT doc_id, width, height, i, " +
+      "  (doc_id*31 + i) % 256 AS v FROM px) " +
+      "SELECT doc_id, width, height, CAST(3 AS INT) AS channels, " +
+      "CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r, " +
+      "CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
+      "CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
+      "FROM pv GROUP BY doc_id, width, height"),
 
     "q_pack_sequences" -> (
       "WITH t AS (SELECT doc_id, lang, " +

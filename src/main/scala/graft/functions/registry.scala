@@ -66,7 +66,11 @@ object registry {
       "l2_distance" -> (args => L2DistanceExpr(args(0), args(1))),
       "hyperplane_bucket" -> (args => HyperplaneBucketExpr(args.head,
         intArg(args, 1, 12), seedOf(args, 2))),
-      "decode_stub" -> (args => DecodeStubExpr(args.head)))
+      "decode_stub" -> (args => DecodeStubExpr(args.head)),
+      "image_stats" -> (args => graft.operators.ImageStatsExpr(args.head)),
+      "image_resize" -> (args => graft.operators.ImageResizeExpr(args.head,
+        intArg(args, 1, 16), intArg(args, 2, 16))),
+      "test_image" -> (args => graft.operators.TestImageExpr(args.head)))
   }
 
   private def intArg(args: Seq[Expression], at: Int, default: Int): Int =

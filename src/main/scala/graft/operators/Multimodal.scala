@@ -12,12 +12,16 @@ import org.apache.spark.sql.types._
   * columns + a typed metadata struct, processed by per-partition batch
   * operators.
   *
-  * The actual media decode is STUBBED (this environment ships no image/
-  * audio codecs): [[DecodeStubExpr]] derives a deterministic fixed-shape
-  * feature vector from the raw bytes (a normalized 16-bin byte
-  * histogram). Everything AROUND the stub — schema, null handling,
-  * partition-level batching, feature shape — is real and tested, so a
-  * real decoder drops in by replacing one kernel.
+  * Image decode is REAL for the uncompressed raster formats
+  * ([[ImageCodec]]: PPM P6 / PGM P5 / 24-bit BI_RGB BMP) —
+  * [[ImageStatsExpr]] and [[ImageResizeExpr]] parse actual headers and
+  * pixel layouts (bottom-up BGR rows, 4-byte padding, netpbm comments)
+  * and operate on decoded pixels. Compressed codecs (JPEG/PNG, audio,
+  * video) remain outside: no codec libraries ship in this container;
+  * [[mapBatchesStub]] is the per-partition seam where one would be
+  * initialized once per partition. [[DecodeStubExpr]] survives as a
+  * format-agnostic BYTE featurizer (normalized 16-bin byte histogram)
+  * for content with no decodable structure.
   *
   * Scale notes: media blobs dominate row size, so the design keeps them
   * narrow — decode is a projection (no shuffle); downstream joins carry
@@ -71,10 +75,33 @@ object Multimodal {
         Bridge.expression(col("content")), frameBytes, strideBytes)))
         .as(Seq("frame_idx", "frame")))
 
-  /** Per-partition batched processing — the seam where a real codec
-    * library would live (one decoder instance per PARTITION, not per
-    * row, mirroring mapInPandas-style batching). The stub computes mean
-    * byte value per asset. */
+  /** Decoded per-image stats from the REAL raster decode: one nullable
+    * struct column (width, height, channels, per-channel pixel sums as
+    * BIGINTs — integers cross engine/hash boundaries losslessly).
+    * Undecodable content nulls the struct instead of failing the job:
+    * at corpus scale a corrupt blob must skip, not kill a 1000-executor
+    * stage; monitor the null count downstream. Pure codegen'd
+    * projection — no shuffle, no UDF. */
+  def decodedStats(assets: DataFrame): DataFrame =
+    assets.withColumn("image_stats",
+      Bridge.column(ImageStatsExpr(Bridge.expression(col("content")))))
+
+  /** REAL nearest-neighbor image resize on decoded pixels, re-encoded
+    * in the input's own format family; meta picks up the actual output
+    * dims. Null content/undecodable bytes null out. */
+  def resizedImage(assets: DataFrame, width: Int, height: Int): DataFrame =
+    assets
+      .withColumn("content",
+        Bridge.column(ImageResizeExpr(
+          Bridge.expression(col("content")), width, height)))
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"), lit(width).as("width"),
+        lit(height).as("height"), col("meta.duration_ms").as("duration_ms")))
+
+  /** Per-partition batched processing — the seam where a COMPRESSED
+    * codec library would live (one decoder instance per PARTITION, not
+    * per row, mirroring mapInPandas-style batching). The stub computes
+    * mean byte value per asset. */
   def mapBatchesStub(spark: SparkSession, assets: DataFrame): DataFrame = {
     val out = StructType(Seq(
       StructField("asset_id", assets.schema("asset_id").dataType),
@@ -99,10 +126,74 @@ object Multimodal {
   }
 }
 
-/** STUB media decode: deterministic 16-bin normalized byte histogram in
-  * place of a real image/audio feature extractor (no codecs in this
-  * container). Real decoder replaces [[MultimodalKernels.byteHistogram]]
-  * only; expression shape (binary -> array<float>) stays. */
+/** Decoded-image stats over the REAL raster codec ([[ImageCodec]]):
+  * binary -> struct(width, height, channels, sum_r, sum_g, sum_b).
+  * NULL (not error) for bytes that are not a supported image — corrupt
+  * media skips, the job survives. */
+case class ImageStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("sum_r", LongType),
+    StructField("sum_g", LongType), StructField("sum_b", LongType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_stats"
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.statsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.ImageCodec.statsRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): ImageStatsExpr =
+    copy(child = newChild)
+}
+
+/** REAL image resize: decode -> nearest-neighbor pixel sample ->
+  * re-encode (same format family). NULL for undecodable input. */
+case class ImageResizeExpr(child: Expression, outWidth: Int, outHeight: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(outWidth > 0 && outHeight > 0, "output dims must be positive")
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_resize"
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.resizeEncoded(input.asInstanceOf[Array[Byte]], outWidth, outHeight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.ImageCodec.resizeEncoded($c, $outWidth, $outHeight);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): ImageResizeExpr =
+    copy(child = newChild)
+}
+
+/** Deterministic oracle-checkable test image from an id
+  * ([[ImageCodec.testImage]]): even ids PPM, odd ids BMP. Fixture
+  * generator for the decode oracle row and specs — not a data-path
+  * operator. */
+case class TestImageExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "test_image"
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.testImage(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.ImageCodec.testImage($c)")
+  override protected def withNewChildInternal(newChild: Expression): TestImageExpr =
+    copy(child = newChild)
+}
+
+/** Format-agnostic BYTE featurizer (deterministic 16-bin normalized
+  * byte histogram): the feature path for content with no decodable
+  * structure (or where a compressed codec is unavailable — see the
+  * module doc). For supported raster images, [[ImageStatsExpr]]
+  * computes from actually-decoded pixels instead. */
 case class DecodeStubExpr(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)

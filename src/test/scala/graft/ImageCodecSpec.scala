@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{ImageCodec, ImageResizeExpr, ImageStatsExpr, Multimodal, TestImageExpr}
+import graft.operators.ImageCodec.Decoded
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+class ImageCodecSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rgb(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 7 + 3) % 256).toByte)
+
+  test("PPM/BMP round trip: same logical image, identical decoded pixels") {
+    // width 5 => BMP rows need 1 pad byte (3*5=15 -> 16): the padding
+    // path is exercised, not just the aligned case
+    val d = Decoded(5, 3, 3, rgb(45))
+    val viaPpm = ImageCodec.tryDecode(ImageCodec.encodeNetpbm(d))
+    val viaBmp = ImageCodec.tryDecode(ImageCodec.encodeBmp(d))
+    assert(viaPpm.width == 5 && viaPpm.height == 3 && viaPpm.channels == 3)
+    assert(viaBmp.width == 5 && viaBmp.height == 3 && viaBmp.channels == 3)
+    assert(java.util.Arrays.equals(viaPpm.pixels, d.pixels))
+    assert(java.util.Arrays.equals(viaBmp.pixels, d.pixels))
+  }
+
+  test("PGM grayscale: P5 round trip, stats put gray sum in sum_r") {
+    val g = Decoded(4, 2, 1, Array.tabulate(8)(i => (i * 30).toByte))
+    val back = ImageCodec.tryDecode(ImageCodec.encodeNetpbm(g))
+    assert(back.channels == 1 && java.util.Arrays.equals(back.pixels, g.pixels))
+    val st = ImageCodec.statsRow(ImageCodec.encodeNetpbm(g))
+    assert(st.getInt(2) == 1)
+    assert(st.getLong(3) == (0 until 8).map(i => (i * 30) & 0xff).sum.toLong)
+    assert(st.getLong(4) == 0L && st.getLong(5) == 0L)
+  }
+
+  test("netpbm header edge cases: comments and multi-digit dims") {
+    val px = rgb(6)
+    val withComment = ("P6\n# a comment line\n2 1\n# another\n255\n"
+      .getBytes("US-ASCII") ++ px)
+    val d = ImageCodec.tryDecode(withComment)
+    assert(d != null && d.width == 2 && d.height == 1)
+    assert(java.util.Arrays.equals(d.pixels, px))
+  }
+
+  test("undecodable bytes: null, not an exception") {
+    assert(ImageCodec.tryDecode(null) == null)
+    assert(ImageCodec.tryDecode(Array[Byte]()) == null)
+    assert(ImageCodec.tryDecode("not an image at all".getBytes) == null)
+    assert(ImageCodec.tryDecode("P6\n2 1\n255\nXY".getBytes) == null) // truncated
+    // BMP with an unsupported bpp (8) must refuse, not misparse
+    val bmp = ImageCodec.encodeBmp(Decoded(2, 2, 3, rgb(12)))
+    bmp(28) = 8
+    assert(ImageCodec.tryDecode(bmp) == null)
+  }
+
+  test("real resize: nearest-neighbor on decoded pixels, format preserved") {
+    // 2x2 distinct-color image scaled to 4x4: each source pixel becomes
+    // a 2x2 block (exact NN semantics, not byte resampling)
+    val px = Array[Byte](
+      10, 11, 12,  20, 21, 22,
+      30, 31, 32,  40, 41, 42)
+    val src = ImageCodec.encodeNetpbm(Decoded(2, 2, 3, px))
+    val up = ImageCodec.tryDecode(ImageCodec.resizeEncoded(src, 4, 4))
+    assert(up.width == 4 && up.height == 4)
+    def at(x: Int, y: Int): Seq[Byte] =
+      up.pixels.slice(3 * (y * 4 + x), 3 * (y * 4 + x) + 3).toSeq
+    assert(at(0, 0) == Seq[Byte](10, 11, 12) && at(1, 1) == Seq[Byte](10, 11, 12))
+    assert(at(2, 0) == Seq[Byte](20, 21, 22) && at(3, 3) == Seq[Byte](40, 41, 42))
+    // BMP in => BMP out
+    val bmpOut = ImageCodec.resizeEncoded(
+      ImageCodec.encodeBmp(Decoded(2, 2, 3, px)), 3, 3)
+    assert(bmpOut(0) == 'B' && bmpOut(1) == 'M')
+    assert(ImageCodec.tryDecode(bmpOut).width == 3)
+  }
+
+  test("expressions: decode stats + resize are codegen'd, nulls propagate") {
+    val df = Seq(Some(2L), Some(3L), None).toDF("id")
+    val img = Bridge.column(TestImageExpr(Bridge.expression(col("id"))))
+    val out = df.select(col("id"),
+        Bridge.column(ImageStatsExpr(Bridge.expression(img))).as("st"),
+        Bridge.column(ImageResizeExpr(Bridge.expression(img), 2, 2)).as("rz"))
+      .orderBy(col("id").asc_nulls_last)
+    val rows = out.collect()
+    // null id => null all the way through (no NPE in codegen)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    // id=2 (PPM): w=3,h=3; id=3 (BMP): w=4,h=4 — matches the formula
+    val st2 = rows(0).getStruct(1)
+    assert(st2.getInt(0) == 3 && st2.getInt(1) == 3 && st2.getInt(2) == 3)
+    val st3 = rows(1).getStruct(1)
+    assert(st3.getInt(0) == 4 && st3.getInt(1) == 4)
+    // resized output is itself decodable at the requested dims
+    val rz = ImageCodec.tryDecode(rows(0).getAs[Array[Byte]](2))
+    assert(rz.width == 2 && rz.height == 2)
+    // undecodable content => null stats (corrupt blob skips, job lives)
+    val junk = Seq("junk").toDF("s")
+      .select(Bridge.column(ImageStatsExpr(
+        Bridge.expression(col("s").cast("binary")))).as("st"))
+    assert(junk.first().isNullAt(0))
+    // whole-stage codegen keeps the projection UDF-free
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("Multimodal API: decodedStats and resizedImage wire the real codec") {
+    val df = Seq((0L, 0L), (5L, 5L)).toDF("id", "seed")
+    val assets = Multimodal.asAssets(df, "id",
+      Bridge.column(TestImageExpr(Bridge.expression(col("seed")))), "image/x-test")
+    val st = Multimodal.decodedStats(assets).orderBy("asset_id").collect()
+    // id=0: w=1,h=1, pixels 0,1,2 => sums (0,1,2)
+    val s0 = st(0).getAs[org.apache.spark.sql.Row]("image_stats")
+    assert(s0.getInt(0) == 1 && s0.getLong(3) == 0L &&
+      s0.getLong(4) == 1L && s0.getLong(5) == 2L)
+    val rz = Multimodal.resizedImage(assets, 2, 3).orderBy("asset_id").collect()
+    val meta = rz(0).getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getInt(1) == 2 && meta.getInt(2) == 3)
+    val dec = ImageCodec.tryDecode(rz(0).getAs[Array[Byte]]("content"))
+    assert(dec.width == 2 && dec.height == 3)
+  }
+}
