@@ -58,6 +58,11 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        // the dedup/contamination operators persist() shared subplans
+        // lazily; without this, run 2+ of the same query would hit run
+        // 1's cache and the min-of-N would time the warm path instead
+        // of the plan under test
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {

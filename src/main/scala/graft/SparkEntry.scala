@@ -563,9 +563,11 @@ object SparkEntry {
     // exact exchange the operator exists to avoid (measured 1.7x worse)
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // id spaces are disjoint BY CONSTRUCTION (>= 20 vs < 20), so the
+      // eager guard scan is skipped — the intended library-caller shape
       Dedup.decontaminate(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
-        "doc_id", "text")
+        "doc_id", "text", checkDisjoint = false)
     }),
     // the strict (any-shared-8-gram) decontamination tier on the same
     // eval split — broadcast semi-join, no verify stage
@@ -581,7 +583,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.contaminationReport(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
-        "doc_id", "text", groupCol = "source")
+        "doc_id", "text", groupCol = "source", checkDisjoint = false)
     }),
 
     // end-to-end embedding dedup: LSH pairs -> components -> keep the

@@ -69,15 +69,19 @@ object Dedup {
 
     val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
-    // checkpoint: `cand` feeds three consumers below (two sides of the
+    // cache: `cand` feeds three consumers below (two sides of the
     // doc-id union + the pair join); Spark has no cross-join common-
     // subplan reuse, so without materialization the banding self-join
-    // would execute three times (measured ~3x on this stage)
+    // would execute three times (measured ~3x on this stage). LAZY
+    // persist, not eager checkpoint: reuse is identical once the first
+    // action runs, but plan CONSTRUCTION launches no jobs (an eager
+    // checkpoint made every call — including plan-only tooling — run
+    // the full banding self-join up front).
     val cand = a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // re-attach signatures by recomputing them ONLY for candidate docs
     // (semi-join the raw rows first): referencing `sigs` here would
@@ -236,12 +240,15 @@ object Dedup {
                          pairs: DataFrame, n: Int = 3,
                          threshold: Double = 0.5): DataFrame = {
     // materialize the candidate set ONCE: it feeds three consumers (the
-    // doc-id prune plus both pair joins), and without the checkpoint
+    // doc-id prune plus both pair joins), and without materialization
     // each consumer would re-execute the entire upstream LSH candidate
     // generation (measured 2.4x on the minhash-verified query).
     // Candidates ~ dup-rate x corpus — bounded executor-local storage.
+    // LAZY persist (see minhash `cand` above): same reuse, zero
+    // construction-time jobs.
     val cand = pairs.select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b").localCheckpoint(true)
+      .dropDuplicates("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = cand.select(col("id_a").as(idCol))
       .unionByName(cand.select(col("id_b").as(idCol))).distinct()
     // prune to candidate DOCS before shingling: candidate docs are a
@@ -302,10 +309,11 @@ object Dedup {
                     shingleWidth: Int = 3, numHashes: Int = 128,
                     bands: Int = 32, candThreshold: Double = 0.35,
                     threshold: Double = 0.5,
-                    seed: Long = FakeGen.DefaultSeed): DataFrame =
+                    seed: Long = FakeGen.DefaultSeed,
+                    checkDisjoint: Boolean = true): DataFrame =
     corpus.join(
       contaminationPairs(corpus, reference, idCol, textCol, shingleWidth,
-        numHashes, bands, candThreshold, threshold, seed)
+        numHashes, bands, candThreshold, threshold, seed, checkDisjoint)
         .select(col("id_a").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
@@ -318,17 +326,24 @@ object Dedup {
                          shingleWidth: Int = 3, numHashes: Int = 128,
                          bands: Int = 32, candThreshold: Double = 0.35,
                          threshold: Double = 0.5,
-                         seed: Long = FakeGen.DefaultSeed): DataFrame = {
+                         seed: Long = FakeGen.DefaultSeed,
+                         checkDisjoint: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // the exact verify shingles corpus+reference as ONE id space — an
     // id collision would silently merge two documents' shingle sets and
     // corrupt every jaccard involving them. The reference side is tiny,
     // so this guard is one explicitly-BROADCAST semi-join (no corpus
-    // shuffle; the scan prunes to the id column) + limit(1).
-    require(corpus
-        .join(broadcast(reference.select(col(idCol))), Seq(idCol), "left_semi")
-        .limit(1).isEmpty,
-      s"corpus and reference share $idCol values; id spaces must be disjoint")
+    // shuffle; the scan prunes to the id column) + limit(1). It is an
+    // EXECUTED job at plan-construction time, which at corpus scale is
+    // an extra id-column scan per call — callers that already guarantee
+    // disjoint id spaces (e.g. by key construction) pass
+    // checkDisjoint = false and pay nothing; plan construction then
+    // launches zero jobs (asserted in PlanAuditSpec).
+    if (checkDisjoint)
+      require(corpus
+          .join(broadcast(reference.select(col(idCol))), Seq(idCol), "left_semi")
+          .limit(1).isEmpty,
+        s"corpus and reference share $idCol values; id spaces must be disjoint")
     val rows = numHashes / bands
     def sigsOf(df: DataFrame) = df.select(col(idCol).as("id"),
       text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
@@ -340,16 +355,23 @@ object Dedup {
     }
     val sigsC = sigsOf(corpus)
     val sigsR = sigsOf(reference)
-    // checkpoint: bucketHits feeds both the signature re-attach prune
+    // cache: bucketHits feeds both the signature re-attach prune
     // and the candidate join — unmaterialized, the corpus-wide banding
-    // map would run twice
+    // map would run twice. LAZY persist on purpose: it materializes at
+    // the first ACTION (both consumers then reuse the cached blocks —
+    // the banding map still runs exactly once), while plan
+    // CONSTRUCTION stays job-free. The previous eager localCheckpoint
+    // made every call launch the full corpus bucket-join before the
+    // caller asked for a single row (PlanDump paid it per round); a
+    // lazy localCheckpoint is no fix — Dataset.checkpoint calls .toRdd,
+    // which under AQE materializes the shuffle stages anyway.
     val bucketHits = bandedOf(sigsC).select(col("band"), col("bandHash"), col("id").as("id_a"))
       .join(broadcast(
         bandedOf(sigsR).select(col("band"), col("bandHash"), col("id").as("id_b"))),
         Seq("band", "bandHash"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // loose signature prune before the exact verify. Corpus signatures
     // are recomputed ONLY for bucket-hit docs — never a second
     // corpus-wide minhash pass.
@@ -414,9 +436,10 @@ object Dedup {
                           shingleWidth: Int = 3, numHashes: Int = 128,
                           bands: Int = 32, candThreshold: Double = 0.35,
                           threshold: Double = 0.5,
-                          seed: Long = FakeGen.DefaultSeed): DataFrame =
+                          seed: Long = FakeGen.DefaultSeed,
+                          checkDisjoint: Boolean = true): DataFrame =
     contaminationPairs(corpus, reference, idCol, textCol, shingleWidth,
-      numHashes, bands, candThreshold, threshold, seed)
+      numHashes, bands, candThreshold, threshold, seed, checkDisjoint)
       .join(corpus.select(col(idCol).as("id_a"), col(groupCol)), Seq("id_a"))
       .groupBy(col(groupCol))
       .agg(countDistinct(col("id_a")).as("n_docs_flagged"),

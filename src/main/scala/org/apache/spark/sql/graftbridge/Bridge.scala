@@ -64,4 +64,10 @@ object Bridge {
     }
     (cmp, computer)
   }
+
+  /** Drain the SparkListener event bus (private[spark]): lets tests
+    * assert deterministically on listener-observed facts — e.g. "plan
+    * construction launched zero jobs" — without sleeping. */
+  def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

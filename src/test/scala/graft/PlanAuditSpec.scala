@@ -119,6 +119,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(graft.operators.Repartitioning.ensureParallelism(mem, col("id")) eq mem)
   }
 
+  test("contaminationPairs construction: zero jobs with checkDisjoint=false") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // library-caller shape: disjoint ids by construction => no guard
+      // scan, no checkpoint job — PLAN CONSTRUCTION is free; PlanDump /
+      // Bench / plan-only tooling stop paying a corpus scan per call
+      val pairs = graft.operators.Dedup.contaminationPairs(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", checkDisjoint = false)
+      org.apache.spark.sql.graftbridge.Bridge.flushListenerBus(spark.sparkContext)
+      assert(jobs === 0,
+        s"plan construction launched $jobs job(s) with checkDisjoint=false")
+      // the default keeps the guard: id overlap must still be caught
+      val overlap = intercept[IllegalArgumentException] {
+        graft.operators.Dedup.contaminationPairs(
+          docs, docs.filter(col("doc_id") < 20), "doc_id", "text")
+      }
+      assert(overlap.getMessage.contains("disjoint"))
+      // and the constructed plan still computes: the planted eval split
+      // must flag at least one contaminated doc when executed
+      assert(pairs.limit(1).count() === 1L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cdc latest-per-key: max_by aggregate with map-side combine on one PK shuffle") {
     val plan = planOf("q_cdc_latest_per_key")
     assert(plan.contains("hashpartitioning(user_id"),
