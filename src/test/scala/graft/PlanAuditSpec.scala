@@ -85,6 +85,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"healthy scan grew an exchange:\n$plan")
   }
 
+  test("healthy multi-file documents dir: dedup spine inserts no repartition") {
+    // the 100x layout in miniature: the REAL documents table written as
+    // 32 part-files (at production scale the file count does this by
+    // itself). Split-packing params pinned so each part-file is its own
+    // split, as 128MB+ files would be at real scale — otherwise the
+    // tiny fixtures coalesce into one split and the case proves nothing.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("docs_multifile").toString
+    spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .repartition(32).write.mode("overwrite").parquet(dir)
+    val conf = Seq("spark.sql.files.maxPartitionBytes" -> "1m",
+                   "spark.sql.files.openCostInBytes" -> "1m")
+    val prev = conf.map { case (k, _) => spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = spark.read.parquet(dir)
+      val cores = spark.sparkContext.defaultParallelism
+      val splits = graft.operators.Repartitioning.scanPartitions(docs)
+      assert(splits >= cores,
+        s"multi-file dir must out-split the $cores cores, got $splits")
+      // the gate must DECLINE: healthy layout, identical object back
+      val repaired = graft.operators.Repartitioning
+        .ensureParallelism(docs, col("doc_id"))
+      assert(repaired eq docs, "gate repartitioned a healthy layout")
+      // and the full dedup spine planned over it carries no inserted
+      // repartition — its only exchanges are the operator's own
+      // (banding/aggregate shuffles), not a full-input repair
+      val spine = graft.operators.Dedup
+        .minhashVerifiedPairs(repaired, "doc_id", "text")
+      val plan = spine.queryExecution.executedPlan.toString
+      assert(!plan.contains("REPARTITION_BY_COL"),
+        s"dedup spine over a healthy multi-file scan grew a repartition:\n$plan")
+    } finally prev.zip(conf).foreach { case (old, (k, _)) =>
+      old match { case Some(v) => spark.conf.set(k, v)
+                  case None => spark.conf.unset(k) }
+    }
+  }
+
   test("ensureParallelism repairs a starved single-file scan: repartition fires") {
     import org.apache.spark.sql.functions.col
     val scan = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
