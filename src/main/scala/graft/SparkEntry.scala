@@ -127,6 +127,34 @@ object SparkEntry {
     }
   }
 
+  /** Persisted IVF index for q_ann_ivf_index: built ONCE per
+    * (session, sf dir) — query construction must not re-run the
+    * k-means + partitioned write every time (bench/plan tooling
+    * constructs queries repeatedly; the r6 advisor also flagged the
+    * fixed dir name as a cross-JVM race, so the location is pid-keyed
+    * like the DMS fixture). Deterministic location, overwritten on
+    * first build per JVM — a fresh createTempDirectory per call would
+    * leak one corpus copy per invocation. */
+  private val ivfIndexCache =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
+  private def ivfIndexDir(s: SparkSession, dir: String): String = {
+    ivfIndexCache.synchronized(ivfIndexCache.get((s, dir))) match {
+      case Some(p) => p
+      case None =>
+        // build OUTSIDE the lock (k-means + write takes seconds);
+        // a concurrent duplicate build is idempotent (pid-keyed dir,
+        // mode overwrite), last registration wins
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"),
+          s"graft_ivf_index_${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(dir.hashCode)).toString
+        graft.operators.IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+          "embedding", p, nlist = 16, iters = 2)
+        ivfIndexCache.synchronized(ivfIndexCache.put((s, dir), p))
+        p
+    }
+  }
+
   /** Shape of every fakegen safe email (FakeGen.email): first.last with
     * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used
     * by the faker shape-invariant queries below. */
@@ -625,18 +653,8 @@ object SparkEntry {
     // save/load/query cycle under the driver's oracle (results must
     // equal the retrain path, so the brute-force oracle applies)
     "q_ann_ivf_index" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      // deterministic per-sf location, OVERWRITTEN each run — a fresh
-      // createTempDirectory here would leak one corpus copy per
-      // invocation (driver + bench re-run every query per round)
-      val idxDir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft_ivf_index_" + java.lang.Integer.toHexString(dir.hashCode)
-      ).toString
-      graft.operators.IvfIndex.build(emb, "vec_id", "embedding", idxDir,
-        nlist = 16, iters = 2)
-      val idx = graft.operators.IvfIndex.load(s, idxDir)
-      graft.operators.IvfIndex.topK(idx, annQueries(emb),
+      val idx = graft.operators.IvfIndex.load(s, ivfIndexDir(s, dir))
+      graft.operators.IvfIndex.topK(idx, annQueries(t(s, dir, "embeddings")),
         "vec_id", "embedding", k = 1, nprobe = 2)
     }),
 

@@ -189,9 +189,13 @@ object TextKernels {
     * in nats, scaled to an exact long PER TERM: each distinct word
     * contributes `-floor(1e6 * (p * ln(p)) + 0.5)` with p = count/n.
     * Summing the per-term integers (not the doubles) makes the total
-    * independent of hash-map iteration order and bit-replicable by any
-    * engine that computes the identical per-term expression — the
-    * q_lm_score scaled-log trick applied to entropy. Low entropy +
+    * independent of hash-map iteration order. Cross-engine caveat:
+    * unlike sqrt, `ln` is not IEEE-correctly-rounded, so another
+    * engine's libm may differ by 1 ulp on a tie-adjacent term and flip
+    * one floored unit — replication is near-certain but, as with pow
+    * in Sampling.temperatureMix, not guaranteed bit-for-bit (the
+    * driver oracle has matched every round; the residual risk is a
+    * term landing within 1 ulp of a .5 boundary). Low entropy +
     * low type-token ratio flag TEMPLATED text that string-level dedup
     * misses (DataComp/Gopher-style diversity signals). */
   def diversityStats(value: UTF8String): ArrayData = {

@@ -786,8 +786,14 @@ object Dedup {
     val batch = exact(
       newDocs.withColumn("__fp", text.fingerprintMd5(col(textCol))),
       idCol, Seq("__fp"))
-    val definitelyNew = batch.filter(!mightContain)
-    val verified = batch.filter(mightContain)
+    // null fingerprints (null text) never equal any index key, so the
+    // exact tier's anti-join KEEPS them; a bare `!mightContain` is NULL
+    // for them and would drop them from BOTH branches here — coalesce
+    // routes them to definitelyNew, keeping the tiers identical on any
+    // corpus with null text
+    val hit = coalesce(mightContain, lit(false))
+    val definitelyNew = batch.filter(!hit)
+    val verified = batch.filter(hit)
       .join(existingFps.select(col(fpName).as("__fp")), Seq("__fp"), "left_anti")
     definitelyNew.unionByName(verified).drop("__fp")
   }

@@ -206,6 +206,20 @@ class TextDedupSpec extends SparkTestBase {
         .select("doc_id").as[Long].collect().toSet
       assert(viaBloom == viaExact, s"fpp=$fpp diverged")
     }
+    // null text => null fingerprint: the exact tier's anti-join keeps
+    // such rows (null equals no index key), so the bloom tier must
+    // route them to definitelyNew — a bare !mightContain is NULL for
+    // them and silently dropped them from both branches (r6 advisor)
+    val withNull = batch.select($"doc_id", $"text")
+      .unionByName(Seq((999999L, Option.empty[String])).toDF("doc_id", "text"))
+    val exactNull = Dedup.incrementalByFingerprint(
+      withNull, "doc_id", "text", fps).select("doc_id").as[Long].collect().toSet
+    val bloomNull = Dedup.incrementalByFingerprintBloom(
+      withNull, "doc_id", "text", fps, expectedItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactNull.contains(999999L), "exact tier must keep the null-text row")
+    assert(bloomNull == exactNull, "tiers diverge on a null-text corpus")
+
     // no false negatives: every batch row whose fp IS in the index must
     // probe true (a put/probe encoding mismatch would surface here)
     val bloom = fps.stat.bloomFilter("fp", 1000L, 0.0001)
