@@ -75,6 +75,41 @@ class IvfSkewSpec extends SparkTestBase {
       s"probe should prune list directories:\n$plan")
   }
 
+  test("IvfIndex serving path: nprobe sweep is monotone, full recall at the oracle config") {
+    // the serving-path twin of the retrain-path recall spec: recall is
+    // measured on the LOADED index, so a save/load defect (clipped
+    // floats, dropped list rows, broken partition pruning) surfaces as
+    // a named recall shortfall. Probe sets are nested as nprobe grows,
+    // so recall against the brute-force top-1 can only rise.
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    // q_ann_ivf_index's query shape: planted near-copies, offset ids
+    val queries = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 200000).as("vec_id"),
+        concat(array(element_at($"embedding", 1) + lit(0.02f)),
+          slice($"embedding", 2, 100000)).as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_recall").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nlist = 16, iters = 2)
+    val idx = IvfIndex.load(spark, dir)
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "corpus_id").collect().map(_.toSeq).toSet
+    assert(brute.size == 5)
+    def recallAt(nprobe: Int): Double = {
+      val got = IvfIndex.topK(idx, queries, "vec_id", "embedding",
+          k = 1, nprobe = nprobe)
+        .select("query_id", "corpus_id").collect().map(_.toSeq).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val recalls = Seq(1, 2, 4).map(recallAt)
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1)),
+      s"recall not monotone in nprobe: $recalls")
+    // nprobe=2 is q_ann_ivf_index's oracle config — recall must be 1
+    // there (and stay 1 above), or the driver row would be red
+    assert(recalls(1) == 1.0 && recalls(2) == 1.0,
+      s"recall below 1 at/above the oracle config: $recalls")
+  }
+
   test("salted aggregates equal plain aggregates") {
     val ev = spark.read.parquet(sf() + "/events.parquet")
     val plainCount = ev.groupBy($"event_type").count()
