@@ -787,9 +787,17 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.unigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20)),
-    // per-column null/distinct profile (schema-drift sweep)
+    // per-column null/distinct profile (schema-drift sweep) — widened
+    // beyond customer's string/int/decimal columns to a DATE column
+    // (orders) and a TIMESTAMP column (events, surfaced at µs like the
+    // CDC queries) so the pass-through temporal types get oracle
+    // coverage on the profiling path too
     "q_profile" -> ((s, dir) =>
-      graft.operators.Corpus.profile(t(s, dir, "customer"))),
+      graft.operators.Corpus.profile(t(s, dir, "customer"))
+        .unionByName(graft.operators.Corpus.profile(
+          t(s, dir, "orders").select(col("o_orderdate"))))
+        .unionByName(graft.operators.Corpus.profile(
+          events(s, dir).select(timestamp_micros(col("ts")).as("ts"))))),
     // per-source corpus health dashboard — the INTEGER-ONLY projection
     // (n_dups / sum_q_scaled BIGINTs instead of dup_rate / avg_quality
     // doubles): two rounds of full-precision-double rows hashed red in
@@ -1594,12 +1602,21 @@ object SparkEntry {
       "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.n * 1000000.0)), 6) END AS ppl " +
       "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id"),
     // generated per column — one UNION ALL branch per customer column
-    "q_profile" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+    "q_profile" -> (Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")
       .map(c => s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
         s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
         s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM customer")
-      .mkString(" UNION ALL "),
+      .mkString(" UNION ALL ") +
+      // temporal columns: DATE straight through; the events timestamp
+      // compares at µs on both sides (epoch_us mirrors the Spark
+      // side's timestamp_micros(ts div 1000) surface)
+      " UNION ALL SELECT 'o_orderdate' AS col_name, count(*) AS n_rows, " +
+      "CAST(count(*) - count(o_orderdate) AS BIGINT) AS n_nulls, " +
+      "CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct FROM orders" +
+      " UNION ALL SELECT 'ts' AS col_name, count(*) AS n_rows, " +
+      "CAST(count(*) - count(ts) AS BIGINT) AS n_nulls, " +
+      "CAST(count(DISTINCT epoch_us(ts)) AS BIGINT) AS n_distinct FROM events"),
     "q_source_report" -> (
       "WITH t AS (SELECT source, " +
       "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +
