@@ -35,14 +35,18 @@ if [ "$FAST" != "fast" ]; then
   verify_at sf0.1
 fi
 
-step "bench (writes BENCH.json)"
+step "bench (writes BENCH.json, min of 3)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
   sbt -batch "runMain graft.Bench" >/tmp/round_check_bench.log 2>&1 \
   || { echo "BENCH FAILED"; fail=1; }
 python3 -c "
 import json
 d = json.load(open('BENCH.json'))
 print(f\"total {d['value']}s over {len(d['queries'])} queries\")" || fail=1
+
+step "focused A/B rerun of the slowest queries (writes BENCH_AB.json)"
+bash scripts/bench_ab.sh 10 3 || fail=1
 
 step "regenerate PLANS.md (LAST: mtime must postdate the code)"
 sbt -batch "runMain graft.tools.PlanDump /root/testdata/sf0.01 PLANS.md" \

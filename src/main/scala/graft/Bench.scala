@@ -47,9 +47,11 @@ object Bench {
     // min of N runs per query: the sandbox carries background load that
     // swung single-run numbers up to 10x round-over-round (r2 judge
     // finding); the min is the least-noise estimate of the plan's cost.
+    // Default 3 — min-of-2 still left r6's driver numbers 2-13x
+    // inflated on half the surface (r6 judge re-bench).
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-      .filter(_ >= 1).getOrElse(2)
+      .filter(_ >= 1).getOrElse(3)
     // comma-separated allowlist for focused A/B timing while iterating;
     // unset (the driver's mode) = every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
