@@ -255,6 +255,21 @@ object SparkEntry {
         pk = Seq("o_orderkey"),
         mode = graft.sources.DmsFiles.DateAware(
           Some("2024-01-01"), Some("2024-01-08")))),
+    // FullLoadOnly over the same fixture: every CDC file ignored, so
+    // the snapshot is exactly the union of the two LOAD halves — any
+    // CDC leakage into this mode changes the row set
+    "q_cdc_fullload" -> ((s, dir) =>
+      graft.sources.DmsFiles.snapshot(s, dmsFixture(s, dir),
+        pk = Seq("o_orderkey"),
+        mode = graft.sources.DmsFiles.FullLoadOnly)),
+    // AbsolutePath over the same fixture: ALL four CDC files apply,
+    // latest ingestion timestamp per key wins across files — the
+    // undated backfill (dts=9) deletes every even key, the %11 delete
+    // (dts=3) beats both updates, %7 (dts=2) beats %5 (dts=1)
+    "q_cdc_absolute" -> ((s, dir) =>
+      graft.sources.DmsFiles.snapshot(s, dmsFixture(s, dir),
+        pk = Seq("o_orderkey"),
+        mode = graft.sources.DmsFiles.AbsolutePath)),
 
     // ---- §2.6-§2.7 aggregation / join / window (engine generality) ----
     "q1_agg" -> ((s, dir) =>
@@ -1149,6 +1164,20 @@ object SparkEntry {
       "UNION ALL " +
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
       "o_orderpriority FROM latest"),
+    // LOAD halves reunited, no CDC: the original table
+    "q_cdc_fullload" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders"),
+    // all four fixture CDC files resolved by latest dts per key:
+    // backfill (dts=9) deletes even keys; %11 delete (dts=3) beats the
+    // updates; %7 (dts=2) beats %5 (dts=1); remaining %5 keys get +111
+    "q_cdc_absolute" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 222.0 " +
+      "WHEN o_orderkey % 5 = 0 THEN o_totalprice + 111.0 " +
+      "ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders " +
+      "WHERE o_orderkey % 2 = 1 AND o_orderkey % 11 <> 0"),
     "q1_agg" -> (
       "SELECT l_returnflag, l_linestatus, " +
       "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty, " +
