@@ -711,6 +711,26 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // REAL resize through the oracle gate: decode -> nearest-neighbor
+    // to 4x3 -> re-encode -> decode stats; the oracle recomputes the
+    // resized per-channel sums from doc_id via the same integer NN
+    // source-index math ((x*w)//4, (y*h)//3)
+    "q_multimodal_resize" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val img = Bridge.column(graft.operators.TestImageExpr(
+        Bridge.expression(col("doc_id"))))
+      val rz = Bridge.column(graft.operators.ImageResizeExpr(
+        Bridge.expression(img), 4, 3))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bridge.column(graft.operators.ImageStatsExpr(
+            Bridge.expression(rz))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.channels").as("channels"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // contiguous sequence packing: per-lang shards, 512-token budget,
     // deterministic doc order — the LLM-batch pre-packing shape
     "q_pack_sequences" -> ((s, dir) =>
@@ -1534,6 +1554,25 @@ object SparkEntry {
       "CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
       "CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
       "FROM pv GROUP BY doc_id, width, height"),
+
+    // NN-resize replay: source pixel index of output (x, y) is
+    // ((x*w)//4, (y*h)//3) — integer division exactly as the codec's
+    // (x*srcW)/outW — then the test-image pixel formula applies
+    "q_multimodal_resize" -> (
+      "WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, " +
+      "  1 + doc_id % 5 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, xs.x, ys.y, cs.c FROM dims, " +
+      "  (SELECT unnest(range(4)) AS x) xs, " +
+      "  (SELECT unnest(range(3)) AS y) ys, " +
+      "  (SELECT unnest(range(3)) AS c) cs), " +
+      "pv AS (SELECT doc_id, c, " +
+      "  (doc_id*31 + 3*(((y*h)//3)*w + ((x*w)//4)) + c) % 256 AS v FROM g) " +
+      "SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height, " +
+      "CAST(3 AS INT) AS channels, " +
+      "CAST(sum(CASE WHEN c=0 THEN v ELSE 0 END) AS BIGINT) AS sum_r, " +
+      "CAST(sum(CASE WHEN c=1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
+      "CAST(sum(CASE WHEN c=2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
+      "FROM pv GROUP BY doc_id"),
 
     "q_pack_sequences" -> (
       "WITH t AS (SELECT doc_id, lang, " +
