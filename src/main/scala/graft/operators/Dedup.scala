@@ -238,17 +238,29 @@ object Dedup {
     * pairs) are dropped. */
   def verifyPairsJaccard(df: DataFrame, idCol: String, textCol: String,
                          pairs: DataFrame, n: Int = 3,
-                         threshold: Double = 0.5): DataFrame = {
-    // materialize the candidate set ONCE: it feeds three consumers (the
-    // doc-id prune plus both pair joins), and without materialization
-    // each consumer would re-execute the entire upstream LSH candidate
-    // generation (measured 2.4x on the minhash-verified query).
-    // Candidates ~ dup-rate x corpus — bounded executor-local storage.
-    // LAZY persist (see minhash `cand` above): same reuse, zero
-    // construction-time jobs.
-    val cand = pairs.select(col("id_a"), col("id_b"))
+                         threshold: Double = 0.5,
+                         materializeCand: Boolean = true): DataFrame = {
+    // the candidate set feeds three consumers (the doc-id prune plus
+    // both pair joins). Whether to CACHE it depends on the upstream:
+    //  - materializeCand = true (default): `pairs` carries work AQE's
+    //    exchange reuse cannot dedupe (minhashPairs' post-exchange
+    //    signature re-attach + agreement filter) — without the LAZY
+    //    persist the upstream re-executes per consumer (measured 3x on
+    //    the minhash-verified query). Candidates ~ dup-rate x corpus —
+    //    bounded executor-local storage; construction stays job-free
+    //    (persist is lazy, unlike the eager checkpoint it replaced).
+    //  - materializeCand = false: `pairs` ends at a plain exchange
+    //    (contaminationPairs' deduped bucket hits) that exchange reuse
+    //    already shares across consumers; caching it instead HID the
+    //    common exchange from reuse and let the three cold-cache scan
+    //    stages race, re-running the corpus minhash per consumer
+    //    (measured 3x worse WITH the cache on q_contamination_report).
+    val candBase = pairs.select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand =
+      if (materializeCand)
+        candBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else candBase
     val docs = cand.select(col("id_a").as(idCol))
       .unionByName(cand.select(col("id_b").as(idCol))).distinct()
     // prune to candidate DOCS before shingling: candidate docs are a
@@ -355,23 +367,21 @@ object Dedup {
     }
     val sigsC = sigsOf(corpus)
     val sigsR = sigsOf(reference)
-    // cache: bucketHits feeds both the signature re-attach prune
-    // and the candidate join — unmaterialized, the corpus-wide banding
-    // map would run twice. LAZY persist on purpose: it materializes at
-    // the first ACTION (both consumers then reuse the cached blocks —
-    // the banding map still runs exactly once), while plan
-    // CONSTRUCTION stays job-free. The previous eager localCheckpoint
-    // made every call launch the full corpus bucket-join before the
-    // caller asked for a single row (PlanDump paid it per round); a
-    // lazy localCheckpoint is no fix — Dataset.checkpoint calls .toRdd,
-    // which under AQE materializes the shuffle stages anyway.
+    // bucketHits feeds both the signature re-attach prune and the
+    // candidate join. NOT cached and NOT checkpointed on purpose: the
+    // subplan ends at the dropDuplicates EXCHANGE, which AQE's
+    // exchange reuse already computes once and shares across all
+    // consumers — measured A/B/C on q_contamination_report at sf0.1
+    // (min of 3): plain 1.9s, lazy-persist 7.0s (cold-cache scan
+    // stages race and re-run the corpus minhash per consumer), eager
+    // checkpoint 5.6s (r6 shape; also launched the full bucket join at
+    // plan-construction time, which PlanDump paid per round).
     val bucketHits = bandedOf(sigsC).select(col("band"), col("bandHash"), col("id").as("id_a"))
       .join(broadcast(
         bandedOf(sigsR).select(col("band"), col("bandHash"), col("id").as("id_b"))),
         Seq("band", "bandHash"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // loose signature prune before the exact verify. Corpus signatures
     // are recomputed ONLY for bucket-hit docs — never a second
     // corpus-wide minhash pass.
@@ -384,11 +394,15 @@ object Dedup {
       .filter(graft.functions.text.sigAgreement(col("sig_a"), col("sig_b")) >= candThreshold)
       .select(col("id_a"), col("id_b"))
     // exact verify over BOTH sides' shingles (one shingle job over the
-    // union; id spaces must be disjoint — corpus ids vs eval-set ids)
+    // union; id spaces must be disjoint — corpus ids vs eval-set ids).
+    // materializeCand = false: this pipeline's shared work lives at
+    // exchanges that AQE reuse already dedupes — see the A/B/C numbers
+    // on verifyPairsJaccard/bucketHits
     verifyPairsJaccard(
       corpus.select(col(idCol), col(textCol))
         .unionByName(reference.select(col(idCol), col(textCol))),
-      idCol, textCol, cand, shingleWidth, threshold)
+      idCol, textCol, cand, shingleWidth, threshold,
+      materializeCand = false)
       .select(col("id_a"), col("id_b"))
   }
 
