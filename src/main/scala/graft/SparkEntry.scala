@@ -66,94 +66,110 @@ object SparkEntry {
     }
   }
 
-  /** DMS-shaped fixture layout for q_cdc_dateaware, derived
-    * DETERMINISTICALLY from the orders table so the DuckDB oracle can
-    * rebuild the same delta content from `orders` alone. Layout under a
-    * per-process temp dir (pid-keyed — concurrent JVMs on the same sf
-    * dir must not race each other's files):
+  /** On-disk fixture memo shared by the DMS and IVF-index fixtures:
+    * bounded LRU keyed (session, sf dir) — like docsSplitCache, a
+    * long-lived JVM cycling SparkSessions must not pin stopped
+    * sessions forever — with the BUILD run UNDER the monitor: two
+    * threads missing the cache would write the SAME pid-keyed
+    * directory, and a mode-overwrite parquet write deletes the other
+    * thread's files mid-build. Serializing is fine here — builds run
+    * once per (session, dir), driver-side. Every directory this JVM
+    * creates is deleted by a shutdown hook (each JVM gets a fresh pid,
+    * so without the hook every sbt invocation would leak a fixture +
+    * index copy to the temp dir). */
+  private object FixtureDirs {
+    private val cache =
+      new java.util.LinkedHashMap[(SparkSession, String), String](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), String]): Boolean =
+          size() > 16
+      }
+    private val created = scala.collection.mutable.ListBuffer.empty[String]
+    private def deleteRecursively(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+      f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.synchronized(created.toList)
+        .foreach(p => deleteRecursively(new java.io.File(p)))))
+    def getOrBuild(s: SparkSession, dir: String, kind: String)
+                  (build: String => Unit): String = cache.synchronized {
+      val key = (s, s"$kind:$dir")
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val p = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_${kind}_${ProcessHandle.current().pid()}_" +
+            java.lang.Integer.toHexString(dir.hashCode)).toString
+        build(p)
+        created.synchronized(created += p)
+        cache.put(key, p)
+        p
+      }
+    }
+  }
+
+  /** DMS-shaped fixture layout for the q_cdc_* listing-mode rows,
+    * derived DETERMINISTICALLY from the orders table so the DuckDB
+    * oracle can rebuild the same delta content from `orders` alone.
+    * Layout under a per-process temp dir (pid-keyed — concurrent JVMs
+    * on the same sf dir must not race each other's files):
     *   LOAD00000001/2.parquet        even/odd o_orderkey halves
     *   20240102000000-1.parquet      U dts=1: %5 keys, price+111
     *   20240106000000-1.parquet      U dts=2: %7 keys, price+222
-    *   20240112000000-1.parquet      D dts=3: %11 keys  (OUT of window)
+    *   20240112000000-1.parquet      D dts=3: %11 keys  (DateAware: out of window)
     *   manual-backfill.parquet       D dts=9: %2 keys   (no date prefix)
-    * The last two are the classification tripwires: if DateAware ever
-    * admits an out-of-window or undated CDC file, half the table
-    * disappears and the oracle row goes red. Memoized per
-    * (session, dir) — the fixture is written once, not per query
-    * construction. */
-  private val dmsFixtureCache =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
-  private def dmsFixture(s: SparkSession, dir: String): String = {
-    dmsFixtureCache.synchronized(dmsFixtureCache.get((s, dir))) match {
-      case Some(p) => p
-      case None =>
-        val pid = ProcessHandle.current().pid()
-        val base = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_dms_fixture_${pid}_${math.abs(dir.hashCode)}")
-        val orders = t(s, dir, "orders")
-        def write(df: DataFrame, name: String): Unit = {
-          val tmp = new java.io.File(base, s".tmp_$name")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-          java.nio.file.Files.move(part.toPath,
-            new java.io.File(base, name).toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          tmp.listFiles().foreach(_.delete()); tmp.delete()
-        }
-        write(orders.filter(col("o_orderkey") % 2 === 0), "LOAD00000001.parquet")
-        write(orders.filter(col("o_orderkey") % 2 === 1), "LOAD00000002.parquet")
-        write(orders.filter(col("o_orderkey") % 5 === 0)
-            .withColumn("o_totalprice", col("o_totalprice") + lit(111.0))
-            .withColumn(CdcMerge.OpColumn, lit("U"))
-            .withColumn(CdcMerge.TsColumn, lit(1L)),
-          "20240102000000-1.parquet")
-        write(orders.filter(col("o_orderkey") % 7 === 0)
-            .withColumn("o_totalprice", col("o_totalprice") + lit(222.0))
-            .withColumn(CdcMerge.OpColumn, lit("U"))
-            .withColumn(CdcMerge.TsColumn, lit(2L)),
-          "20240106000000-1.parquet")
-        write(orders.filter(col("o_orderkey") % 11 === 0)
-            .withColumn(CdcMerge.OpColumn, lit("D"))
-            .withColumn(CdcMerge.TsColumn, lit(3L)),
-          "20240112000000-1.parquet")
-        write(orders.filter(col("o_orderkey") % 2 === 0)
-            .withColumn(CdcMerge.OpColumn, lit("D"))
-            .withColumn(CdcMerge.TsColumn, lit(9L)),
-          "manual-backfill.parquet")
-        val p = base.toString
-        dmsFixtureCache.synchronized(dmsFixtureCache.put((s, dir), p))
-        p
+    * The last two are DateAware's classification tripwires: admitting
+    * an out-of-window or undated CDC file changes half the table and
+    * the oracle row goes red (AbsolutePath intentionally applies them
+    * all; FullLoadOnly none). Built once per (session, dir). */
+  private def dmsFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "dms_fixture") { baseDir =>
+      val base = new java.io.File(baseDir)
+      val orders = t(s, dir, "orders")
+      def write(df: DataFrame, name: String): Unit = {
+        val tmp = new java.io.File(base, s".tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(base, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+      }
+      write(orders.filter(col("o_orderkey") % 2 === 0), "LOAD00000001.parquet")
+      write(orders.filter(col("o_orderkey") % 2 === 1), "LOAD00000002.parquet")
+      write(orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(111.0))
+          .withColumn(CdcMerge.OpColumn, lit("U"))
+          .withColumn(CdcMerge.TsColumn, lit(1L)),
+        "20240102000000-1.parquet")
+      write(orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(222.0))
+          .withColumn(CdcMerge.OpColumn, lit("U"))
+          .withColumn(CdcMerge.TsColumn, lit(2L)),
+        "20240106000000-1.parquet")
+      write(orders.filter(col("o_orderkey") % 11 === 0)
+          .withColumn(CdcMerge.OpColumn, lit("D"))
+          .withColumn(CdcMerge.TsColumn, lit(3L)),
+        "20240112000000-1.parquet")
+      write(orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn(CdcMerge.OpColumn, lit("D"))
+          .withColumn(CdcMerge.TsColumn, lit(9L)),
+        "manual-backfill.parquet")
     }
-  }
 
   /** Persisted IVF index for q_ann_ivf_index: built ONCE per
     * (session, sf dir) — query construction must not re-run the
     * k-means + partitioned write every time (bench/plan tooling
     * constructs queries repeatedly; the r6 advisor also flagged the
     * fixed dir name as a cross-JVM race, so the location is pid-keyed
-    * like the DMS fixture). Deterministic location, overwritten on
-    * first build per JVM — a fresh createTempDirectory per call would
-    * leak one corpus copy per invocation. */
-  private val ivfIndexCache =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), String]
-  private def ivfIndexDir(s: SparkSession, dir: String): String = {
-    ivfIndexCache.synchronized(ivfIndexCache.get((s, dir))) match {
-      case Some(p) => p
-      case None =>
-        // build OUTSIDE the lock (k-means + write takes seconds);
-        // a concurrent duplicate build is idempotent (pid-keyed dir,
-        // mode overwrite), last registration wins
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"),
-          s"graft_ivf_index_${ProcessHandle.current().pid()}_" +
-            java.lang.Integer.toHexString(dir.hashCode)).toString
-        graft.operators.IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
-          "embedding", p, nlist = 16, iters = 2)
-        ivfIndexCache.synchronized(ivfIndexCache.put((s, dir), p))
-        p
+    * and shutdown-cleaned like the DMS fixture). */
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "ivf_index") { p =>
+      graft.operators.IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, nlist = 16, iters = 2)
     }
-  }
 
   /** Shape of every fakegen safe email (FakeGen.email): first.last with
     * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used

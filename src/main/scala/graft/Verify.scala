@@ -25,6 +25,11 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
+      // the dedup operators persist() shared subplans lazily and the
+      // CacheManager holds them by strong reference; over ~90 queries
+      // in one session that accretes — clear between queries (same
+      // hygiene as Bench between runs)
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

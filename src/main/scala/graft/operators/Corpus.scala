@@ -165,15 +165,35 @@ object Corpus {
     * full-precision doubles proved hasher-sensitive even when the
     * math was bit-identical. */
   def sourceReport(docs: DataFrame, groupCol: String, textCol: String,
-                   approx: Boolean = false): DataFrame = {
+                   approx: Boolean = false): DataFrame =
+    // both ratios derive from the integer base by ONE IEEE division
+    // each — identical operands and op order to computing them inside
+    // the aggregate, so the CorpusOpsSpec bit-exact pin holds; sharing
+    // the base with sourceReportInts means the fingerprint/token/
+    // quality projection cannot drift between the two forms
+    sourceBase(docs, groupCol, textCol, approx).select(
+      col(groupCol), col("n_docs"), col("n_distinct"),
+      (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+        .as("dup_rate"),
+      col("total_tokens"),
+      (col("sum_q_scaled").cast("double") / (col("n_docs") * lit(1e6)))
+        .as("avg_quality"))
+
+  /** Shared integer aggregation under both report forms. approx=true is
+    * the 100 TB dial: swaps the exact two-exchange distinct aggregate
+    * for approx_count_distinct (HLL++, rsd 2%) — a plain partial/final
+    * aggregate, ONE exchange carrying one sketch per (source) per task
+    * instead of one row per distinct fingerprint. The exact form stays
+    * the default because it is what the DuckDB oracle can check; the
+    * approx tier is tolerance-spec'd against it. sum_q_scaled is the
+    * exact order-independent mean carrier: __q is already round-6, so
+    * floor(q*1e6 + 0.5) is a lossless long (avg() over doubles sums in
+    * partition-completion order and flips the last ulp run to run — an
+    * r4 driver hash flake). */
+  private def sourceBase(docs: DataFrame, groupCol: String, textCol: String,
+                         approx: Boolean): DataFrame = {
     val c = col(textCol)
-    // the 100 TB dial: approx=true swaps the exact two-exchange distinct
-    // aggregate for approx_count_distinct (HLL++, rsd 2%) — a plain
-    // partial/final aggregate, ONE exchange carrying one sketch per
-    // (source) per task instead of one row per distinct fingerprint.
-    // The exact form stays the default because it is what the DuckDB
-    // oracle can check; the approx tier is tolerance-spec'd against it.
-    def nDistinct = if (approx) approx_count_distinct(col("__fp"), 0.02)
+    val nDistinct = if (approx) approx_count_distinct(col("__fp"), 0.02)
                     else countDistinct(col("__fp"))
     docs
       .select(col(groupCol), text.fingerprintMd5(c).as("__fp"),
@@ -183,16 +203,9 @@ object Corpus {
       .agg(
         count(lit(1)).as("n_docs"),
         nDistinct.as("n_distinct"),
-        (lit(1.0) - nDistinct.cast("double") /
-          count(lit(1))).as("dup_rate"),
         sum(col("__tok")).as("total_tokens"),
-        // exact order-independent mean: __q is already round-6, so
-        // floor(q*1e6 + 0.5) is a lossless long (avg() over doubles sums
-        // in partition-completion order and flips the last ulp run to
-        // run — the r4 driver caught it as a hash flake). Sum as exact
-        // longs, divide once; both engines do the identical double ops.
-        (sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
-          .cast("double") / (count(lit(1)) * lit(1e6))).as("avg_quality"))
+        sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
+          .as("sum_q_scaled"))
   }
 
   /** Integer-only projection of [[sourceReport]]: the same per-source
@@ -206,21 +219,11 @@ object Corpus {
     * CorpusOpsSpec pins [[sourceReport]]'s ratio columns against this
     * form row by row. */
   def sourceReportInts(docs: DataFrame, groupCol: String,
-                       textCol: String): DataFrame = {
-    val c = col(textCol)
-    docs
-      .select(col(groupCol), text.fingerprintMd5(c).as("__fp"),
-        text.tokenCount(c).cast("long").as("__tok"),
-        text.qualityScore(c).as("__q"))
-      .groupBy(col(groupCol))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("__fp")).as("n_distinct"),
-        (count(lit(1)) - countDistinct(col("__fp"))).as("n_dups"),
-        sum(col("__tok")).as("total_tokens"),
-        sum(floor(col("__q") * 1e6 + lit(0.5)).cast("long"))
-          .as("sum_q_scaled"))
-  }
+                       textCol: String): DataFrame =
+    sourceBase(docs, groupCol, textCol, approx = false).select(
+      col(groupCol), col("n_docs"), col("n_distinct"),
+      (col("n_docs") - col("n_distinct")).as("n_dups"),
+      col("total_tokens"), col("sum_q_scaled"))
 
   /** Per-group length-distribution summary: exact interpolated
     * percentiles (Spark `percentile`, the R-7 / quantile_cont

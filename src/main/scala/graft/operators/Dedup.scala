@@ -249,6 +249,11 @@ object Dedup {
     //    the minhash-verified query). Candidates ~ dup-rate x corpus —
     //    bounded executor-local storage; construction stays job-free
     //    (persist is lazy, unlike the eager checkpoint it replaced).
+    //    NB the CacheManager dedups entries by canonicalized plan, so
+    //    repeated identical calls don't grow it — but it never drops
+    //    entries on its own either: a session processing MANY distinct
+    //    corpora should spark.catalog.clearCache() between pipelines
+    //    (Bench and Verify do exactly this).
     //  - materializeCand = false: `pairs` ends at a plain exchange
     //    (contaminationPairs' deduped bucket hits) that exchange reuse
     //    already shares across consumers; caching it instead HID the

@@ -114,6 +114,11 @@ object ImageCodec {
     val compression = le32(b, 30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0)
       throw new IllegalArgumentException("unsupported BMP variant")
+    // a corrupt offset pointing inside (or before) the 54-byte header
+    // would silently decode header bytes as pixels — refuse, so the
+    // caller gets the promised NULL instead of plausible wrong stats
+    if (pixelOffset < 54 || pixelOffset > b.length)
+      throw new IllegalArgumentException("bad BMP pixel offset")
     val rowSize = ((3 * w + 3) / 4) * 4
     if (b.length - pixelOffset < rowSize.toLong * h)
       throw new IllegalArgumentException("truncated BMP raster")

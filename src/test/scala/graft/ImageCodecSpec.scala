@@ -52,6 +52,11 @@ class ImageCodecSpec extends SparkTestBase {
     val bmp = ImageCodec.encodeBmp(Decoded(2, 2, 3, rgb(12)))
     bmp(28) = 8
     assert(ImageCodec.tryDecode(bmp) == null)
+    // zeroed pixel-offset field (common corruption): header bytes must
+    // not silently decode as pixels
+    val bmp2 = ImageCodec.encodeBmp(Decoded(2, 2, 3, rgb(12)))
+    bmp2(10) = 0
+    assert(ImageCodec.tryDecode(bmp2) == null)
   }
 
   test("real resize: nearest-neighbor on decoded pixels, format preserved") {
