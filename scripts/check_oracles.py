@@ -36,6 +36,29 @@ def canon(rows, colnames):
     return out
 
 
+def dtype_mismatches(con, name, sql, out_dir):
+    """Compare pandas dtypes of the oracle result vs the Spark parquet.
+
+    The driver's hasher is typed (pandas-level): DuckDB types sum(BIGINT)
+    as HUGEINT, which pandas materializes as float64, while the Spark
+    parquet column is int64 — values compare equal as strings but the
+    typed hash differs (the r5–r7 q_source_report failure mode). Reading
+    BOTH sides through duckdb's .df() makes the check symmetric: any
+    dtype difference reflects a real type difference, not a reader quirk.
+    """
+    spark_df = con.execute(
+        f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    duck_df = con.execute(sql).df()
+    bad = []
+    for col in spark_df.columns:
+        if col not in duck_df.columns:
+            continue  # column-set mismatch is reported separately
+        s, d = str(spark_df[col].dtype), str(duck_df[col].dtype)
+        if s != d:
+            bad.append(f"{col}: spark={s} duck={d}")
+    return bad
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +77,7 @@ def main(sf_dir, out_dir):
             duck_rel = con.execute(sql)
             duck_cols = [d[0] for d in duck_rel.description]
             duck_rows = duck_rel.fetchall()
+            bad_dtypes = dtype_mismatches(con, name, sql, out_dir)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -61,6 +85,10 @@ def main(sf_dir, out_dir):
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL {name}: columns spark={sorted(spark_cols)} "
                   f"duck={sorted(duck_cols)}")
+            n_fail += 1
+            continue
+        if bad_dtypes:
+            print(f"FAIL {name}: dtype mismatch " + "; ".join(bad_dtypes))
             n_fail += 1
             continue
         a, b = canon(spark_rows, spark_cols), canon(duck_rows, duck_cols)

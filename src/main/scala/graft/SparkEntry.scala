@@ -1714,7 +1714,11 @@ object SparkEntry {
       "SELECT source, count(*) AS n_docs, " +
       "count(DISTINCT fp) AS n_distinct, " +
       "CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups, " +
-      "sum(tok) AS total_tokens, " +
+      // CAST required: DuckDB types sum(BIGINT) as HUGEINT, which pandas
+      // materializes as float64 while the Spark parquet column is int64 —
+      // a typed hasher then differs on bit-identical values (this exact
+      // column was the r5–r7 q_source_report hash mismatch)
+      "CAST(sum(tok) AS BIGINT) AS total_tokens, " +
       "CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS BIGINT) " +
       "AS sum_q_scaled " +
       "FROM t GROUP BY source"),
