@@ -58,22 +58,32 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        // the dedup/contamination operators persist() shared subplans
-        // lazily; without this, run 2+ of the same query would hit run
-        // 1's cache and the min-of-N would time the warm path instead
-        // of the plan under test
+      .flatMap { case (name, fn) =>
+      // min over SUCCESSFUL runs only: a query that throws fails fast,
+      // and recording its elapsed time would let min-of-N report a
+      // bogus small number for a broken query (r7 advisor finding). A
+      // query with zero successful runs is omitted from the JSON
+      // entirely — absence is diagnosable, a fake timing is not.
+      val times = (1 to runs).flatMap { _ =>
+        // clear cached plans so run 2+ times the cold plan under test,
+        // not run 1's cache (library ops like IvfIndex cache(); the
+        // dedup tier's eager checkpoints are per-construction and
+        // re-made fresh each run regardless)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      if (times.isEmpty) {
+        System.err.println(s"[bench] $name: no successful run; omitted")
+        None
+      } else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -22,6 +22,79 @@ import graft.functions.text
   */
 object Dedup {
 
+  /** Materialize a shared candidate subplan (the two multi-consumer
+    * sites: minhashPairs' banding output and verifyPairsJaccard's
+    * candidate set) via EAGER localCheckpoint.
+    *
+    * Pinned by a same-box min-of-3 A/B/C at sf0.1 (eager checkpoint vs
+    * lazy persist vs none, per site — the r7 lazy-persist switch
+    * regressed the verified tiers ~2x and this measurement settled it):
+    *
+    *   query            lazy   eager   none   band=lazy+cand=eager
+    *   q_dedup_minhash  2.92   1.57    2.86   1.62
+    *   q_dedup_simhash  2.48   1.47    1.80   1.70
+    *   q_dedup_corpus   1.41   1.69*   1.57   1.80   (*repeat: 1.39 — noise)
+    *   q_dedup_ngram    1.40   1.60    1.33   (control: uses neither site)
+    *
+    * Lazy persist loses because the cold InMemoryRelation's cache
+    * stages race under AQE and re-run the upstream per consumer; eager
+    * computes the subplan exactly once at construction. The cost is
+    * that plan CONSTRUCTION launches the candidate jobs — acceptable
+    * here (callers of these tiers always execute), and deliberately NOT
+    * used in contaminationPairs, whose shared work ends at an exchange
+    * AQE reuse already dedups (see the A/B/C at its bucketHits site:
+    * plain 1.9s vs lazy-persist 7.0s vs eager 5.6s) and whose
+    * construction must stay job-free (PlanAuditSpec).
+    *
+    * Lifecycle: checkpoint blocks live in the block manager, NOT the
+    * CacheManager, so they are freed by the ContextCleaner when the
+    * returned Dataset becomes unreachable — no clearCache() hygiene
+    * required of callers. [[withCandidateScope]] frees them
+    * deterministically at scope exit for long-lived sessions.
+    */
+  private[graft] def materializeShared(df: DataFrame): DataFrame =
+    track(df.localCheckpoint(eager = true))
+
+  // ---- materialization lifecycle --------------------------------------
+  // Every cache()/localCheckpoint the dedup tier creates is registered
+  // with the innermost active scope (if any), so withCandidateScope can
+  // free the storage deterministically instead of waiting for GC +
+  // ContextCleaner. A ThreadLocal stack: pipelines are built on one
+  // thread; nested scopes free only their own materializations.
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.Buffer[DataFrame]]] {
+      override def initialValue
+          : List[scala.collection.mutable.Buffer[DataFrame]] = Nil
+    }
+
+  private def track(df: DataFrame): DataFrame = {
+    scopes.get() match {
+      case head :: _ => head += df
+      case Nil       => ()
+    }
+    df
+  }
+
+  /** Deterministic storage lifecycle for a dedup pipeline: run `body`
+    * — which must include the pipeline's TERMINAL ACTION (write /
+    * collect), since the candidate materializations are freed at scope
+    * exit and a local checkpoint's data is unrecoverable afterwards —
+    * then release every cache entry and checkpoint block the dedup
+    * operators created inside it. Long-lived sessions processing many
+    * corpora get a storage footprint that returns to baseline per
+    * pipeline without `spark.catalog.clearCache()` hygiene (which would
+    * also evict unrelated caches the caller owns).
+    */
+  def withCandidateScope[T](body: => T): T = {
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get() match { case _ :: t => t; case Nil => Nil })
+      buf.foreach(org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized)
+    }
+  }
+
   /** Exact dedup on `keyCols`, keeping the row with the smallest `idCol`
     * — deterministic, unlike dropDuplicates (which keeps an arbitrary
     * first-seen row per partition ordering). Aggregate formulation
@@ -69,19 +142,17 @@ object Dedup {
 
     val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
-    // cache: `cand` feeds three consumers below (two sides of the
+    // materialize: `cand` feeds three consumers below (two sides of the
     // doc-id union + the pair join); Spark has no cross-join common-
     // subplan reuse, so without materialization the banding self-join
-    // would execute three times (measured ~3x on this stage). LAZY
-    // persist, not eager checkpoint: reuse is identical once the first
-    // action runs, but plan CONSTRUCTION launches no jobs (an eager
-    // checkpoint made every call — including plan-only tooling — run
-    // the full banding self-join up front).
-    val cand = a.join(b, Seq("band", "bandHash"))
+    // would execute three times (measured ~3x on this stage). EAGER
+    // checkpoint, not lazy persist: the r7 lazy switch regressed this
+    // tier ~2x (cold cache stages race under AQE) — A/B/C table at
+    // materializeShared.
+    val cand = materializeShared(a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .dropDuplicates("id_a", "id_b"))
 
     // re-attach signatures by recomputing them ONLY for candidate docs
     // (semi-join the raw rows first): referencing `sigs` here would
@@ -241,19 +312,15 @@ object Dedup {
                          threshold: Double = 0.5,
                          materializeCand: Boolean = true): DataFrame = {
     // the candidate set feeds three consumers (the doc-id prune plus
-    // both pair joins). Whether to CACHE it depends on the upstream:
+    // both pair joins). Whether to MATERIALIZE it depends on upstream:
     //  - materializeCand = true (default): `pairs` carries work AQE's
     //    exchange reuse cannot dedupe (minhashPairs' post-exchange
-    //    signature re-attach + agreement filter) — without the LAZY
-    //    persist the upstream re-executes per consumer (measured 3x on
-    //    the minhash-verified query). Candidates ~ dup-rate x corpus —
-    //    bounded executor-local storage; construction stays job-free
-    //    (persist is lazy, unlike the eager checkpoint it replaced).
-    //    NB the CacheManager dedups entries by canonicalized plan, so
-    //    repeated identical calls don't grow it — but it never drops
-    //    entries on its own either: a session processing MANY distinct
-    //    corpora should spark.catalog.clearCache() between pipelines
-    //    (Bench and Verify do exactly this).
+    //    signature re-attach + agreement filter) — without
+    //    materialization the upstream re-executes per consumer
+    //    (measured 3x on the minhash-verified query). Candidates ~
+    //    dup-rate x corpus — bounded executor-local storage. EAGER
+    //    checkpoint per the A/B/C table at materializeShared (lazy
+    //    persist regressed this tier ~2x in r7).
     //  - materializeCand = false: `pairs` ends at a plain exchange
     //    (contaminationPairs' deduped bucket hits) that exchange reuse
     //    already shares across consumers; caching it instead HID the
@@ -263,8 +330,7 @@ object Dedup {
     val candBase = pairs.select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val cand =
-      if (materializeCand)
-        candBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materializeCand) materializeShared(candBase)
       else candBase
     val docs = cand.select(col("id_a").as(idCol))
       .unionByName(cand.select(col("id_b").as(idCol))).distinct()
@@ -472,9 +538,9 @@ object Dedup {
     * 33M-node path). Deterministic.
     */
   def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = track(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().cache())
     // Each round references the previous round's result: without lineage
     // truncation the logical plan doubles per iteration (OOM by ~30
     // rounds). localCheckpoint materializes and cuts the lineage; on a
@@ -498,11 +564,17 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).limit(1).count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `changed` is computed (next is itself checkpointed, so nothing
+      // downstream re-reads them): free immediately instead of holding
+      // O(iterations) label snapshots until GC — on a long fixpoint
+      // that's the difference between O(1) and O(diameter) storage
+      org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    labels
+    track(labels)
   }
 
   /** Driver-side union-find over a collected pair list — the fast path
@@ -569,11 +641,15 @@ object Dedup {
   private def dropNearDupsByPairs(df: DataFrame, idCol: String,
                                   rawPairs: DataFrame,
                                   maxDriverPairs: Long): DataFrame = {
-    val pairs = rawPairs
+    val pairs = track(rawPairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     if (pairs.count() <= maxDriverPairs) {
       val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the pair list is fully on the driver now; its checkpoint blocks
+      // have no further reader (the survivors join below touches only
+      // `df` and the broadcast drop set)
+      org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(pairs)
       val drop = unionFindDropIds(collected)
       if (drop.isEmpty) df
       else {

@@ -70,4 +70,28 @@ object Bridge {
     * construction launched zero jobs" — without sleeping. */
   def flushListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Free every storage footprint a materialized Dataset holds:
+    * the CacheManager entry (if it was cache()/persist()ed) and the
+    * block-manager blocks behind its (local)checkpoint leaves.
+    * Dataset.unpersist only reaches the former; a localCheckpoint's
+    * blocks live on a LogicalRDD whose RDD is reachable only through
+    * `private[sql]` execution internals — hence this bridge. After the
+    * call the Dataset must not be re-executed: a local checkpoint's
+    * lineage is truncated, so its data is unrecoverable by design. */
+  def releaseMaterialized(df: org.apache.spark.sql.Dataset[_]): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** Whether the session's CacheManager holds any cached plan — the
+    * lifecycle assertion tests need (CacheManager is private[sql] and
+    * exposes no public count). */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -37,6 +37,27 @@ class ComponentsSpec extends SparkTestBase {
     assert(driver == dist && driver == Set(5L, 9L))
   }
 
+  test("dedupCorpus: both branches agree on a real corpus, exactly at the cap boundary") {
+    // the sf0.001 documents table carries planted near-dup clusters —
+    // a real pair list, not a toy triple. The hybrid switch is
+    // pairCount <= maxDriverPairs, so the four runs pin: well inside
+    // the cap, exactly AT the cap (driver), one below it (distributed),
+    // and zero (fully distributed) — identical survivors everywhere.
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text")
+    val nPairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.5).count()
+    assert(nPairs > 0, "fixture lost its planted near-dups")
+    def survivors(cap: Long): Set[Long] =
+      Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5,
+        maxDriverPairs = cap).select("doc_id").as[Long].collect().toSet
+    val driver = survivors(Long.MaxValue)
+    assert(driver.size < docs.count(), "dedup dropped nothing")
+    assert(survivors(nPairs) == driver, "at-cap (driver) branch diverged")
+    assert(survivors(nPairs - 1) == driver, "below-cap (distributed) branch diverged")
+    assert(survivors(0L) == driver, "fully distributed branch diverged")
+  }
+
   test("dedupCorpus keeps one representative per near-dup cluster") {
     val docA = (1 to 60).map(i => s"word$i").mkString(" ")
     val docAnear = ((1 to 30).map(i => s"word$i") ++ Seq("CHANGED") ++
