@@ -727,6 +727,25 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // the COMPRESSED decode path (PNG via the JDK's javax.imageio;
+    // lossless => decoded samples exact by spec): the SAME deterministic
+    // pixels as q_multimodal_decode, DEFLATE-encoded — so the identical
+    // closed-form oracle gates the PNG reader end to end. JPEG stays
+    // outside the gate on purpose: lossy decode is not bit-deterministic
+    // across decoder implementations (Multimodal.mapBatchesStub seam).
+    "q_multimodal_decode_png" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bridge.column(graft.operators.ImageStatsExpr(
+            Bridge.expression(Bridge.column(graft.operators.TestImageExpr(
+              Bridge.expression(col("doc_id")), png = true))))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.channels").as("channels"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // REAL resize through the oracle gate: decode -> nearest-neighbor
     // to 4x3 -> re-encode -> decode stats; the oracle recomputes the
     // resized per-channel sums from doc_id via the same integer NN
@@ -971,6 +990,22 @@ object SparkEntry {
     "  round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
     "  FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
     "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5)"
+
+  /** Closed-form replay of the deterministic test image's decoded
+    * stats: shared by q_multimodal_decode (PPM/BMP fixture) and
+    * q_multimodal_decode_png (same pixels, PNG-encoded). */
+  private val decodedStatsOracleSql: String =
+    "WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS width, " +
+    "  CAST(1 + doc_id % 5 AS INT) AS height FROM documents), " +
+    "px AS (SELECT doc_id, width, height, " +
+    "  unnest(range(0, 3*width*height)) AS i FROM dims), " +
+    "pv AS (SELECT doc_id, width, height, i, " +
+    "  (doc_id*31 + i) % 256 AS v FROM px) " +
+    "SELECT doc_id, width, height, CAST(3 AS INT) AS channels, " +
+    "CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r, " +
+    "CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
+    "CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
+    "FROM pv GROUP BY doc_id, width, height"
 
   private val exactJaccardSql: String =
     s"WITH $jaccardCtesSql SELECT id_a, id_b, jaccard FROM jj"
@@ -1558,18 +1593,11 @@ object SparkEntry {
     // image's dims/pixels are pure functions of the id): any decoder
     // bug — BGR order, bottom-up rows, row padding, header scan —
     // diverges from this closed form
-    "q_multimodal_decode" -> (
-      "WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS width, " +
-      "  CAST(1 + doc_id % 5 AS INT) AS height FROM documents), " +
-      "px AS (SELECT doc_id, width, height, " +
-      "  unnest(range(0, 3*width*height)) AS i FROM dims), " +
-      "pv AS (SELECT doc_id, width, height, i, " +
-      "  (doc_id*31 + i) % 256 AS v FROM px) " +
-      "SELECT doc_id, width, height, CAST(3 AS INT) AS channels, " +
-      "CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r, " +
-      "CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
-      "CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
-      "FROM pv GROUP BY doc_id, width, height"),
+    "q_multimodal_decode" -> decodedStatsOracleSql,
+    // the PNG fixture carries the SAME pixels, so the same closed form
+    // gates the javax.imageio decode path (PNG is lossless: a DEFLATE /
+    // scanline-filter / color-model bug flips the integer sums)
+    "q_multimodal_decode_png" -> decodedStatsOracleSql,
 
     // NN-resize replay: source pixel index of output (x, y) is
     // ((x*w)//4, (y*h)//3) — integer division exactly as the codec's

@@ -2,40 +2,59 @@ package graft.operators
 
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
-/** Real raster-image codec for the multimodal tier: uncompressed,
-  * byte-exact formats only — PPM (P6, RGB), PGM (P5, grayscale) and
-  * 24-bit uncompressed (BI_RGB) BMP. These are full, honest
-  * implementations of their specs (netpbm binary headers with
-  * whitespace/comment handling; BMP 54-byte header layout, bottom-up
-  * row order, BGR channel order, 4-byte row padding) — not stubs.
-  * Compressed codecs (JPEG/PNG/audio/video) stay outside: this
-  * container ships no codec libraries, and the per-partition batch seam
-  * in [[Multimodal.mapBatchesStub]] is where such a library would be
-  * initialized once per partition.
+/** Real raster-image codec for the multimodal tier, byte-exact formats
+  * only: PPM (P6, RGB), PGM (P5, grayscale), 24-bit uncompressed
+  * (BI_RGB) BMP — full, honest implementations of their specs (netpbm
+  * binary headers with whitespace/comment handling; BMP 54-byte header
+  * layout, bottom-up row order, BGR channel order, 4-byte row padding)
+  * — and PNG via the JDK's built-in `javax.imageio` reader (PNG is
+  * LOSSLESS, so decoded pixel values are exact by spec — deterministic
+  * across executors on the same JDK). Lossy codecs (JPEG, audio,
+  * video) stay outside: JPEG decode is NOT bit-deterministic across
+  * decoder implementations (IDCT rounding is implementation-defined),
+  * so it cannot sit behind an exact oracle gate; the per-partition
+  * batch seam in [[Multimodal.mapBatchesStub]] is where such a library
+  * would be initialized once per partition.
   *
   * All decoders return pixels as row-major, top-down, interleaved RGB
   * (3 channels) or gray (1 channel) — a canonical layout, so the same
-  * logical image encoded as PPM and as BMP decodes to identical bytes
+  * logical image encoded as PPM, BMP or PNG decodes to identical bytes
   * (spec-pinned in ImageCodecSpec).
   */
 object ImageCodec {
+
+  // ImageIO's default stream cache spills to TEMP FILES per decode —
+  // per-row disk I/O in a hot projection. Memory-cache the (small)
+  // image streams instead. Global JVM flag; set once.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Canonical decoded form: top-down row-major, interleaved,
     * channels in (1, 3). */
   final case class Decoded(width: Int, height: Int, channels: Int,
                            pixels: Array[Byte])
 
-  /** Decode PPM/PGM/BMP; null when the bytes are not a supported image
-    * (callers surface that as a NULL row — at corpus scale a corrupt
-    * blob must skip, not kill the job; count nulls to monitor). */
+  /** Decode PPM/PGM/BMP/PNG; null when the bytes are not a supported
+    * image (callers surface that as a NULL row — at corpus scale a
+    * corrupt blob must skip, not kill the job; count nulls to monitor). */
   def tryDecode(bytes: Array[Byte]): Decoded = {
     if (bytes == null || bytes.length < 2) return null
     try {
       if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6'))
         decodeNetpbm(bytes)
       else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes)
       else null
     } catch { case _: Exception => null }
+  }
+
+  // decoded pixel buffers are Int-indexed Java arrays; a corrupt header
+  // declaring huge dims must land on the null path, not overflow Int
+  // and pass a too-small truncation check with plausible-wrong stats
+  private def checkedPixelCount(w: Int, h: Int, channels: Int): Int = {
+    val n = channels.toLong * w * h
+    if (w <= 0 || h <= 0 || n > Int.MaxValue)
+      throw new IllegalArgumentException("image dims overflow")
+    n.toInt
   }
 
   // ---- netpbm (PPM P6 / PGM P5) ---------------------------------------
@@ -58,6 +77,10 @@ object ImageCodec {
       var any = false
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
         v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+        // a header integer that itself overflows Int would wrap into a
+        // plausible small value; no real dim/maxval exceeds 10^8
+        if (v > 100000000)
+          throw new IllegalArgumentException("netpbm header value overflow")
       }
       if (!any) throw new IllegalArgumentException("bad netpbm header")
       v
@@ -66,7 +89,7 @@ object ImageCodec {
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255)
       throw new IllegalArgumentException("unsupported netpbm dims/maxval")
     pos += 1 // exactly ONE whitespace byte separates header and raster
-    val n = w * h * channels
+    val n = checkedPixelCount(w, h, channels)
     if (b.length - pos < n)
       throw new IllegalArgumentException("truncated netpbm raster")
     Decoded(w, h, channels, java.util.Arrays.copyOfRange(b, pos, pos + n))
@@ -108,6 +131,10 @@ object ImageCodec {
     val pixelOffset = le32(b, 10)
     val w = le32(b, 18)
     val rawH = le32(b, 22)
+    // math.abs(Int.MinValue) is still negative: it would pass the h == 0
+    // check below and return an empty-pixel Decoded with negative height
+    if (rawH == Int.MinValue)
+      throw new IllegalArgumentException("bad BMP height")
     val bottomUp = rawH > 0
     val h = math.abs(rawH)
     val bpp = le16(b, 28)
@@ -119,13 +146,20 @@ object ImageCodec {
     // caller gets the promised NULL instead of plausible wrong stats
     if (pixelOffset < 54 || pixelOffset > b.length)
       throw new IllegalArgumentException("bad BMP pixel offset")
-    val rowSize = ((3 * w + 3) / 4) * 4
-    if (b.length - pixelOffset < rowSize.toLong * h)
+    // reject Int-overflowing pixel counts BEFORE any stride math: with
+    // 3*w*h <= Int.MaxValue established, rowSize*h below cannot
+    // overflow Long either
+    val n = checkedPixelCount(w, h, 3)
+    // row stride in Long: 3*w alone overflows Int for w > ~715M, which
+    // would wrap rowSize negative and defeat the truncation check
+    val rowSize = ((3L * w + 3) / 4) * 4
+    if (b.length - pixelOffset < rowSize * h)
       throw new IllegalArgumentException("truncated BMP raster")
-    val px = new Array[Byte](3 * w * h)
+    val stride = rowSize.toInt // rowSize * h <= b.length: fits Int now
+    val px = new Array[Byte](n)
     var y = 0
     while (y < h) {
-      val srcRow = pixelOffset + rowSize * (if (bottomUp) h - 1 - y else y)
+      val srcRow = pixelOffset + stride * (if (bottomUp) h - 1 - y else y)
       var x = 0
       while (x < w) {
         val s = srcRow + 3 * x
@@ -179,6 +213,94 @@ object ImageCodec {
     out
   }
 
+  // ---- PNG (javax.imageio — JDK built-in, no new dependency) ----------
+
+  /** PNG decode via the JDK reader. PNG is lossless, so the recovered
+    * samples are exact by spec. Scope: 8-bit-per-sample images (the
+    * training-data norm); 16-bit PNGs are rejected to the null path —
+    * truncating them would produce plausible-wrong stats. Alpha is
+    * rejected too (the canonical layout has no alpha plane and
+    * premultiplication would change the pixel bytes). */
+  private def decodePng(b: Array[Byte]): Decoded = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null) throw new IllegalArgumentException("undecodable PNG")
+    val w = img.getWidth; val h = img.getHeight
+    val cm = img.getColorModel
+    if (cm.hasAlpha || cm.getComponentSize.exists(_ > 8))
+      throw new IllegalArgumentException("unsupported PNG variant")
+    if (cm.getNumComponents == 1) {
+      val n = checkedPixelCount(w, h, 1)
+      val px = new Array[Byte](n)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = raster.getSample(x, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, 1, px)
+    } else {
+      val n = checkedPixelCount(w, h, 3)
+      val px = new Array[Byte](n)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB, exact for 8-bit samples
+          val t = 3 * (y * w + x)
+          px(t) = (rgb >>> 16).toByte
+          px(t + 1) = (rgb >>> 8).toByte
+          px(t + 2) = rgb.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(w, h, 3, px)
+    }
+  }
+
+  /** Encode canonical pixels as PNG (lossless: decodePng(encodePng(d))
+    * == d, spec-pinned). */
+  def encodePng(d: Decoded): Array[Byte] = {
+    require(d.channels == 1 || d.channels == 3, "channels must be 1 or 3")
+    val imgType =
+      if (d.channels == 3) java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      else java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val img = new java.awt.image.BufferedImage(d.width, d.height, imgType)
+    if (d.channels == 3) {
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          val s = 3 * (y * d.width + x)
+          img.setRGB(x, y,
+            ((d.pixels(s) & 0xff) << 16) | ((d.pixels(s + 1) & 0xff) << 8) |
+            (d.pixels(s + 2) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val raster = img.getRaster
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        while (x < d.width) {
+          raster.setSample(x, y, 0, d.pixels(y * d.width + x) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", bos))
+      throw new IllegalStateException("JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
   // ---- kernels used by the Catalyst expressions -----------------------
 
   /** Decode + per-channel pixel sums as one codegen-callable kernel:
@@ -230,7 +352,9 @@ object ImageCodec {
       y += 1
     }
     val r = Decoded(outW, outH, d.channels, out)
-    if (bytes(0) == 'B') encodeBmp(r) else encodeNetpbm(r)
+    if (bytes(0) == 'B') encodeBmp(r)
+    else if ((bytes(0) & 0xff) == 0x89) encodePng(r)
+    else encodeNetpbm(r)
   }
 
   /** Deterministic test image for oracle-checked fixtures: dims and
@@ -239,6 +363,16 @@ object ImageCodec {
     * oracle recomputes the decoded stats from the id alone. Even ids
     * encode as PPM, odd as BMP — one fixture exercises both decoders. */
   def testImage(id: Long): Array[Byte] = {
+    val d = testPixels(id)
+    if (id % 2 == 0) encodeNetpbm(d) else encodeBmp(d)
+  }
+
+  /** The same deterministic pixels, PNG-encoded: exercises the
+    * compressed (DEFLATE) decode path against the identical closed-form
+    * oracle as [[testImage]]. */
+  def testImagePng(id: Long): Array[Byte] = encodePng(testPixels(id))
+
+  private def testPixels(id: Long): Decoded = {
     val w = (1 + java.lang.Math.floorMod(id, 7L)).toInt
     val h = (1 + java.lang.Math.floorMod(id, 5L)).toInt
     val n = 3 * w * h
@@ -248,7 +382,6 @@ object ImageCodec {
       px(i) = java.lang.Math.floorMod(id * 31 + i, 256L).toByte
       i += 1
     }
-    val d = Decoded(w, h, 3, px)
-    if (id % 2 == 0) encodeNetpbm(d) else encodeBmp(d)
+    Decoded(w, h, 3, px)
   }
 }

@@ -12,16 +12,20 @@ import org.apache.spark.sql.types._
   * columns + a typed metadata struct, processed by per-partition batch
   * operators.
   *
-  * Image decode is REAL for the uncompressed raster formats
-  * ([[ImageCodec]]: PPM P6 / PGM P5 / 24-bit BI_RGB BMP) —
-  * [[ImageStatsExpr]] and [[ImageResizeExpr]] parse actual headers and
-  * pixel layouts (bottom-up BGR rows, 4-byte padding, netpbm comments)
-  * and operate on decoded pixels. Compressed codecs (JPEG/PNG, audio,
-  * video) remain outside: no codec libraries ship in this container;
-  * [[mapBatchesStub]] is the per-partition seam where one would be
-  * initialized once per partition. [[DecodeStubExpr]] survives as a
-  * format-agnostic BYTE featurizer (normalized 16-bin byte histogram)
-  * for content with no decodable structure.
+  * Image decode is REAL for the byte-exact formats ([[ImageCodec]]:
+  * PPM P6 / PGM P5 / 24-bit BI_RGB BMP, plus PNG through the JDK's
+  * built-in javax.imageio reader — lossless, so decoded samples are
+  * exact by spec) — [[ImageStatsExpr]] and [[ImageResizeExpr]] parse
+  * actual headers and pixel layouts (bottom-up BGR rows, 4-byte
+  * padding, netpbm comments, DEFLATE'd PNG scanlines) and operate on
+  * decoded pixels. LOSSY codecs (JPEG, audio, video) remain outside:
+  * JPEG decode is not bit-deterministic across decoder implementations
+  * (IDCT rounding is implementation-defined), so it can't sit behind an
+  * exact oracle; [[mapBatchesStub]] is the per-partition seam where
+  * such a library would be initialized once per partition.
+  * [[DecodeStubExpr]] survives as a format-agnostic BYTE featurizer
+  * (normalized 16-bin byte histogram) for content with no decodable
+  * structure.
   *
   * Scale notes: media blobs dominate row size, so the design keeps them
   * narrow — decode is a projection (no shuffle); downstream joins carry
@@ -172,19 +176,25 @@ case class ImageResizeExpr(child: Expression, outWidth: Int, outHeight: Int)
 }
 
 /** Deterministic oracle-checkable test image from an id
-  * ([[ImageCodec.testImage]]): even ids PPM, odd ids BMP. Fixture
-  * generator for the decode oracle row and specs — not a data-path
+  * ([[ImageCodec.testImage]]): even ids PPM, odd ids BMP; `png = true`
+  * encodes the same pixels as PNG instead, driving the compressed
+  * decode path against the identical closed-form oracle. Fixture
+  * generator for the decode oracle rows and specs — not a data-path
   * operator. */
-case class TestImageExpr(child: Expression) extends UnaryExpression
+case class TestImageExpr(child: Expression, png: Boolean = false)
+    extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "test_image"
+  override def prettyName: String = if (png) "test_image_png" else "test_image"
   override def nullSafeEval(input: Any): Any =
-    ImageCodec.testImage(input.asInstanceOf[Long])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.operators.ImageCodec.testImage($c)")
+    if (png) ImageCodec.testImagePng(input.asInstanceOf[Long])
+    else ImageCodec.testImage(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (png) "testImagePng" else "testImage"
+    defineCodeGen(ctx, ev, c => s"graft.operators.ImageCodec.$m($c)")
+  }
   override protected def withNewChildInternal(newChild: Expression): TestImageExpr =
     copy(child = newChild)
 }

@@ -59,6 +59,66 @@ class ImageCodecSpec extends SparkTestBase {
     assert(ImageCodec.tryDecode(bmp2) == null)
   }
 
+  test("PNG round trip: lossless for RGB and grayscale, canonical layout") {
+    val d = Decoded(5, 3, 3, rgb(45))
+    val png = ImageCodec.encodePng(d)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P') // real PNG signature
+    val back = ImageCodec.tryDecode(png)
+    assert(back.width == 5 && back.height == 3 && back.channels == 3)
+    assert(java.util.Arrays.equals(back.pixels, d.pixels))
+    // grayscale survives as 1 channel (no silent RGB promotion)
+    val g = Decoded(4, 2, 1, Array.tabulate(8)(i => (i * 30).toByte))
+    val gBack = ImageCodec.tryDecode(ImageCodec.encodePng(g))
+    assert(gBack.channels == 1 && java.util.Arrays.equals(gBack.pixels, g.pixels))
+    // the SAME logical image via PPM and PNG decodes to identical bytes
+    assert(java.util.Arrays.equals(
+      ImageCodec.tryDecode(ImageCodec.encodeNetpbm(d)).pixels, back.pixels))
+  }
+
+  test("PNG: corrupt payload and unsupported variants null out") {
+    val png = ImageCodec.encodePng(Decoded(5, 3, 3, rgb(45)))
+    // flip a byte inside the DEFLATE stream: CRC check must refuse
+    val corrupt = png.clone(); corrupt(png.length / 2) = (corrupt(png.length / 2) ^ 0x5a).toByte
+    assert(ImageCodec.tryDecode(corrupt) == null)
+    // truncated PNG
+    assert(ImageCodec.tryDecode(png.take(png.length / 2)) == null)
+    // alpha is out of scope: must refuse, not premultiply silently
+    val argb = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    argb.setRGB(0, 0, 0x80FF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", bos)
+    assert(ImageCodec.tryDecode(bos.toByteArray) == null)
+  }
+
+  test("testImagePng carries the same pixels as testImage (shared oracle)") {
+    (0L to 12L).foreach { id =>
+      val raster = ImageCodec.tryDecode(ImageCodec.testImage(id))
+      val png = ImageCodec.tryDecode(ImageCodec.testImagePng(id))
+      assert(png.width == raster.width && png.height == raster.height)
+      assert(java.util.Arrays.equals(png.pixels, raster.pixels), s"id=$id")
+    }
+  }
+
+  test("corrupt headers with overflowing dims land on the null path") {
+    // netpbm dims whose product overflows Int: 100000*100000*3 wraps
+    // positive-small and would pass a naive truncation check
+    val evil = "P6\n100000 100000\n255\n".getBytes("US-ASCII") ++ rgb(16)
+    assert(ImageCodec.tryDecode(evil) == null)
+    // a single header integer that overflows Int on its own
+    val evil2 = "P6\n99999999999999 1\n255\n".getBytes("US-ASCII") ++ rgb(16)
+    assert(ImageCodec.tryDecode(evil2) == null)
+    // BMP with height == Int.MinValue: abs() stays negative — must refuse
+    val bmp = ImageCodec.encodeBmp(Decoded(2, 2, 3, rgb(12)))
+    bmp(22) = 0; bmp(23) = 0; bmp(24) = 0; bmp(25) = 0x80.toByte
+    assert(ImageCodec.tryDecode(bmp) == null)
+    // BMP with a width that overflows rowSize math in Int
+    val bmp2 = ImageCodec.encodeBmp(Decoded(2, 2, 3, rgb(12)))
+    bmp2(18) = 0xff.toByte; bmp2(19) = 0xff.toByte
+    bmp2(20) = 0xff.toByte; bmp2(21) = 0x7f.toByte
+    assert(ImageCodec.tryDecode(bmp2) == null)
+  }
+
   test("real resize: nearest-neighbor on decoded pixels, format preserved") {
     // 2x2 distinct-color image scaled to 4x4: each source pixel becomes
     // a 2x2 block (exact NN semantics, not byte resampling)
@@ -77,6 +137,11 @@ class ImageCodecSpec extends SparkTestBase {
       ImageCodec.encodeBmp(Decoded(2, 2, 3, px)), 3, 3)
     assert(bmpOut(0) == 'B' && bmpOut(1) == 'M')
     assert(ImageCodec.tryDecode(bmpOut).width == 3)
+    // PNG in => PNG out
+    val pngOut = ImageCodec.resizeEncoded(
+      ImageCodec.encodePng(Decoded(2, 2, 3, px)), 3, 3)
+    assert((pngOut(0) & 0xff) == 0x89)
+    assert(ImageCodec.tryDecode(pngOut).width == 3)
   }
 
   test("expressions: decode stats + resize are codegen'd, nulls propagate") {
