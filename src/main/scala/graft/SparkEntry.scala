@@ -70,13 +70,18 @@ object SparkEntry {
     * bounded LRU keyed (session, sf dir) — like docsSplitCache, a
     * long-lived JVM cycling SparkSessions must not pin stopped
     * sessions forever — with the BUILD run UNDER the monitor: two
-    * threads missing the cache would write the SAME pid-keyed
-    * directory, and a mode-overwrite parquet write deletes the other
-    * thread's files mid-build. Serializing is fine here — builds run
-    * once per (session, dir), driver-side. Every directory this JVM
-    * creates is deleted by a shutdown hook (each JVM gets a fresh pid,
-    * so without the hook every sbt invocation would leak a fixture +
-    * index copy to the temp dir). */
+    * threads missing the cache would otherwise interleave writes.
+    * Serializing is fine here — builds run once per (session, dir),
+    * driver-side.
+    *
+    * Every BUILD gets its own directory (pid + a per-build counter +
+    * a collision-safe md5 of kind:dir): a second session over the same
+    * sf dir, an LRU re-build after eviction, or two sf dirs whose
+    * String.hashCode collide can never mode-overwrite a directory that
+    * another entry's in-flight DataFrames are still reading. Evicted
+    * directories are deliberately NOT deleted eagerly (lazy plans may
+    * still scan them); all of them are removed by the shutdown hook —
+    * bounded by builds-per-JVM, not by the LRU size. */
   private object FixtureDirs {
     private val cache =
       new java.util.LinkedHashMap[(SparkSession, String), String](16, 0.75f, true) {
@@ -84,6 +89,7 @@ object SparkEntry {
             e: java.util.Map.Entry[(SparkSession, String), String]): Boolean =
           size() > 16
       }
+    private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
     private val created = scala.collection.mutable.ListBuffer.empty[String]
     private def deleteRecursively(f: java.io.File): Unit = {
       val kids = f.listFiles()
@@ -93,6 +99,9 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       created.synchronized(created.toList)
         .foreach(p => deleteRecursively(new java.io.File(p)))))
+    private def digest(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     def getOrBuild(s: SparkSession, dir: String, kind: String)
                   (build: String => Unit): String = cache.synchronized {
       val key = (s, s"$kind:$dir")
@@ -101,7 +110,7 @@ object SparkEntry {
       else {
         val p = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_${kind}_${ProcessHandle.current().pid()}_" +
-            java.lang.Integer.toHexString(dir.hashCode)).toString
+            s"${digest(s"$kind:$dir")}_${seq.getAndIncrement()}").toString
         build(p)
         created.synchronized(created += p)
         cache.put(key, p)

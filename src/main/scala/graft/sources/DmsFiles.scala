@@ -23,7 +23,16 @@ object DmsFiles {
   /** Only `LOAD*` full-load files. */
   case object FullLoadOnly extends Mode
   /** LOAD files + CDC files whose `yyyyMMdd`-prefixed name falls in
-    * [start, stop] (either bound optional). */
+    * [start, stop] (either bound optional).
+    *
+    * Intentional generalization over the reference, which REQUIRES the
+    * start bound and panics without one (cdc_operator.rs:184-186): here
+    * both bounds are optional, so `DateAware(None, None)` means "every
+    * DATED CDC file" — which is NOT the same as [[AbsolutePath]]:
+    * CDC files with no leading `yyyyMMdd` digits are excluded under any
+    * DateAware window (they cannot be compared against a date), while
+    * AbsolutePath includes them. Reference-parity callers should pass
+    * an explicit start. */
   final case class DateAware(start: Option[String] = None,
                              stop: Option[String] = None) extends Mode
   /** Everything under the prefix, as-is. */

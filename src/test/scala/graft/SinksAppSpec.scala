@@ -154,6 +154,58 @@ class SinksAppSpec extends SparkTestBase {
     assert(e3.getMessage.contains("table=col1,col2"))
   }
 
+  test("CLI e2e: date-aware mode aborts on a drifted CDC delta; a window excluding it passes") {
+    import graft.operators.CdcMerge
+    val in = java.nio.file.Files.createTempDirectory("graft_cli_da").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_da_out").toString
+    val cfgDir = java.nio.file.Files.createTempDirectory("graft_cli_da_cfg").toString
+    val dir = s"$in/orders"
+    def writeAs(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$dir/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, name))
+    }
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+    writeAs(orders, "LOAD00000001.parquet") // clean full load
+    // CDC delta dated 2024-01-05 whose schema grew a column the target
+    // catalog doesn't know (reference semantics cdc_operator.rs:257-273:
+    // drift on ANY read file aborts; a fresh full load is required)
+    writeAs(orders.limit(5)
+        .withColumn(CdcMerge.OpColumn, lit("U"))
+        .withColumn(CdcMerge.TsColumn, lit(1L))
+        .withColumn("o_drifted", lit("ALTER TABLE happened")),
+      "20240105-000001.parquet")
+    val expectCols = "orders=o_orderkey,o_custkey,o_orderstatus," +
+      "o_totalprice,o_orderdate,o_orderpriority"
+    def argsWith(extra: String*) = Main.parse(Seq("anonymize",
+      "--input-dir", in, "--output-dir", out,
+      "--db-name", "d", "--schema-name", "s", "--config-dir", cfgDir,
+      "--dms", "--pk", "orders=o_orderkey",
+      "--expect-cols", expectCols,
+      "--mode", "date-aware") ++ extra)
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    // window includes the drifted delta => abort naming the column
+    val e = intercept[Exception](
+      Main.run(argsWith("--start-date", "2024-01-01"), spark))
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("o_drifted") &&
+        c.getMessage.contains("full load")),
+      s"expected CDC-delta drift abort naming o_drifted, got: $e")
+    assert(!new java.io.File(s"$out/orders.parquet").exists())
+    // window EXCLUDING the drifted delta => the drift is never read and
+    // the run completes from the clean LOAD alone (date filtering
+    // happens at listing time, before any schema is touched)
+    Main.run(argsWith("--start-date", "2024-01-01",
+      "--stop-date", "2024-01-02"), spark)
+    val written = spark.read.parquet(s"$out/orders.parquet")
+    assert(written.count() === orders.count())
+    assert(!written.columns.contains("o_drifted"))
+  }
+
   test("ngram jaccard df-cap: hot shingles dropped, rare pairs survive") {
     val hot = "common common common" // one repeated shingle everywhere
     val df = Seq((1L, s"$hot alpha beta gamma delta"),
