@@ -72,7 +72,14 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // scope = the run's real storage lifecycle: eager candidate
+          // checkpoints are built inside the timed region (construction
+          // IS part of the query's cost) and released at its end, so
+          // run 2+ re-pays construction instead of reusing run 1's
+          // blocks
+          graft.operators.Dedup.withCandidateScope {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

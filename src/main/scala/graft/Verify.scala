@@ -25,13 +25,18 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>
-      // the dedup operators persist() shared subplans lazily and the
+      // library ops cache() long-lived artifacts (IvfIndex) and the
       // CacheManager holds them by strong reference; over ~90 queries
       // in one session that accretes — clear between queries (same
       // hygiene as Bench between runs)
       spark.catalog.clearCache()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // the dedup tier's eager candidate checkpoints live in the block
+      // manager (clearCache doesn't reach them); the scope frees them
+      // at query end instead of waiting on GC + ContextCleaner
+      try graft.operators.Dedup.withCandidateScope {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
