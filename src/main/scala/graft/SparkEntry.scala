@@ -775,6 +775,52 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // REAL audio decode through the oracle gate: deterministic WAV
+    // clips (channels/bits/frames and every PCM sample pure functions
+    // of doc_id; the id sweep covers all four channels x bit-depth
+    // shapes) decoded by the actual RIFF/PCM codec, stats emitted as
+    // integers. The oracle recomputes rate/shape/per-channel sums from
+    // doc_id alone — an endianness, sign-extension, 8-bit-centering,
+    // interleave, or chunk-scan bug flips the row.
+    "q_multimodal_audio_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bridge.column(graft.operators.AudioStatsExpr(
+            Bridge.expression(Bridge.column(graft.operators.TestWavExpr(
+              Bridge.expression(col("doc_id"))))))).as("st"))
+        .select(col("doc_id"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"), col("st.bits").as("bits"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_ch0").as("sum_ch0"),
+          col("st.sum_ch1").as("sum_ch1"),
+          col("st.sum_abs").as("sum_abs"))
+    }),
+
+    // REAL audio resample through the oracle gate: decode -> nearest-
+    // neighbor to 4 frames -> re-encode as WAV -> decode stats; the
+    // oracle recomputes the resampled sums via the same integer
+    // source-frame math ((k*n_frames)//4)
+    "q_multimodal_audio_resample" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val wav = Bridge.column(graft.operators.TestWavExpr(
+        Bridge.expression(col("doc_id"))))
+      val rs = Bridge.column(graft.operators.AudioResampleExpr(
+        Bridge.expression(wav), 4))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bridge.column(graft.operators.AudioStatsExpr(
+            Bridge.expression(rs))).as("st"))
+        .select(col("doc_id"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"), col("st.bits").as("bits"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_ch0").as("sum_ch0"),
+          col("st.sum_ch1").as("sum_ch1"),
+          col("st.sum_abs").as("sum_abs"))
+    }),
+
     // contiguous sequence packing: per-lang shards, 512-token budget,
     // deterministic doc order — the LLM-batch pre-packing shape
     "q_pack_sequences" -> ((s, dir) =>
@@ -1018,6 +1064,16 @@ object SparkEntry {
 
   private val exactJaccardSql: String =
     s"WITH $jaccardCtesSql SELECT id_a, id_b, jaccard FROM jj"
+
+  /** Shared dims CTE for the deterministic test WAV (AudioCodec
+    * .testWav): channels/bit-depth/frame-count as pure functions of
+    * doc_id, mirrored by both audio oracle rows. INT casts pin the
+    * pandas dtypes to the Spark struct's int32 fields. */
+  private val audioDimsSql: String =
+    "dims AS (SELECT doc_id, " +
+    "  CAST(1 + doc_id % 2 AS INT) AS channels, " +
+    "  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits, " +
+    "  CAST(1 + doc_id % 9 AS INT) AS n_frames FROM documents)"
 
   /** SplitMix64 finalizer applied to a HUGEINT SQL expression, in
     * mod-2^64 arithmetic (64x64 multiplies split at 32 bits so the
@@ -1626,6 +1682,45 @@ object SparkEntry {
       "CAST(sum(CASE WHEN c=1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
       "CAST(sum(CASE WHEN c=2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
       "FROM pv GROUP BY doc_id"),
+
+    // recomputes the decoded-clip stats from doc_id alone (the test
+    // WAV's shape and every PCM sample are pure functions of the id):
+    // an endianness, sign-extension, 8-bit-centering, interleave, or
+    // RIFF chunk-scan bug diverges from this closed form
+    "q_multimodal_audio_decode" -> (
+      s"WITH $audioDimsSql, " +
+      "ix AS (SELECT doc_id, channels, bits, n_frames, " +
+      "  unnest(range(0, channels * n_frames)) AS i FROM dims), " +
+      "sv AS (SELECT doc_id, channels, bits, n_frames, i, " +
+      "  CASE WHEN bits = 8 THEN (doc_id*31 + i) % 256 - 128 " +
+      "  ELSE (doc_id*37 + i*101) % 65536 - 32768 END AS v FROM ix) " +
+      "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, channels, bits, " +
+      "n_frames, " +
+      "CAST(sum(CASE WHEN i % channels = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0, " +
+      "CAST(sum(CASE WHEN i % channels = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1, " +
+      "CAST(sum(abs(v)) AS BIGINT) AS sum_abs " +
+      "FROM sv GROUP BY doc_id, channels, bits, n_frames"),
+
+    // NN-resample replay: source frame of output k is (k*n_frames)//4
+    // — integer division exactly as the codec's (k*nFrames)/outFrames
+    // — then the test-clip sample formula applies at the source
+    // frame's interleaved index
+    "q_multimodal_audio_resample" -> (
+      s"WITH $audioDimsSql, " +
+      "fr AS (SELECT doc_id, channels, bits, n_frames AS src_frames, " +
+      "  unnest(range(0, 4)) AS k FROM dims), " +
+      "ix AS (SELECT doc_id, channels, bits, (k * src_frames) // 4 AS src, " +
+      "  unnest(range(0, channels)) AS c FROM fr), " +
+      "sv AS (SELECT doc_id, channels, bits, c, " +
+      "  CASE WHEN bits = 8 THEN (doc_id*31 + (src*channels + c)) % 256 - 128 " +
+      "  ELSE (doc_id*37 + (src*channels + c)*101) % 65536 - 32768 END AS v " +
+      "  FROM ix) " +
+      "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, channels, bits, " +
+      "CAST(4 AS INT) AS n_frames, " +
+      "CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0, " +
+      "CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1, " +
+      "CAST(sum(abs(v)) AS BIGINT) AS sum_abs " +
+      "FROM sv GROUP BY doc_id, channels, bits"),
 
     "q_pack_sequences" -> (
       "WITH t AS (SELECT doc_id, lang, " +

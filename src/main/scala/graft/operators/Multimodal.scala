@@ -18,11 +18,15 @@ import org.apache.spark.sql.types._
   * exact by spec) — [[ImageStatsExpr]] and [[ImageResizeExpr]] parse
   * actual headers and pixel layouts (bottom-up BGR rows, 4-byte
   * padding, netpbm comments, DEFLATE'd PNG scanlines) and operate on
-  * decoded pixels. LOSSY codecs (JPEG, audio, video) remain outside:
-  * JPEG decode is not bit-deterministic across decoder implementations
-  * (IDCT rounding is implementation-defined), so it can't sit behind an
-  * exact oracle; [[mapBatchesStub]] is the per-partition seam where
-  * such a library would be initialized once per partition.
+  * decoded pixels. Audio decode is REAL for RIFF/WAVE integer PCM
+  * ([[AudioCodec]]: 8/16-bit, mono/stereo — uncompressed, so samples
+  * are exact by construction) — [[AudioStatsExpr]] and
+  * [[AudioResampleExpr]] parse the actual container and sample
+  * layouts. LOSSY codecs (JPEG, MP3/AAC, video) remain outside: their
+  * decode is not bit-deterministic across decoder implementations
+  * (IDCT/DCT rounding is implementation-defined), so it can't sit
+  * behind an exact oracle; [[mapBatchesStub]] is the per-partition
+  * seam where such a library would be initialized once per partition.
   * [[DecodeStubExpr]] survives as a format-agnostic BYTE featurizer
   * (normalized 16-bin byte histogram) for content with no decodable
   * structure.
@@ -101,6 +105,25 @@ object Multimodal {
       .withColumn("meta", struct(
         col("meta.mime").as("mime"), lit(width).as("width"),
         lit(height).as("height"), col("meta.duration_ms").as("duration_ms")))
+
+  /** Decoded per-clip stats from the REAL PCM decode ([[AudioCodec]]):
+    * one nullable struct column (rate, channels, bit depth, frame
+    * count, per-channel centered sums, |sample| sum — all integers, so
+    * they cross engine/hash boundaries losslessly). Same contract as
+    * [[decodedStats]]: corrupt audio nulls the struct instead of
+    * failing the job; pure codegen'd projection, no shuffle, no UDF. */
+  def decodedAudioStats(assets: DataFrame): DataFrame =
+    assets.withColumn("audio_stats",
+      Bridge.column(AudioStatsExpr(Bridge.expression(col("content")))))
+
+  /** REAL nearest-neighbor audio resample on decoded frames (not raw
+    * bytes), re-encoded as WAV at the clip's own rate/channels/depth;
+    * meta picks up the fixed output duration. Null content or
+    * undecodable bytes null out. */
+  def resampledAudio(assets: DataFrame, outFrames: Int): DataFrame =
+    assets.withColumn("content",
+      Bridge.column(AudioResampleExpr(
+        Bridge.expression(col("content")), outFrames)))
 
   /** Per-partition batched processing — the seam where a COMPRESSED
     * codec library would live (one decoder instance per PARTITION, not
@@ -196,6 +219,70 @@ case class TestImageExpr(child: Expression, png: Boolean = false)
     defineCodeGen(ctx, ev, c => s"graft.operators.ImageCodec.$m($c)")
   }
   override protected def withNewChildInternal(newChild: Expression): TestImageExpr =
+    copy(child = newChild)
+}
+
+/** Decoded-clip stats over the REAL PCM codec ([[AudioCodec]]):
+  * binary -> struct(sample_rate, channels, bits, n_frames, sum_ch0,
+  * sum_ch1, sum_abs). NULL (not error) for bytes that are not a
+  * supported WAV — corrupt media skips, the job survives. */
+case class AudioStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("bits", IntegerType), StructField("n_frames", IntegerType),
+    StructField("sum_ch0", LongType), StructField("sum_ch1", LongType),
+    StructField("sum_abs", LongType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "audio_stats"
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.statsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.AudioCodec.statsRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): AudioStatsExpr =
+    copy(child = newChild)
+}
+
+/** REAL audio resample: decode -> nearest-neighbor frame sample to a
+  * fixed frame count -> re-encode as WAV. NULL for undecodable input. */
+case class AudioResampleExpr(child: Expression, outFrames: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(outFrames > 0, "output frame count must be positive")
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "audio_resample"
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.resampleEncoded(input.asInstanceOf[Array[Byte]], outFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.AudioCodec.resampleEncoded($c, $outFrames);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): AudioResampleExpr =
+    copy(child = newChild)
+}
+
+/** Deterministic oracle-checkable test clip from an id
+  * ([[AudioCodec.testWav]]): the id sweep covers all four
+  * (channels x bit-depth) PCM shapes. Fixture generator for the audio
+  * decode oracle rows and specs — not a data-path operator. */
+case class TestWavExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "test_wav"
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.testWav(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.AudioCodec.testWav($c)")
+  override protected def withNewChildInternal(newChild: Expression): TestWavExpr =
     copy(child = newChild)
 }
 
