@@ -63,7 +63,13 @@ object AudioCodec {
       val payload = pos + 8
       if (payload + size > b.length)
         throw new IllegalArgumentException("chunk overruns buffer")
-      if (id == "fmt ") { fmtOff = payload }
+      if (id == "fmt ") {
+        // the 6 PCM fmt fields span 16 bytes; a smaller declared size
+        // would make the field reads below land in NEIGHBORING chunks
+        if (size < 16)
+          throw new IllegalArgumentException("fmt chunk too small")
+        fmtOff = payload
+      }
       else if (id == "data") { dataOff = payload; dataLen = size }
       pos = payload + size + (size & 1L) // RIFF pads chunks to even
     }

@@ -73,6 +73,8 @@ class AudioCodecSpec extends SparkTestBase {
       { val b = good.clone(); b(40) = 3; b },      // data not whole frames
       { val b = good.clone();                      // data chunk overruns buffer
         b(40) = -1; b(41) = -1; b(42) = -1; b(43) = 0x7f; b },
+      { val b = good.clone(); b(16) = 8; b },      // fmt size < 16: fields would
+                                                   // read into neighboring chunks
       good.take(36))                               // fmt present, data missing
     cases.foreach { c =>
       assert(AudioCodec.tryDecode(c) == null,
