@@ -222,6 +222,23 @@ object ImageCodec {
     * rejected too (the canonical layout has no alpha plane and
     * premultiplication would change the pixel bytes). */
   private def decodePng(b: Array[Byte]): Decoded = {
+    // parse the IHDR dims BEFORE handing the stream to ImageIO: its
+    // read() allocates the full BufferedImage for whatever dims the
+    // header declares, so a corrupt/hostile width would raise
+    // OutOfMemoryError — an Error, not Exception — past the null-path
+    // catch and kill the executor. IHDR is by spec the first chunk:
+    // width/height are big-endian u32 at offsets 16/20. The pixel cap
+    // matches checkedPixelCount's decoded-buffer bound.
+    if (b.length < 24) throw new IllegalArgumentException("truncated PNG")
+    def beInt(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    val wHdr = beInt(16); val hHdr = beInt(20)
+    // per-dim bound first (the netpbm parser's 1e8) so the product
+    // below cannot itself overflow Long for u32 dims
+    if (wHdr <= 0 || hHdr <= 0 || wHdr > 100000000L || hHdr > 100000000L ||
+        3L * wHdr * hHdr > Int.MaxValue)
+      throw new IllegalArgumentException("PNG header dims overflow")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
     if (img == null) throw new IllegalArgumentException("undecodable PNG")
     val w = img.getWidth; val h = img.getHeight

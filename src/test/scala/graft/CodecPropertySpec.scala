@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.{AudioCodec, ImageCodec}
+import graft.operators.AudioCodec.DecodedAudio
+import graft.operators.ImageCodec.Decoded
+
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check, Parameters}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property coverage for both real codecs: round-trips over the whole
+  * parameter space (not just the handful of hand-picked shapes in
+  * ImageCodecSpec/AudioCodecSpec), and fuzzed corrupt inputs — random
+  * bytes, random truncations, random single-byte mutations of VALID
+  * files — which must land on the null path, never throw. At corpus
+  * scale the decode projections see every corruption the crawl
+  * contains; "null, not crash" is the contract that keeps a
+  * 1000-executor stage alive. */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private val params = Parameters.default.withMinSuccessfulTests(200)
+
+  // ---- generators ------------------------------------------------------
+
+  private val genClip: Gen[DecodedAudio] = for {
+    channels <- Gen.oneOf(1, 2)
+    bits <- Gen.oneOf(8, 16)
+    nFrames <- Gen.chooseNum(1, 50)
+    max = if (bits == 8) 127 else 32767
+    samples <- Gen.listOfN(nFrames * channels, Gen.chooseNum(-max - 1, max))
+    rate <- Gen.chooseNum(1, 192000)
+  } yield DecodedAudio(rate, channels, bits, nFrames, samples.toArray)
+
+  private val genImage: Gen[Decoded] = for {
+    channels <- Gen.oneOf(1, 3)
+    w <- Gen.chooseNum(1, 20)
+    h <- Gen.chooseNum(1, 15)
+    px <- Gen.listOfN(channels * w * h,
+      Gen.chooseNum(0, 255).map(_.toByte))
+  } yield Decoded(w, h, channels, px.toArray)
+
+  // ---- audio -----------------------------------------------------------
+
+  test("property: WAV round-trip is lossless over the full PCM space") {
+    val prop = forAll(genClip) { d =>
+      val back = AudioCodec.tryDecode(AudioCodec.encodeWav(d))
+      back != null && back.sampleRate == d.sampleRate &&
+      back.channels == d.channels && back.bitsPerSample == d.bitsPerSample &&
+      back.nFrames == d.nFrames && back.samples.toSeq == d.samples.toSeq
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("property: audio resample yields exactly outFrames, samples from source frames") {
+    val prop = forAll(genClip, Gen.chooseNum(1, 80)) { (d, outFrames) =>
+      val rs = AudioCodec.tryDecode(
+        AudioCodec.resampleEncoded(AudioCodec.encodeWav(d), outFrames))
+      val frames = d.samples.grouped(d.channels).map(_.toSeq).toSet
+      rs != null && rs.nFrames == outFrames && rs.channels == d.channels &&
+      rs.samples.grouped(rs.channels).forall(f => frames.contains(f.toSeq))
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("fuzz: corrupt WAV inputs null out, never throw") {
+    val mutated = for {
+      d <- genClip
+      bytes = AudioCodec.encodeWav(d)
+      i <- Gen.chooseNum(0, bytes.length - 1)
+      b <- Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)
+    } yield { val m = bytes.clone(); m(i) = b.toByte; m }
+    val truncated = for {
+      d <- genClip
+      bytes = AudioCodec.encodeWav(d)
+      n <- Gen.chooseNum(0, bytes.length - 1)
+    } yield bytes.take(n)
+    val random = Gen.listOf(
+      Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt).map(_.toByte))
+      .map(_.toArray)
+    val never = (bytes: Array[Byte]) => {
+      AudioCodec.tryDecode(bytes) // Decoded or null — a throw fails the prop
+      AudioCodec.resampleEncoded(bytes, 4)
+      AudioCodec.statsRow(bytes)
+      true
+    }
+    assert(check(params, forAll(mutated)(never)).passed, "mutation fuzz")
+    assert(check(params, forAll(truncated)(never)).passed, "truncation fuzz")
+    assert(check(params, forAll(random)(never)).passed, "random-bytes fuzz")
+  }
+
+  // ---- image -----------------------------------------------------------
+
+  test("property: netpbm and PNG round-trips are lossless over the dim/pixel space") {
+    val prop = forAll(genImage) { d =>
+      val viaPbm = ImageCodec.tryDecode(ImageCodec.encodeNetpbm(d))
+      val viaPng = ImageCodec.tryDecode(ImageCodec.encodePng(d))
+      val bmpOk =
+        if (d.channels != 3) true // BMP is 24-bit only
+        else {
+          val viaBmp = ImageCodec.tryDecode(ImageCodec.encodeBmp(d))
+          viaBmp != null && viaBmp.pixels.toSeq == d.pixels.toSeq &&
+          viaBmp.width == d.width && viaBmp.height == d.height
+        }
+      viaPbm != null && viaPbm.pixels.toSeq == d.pixels.toSeq &&
+      viaPng != null && viaPng.pixels.toSeq == d.pixels.toSeq &&
+      viaPng.width == d.width && viaPng.height == d.height &&
+      viaPng.channels == d.channels && bmpOk
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("fuzz: corrupt image inputs null out, never throw") {
+    val encode = (d: Decoded) =>
+      if (d.channels == 3 && d.width % 2 == 0) ImageCodec.encodeBmp(d)
+      else if (d.width % 3 == 0) ImageCodec.encodePng(d)
+      else ImageCodec.encodeNetpbm(d)
+    val mutated = for {
+      d <- genImage
+      bytes = encode(d)
+      i <- Gen.chooseNum(0, bytes.length - 1)
+      b <- Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)
+    } yield { val m = bytes.clone(); m(i) = b.toByte; m }
+    val truncated = for {
+      d <- genImage
+      bytes = encode(d)
+      n <- Gen.chooseNum(0, bytes.length - 1)
+    } yield bytes.take(n)
+    val never = (bytes: Array[Byte]) => {
+      ImageCodec.tryDecode(bytes)
+      ImageCodec.statsRow(bytes)
+      ImageCodec.resizeEncoded(bytes, 4, 3)
+      true
+    }
+    assert(check(params, forAll(mutated)(never)).passed, "mutation fuzz")
+    assert(check(params, forAll(truncated)(never)).passed, "truncation fuzz")
+  }
+}
