@@ -821,6 +821,21 @@ object SparkEntry {
           col("st.sum_abs").as("sum_abs"))
     }),
 
+    // windowed audio FEATURE EXTRACTION through the oracle gate:
+    // decode -> per-window |sample| sums (3-frame windows, full
+    // windows only — the VAD-style energy contour) -> posexplode to
+    // (window, energy) rows. Clips shorter than one window drop out
+    // on both sides.
+    "q_multimodal_audio_energy" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Bridge.column(graft.operators.AudioEnergyExpr(
+            Bridge.expression(Bridge.column(graft.operators.TestWavExpr(
+              Bridge.expression(col("doc_id"))))), 3)))
+            .as(Seq("win", "energy")))
+    }),
+
     // contiguous sequence packing: per-lang shards, 512-token budget,
     // deterministic doc order — the LLM-batch pre-packing shape
     "q_pack_sequences" -> ((s, dir) =>
@@ -1721,6 +1736,24 @@ object SparkEntry {
       "CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1, " +
       "CAST(sum(abs(v)) AS BIGINT) AS sum_abs " +
       "FROM sv GROUP BY doc_id, channels, bits"),
+
+    // windowed-energy replay: window w covers interleaved sample
+    // indices [w*3*channels, (w+1)*3*channels); clips with fewer than
+    // 3 frames yield zero windows (range(0, 0) unnests to no rows),
+    // matching the full-windows-only posexplode
+    "q_multimodal_audio_energy" -> (
+      s"WITH $audioDimsSql, " +
+      "w AS (SELECT doc_id, channels, bits, " +
+      "  unnest(range(0, n_frames // 3)) AS win FROM dims), " +
+      "ix AS (SELECT doc_id, channels, bits, win, " +
+      "  unnest(range(0, 3*channels)) AS j FROM w), " +
+      "sv AS (SELECT doc_id, win, win*3*channels + j AS i, bits FROM ix), " +
+      "ev AS (SELECT doc_id, win, " +
+      "  CASE WHEN bits = 8 THEN (doc_id*31 + i) % 256 - 128 " +
+      "  ELSE (doc_id*37 + i*101) % 65536 - 32768 END AS v FROM sv) " +
+      "SELECT doc_id, CAST(win AS INT) AS win, " +
+      "CAST(sum(abs(v)) AS BIGINT) AS energy " +
+      "FROM ev GROUP BY doc_id, win"),
 
     "q_pack_sequences" -> (
       "WITH t AS (SELECT doc_id, lang, " +

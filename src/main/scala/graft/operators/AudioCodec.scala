@@ -198,6 +198,30 @@ object AudioCodec {
       outFrames, out))
   }
 
+  /** Per-window energy over decoded frames: sum of |sample| (all
+    * channels) for each complete non-overlapping window of
+    * `windowFrames` frames — the integer-exact voice-activity-style
+    * feature; a trailing partial window is dropped, mirroring the
+    * frame sampler's full-windows-only contract. Null for undecodable
+    * bytes; a clip shorter than one window yields an empty array. */
+  def windowEnergies(bytes: Array[Byte], windowFrames: Int): Array[Long] = {
+    val d = tryDecode(bytes)
+    if (d == null) return null
+    val nWin = d.nFrames / windowFrames
+    val out = new Array[Long](nWin)
+    val perWin = windowFrames * d.channels
+    var w = 0
+    while (w < nWin) {
+      var s = 0L
+      var i = w * perWin
+      val end = i + perWin
+      while (i < end) { s += math.abs(d.samples(i)); i += 1 }
+      out(w) = s
+      w += 1
+    }
+    out
+  }
+
   /** Deterministic test clip for oracle-checked fixtures: every field
     * and sample is a pure function of `id` (channels = 1 + id mod 2,
     * bits = 8 when id mod 3 = 0 else 16, nFrames = 1 + id mod 9,

@@ -268,6 +268,33 @@ case class AudioResampleExpr(child: Expression, outFrames: Int)
     copy(child = newChild)
 }
 
+/** Windowed audio energy over the REAL PCM decode
+  * ([[AudioCodec.windowEnergies]]): binary -> array<bigint>, one
+  * integer-exact |sample| sum per complete window of `windowFrames`
+  * frames. NULL for undecodable bytes; the caller posexplodes to
+  * (window, energy) rows. */
+case class AudioEnergyExpr(child: Expression, windowFrames: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(windowFrames > 0, "window frame count must be positive")
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "audio_window_energy"
+  override def nullSafeEval(input: Any): Any = {
+    val a = AudioCodec.windowEnergies(input.asInstanceOf[Array[Byte]], windowFrames)
+    if (a == null) null else new GenericArrayData(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      long[] energies = graft.operators.AudioCodec.windowEnergies($c, $windowFrames);
+      if (energies == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(energies); }""")
+  override protected def withNewChildInternal(newChild: Expression): AudioEnergyExpr =
+    copy(child = newChild)
+}
+
 /** Deterministic oracle-checkable test clip from an id
   * ([[AudioCodec.testWav]]): the id sweep covers all four
   * (channels x bit-depth) PCM shapes. Fixture generator for the audio

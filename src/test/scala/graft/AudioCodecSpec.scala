@@ -110,6 +110,19 @@ class AudioCodecSpec extends SparkTestBase {
     assert(up.samples.toSeq == Seq(src(0), src(0), src(0), src(1), src(1)))
   }
 
+  test("windowEnergies: full windows only, channels summed, corrupt null") {
+    // 7 stereo frames, window 3 -> 2 windows; frame 7 dropped
+    val d = DecodedAudio(8000, 2, 16, 7,
+      Array(1, -1, 2, -2, 3, -3, 4, -4, 5, -5, 6, -6, 100, -100))
+    val e = AudioCodec.windowEnergies(AudioCodec.encodeWav(d), 3)
+    assert(e.toSeq == Seq(12L, 30L)) // |1..3|*2=12, |4..6|*2=30; 100s dropped
+    // shorter than one window -> empty array, not null
+    val short = AudioCodec.windowEnergies(
+      AudioCodec.encodeWav(DecodedAudio(8000, 1, 16, 2, Array(9, 9))), 3)
+    assert(short != null && short.isEmpty)
+    assert(AudioCodec.windowEnergies(Array[Byte](1, 2, 3), 3) == null)
+  }
+
   test("testWav sweep: decodable, shape matches the documented formulas") {
     (0L to 24L).foreach { id =>
       val d = AudioCodec.tryDecode(AudioCodec.testWav(id))
