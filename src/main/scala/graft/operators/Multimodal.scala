@@ -287,10 +287,16 @@ case class AudioEnergyExpr(child: Expression, windowFrames: Int)
     if (a == null) null else new GenericArrayData(a)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      long[] energies = graft.operators.AudioCodec.windowEnergies($c, $windowFrames);
-      if (energies == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(energies); }""")
+    nullSafeCodeGen(ctx, ev, c => {
+      // fresh local: a fixed name would collide (Janino compile error,
+      // silent interpreted fallback) if the projection carries two
+      // instances of this expression
+      val e = ctx.freshName("energies")
+      s"""
+      long[] $e = graft.operators.AudioCodec.windowEnergies($c, $windowFrames);
+      if ($e == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($e); }"""
+    })
   override protected def withNewChildInternal(newChild: Expression): AudioEnergyExpr =
     copy(child = newChild)
 }

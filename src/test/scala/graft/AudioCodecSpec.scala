@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AudioCodec, AudioResampleExpr, AudioStatsExpr, TestWavExpr}
+import graft.operators.{AudioCodec, AudioEnergyExpr, AudioResampleExpr, AudioStatsExpr, TestWavExpr}
 import graft.operators.AudioCodec.DecodedAudio
 
 import org.apache.spark.sql.functions._
@@ -159,5 +159,30 @@ class AudioCodecSpec extends SparkTestBase {
         .as("st"))
       .select(col("st.n_frames")).as[Int].collect()
     assert(rs.toSeq == Seq(4))
+  }
+
+  test("two energy expressions in one projection compile (no local-name collision)") {
+    // With codegen fallback off, a Janino collision between the two
+    // generated blocks would throw instead of silently degrading to the
+    // interpreted path — this pins the freshName fix in AudioEnergyExpr.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // spark.range, NOT Seq(..).toDF: ConvertToLocalRelation would fold a
+      // LocalRelation projection interpreted at plan time, skipping codegen
+      val wav = Bridge.column(TestWavExpr(Bridge.expression(col("id"))))
+      val rows = spark.range(8L, 9L).toDF("id").select(
+          Bridge.column(AudioEnergyExpr(Bridge.expression(wav), 1)).as("e1"),
+          Bridge.column(AudioEnergyExpr(Bridge.expression(wav), 2)).as("e2"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      val d = AudioCodec.tryDecode(AudioCodec.testWav(8L))
+      assert(rows.head._1.toSeq == AudioCodec.windowEnergies(
+        AudioCodec.encodeWav(d), 1).toSeq)
+      assert(rows.head._2.toSeq == AudioCodec.windowEnergies(
+        AudioCodec.encodeWav(d), 2).toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 }
