@@ -836,6 +836,45 @@ object SparkEntry {
             .as(Seq("win", "energy")))
     }),
 
+    // REAL video decode through the oracle gate: deterministic Y4M
+    // clips (geometry/colorspace/frame count and every plane byte pure
+    // functions of doc_id; the id sweep covers C444 and C420 layouts)
+    // decoded by the actual YUV4MPEG2 codec, stats emitted as
+    // integers. The oracle recomputes geometry/per-plane sums from
+    // doc_id alone — a header-token, plane-order, subsampled-size, or
+    // FRAME-scan bug flips the row.
+    "q_multimodal_video_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bridge.column(graft.operators.VideoStatsExpr(
+            Bridge.expression(Bridge.column(graft.operators.TestY4mExpr(
+              Bridge.expression(col("doc_id"))))))).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.colorspace").as("colorspace"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_y").as("sum_y"), col("st.sum_u").as("sum_u"),
+          col("st.sum_v").as("sum_v"))
+    }),
+
+    // REAL video frame sampling through the oracle gate: decode ->
+    // nearest-neighbor selection to 3 frames -> re-encode as Y4M ->
+    // per-frame luma contour -> posexplode to (frame, luma) rows; the
+    // oracle replays the same integer source-frame math
+    // ((k*n_frames)//3)
+    "q_multimodal_video_frames_real" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val clip = Bridge.column(graft.operators.TestY4mExpr(
+        Bridge.expression(col("doc_id"))))
+      val sampled = Bridge.column(graft.operators.VideoFrameSampleExpr(
+        Bridge.expression(clip), 3))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Bridge.column(graft.operators.VideoLumaExpr(
+            Bridge.expression(sampled)))).as(Seq("frame_idx", "luma")))
+    }),
+
     // contiguous sequence packing: per-lang shards, 512-token budget,
     // deterministic doc order — the LLM-batch pre-packing shape
     "q_pack_sequences" -> ((s, dir) =>
@@ -1089,6 +1128,18 @@ object SparkEntry {
     "  CAST(1 + doc_id % 2 AS INT) AS channels, " +
     "  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits, " +
     "  CAST(1 + doc_id % 9 AS INT) AS n_frames FROM documents)"
+
+  // Geometry/colorspace/frame-count of VideoCodec.testY4m, plus the
+  // derived plane sizes (csize is the subsampled 4:2:0 plane when the
+  // id lands on C420)
+  private val videoDimsSql: String =
+    "dims AS (SELECT doc_id, " +
+    "  CAST(4 + 2 * (doc_id % 3) AS INT) AS w, " +
+    "  CAST(2 + 2 * (doc_id % 2) AS INT) AS h, " +
+    "  doc_id % 4 < 2 AS cs444, " +
+    "  CAST(1 + doc_id % 5 AS INT) AS nf FROM documents), " +
+    "pl AS (SELECT doc_id, w, h, cs444, nf, w*h AS ysize, " +
+    "  CASE WHEN cs444 THEN w*h ELSE (w//2)*(h//2) END AS csize FROM dims)"
 
   /** SplitMix64 finalizer applied to a HUGEINT SQL expression, in
     * mod-2^64 arithmetic (64x64 multiplies split at 32 bits so the
@@ -1754,6 +1805,40 @@ object SparkEntry {
       "SELECT doc_id, CAST(win AS INT) AS win, " +
       "CAST(sum(abs(v)) AS BIGINT) AS energy " +
       "FROM ev GROUP BY doc_id, win"),
+
+    // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
+    // p*3 + i) mod 256 for i in [0, planeSize) — a plane-order,
+    // chroma-subsampling, or FRAME-scan bug in the codec diverges
+    // from this closed form
+    "q_multimodal_video_decode" -> (
+      s"WITH $videoDimsSql, " +
+      "fx AS (SELECT doc_id, w, h, cs444, nf, ysize, csize, " +
+      "  unnest(range(0, nf)) AS f FROM pl), " +
+      "px AS (SELECT doc_id, w, h, cs444, nf, f, p, " +
+      "  unnest(range(0, CASE WHEN p = 0 THEN ysize ELSE csize END)) AS i " +
+      "  FROM fx, LATERAL (SELECT unnest([0, 1, 2]) AS p)), " +
+      "v AS (SELECT doc_id, w, h, cs444, nf, p, " +
+      "  (doc_id*13 + f*7 + p*3 + i) % 256 AS v FROM px) " +
+      "SELECT doc_id, w AS width, h AS height, " +
+      "CAST(CASE WHEN cs444 THEN 444 ELSE 420 END AS INT) AS colorspace, " +
+      "nf AS n_frames, " +
+      "CAST(sum(CASE WHEN p = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_y, " +
+      "CAST(sum(CASE WHEN p = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_u, " +
+      "CAST(sum(CASE WHEN p = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_v " +
+      "FROM v GROUP BY doc_id, w, h, cs444, nf"),
+
+    // NN frame-sample replay: source frame of output k is
+    // (k*nf)//3 — integer division exactly as the codec's
+    // (k*nFrames)/outFrames — then the test-clip byte formula applies
+    // over that frame's Y plane
+    "q_multimodal_video_frames_real" -> (
+      s"WITH $videoDimsSql, " +
+      "fr AS (SELECT doc_id, ysize, nf, unnest(range(0, 3)) AS k FROM pl), " +
+      "ix AS (SELECT doc_id, k, (k * nf) // 3 AS src, " +
+      "  unnest(range(0, ysize)) AS i FROM fr) " +
+      "SELECT doc_id, CAST(k AS INT) AS frame_idx, " +
+      "CAST(sum((doc_id*13 + src*7 + i) % 256) AS BIGINT) AS luma " +
+      "FROM ix GROUP BY doc_id, k"),
 
     "q_pack_sequences" -> (
       "WITH t AS (SELECT doc_id, lang, " +

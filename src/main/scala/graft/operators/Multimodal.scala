@@ -22,7 +22,11 @@ import org.apache.spark.sql.types._
   * ([[AudioCodec]]: 8/16-bit, mono/stereo — uncompressed, so samples
   * are exact by construction) — [[AudioStatsExpr]] and
   * [[AudioResampleExpr]] parse the actual container and sample
-  * layouts. LOSSY codecs (JPEG, MP3/AAC, video) remain outside: their
+  * layouts. Video decode is REAL for uncompressed YUV4MPEG2
+  * ([[VideoCodec]]: C444/C420 planar frames) — [[VideoStatsExpr]],
+  * [[VideoFrameSampleExpr]] and [[VideoLumaExpr]] parse the actual
+  * stream header, FRAME markers, and plane layouts. LOSSY codecs
+  * (JPEG, MP3/AAC, H.264/VP9/AV1) remain outside: their
   * decode is not bit-deterministic across decoder implementations
   * (IDCT/DCT rounding is implementation-defined), so it can't sit
   * behind an exact oracle; [[mapBatchesStub]] is the per-partition
@@ -316,6 +320,102 @@ case class TestWavExpr(child: Expression) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.operators.AudioCodec.testWav($c)")
   override protected def withNewChildInternal(newChild: Expression): TestWavExpr =
+    copy(child = newChild)
+}
+
+/** Decoded-clip stats over the REAL Y4M codec ([[VideoCodec]]):
+  * binary -> struct(width, height, colorspace as 444|420, n_frames,
+  * per-plane unsigned-byte sums). NULL (not error) for bytes that are
+  * not a supported Y4M stream — corrupt media skips, the job
+  * survives. */
+case class VideoStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("colorspace", IntegerType), StructField("n_frames", IntegerType),
+    StructField("sum_y", LongType), StructField("sum_u", LongType),
+    StructField("sum_v", LongType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "video_stats"
+  override def nullSafeEval(input: Any): Any =
+    VideoCodec.statsRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.VideoCodec.statsRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): VideoStatsExpr =
+    copy(child = newChild)
+}
+
+/** REAL video frame sampling: decode -> nearest-neighbor selection to
+  * a fixed frame count -> re-encode as Y4M ([[VideoCodec
+  * .frameSampleEncoded]]). NULL for undecodable input. */
+case class VideoFrameSampleExpr(child: Expression, outFrames: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(outFrames > 0, "output frame count must be positive")
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "video_frame_sample"
+  override def nullSafeEval(input: Any): Any =
+    VideoCodec.frameSampleEncoded(input.asInstanceOf[Array[Byte]], outFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.VideoCodec.frameSampleEncoded($c, $outFrames);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): VideoFrameSampleExpr =
+    copy(child = newChild)
+}
+
+/** Per-frame luma contour over the REAL Y4M decode ([[VideoCodec
+  * .frameLumaSums]]): binary -> array<bigint>, one integer-exact
+  * unsigned-Y sum per frame. NULL for undecodable bytes; the caller
+  * posexplodes to (frame, luma) rows. */
+case class VideoLumaExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "video_frame_luma"
+  override def nullSafeEval(input: Any): Any = {
+    val a = VideoCodec.frameLumaSums(input.asInstanceOf[Array[Byte]])
+    if (a == null) null else new GenericArrayData(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // fresh local: a fixed name would collide across two instances of
+      // this expression in one projection (see AudioEnergyExpr)
+      val l = ctx.freshName("lumas")
+      s"""
+      long[] $l = graft.operators.VideoCodec.frameLumaSums($c);
+      if ($l == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($l); }"""
+    })
+  override protected def withNewChildInternal(newChild: Expression): VideoLumaExpr =
+    copy(child = newChild)
+}
+
+/** Deterministic oracle-checkable test clip from an id
+  * ([[VideoCodec.testY4m]]): the id sweep covers both plane layouts
+  * (C444/C420) and all geometry combinations. Fixture generator for
+  * the video decode oracle rows and specs — not a data-path
+  * operator. */
+case class TestY4mExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "test_y4m"
+  override def nullSafeEval(input: Any): Any =
+    VideoCodec.testY4m(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.VideoCodec.testY4m($c)")
+  override protected def withNewChildInternal(newChild: Expression): TestY4mExpr =
     copy(child = newChild)
 }
 
