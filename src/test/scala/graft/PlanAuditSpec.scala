@@ -11,6 +11,31 @@ class PlanAuditSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  test("whole surface: no UDF, no python barrier, no unbounded cartesian in ANY query plan") {
+    // The blanket scale-hygiene sweep: every one of the ~100 public
+    // queries must plan without a ScalaUDF (kills whole-stage codegen),
+    // a python eval barrier, or a CartesianProduct (the unbounded
+    // all-pairs shape). BroadcastNestedLoopJoin is allowed ONLY for the
+    // intentional brute-force ANN baseline (one broadcast probe row
+    // against the corpus); every approximate tier must bucket-join.
+    val bnljAllowed = Set("q_ann_topk")
+    val offenders = scala.collection.mutable.Buffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      // candidate-scope bracket: dedup-tier queries materialize shared
+      // candidate sets eagerly at CONSTRUCTION; release them per query
+      // so the sweep doesn't accrete CacheManager entries
+      graft.operators.Dedup.withCandidateScope {
+        val plan = fn(spark, sf("sf0.01")).queryExecution.executedPlan.toString
+        if (plan.contains("ScalaUDF")) offenders += s"$name: ScalaUDF"
+        if (plan.contains("BatchEvalPython")) offenders += s"$name: python barrier"
+        if (plan.contains("CartesianProduct")) offenders += s"$name: cartesian"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          offenders += s"$name: unexpected nested-loop join"
+      }
+    }
+    assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
+  }
+
   test("filter queries push predicates into the parquet scan") {
     for (q <- Seq("q_filter_startswith", "q_filter_equals", "q_filter_contains")) {
       val plan = planOf(q)
