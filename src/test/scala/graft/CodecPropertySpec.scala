@@ -1,8 +1,9 @@
 package graft
 
-import graft.operators.{AudioCodec, ImageCodec}
+import graft.operators.{AudioCodec, ImageCodec, VideoCodec}
 import graft.operators.AudioCodec.DecodedAudio
 import graft.operators.ImageCodec.Decoded
+import graft.operators.VideoCodec.DecodedVideo
 
 import org.scalacheck.Gen
 import org.scalacheck.Prop.forAll
@@ -134,5 +135,70 @@ class CodecPropertySpec extends AnyFunSuite {
     }
     assert(check(params, forAll(mutated)(never)).passed, "mutation fuzz")
     assert(check(params, forAll(truncated)(never)).passed, "truncation fuzz")
+  }
+
+  // ---- video -----------------------------------------------------------
+
+  private val genVideo: Gen[DecodedVideo] = for {
+    cs444 <- Gen.oneOf(true, false)
+    // C420 needs even dims; generate even and optionally +1 under C444
+    w0 <- Gen.chooseNum(1, 8).map(_ * 2)
+    h0 <- Gen.chooseNum(1, 6).map(_ * 2)
+    odd <- Gen.oneOf(0, 1)
+    w = if (cs444) w0 + odd else w0
+    h = if (cs444) h0 + odd else h0
+    nFrames <- Gen.chooseNum(1, 8)
+    cSize = if (cs444) w * h else (w / 2) * (h / 2)
+    data <- Gen.listOfN(nFrames * (w * h + 2 * cSize),
+      Gen.chooseNum(0, 255).map(_.toByte))
+  } yield DecodedVideo(w, h, cs444, nFrames, data.toArray)
+
+  test("property: Y4M round-trip is lossless over both plane layouts") {
+    val prop = forAll(genVideo) { d =>
+      val back = VideoCodec.tryDecode(VideoCodec.encodeY4m(d))
+      back != null && back.width == d.width && back.height == d.height &&
+      back.cs444 == d.cs444 && back.nFrames == d.nFrames &&
+      back.data.toSeq == d.data.toSeq
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("property: frame sample yields exactly outFrames, each a source frame") {
+    val prop = forAll(genVideo, Gen.chooseNum(1, 12)) { (d, outFrames) =>
+      val fs = VideoCodec.tryDecode(
+        VideoCodec.frameSampleEncoded(VideoCodec.encodeY4m(d), outFrames))
+      val frames = d.data.grouped(d.frameBytes).map(_.toSeq).toSet
+      fs != null && fs.nFrames == outFrames && fs.width == d.width &&
+      fs.cs444 == d.cs444 &&
+      fs.data.grouped(fs.frameBytes).forall(f => frames.contains(f.toSeq))
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("fuzz: corrupt Y4M inputs null out, never throw") {
+    val mutated = for {
+      d <- genVideo
+      bytes = VideoCodec.encodeY4m(d)
+      i <- Gen.chooseNum(0, bytes.length - 1)
+      b <- Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt)
+    } yield { val m = bytes.clone(); m(i) = b.toByte; m }
+    val truncated = for {
+      d <- genVideo
+      bytes = VideoCodec.encodeY4m(d)
+      n <- Gen.chooseNum(0, bytes.length - 1)
+    } yield bytes.take(n)
+    val random = Gen.listOf(
+      Gen.chooseNum(Byte.MinValue.toInt, Byte.MaxValue.toInt).map(_.toByte))
+      .map(_.toArray)
+    val never = (bytes: Array[Byte]) => {
+      VideoCodec.tryDecode(bytes) // DecodedVideo or null — a throw fails
+      VideoCodec.frameSampleEncoded(bytes, 3)
+      VideoCodec.frameLumaSums(bytes)
+      VideoCodec.statsRow(bytes)
+      true
+    }
+    assert(check(params, forAll(mutated)(never)).passed, "mutation fuzz")
+    assert(check(params, forAll(truncated)(never)).passed, "truncation fuzz")
+    assert(check(params, forAll(random)(never)).passed, "random-bytes fuzz")
   }
 }
