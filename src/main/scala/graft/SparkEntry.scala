@@ -566,6 +566,43 @@ object SparkEntry {
     "q_token_count_bpe" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         text.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // REAL trained-BPE tokenization through the oracle gate: the
+    // built-in model (48 merges, fixed seed corpus) applied per doc as
+    // a codegen'd projection; the oracle replays the ENTIRE merge
+    // table as a generated chain of SQL replace() calls on the same
+    // Sep-wrapped symbol representation (see Bpe's module doc), so a
+    // merge-order, boundary, or pretokenizer bug flips the row.
+    // Oracle parity assumes BMP text (Java UTF-16 units == SQL chars);
+    // this corpus is ASCII.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      t(s, dir, "documents")
+        .select(col("doc_id"), Bridge.column(graft.functions.BpeStatsExpr(
+          Bridge.expression(col("text")), graft.functions.Bpe.default)).as("st"))
+        .select(col("doc_id"), col("st.n_tokens").as("n_tokens"),
+          col("st.sum_chars").as("sum_chars"),
+          col("st.max_chars").as("max_chars"))
+    }),
+
+    // BPE trained on the query's own corpus (bounded content-hash
+    // sample, driver-side — the one intentional collect; apply stays
+    // distributed). Merges are data-dependent so the oracle can't
+    // replay them; it checks the model-free invariants instead —
+    // tokens exactly tile each word's chars (sum_chars == non-ws
+    // length) and pretokenizer parity (n_words). Exact merge
+    // semantics are pinned by q_bpe_tokenize + BpeSpec.
+    "q_bpe_train_apply" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.Bpe.trainOnSample(docs, "text", 48, 256)
+      docs.select(col("doc_id"),
+        text.tokenCount(col("text")).as("n_words"),
+        Bridge.column(graft.functions.BpeStatsExpr(
+          Bridge.expression(col("text")), model)).as("st"))
+        .select(col("doc_id"), col("n_words"),
+          col("st.sum_chars").as("sum_chars"))
+    }),
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         round(text.alphaRatio(col("text")), 6).as("alpha_ratio"),
@@ -1532,6 +1569,34 @@ object SparkEntry {
       "SELECT doc_id, CAST(len(regexp_extract_all(text, " +
       "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS INT) AS n_bpe_tokens " +
       "FROM documents"),
+    // the full trained merge table replayed as a generated replace()
+    // chain on the Sep-wrapped symbol representation (generated from
+    // Bpe.default, same pattern as langIdSql: the oracle is DERIVED
+    // from the kernel's static model, then executed independently)
+    "q_bpe_tokenize" -> (
+      "WITH wd AS (SELECT doc_id, w FROM documents, LATERAL (" +
+      "  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w) " +
+      "  WHERE len(w) > 0), " +
+      "tk AS (SELECT doc_id, unnest(string_split(trim(" +
+      graft.functions.Bpe.mergeChainSql(graft.functions.Bpe.default, "w") +
+      ", chr(31)), chr(31) || chr(31))) AS tok FROM wd), " +
+      "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "  CAST(sum(length(tok)) AS BIGINT) AS sum_chars, " +
+      "  CAST(max(length(tok)) AS INT) AS max_chars FROM tk GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+      "CAST(COALESCE(a.sum_chars, 0) AS BIGINT) AS sum_chars, " +
+      "CAST(COALESCE(a.max_chars, 0) AS INT) AS max_chars " +
+      "FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id"),
+
+    // model-free invariants of ANY correct BPE apply: tokens tile the
+    // word chars; the word count matches the shared pretokenizer
+    "q_bpe_train_apply" -> (
+      "SELECT doc_id, " +
+      "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_words, " +
+      "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS sum_chars " +
+      "FROM documents"),
+
     "q_lang_id" -> langIdSql,
 
     // ---- dedup family --------------------------------------------------

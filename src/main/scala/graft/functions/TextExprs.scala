@@ -237,3 +237,27 @@ case class RollingFingerprintExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
     copy(child = newChild)
 }
+
+/** Trained-BPE tokenization stats ([[Bpe]]): string ->
+  * struct(n_tokens, sum_chars, max_chars) under the model's merge
+  * table. The model ships with the plan as a codegen reference object
+  * — one tokenizer instance per generated class, no executor-side
+  * registry or per-row setup. */
+case class BpeStatsExpr(child: Expression, model: Bpe.Model)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType), StructField("sum_chars", LongType),
+    StructField("max_chars", IntegerType)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_stats"
+  override def nullSafeEval(input: Any): Any =
+    Bpe.statsRow(model, input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeModel", model, "Object")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.statsRowUtf8($mRef, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeStatsExpr =
+    copy(child = newChild)
+}
