@@ -49,6 +49,22 @@ object Bpe {
   final case class Model(merges: Array[(String, String)]) extends Serializable {
     /** The merged symbol for rank i. */
     def symbol(i: Int): String = merges(i)._1 + merges(i)._2
+
+    /** Word-level tokenization memo, the standard production-tokenizer
+      * optimization: corpora are Zipf-distributed, so a small cache
+      * absorbs most of the replace-chain work. Per-THREAD because one
+      * plan-shipped Model instance is shared by every task of a stage
+      * in an executor; bounded LRU so a high-cardinality corpus (hashes,
+      * ids) cannot grow it without limit. @transient: rebuilt empty on
+      * each executor after deserialization. */
+    @transient private[functions] lazy val memo:
+        ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] =
+      ThreadLocal.withInitial(() =>
+        new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+          override protected def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[String]]): Boolean =
+            size() > 16384
+        })
   }
 
   // ---- training --------------------------------------------------------
@@ -153,10 +169,23 @@ object Bpe {
     * chars, max token chars). sum_chars always equals the document's
     * non-whitespace printable char count — tokens tile words — which
     * is the model-free invariant the data-trained oracle row checks. */
+  /** [[encodeWord]] through the model's per-thread word memo — the hot
+    * path used by [[statsRow]]. */
+  def encodeWordCached(model: Model, word: String): Array[String] = {
+    val m = model.memo.get()
+    val hit = m.get(word)
+    if (hit != null) hit
+    else {
+      val toks = encodeWord(model, word)
+      m.put(word, toks)
+      toks
+    }
+  }
+
   def statsRow(model: Model, text: String): GenericInternalRow = {
     var n = 0L; var sum = 0L; var max = 0
     pretokenize(text).foreach { w =>
-      val toks = encodeWord(model, w)
+      val toks = encodeWordCached(model, w)
       n += toks.length
       var i = 0
       while (i < toks.length) {
