@@ -116,6 +116,35 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("tokenizer accounting is batch/stream unified: BpeStatsExpr on a stream") {
+    // token accounting at ingest (per-arriving-file token budgets)
+    // must equal the batch recount: the trained model is a pure
+    // plan-shipped object, so the SAME projection runs both ways
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream6").toString
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    def tokenStats(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id",
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.BpeStatsExpr(
+            org.apache.spark.sql.graftbridge.Bridge.expression($"text"),
+            graft.functions.Bpe.default)).as("st"))
+        .select($"doc_id", $"st.n_tokens", $"st.sum_chars")
+
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val q = tokenStats(stream).writeStream.outputMode("append")
+      .format("memory").queryName("stream_bpe")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_bpe").collect().map(_.toSeq).toSet
+    val batch = tokenStats(docs).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming latest-per-key state matches batch CdcMerge.latestPerKey") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     val ev = spark.read.parquet(sf() + "/events.parquet")
