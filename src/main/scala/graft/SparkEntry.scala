@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.config._
 import graft.fakegen.FakeGen
@@ -166,6 +167,32 @@ object SparkEntry {
           .withColumn(CdcMerge.OpColumn, lit("D"))
           .withColumn(CdcMerge.TsColumn, lit(9L)),
         "manual-backfill.parquet")
+    }
+
+  /** JSONL delivery fixture for q_jsonl_scan, derived DETERMINISTICALLY
+    * from the documents table so the DuckDB oracle can rebuild the
+    * expected parse from `documents` alone: docs with doc_id % 97 == 0
+    * become malformed lines (broken from the first byte, so PERMISSIVE
+    * parses NO partial fields — all-null payload + the raw line in the
+    * quarantine column); all others are `to_json` of (doc_id, source,
+    * text). Built once per (session, dir), pid-keyed, shutdown-cleaned
+    * like the DMS fixture. */
+  private def jsonlFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "jsonl_fixture") { baseDir =>
+      val base = new java.io.File(baseDir)
+      base.mkdirs()
+      val lines = t(s, dir, "documents")
+        .select(when(col("doc_id") % 97 === 0,
+            concat(lit("BROKEN {\"doc_id\": "), col("doc_id")))
+          .otherwise(to_json(struct(col("doc_id"), col("source"), col("text"))))
+          .as("value"))
+      val tmp = new java.io.File(base, ".tmp_jsonl")
+      lines.coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".txt")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(base, "delivery.jsonl").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
     }
 
   /** Persisted IVF index for q_ann_ivf_index: built ONCE per
@@ -871,6 +898,22 @@ object SparkEntry {
             Bridge.expression(Bridge.column(graft.operators.TestWavExpr(
               Bridge.expression(col("doc_id"))))), 3)))
             .as(Seq("win", "energy")))
+    }),
+
+    // JSONL source through the oracle gate: a deterministic delivery
+    // (JSON lines derived from documents, ~1% malformed) read via the
+    // schema'd PERMISSIVE path — clean rows must round-trip every
+    // field exactly (an escaping or schema bug flips the row) and
+    // malformed lines must quarantine as all-null payload + raw line,
+    // never fail the scan. The oracle rebuilds both populations from
+    // `documents` alone.
+    "q_jsonl_scan" -> ((s, dir) => {
+      val path = jsonlFixture(s, dir)
+      graft.sources.Jsonl.read(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType))))
+        .select(col("doc_id"), col("source"), col("text"),
+          col(graft.sources.Jsonl.CorruptColumn).as("quarantined"))
     }),
 
     // REAL video decode through the oracle gate: deterministic Y4M
@@ -1870,6 +1913,19 @@ object SparkEntry {
       "SELECT doc_id, CAST(win AS INT) AS win, " +
       "CAST(sum(abs(v)) AS BIGINT) AS energy " +
       "FROM ev GROUP BY doc_id, win"),
+
+    // JSONL replay: the fixture is a pure function of documents, so
+    // the oracle rebuilds both populations — clean rows carry the
+    // original values (round-trip fidelity), malformed ones the exact
+    // raw line in the quarantine column with an all-null payload
+    "q_jsonl_scan" -> (
+      "SELECT doc_id, source, text, CAST(NULL AS VARCHAR) AS quarantined " +
+      "FROM documents WHERE doc_id % 97 <> 0 " +
+      "UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), " +
+      "CAST(NULL AS VARCHAR), " +
+      "'BROKEN {\"doc_id\": ' || CAST(doc_id AS VARCHAR) " +
+      "FROM documents WHERE doc_id % 97 = 0"),
 
     // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
     // p*3 + i) mod 256 for i in [0, planeSize) — a plane-order,

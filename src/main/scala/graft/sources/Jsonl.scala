@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** JSONL (newline-delimited JSON) source — the ingest format most
+  * crawl / training-data deliveries arrive in. A thin, opinionated
+  * layer over `spark.read.json` that pins the three decisions that
+  * matter at corpus scale:
+  *
+  *   - an EXPLICIT schema, always: schema inference is a full extra
+  *     pass over the data (a second 100 TB scan) and infers
+  *     per-delivery types that drift batch to batch;
+  *   - PERMISSIVE mode with a dedicated corrupt-record column: a
+  *     crawl delivery always contains malformed lines, and a bad line
+  *     must become a quarantine ROW (routed, counted, inspectable),
+  *     never a failed 1000-executor stage;
+  *   - the corrupt column is appended here, not left to callers, so
+  *     every reader gets the same quarantine contract.
+  *
+  * The read is a streaming-friendly line scan: JSONL splits on line
+  * boundaries, so it parallelizes like text (no multiline JSON, which
+  * cannot split and serializes the file onto one task).
+  */
+object Jsonl {
+
+  /** The quarantine column: null for clean rows, the raw malformed
+    * line for corrupt ones. Spark caveat: a query whose referenced
+    * columns are ONLY this one is rejected over raw JSON
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — carry a
+    * payload column in the projection when counting quarantined rows,
+    * or cache the parsed frame first. */
+  val CorruptColumn = "_corrupt_record"
+
+  /** Read newline-delimited JSON at `path` with the given DATA schema
+    * (the corrupt column is appended internally — callers describe
+    * only their payload). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptColumn),
+      s"schema must not predeclare $CorruptColumn — it is appended here")
+    val full = StructType(schema.fields :+ StructField(CorruptColumn, StringType))
+    spark.read
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptColumn)
+      .json(path)
+  }
+}
