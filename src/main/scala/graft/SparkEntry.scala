@@ -752,6 +752,19 @@ object SparkEntry {
       graft.operators.Ivf.topK(emb, annQueries(emb),
         "vec_id", "embedding", k = 1, centroids, nprobe = 2)
     }),
+    // compressed-domain ANN: PQ codebook trained on the corpus (4
+    // subspaces x 8 codes, deterministic Lloyd), ADC scan over (id,
+    // codes) only, exact-cosine re-rank of the top-32 — the planted
+    // near-copy must surface as top-1 through quantized distances,
+    // so the brute-force oracle applies
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Pq.train(emb, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+      graft.operators.Pq.adcTopK(emb, annQueries(emb), "vec_id", "embedding",
+        k = 1, cb, rerank = 32)
+    }),
+
     // the PERSISTED-index serving path: build+write the inverted lists,
     // load them back, query with partition-pruned probing — the whole
     // save/load/query cycle under the driver's oracle (results must
@@ -1797,6 +1810,7 @@ object SparkEntry {
 
     // ---- similarity search ---------------------------------------------
     "q_ann_lsh" -> annTop1Sql,
+    "q_ann_pq" -> annTop1Sql,
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
     "q_ann_topk" -> (

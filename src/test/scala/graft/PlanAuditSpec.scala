@@ -16,9 +16,11 @@ class PlanAuditSpec extends SparkTestBase {
     // queries must plan without a ScalaUDF (kills whole-stage codegen),
     // a python eval barrier, or a CartesianProduct (the unbounded
     // all-pairs shape). BroadcastNestedLoopJoin is allowed ONLY for the
-    // intentional brute-force ANN baseline (one broadcast probe row
-    // against the corpus); every approximate tier must bucket-join.
-    val bnljAllowed = Set("q_ann_topk")
+    // two intentional linear-scan ANN tiers: the brute-force baseline
+    // and the PQ compressed-domain ADC scan (which is a deliberate
+    // full scan over m-byte codes, not raw vectors); every other
+    // approximate tier must bucket-join.
+    val bnljAllowed = Set("q_ann_topk", "q_ann_pq")
     val offenders = scala.collection.mutable.Buffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // candidate-scope bracket: dedup-tier queries materialize shared
