@@ -765,6 +765,19 @@ object SparkEntry {
         k = 1, cb, rerank = 32)
     }),
 
+    // the composed index: coarse-quantizer list pruning + compressed
+    // ADC scan within probed lists + exact re-rank (cluster equi-join,
+    // no linear scan at all) — both approximations under one oracle
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = graft.operators.Ivf.train(emb, "vec_id", "embedding",
+        nlist = 16, iters = 2)
+      val cb = graft.operators.Pq.train(emb, "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+      graft.operators.Pq.ivfAdcTopK(emb, annQueries(emb), "vec_id",
+        "embedding", k = 1, coarse, cb, nprobe = 2, rerank = 32)
+    }),
+
     // the PERSISTED-index serving path: build+write the inverted lists,
     // load them back, query with partition-pruned probing — the whole
     // save/load/query cycle under the driver's oracle (results must
@@ -1811,6 +1824,7 @@ object SparkEntry {
     // ---- similarity search ---------------------------------------------
     "q_ann_lsh" -> annTop1Sql,
     "q_ann_pq" -> annTop1Sql,
+    "q_ann_ivf_pq" -> annTop1Sql,
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
     "q_ann_topk" -> (

@@ -93,6 +93,48 @@ object Pq {
       element_at(lut, element_at(codes, s + 1) + lit(s * cb.k + 1))
     }.reduce(_ + _)
 
+  /** IVF-PQ: the canonical composed index (coarse quantizer prunes
+    * WHICH inverted lists a query scans; PQ compresses WHAT each
+    * scanned row costs). The list scan is a cluster equi-join carrying
+    * only (cluster, id, codes) — at 100 TB this is the shape that
+    * fits: nprobe/nlist of the corpus touched, 4*dim/m less memory per
+    * touched row, exact re-rank only on the survivors. Same output
+    * contract as every ANN tier. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, coarse: Array[Array[Float]],
+                 cb: PqTable, nprobe: Int = 2, rerank: Int = 32): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    val lists = corpus.select(col(idCol).as("corpus_id"),
+      Ivf.assign(col(vecCol), coarse).as("cluster"),
+      Bridge.column(PqEncodeExpr(
+        Bridge.expression(col(vecCol).cast("array<float>")), cb)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("lut", Bridge.column(PqLutExpr(
+        Bridge.expression(col("qv")), cb)))
+    val probed = q.select(col("query_id"), col("lut"),
+      explode(Ivf.probes(col("qv"), coarse, nprobe)).as("cluster"))
+    val scored = lists.join(broadcast(probed), Seq("cluster"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        adcScore(col("lut"), col("codes"), cb).as("adc"))
+    val cands = graft.plans.TopK.perKey(scored,
+      Seq("query_id"), Seq(("adc", true), ("corpus_id", true)), rerank)
+    rerankExact(corpus, idCol, vecCol, q, cands, k)
+  }
+
+  private def rerankExact(corpus: DataFrame, idCol: String, vecCol: String,
+                          q: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    val withVecs = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<float>").as("cv"))
+      .join(broadcast(cands.select(col("query_id"), col("corpus_id"))),
+        Seq("corpus_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+    Similarity.selectAndRank(
+      withVecs.withColumn("cos", graft.functions.vectors.cosine(col("qv"), col("cv"))),
+      k)
+  }
+
   /** ANN top-k through the compressed domain: ADC-score every corpus
     * code against each broadcast query's lookup table, keep the
     * `rerank` best by approximate distance (two-phase top-k — no
@@ -119,13 +161,6 @@ object Pq {
       Seq("query_id"), Seq(("adc", true), ("corpus_id", true)), rerank)
     // re-rank: few candidates -> broadcast them INTO the corpus join,
     // attach raw vectors, exact cosine through the shared ANN ranking
-    val withVecs = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<float>").as("cv"))
-      .join(broadcast(cands.select(col("query_id"), col("corpus_id"))),
-        Seq("corpus_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
-    Similarity.selectAndRank(
-      withVecs.withColumn("cos", graft.functions.vectors.cosine(col("qv"), col("cv"))),
-      k)
+    rerankExact(corpus, idCol, vecCol, q, cands, k)
   }
 }
