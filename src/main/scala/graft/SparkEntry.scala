@@ -623,8 +623,16 @@ object SparkEntry {
       import org.apache.spark.sql.graftbridge.Bridge
       val docs = t(s, dir, "documents")
       val model = graft.functions.Bpe.trainOnSample(docs, "text", 48, 256)
+      // n_words = Bpe.pretokenize's word count (strip non-ws controls,
+      // split on the explicit Java-\s class) — spelled as the same
+      // expression shape the oracle uses so parity holds on ANY input
+      // (text.tokenCount would diverge on isolated control chars)
+      val words = filter(
+        split(regexp_replace(col("text"), "[\\x00-\\x08\\x0E-\\x1F]+", ""),
+          "[\\x09-\\x0D ]+"),
+        w => length(w) > 0)
       docs.select(col("doc_id"),
-        text.tokenCount(col("text")).as("n_words"),
+        size(words).as("n_words"),
         Bridge.column(graft.functions.BpeStatsExpr(
           Bridge.expression(col("text")), model)).as("st"))
         .select(col("doc_id"), col("n_words"),
@@ -1642,9 +1650,14 @@ object SparkEntry {
     // chain on the Sep-wrapped symbol representation (generated from
     // Bpe.default, same pattern as langIdSql: the oracle is DERIVED
     // from the kernel's static model, then executed independently)
+    // word boundary spelled EXPLICITLY ([\x09-\x0D ]+ after stripping
+    // non-ws controls) — RE2's \s excludes \x0B while the kernel's
+    // Java \s includes it, so '\s+' here would diverge on vertical
+    // tabs; this replays Bpe.pretokenize exactly (see its doc)
     "q_bpe_tokenize" -> (
       "WITH wd AS (SELECT doc_id, w FROM documents, LATERAL (" +
-      "  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w) " +
+      "  SELECT unnest(regexp_split_to_array(regexp_replace(text, " +
+      "'[\\x00-\\x08\\x0e-\\x1f]+', '', 'g'), '[\\x09-\\x0d ]+')) AS w) " +
       "  WHERE len(w) > 0), " +
       "tk AS (SELECT doc_id, unnest(string_split(trim(" +
       graft.functions.Bpe.mergeChainSql(graft.functions.Bpe.default, "w") +
@@ -1659,12 +1672,16 @@ object SparkEntry {
 
     // model-free invariants of ANY correct BPE apply: tokens tile the
     // word chars; the word count matches the shared pretokenizer
+    // (same explicit separator class as q_bpe_tokenize — RE2 \s has
+    // no \x0B; stripped set for sum_chars = controls + space, exactly
+    // the chars pretokenize never lets into a word)
     "q_bpe_train_apply" -> (
       "SELECT doc_id, " +
-      "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-      "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_words, " +
-      "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS sum_chars " +
-      "FROM documents"),
+      "CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, " +
+      "'[\\x00-\\x08\\x0e-\\x1f]+', '', 'g'), '[\\x09-\\x0d ]+'), " +
+      "x -> len(x) > 0)) AS INT) AS n_words, " +
+      "CAST(length(regexp_replace(text, '[\\x00-\\x1f ]', '', 'g')) AS BIGINT) " +
+      "AS sum_chars FROM documents"),
 
     "q_lang_id" -> langIdSql,
 

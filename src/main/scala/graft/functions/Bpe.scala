@@ -45,10 +45,25 @@ object Bpe {
   final val Sep: Char = 31.toChar
 
   /** An ordered merge table; rank = position. Vocabulary is implicit
-    * (all single chars plus one entry per merge). */
+    * (all single chars plus one entry per merge).
+    *
+    * Deep equality over the merges array (a case class over Array
+    * would compare by array IDENTITY): Catalyst canonicalization /
+    * semanticEquals on an expression embedding a Model must see two
+    * structurally identical models as equal, or subexpression
+    * elimination and exchange reuse silently stop firing — same
+    * reason [[PqTable]] implements deep equals. */
   final case class Model(merges: Array[(String, String)]) extends Serializable {
     /** The merged symbol for rank i. */
     def symbol(i: Int): String = merges(i)._1 + merges(i)._2
+
+    override def equals(o: Any): Boolean = o match {
+      case m: Model => merges.sameElements(m.merges)
+      case _ => false
+    }
+    override def hashCode: Int =
+      scala.util.hashing.MurmurHash3.seqHash(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(merges))
 
     /** Word-level tokenization memo, the standard production-tokenizer
       * optimization: corpora are Zipf-distributed, so a small cache
@@ -138,14 +153,19 @@ object Bpe {
 
   /** Whitespace pre-tokenizer. Non-whitespace control chars (incl. the
     * delimiter) are stripped so in-band bytes cannot forge token
-    * boundaries; whitespace controls (\t \n \f \r) stay — they are
-    * word separators for the \s+ split, same class the oracle's regex
-    * uses. */
+    * boundaries; whitespace controls (\t \n \\u000B \f \r) stay — they
+    * are word separators for the \s+ split (Java's \s = [ \t\n\x0B\f\r]
+    * exactly). The oracle CANNOT use RE2's \s for parity — RE2's class
+    * excludes \x0B — so the generated SQL spells the separator class
+    * explicitly ([\x09-\x0D ]) and replays the control-strip with a
+    * regexp_replace; both steps in the same order as here. That makes
+    * the word boundary exact cross-engine for ANY input, not just
+    * control-free corpora. */
   def pretokenize(text: String): Array[String] = {
     if (text == null) return Array.empty
     val cleaned = text.filter(c =>
-      c >= ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r')
-    cleaned.trim.split("\\s+").filter(_.nonEmpty)
+      c >= ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r')
+    cleaned.split("\\s+").filter(_.nonEmpty)
   }
 
   /** Tokenize one word: Sep-wrapped symbol form, merges replayed in

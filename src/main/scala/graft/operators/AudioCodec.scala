@@ -183,6 +183,9 @@ object AudioCodec {
   def resampleEncoded(bytes: Array[Byte], outFrames: Int): Array[Byte] = {
     val d = tryDecode(bytes)
     if (d == null) return null
+    // a zero-frame clip is a VALID wav (empty data chunk) but has no
+    // source frame to map output frames onto — null, not an index crash
+    if (d.nFrames == 0 && outFrames > 0) return null
     val out = new Array[Int](outFrames * d.channels)
     var k = 0
     while (k < outFrames) {

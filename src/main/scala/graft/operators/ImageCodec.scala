@@ -243,7 +243,10 @@ object ImageCodec {
     if (img == null) throw new IllegalArgumentException("undecodable PNG")
     val w = img.getWidth; val h = img.getHeight
     val cm = img.getColorModel
-    if (cm.hasAlpha || cm.getComponentSize.exists(_ > 8))
+    // exact 8-bit samples only: raster.getSample returns RAW unscaled
+    // values, so a 1-bit PNG would yield {0,1} instead of {0,255} —
+    // plausible-wrong stats. Sub-8-bit takes the null path like >8-bit.
+    if (cm.hasAlpha || cm.getComponentSize.exists(_ != 8))
       throw new IllegalArgumentException("unsupported PNG variant")
     if (cm.getNumComponents == 1) {
       val n = checkedPixelCount(w, h, 1)

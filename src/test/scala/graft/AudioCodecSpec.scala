@@ -185,4 +185,19 @@ class AudioCodecSpec extends SparkTestBase {
       case None    => spark.conf.unset("spark.sql.codegen.fallback")
     }
   }
+  test("zero-frame WAV: valid decode, resample takes the null path") {
+    // an empty data chunk is a VALID wav (dataLen=0 divides frameBytes);
+    // resampling it has no source frame to map, so the expression must
+    // yield NULL, not an index crash that kills the stage
+    val empty = AudioCodec.encodeWav(DecodedAudio(8000, 1, 16, 0, Array.empty))
+    val d = AudioCodec.tryDecode(empty)
+    assert(d != null && d.nFrames == 0 && d.samples.isEmpty)
+    assert(AudioCodec.resampleEncoded(empty, 4) == null)
+    assert(AudioCodec.windowEnergies(empty, 2).isEmpty)
+    val viaExpr = Seq(empty).toDF("b")
+      .select(Bridge.column(AudioResampleExpr(
+        Bridge.expression(col("b")), 4)).as("r"))
+      .collect()
+    assert(viaExpr.head.isNullAt(0))
+  }
 }

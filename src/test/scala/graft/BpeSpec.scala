@@ -105,4 +105,30 @@ class BpeSpec extends SparkTestBase {
         s"expression diverged from kernel at doc $id")
     }
   }
+  test("Model equality is structural (Catalyst canonicalization contract)") {
+    val a = Bpe.Model(Array(("a", "b"), ("ab", "c")))
+    val b = Bpe.Model(Array(("a", "b"), ("ab", "c")))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a != Bpe.Model(Array(("a", "b"))))
+    // expressions embedding structurally equal models are semantically
+    // equal => subexpression elimination / exchange reuse can fire
+    // (plain Literal children: a Column-derived child wraps an Origin
+    // with stack traces and never compares equal, masking the model)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e1 = BpeStatsExpr(Literal("x"), a)
+    val e2 = BpeStatsExpr(Literal("x"), b)
+    assert(e1.semanticEquals(e2))
+    assert(!e1.semanticEquals(BpeStatsExpr(Literal("x"),
+      Bpe.Model(Array(("a", "c"))))))
+  }
+
+  test("vertical tab separates words; other controls are stripped in-word") {
+    // \u000B is whitespace in Java's \s but NOT in RE2's — the oracle
+    // spells the class explicitly, and this pins the kernel side
+    assert(Bpe.pretokenize("a\u000bb").toSeq == Seq("a", "b"))
+    assert(Bpe.pretokenize("a\u0001b").toSeq == Seq("ab"))
+    assert(Bpe.pretokenize("a \u0001 b").toSeq == Seq("a", "b"))
+    assert(Bpe.pretokenize("\u000b\u000bx\u000b").toSeq == Seq("x"))
+    assert(Bpe.pretokenize("  padded  ").toSeq == Seq("padded"))
+  }
 }

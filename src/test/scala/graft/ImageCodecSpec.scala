@@ -187,4 +187,39 @@ class ImageCodecSpec extends SparkTestBase {
     val dec = ImageCodec.tryDecode(rz(0).getAs[Array[Byte]]("content"))
     assert(dec.width == 2 && dec.height == 3)
   }
+  test("sub-8-bit gray PNG: values scale exactly, never raw {0,1} samples") {
+    // a hand-built bit-depth-1 GRAYSCALE png (colour type 0). The JDK
+    // reader represents it with an IndexColorModel (3 components of 8
+    // bits), so decode runs the palette/getRGB path and yields exactly
+    // scaled {0,255} values — NOT the raw raster samples {0,1}, which
+    // would be plausible-wrong stats. The 1-component raster branch is
+    // additionally guarded to 8-bit samples (componentSize != 8 nulls
+    // out) in case a reader ever hands back a sub-8-bit gray raster.
+    import java.util.zip.{CRC32, Deflater}
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val len = data.length
+      out.write(Array[Byte]((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(Array[Byte]((c >>> 24).toByte, (c >>> 16).toByte,
+        (c >>> 8).toByte, c.toByte))
+      out.toByteArray
+    }
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    val ihdr = Array[Byte](0, 0, 0, 2, 0, 0, 0, 2, 1, 0, 0, 0, 0) // 2x2 depth1 gray
+    val raw = Array[Byte](0, 0x80.toByte, 0, 0x40) // per row: filter0 + packed bits
+    val defl = new Deflater(); defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](64); val n = defl.deflate(buf)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.empty)
+    val d = ImageCodec.tryDecode(png)
+    assert(d != null && d.width == 2 && d.height == 2 && d.channels == 3)
+    // bits (0,0)=1,(1,0)=0,(0,1)=0,(1,1)=1 => white/black/black/white
+    val px = d.pixels.map(_ & 0xff).toSeq
+    assert(px == Seq(255, 255, 255, 0, 0, 0, 0, 0, 0, 255, 255, 255), px)
+  }
 }
