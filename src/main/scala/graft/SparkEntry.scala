@@ -120,6 +120,51 @@ object SparkEntry {
     }
   }
 
+  /** Driver-side trained-model memo: IVF coarse centroids and PQ
+    * codebooks are once-per-corpus artifacts in real serving (you train
+    * a quantizer, then answer queries against it), so repeated query
+    * construction over the same (session, sf dir, params) must not
+    * re-run the distributed Lloyd passes. Same shape as [[FixtureDirs]]
+    * (bounded LRU, session-keyed so stopped sessions age out, build
+    * under the monitor — training twice concurrently would be wasted
+    * cluster work, and both trainings are deterministic so serializing
+    * loses nothing). Values are small driver objects (nlist x dim
+    * centroids / m x k x subDim codebooks), not DataFrames. */
+  private object ModelMemo {
+    private val cache =
+      new java.util.LinkedHashMap[(SparkSession, String), AnyRef](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), AnyRef]): Boolean =
+          size() > 32
+      }
+    def getOrTrain[T <: AnyRef](s: SparkSession, key: String)(train: => T): T =
+      cache.synchronized {
+        val hit = cache.get((s, key))
+        if (hit != null) hit.asInstanceOf[T]
+        else {
+          val m = train
+          cache.put((s, key), m)
+          m
+        }
+      }
+  }
+
+  /** IVF coarse centroids for the sf dir's embeddings table (16 lists,
+    * 2 Lloyd iters — the ANN tier's shared coarse quantizer). */
+  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String): Array[Array[Float]] =
+    ModelMemo.getOrTrain(s, s"ivf:16:2:$dir") {
+      graft.operators.Ivf.train(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 16, iters = 2)
+    }
+
+  /** PQ codebook for the sf dir's embeddings table (4 subspaces x 8
+    * codes, 2 Lloyd iters — shared by the flat-ADC and IVF-PQ tiers). */
+  private[graft] def pqCodebookFor(s: SparkSession, dir: String): graft.functions.PqTable =
+    ModelMemo.getOrTrain(s, s"pq:4:8:2:$dir") {
+      graft.operators.Pq.train(t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 8, iters = 2)
+    }
+
   /** DMS-shaped fixture layout for the q_cdc_* listing-mode rows,
     * derived DETERMINISTICALLY from the orders table so the DuckDB
     * oracle can rebuild the same delta content from `orders` alone.
@@ -755,10 +800,8 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.operators.Ivf.train(emb, "vec_id", "embedding",
-        nlist = 16, iters = 2)
       graft.operators.Ivf.topK(emb, annQueries(emb),
-        "vec_id", "embedding", k = 1, centroids, nprobe = 2)
+        "vec_id", "embedding", k = 1, ivfCentroidsFor(s, dir), nprobe = 2)
     }),
     // compressed-domain ANN: PQ codebook trained on the corpus (4
     // subspaces x 8 codes, deterministic Lloyd), ADC scan over (id,
@@ -767,10 +810,8 @@ object SparkEntry {
     // so the brute-force oracle applies
     "q_ann_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cb = graft.operators.Pq.train(emb, "vec_id", "embedding",
-        m = 4, k = 8, iters = 2)
       graft.operators.Pq.adcTopK(emb, annQueries(emb), "vec_id", "embedding",
-        k = 1, cb, rerank = 32)
+        k = 1, pqCodebookFor(s, dir), rerank = 32)
     }),
 
     // the composed index: coarse-quantizer list pruning + compressed
@@ -778,12 +819,9 @@ object SparkEntry {
     // no linear scan at all) — both approximations under one oracle
     "q_ann_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val coarse = graft.operators.Ivf.train(emb, "vec_id", "embedding",
-        nlist = 16, iters = 2)
-      val cb = graft.operators.Pq.train(emb, "vec_id", "embedding",
-        m = 4, k = 8, iters = 2)
       graft.operators.Pq.ivfAdcTopK(emb, annQueries(emb), "vec_id",
-        "embedding", k = 1, coarse, cb, nprobe = 2, rerank = 32)
+        "embedding", k = 1, ivfCentroidsFor(s, dir), pqCodebookFor(s, dir),
+        nprobe = 2, rerank = 32)
     }),
 
     // the PERSISTED-index serving path: build+write the inverted lists,
@@ -1139,8 +1177,12 @@ object SparkEntry {
     // TextDedupSpec)
     "q_semantic_dedup" -> ((s, dir) => {
       val aug = plantedEmbeddings(s, dir)
-      val centroids = graft.operators.Ivf.train(aug, "vec_id", "embedding",
-        nlist = 16, iters = 2)
+      // distinct memo key: trained on the PLANTED corpus, not the raw
+      // embeddings table the shared ANN quantizers are fit on
+      val centroids = ModelMemo.getOrTrain(s, s"ivf_planted:16:2:$dir") {
+        graft.operators.Ivf.train(aug, "vec_id", "embedding",
+          nlist = 16, iters = 2)
+      }
       Dedup.semanticDedup(aug, "vec_id", "embedding", centroids,
         threshold = 0.7).select(col("vec_id"))
     })

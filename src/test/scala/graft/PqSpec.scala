@@ -74,4 +74,26 @@ class PqSpec extends SparkTestBase {
     val plan = pq.queryExecution.executedPlan.toString
     assert(plan.contains("pq_encode"), plan)
   }
+  test("trained-model memo: second codebook/centroid fetch launches zero jobs") {
+    val dir = sf("sf0.001")
+    // warm (may train: 2 Lloyd passes each)
+    val cb1 = graft.SparkEntry.pqCodebookFor(spark, dir)
+    val cen1 = graft.SparkEntry.ivfCentroidsFor(spark, dir)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val cb2 = graft.SparkEntry.pqCodebookFor(spark, dir)
+      val cen2 = graft.SparkEntry.ivfCentroidsFor(spark, dir)
+      // same driver object, not a retrained equal one
+      assert(cb2 eq cb1)
+      assert(cen2 eq cen1)
+      Thread.sleep(300) // listener bus is async; let any event land
+      assert(jobs == 0, s"memoized fetch launched $jobs Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
