@@ -252,6 +252,16 @@ object SparkEntry {
         "embedding", p, nlist = 16, iters = 2)
     }
 
+  /** Persisted IVF-PQ index for q_ann_ivfpq_index: same build-once
+    * contract as [[ivfIndexDir]], reusing the memoized quantizers
+    * (train once, build once, serve many — the full serving cycle the
+    * oracle then checks end to end). */
+  private def ivfPqIndexDir(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "ivfpq_index") { p =>
+      graft.operators.IvfPqIndex.build(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, ivfCentroidsFor(s, dir), pqCodebookFor(s, dir))
+    }
+
   /** Shape of every fakegen safe email (FakeGen.email): first.last with
     * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used
     * by the faker shape-invariant queries below. */
@@ -832,6 +842,17 @@ object SparkEntry {
       val idx = graft.operators.IvfIndex.load(s, ivfIndexDir(s, dir))
       graft.operators.IvfIndex.topK(idx, annQueries(t(s, dir, "embeddings")),
         "vec_id", "embedding", k = 1, nprobe = 2)
+    }),
+
+    // the SERVING composition: persisted inverted lists carrying PQ
+    // codes, both quantizers loaded from index metadata — probe prunes
+    // directories, ADC scans stored codes (vec pages unread), exact
+    // re-rank from the same pruned lists. Build+write+load+query all
+    // under the brute-force oracle.
+    "q_ann_ivfpq_index" -> ((s, dir) => {
+      val idx = graft.operators.IvfPqIndex.load(s, ivfPqIndexDir(s, dir))
+      graft.operators.IvfPqIndex.topK(idx, annQueries(t(s, dir, "embeddings")),
+        "vec_id", "embedding", k = 1, nprobe = 2, rerank = 32)
     }),
 
     // ---- training-data pipeline: multimodal plumbing ------------------
@@ -1886,6 +1907,7 @@ object SparkEntry {
     "q_ann_ivf_pq" -> annTop1Sql,
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
+    "q_ann_ivfpq_index" -> annTop1Sql,
     "q_ann_topk" -> (
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
       "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +

@@ -88,7 +88,9 @@ object Pq {
       Bridge.column(PqEncodeExpr(
         Bridge.expression(col(vecCol).cast("array<float>")), cb)).as("codes"))
 
-  private def adcScore(lut: Column, codes: Column, cb: PqTable): Column =
+  /** ADC accumulation over a stored LUT: m adds per row. Shared with
+    * [[IvfPqIndex]], which scores PERSISTED codes. */
+  private[operators] def adcScore(lut: Column, codes: Column, cb: PqTable): Column =
     (0 until cb.m).map { s =>
       element_at(lut, element_at(codes, s + 1) + lit(s * cb.k + 1))
     }.reduce(_ + _)
@@ -123,8 +125,12 @@ object Pq {
     rerankExact(corpus, idCol, vecCol, q, cands, k)
   }
 
-  private def rerankExact(corpus: DataFrame, idCol: String, vecCol: String,
-                          q: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+  /** Exact-cosine re-rank of bounded candidates: broadcast them INTO
+    * the vector source, attach raw vectors, rank through the shared ANN
+    * contract. `q` must be one row per query_id. Shared with
+    * [[IvfPqIndex]]. */
+  private[operators] def rerankExact(corpus: DataFrame, idCol: String, vecCol: String,
+                                     q: DataFrame, cands: DataFrame, k: Int): DataFrame = {
     val withVecs = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<float>").as("cv"))
       .join(broadcast(cands.select(col("query_id"), col("corpus_id"))),
