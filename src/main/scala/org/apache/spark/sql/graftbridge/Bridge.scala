@@ -83,7 +83,15 @@ object Bridge {
     df.unpersist(blocking = false)
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+        val rdd = lr.rdd
+        // NOT rdd.unpersist(): for a locally checkpointed RDD that
+        // method WARNs (rightly, for general callers) that the data is
+        // unrecoverable afterwards — but scope-exit release runs by
+        // contract AFTER the terminal action, so on this path the
+        // warning is pure noise, flooding every Verify/Bench log. The
+        // context-level release frees the same blocks and clears the
+        // persistentRdds bookkeeping without the per-RDD warning.
+        rdd.sparkContext.unpersistRDD(rdd.id, blocking = false)
       case _ => ()
     }
   }

@@ -92,7 +92,7 @@ class PqSpec extends SparkTestBase {
       // same driver object, not a retrained equal one
       assert(cb2 eq cb1)
       assert(cen2 eq cen1)
-      Thread.sleep(300) // listener bus is async; let any event land
+      Bridge.flushListenerBus(spark.sparkContext) // deterministic drain
       assert(jobs == 0, s"memoized fetch launched $jobs Spark jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
