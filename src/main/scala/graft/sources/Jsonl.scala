@@ -28,21 +28,38 @@ object Jsonl {
     * line for corrupt ones. Spark caveat: a query whose referenced
     * columns are ONLY this one is rejected over raw JSON
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — carry a
-    * payload column in the projection when counting quarantined rows,
-    * or cache the parsed frame first. */
+    * payload column in the projection AND genuinely read it (column
+    * pruning strips a merely-carried column under a bare count() and
+    * re-triggers the error: aggregate over the payload, or collect
+    * both), or cache the parsed frame first. Both escapes and the
+    * caveat itself are pinned in JsonlSpec. */
   val CorruptColumn = "_corrupt_record"
+
+  private def fullSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains(CorruptColumn),
+      s"schema must not predeclare $CorruptColumn — it is appended here")
+    StructType(schema.fields :+ StructField(CorruptColumn, StringType))
+  }
 
   /** Read newline-delimited JSON at `path` with the given DATA schema
     * (the corrupt column is appended internally — callers describe
     * only their payload). */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    require(!schema.fieldNames.contains(CorruptColumn),
-      s"schema must not predeclare $CorruptColumn — it is appended here")
-    val full = StructType(schema.fields :+ StructField(CorruptColumn, StringType))
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
-      .schema(full)
+      .schema(fullSchema(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptColumn)
       .json(path)
-  }
+
+  /** The same contract as a STREAM: a drop directory of JSONL
+    * deliveries consumed incrementally, each malformed line a
+    * quarantine row in the same batch that read it — identical schema,
+    * mode, and corrupt column as [[read]], so batch backfill and
+    * streaming ingest agree row for row (parity pinned in JsonlSpec). */
+  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream
+      .schema(fullSchema(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptColumn)
+      .json(path)
 }

@@ -71,4 +71,53 @@ class JsonlSpec extends SparkTestBase {
       .as[(Long, Long)].head()
     assert(bad == 5 && cleanIds == 45)
   }
+  test("corrupt-only queries: rejected raw (the documented caveat), both escapes work") {
+    val path = writeLines((1 to 20).map { i =>
+      if (i % 4 == 0) s"junk $i" else s"""{"id": $i, "t": "d$i"}"""
+    })
+    val df = Jsonl.read(spark, path, schema)
+    // the caveat itself: a query whose pruned scan schema is ONLY the
+    // corrupt column is refused by Spark over raw JSON
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(col(Jsonl.CorruptColumn))
+        .filter(col(Jsonl.CorruptColumn).isNotNull).count()
+    }
+    assert(e.getMessage.toLowerCase.contains("corrupt"), e.getMessage)
+    // escape 1 (the doc's first pattern): carry a payload column —
+    // and genuinely READ it: under a bare count() column pruning
+    // strips the carried column again and re-triggers the error
+    // (that subtlety is why the caveat is documented at all)
+    val viaPayload = df.select($"id", col(Jsonl.CorruptColumn))
+      .filter(col(Jsonl.CorruptColumn).isNotNull).collect().length
+    assert(viaPayload == 5)
+    // escape 2 (the doc's second pattern): cache the parsed frame —
+    // the corrupt-only query then reads the cache, not the raw scan
+    df.cache()
+    try {
+      val viaCache = df.select(col(Jsonl.CorruptColumn))
+        .filter(col(Jsonl.CorruptColumn).isNotNull).count()
+      assert(viaCache == 5)
+    } finally { df.unpersist(blocking = true); () }
+  }
+
+  test("batch and stream reads agree row for row on the same delivery") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = writeLines(Seq(
+      """{"id": 1, "t": "alpha"}""",
+      """not json at all""",
+      """{"id": 2, "t": "beta"}""",
+      """{"id": 3""",
+      """{"id": 4, "t": null}"""))
+    val select = Seq($"id", $"t", col(Jsonl.CorruptColumn))
+    val batch = Jsonl.read(spark, path, schema).select(select: _*)
+      .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    val q = Jsonl.readStream(spark, path, schema).select(select: _*)
+      .writeStream.format("memory").queryName("jsonl_parity")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("jsonl_parity")
+      .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    assert(streamed == batch, s"stream diverged from batch:\n$streamed\nvs\n$batch")
+    assert(batch.count(_._3.isDefined) == 2, "fixture must carry quarantine rows")
+  }
 }
