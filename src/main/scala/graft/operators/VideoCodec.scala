@@ -166,6 +166,10 @@ object VideoCodec {
     * undecodable input. */
   def frameSampleEncoded(bytes: Array[Byte], outFrames: Int): Array[Byte] = {
     val d = tryDecode(bytes)
+    // a header-only stream decodes to null ("no frames" is rejected in
+    // decodeY4m), so unlike AudioCodec.resampleEncoded — where a
+    // zero-frame WAV is a VALID clip needing its own guard — the
+    // zero-source case cannot reach the copy loop here
     if (d == null) return null
     val fb = d.frameBytes
     val out = new Array[Byte](outFrames * fb)

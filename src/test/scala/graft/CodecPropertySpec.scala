@@ -201,4 +201,48 @@ class CodecPropertySpec extends AnyFunSuite {
     assert(check(params, forAll(truncated)(never)).passed, "truncation fuzz")
     assert(check(params, forAll(random)(never)).passed, "random-bytes fuzz")
   }
+  // ---- cross-codec sampler invariants ---------------------------------
+
+  /** The ONE index-mapping contract both nearest-neighbor samplers
+    * implement independently: output index k reads source index
+    * floor(k*n/m). Shared so the two implementations cannot drift. */
+  private def expectedSourceIdx(n: Int, m: Int): Seq[Int] =
+    (0 until m).map(k => ((k.toLong * n) / m).toInt)
+
+  test("property: audio resample and video frame-sample share the exact index mapping") {
+    // distinguishable sources: audio frame i carries sample value i;
+    // video frame i is filled with byte i — so each output maps back
+    // to exactly one source index and the mapping is observable
+    val prop = forAll(Gen.chooseNum(1, 60), Gen.chooseNum(1, 90)) { (n, m) =>
+      val expect = expectedSourceIdx(n, m)
+      // endpoints pinned: first output is the first source frame, and
+      // the mapping never reaches past the last source frame
+      assert(expect.head == 0 && expect.last < n)
+      val clip = AudioCodec.encodeWav(
+        DecodedAudio(8000, 1, 16, n, Array.tabulate(n)(identity)))
+      val audioIdx = AudioCodec.tryDecode(
+        AudioCodec.resampleEncoded(clip, m)).samples.toSeq
+      val vid = VideoCodec.encodeY4m(DecodedVideo(2, 2, cs444 = true,
+        n, Array.tabulate(n * 12)(i => (i / 12).toByte)))
+      val videoIdx = VideoCodec.tryDecode(
+        VideoCodec.frameSampleEncoded(vid, m))
+        .data.grouped(12).map(f => f(0).toInt).toSeq
+      audioIdx == expect && videoIdx == expect
+    }
+    assert(check(params, prop).passed)
+  }
+
+  test("zero-frame clips: samplers null out in both codecs, by each format's own contract") {
+    // the formats draw the empty-clip line differently — a WAV with an
+    // empty data chunk is a VALID zero-frame clip (decodes, sampler
+    // guard nulls), while a header-only Y4M is rejected at decode
+    // ("no frames") — but the OBSERVABLE sampler contract is the same:
+    // no source frame to map => null, never an index crash
+    val wav = AudioCodec.encodeWav(DecodedAudio(8000, 1, 16, 0, Array.empty))
+    val y4m = VideoCodec.encodeY4m(DecodedVideo(2, 2, cs444 = false, 0, Array.empty))
+    assert(AudioCodec.tryDecode(wav).nFrames == 0)
+    assert(VideoCodec.tryDecode(y4m) == null)
+    assert(AudioCodec.resampleEncoded(wav, 4) == null)
+    assert(VideoCodec.frameSampleEncoded(y4m, 4) == null)
+  }
 }
