@@ -120,3 +120,87 @@ case class NearestCentroidsExpr(child: Expression, centroids: CentroidTable,
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
     copy(child = newChild)
 }
+
+/** Runtime-table centroid kernels for the SQL surface: the table
+  * arrives as a COLUMN value (array<array<float>> — typically a scalar
+  * subquery over a centroids view, e.g. a persisted index's
+  * `centroids.parquet`), not a plan-embedded [[CentroidTable]]. Same
+  * assignment semantics as [[IvfKernels]] (max cosine, ties to the
+  * lowest index), so the SQL and programmatic ANN tiers agree row for
+  * row. The ArrayData -> Array[Array[Float]] conversion is memoized per
+  * backing instance: a substituted scalar subquery is one shared value
+  * per task, so conversion runs once per task, not once per row. */
+object IvfSqlKernels {
+  private val memo =
+    new ThreadLocal[java.util.IdentityHashMap[ArrayData, Array[Array[Float]]]] {
+      override def initialValue() =
+        new java.util.IdentityHashMap[ArrayData, Array[Array[Float]]]()
+    }
+
+  private def toTable(cents: ArrayData): Array[Array[Float]] = {
+    val m = memo.get()
+    val hit = m.get(cents)
+    if (hit != null) return hit
+    // distinct literal tables per thread are bounded by distinct ANN
+    // configs in the plan — clear defensively rather than grow forever
+    if (m.size() > 64) m.clear()
+    val n = cents.numElements()
+    val t = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) { t(i) = cents.getArray(i).toFloatArray(); i += 1 }
+    m.put(cents, t)
+    t
+  }
+
+  def nearest(v: ArrayData, cents: ArrayData): Int =
+    IvfKernels.nearest(v, toTable(cents))
+
+  def nearestN(v: ArrayData, cents: ArrayData, nprobe: Int): ArrayData =
+    IvfKernels.nearestN(v, toTable(cents), nprobe)
+}
+
+/** SQL `nearest_centroid(vec, centroids)` — cluster id under a
+  * runtime centroid table. */
+case class NearestCentroidSqlExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  override def nullSafeEval(v: Any, c: Any): Any =
+    IvfSqlKernels.nearest(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.IvfSqlKernels.nearest($v, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** SQL `nearest_centroids(vec, centroids, nprobe)` — the nprobe most
+  * similar cluster ids, descending (the query-side probe set). */
+case class NearestCentroidsSqlExpr(left: Expression, right: Expression,
+                                   nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+  override def nullSafeEval(v: Any, c: Any): Any =
+    IvfSqlKernels.nearestN(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      nprobe)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.IvfSqlKernels.nearestN($v, $c, $nprobe)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}

@@ -66,6 +66,13 @@ object registry {
       "l2_distance" -> (args => L2DistanceExpr(args(0), args(1))),
       "hyperplane_bucket" -> (args => HyperplaneBucketExpr(args.head,
         intArg(args, 1, 12), seedOf(args, 2))),
+      // ANN tier on the SQL surface: assignment/probing under a RUNTIME
+      // centroid table (array<array<float>>, e.g. a scalar subquery
+      // over a persisted index's centroids view) — an IVF top-k is
+      // expressible in pure SQL (SqlAndDmsSpec)
+      "nearest_centroid" -> (args => NearestCentroidSqlExpr(args(0), args(1))),
+      "nearest_centroids" -> (args => NearestCentroidsSqlExpr(args(0), args(1),
+        intArg(args, 2, 4))),
       "decode_stub" -> (args => DecodeStubExpr(args.head)),
       "image_stats" -> (args => graft.operators.ImageStatsExpr(args.head)),
       "image_resize" -> (args => graft.operators.ImageResizeExpr(args.head,

@@ -55,6 +55,56 @@ class SqlAndDmsSpec extends SparkTestBase {
     assert(mh.getDouble(0) == 1.0)
   }
 
+  test("SQL surface: a full IVF ANN top-k in pure SQL matches the programmatic tier") {
+    registry.registerAll(spark)
+    import graft.operators.Ivf
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.02f)),
+          slice(col("embedding"), 2, 100000)).as("embedding"))
+    val cents = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    emb.createOrReplaceTempView("ann_corpus")
+    queries.createOrReplaceTempView("ann_queries")
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cluster", "vec").createOrReplaceTempView("ann_centroids")
+    // the centroid table reaches the functions as a scalar subquery —
+    // assembled DETERMINISTICALLY (array_sort over (cluster, vec)
+    // structs), because the corpus-assign and query-probe subqueries
+    // evaluate independently and must agree on cluster numbering
+    val sqlOut = spark.sql("""
+      WITH cent AS (
+        SELECT transform(array_sort(collect_list(struct(cluster, vec))),
+                         s -> s.vec) AS tab
+        FROM ann_centroids),
+      assigned AS (
+        SELECT vec_id, embedding,
+               nearest_centroid(embedding, (SELECT tab FROM cent)) AS cluster
+        FROM ann_corpus),
+      probes AS (
+        SELECT vec_id, embedding,
+               explode(nearest_centroids(embedding, (SELECT tab FROM cent), 2))
+                 AS cluster
+        FROM ann_queries),
+      scored AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS corpus_id,
+               cosine_sim(p.embedding, c.embedding) AS cos
+        FROM probes p JOIN assigned c USING (cluster)
+        WHERE p.vec_id != c.vec_id)
+      SELECT query_id, corpus_id, cos, rank FROM (
+        SELECT query_id, corpus_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored)
+      WHERE rank <= 1""")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val prog = Ivf.topK(emb, queries, "vec_id", "embedding",
+        k = 1, cents, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(sqlOut == prog, s"SQL ANN diverged from Ivf.topK:\n$sqlOut\nvs\n$prog")
+    assert(sqlOut.size == 5, "every planted query must rank a neighbor")
+  }
+
   test("DMS file-set: listing modes + snapshot reconstruction") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dms").toString
     val orders = spark.read.parquet(sf() + "/orders.parquet")
