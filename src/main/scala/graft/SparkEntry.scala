@@ -855,6 +855,50 @@ object SparkEntry {
         "vec_id", "embedding", k = 1, nprobe = 2, rerank = 32)
     }),
 
+    // the SQL-ONLY serving path: the same IVF top-k as q_ann_ivf
+    // expressed entirely through the registered SQL surface
+    // (registry.registerAll) — corpus/queries/centroids reach the query
+    // as temp views, the centroid table as a scalar subquery assembled
+    // DETERMINISTICALLY (array_sort over (cluster, vec) structs: the
+    // corpus-assign and query-probe subqueries evaluate independently
+    // and must agree on cluster numbering). Pinned equal to Ivf.topK in
+    // SqlAndDmsSpec, so the same brute-force oracle applies.
+    "q_ann_sql" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.registry.registerAll(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_ann_corpus")
+      annQueries(t(s, dir, "embeddings"))
+        .createOrReplaceTempView("graft_ann_queries")
+      ivfCentroidsFor(s, dir).zipWithIndex
+        .map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cluster", "vec").createOrReplaceTempView("graft_ann_centroids")
+      s.sql("""
+        WITH cent AS (
+          SELECT transform(array_sort(collect_list(struct(cluster, vec))),
+                           x -> x.vec) AS tab
+          FROM graft_ann_centroids),
+        assigned AS (
+          SELECT vec_id, embedding,
+                 nearest_centroid(embedding, (SELECT tab FROM cent)) AS cluster
+          FROM graft_ann_corpus),
+        probes AS (
+          SELECT vec_id, embedding,
+                 explode(nearest_centroids(embedding, (SELECT tab FROM cent), 2))
+                   AS cluster
+          FROM graft_ann_queries),
+        scored AS (
+          SELECT p.vec_id AS query_id, c.vec_id AS corpus_id,
+                 cosine_sim(p.embedding, c.embedding) AS cos
+          FROM probes p JOIN assigned c USING (cluster)
+          WHERE p.vec_id != c.vec_id)
+        SELECT query_id, corpus_id, cos, rank FROM (
+          SELECT query_id, corpus_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, corpus_id) AS rank
+          FROM scored)
+        WHERE rank <= 1""")
+    }),
+
     // ---- training-data pipeline: multimodal plumbing ------------------
     "q_multimodal_bytes" -> ((s, dir) =>
       Multimodal.withFeatures(
@@ -1908,6 +1952,7 @@ object SparkEntry {
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
     "q_ann_ivfpq_index" -> annTop1Sql,
+    "q_ann_sql" -> annTop1Sql,
     "q_ann_topk" -> (
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
       "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
