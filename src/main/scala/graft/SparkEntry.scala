@@ -1158,6 +1158,19 @@ object SparkEntry {
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
         chunkWords = 10)),
+    // exact substring-level dedup (Lee et al. 2021) at word-5-gram
+    // granularity: per-doc duplicated-gram / covered-token counts —
+    // the detection half of suffix-array substring dedup, distributed
+    // as a gram-keyed groupBy (shuffle ∝ distinct grams, never pairs)
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedNgramStats(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)),
+    // the removal half: tokens covered by any cross-doc duplicated
+    // 5-gram deleted, survivors re-joined in order — output in the
+    // tier's normalized token space, like q_dedup_chunks
+    "q_dedup_substring_clean" -> ((s, dir) =>
+      Dedup.removeDuplicatedNgrams(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDocs = 2)),
     // incremental ingest: docs >= 400 arrive as the new batch and dedup
     // against the fingerprint index of the already-accepted corpus
     "q_dedup_incremental" -> ((s, dir) => {
@@ -1434,6 +1447,21 @@ object SparkEntry {
     "WHERE NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id < 400 " +
     "AND e.fp = f.fp)) " +
     "SELECT d.* FROM documents d JOIN clean USING (doc_id)"
+
+  /** Shared CTEs for the substring-dedup oracles: filtered tokens,
+    * positioned word 5-grams (0-based start), grams occurring in >= 2
+    * distinct docs, and the token positions their spans cover. Mirrors
+    * Dedup.gramStream/duplicatedGrams exactly (same tokenization
+    * convention as the chunk oracle above). */
+  private val substrDupCtes: String =
+    "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(trim(text)), '\\s+'), x -> x != '') AS toks FROM documents), " +
+    "g AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+5], ' ') AS gram " +
+    "  FROM tk, LATERAL (SELECT unnest(range(greatest(len(toks) - 4, 0))) AS i)), " +
+    "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+    "h AS (SELECT g.* FROM g JOIN dup USING (gram)), " +
+    "cov AS (SELECT DISTINCT doc_id, p FROM h, " +
+    "  LATERAL (SELECT unnest(generate_series(pos, pos + 4)) AS p))"
 
   private val annTop1Sql: String = {
     val cos = "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
@@ -2339,6 +2367,21 @@ object SparkEntry {
       "win AS (SELECT doc_id, i, chunk FROM ch QUALIFY " +
       "  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) = 1) " +
       "SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS text_clean " +
-      "FROM win GROUP BY doc_id")
+      "FROM win GROUP BY doc_id"),
+    "q_dedup_substring" -> (substrDupCtes +
+      ", nd AS (SELECT doc_id, count(DISTINCT gram) AS n_dup_ngrams " +
+      "  FROM h GROUP BY doc_id), " +
+      "cv AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(nd.n_dup_ngrams, 0) AS n_dup_ngrams, " +
+      "coalesce(cv.dup_tokens, 0) AS dup_tokens, len(t.toks) AS n_tokens " +
+      "FROM tk t LEFT JOIN nd USING (doc_id) LEFT JOIN cv USING (doc_id)"),
+    "q_dedup_substring_clean" -> (substrDupCtes +
+      ", pt AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok " +
+      "  FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i)), " +
+      "cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean " +
+      "  FROM pt WHERE NOT EXISTS (SELECT 1 FROM cov c " +
+      "    WHERE c.doc_id = pt.doc_id AND c.p = pt.pos) GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(cl.text_clean, '') AS text_clean " +
+      "FROM tk t LEFT JOIN cl USING (doc_id)")
   )
 }

@@ -929,4 +929,112 @@ object Dedup {
         array_sort(collect_list(struct(col("idx"), col("chunk")))),
         x => x.getField("chunk")), " ").as("text_clean"))
   }
+
+  // ---------------------------------------------------------------------
+  // Exact substring-level dedup (word-n-gram granularity)
+  // ---------------------------------------------------------------------
+
+  /** Tokens for the substring tier: lower + trim + \s+ split, empty
+    * segments dropped — the corpus-wide tokenization convention shared
+    * with [[graft.functions.TextKernels]] and every text oracle. */
+  private def substrToks(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= lit(""))
+
+  /** (gram stream (id, pos, gram), per-doc base (id, ntok)) for the
+    * substring tier: every word `n`-gram with its 0-based start
+    * position. A doc shorter than `n` tokens contributes no grams but
+    * stays in `base` so it surfaces downstream with zero counts. */
+  private def gramStream(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, hashed: Boolean): (DataFrame, DataFrame) = {
+    require(n > 0, s"n must be positive, got $n")
+    val base = df
+      .select(col(idCol).as("id"), substrToks(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("ntok"))
+    val gramsArr = when(col("ntok") >= n,
+        transform(sequence(lit(0), col("ntok") - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val grams0 = base.select(col("id"), posexplode(gramsArr).as(Seq("pos", "gram")))
+    val grams =
+      if (hashed) grams0.withColumn("gram", xxhash64(col("gram"))) else grams0
+    (grams, base.select(col("id"), col("ntok")))
+  }
+
+  /** The duplicated-gram set: grams occurring in >= `minDocs` DISTINCT
+    * docs (within-doc repetition alone does not qualify — that regime
+    * is the repetition kernel's). One groupBy with map-side partial
+    * count-distinct; shuffle ∝ distinct grams, never all-pairs. */
+  private def duplicatedGrams(grams: DataFrame, minDocs: Int): DataFrame =
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram")
+
+  /** Exact substring-duplication stats at word `n`-gram granularity —
+    * the distributed form of suffix-array substring dedup (Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better":
+    * a span occurring verbatim in enough distinct documents is
+    * duplicated text, the single largest source of memorized training
+    * data). Per document:
+    *   n_dup_ngrams — distinct n-grams of this doc occurring in
+    *                  >= `minDocs` distinct docs;
+    *   dup_tokens   — token positions covered by at least one such
+    *                  gram (the length [[removeDuplicatedNgrams]] would
+    *                  delete);
+    *   n_tokens     — total tokens.
+    *
+    * Scale shape: explode grams with positions, one distinct-doc-count
+    * groupBy over the gram stream, one equi-join of the stream against
+    * the duplicated set, per-doc aggregates — every stage keyed, no
+    * pairwise comparison anywhere. `hashed=true` shuffles 64-bit
+    * xxhash64 fingerprints instead of gram strings (~4-8x fewer shuffle
+    * bytes at n=5; a false dup needs a 64-bit collision), so the scale
+    * path trades an astronomically-small error for bandwidth — the
+    * exact string path is the default and the oracle contract, and
+    * SubstringDedupSpec pins both paths equal on the test corpus. */
+  def duplicatedNgramStats(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 5, minDocs: Int = 2,
+                           hashed: Boolean = false): DataFrame = {
+    val (grams, base) = gramStream(df, idCol, textCol, n, hashed)
+    val hits = grams.join(duplicatedGrams(grams, minDocs), Seq("gram"))
+    val perDocGrams = hits.groupBy(col("id"))
+      .agg(countDistinct(col("gram")).as("n_dup_ngrams"))
+    val covered = hits
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("dup_tokens"))
+    base
+      .join(perDocGrams, Seq("id"), "left")
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("ntok").cast("long").as("n_tokens"))
+  }
+
+  /** Deletes every cross-document duplicated span: tokens covered by
+    * any word n-gram occurring in >= `minDocs` distinct docs are
+    * removed; survivors re-join with single spaces in original order.
+    * Output text is in the tier's normalized token space (lower,
+    * whitespace collapsed) — the [[dedupChunks]] convention. Docs with
+    * nothing left (fully duplicated, or empty input) yield ''. */
+  def removeDuplicatedNgrams(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val (grams, _) = gramStream(df, idCol, textCol, n, hashed = false)
+    val covered = grams.join(duplicatedGrams(grams, minDocs), Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val positioned = df.select(col(idCol).as("id"),
+      posexplode(substrToks(col(textCol))).as(Seq("pos", "tok")))
+    val clean = positioned.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("text_clean"))
+    df.select(col(idCol))
+      .join(clean.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }
