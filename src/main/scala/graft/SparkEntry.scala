@@ -699,6 +699,18 @@ object SparkEntry {
         round(text.punctRatio(col("text")), 6).as("punct_ratio"),
         round(text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         text.qualityScore(col("text")).as("quality"))),
+    // Unicode ingest cleanup through the oracle gate: a decomposed
+    // suffix (combining acute, combining ring, Angstrom sign) is
+    // planted IN THE QUERY so NFC composition is exercised on this
+    // ASCII corpus — both engines must compose cafe+U+0301 -> café,
+    // A+U+030A -> Å, U+212B -> Å, strip the same C0/DEL controls, and
+    // collapse the same EXPLICIT [ \t\n\r] class (chosen over \s to
+    // sidestep the Java-vs-RE2 vertical-tab divergence; \x0B/\x0C are
+    // stripped as controls instead).
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        text.normalizeUnicode(concat(col("text"),
+          lit(" cafe\u0301 A\u030A \u212B"))).as("text_norm"))),
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), col("lang").as("labeled"),
         text.langId(col("text")).as("predicted"))),
@@ -1750,6 +1762,17 @@ object SparkEntry {
       s"SELECT doc_id, round($qAlphaSql, 6) AS alpha_ratio, " +
       s"round($qPunctSql, 6) AS punct_ratio, round($qStopSql, 6) AS stopword_ratio, " +
       s"round($qQualitySql, 6) AS quality FROM documents"),
+    // utf8proc NFC on the DuckDB side vs java.text.Normalizer on the
+    // Spark side — same Unicode composition tables; the planted
+    // decomposed suffix (chr(769)/chr(778)/chr(8491)) must compose
+    // identically, and the strip/collapse classes are spelled out
+    // explicitly in both engines (no \s)
+    "q_text_normalize" -> (
+      "SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+      "nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778) || " +
+      "' ' || chr(8491)), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+      "'[ \\t\\n\\r]+', ' ', 'g')) AS text_norm FROM documents"),
     // entropy terms floored to 1e6-scaled longs PER WORD and summed as
     // integers (order-free); ttr is one exact-int division, unrounded
     "q_diversity" -> (

@@ -58,6 +58,20 @@ case class BpeTokenCountExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+case class NormalizeUnicodeExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_text"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.normalizeUnicode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.normalizeUnicode($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeUnicodeExpr =
+    copy(child = newChild)
+}
+
 case class LangIdExpr(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
   override def declaredInputTypes: Seq[DataType] = Seq(StringType)

@@ -46,6 +46,38 @@ object TextKernels {
     if (n.isEmpty) Array.empty else n.split(' ')
   }
 
+  /** Unicode cleanup for ingest: NFC-compose, strip C0 controls + DEL
+    * (except \t \n \r, which count as whitespace), collapse runs of
+    * [ \t\n\r] to single spaces, trim. Case is PRESERVED (unlike
+    * [[normalize]], which is the matching-key normalization — this is
+    * the content-cleaning one). The whitespace class is the explicit
+    * 4-char set, not `\s`: \x0B/\x0C are stripped as controls before
+    * collapsing, which sidesteps the Java-vs-RE2 `\s` divergence on
+    * vertical tab entirely (the Bpe.scala:144 advisor class). NFC via
+    * java.text.Normalizer — both it and DuckDB's utf8proc implement
+    * the same Unicode composition tables, so composed output is
+    * cross-engine stable for assigned codepoints. */
+  def normalizeUnicode(value: UTF8String): UTF8String = {
+    val composed = java.text.Normalizer.normalize(
+      value.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(composed.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < composed.length) {
+      val c = composed.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        if (sb.length > 0) pendingSpace = true
+      } else if (c < 0x20 || c == 0x7f) {
+        // stripped control: no space, no output
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** BPE-style pre-tokenization count: runs of letters, runs of digits,
     * runs of other non-space symbols each count as one token, with a
     * leading space attaching to the following run (the GPT-2 pattern's

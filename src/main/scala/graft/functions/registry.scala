@@ -52,6 +52,7 @@ object registry {
       "fake_phone" -> fake(FakeGen.KindPhone),
       "fake_multi_email" -> fake(FakeGen.KindMultiEmail),
       "lang_id" -> (args => LangIdExpr(args.head)),
+      "normalize_text" -> (args => NormalizeUnicodeExpr(args.head)),
       "bpe_token_count" -> (args => BpeTokenCountExpr(args.head)),
       "rolling_fingerprint" -> (args => RollingFingerprintExpr(args.head)),
       "diversity_stats" -> (args => DiversityStatsExpr(args.head)),

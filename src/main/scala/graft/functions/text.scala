@@ -134,4 +134,10 @@ object text {
     * "und". */
   def langId(c: Column): Column =
     Bridge.column(LangIdExpr(Bridge.expression(c.cast("string"))))
+
+  /** Unicode ingest cleanup: NFC-compose, strip C0 controls + DEL,
+    * collapse [ \t\n\r] runs, trim; case preserved. See
+    * TextKernels.normalizeUnicode for the cross-engine contract. */
+  def normalizeUnicode(c: Column): Column =
+    Bridge.column(NormalizeUnicodeExpr(Bridge.expression(c.cast("string"))))
 }

@@ -45,6 +45,27 @@ class TextDedupSpec extends SparkTestBase {
     assert(rolls(0) == rolls(1) && rolls(1) != rolls(2))
   }
 
+  test("normalizeUnicode: NFC composition, control strip, ws collapse, case kept") {
+    val df = Seq(
+      "cafe\u0301 and A\u030A and \u212B",   // decomposed + Angstrom sign
+      "Keep\u0000The\u0007CASE",             // controls vanish, case stays
+      "a \u000B b\u000C",                    // VT/FF are controls here, not ws
+      "  tabs\t\tand\r\nnewlines  ",
+      "").toDF("t")
+    val got = df.select(text.normalizeUnicode($"t")).as[String].collect().toSeq
+    assert(got(0) == "caf\u00E9 and \u00C5 and \u00C5", s"got ${got(0)}")
+    assert(got(1) == "KeepTheCASE", s"got ${got(1)}")
+    assert(got(2) == "a b", s"got ${got(2)}")
+    assert(got(3) == "tabs and newlines", s"got ${got(3)}")
+    assert(got(4) == "")
+  }
+
+  test("normalize_text reachable from SQL") {
+    graft.functions.registry.registerAll(spark)
+    val r = spark.sql("SELECT normalize_text(' A\u030A  b ') AS t").first()
+    assert(r.getString(0) == "\u00C5 b")
+  }
+
   // -- dedup --------------------------------------------------------------
 
   val docA = (1 to 60).map(i => s"word$i").mkString(" ")
