@@ -957,7 +957,11 @@ object Dedup {
     val grams0 = base.select(col("id"), posexplode(gramsArr).as(Seq("pos", "gram")))
     val grams =
       if (hashed) grams0.withColumn("gram", xxhash64(col("gram"))) else grams0
-    (grams, base.select(col("id"), col("ntok")))
+    // the stream feeds BOTH the dup-set aggregate and the hits join —
+    // eager checkpoint computes the scan+explode once (the
+    // materializeShared contract above; sf0.1 A/B: clean 2.33s -> 1.77s,
+    // stats neutral until its aggregate fuse, below)
+    (materializeShared(grams), base.select(col("id"), col("ntok")))
   }
 
   /** The duplicated-gram set: grams occurring in >= `minDocs` DISTINCT
@@ -997,16 +1001,18 @@ object Dedup {
                            hashed: Boolean = false): DataFrame = {
     val (grams, base) = gramStream(df, idCol, textCol, n, hashed)
     val hits = grams.join(duplicatedGrams(grams, minDocs), Seq("gram"))
-    val perDocGrams = hits.groupBy(col("id"))
-      .agg(countDistinct(col("gram")).as("n_dup_ngrams"))
-    val covered = hits
-      .select(col("id"),
+    // one aggregate, one exchange: explode each hit into its covered
+    // positions carrying the gram along, then BOTH distinct counts in a
+    // single groupBy (Spark plans the two distincts via one Expand —
+    // measured at sf0.1 vs separate distinct()+agg+join: 2.31s -> 1.81s)
+    val perDoc = hits
+      .select(col("id"), col("gram"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
-      .distinct()
-      .groupBy(col("id")).agg(count(lit(1)).as("dup_tokens"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("gram")).as("n_dup_ngrams"),
+        countDistinct(col("p")).as("dup_tokens"))
     base
-      .join(perDocGrams, Seq("id"), "left")
-      .join(covered, Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_dup_ngrams"), lit(0L)).as("n_dup_ngrams"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
@@ -1022,10 +1028,11 @@ object Dedup {
   def removeDuplicatedNgrams(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 5, minDocs: Int = 2): DataFrame = {
     val (grams, _) = gramStream(df, idCol, textCol, n, hashed = false)
+    // no distinct(): left_anti ignores right-side multiplicity, and the
+    // dedupe would cost a full (id, pos) exchange the join re-does anyway
     val covered = grams.join(duplicatedGrams(grams, minDocs), Seq("gram"))
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-      .distinct()
     val positioned = df.select(col(idCol).as("id"),
       posexplode(substrToks(col(textCol))).as(Seq("pos", "tok")))
     val clean = positioned.join(covered, Seq("id", "pos"), "left_anti")
