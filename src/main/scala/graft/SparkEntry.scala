@@ -1254,6 +1254,20 @@ object SparkEntry {
     "q_shard_assign" -> ((s, dir) =>
       graft.operators.Sampling.shardAssign(
         t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)),
+    // the LLM-side curation spine (the anonymize-pipeline twin):
+    // Unicode-normalize -> exact dedup by normalized fingerprint ->
+    // quality gate -> deterministic hash sample. Every stage is an
+    // independently-oracle-checked tier; this row pins the COMPOSITION
+    // — the plumbing between tiers is where pipelines rot.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val normed = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), text.normalizeUnicode(col("text")).as("text"))
+      val deduped = Dedup.byFingerprint(normed, "doc_id", "text")
+      val gated = deduped.filter(
+        text.tokenCount(col("text")).between(20, 1000) &&
+        round(text.qualityScore(col("text")), 6) >= 0.55)
+      graft.operators.Sampling.hashSample(gated, "doc_id", 0.5)
+    }),
     // Gopher-style composed quality gate: token bounds + composite
     // quality + both repetition signals, as ONE codegen'd filter
     "q_quality_filter" -> ((s, dir) =>
@@ -1762,6 +1776,26 @@ object SparkEntry {
       s"SELECT doc_id, round($qAlphaSql, 6) AS alpha_ratio, " +
       s"round($qPunctSql, 6) AS punct_ratio, round($qStopSql, 6) AS stopword_ratio, " +
       s"round($qQualitySql, 6) AS quality FROM documents"),
+    // the curation spine: each stage's oracle fragment composed over
+    // the previous stage's output (normalize feeds the fingerprint,
+    // the quality fragments read the NORMALIZED text — ratios change
+    // when whitespace collapses, so applying them to raw text would be
+    // wrong), then the portable md5 sampling contract
+    "q_curation_pipeline" -> (
+      "WITH docs2 AS (SELECT doc_id, source, " +
+      "trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+      "'[ \\t\\n\\r]+', ' ', 'g')) AS text FROM documents), " +
+      "dd AS (SELECT doc_id, source, text, " +
+      "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+      "FROM docs2), " +
+      "keep AS (SELECT doc_id, source, text FROM dd QUALIFY " +
+      "row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
+      s"gated AS (SELECT doc_id, source, text FROM keep WHERE ($qNtokSql) " +
+      s"BETWEEN 20 AND 1000 AND round($qQualitySql, 6) >= 0.55) " +
+      "SELECT doc_id, source, text FROM gated WHERE " +
+      "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      s"'${graft.operators.Sampling.thresholdHex(0.5)}'"),
     // utf8proc NFC on the DuckDB side vs java.text.Normalizer on the
     // Spark side — same Unicode composition tables; the planted
     // decomposed suffix (chr(769)/chr(778)/chr(8491)) must compose
