@@ -1208,6 +1208,13 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.unigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20)),
+    // BM25 relevance against a fixed topic query (3 corpus terms + one
+    // guaranteed-absent term exercising the df=0 guard); per-term
+    // contributions floored to 1e6-scaled longs and integer-summed —
+    // the q_diversity cross-engine float pattern
+    "q_bm25_score" -> ((s, dir) =>
+      graft.operators.Corpus.bm25(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", terms = bm25Terms)),
     // per-column null/distinct profile (schema-drift sweep) — widened
     // beyond customer's string/int/decimal columns to a DATE column
     // (orders) and a TIMESTAMP column (events, surfaced at µs like the
@@ -1473,6 +1480,37 @@ object SparkEntry {
     "WHERE NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id < 400 " +
     "AND e.fp = f.fp)) " +
     "SELECT d.* FROM documents d JOIN clean USING (doc_id)"
+
+  /** The q_bm25_score topic query — three high-frequency corpus terms
+    * plus one guaranteed absent (df=0 contributes 0 everywhere). */
+  private val bm25Terms = Seq("scan", "join", "window", "zzzunseen")
+
+  /** GENERATED BM25 oracle: same terms, same k1/b constants as the
+    * operator defaults, float expression trees parenthesized exactly
+    * as Corpus.bm25 builds them (multiply-then-divide ratio, left-assoc
+    * products) so both engines round identically at every step; the
+    * per-term floor-to-micros + integer sum makes the final compare
+    * exact. */
+  private val bm25Sql: String = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(", ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val ratio = "(CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+    val termSum = bm25Terms.indices.map { i =>
+      val idf = s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)" +
+        s" / (CAST(df$i AS DOUBLE) + 0.5))"
+      val tfn = s"(CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+        s"1.2 * (1.0 - 0.75 + 0.75 * $ratio))"
+      s"CASE WHEN tf$i > 0 THEN CAST(floor($idf * $tfn * 1000000.0) " +
+        "AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(trim(text)), '\\s+'), x -> x != '') AS toks FROM documents), " +
+    s"d AS (SELECT doc_id, len(toks) AS dl, $tfs FROM tk), " +
+    s"g AS (SELECT count(*) AS n, sum(dl) AS t, $dfs FROM d) " +
+    s"SELECT doc_id, $termSum AS bm25_micros, dl AS n_tokens FROM d, g"
+  }
 
   /** Shared CTEs for the substring-dedup oracles: filtered tokens,
     * positioned word 5-grams (0-based start), grams occurring in >= 2
@@ -2278,6 +2316,7 @@ object SparkEntry {
     // scaled-log arithmetic written IDENTICALLY on both sides:
     // floor(1e6*ln(p)+0.5) as exact longs (order-independent integer
     // sums), perplexity from the same division shape, round 6
+    "q_bm25_score" -> bm25Sql,
     "q_lm_score" -> (
       "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
       "  regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS w " +

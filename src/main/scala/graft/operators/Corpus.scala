@@ -260,4 +260,55 @@ object Corpus {
         round(element_at(pct, 3), 6).as("p90"),
         round(element_at(pct, 4), 6).as("p99"))
   }
+
+  /** BM25 relevance of every document against a fixed term set —
+    * the ranking signal for relevance-targeted corpus curation (keep
+    * documents that score against a topic query; Robertson & Zaragoza
+    * 2009 for the formula).
+    *
+    * Shape at scale: one projection computes per-term tf from the token
+    * array (no explode — `terms` is a handful of literals), one
+    * single-row global aggregate collects N / total tokens / per-term
+    * document frequencies, broadcast back as a 1-row cross join, one
+    * final projection scores. Zero data shuffles; the only exchange is
+    * the singleton aggregate.
+    *
+    * Cross-engine contract: per-term contributions are floored to
+    * 1e6-scaled longs and summed as integers (order-free, the
+    * q_diversity pattern), every constant reaches both engines as the
+    * same shortest-round-trip double literal, and the float expression
+    * trees are parenthesized identically — so the oracle compares
+    * exact integers. A term absent from the corpus (df=0) contributes
+    * 0 from every doc by the tf>0 guard. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => x =!= lit(""))
+    val withTf = docs.select(
+      Seq(col(idCol).as("id"), size(toks).as("dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("t")) ++
+      terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val ratio = col("dl").cast("double") * col("n").cast("double") /
+      col("t").cast("double")
+    def term(i: Int) = {
+      val tf = col(s"tf$i").cast("double")
+      val dfc = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      val tfn = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * ratio))
+      when(col(s"tf$i") > 0,
+        floor(idf * tfn * lit(1e6)).cast("long")).otherwise(lit(0L))
+    }
+    scored.select(col("id").as(idCol),
+      terms.indices.map(term).reduce(_ + _).as("bm25_micros"),
+      col("dl").cast("long").as("n_tokens"))
+  }
 }

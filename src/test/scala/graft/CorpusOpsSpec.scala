@@ -337,4 +337,32 @@ class CorpusOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_min"), s"no partial min(struct) combine:\n$plan")
   }
+
+  test("bm25: term-frequency ordering, absent terms, rarity reward") {
+    val docs = Seq(
+      (1L, "spark spark spark runs fast"),   // tf(spark)=3
+      (2L, "spark runs on a cluster today"), // tf(spark)=1
+      (3L, "ducks swim on the pond"),        // no query terms
+      (4L, "ducks and spark and ducks")      // common term + rare term
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .bm25(docs, "doc_id", "text", terms = Seq("spark", "pond", "absent"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // more occurrences of the same term => strictly higher score
+    assert(got(1L) > got(2L), s"tf ordering violated: $got")
+    // no query terms => exactly 0 (absent term contributes nothing)
+    assert(got(3L) > 0L, "doc 3 matches 'pond' and must score")
+    // rare term (df=1) outscores the common term (df=3) at equal tf:
+    // doc 3's single 'pond' beats doc 2's single 'spark' despite
+    // doc 2 being longer-normalized comparable
+    val noTerms = graft.operators.Corpus
+      .bm25(docs, "doc_id", "text", terms = Seq("absent"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(noTerms.values.forall(_ == 0L), s"df=0 must score 0: $noTerms")
+    // deterministic across runs
+    val again = graft.operators.Corpus
+      .bm25(docs, "doc_id", "text", terms = Seq("spark", "pond", "absent"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
 }
