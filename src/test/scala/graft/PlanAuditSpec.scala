@@ -15,12 +15,15 @@ class PlanAuditSpec extends SparkTestBase {
     // The blanket scale-hygiene sweep: every one of the ~100 public
     // queries must plan without a ScalaUDF (kills whole-stage codegen),
     // a python eval barrier, or a CartesianProduct (the unbounded
-    // all-pairs shape). BroadcastNestedLoopJoin is allowed ONLY for the
-    // two intentional linear-scan ANN tiers: the brute-force baseline
-    // and the PQ compressed-domain ADC scan (which is a deliberate
-    // full scan over m-byte codes, not raw vectors); every other
-    // approximate tier must bucket-join.
-    val bnljAllowed = Set("q_ann_topk", "q_ann_pq")
+    // all-pairs shape). BroadcastNestedLoopJoin is allowed ONLY where
+    // it is the intended plan: the two linear-scan ANN tiers (the
+    // brute-force baseline and the PQ compressed-domain ADC scan — a
+    // deliberate full scan over m-byte codes, not raw vectors), and
+    // q_bm25_score's SINGLE-ROW global-stats broadcast (a scalar
+    // attach — corpus x 1 row, not all-pairs; Corpus.bm25 keeps the
+    // stats distributed instead of collecting them to the driver).
+    // Every other approximate tier must bucket-join.
+    val bnljAllowed = Set("q_ann_topk", "q_ann_pq", "q_bm25_score")
     val offenders = scala.collection.mutable.Buffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // candidate-scope bracket: dedup-tier queries materialize shared
