@@ -240,6 +240,20 @@ object SparkEntry {
       ()
     }
 
+  /** JSONL EXPORT fixture for q_jsonl_roundtrip: the write side of the
+    * delivery contract. `Jsonl.write` emits the documents payload as a
+    * partitioned JSONL directory once per (session, dir); the query
+    * reads it back through `Jsonl.read` and must reproduce the source
+    * table byte for byte — the oracle never sees the files, it replays
+    * the CONTENT from `documents` alone, so any write-side mangling
+    * (escaping, field drop, null handling) flips rows. */
+  private def jsonlExportFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "jsonl_export") { baseDir =>
+      graft.sources.Jsonl.write(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        baseDir)
+    }
+
   /** Persisted IVF index for q_ann_ivf_index: built ONCE per
     * (session, sf dir) — query construction must not re-run the
     * k-means + partitioned write every time (bench/plan tooling
@@ -1065,6 +1079,18 @@ object SparkEntry {
           col(graft.sources.Jsonl.CorruptColumn).as("quarantined"))
     }),
 
+    // write -> read round-trip of the JSONL delivery contract: export
+    // the documents payload with Jsonl.write, re-ingest with
+    // Jsonl.read, and reproduce the source table exactly (the oracle
+    // replays content from `documents` alone — see jsonlExportFixture)
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val path = jsonlExportFixture(s, dir)
+      graft.sources.Jsonl.read(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType))))
+        .select(col("doc_id"), col("source"), col("text"))
+    }),
+
     // REAL video decode through the oracle gate: deterministic Y4M
     // clips (geometry/colorspace/frame count and every plane byte pure
     // functions of doc_id; the id sweep covers C444 and C420 layouts)
@@ -1113,6 +1139,14 @@ object SparkEntry {
             graft.functions.text.tokenCount(col("text")).as("n_tokens")),
         shardCol = "lang", idCol = "doc_id", tokenCol = "n_tokens",
         budgetTokens = 512)),
+
+    // overlapping token-window chunking (RAG / context-window prep):
+    // 32-token windows at stride 24 -> 8 tokens of overlap between
+    // consecutive chunks, final short window kept
+    "q_chunk_windows" -> ((s, dir) =>
+      graft.operators.Chunking.tokenWindows(
+        t(s, dir, "documents"), "doc_id", col("text"),
+        windowTokens = 32, strideTokens = 24)),
 
     // frame sampling (video/audio window shape) over text-as-bytes:
     // overlapping 64-byte windows at stride 48. Frames surface as
@@ -2204,6 +2238,9 @@ object SparkEntry {
       "'BROKEN {\"doc_id\": ' || CAST(doc_id AS VARCHAR) " +
       "FROM documents WHERE doc_id % 97 = 0"),
 
+    // write->read round-trip must reproduce the source table exactly
+    "q_jsonl_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+
     // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
     // p*3 + i) mod 256 for i in [0, planeSize) — a plane-order,
     // chroma-subsampling, or FRAME-scan bug in the codec diverges
@@ -2247,6 +2284,20 @@ object SparkEntry {
       "CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) " +
       "// 512 AS BIGINT) AS pack_id FROM t"),
+
+    // token-window chunking: same tokenization pair as q_token_count
+    // (Spark split vs RE2 regexp_split_to_array, ASCII-ws corpus);
+    // chunk-count formula mirrors Chunking.tokenWindows exactly
+    "q_chunk_windows" -> (
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks " +
+      "FROM documents), " +
+      "n AS (SELECT doc_id, toks, len(toks) AS n, " +
+      "CASE WHEN len(toks) <= 32 THEN 1 ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nc " +
+      "FROM t) " +
+      "SELECT doc_id, CAST(i AS INT) AS chunk_idx, " +
+      "array_to_string(list_slice(toks, CAST(i * 24 + 1 AS INT), CAST(i * 24 + 32 AS INT)), ' ') AS chunk, " +
+      "CAST(least(32, n - i * 24) AS INT) AS n_chunk_tokens " +
+      "FROM n, LATERAL (SELECT unnest(range(nc)) AS i)"),
 
     "q_multimodal_frames" -> (
       "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx, " +

@@ -62,4 +62,23 @@ object Jsonl {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptColumn)
       .json(path)
+
+  /** The WRITE side of the same contract: emit `df` as newline-delimited
+    * JSON at `path`, one file per partition (the parallel-write shape —
+    * no coalesce here; a 100 TB export wants every executor writing).
+    *
+    * Two deliberate choices, both pinned in JsonlSpec:
+    *   - a [[CorruptColumn]] present on `df` (e.g. a frame that came
+    *     from [[read]]) is DROPPED: quarantine rows are diagnostics,
+    *     not payload, and re-exporting them would smuggle malformed
+    *     text back into a clean delivery as a quoted field;
+    *   - null fields are written explicitly (`ignoreNullFields=false`),
+    *     so a round-trip under the same explicit schema is exact and a
+    *     consumer can distinguish "field is null" from "line truncated".
+    */
+  def write(df: DataFrame, path: String): Unit =
+    df.drop(CorruptColumn)
+      .write.mode("overwrite")
+      .option("ignoreNullFields", "false")
+      .json(path)
 }

@@ -120,4 +120,39 @@ class JsonlSpec extends SparkTestBase {
     assert(streamed == batch, s"stream diverged from batch:\n$streamed\nvs\n$batch")
     assert(batch.count(_._3.isDefined) == 2, "fixture must carry quarantine rows")
   }
+
+  test("write -> read round-trip is exact for hostile strings and explicit nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_write").toString
+    val rows = Seq(
+      (1L, Some("plain ascii")),
+      (2L, Some("line\nbreak\ttab \"quotes\" back\\slash")),
+      (3L, Some("unicode é中文 😀 and control \u0001")),
+      (4L, None),
+      (5L, Some("")))
+    Jsonl.write(rows.toDF("id", "t"), dir)
+    val back = Jsonl.read(spark, dir, schema)
+      .select($"id", $"t", col(Jsonl.CorruptColumn))
+      .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    assert(back == rows.map { case (i, t) => (Some(i), t, None) }.toSet)
+  }
+
+  test("write emits explicit nulls and drops a carried quarantine column") {
+    val srcDir = writeLines(Seq(
+      """{"id": 1, "t": "keep"}""",
+      """broken line""",
+      """{"id": 2, "t": null}"""))
+    val outDir = java.nio.file.Files.createTempDirectory("jsonl_reexport").toString
+    // a frame straight from read() carries the corrupt column; write()
+    // must not re-export it (quarantine is diagnostics, not payload)
+    Jsonl.write(Jsonl.read(spark, srcDir, schema), outDir)
+    val lines = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()).toSet
+    assert(lines.forall(!_.contains(Jsonl.CorruptColumn)),
+      s"quarantine column leaked into the export: $lines")
+    // explicit nulls: the id=2 line must carry "t":null, not omit t;
+    // the quarantined source line becomes an all-null payload row
+    assert(lines.contains("""{"id":2,"t":null}"""), lines.toString)
+    assert(lines.contains("""{"id":null,"t":null}"""), lines.toString)
+  }
 }
