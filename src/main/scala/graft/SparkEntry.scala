@@ -1148,6 +1148,15 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", col("text"),
         windowTokens = 32, strideTokens = 24)),
 
+    // content-defined chunking: rolling-hash boundaries (width-16
+    // window, divisor 64 -> ~64-char expected chunks); the oracle
+    // recomputes the identical polynomial hash per position with
+    // exact BIGINT arithmetic
+    "q_chunk_content" -> ((s, dir) =>
+      graft.operators.Chunking.contentDefined(
+        t(s, dir, "documents"), "doc_id", col("text"),
+        width = 16, divisor = 64)),
+
     // frame sampling (video/audio window shape) over text-as-bytes:
     // overlapping 64-byte windows at stride 48. Frames surface as
     // STRING (ASCII corpus: chars == bytes) because DuckDB 1.0 has no
@@ -1544,6 +1553,33 @@ object SparkEntry {
     s"d AS (SELECT doc_id, len(toks) AS dl, $tfs FROM tk), " +
     s"g AS (SELECT count(*) AS n, sum(dl) AS t, $dfs FROM d) " +
     s"SELECT doc_id, $termSum AS bm25_micros, dl AS n_tokens FROM d, g"
+  }
+
+  /** The q_chunk_content oracle: replay TextKernels.contentCuts with
+    * exact BIGINT arithmetic — the same Rabin polynomial
+    * sum(cp_j * 257^(15-j)) mod (2^31-1) recomputed per position (the
+    * oracle pays O(n*k); the engine's rolling pass is the point), then
+    * segments between consecutive cuts via lag(). Terms and weights
+    * are GENERATED here so kernel and oracle share one constant set. */
+  private val contentChunkSql: String = {
+    val k = 16
+    val p = 2147483647L
+    val poly = (0 until k).map { j =>
+      // weight of the char ending at offset j from the window start
+      val pow = (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * 257L % p)
+      s"CAST(ord(substring(text, CAST(i AS INT) - ${k - 1 - j}, 1)) AS BIGINT) * $pow"
+    }.mkString(" + ")
+    "WITH cp AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+    "b AS (SELECT doc_id, text, CAST(i AS BIGINT) AS cut " +
+    s"  FROM cp, LATERAL (SELECT unnest(range($k, n)) AS i) " +
+    s"  WHERE (($poly) % $p) % 64 = 0 " +
+    "UNION ALL SELECT doc_id, text, n FROM cp WHERE n >= 1), " +
+    "s AS (SELECT doc_id, text, cut, " +
+    "  lag(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) AS prev, " +
+    "  row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS ci FROM b) " +
+    "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, " +
+    "substring(text, CAST(prev + 1 AS INT), CAST(cut - prev AS INT)) AS chunk, " +
+    "CAST(cut - prev AS INT) AS n_chunk_chars FROM s"
   }
 
   /** Shared CTEs for the substring-dedup oracles: filtered tokens,
@@ -2298,6 +2334,8 @@ object SparkEntry {
       "array_to_string(list_slice(toks, CAST(i * 24 + 1 AS INT), CAST(i * 24 + 32 AS INT)), ' ') AS chunk, " +
       "CAST(least(32, n - i * 24) AS INT) AS n_chunk_tokens " +
       "FROM n, LATERAL (SELECT unnest(range(nc)) AS i)"),
+
+    "q_chunk_content" -> contentChunkSql,
 
     "q_multimodal_frames" -> (
       "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx, " +

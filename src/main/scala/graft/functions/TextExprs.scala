@@ -275,3 +275,25 @@ case class BpeStatsExpr(child: Expression, model: Bpe.Model)
   override protected def withNewChildInternal(newChild: Expression): BpeStatsExpr =
     copy(child = newChild)
 }
+
+/** Content-defined chunk cut positions ([[TextKernels.contentCuts]]):
+  * one rolling-hash pass per document inside whole-stage codegen —
+  * chunking never leaves the scan stage, so the whole operator is a
+  * shuffle-free projection. */
+case class ContentCutsExpr(child: Expression, width: Int, divisor: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(width > 0, s"window width must be positive, got $width")
+  require(divisor > 1, s"divisor must exceed 1, got $divisor")
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "content_cuts"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.contentCuts(input.asInstanceOf[UTF8String], width, divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.contentCuts($c, $width, $divisor)")
+  override protected def withNewChildInternal(newChild: Expression): ContentCutsExpr =
+    copy(child = newChild)
+}

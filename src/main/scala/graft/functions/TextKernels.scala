@@ -462,4 +462,58 @@ object TextKernels {
     if (best < 0 || bestHits * 20 < toks.length) UTF8String.fromString("und")
     else UTF8String.fromString(langNames(best))
   }
+
+  /** Content-defined chunk cut points (rsync/FastCDC family): a cut
+    * falls after code point i (1-based, i < n) whenever the Rabin
+    * polynomial hash of the width-`k` code-point window ending at i
+    * satisfies `hash % divisor == 0`; the final position n is always a
+    * cut. Returned as the 1-based END positions of each chunk (empty
+    * for empty input), so chunk j spans (cuts(j-1), cuts(j)].
+    *
+    * Boundaries depend only on the local window, so identical content
+    * regions chunk identically regardless of what precedes them — the
+    * property that makes the chunks dedup-able across shifted copies,
+    * and the reason a fixed-stride splitter can't do this job.
+    *
+    * The hash is sum(cp_j * B^(k-1-j)) mod p with B=257, p=2^31-1,
+    * computed ROLLING (O(1) per code point, one pass, no per-position
+    * rehash) — exactly reproducible with plain integer SQL, which is
+    * how the DuckDB oracle replays it (and why this is a polynomial
+    * ring, not md5). Positions are CODE POINTS to match SQL substring
+    * semantics on both engines.
+    */
+  def contentCuts(value: UTF8String, k: Int, divisor: Int): ArrayData = {
+    val s = value.toString
+    val n = s.codePointCount(0, s.length)
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    val p = 2147483647L // 2^31 - 1
+    val B = 257L
+    var bk = 1L // B^k mod p, the outgoing-char weight
+    var e = 0
+    while (e < k) { bk = bk * B % p; e += 1 }
+    val cp = new Array[Int](n)
+    var ci = 0
+    var si = 0
+    while (si < s.length) {
+      val c = s.codePointAt(si)
+      cp(ci) = c
+      ci += 1
+      si += Character.charCount(c)
+    }
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * B + cp(i)) % p
+      // h now spans [max(0, i-k+1) .. i] plus, once i >= k, one char
+      // too many — evict cp(i-k)'s contribution (weight B^k after the
+      // multiply above)
+      if (i >= k) h = (h - cp(i - k) * bk % p + p) % p
+      val pos = i + 1
+      if (i >= k - 1 && pos < n && h % divisor == 0) cuts += pos
+      i += 1
+    }
+    cuts += n
+    new GenericArrayData(cuts.toArray)
+  }
 }

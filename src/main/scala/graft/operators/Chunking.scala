@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Overlapping token-window chunking — the RAG / context-window prep
   * operator: split each document into windows of `windowTokens`
@@ -53,5 +54,43 @@ object Chunking {
           .as("chunk"),
         least(w, col("__n") - col("chunk_idx") * s).cast("int")
           .as("n_chunk_tokens"))
+  }
+
+  /** Content-defined chunking (rsync/FastCDC family): chunk boundaries
+    * fall where a rolling hash of the trailing `width` code points is
+    * ≡ 0 mod `divisor` (expected chunk length ≈ `divisor` code
+    * points), so identical content regions produce identical chunks
+    * even when shifted by unrelated edits upstream — the property
+    * fixed-stride windows lack, and the basis of storage-level and
+    * shifted-copy dedup.
+    *
+    * Plan shape: cut positions come from one codegen'd rolling-hash
+    * pass ([[graft.functions.ContentCutsExpr]]); the (start, end]
+    * segments are derived ARRAY-side (indexed `transform` over the
+    * cut list — the previous cut is the start, no window function) and
+    * exploded. Zero exchanges end to end: at 100 TB this is a pure
+    * map over the scan, embarrassingly parallel.
+    *
+    * Emits (idCol, chunk_idx, chunk, n_chunk_chars); empty documents
+    * yield no rows (there is no content to cut).
+    */
+  def contentDefined(df: DataFrame, idCol: String, textCol: Column,
+                     width: Int = 16, divisor: Int = 64): DataFrame = {
+    val cuts = Bridge.column(graft.functions.ContentCutsExpr(
+      Bridge.expression(textCol), width, divisor))
+    // seg j = (prev cut (0 for j=0), cut j]; element_at is 1-based so
+    // element_at(cuts, j) IS the previous cut for 0-based index j —
+    // the when() guard keeps ANSI element_at(_, 0) unevaluated
+    val segs = transform(col("__cuts"), (end, j) => struct(
+      when(j === 0, lit(0)).otherwise(element_at(col("__cuts"), j)).as("start"),
+      end.as("end")))
+    df.select(col(idCol), textCol.as("__text"), cuts.as("__cuts"))
+      .select(col(idCol), col("__text"),
+        posexplode(segs).as(Seq("chunk_idx", "__seg")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__text").substr(col("__seg.start") + 1,
+          col("__seg.end") - col("__seg.start")).as("chunk"),
+        (col("__seg.end") - col("__seg.start")).cast("int")
+          .as("n_chunk_chars"))
   }
 }

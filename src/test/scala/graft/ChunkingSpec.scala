@@ -80,4 +80,42 @@ class ChunkingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Chunking.tokenWindows(df, "id", col("text"), 4, 5))
   }
+
+  private def contentChunks(texts: Seq[String]): Map[Long, Seq[String]] =
+    Chunking.contentDefined(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "id", col("text"), width = 16, divisor = 64)
+      .as[(Long, Int, String, Int)].collect().toSeq
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3) }
+      .withDefaultValue(Seq.empty)
+
+  private val loremish: String = (1 to 60).map(i =>
+    s"word$i item${i * 7 % 13} filler${i % 5}").mkString(" ")
+
+  test("content chunks reconstruct the document exactly, in order") {
+    val out = contentChunks(Seq(loremish))
+    assert(out(0L).mkString("") == loremish)
+    assert(out(0L).size > 1, "fixture long enough to produce several cuts")
+    assert(out(0L).forall(_.nonEmpty))
+  }
+
+  test("content chunking is shift-invariant: a prefix edit cannot move distant boundaries") {
+    // boundaries depend only on the trailing 16-char window, so in the
+    // shared region every window — hence every cut decision — is
+    // identical; only chunks overlapping the first 15 shared chars may
+    // differ. A fixed-stride splitter fails this exact test.
+    val prefix = "entirely different preamble text inserted upstream "
+    val out = contentChunks(Seq(loremish, prefix + loremish))
+    val shared = out(0L).drop(1).toSet
+    val shifted = out(1L).drop(1).toSet
+    assert(shared.nonEmpty && shared.subsetOf(shifted),
+      s"distant chunks moved under a prefix edit:\n${shared.diff(shifted)}")
+  }
+
+  test("content chunking: empty text yields no rows; short text one whole chunk") {
+    val out = contentChunks(Seq("", "tiny"))
+    assert(out(0L).isEmpty)
+    assert(out(1L) == Seq("tiny"))
+  }
 }
