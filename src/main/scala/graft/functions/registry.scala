@@ -78,7 +78,11 @@ object registry {
       "image_stats" -> (args => graft.operators.ImageStatsExpr(args.head)),
       "image_resize" -> (args => graft.operators.ImageResizeExpr(args.head,
         intArg(args, 1, 16), intArg(args, 2, 16))),
-      "test_image" -> (args => graft.operators.TestImageExpr(args.head)))
+      "test_image" -> (args => graft.operators.TestImageExpr(args.head)),
+      // content-defined chunk cut positions (width, divisor literals);
+      // pair with array/explode SQL to materialize the chunks
+      "content_cuts" -> (args => ContentCutsExpr(args.head,
+        intArg(args, 1, 16), intArg(args, 2, 64))))
   }
 
   private def intArg(args: Seq[Expression], at: Int, default: Int): Int =

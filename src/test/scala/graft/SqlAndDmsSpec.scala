@@ -53,6 +53,16 @@ class SqlAndDmsSpec extends SparkTestBase {
     val mh = spark.sql(
       "SELECT sig_agreement(minhash('a b c d e'), minhash('a b c d e')) AS s").first()
     assert(mh.getDouble(0) == 1.0)
+    // content-defined chunking from pure SQL: cuts -> exploded chunks
+    // reconstruct the input (same pattern Chunking.contentDefined uses)
+    val cc = spark.sql("""
+      WITH d AS (SELECT 'the quick brown fox jumps over the lazy dog and keeps running onward' AS t),
+      c AS (SELECT t, content_cuts(t, 8, 16) AS cuts FROM d)
+      SELECT array_join(transform(cuts, (e, j) ->
+        substr(t, IF(j = 0, 0, element_at(cuts, j)) + 1,
+               e - IF(j = 0, 0, element_at(cuts, j)))), '') AS rebuilt, t
+      FROM c""").first()
+    assert(cc.getString(0) == cc.getString(1))
   }
 
   test("SQL surface: a full IVF ANN top-k in pure SQL matches the programmatic tier") {
