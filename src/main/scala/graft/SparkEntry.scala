@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 import graft.config._
 import graft.fakegen.FakeGen
@@ -24,12 +24,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as a nanos
-    * BIGINT (nanosAsLong) while DuckDB truncates to a µs TIMESTAMP.
-    * Surface µs on both sides (oracle: epoch_us(ts)) so values AND
-    * orderings agree exactly. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+  /** Dtype-adaptive events read. The fixture generator has shipped
+    * events.ts under two parquet physical types across rounds:
+    * TIMESTAMP(NANOS) — which `nanosAsLong` surfaces as a nanosecond
+    * BIGINT — and TIMESTAMP_MICROS — surfaced as TIMESTAMP /
+    * TIMESTAMP_NTZ. Dispatch on the read schema and normalize BOTH to a
+    * µs-epoch BIGINT, the same value DuckDB's epoch_us(ts) yields (the
+    * session runs in UTC, so the NTZ wall clock IS the epoch reading).
+    * Unit contract for everything downstream: `ts` is MICROSECONDS —
+    * the sessionize gap and range-join window constants (1800000000 =
+    * 30 min) are derived from this contract. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val us = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // nanos-BIGINT fixture
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("ts").cast(TimestampType)) // micros fixture
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported dtype $other — expected BIGINT (nanos) " +
+          "or TIMESTAMP/TIMESTAMP_NTZ (micros); did the fixture drift again?")
+    }
+    raw.withColumn("ts", us)
+  }
 
   /** documents scan for the signature-heavy dedup family. The testdata
     * parquet is ONE row group per table (unsplittable), so without a
@@ -469,8 +485,7 @@ object SparkEntry {
         year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n"))),
     "q_conditional_agg" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("ts", expr("ts div 1000"))
+      events(s, dir)
         .groupBy(col("user_id"))
         .agg(
           sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),

@@ -11,13 +11,18 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.parquet carries TIMESTAMP(NANOS): read as nanos
-      // BIGINT (exact); oracles align via duckdb epoch_ns()
+      // if the fixture ships events.ts as TIMESTAMP(NANOS) again, read
+      // it as a nanos BIGINT (exact) — SparkEntry.events dispatches on
+      // whichever dtype surfaces; harmless for the µs fixture
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-drift preamble: name any schema shift up front (r9's
+    // regenerated testdata broke 7 queries with zero direct signal)
+    graft.sources.FixtureCanary.check(spark, sfDir)
+      .foreach(d => System.err.println(s"[canary] FIXTURE DRIFT: $d"))
     // comma-separated allowlist for focused repeat-verify loops (same
     // contract as SPARK_GRAFT_BENCH_ONLY); unset = full surface
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
@@ -39,6 +44,21 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a visible trail: an output dir holding an _ERROR marker
+        // and NO parquet makes every downstream reader (driver compare,
+        // check_oracles.py) fail loudly on this query → an `err` row in
+        // CORRECTNESS instead of the query silently vanishing from the
+        // board (r9: seven broken queries were invisible because this
+        // catch swallowed them and the absent dir was simply omitted).
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d)) { // drop any partial write output first
+          import scala.jdk.CollectionConverters._
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

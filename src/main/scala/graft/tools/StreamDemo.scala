@@ -24,8 +24,8 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val staging = java.nio.file.Files.createTempDirectory("graft_sd").toString
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.SparkEntry.events(spark, sfDir)
+      .withColumn("ts", timestamp_micros(col("ts")))
       .write.mode("overwrite").parquet(s"$staging/in")
     val schema = spark.read.parquet(s"$staging/in").schema
 

@@ -38,8 +38,8 @@ class BucketingStreamSpec extends SparkTestBase {
 
   test("streaming dedup within watermark drops repeats, keeps state bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sdd").toString
-    val ev = spark.read.parquet(sf() + "/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventsUs()
+      .withColumn("ts", timestamp_micros(col("ts")))
       .select($"user_id", $"event_type", $"ts")
     // duplicate every row => dedup must halve it
     ev.unionAll(ev).write.mode("overwrite").parquet(s"$dir/in")

@@ -56,8 +56,7 @@ class KeyedReduceSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(deduped.select("doc_id").as[Long].collect().toSet == wantIds)
 
-    val events = spark.read.parquet(sf() + "/events.parquet")
-      .withColumn("ts_us", (col("ts") / 1000L).cast("long"))
+    val events = eventsUs().withColumnRenamed("ts", "ts_us")
     val latest = CdcMerge.latestPerKey(events, Seq("user_id"), "ts_us",
       tieBreakers = Seq("event_id"))
     val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)

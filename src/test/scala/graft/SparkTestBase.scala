@@ -9,6 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** events with ts normalized to a µs-epoch BIGINT regardless of which
+    * parquet dtype the fixture currently carries (nanos BIGINT or
+    * TIMESTAMP_MICROS) — the same dispatch SparkEntry's queries use. */
+  def eventsUs(dir: String = "sf0.001"): org.apache.spark.sql.DataFrame =
+    SparkEntry.events(spark, sf(dir))
 }
 
 object SparkTestBase {

@@ -11,8 +11,8 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingValidatorSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def eventsWithTs = spark.read.parquet(sf() + "/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsWithTs = eventsUs()
+    .withColumn("ts", timestamp_micros(col("ts")))
 
   test("streaming windowed agg with watermark matches batch computation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
@@ -147,8 +147,7 @@ class StreamingValidatorSpec extends SparkTestBase {
 
   test("streaming latest-per-key state matches batch CdcMerge.latestPerKey") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
-    val ev = spark.read.parquet(sf() + "/events.parquet")
-      .select($"user_id", $"ts", $"event_id")
+    val ev = eventsUs().select($"user_id", $"ts", $"event_id")
     ev.write.mode("overwrite").parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
 

@@ -37,8 +37,7 @@ class TemporalSpec extends SparkTestBase {
   }
 
   test("asof join deterministic across partitionings") {
-    val ev = spark.read.parquet(sf("sf0.01") + "/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val ev = eventsUs("sf0.01")
     val p = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts")
     val c = ev.filter($"event_type" === "click")
