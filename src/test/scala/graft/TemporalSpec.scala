@@ -36,6 +36,30 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Set(("a", "w1"), ("b", "w1"), ("b", "w2"))) // inclusive 150
   }
 
+  test("query constants are µs per the events contract: 30-min boundary rows") {
+    // q_range_join's window and q_sessionize's gap are 1800000000 —
+    // 30 minutes ONLY because the events helper surfaces ts in
+    // MICROSECONDS on every fixture variant. Pin the unit at real µs
+    // magnitudes: exactly +30min is inside the window / same session,
+    // one microsecond later is out / a new session.
+    val base = 1700000000000000L // a realistic µs epoch (2023-11-14)
+    val purchases = Seq((1L, base + 1800000000L, 10L), (1L, base + 1800000001L, 11L))
+      .toDF("user_id", "ts", "event_id")
+    val windows = Seq((1L, base, base + 1800000000L, 100L))
+      .toDF("user_id", "start", "end", "click_id")
+    val inWindow = Temporal.rangeJoin(purchases, windows, Seq("user_id"),
+      "ts", "start", "end", blockWidth = 1800000000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(inWindow == Set(10L))
+
+    val ev = Seq((1L, base, 1L), (1L, base + 1800000000L, 2L),
+      (1L, base + 3600000001L, 3L)).toDF("user_id", "ts", "event_id")
+    val sess = Temporal.sessionize(ev, "user_id", "ts", gap = 1800000000L,
+      tieCol = "event_id").orderBy("session_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(sess == Seq((0L, 2L), (1L, 1L))) // ==gap merges, gap+1µs splits
+  }
+
   test("asof join deterministic across partitionings") {
     val ev = eventsUs("sf0.01")
     val p = ev.filter($"event_type" === "purchase")
