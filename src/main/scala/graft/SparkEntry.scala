@@ -1241,6 +1241,36 @@ object SparkEntry {
     "q_dedup_substring_clean" -> ((s, dir) =>
       Dedup.removeDuplicatedNgrams(t(s, dir, "documents"), "doc_id", "text",
         n = 5, minDocs = 2)),
+    // the SAME clean, expressed entirely through the registered SQL
+    // surface: the dup-set aggregate is plain SQL; the removal half is
+    // `remove_dup_grams` under the dup set as a scalar-subquery runtime
+    // table (the ANN tier's nearest_centroid pattern). Broadcast-sized
+    // dup sets only — the shuffle-join removal is the programmatic
+    // tier's scale path. Pinned equal to removeDuplicatedNgrams in
+    // SqlAndDmsSpec; same oracle as q_dedup_substring_clean.
+    "q_substring_clean_sql" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_substr_docs")
+      s.sql("""
+        WITH tk AS (
+          SELECT doc_id, filter(split(lower(trim(text)), '\\s+'),
+                                t -> t != '') AS toks
+          FROM graft_substr_docs),
+        g AS (
+          SELECT doc_id, explode(CASE WHEN size(toks) >= 5
+            THEN transform(sequence(0, size(toks) - 5),
+                           i -> concat_ws(' ', slice(toks, i + 1, 5)))
+            ELSE CAST(array() AS array<string>) END) AS gram
+          FROM tk),
+        dup AS (
+          SELECT collect_list(gram) AS tab FROM (
+            SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2))
+        SELECT doc_id,
+               remove_dup_grams(text, (SELECT tab FROM dup), 5) AS text_clean
+        FROM graft_substr_docs
+      """)
+    }),
     // incremental ingest: docs >= 400 arrive as the new batch and dedup
     // against the fingerprint index of the already-accepted corpus
     "q_dedup_incremental" -> ((s, dir) => {
@@ -2575,13 +2605,17 @@ object SparkEntry {
       "SELECT t.doc_id, coalesce(nd.n_dup_ngrams, 0) AS n_dup_ngrams, " +
       "coalesce(cv.dup_tokens, 0) AS dup_tokens, len(t.toks) AS n_tokens " +
       "FROM tk t LEFT JOIN nd USING (doc_id) LEFT JOIN cv USING (doc_id)"),
-    "q_dedup_substring_clean" -> (substrDupCtes +
-      ", pt AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok " +
-      "  FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i)), " +
-      "cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean " +
-      "  FROM pt WHERE NOT EXISTS (SELECT 1 FROM cov c " +
-      "    WHERE c.doc_id = pt.doc_id AND c.p = pt.pos) GROUP BY doc_id) " +
-      "SELECT t.doc_id, coalesce(cl.text_clean, '') AS text_clean " +
-      "FROM tk t LEFT JOIN cl USING (doc_id)")
+    "q_dedup_substring_clean" -> substrCleanOracle,
+    // same semantics through the SQL surface => same oracle
+    "q_substring_clean_sql" -> substrCleanOracle
   )
+
+  private lazy val substrCleanOracle: String = substrDupCtes +
+    ", pt AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok " +
+    "  FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i)), " +
+    "cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean " +
+    "  FROM pt WHERE NOT EXISTS (SELECT 1 FROM cov c " +
+    "    WHERE c.doc_id = pt.doc_id AND c.p = pt.pos) GROUP BY doc_id) " +
+    "SELECT t.doc_id, coalesce(cl.text_clean, '') AS text_clean " +
+    "FROM tk t LEFT JOIN cl USING (doc_id)"
 }

@@ -82,7 +82,12 @@ object registry {
       // content-defined chunk cut positions (width, divisor literals);
       // pair with array/explode SQL to materialize the chunks
       "content_cuts" -> (args => ContentCutsExpr(args.head,
-        intArg(args, 1, 16), intArg(args, 2, 64))))
+        intArg(args, 1, 16), intArg(args, 2, 64))),
+      // substring-dedup clean under a RUNTIME duplicated-gram table
+      // (array<string> scalar subquery — the dup-set aggregate itself
+      // is plain SQL); n must match the width the set was built with
+      "remove_dup_grams" -> (args => RemoveDupGramsExpr(args(0), args(1),
+        intArg(args, 2, 5))))
   }
 
   private def intArg(args: Seq[Expression], at: Int, default: Int): Int =

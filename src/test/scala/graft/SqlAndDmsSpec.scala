@@ -65,6 +65,23 @@ class SqlAndDmsSpec extends SparkTestBase {
     assert(cc.getString(0) == cc.getString(1))
   }
 
+  test("SQL surface: remove_dup_grams matches removeDuplicatedNgrams row for row") {
+    registry.registerAll(spark)
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val want = graft.operators.Dedup
+      .removeDuplicatedNgrams(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_substring_clean_sql")(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == want.keySet)
+    val diff = got.collect { case (k, v) if want(k) != v => k }
+    assert(diff.isEmpty, s"SQL clean diverged on doc_ids: ${diff.take(5)}")
+    // the clean actually removed something on this corpus (non-vacuous)
+    val changed = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.exists { case (k, v) => v != changed(k) })
+  }
+
   test("SQL surface: a full IVF ANN top-k in pure SQL matches the programmatic tier") {
     registry.registerAll(spark)
     import graft.operators.Ivf
