@@ -292,6 +292,21 @@ object SparkEntry {
         "embedding", p, ivfCentroidsFor(s, dir), pqCodebookFor(s, dir))
     }
 
+  /** Incrementally-built IVF-PQ index for q_ann_ivfpq_append: even
+    * vec_ids at [[graft.operators.IvfPqIndex.build]] time, odd vec_ids
+    * arriving later through [[graft.operators.IvfPqIndex.append]] under
+    * the frozen quantizers — the daily-ingest serving cycle. Appended
+    * content is deterministic, so the served result equals the
+    * full-rebuild index's and the same brute-force oracle applies. */
+  private def ivfPqAppendDir(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "ivfpq_index_app") { p =>
+      val emb = t(s, dir, "embeddings")
+      graft.operators.IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", p, ivfCentroidsFor(s, dir), pqCodebookFor(s, dir))
+      graft.operators.IvfPqIndex.append(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", p)
+    }
+
   /** Shape of every fakegen safe email (FakeGen.email): first.last with
     * an optional 0-2 digit suffix at an RFC 2606 reserved domain. Used
     * by the faker shape-invariant queries below. */
@@ -892,6 +907,14 @@ object SparkEntry {
     // under the brute-force oracle.
     "q_ann_ivfpq_index" -> ((s, dir) => {
       val idx = graft.operators.IvfPqIndex.load(s, ivfPqIndexDir(s, dir))
+      graft.operators.IvfPqIndex.topK(idx, annQueries(t(s, dir, "embeddings")),
+        "vec_id", "embedding", k = 1, nprobe = 2, rerank = 32)
+    }),
+    // the same serving query against an index built in TWO ingest
+    // batches (build evens, append odds under frozen quantizers) — the
+    // incremental-ingest cycle end to end
+    "q_ann_ivfpq_append" -> ((s, dir) => {
+      val idx = graft.operators.IvfPqIndex.load(s, ivfPqAppendDir(s, dir))
       graft.operators.IvfPqIndex.topK(idx, annQueries(t(s, dir, "embeddings")),
         "vec_id", "embedding", k = 1, nprobe = 2, rerank = 32)
     }),
@@ -2190,6 +2213,7 @@ object SparkEntry {
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
     "q_ann_ivfpq_index" -> annTop1Sql,
+    "q_ann_ivfpq_append" -> annTop1Sql,
     "q_ann_sql" -> annTop1Sql,
     "q_ann_topk" -> (
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +

@@ -75,6 +75,36 @@ object IvfPqIndex {
     build(corpus, idCol, vecCol, dir, coarse, cb)
   }
 
+  /** Append a batch to an EXISTING index without retraining: both
+    * quantizers are read back frozen from the index metadata, the new
+    * rows are assigned + encoded in one projection, and the result
+    * lands as NEW parquet files inside the same `cluster=<c>` partition
+    * directories (append mode — existing segments untouched, readers
+    * pruned exactly as before). This is the serving-scale ingest story:
+    * codebook freeze is the standard IVF/PQ production posture (daily
+    * ingest appends inverted-list segments; retraining is a deliberate,
+    * infrequent rebuild). Because assignment and encoding are
+    * deterministic under frozen quantizers, an appended index is
+    * byte-equivalent in CONTENT to a [[build]] over the union corpus
+    * with the same models — IvfPqAppendSpec pins list parity and
+    * query-result parity, and q_ann_ivfpq_append oracle-checks the
+    * served result. Id dedup across batches is the caller's contract
+    * (same as build: the index stores what it is given). */
+  def append(newRows: DataFrame, idCol: String, vecCol: String,
+             dir: String): Unit = {
+    val spark = newRows.sparkSession
+    val idx = load(spark, dir)
+    newRows.select(
+        Ivf.assign(col(vecCol), idx.centroids).as("cluster"),
+        col(idCol).as("id"),
+        Bridge.column(PqEncodeExpr(
+          Bridge.expression(col(vecCol).cast("array<float>")), idx.cb)).as("codes"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$dir/lists.parquet")
+  }
+
   def load(spark: SparkSession, dir: String): Loaded = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
       .orderBy("cluster").collect() // nlist rows — driver-bounded

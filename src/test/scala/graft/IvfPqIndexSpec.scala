@@ -58,6 +58,35 @@ class IvfPqIndexSpec extends SparkTestBase {
     rmrf(new java.io.File(dir))
   }
 
+  test("append under frozen quantizers == full rebuild: list content and served top-k") {
+    val dirInc = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    // incremental: build the even half, append the odd half later
+    IvfPqIndex.build(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      dirInc, coarse, cb)
+    IvfPqIndex.append(emb.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding",
+      dirInc)
+    // reference: one build over the union corpus, same frozen models
+    IvfPqIndex.build(emb, "vec_id", "embedding", dirFull, coarse, cb)
+
+    def listRows(dir: String) = IvfPqIndex.load(spark, dir).lists
+      .select($"cluster", $"id", $"codes", $"vec")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Int](2), r.getSeq[Float](3))).toSet
+    assert(listRows(dirInc) == listRows(dirFull),
+      "appended inverted lists diverged from a full rebuild")
+
+    def served(dir: String) = IvfPqIndex.topK(IvfPqIndex.load(spark, dir),
+        queriesOf(emb), "vec_id", "embedding", k = 2, nprobe = 2, rerank = 32)
+      .select($"query_id", $"corpus_id", $"cos", $"rank")
+      .collect().map(_.toSeq).toSet
+    assert(served(dirInc) == served(dirFull),
+      "served top-k diverged between appended and rebuilt index")
+    rmrf(new java.io.File(dirInc)); rmrf(new java.io.File(dirFull))
+  }
+
   test("plan: probed-cluster directory pruning + codes-only ADC scan") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_plan").toString
     IvfPqIndex.buildTrained(emb, "vec_id", "embedding", dir,
