@@ -485,6 +485,40 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders").rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))),
+    // KMV (k-minimum-values) cardinality sketch, the mergeable
+    // distinct-count estimator (Bar-Yossef et al. 2002): keep the k
+    // smallest distinct hash fractions per group; estimate
+    // (k-1)/u_(k). Hash = first 52 bits of md5 (both engines parse the
+    // same 13 hex chars, and 52-bit ints are exact in the double
+    // division, so the oracle replays the estimate EXACTLY — unlike
+    // HLL, whose engine-specific sketches never match across systems).
+    // Scale shape: one map-side-combined distinct of (group, hash) —
+    // the sketch-build pass — then the bounded-heap TopKPerKey physical
+    // operator keeps k rows per group; groups with < k distinct values
+    // report exact counts (the sketch degenerates to exact, by design).
+    "q_sketch_kmv" -> ((s, dir) => {
+      val k = 32
+      val h = t(s, dir, "events").select(col("event_type"),
+          expr("cast(conv(substr(md5(cast(user_id as string)), 1, 13), 16, 10) " +
+            "as bigint)").as("h"))
+        .distinct()
+      graft.plans.TopK.perKey(h, Seq("event_type"), Seq(("h", true)), k)
+        .groupBy(col("event_type"))
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("n"))
+        .select(col("event_type"),
+          when(col("n") < k, col("n")).otherwise(
+              floor(lit((k - 1).toDouble * 4503599627370496.0) / col("kth"))
+                .cast("long"))
+            .as("n_est"))
+    }),
+    // exact interpolated percentiles (Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition;
+    // round(6) guards the last-ulp of the interpolation arithmetic)
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))),
     "q_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -1875,6 +1909,24 @@ object SparkEntry {
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
        "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
+    "q_sketch_kmv" ->
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+       "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
+       "    AS BIGINT) AS h FROM events), " +
+       "r AS (SELECT event_type, h, row_number() OVER " +
+       "  (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+       "k AS (SELECT event_type, max(h) AS kth, count(*) AS n " +
+       "  FROM r WHERE rn <= 32 GROUP BY event_type) " +
+       "SELECT event_type, CASE WHEN n < 32 THEN n " +
+       "ELSE CAST(floor(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) " +
+       "  / kth) AS BIGINT) END AS n_est " +
+       "FROM k"),
+    "q_percentiles" ->
+      ("SELECT event_type, " +
+       "round(quantile_cont(value, 0.5), 6) AS p50, " +
+       "round(quantile_cont(value, 0.95), 6) AS p95, " +
+       "round(quantile_cont(value, 0.99), 6) AS p99 " +
+       "FROM events GROUP BY event_type"),
     // CAST the outer sum: DuckDB sums BIGINT into HUGEINT, which pandas
     // widens to float64 and the typed hash diverges from Spark's int64.
     "q_window_running" ->

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** KMV cardinality sketch semantics (q_sketch_kmv): exact counts below
+  * k, estimator-error-bounded above k. The oracle pins bit-exact
+  * replay; this pins that the numbers MEAN what a distinct-count
+  * estimator should. */
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("KMV: above-k groups estimate within estimator error of exact") {
+    val got = SparkEntry.queries("q_sketch_kmv")(spark, sf("sf0.01"))
+      .as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+      .groupBy($"event_type").agg(countDistinct($"user_id"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (g, n) =>
+      val est = got(g)
+      if (n < 32) assert(est == n, s"$g: below-k group must be exact ($est vs $n)")
+      // k=32 => relative standard error ~ 1/sqrt(k-2) ~ 18%; 3 sigma
+      else assert(math.abs(est - n) <= math.max(3, (n * 0.55).toLong),
+        s"$g: estimate $est too far from exact $n")
+    }
+  }
+
+  test("KMV: a group with fewer than k distinct values reports the exact count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    Seq.tabulate(40)(i => ("tiny", (i % 7).toLong))
+      .toDF("event_type", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_sketch_kmv")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("tiny" -> 7L))
+  }
+}
