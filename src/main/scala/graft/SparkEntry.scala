@@ -270,6 +270,53 @@ object SparkEntry {
         baseDir)
     }
 
+  /** CSV delivery fixture for q_csv_scan — the same deterministic
+    * malformed population as the JSONL fixture (doc_id % 97 == 0), CSV
+    * shape: clean lines `doc_id,source,text` (the corpus is verified
+    * comma/quote/newline-free, so the bare form is exact; the WRITE
+    * path quotes regardless), malformed lines a single comma-free
+    * token whose long-parse fails — PERMISSIVE nulls the whole payload
+    * and quarantines the raw line. */
+  private def csvFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "csv_fixture") { baseDir =>
+      val base = new java.io.File(baseDir)
+      base.mkdirs()
+      val lines = t(s, dir, "documents")
+        .select(when(col("doc_id") % 97 === 0,
+            concat(lit("BROKEN id "), col("doc_id")))
+          .otherwise(concat(col("doc_id"), lit(","), col("source"),
+            lit(","), col("text")))
+          .as("value"))
+      val tmp = new java.io.File(base, ".tmp_csv")
+      lines.coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".txt")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(base, "delivery.csv").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** CSV EXPORT fixture for q_csv_roundtrip — [[graft.sources.Csv.write]]
+    * once per (session, dir); the oracle replays content from
+    * `documents` alone, so any write-side mangling (quoting, escaping,
+    * null handling) flips rows. */
+  private def csvExportFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "csv_export") { baseDir =>
+      graft.sources.Csv.write(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        baseDir)
+    }
+
+  /** ORC EXPORT fixture for q_orc_roundtrip — the columnar alternative
+    * to parquet on the interchange surface, Spark-native. Written once
+    * per (session, dir); the read-back must reproduce the source table
+    * exactly (the oracle never sees the ORC files). */
+  private def orcExportFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "orc_export") { baseDir =>
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+        .write.mode("overwrite").orc(baseDir)
+    }
+
   /** Persisted IVF index for q_ann_ivf_index: built ONCE per
     * (session, sf dir) — query construction must not re-run the
     * k-means + partitioned write every time (bench/plan tooling
@@ -1162,6 +1209,31 @@ object SparkEntry {
           StructField("text", StringType))))
         .select(col("doc_id"), col("source"), col("text"))
     }),
+
+    // CSV twin of q_jsonl_scan: same explicit-schema PERMISSIVE
+    // quarantine contract, same deterministic malformed population —
+    // the oracle rebuilds both populations from `documents` alone
+    "q_csv_scan" -> ((s, dir) => {
+      val path = csvFixture(s, dir)
+      graft.sources.Csv.read(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType))))
+        .select(col("doc_id"), col("source"), col("text"),
+          col(graft.sources.Csv.CorruptColumn).as("quarantined"))
+    }),
+    // CSV write -> read round-trip (quoting/escaping/null fidelity)
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val path = csvExportFixture(s, dir)
+      graft.sources.Csv.read(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType))))
+        .select(col("doc_id"), col("source"), col("text"))
+    }),
+    // ORC write -> read round-trip: the Spark-native columnar
+    // interchange format beside parquet
+    "q_orc_roundtrip" -> ((s, dir) =>
+      s.read.orc(orcExportFixture(s, dir))
+        .select(col("doc_id"), col("source"), col("text"))),
 
     // REAL video decode through the oracle gate: deterministic Y4M
     // clips (geometry/colorspace/frame count and every plane byte pure
@@ -2397,6 +2469,18 @@ object SparkEntry {
 
     // write->read round-trip must reproduce the source table exactly
     "q_jsonl_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+
+    // CSV replay: same two-population rebuild as q_jsonl_scan
+    "q_csv_scan" -> (
+      "SELECT doc_id, source, text, CAST(NULL AS VARCHAR) AS quarantined " +
+      "FROM documents WHERE doc_id % 97 <> 0 " +
+      "UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), " +
+      "CAST(NULL AS VARCHAR), " +
+      "'BROKEN id ' || CAST(doc_id AS VARCHAR) " +
+      "FROM documents WHERE doc_id % 97 = 0"),
+    "q_csv_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+    "q_orc_roundtrip" -> "SELECT doc_id, source, text FROM documents",
 
     // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
     // p*3 + i) mod 256 for i in [0, planeSize) — a plane-order,
