@@ -544,19 +544,25 @@ object SparkEntry {
     // operator keeps k rows per group; groups with < k distinct values
     // report exact counts (the sketch degenerates to exact, by design).
     "q_sketch_kmv" -> ((s, dir) => {
-      val k = 32
-      val h = t(s, dir, "events").select(col("event_type"),
-          expr("cast(conv(substr(md5(cast(user_id as string)), 1, 13), 16, 10) " +
-            "as bigint)").as("h"))
-        .distinct()
-      graft.plans.TopK.perKey(h, Seq("event_type"), Seq(("h", true)), k)
-        .groupBy(col("event_type"))
-        .agg(max(col("h")).as("kth"), count(lit(1)).as("n"))
+      val sk = graft.operators.Sketch.kmv(t(s, dir, "events"),
+        Seq("event_type"), "user_id", k = 32)
+      sk.select(col("event_type"),
+        graft.operators.Sketch.kmvEstimate(col("sketch"), 32).as("n_est"))
+    }),
+    // the MERGE path: per-shard sketches (event_id parity as the shard
+    // key) rolled up without rescanning source data. KMV merge is
+    // lossless — union the hash sets, keep the k smallest — so the
+    // merged sketch IS the whole-corpus sketch and the same oracle
+    // applies row for row.
+    "q_sketch_kmv_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val shards = graft.operators.Sketch.kmv(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id", 32)
+        .unionByName(graft.operators.Sketch.kmv(
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id", 32))
+      graft.operators.Sketch.kmvMerge(shards, Seq("event_type"), 32)
         .select(col("event_type"),
-          when(col("n") < k, col("n")).otherwise(
-              floor(lit((k - 1).toDouble * 4503599627370496.0) / col("kth"))
-                .cast("long"))
-            .as("n_est"))
+          graft.operators.Sketch.kmvEstimate(col("sketch"), 32).as("n_est"))
     }),
     // exact interpolated percentiles (Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition;
@@ -1981,18 +1987,10 @@ object SparkEntry {
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
        "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
-    "q_sketch_kmv" ->
-      ("WITH h AS (SELECT DISTINCT event_type, " +
-       "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
-       "    AS BIGINT) AS h FROM events), " +
-       "r AS (SELECT event_type, h, row_number() OVER " +
-       "  (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
-       "k AS (SELECT event_type, max(h) AS kth, count(*) AS n " +
-       "  FROM r WHERE rn <= 32 GROUP BY event_type) " +
-       "SELECT event_type, CASE WHEN n < 32 THEN n " +
-       "ELSE CAST(floor(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) " +
-       "  / kth) AS BIGINT) END AS n_est " +
-       "FROM k"),
+    "q_sketch_kmv" -> kmvOracle,
+    // lossless merge => the merged sketch equals the whole-corpus
+    // sketch; same oracle
+    "q_sketch_kmv_merge" -> kmvOracle,
     "q_percentiles" ->
       ("SELECT event_type, " +
        "round(quantile_cont(value, 0.5), 6) AS p50, " +
@@ -2769,6 +2767,19 @@ object SparkEntry {
     // same semantics through the SQL surface => same oracle
     "q_substring_clean_sql" -> substrCleanOracle
   )
+
+  private lazy val kmvOracle: String =
+    "WITH h AS (SELECT DISTINCT event_type, " +
+    "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
+    "    AS BIGINT) AS h FROM events), " +
+    "r AS (SELECT event_type, h, row_number() OVER " +
+    "  (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+    "k AS (SELECT event_type, max(h) AS kth, count(*) AS n " +
+    "  FROM r WHERE rn <= 32 GROUP BY event_type) " +
+    "SELECT event_type, CASE WHEN n < 32 THEN n " +
+    "ELSE CAST(floor(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) " +
+    "  / kth) AS BIGINT) END AS n_est " +
+    "FROM k"
 
   private lazy val substrCleanOracle: String = substrDupCtes +
     ", pt AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok " +

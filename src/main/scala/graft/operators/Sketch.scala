@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) cardinality sketches (Bar-Yossef et al.
+  * 2002): per group, the k smallest DISTINCT hash values of the keyed
+  * column. Two properties make this the distinct-count sketch for a
+  * 100 TB pipeline:
+  *
+  *   - the estimate replays EXACTLY in any engine (the hash is the
+  *     first 52 bits of md5 and the estimator is one exact-double
+  *     division — unlike HLL, whose packed registers are
+  *     engine-specific and never comparable across systems);
+  *   - sketches are MERGEABLE: union the hash sets, keep the k
+  *     smallest — so per-shard/per-day sketches roll up without
+  *     rescanning history ([[kmvMerge]]; merged ≡ whole-corpus sketch
+  *     by construction, pinned in SketchSpec and by
+  *     q_sketch_kmv_merge sharing q_sketch_kmv's oracle).
+  *
+  * Scale shape: one map-side-combined distinct of (group, hash) — the
+  * only full pass — then the bounded-heap TopKPerKey physical operator
+  * keeps k rows per group; nothing downstream exceeds k rows per
+  * group. Groups with fewer than k distinct values report exact
+  * counts (the sketch degenerates to exact, by design).
+  */
+object Sketch {
+
+  /** 2^52 — hashes are 52-bit so the estimator's double division is
+    * exact on both sides of the oracle. */
+  private val HashSpace = 4503599627370496.0
+
+  /** 52-bit md5 hash of a value's canonical string form. */
+  def kmvHash(value: Column): Column =
+    conv(substring(md5(value.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+
+  /** Per-group sketch: (groupCols..., sketch ARRAY<BIGINT> ascending,
+    * at most k entries). */
+  def kmv(df: DataFrame, groupCols: Seq[String], valueCol: String,
+          k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    val h = df.select(
+        groupCols.map(col) :+ kmvHash(col(valueCol)).as("__h"): _*)
+      .distinct()
+    graft.plans.TopK.perKey(h, groupCols, Seq(("__h", true)), k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(col("__h"))).as("sketch"))
+  }
+
+  /** Merge per-shard sketches (rows shaped like [[kmv]] output, same
+    * k): union hash sets, keep the k smallest per group. The merge
+    * never touches source data — input is ≤ k·shards rows per group. */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+               k: Int): DataFrame =
+    sketches
+      .select(groupCols.map(col) :+ explode(col("sketch")).as("__h"): _*)
+      .distinct()
+      .groupBy(groupCols.map(col): _*)
+      .agg(slice(array_sort(collect_list(col("__h"))), 1, k).as("sketch"))
+
+  /** Distinct-count estimate from a sketch column: exact size below
+    * k, (k-1)/u_(k) at capacity. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble * HashSpace) /
+        element_at(sketch, k)).cast("long"))
+}

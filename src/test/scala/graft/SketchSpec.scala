@@ -25,6 +25,22 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("KMV merge is lossless: merged per-shard sketches == whole-corpus sketch") {
+    import graft.operators.Sketch
+    val ev = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+    val whole = Sketch.kmv(ev, Seq("event_type"), "user_id", 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val shards = Sketch.kmv(ev.filter($"event_id" % 3 === 0),
+        Seq("event_type"), "user_id", 32)
+      .unionByName(Sketch.kmv(ev.filter($"event_id" % 3 === 1),
+        Seq("event_type"), "user_id", 32))
+      .unionByName(Sketch.kmv(ev.filter($"event_id" % 3 === 2),
+        Seq("event_type"), "user_id", 32))
+    val merged = Sketch.kmvMerge(shards, Seq("event_type"), 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == whole, "3-way shard merge diverged from the whole-corpus sketch")
+  }
+
   test("KMV: a group with fewer than k distinct values reports the exact count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
     Seq.tabulate(40)(i => ("tiny", (i % 7).toLong))
