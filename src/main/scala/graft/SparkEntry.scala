@@ -651,6 +651,18 @@ object SparkEntry {
         "lang", "doc_id", nPerClass = 20)),
     "q_sample_hash" -> ((s, dir) =>
       graft.operators.Sampling.hashSample(t(s, dir, "customer"), "c_custkey", 0.25)),
+    // deterministic 80/10/10 train/val/test assignment — membership a
+    // pure function of doc_id, exact SQL replay like the whole family
+    "q_split_assign" -> ((s, dir) =>
+      graft.operators.Sampling.splitAssign(t(s, dir, "documents"),
+          "doc_id", trainFrac = 0.8, valFrac = 0.1)
+        .select(col("doc_id"), col("split"))),
+    // skew-safe aggregation surfaced on the oracle board: the salted
+    // two-stage count must be RESULT-INVISIBLE (equal to the plain
+    // groupBy), which is exactly what the plain-SQL oracle asserts
+    "q_skew_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(t(s, dir, "events"),
+        Seq("event_type"))),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),
@@ -2056,6 +2068,18 @@ object SparkEntry {
       ("SELECT * FROM customer WHERE " +
        "substr(md5('42::' || CAST(c_custkey AS VARCHAR)), 1, 15) < " +
        s"'${graft.operators.Sampling.thresholdHex(0.25)}'"),
+    // thresholds embedded from the SAME double arithmetic as the query
+    // (0.8 + 0.1 binds the float64 sum, not a 0.9 literal)
+    "q_split_assign" ->
+      ("SELECT doc_id, CASE " +
+       s"WHEN h < '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train' " +
+       s"WHEN h < '${graft.operators.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val' " +
+       "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+       "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
+       "FROM documents)"),
+    // the salted two-stage aggregate must equal the plain groupBy
+    "q_skew_salted_agg" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "q_mix_weighted" ->
       ("SELECT doc_id AS id, 'docs' AS __source FROM documents WHERE " +
        "substr(md5('42:docs:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +

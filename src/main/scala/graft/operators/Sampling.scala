@@ -43,6 +43,28 @@ object Sampling {
     f"${(fraction * math.pow(16, 15)).toLong}%015x"
   }
 
+  /** Deterministic train/val/test assignment by content hash: one
+    * [[sampleHex]] per key compared against two thresholds, so
+    * membership is a pure function of (key, seed, domain) — stable
+    * across runs, shards, partial reprocessing, and engines (the exact
+    * SQL-replay property the sampling family shares). Null keys fail
+    * closed like [[shardAssign]]: a row with no stable identity cannot
+    * be promised a stable split, and silently dropping it from ALL
+    * splits is how eval sets leak. */
+  def splitAssign(df: DataFrame, keyCol: String, trainFrac: Double,
+                  valFrac: Double, seed: Long = FakeGen.DefaultSeed,
+                  domain: String = ""): DataFrame = {
+    require(trainFrac > 0 && valFrac > 0 && trainFrac + valFrac < 1.0,
+      s"need 0 < train, 0 < val, train+val < 1; got $trainFrac/$valFrac")
+    val hex = sampleHex(col(keyCol), domain, seed)
+    df.withColumn("split",
+      when(col(keyCol).isNull, raise_error(lit(
+          s"splitAssign: null $keyCol has no stable split identity")))
+        .when(hex < lit(thresholdHex(trainFrac)), "train")
+        .when(hex < lit(thresholdHex(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
   /** Keep ~`fraction` of rows, decided by content (md5 of key + seed +
     * domain): stable across runs, partitionings, and task retries. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,

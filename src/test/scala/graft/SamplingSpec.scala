@@ -19,6 +19,29 @@ class SamplingSpec extends SparkTestBase {
     assert(a != otherSeed)
   }
 
+  test("splitAssign: total partition, ~fractions, deterministic, null fails closed") {
+    val df = spark.range(10000).toDF("id")
+    val got = Sampling.splitAssign(df, "id", 0.8, 0.1)
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("train", "val", "test"), s"splits: $got")
+    assert(got.values.sum == 10000, "assignment must be a total partition")
+    assert(math.abs(got("train") - 8000) < 400 &&
+      math.abs(got("val") - 1000) < 200, s"shares off: $got")
+    // stable across partitionings (same content hash → same split)
+    val a = Sampling.splitAssign(df, "id", 0.8, 0.1)
+      .as[(Long, String)].collect().toSet
+    val b = Sampling.splitAssign(df.repartition(13), "id", 0.8, 0.1)
+      .as[(Long, String)].collect().toSet
+    assert(a == b, "split depends on partitioning")
+    // a null key must raise, not silently fall out of every split
+    val withNull = Seq(Some(1L), None).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.splitAssign(withNull, "id", 0.8, 0.1).collect()
+    }
+    assert(e.getMessage.contains("stable split identity") ||
+      Option(e.getCause).exists(_.getMessage.contains("stable split identity")))
+  }
+
   test("stratified: exact per-class caps, deterministic choice") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val got = Sampling.stratified(docs, "lang", "doc_id", 20)
