@@ -119,6 +119,21 @@ object CdcStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * flowing fact stream. Stateless — no watermark, no state store —
+    * and the static side is planned per micro-batch (a dimension
+    * update is visible to the next batch without restarting the
+    * query). Broadcast by default: the standard shape for joining a
+    * 100 TB/day event feed against a small dimension; pass
+    * broadcastDim=false when the dimension is itself too big and the
+    * join must shuffle. Left join so an unmatched fact row flows
+    * through with null attributes rather than silently dropping —
+    * batch/stream parity pinned in StreamingValidatorSpec. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim,
+      keys, "left")
+
   /** Continuously-maintained latest-row-per-key via typed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): the streaming
     * equivalent of CdcMerge.latestPerKey. Emits the new latest row

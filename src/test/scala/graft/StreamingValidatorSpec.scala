@@ -83,6 +83,30 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrichment join matches batch; unmatched facts flow through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream7").toString
+    val ev = eventsUs().select($"event_id", $"event_type", $"value")
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    // dimension misses one event_type on purpose: left-join semantics
+    val dim = ev.select($"event_type").distinct().orderBy($"event_type")
+      .limit(3).withColumn("category", concat(lit("cat_"), $"event_type"))
+
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val q = CdcStream.enrich(stream, dim, Seq("event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_enriched").collect().map(_.toSeq).toSet
+    val batch = CdcStream.enrich(ev, dim, Seq("event_type"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_.last == null),
+      "expected unmatched facts to flow through with null attributes")
+  }
+
   test("curation ops are batch/stream unified: qualityFilter + redactPii on a stream") {
     // both are stateless per-row operators, so the SAME code runs
     // unchanged on a micro-batch stream and selects/produces the SAME
