@@ -657,6 +657,15 @@ object SparkEntry {
       graft.operators.Sampling.splitAssign(t(s, dir, "documents"),
           "doc_id", trainFrac = 0.8, valFrac = 0.1)
         .select(col("doc_id"), col("split"))),
+    // Z-order layout key on the oracle board: the Morton interleave is
+    // pure integer bit math, replayed in the oracle as the unrolled
+    // 31-term shift-and-or — any curve bug (bit order, sign handling)
+    // flips rows. The write-side clustering property itself is pinned
+    // in LayoutSpec (box-query file locality).
+    "q_zorder_key" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.operators.Layout.zorder2(
+          col("user_id"), col("event_id")).as("z"))),
     // skew-safe aggregation surfaced on the oracle board: the salted
     // two-stage count must be RESULT-INVISIBLE (equal to the plain
     // groupBy), which is exactly what the plain-SQL oracle asserts
@@ -2080,6 +2089,14 @@ object SparkEntry {
     // the salted two-stage aggregate must equal the plain groupBy
     "q_skew_salted_agg" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    // Morton replay: unrolled shift-and-or over the 31-bit domain
+    "q_zorder_key" -> {
+      def morton(x: String, y: String) = (0 until 31).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      "SELECT event_id, CAST(" + morton("user_id", "event_id") +
+        " AS BIGINT) AS z FROM events"
+    },
     "q_mix_weighted" ->
       ("SELECT doc_id AS id, 'docs' AS __source FROM documents WHERE " +
        "substr(md5('42:docs:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +

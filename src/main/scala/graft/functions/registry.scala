@@ -83,6 +83,8 @@ object registry {
       // pair with array/explode SQL to materialize the chunks
       "content_cuts" -> (args => ContentCutsExpr(args.head,
         intArg(args, 1, 16), intArg(args, 2, 64))),
+      // Z-order (Morton) interleave — the multi-dimensional layout key
+      "zorder2" -> (args => ZOrderExpr(args(0), args(1))),
       // substring-dedup clean under a RUNTIME duplicated-gram table
       // (array<string> scalar subquery — the dup-set aggregate itself
       // is plain SQL); n must match the width the set was built with

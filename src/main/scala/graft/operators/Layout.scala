@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.ZOrderExpr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Write-side layout optimization: cluster a table on the Z-order
+  * curve of two filter columns so box predicates touch few files.
+  * This is a WRITE-TIME lever — it costs one range exchange at write
+  * and pays back on every subsequent scan via file/row-group min-max
+  * pruning on EITHER dimension. LayoutSpec measures the property
+  * directly: matching rows of a box query land in strictly fewer
+  * files than under a single-column sort of the same file count.
+  */
+object Layout {
+
+  /** `zorder2(x, y)` as a column (both pmod'd into the non-negative
+    * 31-bit domain by the caller if needed). */
+  def zorder2(x: Column, y: Column): Column =
+    Bridge.column(ZOrderExpr(
+      Bridge.expression(x.cast("long")), Bridge.expression(y.cast("long"))))
+
+  /** Write `df` as `nFiles` parquet files range-clustered on the
+    * Z-order curve of (xCol, yCol). Range partitioning (not hash)
+    * keeps curve-adjacent rows in the same file, which is what makes
+    * the min-max envelopes tight.
+    *
+    * Both dimensions are first SCALED to the same `bitsPerDim`-bit
+    * range (one distributed min/max aggregate, then linear bucketing).
+    * Interleaving raw values instead would let the wider column's high
+    * bits own the top of the curve and the layout degenerates to a
+    * single-column sort — the standard z-order normalization step
+    * (production implementations use per-column range ranks for the
+    * same reason; linear min/max bucketing is the one-pass variant and
+    * right for id-like columns). */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    dir: String, nFiles: Int, bitsPerDim: Int = 12): Unit = {
+    require(bitsPerDim > 0 && bitsPerDim <= 31, s"bitsPerDim: $bitsPerDim")
+    val b = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    val nb = 1L << bitsPerDim
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(nb - 1),
+        floor((c.cast("long") - lit(lo)) * lit(nb) / lit(hi - lo + 1)))
+        .cast("long")
+    df.withColumn("__z", zorder2(
+        bucket(col(xCol), b.getLong(0), b.getLong(1)),
+        bucket(col(yCol), b.getLong(2), b.getLong(3))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+}
