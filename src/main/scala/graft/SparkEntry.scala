@@ -317,6 +317,20 @@ object SparkEntry {
         .write.mode("overwrite").orc(baseDir)
     }
 
+  /** Fragmented-then-compacted fixture for q_compact_roundtrip: the
+    * documents payload shattered into 64 tiny files (a long-running
+    * ingest's natural debris), then [[graft.operators.Layout.compact]]
+    * merged to 4 — the oracle replays content from `documents` alone,
+    * so compaction must be byte-faithful; LayoutSpec pins the file
+    * counts. */
+  private def compactFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "compact_fixture") { baseDir =>
+      val frag = s"$baseDir/fragmented"
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      graft.operators.Layout.compact(s, frag, s"$baseDir/compacted", 4)
+    }
+
   /** Persisted IVF index for q_ann_ivf_index: built ONCE per
     * (session, sf dir) — query construction must not re-run the
     * k-means + partitioned write every time (bench/plan tooling
@@ -563,6 +577,25 @@ object SparkEntry {
       graft.operators.Sketch.kmvMerge(shards, Seq("event_type"), 32)
         .select(col("event_type"),
           graft.operators.Sketch.kmvEstimate(col("sketch"), 32).as("n_est"))
+    }),
+    // KMV set algebra: estimated union and intersection of two user
+    // populations from their 32-hash sketches alone — corpus-overlap
+    // analytics with no rescan and no join of the underlying sets.
+    // One kmv pass builds both sketches; a conditional max-aggregate
+    // pivots them onto one row (arrays order lexicographically).
+    "q_sketch_overlap" -> ((s, dir) => {
+      import graft.operators.Sketch
+      val sks = Sketch.kmv(
+        t(s, dir, "events").filter(col("event_type").isin("click", "purchase")),
+        Seq("event_type"), "user_id", 32)
+      sks.agg(
+          max(when(col("event_type") === "click", col("sketch"))).as("a"),
+          max(when(col("event_type") === "purchase", col("sketch"))).as("b"))
+        .select(
+          Sketch.kmvEstimate(Sketch.kmvUnionK(col("a"), col("b"), 32), 32)
+            .as("n_union_est"),
+          Sketch.kmvIntersectEstimate(col("a"), col("b"), 32)
+            .as("n_common_est"))
     }),
     // exact interpolated percentiles (Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition;
@@ -1260,6 +1293,11 @@ object SparkEntry {
     // interchange format beside parquet
     "q_orc_roundtrip" -> ((s, dir) =>
       s.read.orc(orcExportFixture(s, dir))
+        .select(col("doc_id"), col("source"), col("text"))),
+    // small-file compaction round-trip: 64 fragments merged to 4 with
+    // no shuffle; content must replay from the source table exactly
+    "q_compact_roundtrip" -> ((s, dir) =>
+      s.read.parquet(s"${compactFixture(s, dir)}/compacted")
         .select(col("doc_id"), col("source"), col("text"))),
 
     // REAL video decode through the oracle gate: deterministic Y4M
@@ -2012,6 +2050,28 @@ object SparkEntry {
     // lossless merge => the merged sketch equals the whole-corpus
     // sketch; same oracle
     "q_sketch_kmv_merge" -> kmvOracle,
+    // KMV set algebra replay: same hash stream, union-k via list ops,
+    // at-capacity intersection via exact integer floor division
+    "q_sketch_overlap" ->
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+       "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
+       "    AS BIGINT) AS h FROM events " +
+       "  WHERE event_type IN ('click', 'purchase')), " +
+       "r AS (SELECT event_type, h, row_number() OVER " +
+       "  (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+       "sk AS (SELECT event_type, list(h ORDER BY h) AS sketch " +
+       "  FROM r WHERE rn <= 32 GROUP BY event_type), " +
+       "ab AS (SELECT " +
+       "  (SELECT sketch FROM sk WHERE event_type = 'click') AS a, " +
+       "  (SELECT sketch FROM sk WHERE event_type = 'purchase') AS b), " +
+       "u AS (SELECT a, b, list_sort(list_distinct(a || b))[1:32] AS uk FROM ab), " +
+       "e AS (SELECT uk, CASE WHEN len(uk) < 32 THEN len(uk) " +
+       "  ELSE CAST(floor(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) " +
+       "    / uk[32]) AS BIGINT) END AS uest, " +
+       "  len(list_intersect(list_intersect(uk, a), b)) AS inter FROM u) " +
+       "SELECT CAST(uest AS BIGINT) AS n_union_est, " +
+       "CAST(CASE WHEN len(uk) < 32 THEN inter " +
+       "  ELSE (inter * uest) // 32 END AS BIGINT) AS n_common_est FROM e"),
     "q_percentiles" ->
       ("SELECT event_type, " +
        "round(quantile_cont(value, 0.5), 6) AS p50, " +
@@ -2520,6 +2580,7 @@ object SparkEntry {
       "FROM documents WHERE doc_id % 97 = 0"),
     "q_csv_roundtrip" -> "SELECT doc_id, source, text FROM documents",
     "q_orc_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+    "q_compact_roundtrip" -> "SELECT doc_id, source, text FROM documents",
 
     // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
     // p*3 + i) mod 256 for i in [0, planeSize) — a plane-order,

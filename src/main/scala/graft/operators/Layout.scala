@@ -22,6 +22,24 @@ object Layout {
     Bridge.column(ZOrderExpr(
       Bridge.expression(x.cast("long")), Bridge.expression(y.cast("long"))))
 
+  /** Compact a parquet directory's many small files into about
+    * `targetFiles` larger ones — the small-files problem is the top
+    * operational pain of long-running ingest (every file costs a task,
+    * an open, and a footer read; a directory of 100k tiny deliveries
+    * makes every later scan metadata-bound). Content is preserved
+    * exactly; within-file order is whatever the merge produces
+    * (parquet scans promise none). `coalesce`, not `repartition`: the
+    * merge is read-side with NO shuffle — each output task reads a few
+    * input files and streams them out. Output lands in `outDir` so the
+    * swap into place stays the caller's atomic-rename decision (the
+    * same _SUCCESS-marker discipline as the CDC snapshot maintainer). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, s"targetFiles: $targetFiles")
+    spark.read.parquet(inDir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Write `df` as `nFiles` parquet files range-clustered on the
     * Z-order curve of (xCol, yCol). Range partitioning (not hash)
     * keeps curve-adjacent rows in the same file, which is what makes

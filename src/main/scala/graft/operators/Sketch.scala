@@ -65,4 +65,26 @@ object Sketch {
     when(size(sketch) < k, size(sketch).cast("long"))
       .otherwise(floor(lit((k - 1).toDouble * HashSpace) /
         element_at(sketch, k)).cast("long"))
+
+  /** The k smallest hashes of the UNION of two sketches — itself a
+    * valid sketch of A ∪ B (the mergeability property, pairwise). */
+  def kmvUnionK(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** |A ∩ B| estimate from two same-k sketches (Beyer et al. 2007:
+    * ρ·|A∪B| where ρ = fraction of the union sketch's hashes present
+    * in BOTH sets). Below capacity the union sketch enumerates both
+    * sets completely, so the answer is exact. `k` must be a power of
+    * two: the at-capacity estimate is then `(inter * unionEst) >> log2
+    * (k)` — pure integer math that replays bit-for-bit in any engine
+    * with floor division (the product stays under 2^63; a double
+    * round-trip would lose ulps past 2^53 and drift off the oracle). */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    require(k > 1 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
+    val shift = java.lang.Integer.numberOfTrailingZeros(k)
+    val uk = kmvUnionK(a, b, k)
+    val inter = size(array_intersect(array_intersect(uk, a), b)).cast("long")
+    when(size(uk) < k, inter)
+      .otherwise(shiftright(inter * kmvEstimate(uk, k), shift))
+  }
 }

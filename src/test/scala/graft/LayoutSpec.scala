@@ -42,6 +42,24 @@ class LayoutSpec extends SparkTestBase {
     assert(msgs(e).exists(m => m != null && m.contains("zorder2 domain")))
   }
 
+  test("compaction merges files without a shuffle and preserves content") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select($"doc_id", $"text")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    Layout.compact(spark, s"$base/frag", s"$base/out", 3)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(s"$base/frag") == 32 && parts(s"$base/out") <= 3,
+      s"expected 32 -> <=3 files, got ${parts(s"$base/frag")} -> ${parts(s"$base/out")}")
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // no shuffle: the merge plan must contain no Exchange
+    val plan = spark.read.parquet(s"$base/frag").coalesce(3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction shuffled:\n$plan")
+  }
+
   test("box-query file locality: z-order beats a single-column sort") {
     val ev = eventsUs("sf0.01").select($"event_id", $"user_id")
     val nFiles = 16

@@ -41,6 +41,27 @@ class SketchSpec extends SparkTestBase {
     assert(merged == whole, "3-way shard merge diverged from the whole-corpus sketch")
   }
 
+  test("KMV set algebra: intersect estimate tracks exact overlap; exact below capacity") {
+    import graft.operators.Sketch
+    val ev = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+    val exact = ev.filter($"event_type" === "click").select($"user_id").distinct()
+      .intersect(ev.filter($"event_type" === "purchase").select($"user_id").distinct())
+      .count()
+    val got = SparkEntry.queries("q_sketch_overlap")(spark, sf("sf0.01"))
+      .as[(Long, Long)].head()
+    assert(math.abs(got._2 - exact) <= math.max(5, (exact * 0.6).toLong),
+      s"overlap estimate ${got._2} too far from exact $exact")
+    // below capacity both sets enumerate completely => EXACT answer
+    val small = Seq.tabulate(30)(i => (if (i < 20) "a" else "b", i.toLong)) ++
+      Seq.tabulate(10)(i => ("b", i.toLong)) // b = {0..9, 20..29}; a = {0..19}
+    val sks = Sketch.kmv(small.toDF("g", "v"), Seq("g"), "v", 32)
+    val est = sks.agg(
+        max(when($"g" === "a", $"sketch")).as("a"),
+        max(when($"g" === "b", $"sketch")).as("b"))
+      .select(Sketch.kmvIntersectEstimate($"a", $"b", 32)).as[Long].head()
+    assert(est == 10L, s"below-capacity overlap must be exact, got $est")
+  }
+
   test("KMV: a group with fewer than k distinct values reports the exact count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
     Seq.tabulate(40)(i => ("tiny", (i % 7).toLong))
