@@ -684,6 +684,15 @@ object SparkEntry {
         "lang", "doc_id", nPerClass = 20)),
     "q_sample_hash" -> ((s, dir) =>
       graft.operators.Sampling.hashSample(t(s, dir, "customer"), "c_custkey", 0.25)),
+    // exact budget-proportional stratified sample: every source
+    // contributes its population share of a 100-row budget TO THE ROW
+    // (fraction-threshold sampling only lands near its rate), rows
+    // chosen as the group's lowest content hashes
+    "q_sample_proportional" -> ((s, dir) =>
+      graft.operators.Sampling.proportionalSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", budget = 100)
+        .select(col("doc_id"), col("source"))),
     // deterministic 80/10/10 train/val/test assignment — membership a
     // pure function of doc_id, exact SQL replay like the whole family
     "q_split_assign" -> ((s, dir) =>
@@ -2137,6 +2146,18 @@ object SparkEntry {
       ("SELECT * FROM customer WHERE " +
        "substr(md5('42::' || CAST(c_custkey AS VARCHAR)), 1, 15) < " +
        s"'${graft.operators.Sampling.thresholdHex(0.25)}'"),
+    // exact-quota replay: per-group quota in integer math, selection by
+    // the same (md5, key) ordering
+    "q_sample_proportional" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+       "t AS (SELECT sum(n) AS total FROM c), " +
+       "q AS (SELECT source, greatest(1, (100 * n) // total) AS quota " +
+       "  FROM c, t), " +
+       "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+       "  ORDER BY substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15), " +
+       "  doc_id) AS rn FROM documents) " +
+       "SELECT r.doc_id, r.source FROM r JOIN q USING (source) " +
+       "WHERE r.rn <= q.quota"),
     // thresholds embedded from the SAME double arithmetic as the query
     // (0.8 + 0.1 binds the float64 sum, not a 0.9 literal)
     "q_split_assign" ->

@@ -86,6 +86,47 @@ object Sampling {
                  nPerClass: Int): DataFrame =
     graft.plans.TopK.perKey(df, Seq(classCol), Seq((orderCol, true)), nPerClass)
 
+  /** EXACT budget-proportional stratified sample: group g contributes
+    * max(1, floor(budget * n_g / N)) rows — its population share of
+    * the budget, never zero for a nonempty group — chosen
+    * deterministically as the group's LOWEST content hashes
+    * (row_number over (sampleHex, key); the key tiebreak makes the
+    * choice total). Fraction-threshold sampling ([[hashSample]]) only
+    * lands NEAR its rate; this allocation is exact to the row, which
+    * is what a fixed token/row budget per mixture slot actually needs.
+    *
+    * Group counts are one aggregate collected to the driver (bounded
+    * by distinct groups — the same bounded-collect posture as the
+    * mixing family) so the quota arithmetic runs in exact Long math;
+    * quotas re-enter the plan as a broadcast-joined table. The scan
+    * itself is one window per group partition — one exchange. */
+  def proportionalSample(df: DataFrame, groupCol: String, keyCol: String,
+                         budget: Long, seed: Long = FakeGen.DefaultSeed,
+                         domain: String = ""): DataFrame = {
+    require(budget > 0, s"budget: $budget")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.get(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    if (total == 0) return df
+    val spark = df.sparkSession
+    val quotas = spark.createDataFrame(
+      spark.sparkContext.parallelize(counts.toIndexedSeq.map { case (g, n) =>
+        org.apache.spark.sql.Row(g, math.max(1L, budget * n / total))
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("__quota",
+          org.apache.spark.sql.types.LongType))))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sampleHex(col(keyCol), domain, seed), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Weighted deterministic mix of datasets (a training mixture):
     * each source is hash-subsampled to its weight, then unioned with a
     * provenance column. Weights in [0, 1] are independent keep-rates

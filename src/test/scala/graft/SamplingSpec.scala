@@ -19,6 +19,20 @@ class SamplingSpec extends SparkTestBase {
     assert(a != otherSeed)
   }
 
+  test("proportionalSample: exact quotas, min-1 floor, partition-invariant") {
+    // groups of 700 / 280 / 20 rows, budget 50 => quotas 35 / 14 / 1
+    val df = (Seq.tabulate(700)(i => ("big", i.toLong)) ++
+      Seq.tabulate(280)(i => ("mid", 1000L + i)) ++
+      Seq.tabulate(20)(i => ("tiny", 2000L + i))).toDF("g", "id")
+    val got = Sampling.proportionalSample(df, "g", "id", budget = 50)
+    val byG = got.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("big" -> 35L, "mid" -> 14L, "tiny" -> 1L), s"quotas: $byG")
+    val a = got.as[(String, Long)].collect().toSet
+    val b = Sampling.proportionalSample(df.repartition(17), "g", "id", 50)
+      .as[(String, Long)].collect().toSet
+    assert(a == b, "selection depends on partitioning")
+  }
+
   test("splitAssign: total partition, ~fractions, deterministic, null fails closed") {
     val df = spark.range(10000).toDF("id")
     val got = Sampling.splitAssign(df, "id", 0.8, 0.1)
