@@ -83,6 +83,36 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("KMV sketch at ingest: per-micro-batch sketches merge to the batch sketch") {
+    import graft.operators.Sketch
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream8").toString
+    val ev = eventsUs().select($"event_type", $"user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    // one sketch per arriving micro-batch — the mergeable-sketch ingest
+    // pattern: history is never rescanned, the rollup is sketch-sized
+    val perBatch = scala.collection.mutable.ArrayBuffer[(String, Seq[Long])]()
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch ++= Sketch.kmv(batch, Seq("event_type"), "user_id", 32)
+          .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(perBatch.map(_._1).distinct.size < perBatch.size,
+      "expected multiple micro-batches to sketch the same group")
+
+    val merged = Sketch.kmvMerge(
+        perBatch.toSeq.toDF("event_type", "sketch"), Seq("event_type"), 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val whole = Sketch.kmv(ev, Seq("event_type"), "user_id", 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == whole, "ingest-merged sketches diverged from batch sketch")
+  }
+
   test("stream-static enrichment join matches batch; unmatched facts flow through") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream7").toString
     val ev = eventsUs().select($"event_id", $"event_type", $"value")
