@@ -331,6 +331,23 @@ object SparkEntry {
       graft.operators.Layout.compact(s, frag, s"$baseDir/compacted", 4)
     }
 
+  /** Z-ordered + zone-mapped layout for q_zonemap_prune: the documents
+    * payload clustered on the (doc_id, n_chars) curve across 16 files
+    * with a persisted per-file min/max index — the data-skipping
+    * pairing (cluster tight envelopes, then prune the FILE LIST before
+    * Spark plans the scan). The oracle replays the box predicate from
+    * `documents` alone, so a pruning bug that drops a file with
+    * matching rows flips the row red; LayoutSpec pins that the prune
+    * actually selects a strict subset of the files. */
+  private def zonemapFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "zonemap_fixture") { baseDir =>
+      graft.operators.Layout.writeZOrdered(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "n_chars", baseDir, nFiles = 16)
+      graft.operators.ZoneMap.write(s, baseDir, Seq("doc_id", "n_chars"))
+    }
+
   /** Persisted IVF index for q_ann_ivf_index: built ONCE per
     * (session, sf dir) — query construction must not re-run the
     * k-means + partitioned write every time (bench/plan tooling
@@ -483,6 +500,45 @@ object SparkEntry {
       graft.sources.DmsFiles.snapshot(s, dmsFixture(s, dir),
         pk = Seq("o_orderkey"),
         mode = graft.sources.DmsFiles.AbsolutePath)),
+    // POINT-IN-TIME recovery over the same append-only trail: replay
+    // only CDC rows with ingestion ts <= 1, i.e. the state after the
+    // first update batch and before everything later — the %7 update,
+    // the %11 delete and the undated backfill must all be absent
+    "q_cdc_asof_snapshot" -> ((s, dir) =>
+      graft.sources.DmsFiles.snapshotAsOf(s, dmsFixture(s, dir),
+        pk = Seq("o_orderkey"), asOfTs = 1L)),
+    // ADDITIVE schema evolution: the delta carries a column the
+    // snapshot predates (upstream ADD COLUMN o_channel); the merge
+    // widens the snapshot with typed NULLs and applies I/U/D as usual
+    // — deletes (%13, later ts) win over the widened updates (%4)
+    "q_cdc_schema_evolution" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val u = orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_channel",
+          concat(lit("ch-"), (col("o_orderkey") % 3).cast("string")))
+        .withColumn(CdcMerge.OpColumn, lit("U"))
+        .withColumn(CdcMerge.TsColumn, lit(1L))
+      val d = orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_channel", lit(null).cast("string"))
+        .withColumn(CdcMerge.OpColumn, lit("D"))
+        .withColumn(CdcMerge.TsColumn, lit(2L))
+      CdcMerge.applyDeltaEvolved(orders, u.unionByName(d), Seq("o_orderkey"))
+    }),
+    // file-level data skipping: a persisted per-file min/max index
+    // over the z-ordered layout prunes the FILE LIST before Spark
+    // plans the scan; result must equal the plain filtered scan
+    "q_zonemap_prune" -> ((s, dir) => {
+      import graft.operators.ZoneMap
+      ZoneMap.prunedRead(s, zonemapFixture(s, dir), Seq(
+          ZoneMap.Interval("doc_id", 64, 191),
+          ZoneMap.Interval("n_chars", 100, 400)))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+    // PII DETECTION report: per-source match counts under the same
+    // sequential rule semantics as q_pii_redact (an email's digits are
+    // never double-reported as <NUM>)
+    "q_pii_report" -> ((s, dir) =>
+      Transformators.piiReport(t(s, dir, "documents"), Seq("source"), "text")),
 
     // ---- §2.6-§2.7 aggregation / join / window (engine generality) ----
     "q1_agg" -> ((s, dir) =>
@@ -605,6 +661,36 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"),
         round(expr("percentile(value, 0.99)"), 6).as("p99"))),
+    // bottom-k QUANTILE sketch: the KMV idea on the distribution axis
+    // — a deterministic md5-ordered row sample of 64 rows per group,
+    // mergeable and exact below capacity; estimates are interpolated
+    // percentiles over the sampled values
+    "q_sketch_quantile" -> ((s, dir) => {
+      import graft.operators.Sketch
+      Sketch.quantileSketch(t(s, dir, "events"), Seq("event_type"),
+          "value", "event_id", k = 64)
+        .select(col("event_type"),
+          round(Sketch.quantileEstimate(col("qsketch"), 0.5), 6).as("p50_est"),
+          round(Sketch.quantileEstimate(col("qsketch"), 0.9), 6).as("p90_est"))
+    }),
+    // the MERGE path: per-shard sketches (event_id parity) rolled up
+    // without rescanning — shards partition the rows, so union the
+    // (h, v) pairs and keep the k smallest by hash: the merged sketch
+    // IS the whole-corpus sketch and the same oracle applies
+    "q_sketch_quantile_merge" -> ((s, dir) => {
+      import graft.operators.Sketch
+      val ev = t(s, dir, "events")
+      val shards = Sketch.quantileSketch(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"),
+          "value", "event_id", 64)
+        .unionByName(Sketch.quantileSketch(
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"),
+          "value", "event_id", 64))
+      Sketch.quantileMerge(shards, Seq("event_type"), 64)
+        .select(col("event_type"),
+          round(Sketch.quantileEstimate(col("qsketch"), 0.5), 6).as("p50_est"),
+          round(Sketch.quantileEstimate(col("qsketch"), 0.9), 6).as("p90_est"))
+    }),
     "q_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -2011,6 +2097,41 @@ object SparkEntry {
       "ELSE o_totalprice END AS o_totalprice, " +
       "o_orderdate, o_orderpriority FROM orders " +
       "WHERE o_orderkey % 2 = 1 AND o_orderkey % 11 <> 0"),
+    // point-in-time cut at ingestion ts <= 1: only the %5/dts=1 update
+    // batch is in-state; the %7 update, the %11 delete and the undated
+    // backfill (all later) must be absent
+    "q_cdc_asof_snapshot" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 111.0 " +
+      "ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders"),
+    // additive evolution: %13 keys deleted (later ts beats the update),
+    // surviving %4 keys carry the new column, everyone else NULL
+    "q_cdc_schema_evolution" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "o_orderdate, o_orderpriority, " +
+      "CASE WHEN o_orderkey % 4 = 0 " +
+      "THEN concat('ch-', CAST(o_orderkey % 3 AS VARCHAR)) END AS o_channel " +
+      "FROM orders WHERE o_orderkey % 13 <> 0"),
+    // the zone-map prune must be invisible in the result: exactly the
+    // plain box predicate over the source table
+    "q_zonemap_prune" -> (
+      "SELECT doc_id, source, n_chars FROM documents " +
+      "WHERE doc_id BETWEEN 64 AND 191 AND n_chars BETWEEN 100 AND 400"),
+    // sequential rule replay: rule i counts matches on text with rules
+    // < i already replaced — identical chained-regex semantics as the
+    // operator, one rule set shared between both sides
+    "q_pii_report" -> {
+      val rules = graft.operators.Transformators.PiiRules
+      val counts = rules.zipWithIndex.map { case ((re, tag), i) =>
+        val prior = rules.take(i).foldLeft("text") { case (acc, (r, tg)) =>
+          s"regexp_replace($acc, '$r', '$tg', 'g')"
+        }
+        s"CAST(sum(len(regexp_extract_all($prior, '$re'))) AS BIGINT) AS " +
+          graft.operators.Transformators.piiCountCol(tag)
+      }.mkString(", ")
+      s"SELECT source, count(*) AS docs, $counts FROM documents GROUP BY source"
+    },
     "q1_agg" -> (
       "SELECT l_returnflag, l_linestatus, " +
       "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty, " +
@@ -2059,6 +2180,10 @@ object SparkEntry {
     // lossless merge => the merged sketch equals the whole-corpus
     // sketch; same oracle
     "q_sketch_kmv_merge" -> kmvOracle,
+    "q_sketch_quantile" -> quantileSketchOracle,
+    // lossless merge (disjoint shards, keep k smallest by hash) =>
+    // merged ≡ whole-corpus bottom-k; same oracle
+    "q_sketch_quantile_merge" -> quantileSketchOracle,
     // KMV set algebra replay: same hash stream, union-k via list ops,
     // at-capacity intersection via exact integer floor division
     "q_sketch_overlap" ->
@@ -2890,6 +3015,20 @@ object SparkEntry {
     // same semantics through the SQL surface => same oracle
     "q_substring_clean_sql" -> substrCleanOracle
   )
+
+  /** Shared by q_sketch_quantile and its merge row (lossless merge ⇒
+    * same sketch ⇒ same oracle): rebuild the bottom-64 md5-ordered row
+    * sample per group, then DuckDB's quantile_cont over the sampled
+    * values — the same linear interpolation as the estimator. */
+  private lazy val quantileSketchOracle: String =
+    "WITH h AS (SELECT event_type, value, " +
+    "  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) " +
+    "    AS BIGINT) AS h FROM events), " +
+    "r AS (SELECT event_type, value, row_number() OVER " +
+    "  (PARTITION BY event_type ORDER BY h, value) AS rn FROM h) " +
+    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_est, " +
+    "round(quantile_cont(value, 0.9), 6) AS p90_est " +
+    "FROM r WHERE rn <= 64 GROUP BY event_type"
 
   private lazy val kmvOracle: String =
     "WITH h AS (SELECT DISTINCT event_type, " +

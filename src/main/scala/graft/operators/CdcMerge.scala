@@ -57,6 +57,46 @@ object CdcMerge {
     snapshot.join(touched, pk, "left_anti").unionByName(upserts)
   }
 
+  /** Reconstruct the table's state AS OF CDC ingestion timestamp
+    * `asOfTs` (inclusive) — point-in-time recovery over an immutable
+    * LOAD + CDC file trail. Because DMS deliveries are append-only,
+    * every historical state is recoverable by replaying only the
+    * deltas at or before the cut: filter is pushed into the delta scan
+    * (ts is a leading sort/stats column in real deliveries, so file
+    * and row-group pruning apply), then the ordinary one-shuffle merge
+    * runs on the surviving — typically tiny — slice. At 100 TB this is
+    * the audit/debug primitive: "what did the row look like before
+    * Tuesday's batch" without restoring a backup. */
+  def snapshotAsOf(load: DataFrame, cdc: DataFrame, pk: Seq[String],
+                   asOfTs: Long, tieBreakers: Seq[String] = Nil): DataFrame =
+    applyDelta(load, cdc.filter(col(TsColumn) <= asOfTs), pk, tieBreakers)
+
+  /** [[applyDelta]] under ADDITIVE schema evolution: the delta batch
+    * may carry columns the snapshot predates (upstream ADD COLUMN —
+    * the one drift class that is safe to apply without a fresh full
+    * load, and the common one). New columns extend the snapshot with
+    * typed NULLs — exactly what the source table held before the
+    * column existed — then the ordinary merge runs over the widened
+    * schema. Anything NON-additive (a snapshot column missing from the
+    * delta = upstream DROP/RENAME) still hard-errors via
+    * [[checkSchemaDrift]]: silently nulling dropped columns would ship
+    * corrupt reconstructions downstream. */
+  def applyDeltaEvolved(snapshot: DataFrame, delta: DataFrame,
+                        pk: Seq[String],
+                        tieBreakers: Seq[String] = Nil): DataFrame = {
+    val dataCols = delta.columns
+      .filterNot(c => c == OpColumn || c == TsColumn)
+    val dropped = snapshot.columns.filterNot(dataCols.contains)
+    if (dropped.nonEmpty)
+      throw new IllegalStateException("schema drift: snapshot columns " +
+        s"missing from the delta: ${dropped.mkString(", ")} — only ADDITIVE " +
+        "evolution applies safely; a new full load is required")
+    val added = dataCols.filterNot(snapshot.columns.contains)
+    val widened = added.foldLeft(snapshot)((df, c) =>
+      df.withColumn(c, lit(null).cast(delta.schema(c).dataType)))
+    applyDelta(widened, delta, pk, tieBreakers)
+  }
+
   /** Schema-drift check (cdc_operator.rs:255-273): every data column
     * (minus Op/ts) must exist in the expected schema; extras => hard
     * error, forcing a fresh full load upstream. With `requireAll` the

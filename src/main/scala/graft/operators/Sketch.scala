@@ -66,6 +66,68 @@ object Sketch {
       .otherwise(floor(lit((k - 1).toDouble * HashSpace) /
         element_at(sketch, k)).cast("long"))
 
+  /** Per-group QUANTILE sketch: the k rows with the smallest 52-bit
+    * content hashes of `idCol`, carrying their `valueCol` readings — a
+    * deterministic bottom-k uniform row sample (Rosén's bottom-k /
+    * order sampling). Same three properties as the KMV cardinality
+    * sketch, for the distribution axis instead of the distinct axis:
+    *
+    *   - deterministic and engine-replayable (md5 order, not RNG — the
+    *     oracle rebuilds the identical sample in SQL);
+    *   - MERGEABLE and bounded: shard sketches union by hash, keep the
+    *     k smallest — merged ≡ whole-corpus sketch, always ≤ k rows
+    *     ([[quantileMerge]]);
+    *   - exact below capacity: a group with ≤ k rows is sampled
+    *     completely, so its quantiles are exact.
+    *
+    * Sketch shape: ARRAY<STRUCT<h BIGINT, v DOUBLE>> ascending by h.
+    * `idCol` must identify rows uniquely (inclusion is decided per ROW;
+    * hashing the value instead would drop duplicate readings and skew
+    * every heavy-hitter distribution). Scale shape matches [[kmv]]:
+    * one TopKPerKey bounded heap per group, nothing downstream exceeds
+    * k rows per group. */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    val pairs = df.select(groupCols.map(col)
+      :+ kmvHash(col(idCol)).as("__h")
+      :+ col(valueCol).cast("double").as("__v"): _*)
+    // secondary order on the value: a (vanishingly unlikely) hash tie
+    // on the capacity boundary must still pick a deterministic winner,
+    // and the oracle's ORDER BY (h, v) replay must agree with the heap
+    graft.plans.TopK.perKey(pairs, groupCols,
+        Seq(("__h", true), ("__v", true)), k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("__h").as("h"),
+        col("__v").as("v")))).as("qsketch"))
+  }
+
+  /** Merge per-shard quantile sketches (same k): union the (h, v)
+    * pairs — shards partition the rows, so the multisets are disjoint
+    * — and keep the k smallest by hash. Never touches source data. */
+  def quantileMerge(sketches: DataFrame, groupCols: Seq[String],
+                    k: Int): DataFrame =
+    sketches
+      .select(groupCols.map(col) :+ explode(col("qsketch")).as("__p"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(slice(array_sort(collect_list(col("__p"))), 1, k).as("qsketch"))
+
+  /** Linear-interpolated quantile estimate from a sketch column — the
+    * same definition as Spark `percentile` / DuckDB `quantile_cont`,
+    * applied to the sampled values. */
+  def quantileEstimate(sketch: Column, q: Double): Column = {
+    require(q >= 0.0 && q <= 1.0, s"q out of range: $q")
+    val values = array_sort(transform(sketch, p => p.getField("v")))
+    val n = size(values)
+    val pos = (n - lit(1)).cast("double") * lit(q)
+    val lo = floor(pos).cast("int")
+    val frac = pos - lo.cast("double")
+    val vlo = element_at(values, lo + lit(1))
+    val vhi = element_at(values, least(lo + lit(2), n))
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(vlo + (vhi - vlo) * frac)
+  }
+
   /** The k smallest hashes of the UNION of two sketches — itself a
     * valid sketch of A ∪ B (the mergeability property, pairwise). */
   def kmvUnionK(a: Column, b: Column, k: Int): Column =

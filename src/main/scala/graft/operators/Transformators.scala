@@ -138,4 +138,30 @@ object Transformators {
       })
     }
   }
+
+  /** Column name for a rule tag: `<EMAIL>` -> `n_email`. */
+  private[graft] def piiCountCol(tag: String): String =
+    "n_" + tag.replaceAll("[<>]", "").toLowerCase
+
+  /** PII DETECTION report — the audit complement of [[redactPii]]:
+    * per-group match counts for each rule, under the SAME sequential
+    * semantics as redaction (rule i counts matches on the text with
+    * rules < i already replaced, so an email's digits are never
+    * double-reported as `<NUM>`). This is the compliance question a
+    * curation pipeline answers BEFORE deciding to scrub: which
+    * sources leak pii, of what kind, at what rate. One groupBy over
+    * codegen'd regexp projections — a single shuffle of (groups ×
+    * rules) counter rows, linear at any corpus size. */
+  def piiReport(df: DataFrame, groupCols: Seq[String],
+                textCol: String): DataFrame = {
+    require(df.columns.contains(textCol), s"piiReport: no column $textCol")
+    val counts = PiiRules.zipWithIndex.map { case ((re, tag), i) =>
+      val prior = PiiRules.take(i).foldLeft(col(textCol)) {
+        case (acc, (r, t)) => regexp_replace(acc, r, t)
+      }
+      sum(regexp_count(prior, lit(re))).as(piiCountCol(tag))
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"), counts: _*)
+  }
 }

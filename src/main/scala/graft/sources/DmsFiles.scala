@@ -85,6 +85,22 @@ object DmsFiles {
     }
   }
 
+  /** POINT-IN-TIME table state: like [[snapshot]] over the full file
+    * trail, but replaying only CDC rows ingested at or before
+    * `asOfTs` — the DMS trail is append-only, so every historical
+    * state is recoverable without a backup restore. The cut is by the
+    * per-row ingestion timestamp, not by file date: a file delivered
+    * late but carrying old rows lands in the right state. */
+  def snapshotAsOf(spark: SparkSession, dir: String, pk: Seq[String],
+                   asOfTs: Long): DataFrame = {
+    val files = list(spark, dir, AbsolutePath)
+    require(files.loadFiles.nonEmpty, s"no LOAD files under $dir")
+    val full = spark.read.parquet(files.loadFiles: _*)
+    if (files.cdcFiles.isEmpty) full
+    else CdcMerge.snapshotAsOf(full,
+      spark.read.parquet(files.cdcFiles: _*), pk, asOfTs)
+  }
+
   /** Current table state: union of LOAD files, schema-drift-checked,
     * with CDC deltas applied (latest op per PK wins, D deletes). */
   def snapshot(spark: SparkSession, dir: String, pk: Seq[String],

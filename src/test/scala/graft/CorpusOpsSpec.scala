@@ -302,6 +302,20 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3) === "id<NUM> and <EMAIL> at <IP>")
   }
 
+  test("piiReport counts per rule under sequential semantics (no double-reporting)") {
+    val df = Seq(
+      ("a", "mail bob1234567@x.com or 12345"), // email's digits must NOT also count as NUM
+      ("a", "host 10.0.0.1 port 80"),          // IP's octets must NOT count; 80 too short
+      ("b", "no pii at all")
+    ).toDF("source", "text")
+    val rpt = Transformators.piiReport(df, Seq("source"), "text")
+    assert(rpt.columns.toSeq == Seq("source", "docs", "n_email", "n_ip", "n_num"))
+    val rows = rpt.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("a") == ((2L, 1L, 1L, 1L)), s"a: ${rows("a")}")
+    assert(rows("b") == ((1L, 0L, 0L, 0L)), s"b: ${rows("b")}")
+  }
+
   test("redactPii rejects unknown columns") {
     val df = Seq((1L, "x")).toDF("id", "note")
     val e = intercept[IllegalArgumentException] {
