@@ -134,6 +134,35 @@ object CdcStream {
     stream.join(if (broadcastDim) broadcast(dim) else dim,
       keys, "left")
 
+  /** Watermarked stream-stream INTERVAL join: pair rows of two event
+    * streams on `keys` where the right event lands within
+    * [leftTs, leftTs + maxSpan] — the attribution/funnel primitive
+    * (view→purchase, send→open, request→response). Both sides carry
+    * watermarks and the join predicate carries the explicit time
+    * range; TOGETHER they bound the state store — each side buffers
+    * only rows younger than watermark + span, so an unbounded
+    * 100 TB/day pair of feeds holds hours of state, not history.
+    * Inner join: an unmatched left row expires silently (use a
+    * leftOuter variant when absence itself is the signal). The same
+    * call runs on batch frames (EliminateEventTimeWatermark drops the
+    * watermark nodes), which is what the parity spec leans on. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftTs: String, rightTs: String,
+                          watermark: String, maxSpan: String): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one key")
+    // explicit aliases, not df(col) references: when both sides derive
+    // from the same parent (the batch-parity path), df(col) resolves
+    // both keys to ONE attribute and the equi-condition collapses to
+    // trivially-true — the standard self-join ambiguity trap
+    val l = left.withWatermark(leftTs, watermark).alias("__l")
+    val r = right.withWatermark(rightTs, watermark).alias("__r")
+    val cond = keys.map(k => col(s"__l.$k") === col(s"__r.$k")).reduce(_ && _) &&
+      col(s"__r.$rightTs") >= col(s"__l.$leftTs") &&
+      col(s"__r.$rightTs") <= col(s"__l.$leftTs") + expr(s"INTERVAL $maxSpan")
+    keys.foldLeft(l.join(r, cond, "inner"))(
+      (df, k) => df.drop(col(s"__r.$k")))
+  }
+
   /** Continuously-maintained latest-row-per-key via typed state
     * (KeyValueGroupedDataset.flatMapGroupsWithState): the streaming
     * equivalent of CdcMerge.latestPerKey. Emits the new latest row

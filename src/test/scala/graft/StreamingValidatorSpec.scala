@@ -113,6 +113,44 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(merged == whole, "ingest-merged sketches diverged from batch sketch")
   }
 
+  test("stream-stream interval join matches batch (view -> purchase attribution)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream8").toString
+    val ev = eventsUs().select($"event_id", $"user_id", $"event_type",
+      timestamp_micros($"ts").as("ts"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("view_ts"), $"event_id".as("view_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"), $"event_id".as("purchase_id"))
+    views.write.mode("overwrite").parquet(s"$dir/views")
+    purchases.write.mode("overwrite").parquet(s"$dir/purchases")
+
+    def joined(l: org.apache.spark.sql.DataFrame,
+               r: org.apache.spark.sql.DataFrame) =
+      CdcStream.intervalJoinStreams(l, r, Seq("user_id"),
+        "view_ts", "purchase_ts", watermark = "1 hour", maxSpan = "30 minutes")
+
+    val q = joined(
+        CdcStream.readFiles(spark, s"$dir/views",
+          spark.read.parquet(s"$dir/views").schema, maxFilesPerTrigger = 1),
+        CdcStream.readFiles(spark, s"$dir/purchases",
+          spark.read.parquet(s"$dir/purchases").schema, maxFilesPerTrigger = 1))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_interval_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("stream_interval_join")
+      .collect().map(_.toSeq).toSet
+    val batch = joined(views, purchases).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+    // the range is real: every pair respects [view_ts, view_ts + 30min]
+    val bad = spark.table("stream_interval_join")
+      .filter($"purchase_ts" < $"view_ts" ||
+        $"purchase_ts" > $"view_ts" + expr("INTERVAL 30 minutes")).count()
+    assert(bad == 0, s"$bad pairs violate the interval")
+  }
+
   test("stream-static enrichment join matches batch; unmatched facts flow through") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream7").toString
     val ev = eventsUs().select($"event_id", $"event_type", $"value")
