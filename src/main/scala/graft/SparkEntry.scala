@@ -1585,6 +1585,12 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.unigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20)),
+    // bigram LM with stupid backoff: catches real-words-impossible-
+    // order docs the unigram tier scores as fine; both models trained
+    // on the corpus, scoring a pure projection
+    "q_lm_bigram" -> ((s, dir) =>
+      graft.operators.Corpus.bigramScore(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", vocabSize = 20, bigramSize = 30)),
     // BM25 relevance against a fixed topic query (3 corpus terms + one
     // guaranteed-absent term exercising the df=0 guard); per-term
     // contributions floored to 1e6-scaled longs and integer-summed —
@@ -2874,6 +2880,39 @@ object SparkEntry {
       "CASE WHEN coalesce(sc.n, 0) = 0 THEN 0.0 ELSE " +
       "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.n * 1000000.0)), 6) END AS ppl " +
       "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id"),
+    // full model replay in SQL: both vocab tiers retrained from the
+    // corpus, identical scaled-log arithmetic, chr(31) = the 
+    // bigram separator; stupid-backoff branch = ln(0.4) + unigram(w2)
+    "q_lm_bigram" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(" +
+      "  regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS t " +
+      "  FROM documents), " +
+      "uni AS (SELECT unnest(t) AS w FROM tok), " +
+      "cnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w), " +
+      "tot AS (SELECT sum(c) AS tt FROM cnt), " +
+      "vocab AS (SELECT w, CAST(floor(1e6 * ln(c * 1.0 / tt) + 0.5) AS BIGINT) AS lp " +
+      "  FROM cnt, tot QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 20), " +
+      "oov AS (SELECT CAST(floor(1e6 * ln(0.5 / tt) + 0.5) AS BIGINT) AS lp FROM tot), " +
+      "bo AS (SELECT CAST(floor(1e6 * ln(0.4) + 0.5) AS BIGINT) AS lp), " +
+      "pairs AS (SELECT doc_id, " +
+      "  unnest(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1])) AS b, " +
+      "  unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2 " +
+      "  FROM tok WHERE len(t) >= 2), " +
+      "bcnt AS (SELECT b, count(*) AS cb FROM pairs GROUP BY b), " +
+      "bmodel AS (SELECT b, CAST(floor(1e6 * ln(cb * 1.0 / c1.c) + 0.5) AS BIGINT) AS lp " +
+      "  FROM bcnt JOIN cnt c1 ON split_part(bcnt.b, chr(31), 1) = c1.w " +
+      "  QUALIFY row_number() OVER (ORDER BY cb DESC, b ASC) <= 30), " +
+      "scored AS (SELECT doc_id, count(*) AS nb, " +
+      "  sum(coalesce(bm.lp, bo.lp + coalesce(v.lp, o.lp))) AS s " +
+      "  FROM pairs LEFT JOIN bmodel bm USING (b) " +
+      "  LEFT JOIN vocab v ON pairs.w2 = v.w " +
+      "  CROSS JOIN oov o CROSS JOIN bo GROUP BY doc_id) " +
+      "SELECT tk.doc_id, " +
+      "CAST(CASE WHEN len(tk.t) >= 2 THEN len(tk.t) - 1 ELSE 0 END AS INT) AS n_bigrams, " +
+      "CAST(coalesce(sc.s, 0) AS BIGINT) AS lp_scaled, " +
+      "CASE WHEN coalesce(sc.nb, 0) = 0 THEN 0.0 ELSE " +
+      "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.nb * 1000000.0)), 6) END AS ppl " +
+      "FROM tok tk LEFT JOIN scored sc ON tk.doc_id = sc.doc_id"),
     // generated per column — one UNION ALL branch per customer column
     "q_profile" -> (Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")

@@ -86,6 +86,84 @@ object Corpus {
           (col("n_tokens") * lit(1e6))), 6)))
   }
 
+  /** Bigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the next
+    * quality tier above [[unigramScore]]: a document full of real
+    * words in impossible ORDER ("the of and is the of") sails through
+    * a unigram filter and is exactly what a bigram score catches.
+    *
+    * Training (two bounded aggregations over the corpus):
+    *   - token counts as in [[unigramScore]] (top `vocabSize` becomes
+    *     the unigram vocabulary, OOV floor ln(0.5/total));
+    *   - bigram counts joined to their prefix's unigram count; the top
+    *     `bigramSize` bigrams (count desc, bigram asc — deterministic)
+    *     carry score ln(c(w1 w2)/c(w1)).
+    * Scoring is a pure projection: both models ride the plan as small
+    * literal maps and each position i contributes the bigram score or,
+    * when the bigram is unmodeled, ln(0.4) + unigram(w2) — stupid
+    * backoff's fixed penalty (scores, not normalized probabilities —
+    * the right trade for filtering, per the paper). Integer-scaled
+    * logs keep the per-doc sum order-independent and engine-exact.
+    * Output: (id, n_bigrams, lp_scaled, ppl); docs with < 2 tokens
+    * score ppl 0. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int, bigramSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(bigramSize > 0, s"bigramSize must be positive, got $bigramSize")
+    val Sep = "\u001f" // unit separator: cannot appear inside a token
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(trim(coalesce(c, lit("")))), "\\s+"),
+        w => length(w) > 0)
+    def bigramAt(t: org.apache.spark.sql.Column,
+                 i: org.apache.spark.sql.Column) =
+      concat(element_at(t, i), lit(Sep), element_at(t, i + 1))
+    def scaled(p: Double): Long = math.floor(1e6 * math.log(p) + 0.5).toLong
+
+    val tok = docs.select(toks(col(textCol)).as("__t"))
+    val uniCounts = tok.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist() // feeds the total, the vocab top-k, AND the bigram join
+    val (vocab, oov, model) = try {
+      val totalRow = uniCounts.agg(sum(col("c")).cast("long")).first()
+      val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+      if (total == 0L) (Map.empty[String, Long], 0L, Map.empty[String, Long])
+      else {
+        val top = uniCounts.orderBy(col("c").desc, col("w").asc)
+          .limit(vocabSize).collect()
+          .map(r => r.getString(0) -> scaled(r.getLong(1).toDouble / total))
+        val bgTop = tok.filter(size(col("__t")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+            i => bigramAt(col("__t"), i))).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+          .join(uniCounts.select(col("w").as("__pw"), col("c").as("c1")),
+            substring_index(col("b"), Sep, 1) === col("__pw"))
+          .orderBy(col("cb").desc, col("b").asc).limit(bigramSize)
+          .select(col("b"), col("cb"), col("c1")).collect()
+          .map(r => r.getString(0) ->
+            scaled(r.getLong(1).toDouble / r.getLong(2)))
+        (top.toMap, scaled(0.5 / total), bgTop.toMap)
+      }
+    } finally uniCounts.unpersist()
+
+    val backoff = scaled(0.4)
+    val uniMap = typedLit(vocab)
+    val bgMap = typedLit(model)
+    val t = toks(col(textCol))
+    val n = size(t)
+    val lp = when(n >= 2,
+        aggregate(sequence(lit(1), n - 1), lit(0L), (acc, i) =>
+          acc + coalesce(element_at(bgMap, bigramAt(t, i)),
+            lit(backoff) +
+              coalesce(element_at(uniMap, element_at(t, i + 1)), lit(oov)))))
+      .otherwise(lit(0L))
+    docs.select(col(idCol),
+        greatest(n - 1, lit(0)).cast("int").as("n_bigrams"),
+        lp.as("lp_scaled"))
+      .withColumn("ppl", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(round(exp(-(col("lp_scaled").cast("double")) /
+          (col("n_bigrams") * lit(1e6))), 6)))
+  }
+
   /** Per-column data profile: row/null/distinct counts for every
     * column of the frame — the schema-drift / data-quality sweep a
     * pipeline runs before trusting an ingest batch. ONE pass over the

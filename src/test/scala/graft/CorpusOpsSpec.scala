@@ -302,6 +302,24 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3) === "id<NUM> and <EMAIL> at <IP>")
   }
 
+  test("bigramScore: modeled bigrams score exactly; backoff = ln(0.4) + unigram") {
+    // corpus tokens: a:4 b:3 (total 7); bigrams "a b":2 "b a":1;
+    // bigramSize=1 keeps only "a b", so d3's "b a" takes backoff
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "b a"),
+      (4L, "a"), (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .bigramScore(docs, "doc_id", "text", vocabSize = 10, bigramSize = 1)
+      .orderBy("doc_id").as[(Long, Int, Long, Double)].collect()
+    def scaled(p: Double) = math.floor(1e6 * math.log(p) + 0.5).toLong
+    // d1/d2: one modeled bigram, ln(c("a b")/c(a)) = ln(2/4)
+    assert(out(0) == ((1L, 1, scaled(2.0 / 4), out(0)._4)))
+    // d3: backoff ln(0.4) + unigram ln(4/7) for w2 = "a"
+    assert(out(2)._3 == scaled(0.4) + scaled(4.0 / 7))
+    assert(out(0)._4 < out(2)._4, "modeled order must score better (lower ppl)")
+    // < 2 tokens: zero bigrams, ppl 0
+    assert(out(3) == ((4L, 0, 0L, 0.0)) && out(4) == ((5L, 0, 0L, 0.0)))
+  }
+
   test("piiReport counts per rule under sequential semantics (no double-reporting)") {
     val df = Seq(
       ("a", "mail bob1234567@x.com or 12345"), // email's digits must NOT also count as NUM
