@@ -148,7 +148,13 @@ object Corpus {
     val backoff = scaled(0.4)
     val uniMap = typedLit(vocab)
     val bgMap = typedLit(model)
-    val t = toks(col(textCol))
+    // tokenize ONCE per row in its own projection: the scoring lambda
+    // references the token array at every position, and inlining the
+    // split there would re-tokenize per bigram — O(n²) per document.
+    // CollapseProject keeps the stage split because the alias is
+    // multiply-referenced and non-cheap (both Projects still fuse into
+    // one codegen stage).
+    val t = col("__t")
     val n = size(t)
     val lp = when(n >= 2,
         aggregate(sequence(lit(1), n - 1), lit(0L), (acc, i) =>
@@ -156,7 +162,8 @@ object Corpus {
             lit(backoff) +
               coalesce(element_at(uniMap, element_at(t, i + 1)), lit(oov)))))
       .otherwise(lit(0L))
-    docs.select(col(idCol),
+    docs.withColumn("__t", toks(col(textCol)))
+      .select(col(idCol),
         greatest(n - 1, lit(0)).cast("int").as("n_bigrams"),
         lp.as("lp_scaled"))
       .withColumn("ppl", when(col("n_bigrams") === 0, lit(0.0))
