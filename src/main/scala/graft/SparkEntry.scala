@@ -539,6 +539,18 @@ object SparkEntry {
     // never double-reported as <NUM>)
     "q_pii_report" -> ((s, dir) =>
       Transformators.piiReport(t(s, dir, "documents"), Seq("source"), "text")),
+    // ordered view -> click -> purchase funnel, 3-day window from the
+    // first view; ts is the µs-contract events read
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Temporal.funnel(events(s, dir), "user_id", "ts",
+        steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        window = 259200000000L)),
+    // weekly cohort retention over the same µs contract
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Temporal.retention(events(s, dir), "user_id", "ts",
+        periodLength = 604800000000L)),
 
     // ---- §2.6-§2.7 aggregation / join / window (engine generality) ----
     "q1_agg" -> ((s, dir) =>
@@ -2124,6 +2136,32 @@ object SparkEntry {
     "q_zonemap_prune" -> (
       "SELECT doc_id, source, n_chars FROM documents " +
       "WHERE doc_id BETWEEN 64 AND 191 AND n_chars BETWEEN 100 AND 400"),
+    // the same iterated min-aggregate chain: step k = first matching
+    // event strictly after step k-1, within the window of step 1
+    "q_funnel" -> (
+      "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events), " +
+      "s1 AS (SELECT user_id, min(ts) AS t1 FROM ev " +
+      "  WHERE event_type = 'view' GROUP BY user_id), " +
+      "s2 AS (SELECT s1.user_id, s1.t1, " +
+      "  min(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.t1 + 259200000000 " +
+      "    THEN e.ts END) AS t2 " +
+      "  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id " +
+      "    AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), " +
+      "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, " +
+      "  min(CASE WHEN e.ts > s2.t2 AND e.ts <= s2.t1 + 259200000000 " +
+      "    THEN e.ts END) AS t3 " +
+      "  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id " +
+      "    AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, s2.t2) " +
+      "SELECT user_id, t1, t2, t3, " +
+      "CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) " +
+      "  AS INT) AS steps_completed FROM s3"),
+    // integer period buckets (floor division) => exact cross-engine
+    "q_retention" -> (
+      "WITH p AS (SELECT DISTINCT user_id, " +
+      "  epoch_us(ts) // 604800000000 AS pp FROM events), " +
+      "c AS (SELECT user_id, min(pp) AS cohort FROM p GROUP BY user_id) " +
+      "SELECT cohort, pp - cohort AS offset, count(*) AS n_active " +
+      "FROM p JOIN c USING (user_id) GROUP BY cohort, pp - cohort"),
     // sequential rule replay: rule i counts matches on text with rules
     // < i already replaced — identical chained-regex semantics as the
     // operator, one rule set shared between both sides

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,6 +92,67 @@ object Temporal {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
+  }
+
+  /** Ordered event FUNNEL (the windowFunnel of product analytics):
+    * per key, the completion times of an ordered step sequence — step
+    * 1's time is the key's FIRST event matching `steps(0)`; step k's
+    * time is the first event matching `steps(k-1)` STRICTLY AFTER step
+    * k-1 and within `window` of step 1. Output: one row per key that
+    * entered the funnel — (key, t1..tn nullable, steps_completed);
+    * a null t_k nulls everything after it (times are strictly
+    * increasing by construction).
+    *
+    * Shape at scale: step k is a filtered scan of the step's events
+    * aggregated with the accumulated funnel frame — each stage is one
+    * hash exchange on the key, the funnel frame is one row per
+    * entered key, and the event side is pre-filtered to the step's
+    * predicate before it shuffles. No per-key event materialization
+    * (the ClickHouse-style sorted-list scan) — the iterated min-
+    * aggregate form replays exactly in SQL, which is what the oracle
+    * leans on. */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             steps: Seq[Column], window: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(window > 0, s"funnel window must be positive, got $window")
+    val s1 = events.filter(steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    val full = steps.tail.zipWithIndex.foldLeft(s1) { case (acc, (pred, i)) =>
+      val k = i + 2
+      val carried = acc.columns.map(col).toIndexedSeq
+      acc.join(
+          events.filter(pred).select(col(keyCol), col(tsCol).as("__ts")),
+          Seq(keyCol), "left")
+        .groupBy(carried: _*)
+        .agg(min(when(col("__ts") > col(s"t${k - 1}") &&
+          col("__ts") <= col("t1") + window, col("__ts"))).as(s"t$k"))
+    }
+    full.withColumn("steps_completed",
+      steps.indices.map(i =>
+        when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("int"))
+  }
+
+  /** Cohort RETENTION: bucket time into fixed periods, assign every
+    * key to the cohort of its FIRST active period, and count, for
+    * each (cohort, period offset), the distinct keys still active —
+    * the table behind every retention curve. Integer period math
+    * (`div`, not a double floor) so the bucketing replays exactly
+    * cross-engine. Three bounded exchanges: the distinct of
+    * (key, period), the per-key min, and the final (cohort, offset)
+    * count — each carries at most one row per (key, period), never
+    * the raw event stream. */
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+                periodLength: Long): DataFrame = {
+    require(periodLength > 0, s"period must be positive, got $periodLength")
+    val periods = events
+      .select(col(keyCol),
+        expr(s"`$tsCol` div ${periodLength}L").as("__p"))
+      .distinct()
+    val cohorts = periods.groupBy(col(keyCol)).agg(min(col("__p")).as("cohort"))
+    periods.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
   }
 
   /** Range (interval) join: pairs where `left.ts` falls in

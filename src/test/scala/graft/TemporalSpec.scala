@@ -60,6 +60,42 @@ class TemporalSpec extends SparkTestBase {
     assert(sess == Seq((0L, 2L), (1L, 1L))) // ==gap merges, gap+1µs splits
   }
 
+  test("funnel: order, strict-increase, and window gates on crafted edges") {
+    val ev = Seq(
+      // u1: clean view -> click -> purchase inside the window
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: click BEFORE the first view never counts; none after
+      (2L, 5L, "click"), (2L, 10L, "view"),
+      // u3: same-ts click is not strictly after; purchase misses the
+      // window (anchor 10 + 100 < 200)
+      (3L, 10L, "view"), (3L, 10L, "click"), (3L, 15L, "click"),
+      (3L, 200L, "purchase"),
+      // u4: never entered the funnel (no view) -> no output row
+      (4L, 5L, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnel(ev, "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"), window = 100L)
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, Some(20L), Some(30L), 3),
+      (2L, 10L, None, None, 1),
+      (3L, 10L, Some(15L), None, 2)))
+  }
+
+  test("retention: cohort = first active period; offsets count distinct keys") {
+    val ev = Seq(
+      (1L, 1L), (1L, 12L), (1L, 35L), // u1: periods 0,1,3 -> cohort 0
+      (2L, 11L), (2L, 13L),           // u2: period 1 twice -> cohort 1
+      (3L, 2L), (3L, 9L)              // u3: period 0 twice -> cohort 0
+    ).toDF("user_id", "ts")
+    val got = Temporal.retention(ev, "user_id", "ts", periodLength = 10L)
+      .orderBy("cohort", "offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L)))
+  }
+
   test("asof join deterministic across partitionings") {
     val ev = eventsUs("sf0.01")
     val p = ev.filter($"event_type" === "purchase")
