@@ -812,6 +812,16 @@ object SparkEntry {
     "q_skew_salted_agg" -> ((s, dir) =>
       graft.operators.Skew.saltedCount(t(s, dir, "events"),
         Seq("event_type"))),
+    // salted equi-join for a skewed left side: salting must be
+    // invisible in the result — the oracle is the PLAIN join
+    "q_skew_salted_join" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "orders"),
+          t(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          "o_custkey", buckets = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("c_mktsegment"))),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),
@@ -2339,6 +2349,10 @@ object SparkEntry {
     // the salted two-stage aggregate must equal the plain groupBy
     "q_skew_salted_agg" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    // the salt must not change the result: plain inner join
+    "q_skew_salted_join" -> (
+      "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey"),
     // Morton replay: unrolled shift-and-or over the 31-bit domain
     "q_zorder_key" -> {
       def morton(x: String, y: String) = (0 until 31).map(i =>

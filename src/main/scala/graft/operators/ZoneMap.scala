@@ -54,6 +54,35 @@ object ZoneMap {
     build(spark, dir, cols).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/$StatsDir")
 
+  /** Incrementally extend a persisted index with stats for
+    * newly-ingested files — the daily-append cycle (same posture as
+    * the IVF-PQ index append): scan ONLY the new files, union with the
+    * existing stats, swap the stats table in place. Without this, each
+    * small delivery would force a full-directory rescan to keep
+    * pruning alive. The swap goes through a temp dir + rename so a
+    * crash mid-rewrite leaves either the old or the new index, never
+    * a half-written one. */
+  def appendFiles(spark: SparkSession, dir: String, cols: Seq[String],
+                  newFiles: Seq[String]): Unit = {
+    require(newFiles.nonEmpty, "no files to append")
+    val statsPath = s"$dir/$StatsDir"
+    val existing = spark.read.parquet(statsPath)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))
+    val fresh = spark.read.parquet(newFiles: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val tmp = s"$dir/${StatsDir}_tmp"
+    existing.unionByName(fresh).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (src, dst) = (new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(statsPath))
+    if (!fs.delete(dst, true) || !fs.rename(src, dst))
+      throw new java.io.IOException(s"zone-map stats swap failed: $tmp -> $statsPath")
+  }
+
   /** A closed-interval predicate `col BETWEEN lo AND hi` for pruning.
     * Point lookups are `Interval(c, v, v)`. */
   final case class Interval(column: String, lo: Any, hi: Any)

@@ -94,6 +94,34 @@ class LayoutSpec extends SparkTestBase {
     assert(fallback.sameElements(full), "index-less fallback diverged")
   }
 
+  test("zone map incremental append: new-delivery stats merge without a full rescan") {
+    import graft.operators.ZoneMap
+    val ev = eventsUs("sf0.01").select($"event_id", $"user_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zma").toString
+    def files() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSet
+    ev.filter($"event_id" < 5000).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    ZoneMap.write(spark, dir, Seq("user_id", "event_id"))
+    val before = files()
+    // a later delivery appends files to the same directory
+    ev.filter($"event_id" >= 5000).repartition(3)
+      .write.mode("append").parquet(dir)
+    val fresh = (files() -- before).toSeq.sorted
+    assert(fresh.size == 3, s"expected 3 new files, got ${fresh.size}")
+    ZoneMap.appendFiles(spark, dir, Seq("user_id", "event_id"), fresh)
+    // index covers every file, and the pruned read stays exact
+    val stats = spark.read.parquet(s"$dir/${ZoneMap.StatsDir}")
+    assert(stats.count() == files().size.toLong)
+    val preds = Seq(ZoneMap.Interval("user_id", 40, 55),
+                    ZoneMap.Interval("event_id", 4000, 6000))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val full = ev.filter($"user_id".between(40, 55) &&
+      $"event_id".between(4000, 6000)).collect().map(key).sorted
+    val pruned = ZoneMap.prunedRead(spark, dir, preds).collect().map(key).sorted
+    assert(pruned.sameElements(full), "post-append pruned read diverged")
+  }
+
   test("box-query file locality: z-order beats a single-column sort") {
     val ev = eventsUs("sf0.01").select($"event_id", $"user_id")
     val nFiles = 16
