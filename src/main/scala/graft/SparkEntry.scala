@@ -1298,6 +1298,21 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // perceptual dHash through the oracle gate: decode -> 9x8 NN gray
+    // grid -> 64 horizontal-gradient bits as (hi, lo) 32-bit halves;
+    // the oracle recomputes every gradient bit from doc_id's pixel
+    // formula — an index-math or bit-packing bug flips rows
+    "q_multimodal_dhash" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bridge.column(graft.operators.ImageDHashExpr(
+            Bridge.expression(Bridge.column(graft.operators.TestImageExpr(
+              Bridge.expression(col("doc_id"))))))).as("ph"))
+        .select(col("doc_id"), col("ph.hi").as("dhash_hi"),
+          col("ph.lo").as("dhash_lo"))
+    }),
+
     // REAL audio decode through the oracle gate: deterministic WAV
     // clips (channels/bits/frames and every PCM sample pure functions
     // of doc_id; the id sweep covers all four channels x bit-depth
@@ -2699,6 +2714,31 @@ object SparkEntry {
       "CAST(sum(CASE WHEN c=1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
       "CAST(sum(CASE WHEN c=2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
       "FROM pv GROUP BY doc_id"),
+
+    // replays the 9x8 NN gray grid from the pixel closed form
+    // ((id*31 + 3*(sy*w + sx) + c) % 256, summed over c), then every
+    // horizontal-gradient bit, packed into 32-bit halves (shifts stay
+    // < 32 — no engine-specific signed-shift edge at bit 63)
+    "q_multimodal_dhash" -> (
+      "WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, " +
+      "  1 + doc_id % 5 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, xs.x, ys.y FROM dims, " +
+      "  (SELECT unnest(range(9)) AS x) xs, " +
+      "  (SELECT unnest(range(8)) AS y) ys), " +
+      "gray AS (SELECT doc_id, x, y, " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9))) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 2) % 256) AS v FROM g), " +
+      "bits AS (SELECT a.doc_id, a.y, a.x, " +
+      "  CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit " +
+      "  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.y = b.y " +
+      "    AND b.x = a.x + 1 WHERE a.x < 8) " +
+      "SELECT doc_id, " +
+      "CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (1::BIGINT << (y*8+x-32)) " +
+      "  ELSE 0 END) AS BIGINT) AS dhash_hi, " +
+      "CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
+      "  ELSE 0 END) AS BIGINT) AS dhash_lo " +
+      "FROM bits GROUP BY doc_id"),
 
     // recomputes the decoded-clip stats from doc_id alone (the test
     // WAV's shape and every PCM sample are pure functions of the id):

@@ -348,6 +348,55 @@ object ImageCodec {
       Array[Any](d.width, d.height, d.channels, sr, sg, sb))
   }
 
+  /** Perceptual difference hash (dHash, Krawetz 2013) over the REAL
+    * decoded raster: nearest-neighbor sample to a 9×8 gray grid (gray
+    * = channel sum — scale-invariant for the comparisons, and integer-
+    * exact so the SQL oracle replays it), then 64 horizontal-gradient
+    * bits (bit y·8+x set iff gray(x+1,y) > gray(x,y)). Returned as
+    * (hi, lo) 32-bit halves — two non-negative BIGINTs survive every
+    * engine's signed-shift rules, unlike a packed 64-bit value whose
+    * top bit goes negative. Near-duplicate images (recompressed,
+    * resized, lightly edited) land within a few hamming bits:
+    * `bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)`. The NN index
+    * math composes exactly under integer upscaling
+    * (floor(floor(2a/9)/2) = floor(a/9)), so the hash is INVARIANT
+    * under k× nearest-neighbor resize — pinned in ImageCodecSpec.
+    * Null for undecodable input. */
+  def dHashRow(bytes: Array[Byte]): GenericInternalRow = {
+    val d = tryDecode(bytes)
+    if (d == null) return null
+    val gw = 9; val gh = 8
+    val gray = new Array[Int](gw * gh)
+    var y = 0
+    while (y < gh) {
+      val sy = (y.toLong * d.height / gh).toInt
+      var x = 0
+      while (x < gw) {
+        val sx = (x.toLong * d.width / gw).toInt
+        val base = (sy * d.width + sx) * d.channels
+        var s = 0; var c = 0
+        while (c < d.channels) { s += d.pixels(base + c) & 0xff; c += 1 }
+        gray(y * gw + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y * gw + x + 1) > gray(y * gw + x)) {
+          val bit = y * 8 + x
+          if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    new GenericInternalRow(Array[Any](hi, lo))
+  }
+
   /** Real nearest-neighbor resize on DECODED pixels (not raw bytes),
     * re-encoded in the input's family (netpbm in, netpbm out; BMP in,
     * BMP out). Null for undecodable input. */

@@ -181,6 +181,27 @@ case class ImageStatsExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Perceptual dHash over the REAL raster codec
+  * ([[ImageCodec.dHashRow]]): binary -> struct(hi, lo) — the 64
+  * gradient bits as 32-bit halves. NULL for undecodable input. */
+case class ImageDHashExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("hi", LongType), StructField("lo", LongType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_dhash"
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.dHashRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.operators.ImageCodec.dHashRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def withNewChildInternal(newChild: Expression): ImageDHashExpr =
+    copy(child = newChild)
+}
+
 /** REAL image resize: decode -> nearest-neighbor pixel sample ->
   * re-encode (same format family). NULL for undecodable input. */
 case class ImageResizeExpr(child: Expression, outWidth: Int, outHeight: Int)

@@ -100,6 +100,51 @@ class ImageCodecSpec extends SparkTestBase {
     }
   }
 
+  test("dHash: brute-force replay, k-times-upscale invariance, gradient sensitivity") {
+    // brute replay of one hash against an independent scalar recompute
+    def brute(id: Long): (Long, Long) = {
+      val w = (1 + id % 7).toInt; val h = (1 + id % 5).toInt
+      def px(i: Int) = java.lang.Math.floorMod(id * 31 + i, 256L).toInt
+      def gray(x: Int, y: Int) = {
+        val sx = x * w / 9; val sy = y * h / 8
+        (0 until 3).map(c => px(3 * (sy * w + sx) + c)).sum
+      }
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y)) {
+        val b = y * 8 + x
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      (hi, lo)
+    }
+    for (id <- Seq(0L, 7L, 13L, 123L)) {
+      val row = ImageCodec.dHashRow(ImageCodec.testImage(id))
+      assert((row.getLong(0), row.getLong(1)) == brute(id), s"id $id")
+    }
+    // NN index math composes exactly under integer upscale:
+    // floor(floor(k*a/9)/k) == floor(a/9) => identical hash
+    for (id <- Seq(3L, 42L); k <- Seq(2, 3)) {
+      val img = ImageCodec.testImage(id)
+      val d = ImageCodec.tryDecode(img)
+      val up = ImageCodec.resizeEncoded(img, d.width * k, d.height * k)
+      assert(java.util.Arrays.equals(
+        Array(ImageCodec.dHashRow(img).getLong(0),
+              ImageCodec.dHashRow(img).getLong(1)),
+        Array(ImageCodec.dHashRow(up).getLong(0),
+              ImageCodec.dHashRow(up).getLong(1))), s"id $id k $k")
+    }
+    // a genuinely different gradient structure changes the hash
+    val flat = Decoded(8, 8, 1, Array.fill(64)(100.toByte))
+    val ramp = Decoded(8, 8, 1, Array.tabulate(64)(i => (i % 8 * 30).toByte))
+    val hFlat = ImageCodec.dHashRow(ImageCodec.encodeNetpbm(flat))
+    val hRamp = ImageCodec.dHashRow(ImageCodec.encodeNetpbm(ramp))
+    assert(hFlat.getLong(0) == 0L && hFlat.getLong(1) == 0L,
+      "flat image must have no gradient bits")
+    assert((hRamp.getLong(0), hRamp.getLong(1)) !=
+      (hFlat.getLong(0), hFlat.getLong(1)))
+    // undecodable bytes -> null
+    assert(ImageCodec.dHashRow("not an image".getBytes) == null)
+  }
+
   test("corrupt headers with overflowing dims land on the null path") {
     // netpbm dims whose product overflows Int: 100000*100000*3 wraps
     // positive-small and would pass a naive truncation check
