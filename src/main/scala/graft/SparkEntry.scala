@@ -1313,6 +1313,25 @@ object SparkEntry {
           col("ph.lo").as("dhash_lo"))
     }),
 
+    // image NEAR-DUP through the oracle gate: population = every test
+    // image plus a PNG-recompressed copy of each %10 image under a
+    // shifted id — lossless recompression preserves pixels, so each
+    // copy pairs with its original at hamming 0; incidental near-dups
+    // among the synthetic images replay identically on both sides
+    "q_image_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val originals = docs.select(col("doc_id"),
+        Bridge.column(graft.operators.TestImageExpr(
+          Bridge.expression(col("doc_id")))).as("img"))
+      val copies = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          Bridge.column(graft.operators.TestImageExpr(
+            Bridge.expression(col("doc_id")), png = true)).as("img"))
+      graft.operators.Multimodal.imageNearDupPairs(
+        originals.unionByName(copies), "doc_id", "img", maxHamming = 3)
+    }),
+
     // REAL audio decode through the oracle gate: deterministic WAV
     // clips (channels/bits/frames and every PCM sample pure functions
     // of doc_id; the id sweep covers all four channels x bit-depth
@@ -2739,6 +2758,37 @@ object SparkEntry {
       "CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
       "  ELSE 0 END) AS BIGINT) AS dhash_lo " +
       "FROM bits GROUP BY doc_id"),
+
+    // hash closed form over the extended population (copies under
+    // id+1e6 hash from their BASE id — lossless recompression shares
+    // pixels), then an exact all-pairs hamming filter: the oracle is
+    // allowed the O(n^2) form the operator's banding avoids
+    "q_image_neardup" -> (
+      "WITH ids AS (SELECT doc_id FROM documents " +
+      "  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0), " +
+      "dims AS (SELECT doc_id, doc_id % 1000000 AS base, " +
+      "  1 + (doc_id % 1000000) % 7 AS w, 1 + (doc_id % 1000000) % 5 AS h FROM ids), " +
+      "g AS (SELECT doc_id, base, w, h, xs.x, ys.y FROM dims, " +
+      "  (SELECT unnest(range(9)) AS x) xs, (SELECT unnest(range(8)) AS y) ys), " +
+      "gray AS (SELECT doc_id, x, y, " +
+      "  ((base*31 + 3*(((y*h)//8)*w + ((x*w)//9))) % 256) + " +
+      "  ((base*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256) + " +
+      "  ((base*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 2) % 256) AS v FROM g), " +
+      "bits AS (SELECT a.doc_id, a.y, a.x, " +
+      "  CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit " +
+      "  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.y = b.y " +
+      "    AND b.x = a.x + 1 WHERE a.x < 8), " +
+      "dh AS (SELECT doc_id, " +
+      "  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (1::BIGINT << (y*8+x-32)) " +
+      "    ELSE 0 END) AS BIGINT) AS hi, " +
+      "  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
+      "    ELSE 0 END) AS BIGINT) AS lo " +
+      "  FROM bits GROUP BY doc_id) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) " +
+      "  AS hamming " +
+      "FROM dh a JOIN dh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"),
 
     // recomputes the decoded-clip stats from doc_id alone (the test
     // WAV's shape and every PCM sample are pure functions of the id):

@@ -110,6 +110,57 @@ object Multimodal {
         col("meta.mime").as("mime"), lit(width).as("width"),
         lit(height).as("height"), col("meta.duration_ms").as("duration_ms")))
 
+  /** Perceptual hash column from the REAL raster decode: nullable
+    * struct(hi, lo) — [[ImageCodec.dHashRow]]'s 64 gradient bits as
+    * 32-bit halves. Codegen'd projection, no shuffle. */
+  def withDHash(assets: DataFrame): DataFrame =
+    assets.withColumn("dhash",
+      Bridge.column(ImageDHashExpr(Bridge.expression(col("content")))))
+
+  /** Image NEAR-DUPLICATE pairs by perceptual hash: id pairs whose
+    * dHashes differ in at most `maxHamming` bits — recompressed,
+    * resized, or lightly-edited copies of the same picture. Banded
+    * blocking (the SimHash pigeonhole): the 64 bits split into 4
+    * 16-bit bands, and any pair within hamming 3 must agree EXACTLY on
+    * at least one band, so candidates come from 4 equi-joins on
+    * (band, value) — never an all-pairs scan — then the exact hamming
+    * check prunes false candidates. Shuffle carries (id, 2 longs), not
+    * image bytes. A pathological band (millions of flat images hashing
+    * to band 0) shows up as one hot join key — cap or pre-filter
+    * zero-gradient images upstream if the corpus has them. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, bytesCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band blocking guarantees recall only to hamming 3, got $maxHamming")
+    val hashed = df
+      .select(col(idCol).as("id"),
+        Bridge.column(ImageDHashExpr(Bridge.expression(col(bytesCol))))
+          .as("ph"))
+      .filter(col("ph").isNotNull)
+      .select(col("id"), col("ph.hi").as("hi"), col("ph.lo").as("lo"))
+    val bands = Seq(
+      col("lo").bitwiseAND(lit(65535L)),
+      shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+      col("hi").bitwiseAND(lit(65535L)),
+      shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))
+    val banded = hashed.select(col("id"), col("hi"), col("lo"),
+      posexplode(array(bands: _*)).as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"), col("id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = banded.select(col("band"), col("bv"), col("id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hi_a"), col("lo_a"),
+        col("hi_b"), col("lo_b"))
+      .distinct() // a pair matching several bands must emit once
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+         bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Decoded per-clip stats from the REAL PCM decode ([[AudioCodec]]):
     * one nullable struct column (rate, channels, bit depth, frame
     * count, per-channel centered sums, |sample| sum — all integers, so

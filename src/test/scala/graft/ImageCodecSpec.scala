@@ -145,6 +145,26 @@ class ImageCodecSpec extends SparkTestBase {
     assert(ImageCodec.dHashRow("not an image".getBytes) == null)
   }
 
+  test("imageNearDupPairs: recompressed copy pairs at hamming 0, distant images filtered") {
+    val base = ImageCodec.testImage(11L)
+    val flat = ImageCodec.encodeNetpbm(
+      Decoded(8, 8, 1, Array.fill(64)(100.toByte))) // hash (0, 0)
+    // precondition: the base image's hash is genuinely far from flat's
+    val h = ImageCodec.dHashRow(base)
+    val baseDist = java.lang.Long.bitCount(h.getLong(0)) +
+      java.lang.Long.bitCount(h.getLong(1))
+    assert(baseDist > 3, s"crafted images too close: $baseDist")
+    val imgs = Seq(
+      (1L, base),
+      (2L, ImageCodec.testImagePng(11L)),          // same pixels, PNG
+      (3L, flat),
+      (4L, Array[Byte](1, 2, 3))                   // undecodable: skipped
+    ).toDF("id", "img")
+    val pairs = Multimodal.imageNearDupPairs(imgs, "id", "img", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)), s"got $pairs")
+  }
+
   test("corrupt headers with overflowing dims land on the null path") {
     // netpbm dims whose product overflows Int: 100000*100000*3 wraps
     // positive-small and would pass a naive truncation check
