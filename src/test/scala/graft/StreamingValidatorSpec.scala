@@ -113,6 +113,39 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(merged == whole, "ingest-merged sketches diverged from batch sketch")
   }
 
+  test("quantile sketch at ingest: per-micro-batch sketches merge to the batch sketch") {
+    import graft.operators.Sketch
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream9").toString
+    val ev = eventsUs().select($"event_type", $"event_id", $"value")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val perBatch = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch ++= Sketch.quantileSketch(batch, Seq("event_type"),
+          "value", "event_id", 64).collect()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(perBatch.map(_.getString(0)).distinct.size < perBatch.size,
+      "expected multiple micro-batches to sketch the same group")
+
+    val sketchType = Sketch.quantileSketch(ev, Seq("event_type"),
+      "value", "event_id", 64).schema
+    val shards = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(perBatch.toSeq: _*)),
+      sketchType)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Any](1).toSeq).toMap
+    val merged = canon(Sketch.quantileMerge(shards, Seq("event_type"), 64))
+    val whole = canon(Sketch.quantileSketch(ev, Seq("event_type"),
+      "value", "event_id", 64))
+    assert(merged == whole, "ingest-merged quantile sketches diverged from batch")
+  }
+
   test("stream-stream interval join matches batch (view -> purchase attribution)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream8").toString
     val ev = eventsUs().select($"event_id", $"user_id", $"event_type",
