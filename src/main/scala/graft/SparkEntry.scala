@@ -331,6 +331,19 @@ object SparkEntry {
       graft.operators.Layout.compact(s, frag, s"$baseDir/compacted", 4)
     }
 
+  /** Hive-layout partitioned export for q_partitioned_write: the
+    * documents payload written `partitionBy(source)` — the delivery
+    * layout that makes per-source consumers read ONLY their
+    * subdirectory (partition pruning, plan-asserted in LayoutSpec).
+    * The oracle replays content from `documents` alone, so any
+    * partition-encoding mangling (value-to-path escaping, partition
+    * column re-typing on read-back) flips rows. */
+  private def partitionedExportFixture(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "partitioned_export") { baseDir =>
+      t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+        .write.partitionBy("source").mode("overwrite").parquet(baseDir)
+    }
+
   /** Z-ordered + zone-mapped layout for q_zonemap_prune: the documents
     * payload clustered on the (doc_id, n_chars) curve across 16 files
     * with a persisted per-file min/max index — the data-skipping
@@ -551,6 +564,11 @@ object SparkEntry {
     "q_retention" -> ((s, dir) =>
       graft.operators.Temporal.retention(events(s, dir), "user_id", "ts",
         periodLength = 604800000000L)),
+    // rolling z-score anomaly flags in exact integer arithmetic:
+    // (n·x − S)² > z²·(n·Q − S²) over the trailing-20 frame
+    "q_anomalies" -> ((s, dir) =>
+      graft.operators.Temporal.anomalies(events(s, dir), "user_id", "ts",
+        "value", tieCol = "event_id")),
 
     // ---- §2.6-§2.7 aggregation / join / window (engine generality) ----
     "q1_agg" -> ((s, dir) =>
@@ -1442,6 +1460,12 @@ object SparkEntry {
     }),
     // ORC write -> read round-trip: the Spark-native columnar
     // interchange format beside parquet
+    // hive-layout partitioned export read back whole: content must
+    // be byte-identical to the source (partition values round-trip
+    // through directory names)
+    "q_partitioned_write" -> ((s, dir) =>
+      s.read.parquet(partitionedExportFixture(s, dir))
+        .select(col("doc_id"), col("source"), col("text"))),
     "q_orc_roundtrip" -> ((s, dir) =>
       s.read.orc(orcExportFixture(s, dir))
         .select(col("doc_id"), col("source"), col("text"))),
@@ -1641,6 +1665,12 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.unigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20)),
+    // TF-IDF cosine top-20 pairs: lexical document similarity with
+    // integer-exact weights, df-capped postings, TakeOrdered top-k
+    "q_tfidf_sim" -> ((s, dir) =>
+      graft.operators.Corpus.tfidfSimilarPairs(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", minDf = 2, maxDf = 50,
+        topK = 20)),
     // bigram LM with stupid backoff: catches real-words-impossible-
     // order docs the unigram tier scores as fine; both models trained
     // on the corpus, scoring a pure projection
@@ -2199,6 +2229,18 @@ object SparkEntry {
       "SELECT user_id, t1, t2, t3, " +
       "CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) " +
       "  AS INT) AS steps_completed FROM s3"),
+    // identical integer z-test over the identical frame: milli-scaled
+    // readings, trailing-20-excluding-self window, (ts, event_id) order
+    "q_anomalies" -> (
+      "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts, value, " +
+      "  CAST(round(value * 1000) AS BIGINT) AS x FROM events), " +
+      "st AS (SELECT user_id, event_id, ts, value, x, " +
+      "  count(x) OVER w AS n, sum(x) OVER w AS s, sum(x*x) OVER w AS q " +
+      "  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT user_id, event_id, ts, value, " +
+      "coalesce(n >= 8 AND (n*x - s)*(n*x - s) > 9*(n*q - s*s), FALSE) " +
+      "  AS is_anomaly FROM st"),
     // integer period buckets (floor division) => exact cross-engine
     "q_retention" -> (
       "WITH p AS (SELECT DISTINCT user_id, " +
@@ -2874,6 +2916,7 @@ object SparkEntry {
       "FROM documents WHERE doc_id % 97 = 0"),
     "q_csv_roundtrip" -> "SELECT doc_id, source, text FROM documents",
     "q_orc_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+    "q_partitioned_write" -> "SELECT doc_id, source, text FROM documents",
     "q_compact_roundtrip" -> "SELECT doc_id, source, text FROM documents",
 
     // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
@@ -3022,6 +3065,28 @@ object SparkEntry {
       "CASE WHEN coalesce(sc.n, 0) = 0 THEN 0.0 ELSE " +
       "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.n * 1000000.0)), 6) END AS ppl " +
       "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id"),
+    // full replay: identical integer-scaled idf, exact integer dot and
+    // norms, cosine as the only double (sqrt correctly rounded), same
+    // total order through the LIMIT
+    "q_tfidf_sim" -> (
+      "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+      "  regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')) AS w " +
+      "  FROM documents), " +
+      "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w), " +
+      "n AS (SELECT count(*) AS nd FROM documents), " +
+      "idf AS (SELECT w, CAST(floor(1e3 * ln(nd * 1.0 / df) + 0.5) AS BIGINT) " +
+      "  AS idf FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) dfq, n " +
+      "  WHERE df BETWEEN 2 AND 50), " +
+      "vec AS (SELECT doc_id, tf.w, tf * idf AS wt FROM tf JOIN idf USING (w)), " +
+      "nrm AS (SELECT doc_id, sum(wt * wt) AS n2 FROM vec GROUP BY doc_id), " +
+      "dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "  sum(a.wt * b.wt) AS d FROM vec a JOIN vec b " +
+      "  ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, round(CAST(d AS DOUBLE) / " +
+      "  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos " +
+      "FROM dot JOIN nrm na ON na.doc_id = id_a " +
+      "JOIN nrm nb ON nb.doc_id = id_b " +
+      "ORDER BY cos DESC, id_a, id_b LIMIT 20"),
     // full model replay in SQL: both vocab tiers retrained from the
     // corpus, identical scaled-log arithmetic, chr(31) = the 
     // bigram separator; stupid-backoff branch = ln(0.4) + unigram(w2)

@@ -171,6 +171,63 @@ object Corpus {
           (col("n_bigrams") * lit(1e6))), 6)))
   }
 
+  /** Top-k most-similar document pairs by TF-IDF cosine — lexical
+    * retrieval's workhorse representation (Salton's vector model; the
+    * same weighting family as BM25 without the saturation terms),
+    * self-trained like the LM tiers:
+    *
+    *   - terms keep an integer-scaled idf (floor(1e3·ln(N/df)+0.5))
+    *     when minDf ≤ df ≤ maxDf — the df ceiling is ALSO the scale
+    *     lever: it drops stopword-grade terms whose posting lists
+    *     would otherwise dominate the term join (candidate pairs ∝
+    *     Σ df², so capping df caps the join);
+    *   - doc-vector weights tf·idf are exact integers, so dot products
+    *     and squared norms are exact integer sums — only the final
+    *     cosine touches doubles (sqrt is correctly rounded per IEEE,
+    *     so the value replays cross-engine; round 6 guards the rest);
+    *   - pairs meet through a term-keyed equi-join (shuffle ∝ postings,
+    *     never all-pairs), and the top-k is TakeOrdered under the
+    *     total order (cos desc, id_a, id_b) — deterministic through
+    *     the LIMIT boundary.
+    *
+    * Output: (id_a, id_b, cos), id_a < id_b, k rows. */
+  def tfidfSimilarPairs(docs: DataFrame, idCol: String, textCol: String,
+                        minDf: Int, maxDf: Int, topK: Int): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, s"bad df bounds [$minDf, $maxDf]")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val nDocs = docs.count()
+    val tok = docs.select(col(idCol).as("__id"),
+      explode(filter(split(lower(trim(coalesce(col(textCol), lit("")))),
+        "\\s+"), w => length(w) > 0)).as("w"))
+    // tf feeds the df aggregate AND the vector join; vec feeds norms
+    // and both join sides — materialize each once (scope-tracked)
+    val tf = Dedup.materializeShared(
+      tok.groupBy(col("__id"), col("w")).agg(count(lit(1)).as("tf")))
+    val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+      .select(col("w"),
+        floor(lit(1e3) * log(lit(nDocs.toDouble) / col("df").cast("double"))
+          + 0.5).cast("long").as("idf"))
+    val vec = Dedup.materializeShared(
+      tf.join(idf, "w")
+        .select(col("__id"), col("w"), (col("tf") * col("idf")).as("wt")))
+    val norm = vec.groupBy(col("__id")).agg(sum(col("wt") * col("wt")).as("n2"))
+    val a = vec.select(col("w"), col("__id").as("id_a"), col("wt").as("wt_a"))
+    val b = vec.select(col("w"), col("__id").as("id_b"), col("wt").as("wt_b"))
+    val dot = a.join(b, Seq("w")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wt_a") * col("wt_b")).as("d"))
+    dot
+      .join(norm.select(col("__id").as("id_a"), col("n2").as("n2_a")), "id_a")
+      .join(norm.select(col("__id").as("id_b"), col("n2").as("n2_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("d").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))),
+          6).as("cos"))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topK)
+  }
+
   /** Per-column data profile: row/null/distinct counts for every
     * column of the frame — the schema-drift / data-quality sweep a
     * pipeline runs before trusting an ingest batch. ONE pass over the

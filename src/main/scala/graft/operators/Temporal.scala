@@ -133,6 +133,41 @@ object Temporal {
         .reduce(_ + _).cast("int"))
   }
 
+  /** Rolling z-score ANOMALY flags: per key, each reading is tested
+    * against the trailing `window` readings (EXCLUDING itself — the
+    * anomaly must not dilute its own baseline): flag when
+    * |x − mean| > z·stddev and at least `minPoints` of history exist.
+    *
+    * The test is evaluated in EXACT INTEGER arithmetic — readings
+    * scale to milli-units, and |x−S/n| > z·σ is multiplied through by
+    * n² into (n·x − S)² > z²·(n·Q − S²) with S = Σx, Q = Σx² over the
+    * frame — so the flag replays bit-for-bit in any engine (a
+    * double-arithmetic z-score drifts by evaluation order; an exact
+    * one cannot). One hash exchange on the key; the rolling sums are
+    * running window state over the sorted partition stream, never a
+    * per-key materialization. `tieCol` totalizes the order so frames
+    * are deterministic under retries. */
+  def anomalies(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, tieCol: String, window: Int = 20,
+                z: Int = 3, minPoints: Int = 8): DataFrame = {
+    require(window > 1, s"window must exceed 1, got $window")
+    require(z > 0 && minPoints > 1, s"bad z/minPoints: $z/$minPoints")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-window, -1)
+    val dev = col("__n") * col("__x") - col("__s")
+    events
+      .withColumn("__x", round(col(valueCol) * 1000).cast("long"))
+      .withColumn("__n", count(col("__x")).over(w))
+      .withColumn("__s", sum(col("__x")).over(w))
+      .withColumn("__q", sum(col("__x") * col("__x")).over(w))
+      .select(col(keyCol), col(tieCol), col(tsCol), col(valueCol),
+        (col("__n") >= minPoints &&
+          dev * dev > lit(z.toLong * z) *
+            (col("__n") * col("__q") - col("__s") * col("__s")))
+          .as("is_anomaly"))
+  }
+
   /** Cohort RETENTION: bucket time into fixed periods, assign every
     * key to the cohort of its FIRST active period, and count, for
     * each (cohort, period offset), the distinct keys still active —

@@ -320,6 +320,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out(3) == ((4L, 0, 0L, 0.0)) && out(4) == ((5L, 0, 0L, 0.0)))
   }
 
+  test("tfidfSimilarPairs: df bounds prune vocab; exact cosine ordering on crafted docs") {
+    // N=4; df: apple=3, dog=2 in vocab; banana/cherry/emu df=1 dropped
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
+      (3L, "dog emu"), (4L, "apple dog")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .tfidfSimilarPairs(docs, "doc_id", "text", minDf = 2, maxDf = 50,
+        topK = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    def idf(df: Int) = math.floor(1e3 * math.log(4.0 / df) + 0.5).toLong
+    val (ia, id) = (idf(3), idf(2)) // apple, dog
+    def cos(d: Long, n2a: Long, n2b: Long) =
+      BigDecimal(d.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mixedNorm = ia * ia + id * id
+    val expected = Seq(
+      (1L, 2L, cos(ia * ia, ia * ia, ia * ia)),        // 1.0: same vector
+      (3L, 4L, cos(id * id, id * id, mixedNorm)),
+      (1L, 4L, cos(ia * ia, ia * ia, mixedNorm)),
+      (2L, 4L, cos(ia * ia, ia * ia, mixedNorm))
+    ).sortBy { case (a, b, c) => (-c, a, b) }
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("piiReport counts per rule under sequential semantics (no double-reporting)") {
     val df = Seq(
       ("a", "mail bob1234567@x.com or 12345"), // email's digits must NOT also count as NUM

@@ -122,6 +122,25 @@ class LayoutSpec extends SparkTestBase {
     assert(pruned.sameElements(full), "post-append pruned read diverged")
   }
 
+  test("partitioned export: partition pruning reaches the scan, content round-trips") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    docs.write.partitionBy("source").mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).filter($"source" === "src3")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("src3"),
+      s"partition filter did not reach the scan:\n$plan")
+    // the pruned scan reads only the one subdirectory's files
+    val touched = one.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("source=src3")),
+      s"scan touched beyond the partition: ${touched.take(3).mkString(", ")}")
+    // whole read-back reproduces the source content
+    val back = spark.read.parquet(dir).select($"doc_id", $"text", $"source")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("box-query file locality: z-order beats a single-column sort") {
     val ev = eventsUs("sf0.01").select($"event_id", $"user_id")
     val nFiles = 16

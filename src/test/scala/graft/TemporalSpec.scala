@@ -84,6 +84,24 @@ class TemporalSpec extends SparkTestBase {
       (3L, 10L, Some(15L), None, 2)))
   }
 
+  test("anomalies: spike flags against its trailing baseline, never dilutes it") {
+    // 10 steady readings, then a spike, then steady again: only the
+    // spike flags (the window EXCLUDES self, so the spike can't mask
+    // itself), and the reading right after it stays unflagged (the
+    // spike inflates the trailing variance, but (n·x−S)² stays small)
+    val ev = (1 to 10).map(i => (1L, i.toLong, i.toLong, 100.0 + (i % 2))) ++
+      Seq((1L, 11L, 11L, 500.0)) ++
+      (12 to 15).map(i => (1L, i.toLong, i.toLong, 100.0 + (i % 2)))
+    val got = Temporal.anomalies(ev.toDF("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", tieCol = "event_id",
+        window = 20, z = 3, minPoints = 8)
+      .orderBy("ts").as[(Long, Long, Long, Double, Boolean)].collect()
+    val flagged = got.filter(_._5).map(_._2).toSeq
+    assert(flagged == Seq(11L), s"flagged $flagged")
+    // first 8 rows can never flag (insufficient history)
+    assert(got.take(8).forall(!_._5))
+  }
+
   test("retention: cohort = first active period; offsets count distinct keys") {
     val ev = Seq(
       (1L, 1L), (1L, 12L), (1L, 35L), // u1: periods 0,1,3 -> cohort 0
