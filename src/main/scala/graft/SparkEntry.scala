@@ -632,6 +632,9 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "orders").rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders").cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))),
     // KMV (k-minimum-values) cardinality sketch, the mergeable
     // distinct-count estimator (Bar-Yossef et al. 2002): keep the k
     // smallest distinct hash fractions per group; estimate
@@ -1665,6 +1668,13 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       graft.operators.Corpus.unigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20)),
+    // SymSpell fuzzy join: edit-distance-1 customer-name pairs via
+    // symmetric-delete blocking + exact levenshtein verify; the
+    // oracle is the all-pairs form the blocking avoids
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      Dedup.fuzzyPairs(
+        t(s, dir, "customer").filter(col("c_custkey") % 10 === 0),
+        "c_custkey", "c_name")),
     // TF-IDF cosine top-20 pairs: lexical document similarity with
     // integer-exact weights, df-capped postings, TakeOrdered top-k
     "q_tfidf_sim" -> ((s, dir) =>
@@ -2306,6 +2316,9 @@ object SparkEntry {
     "q_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
        "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
+    "q_cube" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
+       "GROUP BY CUBE (o_orderpriority, o_orderstatus)"),
     "q_sketch_kmv" -> kmvOracle,
     // lossless merge => the merged sketch equals the whole-corpus
     // sketch; same oracle
@@ -3065,6 +3078,15 @@ object SparkEntry {
       "CASE WHEN coalesce(sc.n, 0) = 0 THEN 0.0 ELSE " +
       "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.n * 1000000.0)), 6) END AS ppl " +
       "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id"),
+    // the exact quadratic form the blocking avoids; both engines'
+    // levenshtein is the standard unit-cost edit distance
+    "q_fuzzy_pairs" -> (
+      "WITH pop AS (SELECT c_custkey AS id, lower(trim(c_name)) AS s " +
+      "  FROM customer WHERE c_custkey % 10 = 0) " +
+      "SELECT a.id AS id_a, b.id AS id_b, " +
+      "CAST(levenshtein(a.s, b.s) AS INT) AS dist " +
+      "FROM pop a JOIN pop b ON a.id < b.id " +
+      "WHERE levenshtein(a.s, b.s) <= 1"),
     // full replay: identical integer-scaled idf, exact integer dot and
     // norms, cosine as the only double (sqrt correctly rounded), same
     // total order through the LIMIT

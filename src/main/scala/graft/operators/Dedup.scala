@@ -260,6 +260,47 @@ object Dedup {
     df.select(col(idCol).as("id"),
       size(text.shingleHashes(col(textCol), n)).as("sz"))
 
+  /** FUZZY (edit-distance ≤ 1) id pairs via SYMMETRIC-DELETE blocking
+    * — the SymSpell idea (Garbe 2012) as a distributed join: every
+    * string emits its single-character deletion neighborhood (itself +
+    * one variant per position), and two strings within one edit MUST
+    * share a variant (identical ⇒ the string itself; substitution at
+    * i ⇒ both i-deletions agree; insert/delete ⇒ one side's original
+    * is in the other's neighborhood), so candidates come from an
+    * equi-join on the variant — complete by construction, never an
+    * all-pairs scan — and exact `levenshtein` prunes false candidates
+    * (sharing a variant does not bound the distance: "ab" and "ba"
+    * share variant "a" at distance 2). Shuffle is
+    * (len+1) variants per row of (variant, id) — linear in corpus
+    * text volume. The k=1 radius is inherent to single-deletion
+    * neighborhoods; higher radii need k-deletion variants (cost
+    * (len choose k)) — the standard SymSpell trade, not implemented.
+    * Strings are matched case-insensitively on trimmed text. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // normalize in its OWN projection: the deletion lambda references
+    // the string many times, and referencing the source column in the
+    // same select that re-aliases it trips lateral-column-alias
+    // resolution inside the lambda (INTERNAL_ERROR on Spark 4)
+    val base = df.select(col(idCol).as("id"),
+      lower(trim(coalesce(col(textCol), lit("")))).as("s"))
+    val s = col("s")
+    val dels = transform(sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i)))
+    // array_union dedups repeated-character variants; empty strings
+    // guard the descending-sequence edge (sequence(1,0) counts DOWN)
+    val variants = when(length(s) >= 1, array_union(array(s), dels))
+      .otherwise(array(s))
+    val keyed = base.select(col("id"), s, explode(variants).as("v"))
+    val a = keyed.select(col("v"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = keyed.select(col("v"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
+      .distinct() // a pair sharing several variants must emit once
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** EXACT n-gram Jaccard similarity pairs — the verification tier and
     * the SQL oracle for minhash. Shingle self-join: quadratic only
     * within shared-shingle buckets. `threshold` in (0,1].

@@ -73,6 +73,28 @@ class TextDedupSpec extends SparkTestBase {
     (32 to 60).map(i => s"word$i")).mkString(" ")
   val docB = (1 to 60).map(i => s"other$i").mkString(" ")
 
+  test("fuzzyPairs: every single-edit class pairs, distance 2 never does") {
+    val df = Seq(
+      (1L, "kitten"),
+      (2L, "kitten"),   // identical -> dist 0
+      (3L, "kitxen"),   // substitution -> dist 1 with 1/2
+      (4L, "kittens"),  // insertion -> dist 1 with 1/2
+      (5L, "kittn"),    // deletion -> dist 1 with 1/2 (and 4? no: dist 2)
+      (6L, "KITTEN "),  // case/trim-insensitive identical
+      (7L, "sitting"),  // far away: no pairs
+      (8L, "")          // empty: no pairs (guarded variant path)
+    ).toDF("id", "s")
+    val got = Dedup.fuzzyPairs(df, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = Set(
+      (1L, 2L, 0), (1L, 6L, 0), (2L, 6L, 0),
+      (1L, 3L, 1), (2L, 3L, 1), (3L, 6L, 1),
+      (1L, 4L, 1), (2L, 4L, 1), (4L, 6L, 1),
+      (1L, 5L, 1), (2L, 5L, 1), (5L, 6L, 1))
+    assert(got == expected,
+      s"missing ${expected -- got}; extra ${got -- expected}")
+  }
+
   test("exact dedup keeps smallest id per key") {
     val df = Seq((5L, "x"), (2L, "x"), (9L, "y")).toDF("id", "t")
     val got = Dedup.exact(df, "id", Seq("t")).orderBy("id")
