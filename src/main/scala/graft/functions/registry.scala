@@ -85,6 +85,9 @@ object registry {
         intArg(args, 1, 16), intArg(args, 2, 64))),
       // Z-order (Morton) interleave — the multi-dimensional layout key
       "zorder2" -> (args => ZOrderExpr(args(0), args(1))),
+      // perceptual hash as struct(hi, lo); pair with bit_count(a ^ b)
+      // for hamming distance in pure SQL
+      "image_dhash" -> (args => graft.operators.ImageDHashExpr(args.head)),
       // substring-dedup clean under a RUNTIME duplicated-gram table
       // (array<string> scalar subquery — the dup-set aggregate itself
       // is plain SQL); n must match the width the set was built with

@@ -65,6 +65,18 @@ class SqlAndDmsSpec extends SparkTestBase {
     assert(cc.getString(0) == cc.getString(1))
   }
 
+  test("SQL surface: image_dhash + bit_count = hamming near-dup in pure SQL") {
+    registry.registerAll(spark)
+    // PNG recompression preserves pixels => identical hash, hamming 0
+    val got = spark.sql(
+      """SELECT bit_count(a.h.hi ^ b.h.hi) + bit_count(a.h.lo ^ b.h.lo) AS d,
+        |       a.h.hi >= 0 AND a.h.lo >= 0 AS halves_non_negative
+        |FROM (SELECT image_dhash(test_image(11L)) AS h) a,
+        |     (SELECT image_dhash(test_image(11L)) AS h) b""".stripMargin)
+      .as[(Long, Boolean)].head()
+    assert(got == ((0L, true)))
+  }
+
   test("SQL surface: remove_dup_grams matches removeDuplicatedNgrams row for row") {
     registry.registerAll(spark)
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
