@@ -635,6 +635,40 @@ object SparkEntry {
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders").cube(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))),
+    // PIVOT with the value set PINNED: passing the statuses up front
+    // skips Spark's extra distinct-discovery job AND keeps the output
+    // schema stable at any SF (a pivot whose columns depend on the data
+    // is a schema hazard at 100 TB). One shuffle, map-side combined.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+    // UNPIVOT (melt) — the wide→long schema-normalization primitive.
+    // Aggregate FIRST so the melt runs over a bounded wide table; a melt
+    // before the aggregate would 3× the shuffle for the same answer.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("qty"),
+             dsum(col("l_extendedprice")).as("base_price"),
+             dsum(col("l_discount")).as("discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("base_price"), col("discount")),
+          "measure", "value")),
+    // GROUPING SETS beyond rollup/cube: just the two marginals, no cross
+    // terms — Spark only exposes this through SQL, so it runs on the SQL
+    // face (single expand + one shuffle, same plan family as rollup)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        "SELECT o_orderpriority, o_orderstatus, count(1) AS n " +
+        "FROM gs_orders " +
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))")
+    }),
     // KMV (k-minimum-values) cardinality sketch, the mergeable
     // distinct-count estimator (Bar-Yossef et al. 2002): keep the k
     // smallest distinct hash fractions per group; estimate
@@ -1687,6 +1721,26 @@ object SparkEntry {
     "q_lm_bigram" -> ((s, dir) =>
       graft.operators.Corpus.bigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20, bigramSize = 30)),
+    // PMI collocation mining (Church & Hanks 1990): top-40 adjacent
+    // pairs by integer ppm lift (monotone in PMI — no float log);
+    // minCount=3 prunes the PMI-unstable hapax tail before any join
+    "q_pmi_collocations" -> ((s, dir) =>
+      graft.operators.Corpus.pmiCollocations(t(s, dir, "documents"),
+        textCol = "text", minCount = 3, k = 40)),
+    // first-order Markov transition matrix of per-user event flows,
+    // ppm-scaled integer probabilities; ts is the µs-contract read
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.Temporal.transitions(events(s, dir), "user_id",
+        "ts", "event_type", tieCol = "event_id")),
+    // data-derived equi-width histogram: bin bounds from one min/max
+    // pass, assignment in exact cents arithmetic — no float edges
+    "q_histogram" -> ((s, dir) =>
+      graft.operators.Stats.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", nBins = 20)),
+    // Hampel median/MAD robust outlier summary per event type
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.operators.Stats.madOutliers(events(s, dir), "event_type",
+        "value")),
     // BM25 relevance against a fixed topic query (3 corpus terms + one
     // guaranteed-absent term exercising the df=0 guard); per-term
     // contributions floored to 1e6-scaled longs and integer-summed —
@@ -2319,6 +2373,24 @@ object SparkEntry {
     "q_cube" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
        "GROUP BY CUBE (o_orderpriority, o_orderstatus)"),
+    "q_pivot" ->
+      ("SELECT o_orderpriority, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+       "FROM orders GROUP BY o_orderpriority"),
+    "q_unpivot" ->
+      ("WITH wide AS (SELECT l_returnflag, " +
+       "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS qty, " +
+       "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS base_price, " +
+       "sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 AS discount " +
+       "FROM lineitem GROUP BY l_returnflag) " +
+       "SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide " +
+       "UNION ALL SELECT l_returnflag, 'base_price', base_price FROM wide " +
+       "UNION ALL SELECT l_returnflag, 'discount', discount FROM wide"),
+    "q_grouping_sets" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
+       "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))"),
     "q_sketch_kmv" -> kmvOracle,
     // lossless merge => the merged sketch equals the whole-corpus
     // sketch; same oracle
@@ -3040,6 +3112,50 @@ object SparkEntry {
       "'\\s+')) AS token FROM documents) " +
       "SELECT token, count(*) AS cnt FROM tok WHERE length(token) > 0 " +
       "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"),
+    // lift_ppm = N·c(ab)·1e6 div (c(a)·c(b)) — all-integer, so the
+    // ranking (monotone in PMI) replays exactly
+    "q_pmi_collocations" -> (
+      "WITH tok AS (SELECT list_filter(regexp_split_to_array(" +
+      "lower(trim(coalesce(text, ''))), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "uc AS (SELECT w, count(*) AS c FROM " +
+      "  (SELECT unnest(ts) AS w FROM tok) GROUP BY w), " +
+      "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uc), " +
+      "bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2 " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2 " +
+      "  HAVING count(*) >= 3) " +
+      "SELECT w1, w2, c_ab, " +
+      "CAST(n_total * c_ab * 1000000 // (a.c * b.c) AS BIGINT) AS lift_ppm " +
+      "FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot " +
+      "ORDER BY lift_ppm DESC, w1 ASC, w2 ASC LIMIT 40"),
+    "q_transitions" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
+      "  FROM events), " +
+      "p AS (SELECT event_type AS from_state, lead(event_type) OVER " +
+      "  (PARTITION BY user_id ORDER BY ts, event_id) AS to_state FROM e), " +
+      "c AS (SELECT from_state, to_state, count(*) AS n FROM p " +
+      "  WHERE to_state IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT from_state, to_state, n, " +
+      "CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_state) " +
+      "  AS BIGINT) AS BIGINT) AS p_ppm FROM c"),
+    "q_histogram" -> (
+      "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc, " +
+      "  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), " +
+      "b AS (SELECT min(xc) AS lo, max(xc) AS hi FROM c) " +
+      "SELECT CAST((xc - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bin, " +
+      "count(*) AS n, min(v) AS bin_min, max(v) AS bin_max " +
+      "FROM c, b GROUP BY 1"),
+    "q_mad_outliers" -> (
+      "WITH m AS (SELECT event_type, value, quantile_cont(value, 0.5) OVER " +
+      "  (PARTITION BY event_type) AS med FROM events), " +
+      "d AS (SELECT event_type, abs(value - med) AS dev, med FROM m), " +
+      "d2 AS (SELECT event_type, dev, med, quantile_cont(dev, 0.5) OVER " +
+      "  (PARTITION BY event_type) AS mad FROM d) " +
+      "SELECT event_type, count(*) AS n, " +
+      "count(*) FILTER (WHERE dev > 3.0 * 1.4826 * mad) AS n_outliers, " +
+      "round(min(med), 6) AS med, round(min(mad), 6) AS mad " +
+      "FROM d2 GROUP BY event_type"),
     "q_corpus_stats" -> (
       "SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_len, " +
       "round(quantile_cont(n_chars, 0.25), 6) AS p25, " +

@@ -453,4 +453,52 @@ object Corpus {
       terms.indices.map(term).reduce(_ + _).as("bm25_micros"),
       col("dl").cast("long").as("n_tokens"))
   }
+
+  /** Top-k collocations by PMI lift — corpus-level phrase mining
+    * (Church & Hanks 1990, "Word Association Norms, Mutual Information,
+    * and Lexicography"). PMI(a,b) = ln(N·c(ab) / (c(a)·c(b))); since ln
+    * is monotone, ranking by the LIFT N·c(ab)/(c(a)·c(b)) ranks by PMI
+    * without a float log — computed here as the ppm-scaled BIGINT
+    * `N·c(ab)·1e6 div (c(a)·c(b))`, exact in both engines (all factors
+    * < 2^31, the product < 2^63 for any corpus this integer form is
+    * used on — at larger N, swap the 1e6 scale down; the ORDER is
+    * unchanged).
+    *
+    * Scale shape: one tokenize pass feeds two counting aggregations
+    * (unigrams, adjacent bigrams), both map-side combined; the bigram
+    * table joins its prefix and suffix counts on the word key (shuffle
+    * ∝ distinct bigrams, never corpus size); `minCount` prunes the
+    * hapax tail BEFORE the joins — at 100 TB that filter is what keeps
+    * the bigram table from being dominated by noise pairs that PMI is
+    * notoriously unstable on. Top-k via TakeOrdered (count-bounded
+    * heap), total order (lift desc, pair asc). */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Int, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val toks = filter(split(lower(trim(coalesce(col(textCol), lit("")))),
+      "\\s+"), w => length(w) > 0)
+    // the tokenize projection is deliberately NOT cached: it feeds two
+    // counting branches, and re-running a linear split is cheaper than
+    // a corpus-sized cache (the Dedup tier's eager-checkpoint A/B made
+    // the same call for its cheap-recompute branches)
+    val tok = docs.select(toks.as("__t"))
+    val uni = tok.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("long").as("n_total"))
+    val bi = tok.filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr("n_total * c_ab * 1000000L div (c_a * c_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

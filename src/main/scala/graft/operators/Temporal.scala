@@ -215,4 +215,39 @@ object Temporal {
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop("__block")
   }
+
+  /** First-order Markov transition matrix over per-key event sequences
+    * — the behavioral-model primitive behind next-event prediction and
+    * anomalous-flow detection (e.g. Ye 2000, "A Markov chain model of
+    * temporal behavior for anomaly detection").
+    *
+    * Each key's events are ordered by (ts, tieCol); every adjacent
+    * (state, next-state) pair is one observation. Output per ordered
+    * pair: observation count and the transition probability as a
+    * ppm-scaled BIGINT (`1e6·c(a→b) div c(a→*)` — integer division, so
+    * the result is order-independent and engine-exact; ppm resolution
+    * is plenty for flow modeling).
+    *
+    * Scale shape: ONE shuffle to sort each key's stream (window lead),
+    * then a map-side-combined count aggregation whose cardinality is
+    * |states|² — tiny regardless of corpus size. The per-state totals
+    * re-derive from the pair counts themselves (sum over the row of the
+    * matrix) instead of rescanning the events — a second window pass
+    * avoided. */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+                  stateCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy(col("from_state"))
+    pairs
+      .withColumn("__tot", sum(col("n")).over(wFrom))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000L div __tot").as("p_ppm"))
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Corpus, Stats, Temporal}
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("histogram: integer-cents bin assignment, boundary values land low") {
+    // cents span [100, 200], 2 bins => bin = (xc-100)*2 div 101:
+    // 1.50 (xc 150 -> 100 div 101 = 0) stays LOW, 1.51 tips HIGH
+    val df = Seq(1.00, 1.50, 1.51, 2.00).toDF("v")
+    val got = Stats.histogram(df, "v", nBins = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map(0L -> ((2L, 1.00, 1.50)), 1L -> ((2L, 1.51, 2.00))))
+  }
+
+  test("histogram: single distinct value collapses to bin 0") {
+    val got = Stats.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", nBins = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 3L))
+  }
+
+  test("madOutliers: zero-MAD group flags any deviation; MAD group uses Hampel rule") {
+    val df = Seq(
+      // med=1, MAD=0: the 100 deviates, everything else is AT the median
+      ("flat", 1.0), ("flat", 1.0), ("flat", 1.0), ("flat", 1.0),
+      ("flat", 100.0),
+      // med=3, devs (2,1,0,1,97), MAD=1 -> threshold 3*1.4826: only 97
+      ("spread", 1.0), ("spread", 2.0), ("spread", 3.0), ("spread", 4.0),
+      ("spread", 100.0)).toDF("g", "v")
+    val got = Stats.madOutliers(df, "g", "v")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      "flat" -> ((5L, 1L, 1.0, 0.0)),
+      "spread" -> ((5L, 1L, 3.0, 1.0))))
+  }
+
+  test("transitions: counts and ppm probabilities on a crafted flow") {
+    // user 1: A B A B  -> A->B x2, B->A x1; user 2: A C -> A->C x1
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"),
+      (1L, 30L, 3L, "A"), (1L, 40L, 4L, "B"),
+      (2L, 10L, 5L, "A"), (2L, 20L, 6L, "C")).toDF("u", "ts", "id", "st")
+    val got = Temporal.transitions(ev, "u", "ts", "st", "id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((2L, 666666L)), // 2·1e6 div 3
+      ("A", "C") -> ((1L, 333333L)),
+      ("B", "A") -> ((1L, 1000000L))))
+  }
+
+  test("transitions: tie at same ts breaks by tie column, not arrival order") {
+    val ev = Seq(
+      (1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"), (1L, 20L, 3L, "C"))
+      .toDF("u", "ts", "id", "st")
+    val got = Temporal.transitions(ev, "u", "ts", "st", "id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("A", "B"), ("B", "C")))
+  }
+
+  test("pmiCollocations: integer lift ranks the exclusive pair first") {
+    // tokens: a,b x3 each; c x7. N=13.
+    // (a,b): c_ab=3 -> lift = 13·3·1e6 div (3·3) = 4333333
+    // (c,c): c_ab=5 -> lift = 13·5·1e6 div (7·7) = 1326530
+    val docs = Seq("a b", "a b", "a b", "c c c c", "c c c")
+      .toDF("text")
+    val got = Corpus.pmiCollocations(docs, "text", minCount = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "b", 3L, 4333333L),
+      ("c", "c", 5L, 1326530L)))
+  }
+
+  test("pmiCollocations: minCount prunes hapax pairs before ranking") {
+    val docs = Seq("x y", "p q", "p q").toDF("text")
+    val got = Corpus.pmiCollocations(docs, "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("p", "q")))
+  }
+}
