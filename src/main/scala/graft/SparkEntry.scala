@@ -1741,6 +1741,33 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, dir) =>
       graft.operators.Stats.madOutliers(events(s, dir), "event_type",
         "value")),
+    // general connected components (Dedup.components, the min-label
+    // BSP iteration) over a fixture-derived sparse bipartite graph:
+    // odd ids = suppliers, even ids = customers, edges = rare
+    // quantity-50/line-7 shipments; oracle = the exact reachability
+    // closure the iteration converges to
+    "q_graph_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      Dedup.components(edges)
+    }),
+    // integer-scaled PageRank (5 power steps) over the supplier→
+    // customer shipment graph; customers offset by 100000 to disjoint
+    // the id spaces. All-integer damping keeps it engine-exact.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") >= 48)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey") + 100000).cast("long").as("dst"))
+      graft.operators.Graph.pageRankScaled(edges, "src", "dst", iters = 5)
+    }),
     // BM25 relevance against a fixed topic query (3 corpus terms + one
     // guaranteed-absent term exercising the df=0 guard); per-term
     // contributions floored to 1e6-scaled longs and integer-summed —
@@ -3156,6 +3183,20 @@ object SparkEntry {
       "count(*) FILTER (WHERE dev > 3.0 * 1.4826 * mad) AS n_outliers, " +
       "round(min(med), 6) AS med, round(min(mad), 6) AS mad " +
       "FROM d2 GROUP BY event_type"),
+    // exact reachability closure: component = min id reachable
+    // (including self) — the fixpoint the min-label BSP converges to
+    "q_graph_components" -> (
+      "WITH RECURSIVE e AS (SELECT DISTINCT " +
+      "  CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey * 2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50 AND l_linenumber = 7), " +
+      "ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+      "reach(s, t) AS (SELECT a, b FROM ud " +
+      "  UNION SELECT r.s, u.b FROM reach r JOIN ud u ON r.t = u.a) " +
+      "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
+      "FROM reach GROUP BY s"),
+    "q_pagerank" -> pagerankOracle,
     "q_corpus_stats" -> (
       "SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_len, " +
       "round(quantile_cont(n_chars, 0.25), 6) AS p25, " +
@@ -3413,6 +3454,33 @@ object SparkEntry {
     "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_est, " +
     "round(quantile_cont(value, 0.9), 6) AS p90_est " +
     "FROM r WHERE rn <= 64 GROUP BY event_type"
+
+  /** q_pagerank's oracle, generated by unrolling the 5 power steps as
+    * chained CTEs — each step replays pageRankScaled's integer
+    * arithmetic exactly (`//` ≡ Spark `div` on non-negative BIGINTs). */
+  private lazy val pagerankOracle: String = {
+    val S = "1000000000000"
+    val head =
+      "WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
+      "CAST(o_custkey + 100000 AS BIGINT) AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_quantity >= 48), " +
+      "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "od AS (SELECT src, count(*) AS od FROM e GROUP BY src), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+      s"r0 AS (SELECT id, CAST($S // n AS BIGINT) AS pr FROM nodes, nn)"
+    val steps = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s", s$i AS (SELECT e.dst AS id, " +
+      "CAST(sum(r.pr // o.od) AS BIGINT) AS m " +
+      s"FROM e JOIN $p r ON e.src = r.id JOIN od o ON e.src = o.src " +
+      "GROUP BY e.dst)" +
+      s", r$i AS (SELECT nodes.id, CAST(((15 * $S) // (100 * n)) + " +
+      s"((85 * coalesce(s$i.m, 0)) // 100) AS BIGINT) AS pr " +
+      s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id, nn)"
+    }.mkString
+    head + steps + " SELECT id, pr AS rank_scaled FROM r5"
+  }
 
   private lazy val kmvOracle: String =
     "WITH h AS (SELECT DISTINCT event_type, " +

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge DataFrames. Connected components lives in
+  * [[Dedup.components]] (it grew out of the near-dup clustering tier
+  * and is reused as the general operator); this object holds the
+  * rank-propagation family.
+  */
+object Graph {
+
+  /** PageRank (Page et al. 1999) in SCALED-INTEGER arithmetic: ranks
+    * are BIGINTs summing to ~`scale`, every division is integer
+    * division, so the result is bit-exact regardless of partitioning,
+    * summation order, or engine — a float PageRank can't be
+    * oracle-compared across engines because the contribution sum order
+    * differs. ppb-of-scale truncation error per step is irrelevant for
+    * ranking. Fixed `iters` power steps (no convergence test): the
+    * deterministic, replayable form. Dangling-node mass is dropped, as
+    * in the classic sparse formulation.
+    *
+    * new_rank(v) = (15·scale) div (100·N) + (85·Σ_{u→v} rank(u) div
+    * outdeg(u)) div 100 — the 0.85 damping as exact 85/100 integer ops.
+    *
+    * Scale shape: per iteration ONE shuffle join of edges with the
+    * rank table on src (edges re-used from a cached/checkpointed
+    * distinct) + one map-side-combined sum on dst. N rides the plan as
+    * a single-row broadcast (the BM25 stats pattern) — no driver
+    * action at construction. Lineage is cut per iteration with an
+    * eager localCheckpoint, the [[Dedup.components]] pattern (on a
+    * real cluster prefer reliable checkpoint); iterations are O(E)
+    * each, the textbook BSP shape that scales to any edge count the
+    * cluster's shuffle can hold. */
+  def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
+                     iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(scale >= 1000000L, s"scale too small for ppm precision: $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true) // consumed by outdeg + every iteration
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nDf = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+    var rank = nodes.crossJoin(broadcast(nDf))
+      .select(col("id"), expr(s"${scale}L div n_nodes").as("pr"),
+        col("n_nodes"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), expr("pr div od").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      val next = rank.select(col("id"), col("n_nodes"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"((15 * ${scale}L) div (100 * n_nodes)) + " +
+            "((85 * coalesce(m, 0L)) div 100)").as("pr"),
+          col("n_nodes"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(rank)
+      rank = next
+    }
+    rank.select(col("id"), col("pr").as("rank_scaled"))
+  }
+}
