@@ -1756,6 +1756,25 @@ object SparkEntry {
         .distinct()
       Dedup.components(edges)
     }),
+    // inverted-index build over documents: term -> df/cf + a BOUNDED
+    // sorted posting sample (row_number caps the per-term buffer
+    // BEFORE collect_list — the stopword-posting OOM guard)
+    "q_inverted_index" -> ((s, dir) =>
+      graft.operators.Corpus.invertedIndex(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text", maxPostings = 8)),
+    // 2-D skyline of orders (maximize price AND recency): distributive
+    // bucket-frontier plan, never a whole-corpus single-partition sort
+    "q_skyline" -> ((s, dir) =>
+      graft.operators.Stats.skyline(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+        "o_totalprice", "o_orderdate")),
+    // pg_trgm-style trigram similarity join on part names: blocked on
+    // shared trigram (quadratic only within a posting list), exact
+    // integer Jaccard; oracle is the all-pairs form the blocking avoids
+    "q_trigram_join" -> ((s, dir) =>
+      Dedup.trigramJoin(t(s, dir, "part").filter(col("p_partkey") % 20 === 0),
+        "p_partkey", "p_name", thresholdPpm = 450000L)),
     // integer-scaled PageRank (5 power steps) over the supplier→
     // customer shipment graph; customers offset by 100000 to disjoint
     // the id spaces. All-integer damping keeps it engine-exact.
@@ -3197,6 +3216,43 @@ object SparkEntry {
       "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
       "FROM reach GROUP BY s"),
     "q_pagerank" -> pagerankOracle,
+    "q_inverted_index" -> (
+      "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+      "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
+      "t -> t != '')) AS term FROM documents), " +
+      "td AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY 1, 2), " +
+      "r AS (SELECT term, doc_id, c, row_number() OVER " +
+      "  (PARTITION BY term ORDER BY doc_id) AS rn FROM td) " +
+      "SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf, " +
+      "array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 8)), ',') " +
+      "  AS posting_sample " +
+      "FROM r GROUP BY term"),
+    // closed-form 2-D skyline: per-price max date, then a strict-prefix
+    // running max over descending price; survivors join back for ties
+    "q_skyline" -> (
+      "WITH g AS (SELECT o_totalprice AS x, max(o_orderdate) AS y " +
+      "  FROM orders GROUP BY 1), " +
+      "s AS (SELECT x, y, max(y) OVER (ORDER BY x DESC " +
+      "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM g) " +
+      "SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate " +
+      "FROM orders o JOIN s ON o.o_totalprice = s.x AND o.o_orderdate = s.y " +
+      "WHERE s.pm IS NULL OR s.y > s.pm"),
+    "q_trigram_join" -> (
+      "WITH p AS (SELECT p_partkey AS id, " +
+      "  lower(trim(coalesce(p_name, ''))) AS s " +
+      "  FROM part WHERE p_partkey % 20 = 0), " +
+      "g AS (SELECT id, list_distinct([substr(s, i, 3) " +
+      "  for i in range(1, len(s) - 1)]) AS gs FROM p WHERE len(s) >= 3) " +
+      "SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b, " +
+      "CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS shared, " +
+      "CAST(len(list_intersect(a.gs, b.gs)) * 1000000 // " +
+      "  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) " +
+      "  AS BIGINT) AS jac_ppm " +
+      "FROM g a JOIN g b ON a.id < b.id " +
+      "WHERE len(list_intersect(a.gs, b.gs)) >= 1 " +
+      "AND len(list_intersect(a.gs, b.gs)) * 1000000 // " +
+      "  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) " +
+      "  >= 450000"),
     "q_corpus_stats" -> (
       "SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_len, " +
       "round(quantile_cont(n_chars, 0.25), 6) AS p25, " +

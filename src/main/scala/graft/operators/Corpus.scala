@@ -454,6 +454,39 @@ object Corpus {
       col("dl").cast("long").as("n_tokens"))
   }
 
+  /** Inverted-index build — IR's core artifact (term → document
+    * postings; Zobel & Moffat 2006, "Inverted files for text search
+    * engines"). Per term: document frequency, collection frequency,
+    * and a BOUNDED posting sample (the `maxPostings` smallest doc ids,
+    * comma-joined — the index head a serving tier would prefetch).
+    *
+    * Scale shape: one explode → one (term, doc) count aggregation
+    * (map-side combined; cardinality = distinct term-doc pairs, the
+    * index's own size), then a row_number window per term to CAP the
+    * collected postings BEFORE any collect_list — an unbounded
+    * collect_list on a stopword's postings is the classic 100 TB
+    * OOM; here the per-term buffer is ≤ maxPostings rows by
+    * construction. df/cf fold into the same aggregation. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be positive: $maxPostings")
+    val toks = filter(split(lower(trim(coalesce(col(textCol), lit("")))),
+      "\\s+"), w => length(w) > 0)
+    val td = docs
+      .select(col(idCol).cast("long").as("did"), explode(toks).as("term"))
+      .groupBy(col("term"), col("did")).agg(count(lit(1)).as("c_td"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("did").asc)
+    td.withColumn("__rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c_td")).as("cf"),
+        array_join(transform(sort_array(collect_list(
+          when(col("__rn") <= maxPostings, col("did")))),
+          x => x.cast("string")), ",").as("posting_sample"))
+  }
+
   /** Top-k collocations by PMI lift — corpus-level phrase mining
     * (Church & Hanks 1990, "Word Association Norms, Mutual Information,
     * and Lexicography"). PMI(a,b) = ln(N·c(ab) / (c(a)·c(b))); since ln

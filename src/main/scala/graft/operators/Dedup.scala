@@ -301,6 +301,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Character-trigram similarity join (the pg_trgm model): pairs
+    * whose DISTINCT-trigram Jaccard clears `thresholdPpm`, similarity
+    * reported as the exact integer `shared·1e6 div (|A|+|B|−shared)`.
+    * The record-linkage complement to [[fuzzyPairs]]: edit distance
+    * catches typos, trigram overlap catches word-order swaps and
+    * longer-range rewording of short strings (names, titles).
+    *
+    * Scale shape: block on SHARED TRIGRAM — the self-join is quadratic
+    * only within one trigram's posting list, never globally — then one
+    * (id_a, id_b) count aggregation yields `shared` directly (each
+    * co-occurring trigram contributes exactly one joined row, since
+    * gram sets are distinct per id). Set sizes ride the join tuples,
+    * so similarity needs no second lookup. Complete: a pair above any
+    * positive threshold shares ≥ 1 trigram and is found in that
+    * trigram's block. Strings shorter than 3 chars have no trigrams
+    * and never pair. */
+  def trigramJoin(df: DataFrame, idCol: String, strCol: String,
+                  thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000L)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      lower(trim(coalesce(col(strCol), lit("")))).as("s"))
+    val grams = base
+      .select(col("id"), array_distinct(
+        filter(transform(sequence(lit(1), length(col("s")) - 2),
+          i => col("s").substr(i, lit(3))),
+          g => length(g) === 3)).as("gs"))
+      .select(col("id"), size(col("gs")).as("ng"), explode(col("gs")).as("g"))
+    val a = grams.select(col("g"), col("id").as("id_a"), col("ng").as("na"))
+    val b = grams.select(col("g"), col("id").as("id_b"), col("ng").as("nb"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac_ppm",
+        expr("shared * 1000000L div (na + nb - shared)"))
+      .filter(col("jac_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("shared"), col("jac_ppm"))
+  }
+
   /** EXACT n-gram Jaccard similarity pairs — the verification tier and
     * the SQL oracle for minhash. Shingle self-join: quadratic only
     * within shared-shingle buckets. `threshold` in (0,1].

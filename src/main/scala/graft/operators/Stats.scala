@@ -42,6 +42,58 @@ object Stats {
         max(col("__v")).as("bin_max"))
   }
 
+  /** 2-D skyline (Pareto frontier, maximize both axes; Börzsönyi et
+    * al. 2001, "The Skyline Operator"): rows not strictly dominated —
+    * no other row is ≥ on both axes and > on at least one. Exact
+    * duplicates of a frontier point all survive (neither dominates).
+    *
+    * The skyline is DISTRIBUTIVE — skyline(S) = skyline(∪ skyline(Pᵢ))
+    * — which is the whole 100 TB design: a single global
+    * sort-and-scan window would serialize the corpus through one
+    * partition. Stages:
+    *   1. per x-value max(y) (map-side combined; |distinct x| rows);
+    *   2. per-BUCKET closed-form frontier (sort by x desc inside the
+    *      bucket, keep rows whose y beats the running strict-prefix
+    *      max) — drops only dominated points, so it is sound for any
+    *      bucketing; bucketing BY x-range makes it effective;
+    *   3. the same closed form once more over the (small) union of
+    *      bucket frontiers, single partition;
+    *   4. join the surviving (x, y) frontier back to the input to emit
+    *      every tying original row.
+    * Dominance is transitive, so a dominated point always has a
+    * SURVIVING dominator — stages 2/3 never lose a frontier point. */
+  def skyline(df: DataFrame, xCol: String, yCol: String,
+              buckets: Int = 64): DataFrame = {
+    require(buckets >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val gx = df.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol)).as("__y"))
+    // bucket by x rank-range via the min/max broadcast (histogram
+    // pattern); any tie-up of bucket boundaries only costs prune
+    // EFFECTIVENESS, never correctness, so double arithmetic is fine
+    val bounds = gx.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val bucketed = gx.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1), floor(
+            (col("__x") - col("__lo")) / (col("__hi") - col("__lo")) *
+              buckets).cast("int"))))
+    def frontier(in: DataFrame, part: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(part.map(col): _*)
+        .orderBy(col("__x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      in.withColumn("__pm", max(col("__y")).over(w))
+        .filter(col("__pm").isNull || col("__y") > col("__pm"))
+        .drop("__pm")
+    }
+    val local = frontier(bucketed, Seq("__b"))
+    val global = frontier(local.withColumn("__g", lit(0)), Seq("__g"))
+      .select(col("__x"), col("__y"))
+    df.join(broadcast(global),
+      col(xCol) === col("__x") && col(yCol) === col("__y"))
+      .drop("__x", "__y")
+  }
+
   /** Robust per-group outlier summary by median/MAD (Hampel's rule;
     * Leys et al. 2013 recommend it over mean/σ exactly because the
     * outliers being hunted poison the mean). A value is flagged when

@@ -420,4 +420,22 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == again)
   }
+
+  test("invertedIndex: df/cf and bounded sorted posting sample") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    val got = Corpus.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 3L, "1,3")),
+      "b" -> ((2L, 2L, "1,2")),
+      "c" -> ((1L, 1L, "2"))))
+  }
+
+  test("invertedIndex: posting cap keeps the SMALLEST doc ids") {
+    val docs = Seq((9L, "w"), (2L, "w"), (5L, "w")).toDF("doc_id", "text")
+    val got = Corpus.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => (r.getLong(1), r.getString(3))).head
+    assert(got == ((3L, "2,5")))
+  }
 }

@@ -75,6 +75,33 @@ class StatsSpec extends SparkTestBase {
       ("c", "c", 5L, 1326530L)))
   }
 
+  test("skyline: strict dominance drops, frontier ties and duplicates survive") {
+    val pts = Seq(
+      (1L, 1.0, 10L), // max y -> frontier
+      (2L, 2.0, 5L),  // frontier
+      (5L, 2.0, 5L),  // exact duplicate of 2 -> also survives
+      (3L, 3.0, 1L),  // max x -> frontier
+      (4L, 1.5, 3L)   // dominated by (2.0, 5) on both axes
+    ).toDF("id", "x", "y")
+    val got = Stats.skyline(pts, "x", "y", buckets = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 5L, 3L))
+  }
+
+  test("skyline: equal y with strictly greater x dominates") {
+    val pts = Seq((1L, 1.0, 5L), (2L, 2.0, 5L)).toDF("id", "x", "y")
+    val got = Stats.skyline(pts, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+
+  test("skyline: all-identical x (degenerate single bucket) keeps max y only") {
+    val pts = Seq((1L, 7.0, 1L), (2L, 7.0, 9L), (3L, 7.0, 9L)).toDF("id", "x", "y")
+    val got = Stats.skyline(pts, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
   test("pmiCollocations: minCount prunes hapax pairs before ranking") {
     val docs = Seq("x y", "p q", "p q").toDF("text")
     val got = Corpus.pmiCollocations(docs, "text", minCount = 2, k = 10)

@@ -483,4 +483,27 @@ class TextDedupSpec extends SparkTestBase {
     val m = batched.orderBy("asset_id").first().getDouble(1)
     assert(m > 32 && m < 127, s"mean byte $m") // ASCII text range
   }
+
+  test("trigramJoin: exact integer jaccard, identical and partial overlap") {
+    val df = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "abcdxy"), (4L, "ab"))
+      .toDF("id", "name")
+    val got = Dedup.trigramJoin(df, "id", "name", thresholdPpm = 300000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // 1-2 identical: 4 shared of 4 -> 1e6; 1-3 and 2-3: abc,bcd shared
+    // of 4+4 distinct -> 2e6 div 6 = 333333; "ab" has no trigram
+    assert(got == Map(
+      (1L, 2L) -> ((4L, 1000000L)),
+      (1L, 3L) -> ((2L, 333333L)),
+      (2L, 3L) -> ((2L, 333333L))))
+  }
+
+  test("trigramJoin: repeated trigrams dedup before set sizing") {
+    val df = Seq((1L, "aaaa"), (2L, "aaab")).toDF("id", "name")
+    val got = Dedup.trigramJoin(df, "id", "name", thresholdPpm = 400000L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // gs(aaaa) = {aaa} (x2 collapsed), gs(aaab) = {aaa, aab}:
+    // shared 1 of union 2 -> 500000
+    assert(got == Seq((1L, 500000L)))
+  }
 }
