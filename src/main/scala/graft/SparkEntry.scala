@@ -1756,6 +1756,37 @@ object SparkEntry {
         .distinct()
       Dedup.components(edges)
     }),
+    // nucleus (top-p) quality cut: keep the best-scored docs until 60%
+    // of corpus tokens; two-phase bucketed cumsum — never a global
+    // single-partition window
+    "q_mix_top_p" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        size(filter(split(lower(trim(coalesce(col("text"), lit("")))),
+          "\\s+"), w => length(w) > 0)).cast("long").as("tok"))
+      graft.operators.Sampling.nucleusTopP(d, "n_chars", "doc_id", "tok",
+        pPpm = 600000L)
+        .select(col("doc_id"), col("n_chars"), col("tok"),
+          col("__cum").as("cum_tokens"))
+    }),
+    // null-safe equi-join (<=>): NULL keys meet NULL keys, the MERGE/
+    // dimension-conform semantics a plain = join silently drops
+    "q_join_nullsafe" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(expr("nullif(o_orderpriority, '1-URGENT')").as("p"))
+      val b = t(s, dir, "orders")
+        .select(expr("nullif(o_orderpriority, '1-URGENT')").as("pb"))
+        .distinct()
+      a.join(b, a("p") <=> b("pb"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    }),
+    // quartile bucketing (the curriculum/percentile-band primitive);
+    // deterministic under the (balance, key) total order
+    "q_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(Window.orderBy(col("c_acctbal").asc,
+          col("c_custkey").asc)).cast("long").as("quartile"))
+    }),
     // inverted-index build over documents: term -> df/cf + a BOUNDED
     // sorted posting sample (row_number caps the per-term buffer
     // BEFORE collect_list — the stopword-posting OOM guard)
@@ -3216,6 +3247,27 @@ object SparkEntry {
       "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
       "FROM reach GROUP BY s"),
     "q_pagerank" -> pagerankOracle,
+    "q_mix_top_p" -> (
+      "WITH d AS (SELECT doc_id, n_chars, CAST(len(list_filter(" +
+      "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
+      "t -> t != '')) AS BIGINT) AS tok FROM documents), " +
+      "t AS (SELECT CAST(sum(tok) AS BIGINT) AS total FROM d), " +
+      "c AS (SELECT doc_id, n_chars, tok, CAST(sum(tok) OVER " +
+      "  (ORDER BY n_chars DESC, doc_id ASC ROWS BETWEEN UNBOUNDED " +
+      "  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM d) " +
+      "SELECT doc_id, n_chars, tok, cum_tokens FROM c, t " +
+      "WHERE (cum_tokens - tok) * 1000000 < 600000 * total"),
+    "q_join_nullsafe" -> (
+      "WITH a AS (SELECT nullif(o_orderpriority, '1-URGENT') AS p " +
+      "  FROM orders), " +
+      "b AS (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS p " +
+      "  FROM orders) " +
+      "SELECT a.p, count(*) AS n FROM a JOIN b " +
+      "ON a.p IS NOT DISTINCT FROM b.p GROUP BY a.p"),
+    "q_ntile" -> (
+      "SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER " +
+      "(ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile " +
+      "FROM customer"),
     "q_inverted_index" -> (
       "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
       "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +

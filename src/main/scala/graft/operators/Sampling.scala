@@ -261,4 +261,59 @@ object Sampling {
       .withColumn("__pos", (row_number().over(w) - 1).cast("long"))
       .drop("__hex")
   }
+
+  /** Nucleus (top-p) selection by a quality score — keep the
+    * best-scored documents until their tokens reach `pPpm` (parts per
+    * million) of the corpus total, the data-mixing analogue of
+    * top-p sampling: a hard quality cut whose budget is expressed as a
+    * token SHARE, not a count. Selection order is the total order
+    * (score desc, tie asc); the row that crosses the budget boundary is
+    * kept (its prefix was still inside). Appends `__cum` (cumulative
+    * tokens through the row, for provenance/debug).
+    *
+    * Scale shape: the naive form is one GLOBAL order-by window — a
+    * single-partition serialization at 100 TB. Instead the cumsum is
+    * two-phase: score-RANGE buckets (monotone in the score by
+    * construction, so bucket asc ≡ score desc between buckets; floor
+    * of a monotone double expression keeps equal scores together),
+    * per-bucket token totals (tiny table) turned into bucket prefix
+    * offsets by one small window, then a per-bucket PARALLEL cumsum
+    * window; global cum = bucket prefix + local cum. The corpus total
+    * rides a single-row broadcast (BM25 pattern) and the keep
+    * predicate `(cum − tok)·1e6 < pPpm·total` is all-integer. */
+  def nucleusTopP(df: DataFrame, scoreCol: String, tieCol: String,
+                  tokenCol: String, pPpm: Long,
+                  buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pPpm >= 0 && pPpm <= 1000000L, s"pPpm out of range: $pPpm")
+    require(buckets >= 1)
+    val bounds = df.agg(min(col(scoreCol)).cast("double").as("__lo"),
+      max(col(scoreCol)).cast("double").as("__hi"))
+    // bucket 0 = highest scores; equal scores always share a bucket
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1), floor(
+            (col("__hi") - col(scoreCol).cast("double")) /
+              (col("__hi") - col("__lo")) * buckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val prefixes = bucketed.groupBy(col("__b"))
+      .agg(sum(col(tokenCol)).cast("long").as("__bt"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__bt")).over(Window.orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bt")
+    val total = df.agg(sum(col(tokenCol)).cast("long").as("__total"))
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(prefixes), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum",
+        col("__prefix") + sum(col(tokenCol)).over(wLocal).cast("long"))
+      .filter((col("__cum") - col(tokenCol)) * lit(1000000L) <
+        lit(pPpm) * col("__total"))
+      .drop("__b", "__prefix", "__total")
+  }
 }

@@ -102,6 +102,31 @@ class StatsSpec extends SparkTestBase {
     assert(got == Set(2L, 3L))
   }
 
+  test("nucleusTopP: budget boundary — crossing row kept, next row cut") {
+    import graft.operators.Sampling
+    val d = Seq((1L, 10L, 5L), (2L, 9L, 5L), (3L, 8L, 5L), (4L, 7L, 5L))
+      .toDF("id", "score", "tok") // total 20 tokens
+    // p=0.5: prefix budget 10 -> rows 1,2 (row 3's prefix is exactly 10)
+    val half = Sampling.nucleusTopP(d, "score", "id", "tok", pPpm = 500000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(half == Set(1L, 2L))
+    // p=0.6: budget 12 falls MID row 3 -> the crossing row is kept
+    val sixty = Sampling.nucleusTopP(d, "score", "id", "tok", pPpm = 600000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sixty == Set(1L, 2L, 3L))
+  }
+
+  test("nucleusTopP: bucket count never changes the result") {
+    import graft.operators.Sampling
+    val d = (1L to 40L).map(i => (i, (i * 7) % 13, 3L + i % 4))
+      .toDF("id", "score", "tok")
+    def run(b: Int) = Sampling.nucleusTopP(d, "score", "id", "tok",
+        pPpm = 550000L, buckets = b)
+      .select("id", "__cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(4) && run(4) == run(64))
+  }
+
   test("pmiCollocations: minCount prunes hapax pairs before ranking") {
     val docs = Seq("x y", "p q", "p q").toDF("text")
     val got = Corpus.pmiCollocations(docs, "text", minCount = 2, k = 10)
