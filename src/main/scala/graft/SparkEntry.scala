@@ -1732,6 +1732,11 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       graft.operators.Temporal.transitions(events(s, dir), "user_id",
         "ts", "event_type", tieCol = "event_id")),
+    // gap-filled daily resample with LOCF: one row per (user, day) of
+    // the user's span, empty days carry the last value forward
+    "q_resample_locf" -> ((s, dir) =>
+      graft.operators.Temporal.resampleLocf(events(s, dir), "user_id",
+        "ts", "value", tieCol = "event_id", step = 86400000000L)),
     // data-derived equi-width histogram: bin bounds from one min/max
     // pass, assignment in exact cents arithmetic — no float edges
     "q_histogram" -> ((s, dir) =>
@@ -1786,6 +1791,21 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
         ntile(4).over(Window.orderBy(col("c_acctbal").asc,
           col("c_custkey").asc)).cast("long").as("quartile"))
+    }),
+    // rank-distribution window functions (percent_rank / cume_dist /
+    // dense_rank) partitioned per nation — the analytics-window sweep.
+    // Reported as FLOOR-scaled ppm ints: round(,6) is a midpoint trap
+    // (333/640 = .5203125 — Spark rounds the decimal string half-up,
+    // DuckDB rounds the binary double down); floor of the same double
+    // is engine-exact.
+    "q_window_distribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("pr_ppm"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cd_ppm"),
+        dense_rank().over(w).cast("long").as("dr"))
     }),
     // inverted-index build over documents: term -> df/cf + a BOUNDED
     // sorted posting sample (row_number caps the per-term buffer
@@ -3216,6 +3236,23 @@ object SparkEntry {
       "SELECT from_state, to_state, n, " +
       "CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_state) " +
       "  AS BIGINT) AS BIGINT) AS p_ppm FROM c"),
+    "q_resample_locf" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, value " +
+      "  FROM events), " +
+      "b AS (SELECT user_id, ts // 86400000000 AS bkt, value, " +
+      "  row_number() OVER (PARTITION BY user_id, ts // 86400000000 " +
+      "  ORDER BY ts DESC, event_id DESC) AS rn FROM e), " +
+      "lastv AS (SELECT user_id, bkt, value FROM b WHERE rn = 1), " +
+      "spans AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi " +
+      "  FROM lastv GROUP BY user_id), " +
+      "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bkt " +
+      "  FROM spans), " +
+      "j AS (SELECT g.user_id, g.bkt, l.value FROM grid g " +
+      "  LEFT JOIN lastv l ON g.user_id = l.user_id AND g.bkt = l.bkt) " +
+      "SELECT user_id, CAST(bkt * 86400000000 AS BIGINT) AS bucket_start, " +
+      "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
+      "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "  AS value FROM j"),
     "q_histogram" -> (
       "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc, " +
       "  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), " +
@@ -3268,6 +3305,13 @@ object SparkEntry {
       "SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER " +
       "(ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile " +
       "FROM customer"),
+    "q_window_distribution" -> (
+      "SELECT c_custkey, c_nationkey, " +
+      "CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm, " +
+      "CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm, " +
+      "CAST(dense_rank() OVER w AS BIGINT) AS dr " +
+      "FROM customer WINDOW w AS (PARTITION BY c_nationkey " +
+      "ORDER BY c_acctbal ASC, c_custkey ASC)"),
     "q_inverted_index" -> (
       "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
       "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +

@@ -216,6 +216,41 @@ object Temporal {
       .drop("__block")
   }
 
+  /** Gap-filled fixed-step resampling with last-observation-carried-
+    * forward (LOCF) — the time-series regularization every downstream
+    * model wants: one row per (key, step bucket) across the key's
+    * observed span, holding the latest value at or before the bucket's
+    * end. Buckets with no events inherit the previous bucket's value;
+    * the first bucket always has one (the span starts at an event).
+    *
+    * Scale shape: bucket assignment is a projection (`ts div step`);
+    * the per-bucket "last" is one row_number window; the grid comes
+    * from exploding each key's [min,max] bucket span — distributed,
+    * sized by time span not event count; the carry-forward is a
+    * last(ignoreNulls) running window. Every stage partitions by key,
+    * so Spark plans ONE exchange and reuses it (the sessionize
+    * pattern). Output: (key, bucket_start, value) in `tsCol` units. */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, tieCol: String, step: Long): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val b = events
+      .withColumn("__bkt", expr(s"`$tsCol` div ${step}L"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__bkt"))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__bkt"), col(valueCol).as("__v"))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min(col("__bkt")).as("__lo"), max(col("__bkt")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__bkt"))
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq(keyCol, "__bkt"), "left")
+      .select(col(keyCol), (col("__bkt") * step).as("bucket_start"),
+        last(col("__v"), ignoreNulls = true).over(wCarry).as("value"))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences
     * — the behavioral-model primitive behind next-event prediction and
     * anomalous-flow detection (e.g. Ye 2000, "A Markov chain model of

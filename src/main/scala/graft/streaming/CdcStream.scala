@@ -205,4 +205,53 @@ object CdcStream {
       .toDF("__key", "__ts", "__row")
       .select(col("__key"), col("__ts"), col("__row.*"))
   }
+
+  /** Streaming transition-pair extraction — the stateful face of
+    * [[graft.operators.Temporal.transitions]]: per key, remember the
+    * last (ts, tie, state) seen and emit one (from_state, to_state)
+    * row for every forward step, INCLUDING the step that spans a
+    * micro-batch (or restart) boundary — that pair is exactly what a
+    * per-batch window would lose. Within a batch rows sort by
+    * (ts, tie); rows arriving OLDER than the key's state are dropped
+    * (the watermark-style contract: a late event cannot retroactively
+    * splice into an already-emitted sequence). State per key is one
+    * (ts, tie, state) triple, so the store is O(keys) regardless of
+    * stream length. Counts downstream are an ordinary streaming
+    * aggregation over the emitted pairs. */
+  def transitionsStream(events: DataFrame, keyCol: String, tsCol: String,
+                        stateCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val entryEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.STRING)
+    val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.STRING)
+    val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val keyed = events.select(
+        col(keyCol).cast("long").as("_1"),
+        col(tsCol).cast("long").as("_2"),
+        col(tieCol).cast("long").as("_3"),
+        col(stateCol).cast("string").as("_4")).as(entryEnc)
+    keyed.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         st: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = Seq.newBuilder[(String, String)]
+          var prev = st.getOption // (ts, tie, state)
+          sorted.foreach { case (_, ts, tie, s) =>
+            prev match {
+              case Some((pts, ptie, ps)) =>
+                if (ts > pts || (ts == pts && tie > ptie)) {
+                  out += ((ps, s))
+                  prev = Some((ts, tie, s))
+                } // else: late arrival older than the state — dropped
+              case None => prev = Some((ts, tie, s))
+            }
+          }
+          prev.foreach(st.update)
+          out.result().iterator
+      }(stEnc, outEnc)
+      .toDF("from_state", "to_state")
+  }
 }

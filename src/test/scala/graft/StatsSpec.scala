@@ -52,6 +52,21 @@ class StatsSpec extends SparkTestBase {
       ("B", "A") -> ((1L, 1000000L))))
   }
 
+  test("resampleLocf: empty buckets carry forward, in-bucket last wins by (ts, tie)") {
+    val ev = Seq(
+      (1L, 1L, 1L, 1.0),  // bucket 0
+      (1L, 5L, 2L, 2.0),  // bucket 0, later ts
+      (1L, 5L, 3L, 3.0),  // bucket 0, same ts — higher tie wins
+      (1L, 35L, 4L, 9.0), // bucket 3; buckets 1,2 are gaps
+      (2L, 12L, 5L, 7.0)  // single-bucket key
+    ).toDF("u", "ts", "id", "v")
+    val got = Temporal.resampleLocf(ev, "u", "ts", "v", "id", step = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map(
+      (1L, 0L) -> 3.0, (1L, 10L) -> 3.0, (1L, 20L) -> 3.0, (1L, 30L) -> 9.0,
+      (2L, 10L) -> 7.0))
+  }
+
   test("transitions: tie at same ts breaks by tie column, not arrival order") {
     val ev = Seq(
       (1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"), (1L, 20L, 3L, "C"))

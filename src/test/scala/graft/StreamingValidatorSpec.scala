@@ -358,6 +358,49 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(Validator.runOrThrow(spark, bad, skip = true)) // SKIP_VALIDATIONS
   }
 
+  test("streaming transitions match batch across a checkpoint restart") {
+    import graft.operators.Temporal
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_tr").toString
+    val ev = eventsUs().select($"user_id", $"ts", $"event_id", $"event_type")
+    // split at the median ts: per-key arrival order across the two
+    // phases matches event-time order, so nothing is late-dropped and
+    // the batch operator is the exact ground truth
+    val split = ev.agg(expr("percentile(ts, 0.5D)")).first().getDouble(0).toLong
+    ev.filter($"ts" <= split).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val ckpt = s"$dir/ckpt"
+
+    // parquet sink (memory sink cannot recover from a checkpoint): the
+    // output dir ACCUMULATES both phases, so it is the combined result
+    def runPhase(): Unit = {
+      val stream = CdcStream.readFiles(spark, s"$dir/in", schema,
+        maxFilesPerTrigger = 4)
+      val pairs = CdcStream.transitionsStream(stream, "user_id", "ts",
+        "event_type", "event_id")
+      val q = pairs.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runPhase()
+    val n1 = spark.read.parquet(s"$dir/out").count()
+    // phase 2: new files only (the checkpoint remembers phase 1); its
+    // first pair per key SPANS the restart — recovered from state
+    ev.filter($"ts" > split).write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    val all = spark.read.parquet(s"$dir/out")
+    assert(n1 > 0 && all.count() > n1)
+
+    val combined = all.groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Temporal
+      .transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(combined == batch)
+  }
+
   test("validator config end-to-end from TOML") {
     spark.read.parquet(sf() + "/customer.parquet").createOrReplaceTempView("v_customer")
     val v = ConfigLoader.parseValidations("""
