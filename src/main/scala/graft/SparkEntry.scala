@@ -475,6 +475,15 @@ object SparkEntry {
     "q_cdc_latest_per_key" -> ((s, dir) =>
       CdcMerge.latestPerKey(events(s, dir), Seq("user_id"), "ts",
         tieBreakers = Seq("event_id"))),
+    // SCD Type 2 dimension from the event stream: per-user event_type
+    // version history with validity intervals; no-op updates collapse
+    "q_cdc_scd2" -> ((s, dir) =>
+      CdcMerge.scd2(
+        events(s, dir).filter(col("user_id") % 5 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        pk = Seq("user_id"), ts = "ts", tie = "event_id",
+        tracked = Seq("event_type"))),
     // Full snapshot+delta merge with I/U/D ops, delta derived
     // deterministically from orders so the oracle can build the same one.
     "q_cdc_apply_delta" -> ((s, dir) => {
@@ -2296,6 +2305,18 @@ object SparkEntry {
     "q_cdc_latest_per_key" ->
       ("SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props FROM events " +
        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"),
+    "q_cdc_scd2" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
+      "  FROM events WHERE user_id % 5 = 0), " +
+      "d AS (SELECT *, lag(1) OVER wl AS pex, " +
+      "  lag(event_type) OVER wl AS pe FROM e " +
+      "  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "f AS (SELECT user_id, ts, event_id, event_type FROM d " +
+      "  WHERE pex IS NULL OR pe IS DISTINCT FROM event_type) " +
+      "SELECT user_id, ts, event_id, event_type, ts AS effective_from, " +
+      "lead(ts) OVER w AS effective_to, " +
+      "(lead(ts) OVER w IS NULL) AS is_current " +
+      "FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
     "q_cdc_apply_delta" -> (
       "WITH delta AS (" +
       "  SELECT 'U' AS op, 2 AS dts, o_orderkey, o_custkey, o_orderstatus, " +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CDC (change-data-capture) semantics over DMS-shaped data
@@ -126,5 +127,39 @@ object CdcMerge {
       throw new IllegalStateException(
         s"schema drift: ${parts.mkString("; ")}; a new full load is required")
     }
+  }
+
+  /** SCD Type 2 dimension build (Kimball's slowly-changing-dimension
+    * pattern) from a change stream: per key, each surviving version row
+    * carries a validity interval [effective_from, effective_to) and an
+    * `is_current` flag; consecutive changes whose TRACKED attributes
+    * are unchanged collapse into the earlier version (no-op updates —
+    * CDC streams are full of them — must not open a new interval).
+    * Null-safe attribute comparison, deterministic (ts, tie) ordering.
+    *
+    * Scale shape: one exchange on the key; the no-op-collapse lag and
+    * the interval lead both ride that same partitioning (the
+    * sessionize pattern), so adding SCD2 on top of a CDC ingest costs
+    * one window stage, not a second shuffle. */
+  def scd2(changes: DataFrame, pk: Seq[String], ts: String, tie: String,
+           tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "scd2 needs at least one tracked column")
+    val keyCols = pk.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(ts).asc, col(tie).asc)
+    // the first version must survive even when its tracked values are
+    // all NULL: lag() yields NULL both for "no previous row" and for a
+    // NULL attribute, and <=> would conflate them — so "a previous row
+    // exists" is probed with a lagged constant, not the attributes
+    val collapsed = changes
+      .withColumn("__same",
+        lag(lit(1), 1).over(w).isNotNull &&
+          tracked.map(c => col(c) <=> lag(col(c), 1).over(w)).reduce(_ && _))
+      .filter(!col("__same"))
+      .drop("__same")
+    collapsed
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
   }
 }

@@ -55,4 +55,26 @@ class CdcEvolutionSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("drift"), e.getMessage)
   }
+
+  test("scd2: validity intervals, no-op collapse, null-safe attribute compare") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 1L, Some("A")),
+      (1L, 20L, 2L, Some("A")),  // no-op update -> collapses into ts 10
+      (1L, 30L, 3L, Some("B")),
+      (2L, 10L, 4L, None),
+      (2L, 20L, 5L, None),       // null == null under <=> -> collapses
+      (2L, 30L, 6L, Some("X"))
+    ).toDF("k", "ts", "id", "attr")
+    val got = CdcMerge.scd2(changes, Seq("k"), "ts", "id", Seq("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(3)).getOrElse("-"),
+        if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6))).toSet
+    // (k, effective_from==ts, attr, effective_to, is_current)
+    assert(got == Set(
+      (1L, 10L, "A", 30L, false),
+      (1L, 30L, "B", -1L, true),
+      (2L, 10L, "-", 30L, false),
+      (2L, 30L, "X", -1L, true)))
+  }
 }

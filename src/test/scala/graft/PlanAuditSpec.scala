@@ -19,11 +19,14 @@ class PlanAuditSpec extends SparkTestBase {
     // it is the intended plan: the two linear-scan ANN tiers (the
     // brute-force baseline and the PQ compressed-domain ADC scan — a
     // deliberate full scan over m-byte codes, not raw vectors), and
-    // q_bm25_score's SINGLE-ROW global-stats broadcast (a scalar
-    // attach — corpus x 1 row, not all-pairs; Corpus.bm25 keeps the
-    // stats distributed instead of collecting them to the driver).
-    // Every other approximate tier must bucket-join.
-    val bnljAllowed = Set("q_ann_topk", "q_ann_pq", "q_bm25_score")
+    // the SINGLE-ROW global-stats broadcast pattern (a scalar attach —
+    // corpus x 1 row, not all-pairs; the operator keeps its stats
+    // distributed instead of collecting them to the driver):
+    // q_bm25_score's corpus stats, q_histogram's + q_skyline's min/max
+    // bounds, q_pmi_collocations' token total, q_mix_top_p's token
+    // total. Every other approximate tier must bucket-join.
+    val bnljAllowed = Set("q_ann_topk", "q_ann_pq", "q_bm25_score",
+      "q_histogram", "q_skyline", "q_pmi_collocations", "q_mix_top_p")
     val offenders = scala.collection.mutable.Buffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // candidate-scope bracket: dedup-tier queries materialize shared
