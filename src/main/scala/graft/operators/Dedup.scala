@@ -636,9 +636,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_component"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+      // pointer jumping (path-halving): component := label(component).
+      // The looked-up label is reachable from the current one, so the
+      // min-reachable invariant holds, and round count drops from
+      // O(diameter) to O(log diameter) — on a long chain that is the
+      // difference between 30 rounds of fixed per-round job overhead
+      // and 6. One extra self-join of the label table per round.
+      val next = stepped.as("s")
+        .join(stepped.select(col("id").as("__cid"),
+          col("component").as("__cc")),
+          col("s.component") === col("__cid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.component"), coalesce(col("__cc"), col("s.component")))
             .as("component"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
