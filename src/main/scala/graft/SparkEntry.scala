@@ -475,6 +475,31 @@ object SparkEntry {
     "q_cdc_latest_per_key" -> ((s, dir) =>
       CdcMerge.latestPerKey(events(s, dir), Seq("user_id"), "ts",
         tieBreakers = Seq("event_id"))),
+    // snapshot diff: added/removed/changed keys between the customer
+    // table and a deterministically mutated copy (deletes %7, balance
+    // bumps %3, one synthetic insert block)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val newSnap = c.filter(col("c_custkey") % 7 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + lit(50.0))
+            .otherwise(col("c_acctbal")))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(10000000L)))
+      CdcMerge.snapshotDiff(c, newSnap, Seq("c_custkey"))
+    }),
+    // Benford first-significant-digit profile of order totals: counts
+    // plus observed ppm share, all-integer
+    "q_benford" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+      val total = d.agg(count(lit(1)).as("__n"))
+      d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000L div __n").as("share_ppm"))
+    }),
     // SCD Type 2 dimension from the event stream: per-user event_type
     // version history with validity intervals; no-op updates collapse
     "q_cdc_scd2" -> ((s, dir) =>
@@ -2305,6 +2330,32 @@ object SparkEntry {
     "q_cdc_latest_per_key" ->
       ("SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props FROM events " +
        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"),
+    "q_snapshot_diff" -> (
+      "WITH n AS (" +
+      "  SELECT c_custkey, c_name, c_nationkey, " +
+      "    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0 " +
+      "      ELSE c_acctbal END AS c_acctbal, c_mktsegment " +
+      "  FROM customer WHERE c_custkey % 7 != 0 " +
+      "  UNION ALL " +
+      "  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, " +
+      "    c_mktsegment FROM customer WHERE c_custkey % 11 = 0), " +
+      "j AS (SELECT coalesce(c.c_custkey, n.c_custkey) AS c_custkey, " +
+      "  CASE WHEN n.c_custkey IS NULL THEN 'removed' " +
+      "       WHEN c.c_custkey IS NULL THEN 'added' " +
+      "       WHEN (c.c_name IS DISTINCT FROM n.c_name) " +
+      "         OR (c.c_nationkey IS DISTINCT FROM n.c_nationkey) " +
+      "         OR (c.c_acctbal IS DISTINCT FROM n.c_acctbal) " +
+      "         OR (c.c_mktsegment IS DISTINCT FROM n.c_mktsegment) " +
+      "       THEN 'changed' END AS change " +
+      "  FROM customer c FULL OUTER JOIN n ON c.c_custkey = n.c_custkey) " +
+      "SELECT c_custkey, change FROM j WHERE change IS NOT NULL"),
+    "q_benford" -> (
+      "WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) " +
+      "  AS VARCHAR), 1, 1) AS digit FROM orders), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d) " +
+      "SELECT digit, count(*) AS n, " +
+      "CAST(count(*) * 1000000 // nn AS BIGINT) AS share_ppm " +
+      "FROM d, t GROUP BY digit, nn"),
     "q_cdc_scd2" -> (
       "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
       "  FROM events WHERE user_id % 5 = 0), " +

@@ -56,6 +56,21 @@ class CdcEvolutionSpec extends SparkTestBase {
     assert(e.getMessage.contains("drift"), e.getMessage)
   }
 
+  test("snapshotDiff: added/removed/changed classes, NULL transitions are changes") {
+    import spark.implicits._
+    val oldS = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val newS = Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Some("c")),
+      (5L, Some("e"))).toDF("k", "v")
+    val got = CdcMerge.snapshotDiff(oldS, newS, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      2L -> "changed", // value -> NULL is a change, not a silent match
+      3L -> "changed", // NULL -> value likewise
+      4L -> "removed",
+      5L -> "added"))  // key 1 unchanged: omitted
+  }
+
   test("scd2: validity intervals, no-op collapse, null-safe attribute compare") {
     import spark.implicits._
     val changes = Seq(
