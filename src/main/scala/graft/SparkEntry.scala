@@ -1402,6 +1402,25 @@ object SparkEntry {
           col("ph.lo").as("dhash_lo"))
     }),
 
+    // image RETRIEVAL: top-10 nearest images to doc 7's image by dHash
+    // hamming — the perceptual-search serving query. The query hash
+    // rides a single-row broadcast; ranking is a TakeOrdered under the
+    // (hamming, id) total order, never a full sort
+    "q_image_search" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val all = t(s, dir, "documents").select(col("doc_id"),
+        Bridge.column(graft.operators.ImageDHashExpr(
+          Bridge.expression(Bridge.column(graft.operators.TestImageExpr(
+            Bridge.expression(col("doc_id"))))))).as("ph"))
+      val q = all.filter(col("doc_id") === 7)
+        .select(col("ph.hi").as("qhi"), col("ph.lo").as("qlo"))
+      all.filter(col("doc_id") =!= 7).crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          (expr("bit_count(ph.hi ^ qhi)") + expr("bit_count(ph.lo ^ qlo)"))
+            .cast("int").as("hamming"))
+        .orderBy(col("hamming").asc, col("doc_id").asc)
+        .limit(10)
+    }),
     // image NEAR-DUP through the oracle gate: population = every test
     // image plus a PNG-recompressed copy of each %10 image under a
     // shifted id — lossless recompression preserves pixels, so each
@@ -3054,6 +3073,34 @@ object SparkEntry {
       "CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
       "  ELSE 0 END) AS BIGINT) AS dhash_lo " +
       "FROM bits GROUP BY doc_id"),
+
+    // same hash closed form, then hamming to doc 7's hash under the
+    // (hamming, id) total order
+    "q_image_search" -> (
+      "WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, " +
+      "  1 + doc_id % 5 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, xs.x, ys.y FROM dims, " +
+      "  (SELECT unnest(range(9)) AS x) xs, " +
+      "  (SELECT unnest(range(8)) AS y) ys), " +
+      "gray AS (SELECT doc_id, x, y, " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9))) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 2) % 256) AS v FROM g), " +
+      "bits AS (SELECT a.doc_id, a.y, a.x, " +
+      "  CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit " +
+      "  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.y = b.y " +
+      "    AND b.x = a.x + 1 WHERE a.x < 8), " +
+      "dh AS (SELECT doc_id, " +
+      "  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (1::BIGINT << (y*8+x-32)) " +
+      "    ELSE 0 END) AS BIGINT) AS hi, " +
+      "  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
+      "    ELSE 0 END) AS BIGINT) AS lo " +
+      "  FROM bits GROUP BY doc_id), " +
+      "q AS (SELECT hi AS qhi, lo AS qlo FROM dh WHERE doc_id = 7) " +
+      "SELECT d.doc_id, CAST(bit_count(xor(d.hi, qhi)) + " +
+      "  bit_count(xor(d.lo, qlo)) AS INT) AS hamming " +
+      "FROM dh d, q WHERE d.doc_id != 7 " +
+      "ORDER BY hamming ASC, doc_id ASC LIMIT 10"),
 
     // hash closed form over the extended population (copies under
     // id+1e6 hash from their BASE id — lossless recompression shares
