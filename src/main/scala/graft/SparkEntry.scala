@@ -1790,6 +1790,12 @@ object SparkEntry {
     "q_resample_locf" -> ((s, dir) =>
       graft.operators.Temporal.resampleLocf(events(s, dir), "user_id",
         "ts", "value", tieCol = "event_id", step = 86400000000L)),
+    // truncated EWMA (α=1/2): power-of-two weights shift exponents
+    // without rounding, so the smoothed doubles are engine-bit-exact
+    "q_ewma" -> ((s, dir) =>
+      graft.operators.Temporal.ewmaHalfLife(
+        events(s, dir).filter(col("user_id") % 7 === 0),
+        "user_id", "ts", "event_id", "value")),
     // data-derived equi-width histogram: bin bounds from one min/max
     // pass, assignment in exact cents arithmetic — no float edges
     "q_histogram" -> ((s, dir) =>
@@ -3403,6 +3409,7 @@ object SparkEntry {
       "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
       "FROM reach GROUP BY s"),
     "q_pagerank" -> pagerankOracle,
+    "q_ewma" -> ewmaOracle,
     "q_mix_top_p" -> (
       "WITH d AS (SELECT doc_id, n_chars, CAST(len(list_filter(" +
       "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
@@ -3725,6 +3732,19 @@ object SparkEntry {
     "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_est, " +
     "round(quantile_cont(value, 0.9), 6) AS p90_est " +
     "FROM r WHERE rn <= 64 GROUP BY event_type"
+
+  /** q_ewma's oracle: the same fixed left-to-right chain of
+    * power-of-two-weighted lags (exact exponent shifts, no rounding). */
+  private lazy val ewmaOracle: String = {
+    val terms = (0 to 9).map { k =>
+      val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+      s"coalesce($v / ${1L << k}.0, 0.0)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, value " +
+    "FROM events WHERE user_id % 7 = 0) " +
+    s"SELECT user_id, ts, event_id, $terms AS ewma " +
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+  }
 
   /** q_pagerank's oracle, generated by unrolling the 5 power steps as
     * chained CTEs — each step replays pageRankScaled's integer

@@ -216,6 +216,37 @@ object Temporal {
       .drop("__block")
   }
 
+  /** Truncated exponentially-weighted moving average with α = 1/2 —
+    * the trend-smoothing signal, computed as the FINITE weighted sum
+    * Σ_{k=0..lags} value_{t−k}·2^(−k) (missing history contributes 0).
+    * The honest recursive EWMA needs running state; the truncated form
+    * is a pure windowed projection, and at 2^-k weighting the dropped
+    * tail is below 1/2^lags of the signal.
+    *
+    * Engine exactness: multiplying a double by 2^(−k) only shifts the
+    * exponent (NO rounding), and the sum is a fixed left-to-right
+    * chain, so both engines produce the same 64 bits — this is why α
+    * is pinned to 1/2 rather than parameterized: an arbitrary α makes
+    * every product a rounding site and the cross-engine compare a
+    * last-ulp lottery.
+    *
+    * Scale shape: one exchange on the key; all lags ride one window
+    * frame. */
+  def ewmaHalfLife(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valueCol: String,
+                   lags: Int = 9): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags out of range: $lags")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val terms = (0 to lags).map { k =>
+      val v = if (k == 0) col(valueCol).cast("double")
+              else lag(col(valueCol).cast("double"), k).over(w)
+      coalesce(v / lit(math.pow(2.0, k)), lit(0.0))
+    }
+    events.select(col(keyCol), col(tsCol), col(tieCol),
+      terms.reduceLeft(_ + _).as("ewma"))
+  }
+
   /** Gap-filled fixed-step resampling with last-observation-carried-
     * forward (LOCF) — the time-series regularization every downstream
     * model wants: one row per (key, step bucket) across the key's

@@ -37,6 +37,15 @@ class StatsSpec extends SparkTestBase {
       "spread" -> ((5L, 1L, 3.0, 1.0))))
   }
 
+  test("ewmaHalfLife: hand-computed truncated weighted sum, missing history = 0") {
+    val ev = Seq((1L, 10L, 1L, 8.0), (1L, 20L, 2L, 4.0), (1L, 30L, 3L, 2.0))
+      .toDF("u", "ts", "id", "v")
+    val got = Temporal.ewmaHalfLife(ev, "u", "ts", "id", "v", lags = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // t=10: 8; t=20: 4 + 8/2 = 8; t=30: 2 + 4/2 + 8/4 = 6
+    assert(got == Map(10L -> 8.0, 20L -> 8.0, 30L -> 6.0))
+  }
+
   test("transitions: counts and ppm probabilities on a crafted flow") {
     // user 1: A B A B  -> A->B x2, B->A x1; user 2: A C -> A->C x1
     val ev = Seq(
