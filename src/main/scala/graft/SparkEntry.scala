@@ -1885,6 +1885,29 @@ object SparkEntry {
     "q_trigram_join" -> ((s, dir) =>
       Dedup.trigramJoin(t(s, dir, "part").filter(col("p_partkey") % 20 === 0),
         "p_partkey", "p_name", thresholdPpm = 450000L)),
+    // exact triangle count over the part co-purchase graph (parts
+    // sharing an order), degree-oriented so no hub blows up the wedge
+    // join; the co-purchase graph is non-bipartite, unlike the
+    // supplier→customer shipment graph (which has zero triangles)
+    "q_triangle_count" -> ((s, dir) =>
+      graft.operators.Graph.triangleCount(coPartEdges(s, dir))),
+    // degree distribution of the same graph — the shape check run
+    // before any heavier graph job
+    "q_degree_dist" -> ((s, dir) =>
+      graft.operators.Graph.degreeDistribution(coPartEdges(s, dir))),
+    // referential-integrity audit: orphan counts per FK relation; the
+    // doctored custkey block proves detection, the clean lineitem
+    // relation pins the zero row
+    "q_ri_audit" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("o_custkey",
+        when(col("o_orderkey") % 97 === 0, col("o_custkey") + lit(5000000L))
+          .otherwise(col("o_custkey")))
+      graft.pipeline.Validator.referentialAudit(Seq(
+        ("orders->customer", o, Seq("o_custkey"),
+          t(s, dir, "customer"), Seq("c_custkey")),
+        ("lineitem->orders", t(s, dir, "lineitem"), Seq("l_orderkey"),
+          t(s, dir, "orders"), Seq("o_orderkey"))))
+    }),
     // integer-scaled PageRank (5 power steps) over the supplier→
     // customer shipment graph; customers offset by 100000 to disjoint
     // the id spaces. All-integer damping keeps it engine-exact.
@@ -3410,6 +3433,27 @@ object SparkEntry {
       "FROM reach GROUP BY s"),
     "q_pagerank" -> pagerankOracle,
     "q_ewma" -> ewmaOracle,
+    // a<b<c triple join — the oracle may use the simple form the
+    // operator's degree orientation makes scale-safe
+    "q_triangle_count" -> (
+      s"WITH $coPartEdgesSql " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_triangles " +
+      "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
+      "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"),
+    "q_degree_dist" -> (
+      s"WITH $coPartEdgesSql, " +
+      "d AS (SELECT v, count(*) AS dd FROM " +
+      "  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v) " +
+      "SELECT dd AS degree, count(*) AS n_vertices FROM d GROUP BY dd"),
+    "q_ri_audit" -> (
+      "SELECT 'orders->customer' AS relation, " +
+      "CAST(count(*) AS BIGINT) AS n_orphans FROM " +
+      "  (SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 5000000 " +
+      "    ELSE o_custkey END AS k FROM orders) o " +
+      "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.k) " +
+      "UNION ALL " +
+      "SELECT 'lineitem->orders', CAST(count(*) AS BIGINT) FROM lineitem l " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)"),
     "q_mix_top_p" -> (
       "WITH d AS (SELECT doc_id, n_chars, CAST(len(list_filter(" +
       "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
@@ -3732,6 +3776,24 @@ object SparkEntry {
     "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_est, " +
     "round(quantile_cont(value, 0.9), 6) AS p90_est " +
     "FROM r WHERE rn <= 64 GROUP BY event_type"
+
+  /** Part co-purchase graph shared by the triangle/degree queries:
+    * distinct part pairs sharing an order (1-in-5 order subsample). */
+  private def coPartEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    li.select(col("ok"), col("p").as("id_a"))
+      .join(li.select(col("ok"), col("p").as("id_b")), Seq("ok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The same graph in SQL, shared by both graph-query oracles. */
+  private lazy val coPartEdgesSql: String =
+    "li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem " +
+    "  WHERE l_orderkey % 5 = 0), " +
+    "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
+    "  JOIN li b ON a.ok = b.ok AND a.p < b.p)"
 
   /** q_ewma's oracle: the same fixed left-to-right chain of
     * power-of-two-weighted lags (exact exponent shifts, no rounding). */

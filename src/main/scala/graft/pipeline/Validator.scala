@@ -50,4 +50,27 @@ object Validator {
     }
     true
   }
+
+  /** Referential-integrity audit: for each named (child, parent) key
+    * relationship, count child rows whose key has NO parent — the
+    * orphan scan every warehouse load should end with. One left-anti
+    * join + single-row aggregate per relation, unioned into one small
+    * report (the relations run as parallel stages of one job, the
+    * mixByTokenBudget totals pattern). NULL child keys are orphans by
+    * this definition: a fact row that cannot be attributed to any
+    * dimension row is exactly what the audit exists to surface. */
+  def referentialAudit(relations: Seq[(String, DataFrame, Seq[String],
+      DataFrame, Seq[String])]): DataFrame = {
+    require(relations.nonEmpty, "audit needs at least one relation")
+    relations.map { case (name, child, childKeys, parent, parentKeys) =>
+      require(childKeys.nonEmpty && childKeys.size == parentKeys.size,
+        s"$name: key arity mismatch")
+      val c = child.select(childKeys.map(col): _*).toDF(childKeys: _*)
+      val p = parent.select(parentKeys.map(col): _*).toDF(childKeys: _*)
+      val cond = childKeys.map(k => c(k) === p(k)).reduce(_ && _)
+      c.join(p, cond, "left_anti")
+        .agg(count(lit(1)).cast("long").as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
 }

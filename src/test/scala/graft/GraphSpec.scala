@@ -26,6 +26,33 @@ class GraphSpec extends SparkTestBase {
     assert(got.values.toSet == Set(333333333333L))
   }
 
+  test("triangleCount: K4 has 4, C4 has 0, duplicates and loops ignored") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 3L)) // reversed duplicate + self-loop are noise
+      .toDF("id_a", "id_b")
+    assert(Graph.triangleCount(k4).first().getLong(0) == 4L)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    assert(Graph.triangleCount(c4).first().getLong(0) == 0L)
+  }
+
+  test("degreeDistribution: star graph = one hub + n leaves") {
+    val star = (2L to 6L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val got = Graph.degreeDistribution(star)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(5L -> 1L, 1L -> 5L))
+  }
+
+  test("referentialAudit: orphan counts per relation, NULL keys are orphans") {
+    import graft.pipeline.Validator
+    val parent = Seq(1L, 2L).toDF("pid")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val got = Validator.referentialAudit(Seq(
+        ("child->parent", child, Seq("fk"), parent, Seq("pid")),
+        ("parent->parent", parent, Seq("pid"), parent, Seq("pid"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("child->parent" -> 2L, "parent->parent" -> 0L))
+  }
+
   test("pageRankScaled: duplicate edges collapse before outdegree counting") {
     val dup = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
     val once = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
