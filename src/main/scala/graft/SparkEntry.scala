@@ -1199,6 +1199,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
     }),
+    // hard-negative mining: per query, the 5 nearest vectors of a
+    // DIFFERENT label — the contrastive-training negative set
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+    // class-balanced downsample: every label keeps min-class-count
+    // rows by content-keyed hash order
+    "q_balance_labels" -> ((s, dir) =>
+      graft.operators.Sampling.balanceClasses(
+        t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+        keyCol = "vec_id", labelCol = "label")),
     // ANN exercised in its honest regime — retrieving a planted
     // near-copy (cos ~0.9998) from the corpus, where bucketing is
     // expected to have recall 1 (pinned in TextDedupSpec for the dedup
@@ -3029,6 +3042,22 @@ object SparkEntry {
       "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INT) AS rank " +
       "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id != c.vec_id " +
       "QUALIFY rank <= 10"),
+    "q_hard_negatives" -> (
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INT) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON q.vec_id % 100 = 0 " +
+      "AND q.vec_id != c.vec_id AND q.label != c.label " +
+      "QUALIFY rank <= 5"),
+    "q_balance_labels" -> (
+      "WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label), " +
+      "m AS (SELECT min(n) AS mn FROM c), " +
+      "r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY label " +
+      "  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings) " +
+      "SELECT vec_id, label FROM r, m WHERE rn <= mn"),
 
     // ---- multimodal -----------------------------------------------------
     "q_multimodal_bytes" -> (

@@ -262,6 +262,26 @@ object Sampling {
       .drop("__hex")
   }
 
+  /** Class-balanced downsampling: every label keeps exactly
+    * min-class-count rows, chosen by md5 hash order (content-keyed, so
+    * the same corpus balances identically on any cluster or engine —
+    * the [[hashSample]] determinism contract, applied to class
+    * rebalancing before classifier training). The min count rides a
+    * single-row broadcast; selection is one per-label window over the
+    * hash order. */
+  def balanceClasses(df: DataFrame, keyCol: String,
+                     labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minC = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__c"))
+      .agg(min(col("__c")).as("__min"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minC))
+      .filter(col("__rn") <= col("__min"))
+      .drop("__rn", "__min")
+  }
+
   /** Nucleus (top-p) selection by a quality score — keep the
     * best-scored documents until their tokens reach `pPpm` (parts per
     * million) of the corpus total, the data-mixing analogue of

@@ -46,6 +46,26 @@ object Similarity {
     selectAndRank(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * BM25-negative upgrade every dual-encoder recipe needs): per query
+    * vector, the k most similar corpus vectors whose LABEL differs —
+    * near the query in embedding space but semantically wrong, exactly
+    * the negatives that sharpen a contrastive loss. Same brute exact
+    * tier as [[bruteForceTopK]] (the label predicate rides the join),
+    * same bounded-heap selection; for corpus scale swap the scored
+    * join for the IVF probe and keep the label filter. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      col(labelCol).as("__cl"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("corpus_id") && col("__cl") =!= col("__ql"))
+      .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
+    selectAndRank(scored, k)
+  }
+
   /** LSH-bucketed ANN top-k: corpus bucketed by `nBits` hyperplane sign
     * bits; each query probes its own bucket plus all single-bit-flip
     * neighbors (multi-probe), then exact cosine re-ranks candidates.

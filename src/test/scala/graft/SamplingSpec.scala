@@ -190,4 +190,17 @@ class SamplingSpec extends SparkTestBase {
     assert(flagged == corpus.count() - kept,
       s"report flags $flagged but decontaminate dropped ${corpus.count() - kept}")
   }
+
+  test("balanceClasses: every label keeps exactly min-class-count rows, deterministic") {
+    import graft.operators.Sampling
+    val df = ((1L to 10L).map(i => (i, "big")) ++ (11L to 13L).map(i => (i, "small")))
+      .toDF("k", "lab")
+    val got = Sampling.balanceClasses(df, "k", "lab")
+    val counts = got.groupBy("lab").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 3L, "small" -> 3L))
+    val again = Sampling.balanceClasses(df, "k", "lab")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("k").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -506,4 +506,18 @@ class TextDedupSpec extends SparkTestBase {
     // shared 1 of union 2 -> 500000
     assert(got == Seq((1L, 500000L)))
   }
+
+  test("hardNegatives: the nearest same-label vector is excluded") {
+    // query 1 (label 0): identical twin 2 shares the label (excluded);
+    // vector 3 (label 1) is farther but is the top hard negative
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 0),
+      (3L, Array(0.9f, 0.1f), 1),
+      (4L, Array(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 1),
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((3L, 1), (4L, 2)))
+  }
 }
