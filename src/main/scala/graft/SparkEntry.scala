@@ -1831,7 +1831,7 @@ object SparkEntry {
         .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
           (col("o_custkey") * 2).cast("long").as("id_b"))
         .distinct()
-      Dedup.components(edges)
+      Dedup.componentsAuto(edges)
     }),
     // nucleus (top-p) quality cut: keep the best-scored docs until 60%
     // of corpus tokens; two-phase bucketed cumsum — never a global

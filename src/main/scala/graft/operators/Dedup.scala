@@ -692,6 +692,49 @@ object Dedup {
     members.filter(id => find(id) != id)
   }
 
+  /** Driver union-find that returns the full (id → component) map —
+    * the [[unionFindDropIds]] structure, keeping every member's
+    * min-root instead of only the drop set. */
+  private[graft] def unionFindComponents(
+      pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      .map((id: Long) => id -> find(id)).toMap
+  }
+
+  /** [[components]] with the [[dedupCorpus]] hybrid applied to the
+    * GENERAL operator: when the edge list fits the driver
+    * (`maxDriverPairs`, ~16 bytes/pair), one union-find pass replaces
+    * the iterative distributed fixpoint — a bounded collect, the same
+    * contract as IVF centroids — and the result is parallelized back.
+    * Above the bound, the min-label BSP runs unchanged. Both branches
+    * produce the identical (id, component=min reachable id) mapping. */
+  def componentsAuto(pairs: DataFrame, maxDriverPairs: Long = 2000000L,
+                     maxIter: Int = 25): DataFrame = {
+    val norm = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val n = norm.count()
+    if (n <= maxDriverPairs) {
+      val arr = norm.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val comp = unionFindComponents(arr).toSeq
+      val s = pairs.sparkSession
+      import s.implicits._
+      comp.toDF("id", "component")
+    } else components(pairs, maxIter)
+  }
+
   /** Full near-dup dedup: detect pairs (minhash LSH), cluster them, and
     * keep only each component's minimum-id document. Returns the
     * surviving rows of `df`.

@@ -20,6 +20,16 @@ class ComponentsSpec extends SparkTestBase {
     assert(comp.values.toSet == Set(0L))
   }
 
+  test("componentsAuto: driver and distributed branches agree exactly") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (5L, 5L)).toDF("id_a", "id_b")
+    val driver = Dedup.componentsAuto(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.componentsAuto(pairs, maxDriverPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    // NB the self-loop (5,5): both branches keep it as a singleton
+    assert(driver == dist)
+    assert(driver(1L) == 1L && driver(3L) == 1L && driver(11L) == 10L)
+  }
+
   test("unionFindDropIds: chains and disjoint clusters") {
     val drop = Dedup.unionFindDropIds(Array((2L, 1L), (2L, 3L), (10L, 11L)))
     assert(drop == Set(2L, 3L, 11L)) // keep 1 (chain min) and 10
