@@ -475,6 +475,25 @@ object SparkEntry {
     "q_cdc_latest_per_key" -> ((s, dir) =>
       CdcMerge.latestPerKey(events(s, dir), Seq("user_id"), "ts",
         tieBreakers = Seq("event_id"))),
+    // k-anonymity audit of the anonymized-release shape: QI groups
+    // (nation, 100-wide balance band) re-identifying fewer than 5
+    // candidates — the QA step after the anonymization pipeline
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityViolations(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 10000")
+            .as("bal_band")),
+        quasiCols = Seq("c_nationkey", "bal_band"), k = 5)),
+    // l-diversity audit on the same fine QI: groups whose sensitive
+    // market segment is too homogeneous (k-anonymous but value-leaking)
+    "q_l_diversity" -> ((s, dir) =>
+      graft.operators.Privacy.lDiversityViolations(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 10000")
+            .as("bal_band")),
+        quasiCols = Seq("c_nationkey", "bal_band"),
+        sensitiveCol = "c_mktsegment", l = 3)),
     // snapshot diff: added/removed/changed keys between the customer
     // table and a deterministically mutated copy (deletes %7, balance
     // bumps %3, one synthetic insert block)
@@ -2391,6 +2410,19 @@ object SparkEntry {
     "q_cdc_latest_per_key" ->
       ("SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props FROM events " +
        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"),
+    "q_k_anonymity" -> (
+      "WITH b AS (SELECT c_nationkey, " +
+      "  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bal_band " +
+      "  FROM customer) " +
+      "SELECT c_nationkey, bal_band, count(*) AS n FROM b " +
+      "GROUP BY 1, 2 HAVING count(*) < 5"),
+    "q_l_diversity" -> (
+      "WITH b AS (SELECT c_nationkey, c_mktsegment, " +
+      "  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bal_band " +
+      "  FROM customer) " +
+      "SELECT c_nationkey, bal_band, count(*) AS n, " +
+      "count(DISTINCT c_mktsegment) AS n_distinct_sensitive FROM b " +
+      "GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3"),
     "q_snapshot_diff" -> (
       "WITH n AS (" +
       "  SELECT c_custkey, c_name, c_nationkey, " +

@@ -37,6 +37,23 @@ class StatsSpec extends SparkTestBase {
       "spread" -> ((5L, 1L, 3.0, 1.0))))
   }
 
+  test("privacy: k-anonymity and l-diversity flag exactly the risky groups") {
+    import graft.operators.Privacy
+    val df = Seq(
+      ("DE", 1, "flu"), ("DE", 1, "cold"), ("DE", 1, "flu"),
+      ("DE", 2, "flu"),                       // group of 1 -> k violation
+      ("FR", 1, "flu"), ("FR", 1, "flu"), ("FR", 1, "flu")
+    ).toDF("country", "band", "dx")
+    val kv = Privacy.kAnonymityViolations(df, Seq("country", "band"), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(kv == Set(("DE", 2, 1L)))
+    // FR group is 3-anonymous but every dx is identical -> l violation;
+    // DE/1 has 2 distinct dx -> also < 3; DE/2 trivially
+    val lv = Privacy.lDiversityViolations(df, Seq("country", "band"), "dx", l = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3))).toSet
+    assert(lv == Set(("DE", 1, 2L), ("DE", 2, 1L), ("FR", 1, 1L)))
+  }
+
   test("ewmaHalfLife: hand-computed truncated weighted sum, missing history = 0") {
     val ev = Seq((1L, 10L, 1L, 8.0), (1L, 20L, 2L, 4.0), (1L, 30L, 3L, 2.0))
       .toDF("u", "ts", "id", "v")
