@@ -258,9 +258,12 @@ object Temporal {
     * the per-bucket "last" is one row_number window; the grid comes
     * from exploding each key's [min,max] bucket span — distributed,
     * sized by time span not event count; the carry-forward is a
-    * last(ignoreNulls) running window. Every stage partitions by key,
-    * so Spark plans ONE exchange and reuses it (the sessionize
-    * pattern). Output: (key, bucket_start, value) in `tsCol` units. */
+    * last(ignoreNulls) running window. Two partitionings are genuinely
+    * needed — (key, bucket) for the in-bucket winner and the grid
+    * join, (key) for the span and the carry — so the plan carries four
+    * exchanges, each over grid-sized intermediates (∝ time span), not
+    * the raw event stream. Output: (key, bucket_start, value) in
+    * `tsCol` units. */
   def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
                    valueCol: String, tieCol: String, step: Long): DataFrame = {
     require(step > 0, s"step must be positive, got $step")

@@ -45,6 +45,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
   }
 
+  test("single-exchange operators really plan one hash exchange") {
+    // the scaladoc claims these reuse one key partitioning end to end
+    // (madOutliers: both percentile windows + the final groupBy; scd2:
+    // collapse lag + interval lead; ewma: all lags in one frame) —
+    // assert it so a refactor that silently adds a shuffle fails here
+    for (q <- Seq("q_mad_outliers", "q_cdc_scd2", "q_ewma")) {
+      val plan = planOf(q)
+      val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(n == 1, s"$q: expected 1 hash exchange, got $n:\n$plan")
+    }
+  }
+
   test("filter queries push predicates into the parquet scan") {
     for (q <- Seq("q_filter_startswith", "q_filter_equals", "q_filter_contains")) {
       val plan = planOf(q)
