@@ -1806,6 +1806,20 @@ object SparkEntry {
     "q_lm_bigram" -> ((s, dir) =>
       graft.operators.Corpus.bigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20, bigramSize = 30)),
+    // per-source term signatures (c-TF-IDF lift): the 5 most over-
+    // represented terms per source vs the whole corpus
+    "q_class_terms" -> ((s, dir) =>
+      graft.operators.Corpus.classTerms(t(s, dir, "documents"),
+        classCol = "source", textCol = "text", minTf = 5, k = 5)),
+    // per-type winsorization at exact order-statistic bounds — the
+    // clipped column holds only values that exist in the input, so
+    // nothing interpolated can diverge across engines
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Stats.winsorize(
+        events(s, dir).filter(col("user_id") % 11 === 0)
+          .select(col("event_type"), col("event_id"), col("value")),
+        groupCol = "event_type", valueCol = "value", tieCol = "event_id",
+        pLo = 0.05, pHi = 0.95)),
     // PMI collocation mining (Church & Hanks 1990): top-40 adjacent
     // pairs by integer ppm lift (monotone in PMI — no float log);
     // minCount=3 prunes the PMI-unstable hapax tail before any join
@@ -3418,6 +3432,41 @@ object SparkEntry {
       "'\\s+')) AS token FROM documents) " +
       "SELECT token, count(*) AS cnt FROM tok WHERE length(token) > 0 " +
       "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"),
+    "q_class_terms" -> (
+      "WITH tok AS (SELECT source AS class, unnest(list_filter(" +
+      "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
+      "t -> t != '')) AS term FROM documents), " +
+      "tc AS (SELECT class, term, count(*) AS tf_c FROM tok GROUP BY 1, 2), " +
+      "sc AS (SELECT class, term, tf_c, " +
+      "  CAST(sum(tf_c) OVER (PARTITION BY term) AS BIGINT) AS tf_g, " +
+      "  CAST(sum(tf_c) OVER (PARTITION BY class) AS BIGINT) AS ct, " +
+      "  (SELECT CAST(sum(tf_c) AS BIGINT) FROM tc) AS total " +
+      "  FROM tc), " +
+      "lf AS (SELECT class, term, tf_c, " +
+      "  ((tf_c * 1000000 // tf_g) * total // ct) AS lift_ppm FROM sc " +
+      "  WHERE tf_c >= 5) " +
+      "SELECT class, term, tf_c, CAST(lift_ppm AS BIGINT) AS lift_ppm, " +
+      "CAST(row_number() OVER (PARTITION BY class " +
+      "  ORDER BY lift_ppm DESC, term ASC) AS BIGINT) AS rank " +
+      "FROM lf QUALIFY rank <= 5"),
+    "q_winsorize" -> (
+      "WITH e AS (SELECT event_type, event_id, value FROM events " +
+      "  WHERE user_id % 11 = 0), " +
+      "r AS (SELECT event_type, event_id, value, " +
+      "  row_number() OVER (PARTITION BY event_type " +
+      "    ORDER BY value ASC, event_id ASC) AS rn, " +
+      "  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n " +
+      "  FROM e), " +
+      "b AS (SELECT event_type, event_id, value, rn, n, " +
+      "  greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) AS rlo, " +
+      "  CAST(ceil(0.95 * n) AS BIGINT) AS rhi FROM r), " +
+      "lim AS (SELECT event_type, " +
+      "  max(CASE WHEN rn = rlo THEN value END) AS lo, " +
+      "  max(CASE WHEN rn = rhi THEN value END) AS hi " +
+      "  FROM b GROUP BY event_type) " +
+      "SELECT b.event_type, b.event_id, b.value, " +
+      "least(greatest(b.value, lim.lo), lim.hi) AS v_clip " +
+      "FROM b JOIN lim ON b.event_type = lim.event_type"),
     // lift_ppm = N·c(ab)·1e6 div (c(a)·c(b)) — all-integer, so the
     // ranking (monotone in PMI) replays exactly
     "q_pmi_collocations" -> (

@@ -487,6 +487,43 @@ object Corpus {
           x => x.cast("string")), ",").as("posting_sample"))
   }
 
+  /** Per-class term signatures — the c-TF-IDF idea (Grootendorst 2022,
+    * BERTopic): for each class (source, topic, language), the terms
+    * most over-represented relative to the whole corpus. Score is the
+    * integer lift `(tf_c·1e6 div tf_g) · T div ct` (class share of the
+    * term, normalized by the class's share of all tokens) — staged
+    * division keeps every intermediate < 2^63 and both engines replay
+    * the exact same truncation chain. `minTf` prunes the unstable
+    * rare-term tail; top-k per class under (lift desc, term asc).
+    *
+    * Scale shape: one tokenize → one (class, term) count aggregation;
+    * term globals re-derive from the class counts (window over term),
+    * class totals likewise — no second corpus pass. Final rank is a
+    * window over (class) on the pruned count table. */
+  def classTerms(docs: DataFrame, classCol: String, textCol: String,
+                 minTf: Long, k: Int): DataFrame = {
+    require(minTf >= 1 && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(trim(coalesce(col(textCol), lit("")))),
+      "\\s+"), w => length(w) > 0)
+    val tc = docs.select(col(classCol).as("class"), explode(toks).as("term"))
+      .groupBy(col("class"), col("term")).agg(count(lit(1)).as("tf_c"))
+    val totalRow = tc.agg(sum(col("tf_c")).cast("long").as("total"))
+    val scored = tc
+      .withColumn("tf_g", sum(col("tf_c")).over(Window.partitionBy(col("term"))))
+      .withColumn("ct", sum(col("tf_c")).over(Window.partitionBy(col("class"))))
+      .crossJoin(broadcast(totalRow))
+      .filter(col("tf_c") >= minTf)
+      .withColumn("lift_ppm",
+        expr("(tf_c * 1000000L div tf_g) * total div ct"))
+    val wRank = Window.partitionBy(col("class"))
+      .orderBy(col("lift_ppm").desc, col("term").asc)
+    scored.withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") <= k)
+      .select(col("class"), col("term"), col("tf_c"), col("lift_ppm"),
+        col("__rk").cast("long").as("rank"))
+  }
+
   /** Top-k collocations by PMI lift — corpus-level phrase mining
     * (Church & Hanks 1990, "Word Association Norms, Mutual Information,
     * and Lexicography"). PMI(a,b) = ln(N·c(ab) / (c(a)·c(b))); since ln

@@ -42,6 +42,41 @@ object Stats {
         max(col("__v")).as("bin_max"))
   }
 
+  /** Per-group winsorization — clip values into the [pLo, pHi]
+    * percentile band, the standard robust pre-processing step before
+    * any mean-based statistic meets heavy tails (Tukey; Dixon 1960).
+    *
+    * Bounds are EXACT ORDER STATISTICS, not interpolated quantiles:
+    * the clip value at rank ceil(p·n) under the (value, tie) total
+    * order is an actual data value, so the clipped column contains
+    * only values that exist in the input — no interpolation float to
+    * disagree about across engines (interpolated quantile_cont formula
+    * order differs engine-to-engine in the last ulp; an order
+    * statistic cannot).
+    *
+    * Scale shape: ONE exchange on the group key — rank, count, and
+    * both boundary lookups are windows over the same partitioning,
+    * and the clip is a projection. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                tieCol: String, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(col(groupCol))
+    val wr = wg.orderBy(col(valueCol).asc, col(tieCol).asc)
+    df
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__rlo", greatest(lit(1L), ceil(lit(pLo) * col("__n"))))
+      .withColumn("__rhi", ceil(lit(pHi) * col("__n")))
+      .withColumn("__lo",
+        max(when(col("__rn") === col("__rlo"), col(valueCol))).over(wg))
+      .withColumn("__hi",
+        max(when(col("__rn") === col("__rhi"), col(valueCol))).over(wg))
+      .withColumn("v_clip",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__rn", "__n", "__rlo", "__rhi", "__lo", "__hi")
+  }
+
   /** 2-D skyline (Pareto frontier, maximize both axes; Börzsönyi et
     * al. 2001, "The Skyline Operator"): rows not strictly dominated —
     * no other row is ≥ on both axes and > on at least one. Exact

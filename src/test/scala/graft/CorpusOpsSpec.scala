@@ -438,4 +438,17 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getString(3))).head
     assert(got == ((3L, "2,5")))
   }
+
+  test("classTerms: over-represented term wins its class, staged integer lift") {
+    // class A: "x x x y" (ct=4), class B: "y y y y" (ct=4); total 8
+    // x: tf_g=3; in A lift = (3*1e6 div 3) * 8 div 4 = 2000000
+    // y in A: (1*1e6 div 5) * 8 div 4 = 400000; y in B: (4*1e6 div 5)*8 div 4 = 1600000
+    val docs = Seq(("A", "x x x y"), ("B", "y y y y")).toDF("source", "text")
+    val got = Corpus.classTerms(docs, "source", "text", minTf = 1, k = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("A", "x")) == ((2000000L, 1L)))
+    assert(got(("A", "y")) == ((400000L, 2L)))
+    assert(got(("B", "y")) == ((1600000L, 1L)))
+  }
 }

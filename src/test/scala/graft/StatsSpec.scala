@@ -37,6 +37,18 @@ class StatsSpec extends SparkTestBase {
       "spread" -> ((5L, 1L, 3.0, 1.0))))
   }
 
+  test("winsorize: exact order-statistic bounds, only input values appear") {
+    // group g: values 1..20; rlo = ceil(0.05*20) = 1 -> lo = 1,
+    // rhi = ceil(0.95*20) = 19 -> hi = 19; so 20 clips to 19 and the
+    // minimum stays itself
+    val df = (1 to 20).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val got = Stats.winsorize(df, "g", "v", "id", 0.05, 0.95)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got(20L) == 19.0 && got(19L) == 19.0 && got(1L) == 1.0 && got(10L) == 10.0)
+    val clipped = got.values.toSet
+    assert(clipped.subsetOf((1 to 20).map(_.toDouble).toSet))
+  }
+
   test("privacy: k-anonymity and l-diversity flag exactly the risky groups") {
     import graft.operators.Privacy
     val df = Seq(
