@@ -1806,6 +1806,24 @@ object SparkEntry {
     "q_lm_bigram" -> ((s, dir) =>
       graft.operators.Corpus.bigramScore(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", vocabSize = 20, bigramSize = 30)),
+    // calendar dimension build: one row per day of the order span with
+    // the usual attributes — ISO day-of-week via weekday+1 (Spark's
+    // dayofweek is Sunday-1, DuckDB's dow is Sunday-0; the ISO form is
+    // the one both engines agree on)
+    "q_date_dim" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .agg(min(col("o_orderdate").cast("date")).as("lo"),
+          max(col("o_orderdate").cast("date")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        .select(col("d"),
+          year(col("d")).cast("long").as("yr"),
+          month(col("d")).cast("long").as("mo"),
+          dayofmonth(col("d")).cast("long").as("dom"),
+          (expr("weekday(d)") + 1).cast("long").as("isodow"),
+          quarter(col("d")).cast("long").as("qtr"),
+          weekofyear(col("d")).cast("long").as("iso_week"),
+          (expr("weekday(d)") >= 5).as("is_weekend"),
+          (col("d") === last_day(col("d"))).as("is_month_end"))),
     // per-source term signatures (c-TF-IDF lift): the 5 most over-
     // represented terms per source vs the whole corpus
     "q_class_terms" -> ((s, dir) =>
@@ -3432,6 +3450,19 @@ object SparkEntry {
       "'\\s+')) AS token FROM documents) " +
       "SELECT token, count(*) AS cnt FROM tok WHERE length(token) > 0 " +
       "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"),
+    "q_date_dim" -> (
+      "WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, " +
+      "  CAST(max(o_orderdate) AS DATE) AS hi FROM orders), " +
+      "dd AS (SELECT CAST(unnest(generate_series(lo, hi, " +
+      "  INTERVAL 1 DAY)) AS DATE) AS d FROM span) " +
+      "SELECT d, CAST(year(d) AS BIGINT) AS yr, " +
+      "CAST(month(d) AS BIGINT) AS mo, " +
+      "CAST(day(d) AS BIGINT) AS dom, " +
+      "CAST(isodow(d) AS BIGINT) AS isodow, " +
+      "CAST(quarter(d) AS BIGINT) AS qtr, " +
+      "CAST(weekofyear(d) AS BIGINT) AS iso_week, " +
+      "isodow(d) >= 6 AS is_weekend, " +
+      "d = last_day(d) AS is_month_end FROM dd"),
     "q_class_terms" -> (
       "WITH tok AS (SELECT source AS class, unnest(list_filter(" +
       "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
