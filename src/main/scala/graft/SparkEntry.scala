@@ -1959,6 +1959,32 @@ object SparkEntry {
     // before any heavier graph job
     "q_degree_dist" -> ((s, dir) =>
       graft.operators.Graph.degreeDistribution(coPartEdges(s, dir))),
+    // functional-dependency audit (RI's sibling): does l_partkey
+    // determine l_suppkey? The report lists determinant values mapped
+    // to more than one dependent — real TPC-H violates this FD (a part
+    // has several suppliers), so the report is non-trivially populated
+    "q_fd_violations" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_distinct"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_distinct") > 1)),
+    // accumulating-snapshot fact: per-order lifecycle spans derived
+    // from its line items (order → first ship, last receipt) — the
+    // Kimball milestone-duration pattern, one join + one aggregation
+    "q_order_lifecycle" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(datediff(min(col("sd")), min(col("od"))).cast("long")
+          .as("days_to_first_ship"),
+          datediff(max(col("sd")), min(col("od"))).cast("long")
+            .as("days_to_last_ship"),
+          count(lit(1)).as("n_lines"))
+    }),
     // referential-integrity audit: orphan counts per FK relation; the
     // doctored custkey block proves detection, the clean lineitem
     // relation pins the zero row
@@ -3586,6 +3612,20 @@ object SparkEntry {
       "d AS (SELECT v, count(*) AS dd FROM " +
       "  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v) " +
       "SELECT dd AS degree, count(*) AS n_vertices FROM d GROUP BY dd"),
+    "q_fd_violations" -> (
+      "SELECT l_partkey, count(DISTINCT l_suppkey) AS n_distinct, " +
+      "count(*) AS n_rows FROM lineitem GROUP BY l_partkey " +
+      "HAVING count(DISTINCT l_suppkey) > 1"),
+    "q_order_lifecycle" -> (
+      "SELECT o_orderkey, " +
+      "CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "  min(CAST(l_shipdate AS DATE))) AS BIGINT) AS days_to_first_ship, " +
+      "CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "  max(CAST(l_shipdate AS DATE))) AS BIGINT) AS days_to_last_ship, " +
+      "count(*) AS n_lines " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey % 9 = 0 " +
+      "GROUP BY o_orderkey, o_orderdate"),
     "q_ri_audit" -> (
       "SELECT 'orders->customer' AS relation, " +
       "CAST(count(*) AS BIGINT) AS n_orphans FROM " +
