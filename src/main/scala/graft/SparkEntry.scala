@@ -2098,7 +2098,93 @@ object SparkEntry {
       }
       Dedup.semanticDedup(aug, "vec_id", "embedding", centroids,
         threshold = 0.7).select(col("vec_id"))
-    })
+    }),
+    // deterministic content-keyed reservoir: global top-k under a
+    // salted md5 rank — TakeOrderedAndProject (local k-heaps merge at
+    // the driver), reproducible at any partitioning or scale
+    "q_sample_reservoir" -> ((s, dir) =>
+      graft.operators.Sampling.reservoirByHash(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")),
+        keyCol = "doc_id", salt = "rsv", k = 200)),
+    // rolling 1-hour per-user activity window (RANGE frame on the µs
+    // axis, inclusive lower bound): cents-exact value sums, one sorted
+    // pass per user — never a time-window self-join
+    "q_window_range_frame" -> ((s, dir) =>
+      graft.operators.Temporal.slidingRangeAgg(
+        events(s, dir).withColumn("cents",
+          round(col("value") * 100).cast("long")),
+        partCol = "user_id", tsCol = "ts", centsCol = "cents",
+        rangeUs = 3600000000L)),
+    // survival-style time-to-next-event per event type: per-user lead
+    // gap, mean as integer division of integer sums
+    "q_time_to_event" -> ((s, dir) =>
+      graft.operators.Temporal.timeToNextEvent(events(s, dir),
+        partCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        typeCol = "event_type")),
+    // incremental view maintenance: base-partition aggregate + delta
+    // aggregate merged by Ivm.mergeAdditive; the oracle is the full
+    // recompute the merge must equal exactly
+    "q_ivm_agg" -> ((s, dir) => {
+      def aggOf(df: DataFrame) = df
+        .withColumn("c", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("cents"))
+      val o = t(s, dir, "orders")
+      val cut = to_date(lit("1998-01-01"))
+      graft.operators.Ivm.mergeAdditive(
+        aggOf(o.filter(col("o_orderdate").cast("date") < cut)),
+        aggOf(o.filter(col("o_orderdate").cast("date") >= cut)),
+        keys = Seq("o_orderpriority"))
+    }),
+    // CUSUM drift detection over the daily event-count series —
+    // all-integer devs vs the series mean, running-summed in day order
+    "q_cusum" -> ((s, dir) =>
+      graft.operators.Stats.cusumDaily(
+        events(s, dir).select(expr("ts div 86400000000").as("day_idx"))
+          .groupBy(col("day_idx")).agg(count(lit(1)).as("n")),
+        idxCol = "day_idx", nCol = "n")),
+    // contribution / ratio-to-report: nation revenue share in ppm; the
+    // share window runs over the ALREADY-AGGREGATED ≤25-row frame
+    // (bounded by |nation|), not the input
+    "q_contribution" -> ((s, dir) => {
+      val r = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .withColumn("c", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("c_nationkey")).agg(sum(col("c")).as("cents"))
+      r.select(col("c_nationkey"), col("cents"),
+        expr("cents * 1000000 div (sum(cents) OVER ())").as("share_ppm"))
+    }),
+    // int8 scalar quantization of the embedding column (the ANN
+    // serving compression step); integer code summaries pin every
+    // component's quantized value through position-weighted sums
+    "q_embed_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("q", graft.functions.vectors.quantizeInt8("embedding"))
+        .select(col("vec_id"), col("label"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))")
+            .as("q_l1"),
+          expr("CAST(array_max(q) AS BIGINT)").as("q_max"))),
+    // rank-percentile normalization per source: cross-source score
+    // leveling before corpus mixing, ppm-exact
+    "q_quantile_normalize" -> ((s, dir) =>
+      graft.operators.Stats.quantileNormalize(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars")),
+        groupCol = "source", valCol = "n_chars", tieCol = "doc_id")),
+    // gaps-and-islands: per-user maximal runs of consecutive active
+    // days via the day_idx − row_number() grouping key
+    "q_gaps_islands" -> ((s, dir) =>
+      graft.operators.Temporal.activityIslands(events(s, dir),
+        partCol = "user_id", tsCol = "ts")),
+    // last-touch attribution: each purchase stamped with the latest
+    // strictly-prior click/view of the same user — one window pass,
+    // no join against the touch stream
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.Temporal.lastTouch(events(s, dir),
+        partCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        typeCol = "event_type", touchTypes = Seq("click", "view"),
+        convType = "purchase"))
   )
 
   /** Embeddings table augmented with 25 planted near-copies (coord 0
@@ -3941,7 +4027,86 @@ object SparkEntry {
       "FROM tk t LEFT JOIN nd USING (doc_id) LEFT JOIN cv USING (doc_id)"),
     "q_dedup_substring_clean" -> substrCleanOracle,
     // same semantics through the SQL surface => same oracle
-    "q_substring_clean_sql" -> substrCleanOracle
+    "q_substring_clean_sql" -> substrCleanOracle,
+    "q_sample_reservoir" -> (
+      "SELECT doc_id, lang, source, n_chars FROM documents " +
+      "ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 200"),
+    "q_window_range_frame" -> (
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+      "  CAST(round(value*100) AS BIGINT) AS cents FROM events) " +
+      "SELECT event_id, user_id, ts_us, " +
+      "CAST(count(*) OVER w AS BIGINT) AS w_cnt, " +
+      "CAST(sum(cents) OVER w AS BIGINT) AS w_cents " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us " +
+      "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
+    "q_time_to_event" -> (
+      "WITH g AS (SELECT event_type, lead(epoch_us(ts)) OVER " +
+      "  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+      "  - epoch_us(ts) AS gap FROM events) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+      "CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_gap_us " +
+      "FROM g WHERE gap IS NOT NULL GROUP BY event_type"),
+    // the IVM merge must equal the full recompute — so the oracle IS
+    // the full recompute
+    "q_ivm_agg" -> (
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY o_orderpriority"),
+    "q_cusum" -> (
+      "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_idx, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total, " +
+      "  CAST(count(*) AS BIGINT) AS days FROM d) " +
+      "SELECT day_idx, n, CAST(sum(n*1000000 - " +
+      "  (SELECT total*1000000//days FROM t)) OVER " +
+      "  (ORDER BY day_idx) AS BIGINT) AS cusum_ppm FROM d"),
+    "q_contribution" -> (
+      "WITH r AS (SELECT c_nationkey, " +
+      "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+      "  FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "  GROUP BY c_nationkey) " +
+      "SELECT c_nationkey, cents, " +
+      "cents*1000000 // CAST(sum(cents) OVER () AS BIGINT) AS share_ppm " +
+      "FROM r"),
+    "q_embed_quantize" -> (
+      "WITH q AS (SELECT vec_id, label, list_transform(embedding, " +
+      "  x -> greatest(-127, least(127, " +
+      "  CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)))) AS qq " +
+      "  FROM embeddings) " +
+      "SELECT vec_id, label, " +
+      "CAST(list_aggregate(qq, 'sum') AS BIGINT) AS q_sum, " +
+      "CAST(list_aggregate(list_transform(qq, x -> abs(x)), 'sum') " +
+      "  AS BIGINT) AS q_l1, " +
+      "CAST(list_aggregate(qq, 'max') AS BIGINT) AS q_max FROM q"),
+    "q_quantile_normalize" -> (
+      "WITH d AS (SELECT doc_id, source, n_chars, " +
+      "  CAST(rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) " +
+      "    AS BIGINT) AS rk, " +
+      "  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt " +
+      "  FROM documents) " +
+      "SELECT doc_id, source, n_chars, (rk-1)*1000000 // (cnt-1) AS pct_ppm " +
+      "FROM d"),
+    "q_gaps_islands" -> (
+      "WITH d AS (SELECT DISTINCT user_id, " +
+      "  epoch_us(ts) // 86400000000 AS day_idx FROM events), " +
+      "i AS (SELECT user_id, day_idx, day_idx - row_number() OVER " +
+      "  (PARTITION BY user_id ORDER BY day_idx) AS isl FROM d) " +
+      "SELECT user_id, CAST(min(day_idx) AS BIGINT) AS start_day, " +
+      "CAST(max(day_idx) AS BIGINT) AS end_day, " +
+      "CAST(count(*) AS BIGINT) AS n_days FROM i GROUP BY user_id, isl"),
+    "q_attribution" -> (
+      "WITH m AS (SELECT event_id, user_id, event_type, " +
+      "  epoch_us(ts) AS ts_us, " +
+      "  CASE WHEN event_type IN ('click','view') THEN event_id END AS mk_id, " +
+      "  CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END " +
+      "    AS mk_ts FROM events), " +
+      "a AS (SELECT event_id, user_id, event_type, ts_us, " +
+      "  last_value(mk_id IGNORE NULLS) OVER w AS attr_id, " +
+      "  last_value(mk_ts IGNORE NULLS) OVER w AS attr_ts FROM m " +
+      "  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT event_id, user_id, attr_id, ts_us - attr_ts AS gap_us FROM a " +
+      "WHERE event_type = 'purchase' AND attr_id IS NOT NULL")
   )
 
   /** Shared by q_sketch_quantile and its merge row (lossless merge ⇒

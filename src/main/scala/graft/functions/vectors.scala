@@ -34,4 +34,16 @@ object vectors {
     * join instead of cross join). */
   def hyperplaneBucket(a: Column, nBits: Int, seed: Long): Column =
     Bridge.column(HyperplaneBucketExpr(Bridge.expression(f(a)), nBits, seed))
+
+  /** Int8 scalar quantization of an embedding column — the 4× (fp32)
+    * compression step before ANN serving. q_i = clamp(floor(x·127+0.5),
+    * −127, 127) computed in double; both engines share the float→double
+    * widening and the dyadic constants bit-for-bit, so the codes are
+    * engine-exact. Stays a codegen'd higher-order `transform` (array in,
+    * array out — the fused kernels above are scalar-reducers). */
+  def quantizeInt8(vecCol: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"transform($vecCol, x -> CAST(greatest(CAST(-127 AS BIGINT), " +
+        "least(CAST(127 AS BIGINT), " +
+        "CAST(floor(CAST(x AS DOUBLE) * 127D + 0.5D) AS BIGINT))) AS BIGINT))")
 }

@@ -336,4 +336,21 @@ object Sampling {
         lit(pPpm) * col("__total"))
       .drop("__b", "__prefix", "__total")
   }
+
+  /** Deterministic "reservoir" of k rows: rank every row by the md5 of a
+    * salted key and keep the global top-k under that rank. Equivalent in
+    * distribution to a seeded reservoir sample but content-keyed, so the
+    * drawn set is reproducible across runs, partitionings, task retries,
+    * and engines (the md5 contract above). Plan-wise this is a
+    * TakeOrderedAndProject: each partition keeps a local k-heap and the
+    * driver merges heads — never a global sort, so k bounds memory at
+    * any input scale. */
+  def reservoirByHash(df: DataFrame, keyCol: String, salt: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("__rk", md5(concat(lit(salt), col(keyCol).cast("string"))))
+      .orderBy(col("__rk").asc, col(keyCol).asc)
+      .limit(k)
+      .drop("__rk")
+  }
 }

@@ -162,4 +162,39 @@ object Stats {
         round(min(col("__med")), 6).as("med"),
         round(min(col("__mad")), 6).as("mad"))
   }
+
+  /** CUSUM drift detection over an ordered count series, all-integer:
+    * dev_i = n_i·1e6 − floor(total·1e6/days), cusum = running sum of
+    * dev. The two global stats ride a single-row broadcast (the BM25
+    * crossJoin pattern, bnljAllowed); the running window orders the
+    * ALREADY-AGGREGATED series — one row per day — so the global
+    * ordering is bounded by the series length, not the input rows. */
+  def cusumDaily(counts: DataFrame, idxCol: String, nCol: String): DataFrame = {
+    val tot = counts.agg(sum(col(nCol)).as("__total"),
+      count(lit(1)).as("__days"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idxCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__dev",
+        col(nCol) * lit(1000000L) - expr("__total * 1000000 div __days"))
+      .select(col(idxCol), col(nCol),
+        sum(col("__dev")).over(w).cast("long").as("cusum_ppm"))
+  }
+
+  /** Rank-percentile (quantile) normalization within groups: ppm of
+    * (rank−1)/(cnt−1) under the (value, tie) total order — the
+    * cross-source score-leveling step before mixing corpora whose raw
+    * quality scores live on different scales. Both windows share the
+    * group partitioning: one exchange. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String): DataFrame = {
+    val wo = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol).asc, col(tieCol).asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(col(tieCol), col(groupCol), col(valCol),
+      rank().over(wo).cast("long").as("__rk"),
+      count(lit(1)).over(wc).cast("long").as("__cnt"))
+      .select(col(tieCol), col(groupCol), col(valCol),
+        expr("(__rk - 1) * 1000000 div (__cnt - 1)").as("pct_ppm"))
+  }
 }

@@ -319,4 +319,72 @@ object Temporal {
       .select(col("from_state"), col("to_state"), col("n"),
         expr("n * 1000000L div __tot").as("p_ppm"))
   }
+
+  /** Per-key sliding aggregate over the closed time range
+    * [ts − rangeUs, ts]: the rolling-activity feature primitive
+    * (e.g. "events and spend in the last hour"). A RANGE frame on the
+    * µs BIGINT axis — one sorted pass per key partition with a moving
+    * frame, never a self-join; cost is the single (key) shuffle. */
+  def slidingRangeAgg(df: DataFrame, partCol: String, tsCol: String,
+      centsCol: String, rangeUs: Long, idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(tsCol).asc)
+      .rangeBetween(-rangeUs, 0)
+    df.select(col(idCol), col(partCol), col(tsCol).as("ts_us"),
+      count(lit(1)).over(w).cast("long").as("w_cnt"),
+      sum(col(centsCol)).over(w).cast("long").as("w_cents"))
+  }
+
+  /** Time-to-next-event (the discrete survival primitive): per-key lead
+    * gap under the (ts, tie) total order, aggregated per event type.
+    * The mean is an integer division of integer sums — engine-exact,
+    * no float aggregation order to disagree on. */
+  def timeToNextEvent(df: DataFrame, partCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("__gap", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("__s"))
+      .select(col(typeCol), col("n_gaps"),
+        expr("__s div n_gaps").as("avg_gap_us"))
+  }
+
+  /** Gaps-and-islands: collapse per-key activity days into maximal
+    * consecutive runs. The classic day_idx − row_number() trick: within
+    * a key, consecutive days share the difference, so one groupBy turns
+    * runs into rows. Two exchanges total (distinct, then the window
+    * reuses its partitioning for the groupBy). */
+  def activityIslands(df: DataFrame, partCol: String, tsCol: String): DataFrame = {
+    val d = df.select(col(partCol),
+      expr(s"$tsCol div 86400000000").as("day_idx")).distinct()
+    val w = Window.partitionBy(col(partCol)).orderBy(col("day_idx").asc)
+    d.withColumn("__isl", col("day_idx") - row_number().over(w))
+      .groupBy(col(partCol), col("__isl"))
+      .agg(min(col("day_idx")).as("start_day"),
+        max(col("day_idx")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .drop("__isl")
+  }
+
+  /** Last-touch attribution: stamp every conversion with the most
+    * recent strictly-PRIOR marketing touch of the same key. One window
+    * pass — last(ignoreNulls) over a rows-preceding frame — so the
+    * whole attribution is a single (key) shuffle, no join against the
+    * touch stream. Conversions with no prior touch are dropped (they
+    * are unattributable, not zero-gap). */
+  def lastTouch(df: DataFrame, partCol: String, tsCol: String, tieCol: String,
+      typeCol: String, touchTypes: Seq[String], convType: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    df.withColumn("__mkid", when(isTouch, col(tieCol)))
+      .withColumn("__mkts", when(isTouch, col(tsCol)))
+      .withColumn("attr_id", last(col("__mkid"), ignoreNulls = true).over(w))
+      .withColumn("gap_us", col(tsCol) -
+        last(col("__mkts"), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType && col("attr_id").isNotNull)
+      .select(col(tieCol), col(partCol), col("attr_id"), col("gap_us"))
+  }
 }

@@ -203,4 +203,26 @@ class SamplingSpec extends SparkTestBase {
       .select("k").collect().map(_.getLong(0)).toSet
     assert(again == got.select("k").collect().map(_.getLong(0)).toSet)
   }
+
+  test("reservoirByHash: exactly k, deterministic across partitionings") {
+    import graft.operators.Sampling
+    val df = (1L to 100L).map(i => (i, s"d$i")).toDF("k", "v")
+    def draw(parts: Int) = Sampling.reservoirByHash(
+      df.repartition(parts), "k", "seed1", 10)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val one = draw(1)
+    assert(one.size == 10)
+    assert(one == draw(7) && one == draw(13))
+    // a different salt draws a different set (content-keyed, not positional)
+    assert(one != Sampling.reservoirByHash(df, "k", "seed2", 10)
+      .select("k").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("reservoirByHash plans a bounded top-k, not a global sort") {
+    import graft.operators.Sampling
+    val df = (1L to 50L).map(i => (i, i % 3)).toDF("k", "v")
+    val plan = Sampling.reservoirByHash(df, "k", "s", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -186,4 +186,24 @@ class StatsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(got.toSeq == Seq(("p", "q")))
   }
+
+  test("cusumDaily: integer devs vs floor-mean, running-summed in day order") {
+    import graft.operators.Stats
+    val counts = Seq((1L, 4L), (2L, 7L), (3L, 5L)).toDF("day_idx", "n")
+    val got = Stats.cusumDaily(counts, "day_idx", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    // mean_ppm = floor(16e6/3) = 5333333
+    // devs: 4e6-5333333 = -1333333; 7e6-5333333 = 1666667; 5e6-5333333 = -333333
+    assert(got == Seq((1L, -1333333L), (2L, 333334L), (3L, 1L)))
+  }
+
+  test("quantileNormalize: rank ppm within group, ties share rank") {
+    import graft.operators.Stats
+    val df = Seq((1L, "s", 10L), (2L, "s", 20L), (3L, "s", 30L),
+      (4L, "t", 5L), (5L, "t", 5L)).toDF("id", "src", "v")
+    val got = Stats.quantileNormalize(df, "src", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L,
+      4L -> 0L, 5L -> 1000000L))
+  }
 }

@@ -126,4 +126,54 @@ class TemporalSpec extends SparkTestBase {
       Seq("user_id"), "ts").orderBy("event_id").collect()
     assert(a.sameElements(b))
   }
+
+  test("slidingRangeAgg: RANGE frame lower bound is inclusive at exactly -range") {
+    val e = Seq((1L, 1L, 1000000L, 10L), (2L, 1L, 4600000L, 20L),
+      (3L, 1L, 4600001L, 30L), (4L, 2L, 4600000L, 5L))
+      .toDF("event_id", "user_id", "ts", "cents")
+    val got = Temporal.slidingRangeAgg(e, "user_id", "ts", "cents",
+      rangeUs = 3600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // event 2 at ts 4600000: frame [1000000, 4600000] INCLUDES event 1
+    // event 3 at ts 4600001: frame [1000001, 4600001] excludes event 1
+    assert(got == Set((1L, 1L, 10L), (2L, 2L, 30L), (3L, 2L, 50L),
+      (4L, 1L, 5L)))
+  }
+
+  test("timeToNextEvent: lead gaps under (ts, tie) order; last event has none") {
+    val e = Seq((1L, 100L, 1L, "a"), (1L, 150L, 2L, "b"), (1L, 175L, 3L, "a"),
+      (2L, 500L, 4L, "a")).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.timeToNextEvent(e, "user_id", "ts", "event_id",
+      "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // gaps: a@100 -> 50, b@150 -> 25; a@175 and a@500 are per-user last
+    assert(got == Set(("a", 1L, 50L), ("b", 1L, 25L)))
+  }
+
+  test("activityIslands: consecutive days merge, a one-day gap splits") {
+    val day = 86400000000L
+    val e = Seq((1L, 10 * day), (1L, 10 * day + 5L), (1L, 11 * day),
+      (1L, 13 * day), (2L, 10 * day)).toDF("user_id", "ts")
+    val got = Temporal.activityIslands(e, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 10L, 11L, 2L), (1L, 13L, 13L, 1L),
+      (2L, 10L, 10L, 1L)))
+  }
+
+  test("lastTouch: latest strictly-prior touch wins; no-prior conversions drop") {
+    val e = Seq(
+      (1L, 100L, 1L, "click"), (1L, 200L, 2L, "view"),
+      (1L, 200L, 3L, "purchase"),   // touch at the SAME ts but lower tie is prior
+      (1L, 300L, 4L, "purchase"),
+      (2L, 50L, 5L, "purchase"),    // no prior touch -> dropped
+      (2L, 60L, 6L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.lastTouch(e, "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view"), "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // purchase 3: prior rows are (1,click@100),(2,view@200 same ts, tie 2<3) -> view, gap 0
+    // purchase 4: latest prior touch is view@200 -> gap 100
+    assert(got == Set((3L, 2L, 0L), (4L, 2L, 100L)))
+  }
 }
