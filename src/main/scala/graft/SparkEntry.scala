@@ -2184,7 +2184,56 @@ object SparkEntry {
       graft.operators.Temporal.lastTouch(events(s, dir),
         partCol = "user_id", tsCol = "ts", tieCol = "event_id",
         typeCol = "event_type", touchTypes = Seq("click", "view"),
-        convType = "purchase"))
+        convType = "purchase")),
+    // semi-supervised label propagation: majority mktsegment vote per
+    // connected component of the shipment graph (even ids = customers)
+    "q_component_label" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      val labels = t(s, dir, "customer")
+        .select((col("c_custkey") * 2).cast("long").as("id"),
+          col("c_mktsegment").as("label"))
+      graft.operators.Graph.majorityLabel(Dedup.componentsAuto(edges),
+        labels)
+    }),
+    // market-basket pair mining: part-groups co-ordered in the same
+    // order at least 8 times — pair blowup bounded by basket size
+    "q_basket_pairs" -> ((s, dir) =>
+      graft.operators.Association.frequentPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          (col("l_partkey") % 200).as("pg")),
+        basketCol = "l_orderkey", itemCol = "pg", minSupport = 8)),
+    // declarative data-quality rules: violation counts per rule, rules
+    // over the same frame fused into one scan
+    "q_dq_rules" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      graft.pipeline.Validator.ruleReport(Seq(
+        ("c_acctbal_nonneg", c, col("c_acctbal") < 0),
+        ("c_name_prefix", c, !col("c_name").startsWith("Customer#")),
+        ("o_totalprice_pos", t(s, dir, "orders"), col("o_totalprice") <= 0),
+        ("l_discount_range", t(s, dir, "lineitem"),
+          col("l_discount") < 0 || col("l_discount") > 0.1)))
+    }),
+    // as-of join with a 4-hour tolerance: each purchase matched to the
+    // latest click within the window, stale clicks never join
+    "q_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("attr_id"))
+      graft.operators.Temporal.asofJoinTolerance(p, c, Seq("user_id"),
+        leftTs = "ts", leftTie = "event_id", rightTs = "c_ts",
+        rightTie = "attr_id", tolUs = 14400000000L)
+        .select(col("event_id"), col("user_id"), col("attr_id"),
+          (col("ts") - col("c_ts")).as("gap_us"))
+    })
   )
 
   /** Embeddings table augmented with 25 planted near-copies (coord 0
@@ -4106,7 +4155,57 @@ object SparkEntry {
       "  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
       "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
       "SELECT event_id, user_id, attr_id, ts_us - attr_ts AS gap_us FROM a " +
-      "WHERE event_type = 'purchase' AND attr_id IS NOT NULL")
+      "WHERE event_type = 'purchase' AND attr_id IS NOT NULL"),
+    // exact reachability closure (the q_graph_components oracle) +
+    // majority vote with the (votes desc, label asc) tie-break
+    "q_component_label" -> (
+      "WITH RECURSIVE e AS (SELECT DISTINCT " +
+      "  CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey * 2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50 AND l_linenumber = 7), " +
+      "ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+      "reach(s, t) AS (SELECT a, b FROM ud " +
+      "  UNION SELECT r.s, u.b FROM reach r JOIN ud u ON r.t = u.a), " +
+      "comp AS (SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) " +
+      "  AS component FROM reach GROUP BY s), " +
+      "lab AS (SELECT c.component, cu.c_mktsegment AS seg, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM comp c " +
+      "  JOIN customer cu ON c.id = cu.c_custkey * 2 GROUP BY 1, 2), " +
+      "mx AS (SELECT component, seg, n, rank() OVER (PARTITION BY " +
+      "  component ORDER BY n DESC, seg ASC) AS rk FROM lab) " +
+      "SELECT component, seg AS majority_label, n AS n_votes " +
+      "FROM mx WHERE rk = 1"),
+    "q_basket_pairs" -> (
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 200 AS pg " +
+      "  FROM lineitem) " +
+      "SELECT a.pg AS item_a, b.pg AS item_b, " +
+      "CAST(count(*) AS BIGINT) AS support " +
+      "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.pg < b.pg " +
+      "GROUP BY 1, 2 HAVING count(*) >= 8"),
+    "q_dq_rules" -> (
+      "SELECT 'c_acctbal_nonneg' AS rule, CAST(count(*) FILTER " +
+      "  (WHERE c_acctbal < 0) AS BIGINT) AS n_violations, " +
+      "  CAST(count(*) AS BIGINT) AS n_checked FROM customer " +
+      "UNION ALL SELECT 'c_name_prefix', CAST(count(*) FILTER " +
+      "  (WHERE c_name NOT LIKE 'Customer#%') AS BIGINT), " +
+      "  CAST(count(*) AS BIGINT) FROM customer " +
+      "UNION ALL SELECT 'o_totalprice_pos', CAST(count(*) FILTER " +
+      "  (WHERE o_totalprice <= 0) AS BIGINT), " +
+      "  CAST(count(*) AS BIGINT) FROM orders " +
+      "UNION ALL SELECT 'l_discount_range', CAST(count(*) FILTER " +
+      "  (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT), " +
+      "  CAST(count(*) AS BIGINT) FROM lineitem"),
+    "q_asof_tolerance" -> (
+      "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us " +
+      "  FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT event_id AS attr_id, user_id, epoch_us(ts) AS c_ts " +
+      "  FROM events WHERE event_type = 'click') " +
+      "SELECT p.event_id, p.user_id, c.attr_id, p.ts_us - c.c_ts AS gap_us " +
+      "FROM p JOIN c ON p.user_id = c.user_id " +
+      "  AND c.c_ts <= p.ts_us AND c.c_ts > p.ts_us - 14400000000 " +
+      "QUALIFY row_number() OVER (PARTITION BY p.event_id " +
+      "  ORDER BY c.c_ts DESC, c.attr_id DESC) = 1")
   )
 
   /** Shared by q_sketch_quantile and its merge row (lossless merge ⇒

@@ -120,4 +120,26 @@ object Graph {
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
       .groupBy(col("d").as("degree")).agg(count(lit(1)).as("n_vertices"))
   }
+
+  /** Majority-vote label propagation over RESOLVED components (the
+    * semi-supervised labeling step after a dedup/linkage clustering):
+    * join member labels, count votes per (component, label), keep the
+    * argmax under the deterministic (votes desc, label asc) tie-break.
+    * Components with no labeled member emit nothing. Scale shape: one
+    * equi-join plus two key-partitioned aggregations — votes reduce
+    * map-side, nothing is collected. */
+  def majorityLabel(components: DataFrame, labels: DataFrame,
+      idCol: String = "id", componentCol: String = "component",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = components.join(labels, idCol)
+      .groupBy(col(componentCol), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col(componentCol))
+      .orderBy(col("n_votes").desc, col(labelCol).asc)
+    votes.withColumn("__rk", rank().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(componentCol), col(labelCol).as("majority_label"),
+        col("n_votes"))
+  }
 }

@@ -387,4 +387,29 @@ object Temporal {
       .filter(col(typeCol) === convType && col("attr_id").isNotNull)
       .select(col(tieCol), col(partCol), col("attr_id"), col("gap_us"))
   }
+
+  /** Backward as-of join with a match TOLERANCE: for every left row,
+    * the latest right row with rightTs in (leftTs − tolUs, leftTs];
+    * left rows with nothing inside the tolerance are dropped (they are
+    * unmatched, not null-padded). The unbounded [[asofJoin]] carries
+    * state across any gap; the tolerated form is the sensor/trade/
+    * attribution variant AND the scale path — stale right rows never
+    * become join candidates. Composed from the bucket-blocked
+    * [[rangeJoin]] (each right row spans [rightTs, rightTs+tolUs−1],
+    * µs-integer-exact, blockWidth = tolUs ⇒ ≤2 replicas per row) plus
+    * one row_number pick per left row. Right columns must not collide
+    * with left ones (pre-rename at the call site). */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, leftTie: String,
+      rightTs: String, rightTie: String, tolUs: Long): DataFrame = {
+    require(tolUs > 0, s"tolUs must be positive, got $tolUs")
+    val r = right.withColumn("__s", col(rightTs))
+      .withColumn("__e", col(rightTs) + lit(tolUs - 1))
+    val w = Window.partitionBy((keyCols.map(col) :+ col(leftTie)): _*)
+      .orderBy(col(rightTs).desc, col(rightTie).desc)
+    rangeJoin(left, r, keyCols, leftTs, "__s", "__e", blockWidth = tolUs)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__s", "__e")
+  }
 }

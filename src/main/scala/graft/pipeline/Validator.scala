@@ -73,4 +73,30 @@ object Validator {
         .select(lit(name).as("relation"), col("n_orphans"))
     }.reduce(_ unionByName _)
   }
+
+  /** Declarative data-quality rule report: each rule is (name, frame,
+    * violation predicate) and the report is one row per rule with its
+    * violation and checked counts. Rules over the SAME frame instance
+    * fuse into a single scan + aggregate (conditional sums side by
+    * side); distinct frames run as parallel stages of one union job.
+    * Scale: never more than one pass per table regardless of how many
+    * rules it carries. */
+  def ruleReport(rules: Seq[(String, DataFrame,
+      org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "report needs at least one rule")
+    rules.groupBy(_._2).map { case (df, rs) =>
+      val sums = rs.map { case (name, _, pred) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"__v_$name")
+      }
+      val agged = df.agg(sums.head, sums.tail :+
+        count(lit(1)).cast("long").as("__n"): _*)
+      val rows = rs.map { case (name, _, _) =>
+        struct(lit(name).as("rule"), col(s"__v_$name").cast("long")
+          .as("n_violations"), col("__n").as("n_checked"))
+      }
+      agged.select(explode(array(rows: _*)).as("__r"))
+        .select(col("__r.rule"), col("__r.n_violations"),
+          col("__r.n_checked"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -62,4 +62,16 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("majorityLabel: majority wins, ties break to the smaller label, unlabeled components vanish") {
+    import graft.operators.Graph
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("id", "component")
+    val labels = Seq((1L, "x"), (2L, "y"), (3L, "y"),   // comp 1: y wins 2-1
+      (10L, "b"), (11L, "a"))                            // comp 10: 1-1 tie -> a
+      .toDF("id", "label")                               // comp 20: unlabeled
+    val got = Graph.majorityLabel(comp, labels)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "y", 2L), (10L, "a", 1L)))
+  }
 }

@@ -176,4 +176,22 @@ class TemporalSpec extends SparkTestBase {
     // purchase 4: latest prior touch is view@200 -> gap 100
     assert(got == Set((3L, 2L, 0L), (4L, 2L, 100L)))
   }
+
+  test("asofJoinTolerance: (ts-tol, ts] window, latest right wins, stale rows never match") {
+    val p = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 1000L, 12L))
+      .toDF("user_id", "ts", "event_id")
+    val c = Seq((1L, 900L, 100L),   // gap 100 to p10: inside tol
+      (1L, 1000L, 101L),            // same instant as p10: inclusive, latest
+      (1L, 4000L, 102L),            // gap 1000 to p11: STALE, beyond tol
+      (2L, 800L, 103L))             // gap 200 = tol to p12: EXCLUDED (strict >)
+      .toDF("user_id", "c_ts", "attr_id")
+    val got = Temporal.asofJoinTolerance(p, c, Seq("user_id"),
+      leftTs = "ts", leftTie = "event_id", rightTs = "c_ts",
+      rightTie = "attr_id", tolUs = 200L)
+      .select("event_id", "attr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p10 keeps the latest of its two in-window candidates; p11 and
+    // p12 have none and drop
+    assert(got == Set((10L, 101L)))
+  }
 }
