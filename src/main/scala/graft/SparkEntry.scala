@@ -2233,7 +2233,29 @@ object SparkEntry {
         rightTie = "attr_id", tolUs = 14400000000L)
         .select(col("event_id"), col("user_id"), col("attr_id"),
           (col("ts") - col("c_ts")).as("gap_us"))
-    })
+    }),
+    // OHLC candlestick resample: per-user daily open/high/low/close of
+    // the cents measure under the (ts, event_id) total order
+    "q_ohlc_resample" -> ((s, dir) =>
+      graft.operators.Temporal.ohlcResample(
+        events(s, dir).withColumn("cents",
+          round(col("value") * 100).cast("long")),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        centsCol = "cents", stepUs = 86400000000L)),
+    // leave-one-out target encoding of order priority by cents total —
+    // the leakage-guarded categorical ML feature; output sampled by
+    // orderkey but encoded against the FULL category stats
+    "q_target_encode" -> ((s, dir) =>
+      graft.operators.Stats.targetEncodeLoo(
+        t(s, dir, "orders")
+          .withColumn("c", round(col("o_totalprice") * 100).cast("long")),
+        catCol = "o_orderpriority", targetCol = "c", keyCol = "o_orderkey")
+        .filter(col("o_orderkey") % 13 === 0)),
+    // label-error candidates: top-5 per label by exact integer distance
+    // to the label centroid over int8-quantized codes
+    "q_label_outliers" -> ((s, dir) =>
+      graft.operators.Similarity.labelOutliers(t(s, dir, "embeddings"),
+        idCol = "vec_id", labelCol = "label", vecCol = "embedding", k = 5))
   )
 
   /** Embeddings table augmented with 25 planted near-copies (coord 0
@@ -4205,7 +4227,46 @@ object SparkEntry {
       "FROM p JOIN c ON p.user_id = c.user_id " +
       "  AND c.c_ts <= p.ts_us AND c.c_ts > p.ts_us - 14400000000 " +
       "QUALIFY row_number() OVER (PARTITION BY p.event_id " +
-      "  ORDER BY c.c_ts DESC, c.attr_id DESC) = 1")
+      "  ORDER BY c.c_ts DESC, c.attr_id DESC) = 1"),
+    "q_ohlc_resample" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx, " +
+      "  epoch_us(ts) AS ts_us, event_id, " +
+      "  CAST(round(value*100) AS BIGINT) AS cents FROM events), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day_idx " +
+      "  ORDER BY ts_us, event_id) AS ra, " +
+      "  row_number() OVER (PARTITION BY user_id, day_idx " +
+      "  ORDER BY ts_us DESC, event_id DESC) AS rd FROM e) " +
+      "SELECT user_id, day_idx, " +
+      "CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_c, " +
+      "CAST(max(cents) AS BIGINT) AS high_c, " +
+      "CAST(min(cents) AS BIGINT) AS low_c, " +
+      "CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_c, " +
+      "CAST(count(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2"),
+    "q_target_encode" -> (
+      "WITH o AS (SELECT o_orderkey, o_orderpriority, " +
+      "  CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+      "g AS (SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS s, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1) " +
+      "SELECT o_orderkey, o.o_orderpriority, (s - c) // (n - 1) " +
+      "  AS loo_cents " +
+      "FROM o JOIN g USING (o_orderpriority) WHERE o_orderkey % 13 = 0"),
+    "q_label_outliers" -> (
+      "WITH q AS (SELECT vec_id, label, list_transform(embedding, " +
+      "  x -> greatest(-127, least(127, " +
+      "  CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)))) AS qq " +
+      "  FROM embeddings), " +
+      "e AS (SELECT vec_id, label, i AS pos, qq[i+1] AS code " +
+      "  FROM q, LATERAL (SELECT unnest(range(len(qq))) AS i)), " +
+      "c AS (SELECT label, pos, CAST(sum(code) AS BIGINT) AS csum, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), " +
+      "d AS (SELECT e.vec_id, e.label, " +
+      "  CAST(sum((e.code * c.n - c.csum) * (e.code * c.n - c.csum)) " +
+      "    AS BIGINT) AS dist_sc " +
+      "  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos " +
+      "  GROUP BY 1, 2) " +
+      "SELECT vec_id, label, dist_sc, CAST(rank() OVER (PARTITION BY " +
+      "  label ORDER BY dist_sc DESC, vec_id ASC) AS BIGINT) AS out_rank " +
+      "FROM d QUALIFY out_rank <= 5")
   )
 
   /** Shared by q_sketch_quantile and its merge row (lossless merge ⇒

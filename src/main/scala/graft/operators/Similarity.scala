@@ -96,4 +96,32 @@ object Similarity {
       .withColumn("cos", vectors.cosine(col("qv"), col("cv")))
     selectAndRank(scored, k)
   }
+
+  /** Label-outlier mining (Confident-Learning-style label-error
+    * candidates): distance of every vector to its label's centroid, in
+    * EXACT integer arithmetic over int8-quantized codes — centroid
+    * division is avoided by scaling each code by the member count
+    * (dist_sc = Σ_pos (code·n − Σcodes)²), so the ranking is
+    * engine-bit-exact. The per-(label, pos) centroid table is tiny
+    * (|labels|·dim rows) and broadcasts; everything else is linear in
+    * rows·dim. Top-k per label by the (dist desc, id asc) total order. */
+  def labelOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = df
+      .withColumn("__qq", graft.functions.vectors.quantizeInt8(vecCol))
+      .select(col(idCol), col(labelCol),
+        posexplode(col("__qq")).as(Seq("__pos", "__code")))
+    val c = e.groupBy(col(labelCol), col("__pos"))
+      .agg(sum(col("__code")).as("__csum"), count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(col("dist_sc").desc, col(idCol).asc)
+    e.join(broadcast(c), Seq(labelCol, "__pos"))
+      .withColumn("__t", col("__code") * col("__n") - col("__csum"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("__t") * col("__t")).as("dist_sc"))
+      .withColumn("out_rank", rank().over(w).cast("long"))
+      .filter(col("out_rank") <= k)
+  }
 }

@@ -197,4 +197,20 @@ object Stats {
       .select(col(tieCol), col(groupCol), col(valCol),
         expr("(__rk - 1) * 1000000 div (__cnt - 1)").as("pct_ppm"))
   }
+
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows in its category — the standard
+    * leakage guard for categorical ML features, exact in integer
+    * arithmetic ((sum − own) div (n − 1)). Category stats are one
+    * groupBy over a low-cardinality dimension, broadcast back; rows in
+    * singleton categories encode to NULL (no peers to average). */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+      keyCol: String): DataFrame = {
+    val g = df.groupBy(col(catCol))
+      .agg(sum(col(targetCol)).as("__s"), count(lit(1)).as("__n"))
+    df.join(broadcast(g), catCol)
+      .select(col(keyCol), col(catCol),
+        expr(s"CASE WHEN __n > 1 THEN (__s - $targetCol) div (__n - 1) END")
+          .as("loo_cents"))
+  }
 }

@@ -412,4 +412,26 @@ object Temporal {
       .filter(col("__rn") === 1)
       .drop("__rn", "__s", "__e")
   }
+
+  /** OHLC resample (the candlestick downsample): per (key, step
+    * bucket), the open/high/low/close of an integer measure under the
+    * (ts, tie) total order. first/last ride two row_number windows that
+    * share one exchange with the final aggregation. */
+  def ohlcResample(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, centsCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val e = df.withColumn("__bucket", expr(s"$tsCol div $stepUs"))
+    val wAsc = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val wDesc = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    e.withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(col(keyCol), col("__bucket").as("day_idx"))
+      .agg(max(when(col("__ra") === 1, col(centsCol))).as("open_c"),
+        max(col(centsCol)).as("high_c"),
+        min(col(centsCol)).as("low_c"),
+        max(when(col("__rd") === 1, col(centsCol))).as("close_c"),
+        count(lit(1)).as("n_events"))
+  }
 }

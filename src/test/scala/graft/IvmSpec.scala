@@ -39,4 +39,21 @@ class IvmSpec extends SparkTestBase {
     // -3 -> clamp -127; 0.004*127+0.5 = 1.008 -> 1
     assert(got == Seq(0L, 127L, -127L, 127L, -127L, 1L))
   }
+
+  test("labelOutliers: planted far vector ranks first in its label, exact integer distances") {
+    // three 2-dim vectors in label "x": two at the centroid's corners,
+    // one planted far away; the far one must rank 1
+    val df = Seq(
+      (1L, "x", Array(0.1f, 0.1f)), (2L, "x", Array(0.1f, 0.1f)),
+      (3L, "x", Array(0.9f, 0.9f)),
+      (4L, "y", Array(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.operators.Similarity.labelOutliers(df, "vec_id",
+      "label", "embedding", k = 1)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+      .toSet
+    // codes: 0.1 -> 13, 0.9 -> 114; label x centroid sum = 140 per dim
+    // dist_sc(3) = 2*(114*3 - 140)^2 = 2*202^2; ids 1,2 tie below it
+    assert(got == Set(("x", 3L, 1L), ("y", 4L, 1L)))
+  }
 }

@@ -206,4 +206,16 @@ class StatsSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L,
       4L -> 0L, 5L -> 1000000L))
   }
+
+  test("targetEncodeLoo: own row excluded, singleton categories encode to null") {
+    import graft.operators.Stats
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 33L),
+      (4L, "b", 7L)).toDF("id", "cat", "t")
+    val got = Stats.targetEncodeLoo(df, "cat", "t", "id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // id 1: (63-10)/2 = 26; id 2: (63-20)/2 = 21; id 3: (63-33)/2 = 15
+    assert(got == Map(1L -> Some(26L), 2L -> Some(21L), 3L -> Some(15L),
+      4L -> None))
+  }
 }

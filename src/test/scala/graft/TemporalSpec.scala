@@ -194,4 +194,18 @@ class TemporalSpec extends SparkTestBase {
     // p12 have none and drop
     assert(got == Set((10L, 101L)))
   }
+
+  test("ohlcResample: open/close follow the (ts, tie) order, high/low the extremes") {
+    val e = Seq(
+      (1L, 100L, 1L, 50L), (1L, 100L, 2L, 70L),  // same ts: tie orders open
+      (1L, 200L, 3L, 10L), (1L, 300L, 4L, 60L),
+      (1L, 86400000000L + 5L, 5L, 99L))           // next bucket
+      .toDF("user_id", "ts", "event_id", "cents")
+    val got = Temporal.ohlcResample(e, "user_id", "ts", "event_id",
+      "cents", stepUs = 86400000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == Set((0L, 50L, 70L, 10L, 60L, 4L),
+      (1L, 99L, 99L, 99L, 99L, 1L)))
+  }
 }
