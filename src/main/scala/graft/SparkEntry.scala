@@ -2255,8 +2255,45 @@ object SparkEntry {
     // to the label centroid over int8-quantized codes
     "q_label_outliers" -> ((s, dir) =>
       graft.operators.Similarity.labelOutliers(t(s, dir, "embeddings"),
-        idCol = "vec_id", labelCol = "label", vecCol = "embedding", k = 5))
+        idCol = "vec_id", labelCol = "label", vecCol = "embedding", k = 5)),
+    // HLL register sketch of distinct user-days per event type: the
+    // register TABLE is the engine-replayable artifact (md5-derived
+    // buckets + trailing-zero ranks), summarized with the exact integer
+    // harmonic denominator
+    "q_sketch_hll" -> ((s, dir) =>
+      graft.operators.Sketch.hllSummary(
+        graft.operators.Sketch.hll(hllUserDays(s, dir),
+          Seq("event_type"), "ud"), Seq("event_type"))),
+    // per-shard registers merged by per-bucket max == whole-corpus
+    // registers — the mergeability contract, same oracle as q_sketch_hll
+    "q_sketch_hll_merge" -> ((s, dir) => {
+      val v = hllUserDays(s, dir)
+      val shards = Seq(0, 1).map(i =>
+        graft.operators.Sketch.hll(v.filter(col("user_id") % 2 === i),
+          Seq("event_type"), "ud"))
+      graft.operators.Sketch.hllSummary(
+        graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
+          Seq("event_type")), Seq("event_type"))
+    }),
+    // RFM segmentation, quintiles WITHIN mktsegment (no global
+    // single-partition sort); recency anchored on the corpus max date
+    "q_rfm" -> ((s, dir) =>
+      graft.operators.Stats.rfmScores(
+        t(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderdate").cast("date").as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("c")),
+        keyCol = "o_custkey", dateCol = "d", centsCol = "c",
+        dims = t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")),
+        segCol = "seg"))
   )
+
+  /** Shared input of the HLL sketch rows: one value per (user, day,
+    * type) — denser than plain user ids, so the register states differ
+    * per event type and exercise the estimator's normal range. */
+  private def hllUserDays(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_type"), col("user_id"),
+      (col("user_id") * 100000 + expr("ts div 86400000000")).as("ud"))
 
   /** Embeddings table augmented with 25 planted near-copies (coord 0
     * nudged +0.05f => cos ~0.9988 vs a 0.51 background max; the float32
@@ -4266,8 +4303,47 @@ object SparkEntry {
       "  GROUP BY 1, 2) " +
       "SELECT vec_id, label, dist_sc, CAST(rank() OVER (PARTITION BY " +
       "  label ORDER BY dist_sc DESC, vec_id ASC) AS BIGINT) AS out_rank " +
-      "FROM d QUALIFY out_rank <= 5")
+      "FROM d QUALIFY out_rank <= 5"),
+    "q_sketch_hll" -> hllOracle,
+    // merged shard registers ≡ whole-corpus registers => same oracle
+    "q_sketch_hll_merge" -> hllOracle,
+    "q_rfm" -> (
+      "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, " +
+      "  CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+      "per AS (SELECT o_custkey, max(d) AS last_d, " +
+      "  CAST(count(*) AS BIGINT) AS f, CAST(sum(c) AS BIGINT) AS m_cents " +
+      "  FROM o GROUP BY 1), " +
+      "g AS (SELECT max(last_d) AS maxd FROM per), " +
+      "j AS (SELECT cu.c_mktsegment AS seg, per.*, " +
+      "  CAST(date_diff('day', last_d, (SELECT maxd FROM g)) AS BIGINT) " +
+      "    AS rec FROM per JOIN customer cu ON per.o_custkey = cu.c_custkey) " +
+      "SELECT o_custkey, seg, rec, f, m_cents, " +
+      "CAST(ntile(5) OVER (PARTITION BY seg ORDER BY rec ASC, o_custkey " +
+      "  ASC) AS BIGINT) * 100 + " +
+      "CAST(ntile(5) OVER (PARTITION BY seg ORDER BY f DESC, o_custkey " +
+      "  ASC) AS BIGINT) * 10 + " +
+      "CAST(ntile(5) OVER (PARTITION BY seg ORDER BY m_cents DESC, " +
+      "  o_custkey ASC) AS BIGINT) AS rfm FROM j")
   )
+
+  /** SQL replica of the HLL register build: same 52-bit md5 hash as
+    * the KMV oracle, bucket = hash div 2^44, rho = trailing-zero rank
+    * of the 44-bit remainder via the shared shift-mod arithmetic. */
+  private lazy val hllOracle: String =
+    "WITH v AS (SELECT event_type, " +
+    "  user_id * 100000 + epoch_us(ts) // 86400000000 AS ud FROM events), " +
+    "h AS (SELECT DISTINCT event_type, " +
+    "  CAST(concat('0x', substr(md5(CAST(ud AS VARCHAR)), 1, 13)) " +
+    "    AS BIGINT) AS h FROM v), " +
+    "b AS (SELECT event_type, h // 17592186044416 AS bucket, " +
+    "  h % 17592186044416 AS rem FROM h), " +
+    "r AS (SELECT event_type, bucket, " +
+    "  max(len(list_filter(range(1, 44), k -> rem % (1::BIGINT << k) = 0)) " +
+    "    + 1) AS r FROM b GROUP BY 1, 2) " +
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets, " +
+    "CAST(sum(r) AS BIGINT) AS sum_rho, CAST(max(r) AS BIGINT) AS max_rho, " +
+    "CAST((256 - count(*)) * 17592186044416 + " +
+    "  sum(1::BIGINT << (44 - r)) AS BIGINT) AS denom FROM r GROUP BY 1"
 
   /** Shared by q_sketch_quantile and its merge row (lossless merge ⇒
     * same sketch ⇒ same oracle): rebuild the bottom-64 md5-ordered row

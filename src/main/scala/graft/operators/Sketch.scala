@@ -133,6 +133,62 @@ object Sketch {
   def kmvUnionK(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_union(a, b)), 1, k)
 
+  // ---------------------------------------------------------------
+  // HyperLogLog register sketches (Flajolet et al. 2007). The classic
+  // objection to HLL — packed registers are engine-specific and never
+  // comparable across systems — disappears when the registers derive
+  // from the same md5 contract as [[kmvHash]]: bucket = top 8 of the
+  // 52 hash bits (m = 256), rho = trailing-zero rank of the low 44
+  // bits (uniform bits, so the reversed-bit convention is equally
+  // valid and stays pure integer arithmetic both engines share). The
+  // REGISTER TABLE is the artifact: engine-replayable, mergeable by
+  // per-bucket max, and the estimate (with the standard linear-counting
+  // small-range correction) is a driver-side function of its summary.
+  // Scale shape mirrors [[kmv]]: one map-side-combined distinct, then
+  // a bounded aggregation — never more than m rows per group.
+  // ---------------------------------------------------------------
+
+  /** 2^44 — the rho field width; bucket = hash div 2^44. */
+  private val RemSpace = 17592186044416L
+
+  /** Per-group HLL registers: (groupCols..., bucket, r) with at most
+    * 256 rows per group, r = max rho observed in the bucket. */
+  def hll(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val h = df.select(
+        groupCols.map(col) :+ kmvHash(col(valueCol)).as("__h"): _*)
+      .distinct()
+    // the (group) partitioning of the distinct already clusters
+    // (group, bucket) — no second exchange
+    h.withColumn("bucket", expr(s"__h div $RemSpace"))
+      .withColumn("__rem", expr(s"__h % $RemSpace"))
+      .withColumn("__rho", (size(expr(
+        "filter(sequence(1, 43), k -> __rem % shiftleft(CAST(1 AS BIGINT), k) = 0)"))
+        + lit(1)).cast("long"))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("__rho")).as("r"))
+  }
+
+  /** Merge per-shard register tables: per-bucket max — merged ≡
+    * whole-corpus registers by construction. Input is ≤ 256·shards
+    * rows per group; source data is never touched. */
+  def hllMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("r")).as("r"))
+
+  /** Register-table summary: hit count, rho sum/max, and the exact
+    * integer harmonic denominator Σ_buckets 2^(44 − M_b) (empty
+    * buckets contribute 2^44; the whole sum is ≤ 2^52, BIGINT-safe).
+    * The cardinality estimate is α_m·m²·2^44 / denom, linear-counting
+    * below 2.5m — a driver-side double over these integers. */
+  def hllSummary(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("r")).as("sum_rho"),
+        max(col("r")).as("max_rho"),
+        ((lit(256L) - count(lit(1))) * lit(RemSpace) +
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(44 - r AS INT))")))
+          .as("denom"))
+
   /** |A ∩ B| estimate from two same-k sketches (Beyer et al. 2007:
     * ρ·|A∪B| where ρ = fraction of the union sketch's hashes present
     * in BOTH sets). Below capacity the union sketch enumerates both

@@ -213,4 +213,31 @@ object Stats {
         expr(s"CASE WHEN __n > 1 THEN (__s - $targetCol) div (__n - 1) END")
           .as("loo_cents"))
   }
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value scoring, quintiles taken WITHIN each dimension
+    * segment so no global single-partition sort exists at any input
+    * size (scores are segment-relative by design; the global variant
+    * is q_ntile's precedent). Recency anchors on the corpus max date —
+    * a single-row broadcast (bnljAllowed). All-integer: day diffs,
+    * counts, cents, and ntile ranks under (measure, key) total orders.
+    * `dims` carries (keyCol, segCol). */
+  def rfmScores(txns: DataFrame, keyCol: String, dateCol: String,
+      centsCol: String, dims: DataFrame, segCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = txns.groupBy(col(keyCol))
+      .agg(max(col(dateCol)).as("__last_d"),
+        count(lit(1)).as("f"), sum(col(centsCol)).as("m_cents"))
+    val g = per.agg(max(col("__last_d")).as("__maxd"))
+    val j = per.crossJoin(broadcast(g))
+      .withColumn("rec", datediff(col("__maxd"), col("__last_d")).cast("long"))
+      .join(dims, keyCol)
+    def q(orderKeys: org.apache.spark.sql.Column*) =
+      ntile(5).over(Window.partitionBy(col(segCol)).orderBy(orderKeys: _*))
+        .cast("long")
+    j.select(col(keyCol), col(segCol), col("rec"), col("f"), col("m_cents"),
+      (q(col("rec").asc, col(keyCol).asc) * 100 +
+        q(col("f").desc, col(keyCol).asc) * 10 +
+        q(col("m_cents").desc, col(keyCol).asc)).as("rfm"))
+  }
 }

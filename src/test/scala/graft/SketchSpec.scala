@@ -119,4 +119,36 @@ class SketchSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(got == Map("tiny" -> 7L))
   }
+
+  test("hll: registers replay the hash arithmetic; merge of shards == whole corpus") {
+    import graft.operators.Sketch
+    val df = (1L to 3000L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("g", "v")
+    val whole = Sketch.hll(df, Seq("g"), "v")
+    val shards = Seq(0L, 1L).map(s => Sketch.hll(df.filter($"v" % 3 === s
+      || ($"v" % 3 === 2 && s == 0)), Seq("g"), "v"))
+    val merged = Sketch.hllMerge(shards.reduce(_ unionByName _), Seq("g"))
+    def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m(whole) == m(merged))
+    // register invariants: bucket in [0, 256), rho in [1, 44]
+    val regs = whole.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(regs.forall { case (b, r) => b >= 0 && b < 256 && r >= 1 && r <= 44 })
+  }
+
+  test("hll summary: estimate with linear-counting correction lands within the error band") {
+    import graft.operators.Sketch
+    val n = 5000L
+    val df = (1L to n).map(i => ("g", i)).toDF("g", "v")
+    val s = Sketch.hllSummary(Sketch.hll(df, Seq("g"), "v"), Seq("g"))
+      .collect().head
+    val (hit, denom) = (s.getLong(1), s.getLong(4))
+    val m = 256.0
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m * math.pow(2, 44) / denom
+    val est = if (raw < 2.5 * m && hit < 256)
+      m * math.log(m / (m - hit)) else raw
+    // HLL sigma at m=256 is ~6.5%; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.2, s"est $est vs true $n")
+  }
 }

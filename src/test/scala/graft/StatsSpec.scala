@@ -218,4 +218,24 @@ class StatsSpec extends SparkTestBase {
     assert(got == Map(1L -> Some(26L), 2L -> Some(21L), 3L -> Some(15L),
       4L -> None))
   }
+
+  test("rfmScores: quintile digits follow the segment-relative total orders") {
+    import graft.operators.Stats
+    // one segment, 5 customers with strictly ordered R/F/M profiles:
+    // customer i has recency rank i, frequency rank 6-i, monetary rank i
+    val txns = (1L to 5L).flatMap { i =>
+      // customer i: last date day (10+i), (6-i) orders of 100*i cents
+      (1L to (6 - i)).map(j => (i, java.sql.Date.valueOf(
+        f"2024-01-${10 + i}%02d"), 100L * i))
+    }.toDF("k", "d", "c")
+    val dims = (1L to 5L).map(i => (i, "SEG")).toDF("k", "seg")
+    val got = Stats.rfmScores(txns, "k", "d", "c", dims, "seg")
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    // recency: later last-date = smaller rec -> customer 5 gets r=1
+    // frequency: customer 1 has most orders -> f=1
+    // monetary: cust 1: 5*100=500; 2: 4*200=800; 3: 900; 4: 800; 5: 500
+    //   desc with key tie-break: 3(900),2(800),4(800),1(500),5(500)
+    assert(got == Map(1L -> 514L, 2L -> 422L, 3L -> 331L, 4L -> 243L,
+      5L -> 155L))
+  }
 }
