@@ -2275,6 +2275,22 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // directed shingle containment (Broder): catches subset copies
+    // jaccard structurally misses; either direction >= 0.8 surfaces
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docsSplit(s, dir), "doc_id", "text",
+        n = 3, thresholdPpm = 800000L)),
+    // day-of-week seasonality profile per event type (dow 0 = Monday,
+    // pure epoch arithmetic — no engine calendar conventions); share
+    // window runs over the aggregated <=7-row-per-type frame
+    "q_seasonality" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 86400000000 + 3) % 7").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm", expr(
+          "n * 1000000 div (sum(n) OVER (PARTITION BY event_type))"))),
     // RFM segmentation, quintiles WITHIN mktsegment (no global
     // single-partition sort); recency anchored on the corpus max date
     "q_rfm" -> ((s, dir) =>
@@ -4307,6 +4323,22 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    // reuses the shared jaccard shingle CTEs; jj is simply unused
+    "q_dedup_containment" -> (
+      s"WITH $jaccardCtesSql " +
+      "SELECT id_a, id_b, CAST(common AS BIGINT) AS common, " +
+      "common * 1000000 // x.sz AS cont_ab_ppm, " +
+      "common * 1000000 // y.sz AS cont_ba_ppm " +
+      "FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+      "WHERE common * 1000000 // x.sz >= 800000 " +
+      "  OR common * 1000000 // y.sz >= 800000"),
+    "q_seasonality" -> (
+      "WITH d AS (SELECT event_type, " +
+      "  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, dow, n, n * 1000000 // " +
+      "CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm " +
+      "FROM d"),
     "q_rfm" -> (
       "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, " +
       "  CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +

@@ -378,6 +378,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** DIRECTED containment pairs (Broder 1997's resemblance companion):
+    * c(A→B) = |A∩B| / |A|. Jaccard misses subset copies — a doc fully
+    * embedded in a 10× larger one scores j ≈ 0.1 but c(A→B) = 1 — and
+    * containment is how quote/excerpt duplication is actually caught.
+    * Both directions reported as exact integer ppm; a pair surfaces
+    * when EITHER direction clears the threshold. Scale shape matches
+    * [[ngramJaccardPairs]]: shared-shingle blocking, never corpus-
+    * quadratic; sizes ride pure projections. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, thresholdPpm: Long = 800000L): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000L)
+    val shingles = shingleSets(df, idCol, textCol, n)
+    val sizes = shingleSizes(df, idCol, textCol, n)
+    val a = shingles.select(col("id").as("id_a"), col("sh"))
+    val b = shingles.select(col("id").as("id_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("cont_ab_ppm", expr("common * 1000000L div sz_a"))
+      .withColumn("cont_ba_ppm", expr("common * 1000000L div sz_b"))
+      .filter(col("cont_ab_ppm") >= thresholdPpm ||
+        col("cont_ba_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("cont_ab_ppm"), col("cont_ba_ppm"))
+  }
+
   /** EXACT n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verification stage of a prune-then-verify dedup. Cost is linear
     * in candidates x shingles-per-doc (never corpus-quadratic): the

@@ -146,6 +146,33 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(merged == whole, "ingest-merged quantile sketches diverged from batch")
   }
 
+  test("HLL registers at ingest: per-micro-batch registers merge to the batch registers") {
+    import graft.operators.Sketch
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hll").toString
+    val ev = eventsUs().select($"event_type",
+      ($"user_id" * 100000 + expr("ts div 86400000000")).as("ud"))
+    ev.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+
+    val perBatch = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val stream = CdcStream.readFiles(spark, s"$dir/in", schema, maxFilesPerTrigger = 1)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        perBatch ++= Sketch.hll(batch, Seq("event_type"), "ud").collect()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def canon(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shards = perBatch.toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("event_type", "bucket", "r")
+    val merged = canon(Sketch.hllMerge(shards, Seq("event_type")).collect())
+    val whole = canon(Sketch.hll(ev, Seq("event_type"), "ud").collect())
+    assert(merged == whole, "ingest-merged HLL registers diverged from batch")
+  }
+
   test("stream-stream interval join matches batch (view -> purchase attribution)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream8").toString
     val ev = eventsUs().select($"event_id", $"user_id", $"event_type",

@@ -520,4 +520,27 @@ class TextDedupSpec extends SparkTestBase {
       .orderBy($"rank").collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(got.toSeq == Seq((3L, 1), (4L, 2)))
   }
+
+  test("containmentPairs: subset copy scores high containment where jaccard misses it") {
+    import graft.operators.Dedup
+    // doc 2 = doc 1's text embedded in 6x more material: jaccard is
+    // low, containment of 1-in-2 is ~1e6
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, thresholdPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == 1)
+    val (a, b, contAb, contBa) = got.head
+    assert((a, b) == (1L, 2L))
+    assert(contAb == 1000000L, s"small-in-big containment $contAb")   // A wholly inside B
+    assert(contBa < 200000L, s"reverse containment $contBa")
+    // and the jaccard tier would NOT have surfaced this pair at 0.5
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).count()
+    assert(j == 0L)
+  }
 }
