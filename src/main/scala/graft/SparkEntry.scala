@@ -2275,6 +2275,44 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // RAKE keyphrase extraction: stopword-free runs scored by corpus
+    // degree/freq in integer ppm; top-30 phrases seen >= 3 times
+    "q_rake_keyphrases" -> ((s, dir) =>
+      graft.operators.Corpus.rakeKeyphrases(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text",
+        stopwords = graft.functions.TextKernels.enStopwords,
+        minCount = 3L, k = 30)),
+    // period-over-period revenue deltas in ppm (lag over the
+    // aggregated daily frame, bounded by distinct days)
+    "q_period_over_period" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("__prev",
+          lag(col("cents"), 1).over(Window.orderBy(col("day").asc)))
+        .withColumn("delta_ppm", expr(
+          "CASE WHEN __prev IS NOT NULL " +
+            "THEN (cents - __prev) * 1000000 div __prev END"))
+        .drop("__prev")
+    }),
+    // cohort LTV: cumulative cents per weekly signup cohort over
+    // period offsets — retention's revenue companion
+    "q_cohort_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).select(col("user_id"),
+        expr("ts div 604800000000").as("__p"),
+        round(col("value") * 100).cast("long").as("__c"))
+      val firstP = e.groupBy(col("user_id")).agg(min(col("__p")).as("__cohort"))
+      e.join(firstP, "user_id")
+        .groupBy(col("__cohort").as("cohort"),
+          (col("__p") - col("__cohort")).as("offset"))
+        .agg(sum(col("__c")).as("cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("cum_cents",
+          sum(col("cents")).over(Window.partitionBy(col("cohort"))
+            .orderBy(col("offset").asc)).cast("long"))
+    }),
     // directed shingle containment (Broder): catches subset copies
     // jaccard structurally misses; either direction >= 0.8 surfaces
     "q_dedup_containment" -> ((s, dir) =>
@@ -4323,6 +4361,26 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_rake_keyphrases" -> rakeOracle,
+    "q_period_over_period" -> (
+      "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+      "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+      "    AS cents FROM orders GROUP BY 1), " +
+      "l AS (SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev " +
+      "  FROM d) " +
+      "SELECT day, cents, CASE WHEN prev IS NOT NULL THEN " +
+      "(cents - prev) * 1000000 // prev END AS delta_ppm FROM l"),
+    "q_cohort_ltv" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p, " +
+      "  CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+      "f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1), " +
+      "g AS (SELECT cohort, e.p - cohort AS offs, " +
+      "  CAST(sum(c) AS BIGINT) AS cents, " +
+      "  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+      "  FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2) " +
+      "SELECT cohort, offs AS offset, cents, n_users, " +
+      "CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY offs) AS BIGINT) " +
+      "  AS cum_cents FROM g"),
     // reuses the shared jaccard shingle CTEs; jj is simply unused
     "q_dedup_containment" -> (
       s"WITH $jaccardCtesSql " +
@@ -4357,6 +4415,35 @@ object SparkEntry {
       "CAST(ntile(5) OVER (PARTITION BY seg ORDER BY m_cents DESC, " +
       "  o_custkey ASC) AS BIGINT) AS rfm FROM j")
   )
+
+  /** SQL replica of Corpus.rakeKeyphrases, GENERATED from the kernel's
+    * own stopword list (one source of truth, the langIdSql pattern):
+    * stopword-free runs via the pos − row_number islands key, word
+    * degree/freq in integer ppm, phrase scores summed per instance. */
+  private lazy val rakeOracle: String = {
+    val stop = graft.functions.TextKernels.enStopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(trim(text)), '\\s+'), t -> t != '') AS ts FROM documents), " +
+    "pt AS (SELECT doc_id, i + 1 AS pos, ts[i + 1] AS tok " +
+    "  FROM tk, LATERAL (SELECT unnest(range(len(ts))) AS i)), " +
+    s"cand AS (SELECT doc_id, pos, tok FROM pt WHERE NOT list_contains($stop, tok)), " +
+    "ph AS (SELECT doc_id, pos, tok, pos - row_number() OVER " +
+    "  (PARTITION BY doc_id ORDER BY pos) AS pk FROM cand), " +
+    "phr AS (SELECT doc_id, pk, string_agg(tok, ' ' ORDER BY pos) AS phrase, " +
+    "  count(*) AS plen FROM ph GROUP BY 1, 2), " +
+    "wo AS (SELECT p.doc_id, p.pk, p.tok, r.plen FROM ph p " +
+    "  JOIN phr r ON p.doc_id = r.doc_id AND p.pk = r.pk), " +
+    "wsc AS (SELECT tok, CAST(sum(plen) AS BIGINT) * 1000000 // " +
+    "  CAST(count(*) AS BIGINT) AS wscore FROM wo GROUP BY tok), " +
+    "psc AS (SELECT w.doc_id, w.pk, CAST(sum(c.wscore) AS BIGINT) AS score " +
+    "  FROM wo w JOIN wsc c ON w.tok = c.tok GROUP BY 1, 2) " +
+    "SELECT r.phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
+    "CAST(min(s.score) AS BIGINT) AS score_ppm " +
+    "FROM phr r JOIN psc s ON r.doc_id = s.doc_id AND r.pk = s.pk " +
+    "GROUP BY 1 HAVING count(*) >= 3 " +
+    "ORDER BY score_ppm DESC, phrase ASC LIMIT 30"
+  }
 
   /** SQL replica of the HLL register build: same 52-bit md5 hash as
     * the KMV oracle, bucket = hash div 2^44, rho = trailing-zero rank

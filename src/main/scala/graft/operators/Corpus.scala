@@ -571,4 +571,44 @@ object Corpus {
       .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; word score = degree/freq
+    * (degree sums the lengths of every phrase the word appears in);
+    * phrase score sums its words' scores. All ratios are exact integer
+    * ppm, so the ranking replays engine-for-engine. Phrase runs are
+    * recovered with the pos − row_number() islands trick — no
+    * per-document UDF, every stage a key-partitioned aggregate; the
+    * word-score table is vocabulary-sized. Output: top-k distinct
+    * phrases seen ≥ minCount times, by (score desc, phrase asc). */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("__doc"),
+        filter(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+          t => length(t) > 0).as("__ts"))
+      .select(col("__doc"), posexplode(col("__ts")).as(Seq("__pos", "__tok")))
+    val cand = toks.filter(!col("__tok").isin(stopwords.map(x => x: Any): _*))
+    val ph = cand.withColumn("__pk", col("__pos") -
+      row_number().over(Window.partitionBy(col("__doc")).orderBy(col("__pos"))))
+    val phr = ph.groupBy(col("__doc"), col("__pk"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("__pos"), col("__tok")))), s => s.getField("__tok")), " ")
+        .as("phrase"), count(lit(1)).as("__plen"))
+    val wo = ph.join(phr.select(col("__doc"), col("__pk"), col("__plen")),
+      Seq("__doc", "__pk"))
+    val wsc = wo.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+      .select(col("__tok"), expr("__deg * 1000000L div __freq").as("__wscore"))
+    val psc = wo.join(wsc, Seq("__tok"))
+      .groupBy(col("__doc"), col("__pk"))
+      .agg(sum(col("__wscore")).as("__score"))
+    phr.join(psc, Seq("__doc", "__pk"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("__score")).as("score_ppm"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("score_ppm").desc, col("phrase").asc)
+      .limit(k)
+  }
 }

@@ -451,4 +451,29 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(("A", "y")) == ((400000L, 2L)))
     assert(got(("B", "y")) == ((1600000L, 1L)))
   }
+
+  test("rakeKeyphrases: stopwords split runs, degree/freq scores replay by hand") {
+    import graft.operators.Corpus
+    // "red apple and green apple": candidate runs [red apple], [green
+    // apple]. freq: red 1, green 1, apple 2; degree: red 2, green 2,
+    // apple 4 -> every word scores 2e6, both phrases 4e6
+    val docs = Seq((1L, "red apple and green apple")).toDF("doc_id", "text")
+    val got = Corpus.rakeKeyphrases(docs, "doc_id", "text",
+      stopwords = Seq("and"), minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("green apple", 1L, 4000000L),
+      ("red apple", 1L, 4000000L)))
+  }
+
+  test("rakeKeyphrases: repeated phrase counts occurrences and keeps one score") {
+    import graft.operators.Corpus
+    val docs = Seq((1L, "big data"), (2L, "big data"), (3L, "small data"))
+      .toDF("doc_id", "text")
+    val got = Corpus.rakeKeyphrases(docs, "doc_id", "text",
+      stopwords = Seq("the"), minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // only "big data" clears minCount 2
+    assert(got.toSeq == Seq(("big data", 2L)))
+  }
 }
