@@ -2275,6 +2275,24 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // t-closeness release gate: total-variation distance (exact ppm)
+    // between each nation's mktsegment distribution and the corpus
+    "q_t_closeness" -> ((s, dir) =>
+      graft.operators.Privacy.tClosenessDistances(t(s, dir, "customer"),
+        quasiCols = Seq("c_nationkey"), sensitiveCol = "c_mktsegment")),
+    // Spearman rank correlation per segment between account balance
+    // and lifetime order cents — exact integer ppm, deterministic
+    // (value, key) rank ties
+    "q_spearman" -> ((s, dir) => {
+      val m = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .withColumn("__cc", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal"))
+        .agg(sum(col("__cc")).as("cents"))
+      graft.operators.Stats.spearmanPpm(m, groupCol = "seg",
+        xCol = "c_acctbal", yCol = "cents", keyCol = "c_custkey")
+    }),
     // RAKE keyphrase extraction: stopword-free runs scored by corpus
     // degree/freq in integer ppm; top-30 phrases seen >= 3 times
     "q_rake_keyphrases" -> ((s, dir) =>
@@ -4361,6 +4379,34 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_t_closeness" -> (
+      "WITH g AS (SELECT c_nationkey AS grp, c_mktsegment AS seg, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2), " +
+      "gt AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1), " +
+      "al AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) " +
+      "  AS n_all FROM customer GROUP BY 1), " +
+      "at2 AS (SELECT CAST(sum(n_all) AS BIGINT) AS tot_all FROM al), " +
+      "d AS (SELECT al.seg, gt.grp, coalesce(g.n, 0) AS n, gt.tot, " +
+      "  al.n_all, (SELECT tot_all FROM at2) AS tot_all " +
+      "  FROM al CROSS JOIN gt " +
+      "  LEFT JOIN g ON g.grp = gt.grp AND g.seg = al.seg) " +
+      "SELECT grp AS c_nationkey, CAST(sum(abs(n*1000000//tot - " +
+      "  n_all*1000000//tot_all)) // 2 AS BIGINT) AS tv_ppm " +
+      "FROM d GROUP BY grp"),
+    "q_spearman" -> (
+      "WITH m AS (SELECT c_custkey, c_mktsegment AS seg, c_acctbal, " +
+      "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+      "    AS cents FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "  GROUP BY 1, 2, 3), " +
+      "r AS (SELECT seg, " +
+      "  CAST(row_number() OVER (PARTITION BY seg ORDER BY c_acctbal, " +
+      "    c_custkey) AS BIGINT) AS ra, " +
+      "  CAST(row_number() OVER (PARTITION BY seg ORDER BY cents, " +
+      "    c_custkey) AS BIGINT) AS rb FROM m) " +
+      "SELECT seg, CAST(count(*) AS BIGINT) AS n, " +
+      "1000000 - 6000000 * CAST(sum((ra-rb)*(ra-rb)) AS BIGINT) // " +
+      "  (CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) * " +
+      "  CAST(count(*) AS BIGINT) - 1)) AS rho_ppm FROM r GROUP BY seg"),
     "q_rake_keyphrases" -> rakeOracle,
     "q_period_over_period" -> (
       "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, " +

@@ -40,4 +40,35 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("n_distinct_sensitive"))
       .filter(col("n_distinct_sensitive") < l)
   }
+
+  /** t-closeness distance per quasi-identifier group (Li et al. 2007):
+    * even an l-diverse group leaks when its sensitive-value
+    * DISTRIBUTION skews far from the corpus — here measured as the
+    * total-variation distance in exact integer ppm, ½·Σ|p_g − p_all|
+    * over the categorical domain (equal-distance EMD reduces to TV).
+    * Release gate: flag groups with tv_ppm above the policy's t.
+    *
+    * Scale shape: two bounded aggregations (group×category and global
+    * category shares); the dense group×category frame is |groups|·
+    * |domain| rows — report-sized, never corpus-sized — built by a
+    * broadcast cross of the tiny category list. */
+  def tClosenessDistances(df: DataFrame, quasiCols: Seq[String],
+                          sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty)
+    val grp = df.groupBy((quasiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val gTot = grp.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("__tot"))
+    val all = df.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("__n_all"))
+    val allTot = all.agg(sum(col("__n_all")).as("__tot_all"))
+    gTot.crossJoin(broadcast(all))
+      .join(grp, quasiCols :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("__n"))
+      .crossJoin(broadcast(allTot))
+      .withColumn("__d", abs(expr("__n * 1000000 div __tot") -
+        expr("__n_all * 1000000 div __tot_all")))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(expr("sum(__d) div 2").cast("long").as("tv_ppm"))
+  }
 }

@@ -240,4 +240,32 @@ object Stats {
         q(col("f").desc, col(keyCol).asc) * 10 +
         q(col("m_cents").desc, col(keyCol).asc)).as("rfm"))
   }
+
+  /** Spearman rank correlation per group, in exact integer ppm:
+    * ρ = 1 − 6·Σd²/(n(n²−1)) over ranks under (value, key) total
+    * orders (the deterministic tie policy — classic midrank ties would
+    * reintroduce float averages). One exchange: both rank windows and
+    * the count share the group partitioning.
+    *
+    * Integer bound: 6e6·Σd² must stay under 2^63; Σd² < n³/3 caps the
+    * per-group size around 16k rows at ppm scale — right for segment/
+    * nation-sized groups; scale the ppm factor down for larger ones. */
+  def spearmanPpm(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy(col(groupCol))
+      .orderBy(col(xCol).asc, col(keyCol).asc)
+    val wy = Window.partitionBy(col(groupCol))
+      .orderBy(col(yCol).asc, col(keyCol).asc)
+    df.select(col(groupCol),
+        row_number().over(wx).cast("long").as("__ra"),
+        row_number().over(wy).cast("long").as("__rb"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))
+          .as("__d2"))
+      .select(col(groupCol), col("n"),
+        expr("1000000L - (6000000L * __d2) div (n * (n * n - 1))")
+          .as("rho_ppm"))
+  }
 }

@@ -24,12 +24,14 @@ class PlanAuditSpec extends SparkTestBase {
     // distributed instead of collecting them to the driver):
     // q_bm25_score's corpus stats, q_histogram's + q_skyline's min/max
     // bounds, q_pmi_collocations' token total, q_mix_top_p's token
-    // total, q_cusum's series mean. Every other approximate tier must
-    // bucket-join.
+    // total, q_cusum's series mean. q_t_closeness broadcasts the
+    // sensitive-category DOMAIN (a handful of rows) to densify the
+    // group x category frame — domain-bounded, not corpus-bounded.
+    // Every other approximate tier must bucket-join.
     val bnljAllowed = Set("q_ann_topk", "q_ann_pq", "q_bm25_score",
       "q_histogram", "q_skyline", "q_pmi_collocations", "q_mix_top_p",
       "q_benford", "q_image_search", "q_hard_negatives", "q_balance_labels",
-      "q_class_terms", "q_cusum", "q_rfm")
+      "q_class_terms", "q_cusum", "q_rfm", "q_t_closeness")
     val offenders = scala.collection.mutable.Buffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // candidate-scope bracket: dedup-tier queries materialize shared

@@ -238,4 +238,28 @@ class StatsSpec extends SparkTestBase {
     assert(got == Map(1L -> 514L, 2L -> 422L, 3L -> 331L, 4L -> 243L,
       5L -> 155L))
   }
+
+  test("spearmanPpm: perfect, inverted, and near-zero correlations by hand") {
+    import graft.operators.Stats
+    // group p: y = x (rho 1e6); group q: y = -x (rho -1e6)
+    val df = ((1L to 5L).map(i => ("p", i, i * 10L, i)) ++
+      (1L to 5L).map(i => ("q", i, -i * 10L, i + 10)))
+      .toDF("g", "x", "y", "k")
+    val got = Stats.spearmanPpm(df, "g", "x", "y", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("p" -> 1000000L, "q" -> -1000000L))
+  }
+
+  test("tClosenessDistances: skewed group reports the exact TV ppm, balanced reports ~0") {
+    import graft.operators.Privacy
+    // global: a/b 50-50. g1 all-a (TV ~0.5); g2 mirrors the corpus
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g2", "a"), ("g2", "b"),
+      ("g2", "a"), ("g2", "b")).toDF("grp", "s")
+    val got = Privacy.tClosenessDistances(df, Seq("grp"), "s")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // global shares: a 4/6 -> 666666 ppm, b 2/6 -> 333333 ppm
+    // g1: a 1e6, b 0 -> |1e6-666666| + |0-333333| = 666667 -> /2 = 333333
+    // g2: a 500000, b 500000 -> |500000-666666|+|500000-333333| = 333333 -> 166666
+    assert(got == Map("g1" -> 333333L, "g2" -> 166666L))
+  }
 }
