@@ -2275,6 +2275,46 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // A/B lift report: per-variant conversion rates (>=14 purchases)
+    // and lift vs control in ppm; control rate attaches via a window
+    // over the two-row variant frame
+    "q_ab_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = events(s, dir)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(count(when(col("event_type") === "purchase", 1)).as("__np"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("__np") >= 14, 1)).as("n_conv"))
+        .withColumn("rate_ppm", expr("n_conv * 1000000 div n_users"))
+      v.withColumn("__ctrl", max(when(col("variant") === 0,
+          col("rate_ppm"))).over(Window.partitionBy()))
+        .withColumn("lift_ppm", expr("CASE WHEN variant <> 0 THEN " +
+          "(rate_ppm - __ctrl) * 1000000 div __ctrl END"))
+        .drop("__ctrl")
+    }),
+    // readability profile: words/sentence and chars/word ratios in
+    // exact ppm — the Flesch-style signals without the float formula
+    "q_readability" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_words"),
+        greatest(size(filter(split(coalesce(col("text"), lit("")),
+          "[.!?]+"), s => length(trim(s)) > 0)), lit(1)).cast("long")
+          .as("n_sentences"),
+        length(regexp_replace(coalesce(col("text"), lit("")), "\\s", ""))
+          .cast("long").as("__nc"))
+        .withColumn("wps_ppm", expr("n_words * 1000000 div n_sentences"))
+        .withColumn("cpw_ppm", expr(
+          "CASE WHEN n_words > 0 THEN __nc * 1000000 div n_words END"))
+        .drop("__nc")),
+    // top daily event journeys: ordered first-5 type sequences per
+    // (user, day), counted corpus-wide, >= 5 occurrences
+    "q_daily_paths" -> ((s, dir) =>
+      graft.operators.Temporal.topPaths(events(s, dir),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        typeCol = "event_type", stepUs = 86400000000L, maxLen = 5,
+        minCount = 5L)),
     // t-closeness release gate: total-variation distance (exact ppm)
     // between each nation's mktsegment distribution and the corpus
     "q_t_closeness" -> ((s, dir) =>
@@ -4379,6 +4419,43 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_ab_lift" -> (
+      "WITH u AS (SELECT user_id, user_id % 2 AS variant, " +
+      "  count(*) FILTER (WHERE event_type = 'purchase') AS np " +
+      "  FROM events GROUP BY 1, 2), " +
+      "v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users, " +
+      "  CAST(count(*) FILTER (WHERE np >= 14) AS BIGINT) AS n_conv " +
+      "  FROM u GROUP BY 1), " +
+      "r AS (SELECT variant, n_users, n_conv, " +
+      "  n_conv * 1000000 // n_users AS rate_ppm FROM v), " +
+      "c AS (SELECT *, max(CASE WHEN variant = 0 THEN rate_ppm END) " +
+      "  OVER () AS ctrl FROM r) " +
+      "SELECT variant, n_users, n_conv, rate_ppm, " +
+      "CASE WHEN variant <> 0 THEN (rate_ppm - ctrl) * 1000000 // ctrl " +
+      "END AS lift_ppm FROM c"),
+    "q_readability" -> (
+      "WITH d AS (SELECT doc_id, " +
+      "  CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), " +
+      "    '\\s+'), t -> t != '')) AS BIGINT) AS n_words, " +
+      "  CAST(greatest(len(list_filter(regexp_split_to_array(" +
+      "    coalesce(text, ''), '[.!?]+'), s -> trim(s) != '')), 1) " +
+      "    AS BIGINT) AS n_sentences, " +
+      "  CAST(length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) " +
+      "    AS BIGINT) AS nc FROM documents) " +
+      "SELECT doc_id, n_words, n_sentences, " +
+      "n_words * 1000000 // n_sentences AS wps_ppm, " +
+      "CASE WHEN n_words > 0 THEN nc * 1000000 // n_words END AS cpw_ppm " +
+      "FROM d"),
+    "q_daily_paths" -> (
+      "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+      "  event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY user_id, day " +
+      "  ORDER BY ts_us, event_id) AS rn FROM d), " +
+      "p AS (SELECT user_id, day, string_agg(event_type, '>' " +
+      "  ORDER BY ts_us, event_id) AS path FROM rk WHERE rn <= 5 " +
+      "  GROUP BY 1, 2) " +
+      "SELECT path, CAST(count(*) AS BIGINT) AS n_buckets FROM p " +
+      "GROUP BY 1 HAVING count(*) >= 5"),
     "q_t_closeness" -> (
       "WITH g AS (SELECT c_nationkey AS grp, c_mktsegment AS seg, " +
       "  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2), " +

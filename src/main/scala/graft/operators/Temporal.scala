@@ -434,4 +434,27 @@ object Temporal {
         max(when(col("__rd") === 1, col(centsCol))).as("close_c"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Top event-journey mining: the ordered sequence of the first
+    * `maxLen` event types per (key, bucket), counted across the corpus
+    * — "what do days/sessions actually look like", the path-analysis
+    * staple. Paths above `minCount` survive. One window + two
+    * key-partitioned aggregations; path strings are bounded by maxLen
+    * so nothing downstream carries unbounded arrays. */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      typeCol: String, stepUs: Long, maxLen: Int, minCount: Long): DataFrame = {
+    require(stepUs > 0 && maxLen >= 1 && minCount >= 1)
+    val d = df.withColumn("__bucket", expr(s"$tsCol div $stepUs"))
+    val w = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(keyCol), col("__bucket"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col(tsCol),
+        col(tieCol), col(typeCol)))), s => s.getField(typeCol)), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .filter(col("n_buckets") >= minCount)
+  }
 }

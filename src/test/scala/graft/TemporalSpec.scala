@@ -208,4 +208,20 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Set((0L, 50L, 70L, 10L, 60L, 4L),
       (1L, 99L, 99L, 99L, 99L, 1L)))
   }
+
+  test("topPaths: order by (ts, tie), cap at maxLen, floor at minCount") {
+    val day = 86400000000L
+    val e = Seq(
+      (1L, 10 * day + 1, 1L, "a"), (1L, 10 * day + 2, 2L, "b"),
+      (1L, 10 * day + 2, 3L, "c"),   // same ts: tie orders b before c
+      (2L, 20 * day + 1, 4L, "a"), (2L, 20 * day + 2, 5L, "b"),
+      (2L, 20 * day + 3, 6L, "c"), (2L, 20 * day + 4, 7L, "d"),
+      (3L, 30 * day, 8L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Temporal.topPaths(e, "user_id", "ts", "event_id",
+      "event_type", stepUs = day, maxLen = 3, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // both multi-event days truncate to a>b>c; z day is below minCount
+    assert(got == Set(("a>b>c", 2L)))
+  }
 }
