@@ -2275,6 +2275,60 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // shipping lead-time distribution per priority (integer day
+    // diffs; the synthetic dates include negative lead times — the
+    // report shape, not the calendar, is the contract here)
+    "q_lead_time" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("__days"))
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("__days")).as("__s"),
+          min(col("__days")).as("min_days"), max(col("__days")).as("max_days"))
+        .select(col("pri"), col("n"), expr("__s div n").as("avg_days"),
+          col("min_days"), col("max_days"))),
+    // exact per-group mode with deterministic tie-break
+    "q_mode_per_group" -> ((s, dir) =>
+      graft.operators.Stats.modePerGroup(t(s, dir, "customer"),
+        groupCol = "c_nationkey", valCol = "c_mktsegment")),
+    // which sources near-duplicate each other: jaccard>=0.5 pairs
+    // rolled up to canonical source pairs — the governance view
+    "q_source_overlap" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      Dedup.ngramJaccardPairs(docsSplit(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("__sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("__sb")), Seq("id_b"))
+        .groupBy(least(col("__sa"), col("__sb")).as("src_a"),
+          greatest(col("__sa"), col("__sb")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    // multi-source BFS depth (6 rounds) over the quantity-50 shipment
+    // graph; seeds = every 25th supplier node
+    "q_graph_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      val seeds = edges.filter(expr("(id_a - 1) div 2 % 25 = 0"))
+        .select(col("id_a").as("v")).distinct()
+      graft.operators.Graph.bfsDepth(edges, seeds, maxIter = 6)
+    }),
+    // near-dup cluster-size histogram: the dedup tier's yield report
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.componentsAuto(
+        Dedup.ngramJaccardPairs(docsSplit(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5).select(col("id_a"), col("id_b")))
+        .groupBy(col("component")).agg(count(lit(1)).as("__cs"))
+        .groupBy(col("__cs").as("csize"))
+        .agg(count(lit(1)).as("n_clusters"))),
     // A/B lift report: per-variant conversion rates (>=14 purchases)
     // and lift vs control in ppm; control rate attaches via a window
     // over the two-row variant frame
@@ -4419,6 +4473,42 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_lead_time" -> (
+      "WITH l AS (SELECT o_orderpriority AS pri, " +
+      "  CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "    CAST(l_shipdate AS DATE)) AS BIGINT) AS days " +
+      "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) " +
+      "SELECT pri, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(days) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_days, " +
+      "CAST(min(days) AS BIGINT) AS min_days, " +
+      "CAST(max(days) AS BIGINT) AS max_days FROM l GROUP BY 1"),
+    "q_mode_per_group" -> (
+      "WITH c AS (SELECT c_nationkey, c_mktsegment, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2), " +
+      "r AS (SELECT *, rank() OVER (PARTITION BY c_nationkey " +
+      "  ORDER BY n DESC, c_mktsegment ASC) AS rk FROM c) " +
+      "SELECT c_nationkey, c_mktsegment AS mode_value, n FROM r " +
+      "WHERE rk = 1"),
+    "q_source_overlap" -> (
+      s"WITH $jaccardCtesSql, " +
+      "so AS (SELECT da.source AS sa, db.source AS sb FROM jj " +
+      "  JOIN documents da ON da.doc_id = id_a " +
+      "  JOIN documents db ON db.doc_id = id_b) " +
+      "SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b, " +
+      "CAST(count(*) AS BIGINT) AS n_pairs FROM so GROUP BY 1, 2"),
+    "q_graph_bfs" -> bfsOracle,
+    "q_dedup_cluster_sizes" -> (
+      s"WITH RECURSIVE $jaccardCtesSql, " +
+      "ud2 AS (SELECT id_a AS a, id_b AS b FROM jj " +
+      "  UNION SELECT id_b, id_a FROM jj), " +
+      "reach(s, t) AS (SELECT a, b FROM ud2 " +
+      "  UNION SELECT r.s, u.b FROM reach r JOIN ud2 u ON r.t = u.a), " +
+      "comp AS (SELECT s AS id, least(s, min(t)) AS c FROM reach " +
+      "  GROUP BY s), " +
+      "cs AS (SELECT c, CAST(count(*) AS BIGINT) AS csize FROM comp " +
+      "  GROUP BY c) " +
+      "SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters FROM cs " +
+      "GROUP BY 1"),
     "q_ab_lift" -> (
       "WITH u AS (SELECT user_id, user_id % 2 AS variant, " +
       "  count(*) FILTER (WHERE event_type = 'purchase') AS np " +
@@ -4566,6 +4656,27 @@ object SparkEntry {
     "FROM phr r JOIN psc s ON r.doc_id = s.doc_id AND r.pk = s.pk " +
     "GROUP BY 1 HAVING count(*) >= 3 " +
     "ORDER BY score_ppm DESC, phrase ASC LIMIT 30"
+  }
+
+  /** SQL replica of Graph.bfsDepth's 6 fixed rounds, generated like
+    * pagerankOracle: each step unions the frontier's min-plus
+    * expansion; the final min per vertex is the ≤6-hop distance. */
+  private lazy val bfsOracle: String = {
+    val head =
+      "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey*2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50), " +
+      "ud AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+      "s0 AS (SELECT DISTINCT a AS v, CAST(0 AS BIGINT) AS d FROM e0 " +
+      "  WHERE (a - 1) // 2 % 25 = 0)"
+    val steps = (1 to 6).map { i =>
+      s", s$i AS (SELECT v, d FROM s${i - 1} UNION " +
+      s"SELECT vv, dd FROM (SELECT ud.b AS vv, min(s.d) + 1 AS dd " +
+      s"FROM s${i - 1} s JOIN ud ON s.v = ud.a GROUP BY ud.b))"
+    }.mkString
+    head + steps +
+    " SELECT v, CAST(min(d) AS BIGINT) AS depth FROM s6 GROUP BY v"
   }
 
   /** SQL replica of the HLL register build: same 52-bit md5 hash as

@@ -142,4 +142,31 @@ object Graph {
       .select(col(componentCol), col(labelCol).as("majority_label"),
         col("n_votes"))
   }
+
+  /** Multi-source BFS depth within `maxIter` rounds: min-plus
+    * propagation over the undirected edge set — the distance companion
+    * of the min-label components loop, under the same fixed-round
+    * contract as [[pageRankScaled]] (depth = shortest path found in
+    * ≤ maxIter hops). Each round is one key-partitioned join + min
+    * aggregate; the distance table never exceeds |V| rows, and
+    * lineage is truncated per round (the components-loop pattern). */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, maxIter: Int): DataFrame = {
+    require(maxIter >= 1 && maxIter <= 64, s"maxIter out of range: $maxIter")
+    val ud = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().localCheckpoint(true)
+    var dist = seeds.select(col("v"), lit(0L).as("d")).localCheckpoint(true)
+    for (_ <- 1 to maxIter) {
+      val next = dist.join(ud, dist("v") === ud("a"))
+        .select(ud("b").as("v"), (dist("d") + lit(1L)).as("d"))
+      val stepped = dist.unionByName(next)
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(dist)
+      dist = stepped
+    }
+    val out = dist.select(col("v"), col("d").as("depth"))
+    org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(ud)
+    out
+  }
 }

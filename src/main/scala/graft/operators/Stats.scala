@@ -268,4 +268,17 @@ object Stats {
         expr("1000000L - (6000000L * __d2) div (n * (n * n - 1))")
           .as("rho_ppm"))
   }
+
+  /** Exact per-group mode with the deterministic (count desc, value
+    * asc) tie-break — two key-partitioned aggregations, never a
+    * per-group value buffer. */
+  def modePerGroup(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col(valCol).asc)
+    counts.withColumn("__rk", rank().over(w)).filter(col("__rk") === 1)
+      .select(col(groupCol), col(valCol).as("mode_value"), col("n"))
+  }
 }

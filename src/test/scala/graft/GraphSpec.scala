@@ -74,4 +74,18 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set((1L, "y", 2L), (10L, "a", 1L)))
   }
+
+  test("bfsDepth: chain distances, multi-source min, maxIter horizon") {
+    import graft.operators.Graph
+    // chain 1-2-3-4-5-6 plus seed 10 adjacent to 4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 4L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 10L).toDF("v")
+    val got = Graph.bfsDepth(edges, seeds, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from 1: 2@1, 3@2; from 10: 4@1, 3@2, 5@2 — node 6 is 3 hops out
+    // and must be ABSENT at maxIter=2
+    assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 4L -> 1L,
+      3L -> 2L, 5L -> 2L))
+  }
 }

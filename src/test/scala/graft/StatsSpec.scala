@@ -262,4 +262,14 @@ class StatsSpec extends SparkTestBase {
     // g2: a 500000, b 500000 -> |500000-666666|+|500000-333333| = 333333 -> 166666
     assert(got == Map("g1" -> 333333L, "g2" -> 166666L))
   }
+
+  test("modePerGroup: majority wins, count ties break to the smaller value") {
+    import graft.operators.Stats
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"),
+      ("h", "y"), ("h", "x")).toDF("grp", "v")
+    val got = Stats.modePerGroup(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("g", "b", 2L), ("h", "x", 1L)))
+  }
 }
