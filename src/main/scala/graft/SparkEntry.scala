@@ -2275,6 +2275,36 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // engagement: daily actives against the 30-day-window actives,
+    // stickiness = DAU/MAU ppm; the MAU side is months-sized and
+    // broadcasts
+    "q_engagement" -> ((s, dir) => {
+      val d = events(s, dir).select(expr("ts div 86400000000").as("day"),
+        expr("ts div 86400000000 div 30").as("month"), col("user_id"))
+      val dau = d.groupBy(col("day"), col("month"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = d.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(broadcast(mau), "month")
+        .select(col("day"), col("month"), col("dau"), col("mau"),
+          expr("dau * 1000000 div mau").as("stickiness_ppm"))
+    }),
+    // power-of-two size histogram (bin = bit length): the log-scale
+    // size distribution without a float log
+    "q_log2_histogram" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("n_chars") > 0)
+        .groupBy(length(conv(col("n_chars"), 10, 2)).cast("long").as("bin2"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"))),
+    // freshness report: per-type high-water mark and its lag behind
+    // the corpus max (window over the aggregated per-type frame)
+    "q_freshness" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir).groupBy(col("event_type"))
+        .agg(max(col("ts")).as("max_ts"))
+        .withColumn("lag_us",
+          max(col("max_ts")).over(Window.partitionBy()) - col("max_ts"))
+    }),
     // shipping lead-time distribution per priority (integer day
     // diffs; the synthetic dates include negative lead times — the
     // report shape, not the calendar, is the contract here)
@@ -4473,6 +4503,25 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_engagement" -> (
+      "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+      "  epoch_us(ts) // 86400000000 // 30 AS month, user_id FROM events), " +
+      "dau AS (SELECT day, month, CAST(count(DISTINCT user_id) AS BIGINT) " +
+      "  AS dau FROM d GROUP BY 1, 2), " +
+      "mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) " +
+      "  AS mau FROM d GROUP BY 1) " +
+      "SELECT day, dau.month, dau, mau, dau * 1000000 // mau " +
+      "  AS stickiness_ppm FROM dau JOIN mau USING (month)"),
+    "q_log2_histogram" -> (
+      "SELECT CAST(length(bin(n_chars)) AS BIGINT) AS bin2, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(min(n_chars) AS BIGINT) AS lo, " +
+      "CAST(max(n_chars) AS BIGINT) AS hi " +
+      "FROM documents WHERE n_chars > 0 GROUP BY 1"),
+    "q_freshness" -> (
+      "WITH m AS (SELECT event_type, CAST(max(epoch_us(ts)) AS BIGINT) " +
+      "  AS max_ts FROM events GROUP BY 1) " +
+      "SELECT event_type, max_ts, " +
+      "CAST(max(max_ts) OVER () AS BIGINT) - max_ts AS lag_us FROM m"),
     "q_lead_time" -> (
       "WITH l AS (SELECT o_orderpriority AS pri, " +
       "  CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
