@@ -159,11 +159,15 @@ object Sketch {
       .distinct()
     // the (group) partitioning of the distinct already clusters
     // (group, bucket) — no second exchange
+    // ρ as a codegen'd CTZ intrinsic (SketchExprs.RhoExpr) — same
+    // integer the oracle's 43-step mod chain replays, one instruction
+    // per distinct value instead of 43 modulos
+    val rho = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.RhoExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          expr(s"__h % $RemSpace")), width = 43))
     h.withColumn("bucket", expr(s"__h div $RemSpace"))
-      .withColumn("__rem", expr(s"__h % $RemSpace"))
-      .withColumn("__rho", (size(expr(
-        "filter(sequence(1, 43), k -> __rem % shiftleft(CAST(1 AS BIGINT), k) = 0)"))
-        + lit(1)).cast("long"))
+      .withColumn("__rho", rho)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("__rho")).as("r"))
   }

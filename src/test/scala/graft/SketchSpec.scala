@@ -151,4 +151,16 @@ class SketchSpec extends SparkTestBase {
     // HLL sigma at m=256 is ~6.5%; allow 3 sigma
     assert(math.abs(est - n) / n < 0.2, s"est $est vs true $n")
   }
+
+  test("RhoExpr: CTZ rank equals the 43-step mod chain for edge and random remainders") {
+    import graft.functions.SketchKernels
+    def chain(rem: Long): Long =
+      (1 to 43).count(k => rem % (1L << k) == 0L) + 1L
+    val edges = Seq(0L, 1L, 2L, 4L, (1L << 43) - 1, 1L << 42, 3L << 20)
+    val rnd = new scala.util.Random(7)
+    val samples = edges ++ Seq.fill(200)(rnd.nextLong().abs % (1L << 44))
+    samples.foreach { rem =>
+      assert(SketchKernels.rho(rem, 43) == chain(rem), s"rem=$rem")
+    }
+  }
 }
