@@ -2275,6 +2275,44 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // item-to-item recommendations: directed co-occurrence pairs
+    // scored by lift ppm, top-3 per item
+    "q_recommend" -> ((s, dir) =>
+      graft.operators.Association.recommendPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          (col("l_partkey") % 200).as("pg")),
+        basketCol = "l_orderkey", itemCol = "pg", minSupport = 8,
+        k = 3)),
+    // link prediction: neighbor-set Jaccard >= 0.5 over the
+    // quantity-50 shipment graph (triangle-count join shape)
+    "q_link_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      graft.operators.Graph.neighborJaccard(edges, thresholdPpm = 500000L)
+    }),
+    // linear multi-touch attribution: every click/view inside the
+    // 4-hour window before a purchase shares the credit equally (ppm)
+    "q_attribution_linear" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").as("__s"),
+          (col("ts") + lit(14400000000L - 1)).as("__e"),
+          col("event_id").as("touch_id"))
+      graft.operators.Temporal.rangeJoin(p, c, Seq("user_id"), "ts",
+        "__s", "__e", blockWidth = 14400000000L)
+        .withColumn("n_touches", count(lit(1))
+          .over(Window.partitionBy(col("event_id"))).cast("long"))
+        .select(col("event_id"), col("user_id"), col("touch_id"),
+          col("n_touches"), expr("1000000 div n_touches").as("credit_ppm"))
+    }),
     // engagement: daily actives against the 30-day-window actives,
     // stickiness = DAU/MAU ppm; the MAU side is months-sized and
     // broadcasts
@@ -4503,6 +4541,50 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_recommend" -> (
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 200 AS pg " +
+      "  FROM lineitem), " +
+      "nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) " +
+      "  AS n_baskets FROM li), " +
+      "s AS (SELECT pg, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1), " +
+      "p AS (SELECT a.pg AS item_a, b.pg AS item_b, " +
+      "  CAST(count(*) AS BIGINT) AS support FROM li a " +
+      "  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.pg <> b.pg " +
+      "  GROUP BY 1, 2 HAVING count(*) >= 8), " +
+      "l AS (SELECT item_a, item_b, support, " +
+      "  support * (SELECT n_baskets FROM nb) * 1000000 // (sa.n * sb.n) " +
+      "    AS lift_ppm FROM p JOIN s sa ON sa.pg = item_a " +
+      "  JOIN s sb ON sb.pg = item_b) " +
+      "SELECT item_a, item_b, support, lift_ppm, " +
+      "CAST(row_number() OVER (PARTITION BY item_a ORDER BY lift_ppm " +
+      "  DESC, item_b ASC) AS BIGINT) AS rec_rank " +
+      "FROM l QUALIFY rec_rank <= 3"),
+    "q_link_predict" -> (
+      "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey*2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50), " +
+      "ud AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+      "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM ud " +
+      "  GROUP BY 1), " +
+      "cn AS (SELECT u1.a AS v1, u2.a AS v2, CAST(count(*) AS BIGINT) " +
+      "  AS common FROM ud u1 JOIN ud u2 ON u1.b = u2.b AND u1.a < u2.a " +
+      "  GROUP BY 1, 2) " +
+      "SELECT v1, v2, common, " +
+      "common * 1000000 // (d1.d + d2.d - common) AS jac_ppm " +
+      "FROM cn JOIN deg d1 ON d1.v = v1 JOIN deg d2 ON d2.v = v2 " +
+      "WHERE common * 1000000 // (d1.d + d2.d - common) >= 500000"),
+    "q_attribution_linear" -> (
+      "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts " +
+      "  FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT event_id AS touch_id, user_id, epoch_us(ts) AS c_ts " +
+      "  FROM events WHERE event_type IN ('click','view')), " +
+      "m AS (SELECT p.event_id, p.user_id, c.touch_id, " +
+      "  CAST(count(*) OVER (PARTITION BY p.event_id) AS BIGINT) " +
+      "    AS n_touches FROM p JOIN c ON p.user_id = c.user_id " +
+      "  AND c.c_ts <= p.ts AND c.c_ts > p.ts - 14400000000) " +
+      "SELECT event_id, user_id, touch_id, n_touches, " +
+      "1000000 // n_touches AS credit_ppm FROM m"),
     "q_engagement" -> (
       "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
       "  epoch_us(ts) // 86400000000 // 30 AS month, user_id FROM events), " +

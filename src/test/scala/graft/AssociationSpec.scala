@@ -40,4 +40,23 @@ class AssociationSpec extends SparkTestBase {
     }.length
     assert(nAggs == 2, report.queryExecution.optimizedPlan.toString)
   }
+
+  test("recommendPairs: lift demotes the universally popular item") {
+    import graft.operators.Association
+    // u appears in EVERY basket; a and b co-occur only with each other
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "u"),
+      (2L, "a"), (2L, "b"), (2L, "u"),
+      (3L, "u"), (4L, "u"))
+      .toDF("basket", "item")
+    val got = Association.recommendPairs(rows, "basket", "item",
+      minSupport = 2, k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .map { case (a, b, l) => (a, b) -> l }.toMap
+    // lift(a,b) = 2*4*1e6/(2*2) = 2e6; lift(a,u) = 2*4*1e6/(2*4) = 1e6
+    // -> b outranks u as a's top rec
+    assert(got.keySet.contains(("a", "b")))
+    assert(got(("a", "b")) == 2000000L)
+    assert(!got.keySet.contains(("a", "u")))
+  }
 }
