@@ -2275,6 +2275,42 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // daily churn: actives whose next active day is not tomorrow
+    // (last observed day excluded — its churn is not yet knowable)
+    "q_churn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      val l = a.withColumn("__nxt", lead(col("day"), 1).over(w))
+      val mx = a.agg(max(col("day")).as("__maxd"))
+      l.crossJoin(broadcast(mx)).filter(col("day") < col("__maxd"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("__nxt").isNull || col("__nxt") > col("day") + 1,
+            1)).as("n_churned"))
+        .withColumn("churn_ppm", expr("n_churned * 1000000 div n_active"))
+    }),
+    // acquisition mix: new (first-ever day) vs returning actives per day
+    "q_new_vs_returning" -> ((s, dir) => {
+      val d = events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("__fd"))
+      d.join(f, "user_id").groupBy(col("day"))
+        .agg(count(when(col("day") === col("__fd"), 1)).as("n_new"),
+          count(when(col("day") > col("__fd"), 1)).as("n_returning"))
+    }),
+    // power users: the smallest head of the activity distribution
+    // covering 80% of events — the nucleus cut over user counts
+    "q_power_users" -> ((s, dir) => {
+      val u = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Sampling.nucleusTopP(u, "n", "user_id", "n",
+        pPpm = 800000L)
+        .select(col("user_id"), col("n"), col("__cum").as("cum_events"))
+    }),
     // item-to-item recommendations: directed co-occurrence pairs
     // scored by lift ppm, top-3 per item
     "q_recommend" -> ((s, dir) =>
@@ -4541,6 +4577,34 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_churn" -> (
+      "WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "l AS (SELECT user_id, day, lead(day) OVER (PARTITION BY user_id " +
+      "  ORDER BY day) AS nxt FROM a), " +
+      "mx AS (SELECT max(day) AS maxd FROM a) " +
+      "SELECT day, CAST(count(*) AS BIGINT) AS n_active, " +
+      "CAST(count(*) FILTER (WHERE nxt IS NULL OR nxt > day + 1) " +
+      "  AS BIGINT) AS n_churned, " +
+      "CAST(count(*) FILTER (WHERE nxt IS NULL OR nxt > day + 1) " +
+      "  AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS churn_ppm " +
+      "FROM l WHERE day < (SELECT maxd FROM mx) GROUP BY day"),
+    "q_new_vs_returning" -> (
+      "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1) " +
+      "SELECT day, CAST(count(*) FILTER (WHERE day = fd) AS BIGINT) " +
+      "  AS n_new, CAST(count(*) FILTER (WHERE day > fd) AS BIGINT) " +
+      "  AS n_returning FROM d JOIN f USING (user_id) GROUP BY day"),
+    "q_power_users" -> (
+      "WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n " +
+      "  FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM u), " +
+      "c AS (SELECT user_id, n, CAST(sum(n) OVER (ORDER BY n DESC, " +
+      "  user_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "  AS BIGINT) AS cum_events FROM u) " +
+      "SELECT user_id, n, cum_events FROM c, t " +
+      "WHERE (cum_events - n) * 1000000 < 800000 * total"),
     "q_recommend" -> (
       "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 200 AS pg " +
       "  FROM lineitem), " +

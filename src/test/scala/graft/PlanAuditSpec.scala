@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkTestBase {
     val bnljAllowed = Set("q_ann_topk", "q_ann_pq", "q_bm25_score",
       "q_histogram", "q_skyline", "q_pmi_collocations", "q_mix_top_p",
       "q_benford", "q_image_search", "q_hard_negatives", "q_balance_labels",
-      "q_class_terms", "q_cusum", "q_rfm", "q_t_closeness", "q_recommend")
+      "q_class_terms", "q_cusum", "q_rfm", "q_t_closeness", "q_recommend",
+      "q_churn", "q_power_users")
     val offenders = scala.collection.mutable.Buffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // candidate-scope bracket: dedup-tier queries materialize shared
