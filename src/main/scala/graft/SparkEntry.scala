@@ -2275,6 +2275,38 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // user growth curve: new users per day and the cumulative distinct
+    // total (running window over the day-sized frame)
+    "q_user_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000").as("day"))
+        .distinct()
+      val nf = d.groupBy(col("user_id")).agg(min(col("day")).as("__fd"))
+        .groupBy(col("__fd").as("day")).agg(count(lit(1)).as("n_new"))
+      d.select(col("day")).distinct()
+        .join(nf, Seq("day"), "left").na.fill(0L, Seq("n_new"))
+        .withColumn("cum_users",
+          sum(col("n_new")).over(Window.orderBy(col("day").asc)).cast("long"))
+    }),
+    // longest consecutive-day streak per user (max island length)
+    "q_longest_streak" -> ((s, dir) =>
+      graft.operators.Temporal.activityIslands(events(s, dir),
+        partCol = "user_id", tsCol = "ts")
+        .groupBy(col("user_id")).agg(max(col("n_days")).as("max_streak"))),
+    // per-source curation yield: how much of each source survives the
+    // composed Gopher gate — the corpus-curation dashboard row
+    "q_quality_yield" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gates = graft.operators.Corpus.QualityGates(minTokens = 20,
+        maxTokens = 1000, minQuality = 0.55, maxDupWordRatio = 0.6,
+        maxTopBigramRatio = 0.1)
+      val all = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val kept = graft.operators.Corpus.qualityFilter(docs, "text", gates)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      all.join(kept, Seq("source"), "left").na.fill(0L, Seq("n_kept"))
+        .withColumn("yield_ppm", expr("n_kept * 1000000 div n_docs"))
+    }),
     // daily churn: actives whose next active day is not tomorrow
     // (last observed day excluded — its churn is not yet knowable)
     "q_churn" -> ((s, dir) => {
@@ -4577,6 +4609,49 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_user_growth" -> (
+      "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1), " +
+      "nf AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new " +
+      "  FROM f GROUP BY 1), " +
+      "sp AS (SELECT DISTINCT day FROM d) " +
+      "SELECT sp.day, coalesce(nf.n_new, 0) AS n_new, " +
+      "CAST(sum(coalesce(nf.n_new, 0)) OVER (ORDER BY sp.day) AS BIGINT) " +
+      "  AS cum_users FROM sp LEFT JOIN nf ON sp.day = nf.day"),
+    "q_longest_streak" -> (
+      "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "i AS (SELECT user_id, day, day - row_number() OVER (PARTITION BY " +
+      "  user_id ORDER BY day) AS isl FROM d), " +
+      "s AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len " +
+      "  FROM i GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak FROM s " +
+      "GROUP BY 1"),
+    "q_quality_yield" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts FROM documents), " +
+      "base AS (SELECT doc_id, len(ts) AS n_tokens, " +
+      "  len(list_distinct(ts)) AS n_distinct FROM tok), " +
+      "bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bc GROUP BY 1), " +
+      "rep AS (SELECT b.doc_id, b.n_tokens, " +
+      "  round(CASE WHEN b.n_tokens = 0 THEN 0.0 " +
+      "    ELSE 1.0 - b.n_distinct * 1.0 / b.n_tokens END, 6) AS dwr, " +
+      "  round(CASE WHEN mx.nb IS NULL THEN 0.0 " +
+      "    ELSE mx.mc * 1.0 / mx.nb END, 6) AS tbr " +
+      "  FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id) " +
+      "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(count(*) FILTER (WHERE r.n_tokens BETWEEN 20 AND 1000 " +
+      s"  AND round($qQualitySql, 6) >= 0.55 " +
+      "  AND r.dwr <= 0.6 AND r.tbr <= 0.1) AS BIGINT) AS n_kept, " +
+      "CAST(count(*) FILTER (WHERE r.n_tokens BETWEEN 20 AND 1000 " +
+      s"  AND round($qQualitySql, 6) >= 0.55 " +
+      "  AND r.dwr <= 0.6 AND r.tbr <= 0.1) AS BIGINT) * 1000000 // " +
+      "  CAST(count(*) AS BIGINT) AS yield_ppm " +
+      "FROM documents d JOIN rep r ON d.doc_id = r.doc_id GROUP BY 1"),
     "q_churn" -> (
       "WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
       "  AS day FROM events), " +
