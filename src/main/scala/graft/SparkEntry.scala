@@ -2275,6 +2275,49 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // filtered vector search: metadata predicate pushed INSIDE the
+    // search (pre-filter, never an under-filled post-filter)
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", pred = col("label") % 2 === 0, k = 5)
+    }),
+    // activity heatmap: (day-of-week, hour) event counts with share
+    // ppm — the ops-dashboard staple, pure epoch arithmetic
+    "q_activity_heatmap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .select(expr("(ts div 86400000000 + 3) % 7").as("dow"),
+          expr("ts % 86400000000 div 3600000000").as("hour"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_ppm", expr(
+          "n * 1000000 div (sum(n) OVER (PARTITION BY dow))"))
+    }),
+    // SLA percentiles: exact order-statistic p50/p90 lead-time days
+    // per priority (rank = ceil(p*n) under a total order — only input
+    // values appear, nothing interpolated)
+    "q_lead_time_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days"),
+          col("o_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy(col("pri"))
+        .orderBy(col("days").asc, col("o_orderkey").asc,
+          col("l_linenumber").asc)
+      val wp = Window.partitionBy(col("pri"))
+      l.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .withColumn("__r50", ceil(col("__n") * 0.5))
+        .withColumn("__r90", ceil(col("__n") * 0.9))
+        .groupBy(col("pri"))
+        .agg(max(col("__n")).as("n"),
+          max(when(col("__rn") === col("__r50"), col("days"))).as("p50_days"),
+          max(when(col("__rn") === col("__r90"), col("days"))).as("p90_days"))
+    }),
     // user growth curve: new users per day and the cumulative distinct
     // total (running window over the day-sized frame)
     "q_user_growth" -> ((s, dir) => {
@@ -4609,6 +4652,37 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_ann_filtered" -> (
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INT) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 " +
+      "AND q.vec_id != c.vec_id AND c.label % 2 = 0 " +
+      "QUALIFY rank <= 5"),
+    "q_activity_heatmap" -> (
+      "WITH d AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow, " +
+      "  epoch_us(ts) % 86400000000 // 3600000000 AS hour FROM events), " +
+      "g AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n FROM d " +
+      "  GROUP BY 1, 2) " +
+      "SELECT dow, hour, n, n * 1000000 // " +
+      "CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS share_ppm FROM g"),
+    "q_lead_time_percentiles" -> (
+      "WITH l AS (SELECT o_orderpriority AS pri, " +
+      "  CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "    CAST(l_shipdate AS DATE)) AS BIGINT) AS days, " +
+      "  o_orderkey, l_linenumber " +
+      "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "r AS (SELECT pri, days, row_number() OVER (PARTITION BY pri " +
+      "  ORDER BY days, o_orderkey, l_linenumber) AS rn, " +
+      "  count(*) OVER (PARTITION BY pri) AS n FROM l) " +
+      "SELECT pri, CAST(max(n) AS BIGINT) AS n, " +
+      "CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN days END) AS BIGINT) " +
+      "  AS p50_days, " +
+      "CAST(max(CASE WHEN rn = ceil(n * 0.9) THEN days END) AS BIGINT) " +
+      "  AS p90_days FROM r GROUP BY pri"),
     "q_user_growth" -> (
       "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
       "  AS day FROM events), " +

@@ -124,4 +124,13 @@ object Similarity {
       .withColumn("out_rank", rank().over(w).cast("long"))
       .filter(col("out_rank") <= k)
   }
+
+  /** Filtered vector search — the vector-DB "filtered ANN" feature:
+    * a metadata predicate pushed INSIDE the search, pruning the corpus
+    * BEFORE any scoring work (never post-filtering a top-k, which
+    * under-fills k). On this exact tier the filter cuts the scored
+    * join; on the IVF path the same predicate rides the probe scan. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, pred: Column, k: Int): DataFrame =
+    bruteForceTopK(corpus.filter(pred), queries, idCol, vecCol, k)
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkTestBase {
     // sensitive-category DOMAIN (a handful of rows) to densify the
     // group x category frame — domain-bounded, not corpus-bounded.
     // Every other approximate tier must bucket-join.
-    val bnljAllowed = Set("q_ann_topk", "q_ann_pq", "q_bm25_score",
+    val bnljAllowed = Set("q_ann_topk", "q_ann_filtered", "q_ann_pq",
+      "q_bm25_score",
       "q_histogram", "q_skyline", "q_pmi_collocations", "q_mix_top_p",
       "q_benford", "q_image_search", "q_hard_negatives", "q_balance_labels",
       "q_class_terms", "q_cusum", "q_rfm", "q_t_closeness", "q_recommend",

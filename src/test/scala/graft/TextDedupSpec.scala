@@ -543,4 +543,18 @@ class TextDedupSpec extends SparkTestBase {
       threshold = 0.5).count()
     assert(j == 0L)
   }
+
+  test("filteredTopK: the predicate prunes BEFORE scoring — k stays filled from eligible rows") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val got = Similarity.filteredTopK(emb, q, "vec_id", "embedding",
+      pred = $"label" % 2 === 0, k = 4)
+    val rows = got.join(emb.select($"vec_id".as("corpus_id"), $"label"),
+      Seq("corpus_id")).collect()
+    // every hit satisfies the predicate, and each query still gets k
+    assert(rows.forall(_.getAs[Int]("label") % 2 == 0))
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id")).map(_._2.size)
+    assert(perQuery.forall(_ == 4), perQuery.toString)
+  }
 }
