@@ -1810,20 +1810,18 @@ object SparkEntry {
     // the usual attributes — ISO day-of-week via weekday+1 (Spark's
     // dayofweek is Sunday-1, DuckDB's dow is Sunday-0; the ISO form is
     // the one both engines agree on)
-    "q_date_dim" -> ((s, dir) =>
+    "q_date_dim" -> ((s, dir) => dateDim(s, dir)),
+    // star join: the fact table against the conformed calendar dim
+    // (broadcast — a date spine is always dimension-sized); weekly
+    // revenue rollup on the dim's ISO attributes
+    "q_star_join" -> ((s, dir) =>
       t(s, dir, "orders")
-        .agg(min(col("o_orderdate").cast("date")).as("lo"),
-          max(col("o_orderdate").cast("date")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
-        .select(col("d"),
-          year(col("d")).cast("long").as("yr"),
-          month(col("d")).cast("long").as("mo"),
-          dayofmonth(col("d")).cast("long").as("dom"),
-          (expr("weekday(d)") + 1).cast("long").as("isodow"),
-          quarter(col("d")).cast("long").as("qtr"),
-          weekofyear(col("d")).cast("long").as("iso_week"),
-          (expr("weekday(d)") >= 5).as("is_weekend"),
-          (col("d") === last_day(col("d"))).as("is_month_end"))),
+        .select(col("o_orderdate").cast("date").as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .join(broadcast(dateDim(s, dir).select(col("d"), col("yr"),
+          col("iso_week"))), "d")
+        .groupBy(col("yr"), col("iso_week"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("cents"))),
     // per-source term signatures (c-TF-IDF lift): the 5 most over-
     // represented terms per source vs the whole corpus
     "q_class_terms" -> ((s, dir) =>
@@ -2275,6 +2273,49 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // Tukey IQR outliers at exact order-statistic quartiles; the
+    // 1.5-IQR fences stay integer by scaling everything by 2
+    "q_iqr_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("xc"), col("event_id"))
+      val wp = Window.partitionBy(col("event_type"))
+      val wr = wp.orderBy(col("xc").asc, col("event_id").asc)
+      c.withColumn("__rn", row_number().over(wr))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .withColumn("__q1",
+          max(when(col("__rn") === ceil(col("__n") * 0.25), col("xc")))
+            .over(wp))
+        .withColumn("__q3",
+          max(when(col("__rn") === ceil(col("__n") * 0.75), col("xc")))
+            .over(wp))
+        .groupBy(col("event_type"))
+        .agg(max(col("__n")).as("n"), max(col("__q1")).as("q1_c"),
+          max(col("__q3")).as("q3_c"),
+          count(when(
+            col("xc") * 2 < col("__q1") * 2 - (col("__q3") - col("__q1")) * 3
+              || col("xc") * 2 > col("__q3") * 2 +
+                (col("__q3") - col("__q1")) * 3, 1)).as("n_outliers"))
+    }),
+    // the funnel's headline metric: step-to-step conversion ppm
+    "q_funnel_rates" -> ((s, dir) => {
+      val f = graft.operators.Temporal.funnel(events(s, dir), "user_id",
+        "ts", steps = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"),
+        window = 259200000000L)
+      f.agg(count(lit(1)).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"))
+        .select(explode(array(
+          struct(lit(1).as("step"), col("n1").as("n_reached"),
+            lit(null).cast("long").as("conv_ppm")),
+          struct(lit(2).as("step"), col("n2").as("n_reached"),
+            expr("n2 * 1000000 div n1").as("conv_ppm")),
+          struct(lit(3).as("step"), col("n3").as("n_reached"),
+            expr("CASE WHEN n2 > 0 THEN n3 * 1000000 div n2 END")
+              .as("conv_ppm")))).as("__r"))
+        .select(col("__r.step"), col("__r.n_reached"), col("__r.conv_ppm"))
+    }),
     // filtered vector search: metadata predicate pushed INSIDE the
     // search (pre-filter, never an under-filled post-filter)
     "q_ann_filtered" -> ((s, dir) => {
@@ -2632,6 +2673,23 @@ object SparkEntry {
           col("c_mktsegment").as("seg")),
         segCol = "seg"))
   )
+
+  /** Calendar dimension over the fact table's own date span — shared
+    * by q_date_dim and the q_star_join rollup. */
+  private def dateDim(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(min(col("o_orderdate").cast("date")).as("lo"),
+        max(col("o_orderdate").cast("date")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .select(col("d"),
+        year(col("d")).cast("long").as("yr"),
+        month(col("d")).cast("long").as("mo"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        (expr("weekday(d)") + 1).cast("long").as("isodow"),
+        quarter(col("d")).cast("long").as("qtr"),
+        weekofyear(col("d")).cast("long").as("iso_week"),
+        (expr("weekday(d)") >= 5).as("is_weekend"),
+        (col("d") === last_day(col("d"))).as("is_month_end"))
 
   /** Shared input of the HLL sketch rows: one value per (user, day,
     * type) — denser than plain user ids, so the register states differ
@@ -3136,22 +3194,21 @@ object SparkEntry {
     // the same iterated min-aggregate chain: step k = first matching
     // event strictly after step k-1, within the window of step 1
     "q_funnel" -> (
-      "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events), " +
-      "s1 AS (SELECT user_id, min(ts) AS t1 FROM ev " +
-      "  WHERE event_type = 'view' GROUP BY user_id), " +
-      "s2 AS (SELECT s1.user_id, s1.t1, " +
-      "  min(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.t1 + 259200000000 " +
-      "    THEN e.ts END) AS t2 " +
-      "  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id " +
-      "    AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), " +
-      "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, " +
-      "  min(CASE WHEN e.ts > s2.t2 AND e.ts <= s2.t1 + 259200000000 " +
-      "    THEN e.ts END) AS t3 " +
-      "  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id " +
-      "    AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, s2.t2) " +
+      s"WITH $funnelCtes " +
       "SELECT user_id, t1, t2, t3, " +
       "CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) " +
       "  AS INT) AS steps_completed FROM s3"),
+    // the funnel's headline metric: step-to-step conversion in ppm
+    "q_funnel_rates" -> (
+      s"WITH $funnelCtes, " +
+      "agg AS (SELECT CAST(count(*) AS BIGINT) AS n1, " +
+      "  CAST(count(t2) AS BIGINT) AS n2, CAST(count(t3) AS BIGINT) AS n3 " +
+      "  FROM s3) " +
+      "SELECT 1 AS step, n1 AS n_reached, CAST(NULL AS BIGINT) AS conv_ppm " +
+      "  FROM agg " +
+      "UNION ALL SELECT 2, n2, n2 * 1000000 // n1 FROM agg " +
+      "UNION ALL SELECT 3, n3, CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 " +
+      "  END FROM agg"),
     // identical integer z-test over the identical frame: milli-scaled
     // readings, trailing-20-excluding-self window, (ts, event_id) order
     "q_anomalies" -> (
@@ -4652,6 +4709,27 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_star_join" -> (
+      "SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr, " +
+      "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week, " +
+      "CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+      "  AS cents FROM orders GROUP BY 1, 2"),
+    "q_iqr_outliers" -> (
+      "WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) " +
+      "  AS xc, event_id FROM events), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+      "  ORDER BY xc, event_id) AS rn, " +
+      "  count(*) OVER (PARTITION BY event_type) AS n FROM c), " +
+      "q AS (SELECT event_type, " +
+      "  max(CASE WHEN rn = ceil(n*0.25) THEN xc END) AS q1c, " +
+      "  max(CASE WHEN rn = ceil(n*0.75) THEN xc END) AS q3c, " +
+      "  max(n) AS n FROM r GROUP BY 1) " +
+      "SELECT c.event_type, CAST(max(q.n) AS BIGINT) AS n, " +
+      "CAST(max(q1c) AS BIGINT) AS q1_c, CAST(max(q3c) AS BIGINT) AS q3_c, " +
+      "CAST(count(*) FILTER (WHERE 2*xc < 2*q1c - 3*(q3c-q1c) " +
+      "  OR 2*xc > 2*q3c + 3*(q3c-q1c)) AS BIGINT) AS n_outliers " +
+      "FROM c JOIN q ON c.event_type = q.event_type GROUP BY 1"),
     "q_ann_filtered" -> (
       "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
       "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
@@ -5001,6 +5079,23 @@ object SparkEntry {
     "GROUP BY 1 HAVING count(*) >= 3 " +
     "ORDER BY score_ppm DESC, phrase ASC LIMIT 30"
   }
+
+  /** Shared CTE chain of the view→click→purchase funnel (strict-order,
+    * 3-day window) — used by the per-user row and the rates report. */
+  private lazy val funnelCtes: String =
+    "ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events), " +
+    "s1 AS (SELECT user_id, min(ts) AS t1 FROM ev " +
+    "  WHERE event_type = 'view' GROUP BY user_id), " +
+    "s2 AS (SELECT s1.user_id, s1.t1, " +
+    "  min(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.t1 + 259200000000 " +
+    "    THEN e.ts END) AS t2 " +
+    "  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id " +
+    "    AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), " +
+    "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, " +
+    "  min(CASE WHEN e.ts > s2.t2 AND e.ts <= s2.t1 + 259200000000 " +
+    "    THEN e.ts END) AS t3 " +
+    "  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id " +
+    "    AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, s2.t2)"
 
   /** SQL replica of Graph.bfsDepth's 6 fixed rounds, generated like
     * pagerankOracle: each step unions the frontier's min-plus
