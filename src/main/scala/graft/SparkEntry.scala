@@ -2273,6 +2273,35 @@ object SparkEntry {
         graft.operators.Sketch.hllMerge(shards.reduce(_ unionByName _),
           Seq("event_type")), Seq("event_type"))
     }),
+    // distribution-drift monitor: TV distance ppm between the first
+    // and second half of the month, per event type — the PSI use case
+    // without its float log
+    "q_dist_drift" -> ((s, dir) =>
+      graft.operators.Stats.distributionDrift(
+        events(s, dir).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("xc"),
+          when(expr("ts div 86400000000") < 19738, 0).otherwise(1)
+            .as("half")),
+        groupCol = "event_type", centsCol = "xc", cohortCol = "half",
+        nBins = 10)),
+    // per-user session-duration SLAs: exact order-statistic p50/p90
+    // over 6h-gap sessions
+    "q_session_duration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = graft.operators.Temporal.sessionize(events(s, dir),
+        "user_id", "ts", gap = 21600000000L, tieCol = "event_id")
+        .withColumn("dur", col("session_end") - col("session_start"))
+      val wp = Window.partitionBy(col("user_id"))
+      val wr = wp.orderBy(col("dur").asc, col("session_idx").asc)
+      sess.withColumn("__rn", row_number().over(wr))
+        .withColumn("__n", count(lit(1)).over(wp))
+        .groupBy(col("user_id"))
+        .agg(max(col("__n")).as("n_sessions"),
+          max(when(col("__rn") === ceil(col("__n") * 0.5), col("dur")))
+            .as("p50_dur_us"),
+          max(when(col("__rn") === ceil(col("__n") * 0.9), col("dur")))
+            .as("p90_dur_us"))
+    }),
     // Tukey IQR outliers at exact order-statistic quartiles; the
     // 1.5-IQR fences stay integer by scaling everything by 2
     "q_iqr_outliers" -> ((s, dir) => {
@@ -4709,6 +4738,38 @@ object SparkEntry {
     "q_sketch_hll" -> hllOracle,
     // merged shard registers ≡ whole-corpus registers => same oracle
     "q_sketch_hll_merge" -> hllOracle,
+    "q_dist_drift" -> (
+      "WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) " +
+      "  AS xc, CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 " +
+      "  ELSE 1 END AS half FROM events), " +
+      "b AS (SELECT min(xc) AS lo, max(xc) AS hi FROM c), " +
+      "g AS (SELECT event_type, (xc - lo) * 10 // (hi - lo + 1) AS bin, " +
+      "  CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n0, " +
+      "  CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n1 " +
+      "  FROM c, b GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(n0) AS BIGINT) AS t0, " +
+      "  CAST(sum(n1) AS BIGINT) AS t1 FROM g GROUP BY 1) " +
+      "SELECT g.event_type, CAST(sum(abs(n0 * 1000000 // t0 - " +
+      "  n1 * 1000000 // t1)) // 2 AS BIGINT) AS tv_ppm " +
+      "FROM g JOIN t ON g.event_type = t.event_type GROUP BY 1"),
+    "q_session_duration" -> (
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts " +
+      "  FROM events), " +
+      "l AS (SELECT *, CASE WHEN ts - lag(ts) OVER w > 21600000000 " +
+      "  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk FROM e " +
+      "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id " +
+      "  ORDER BY ts, event_id) AS sess FROM l), " +
+      "agg AS (SELECT user_id, sess, max(ts) - min(ts) AS dur " +
+      "  FROM s GROUP BY 1, 2), " +
+      "r AS (SELECT user_id, dur, row_number() OVER (PARTITION BY " +
+      "  user_id ORDER BY dur, sess) AS rn, " +
+      "  count(*) OVER (PARTITION BY user_id) AS n FROM agg) " +
+      "SELECT user_id, CAST(max(n) AS BIGINT) AS n_sessions, " +
+      "CAST(max(CASE WHEN rn = ceil(n*0.5) THEN dur END) AS BIGINT) " +
+      "  AS p50_dur_us, " +
+      "CAST(max(CASE WHEN rn = ceil(n*0.9) THEN dur END) AS BIGINT) " +
+      "  AS p90_dur_us FROM r GROUP BY 1"),
     "q_star_join" -> (
       "SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr, " +
       "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week, " +

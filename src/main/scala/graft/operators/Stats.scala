@@ -281,4 +281,31 @@ object Stats {
     counts.withColumn("__rk", rank().over(w)).filter(col("__rk") === 1)
       .select(col(groupCol), col(valCol).as("mode_value"), col("n"))
   }
+
+  /** Distribution-drift monitor: total-variation distance (exact ppm)
+    * between two cohorts' value distributions per group, over
+    * equal-width integer-cents bins (the PSI use case without its
+    * float log). Bin bounds ride the histogram pattern's single-row
+    * broadcast; everything after is two bounded aggregations — the
+    * report is |groups|·|bins| at most, never corpus-sized. */
+  def distributionDrift(df: DataFrame, groupCol: String, centsCol: String,
+      cohortCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val c = df.select(col(groupCol), col(centsCol).as("__xc"),
+      col(cohortCol).as("__h"))
+    val bounds = c.agg(min(col("__xc")).as("__lo"), max(col("__xc")).as("__hi"))
+    val counts = c.crossJoin(broadcast(bounds))
+      .select(col(groupCol), col("__h"),
+        expr(s"(__xc - __lo) * $nBins div (__hi - __lo + 1)").as("__bin"))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("__n0"),
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("__n1"))
+    val tots = counts.groupBy(col(groupCol))
+      .agg(sum(col("__n0")).as("__t0"), sum(col("__n1")).as("__t1"))
+    counts.join(tots, groupCol)
+      .withColumn("__d", abs(expr("__n0 * 1000000 div __t0") -
+        expr("__n1 * 1000000 div __t1")))
+      .groupBy(col(groupCol))
+      .agg(expr("sum(__d) div 2").cast("long").as("tv_ppm"))
+  }
 }

@@ -33,7 +33,7 @@ class PlanAuditSpec extends SparkTestBase {
       "q_histogram", "q_skyline", "q_pmi_collocations", "q_mix_top_p",
       "q_benford", "q_image_search", "q_hard_negatives", "q_balance_labels",
       "q_class_terms", "q_cusum", "q_rfm", "q_t_closeness", "q_recommend",
-      "q_churn", "q_power_users")
+      "q_churn", "q_power_users", "q_dist_drift")
     val offenders = scala.collection.mutable.Buffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // candidate-scope bracket: dedup-tier queries materialize shared
