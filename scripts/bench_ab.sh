@@ -82,13 +82,26 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   || { echo "BENCH_AB FAILED"; tail -5 /tmp/bench_ab.log; exit 1; }
 python3 - "${PREV:-}" "$SEL" <<'EOF'
 import json, sys
-a = json.load(open('BENCH_AB.json'))['queries']
+ab = json.load(open('BENCH_AB.json'))
+a = ab['queries']
 b = json.load(open('BENCH.json'))['queries']
 p = json.load(open(sys.argv[1]))['queries'] if sys.argv[1] else {}
-print(f"{'query':32} {'prev':>8} {'full':>8} {'ab':>8}")
+# in-band load evidence (graft.Bench records it since r12): cpu/wall
+# of the chosen min run + the loadavg at each query's start — a wall
+# inflation with stable cpu and spiking loadavg is sandbox noise, not
+# a plan regression
+ratios = ab.get('cpu_ratio', {})
+loads = ab.get('loadavg', {})
+if 'load' in ab:
+    L = ab['load']
+    print(f"# AB run load: start {L.get('loadavg_start')} "
+          f"end {L.get('loadavg_end')} (cpus {L.get('cpus')})")
+print(f"{'query':32} {'prev':>8} {'full':>8} {'ab':>8} {'cpu/wall':>9} {'load':>6}")
 for k in sorted(a, key=lambda k: -b.get(k, 0)):
     prev = f"{p[k]:8.2f}" if k in p else "       —"
-    print(f"{k:32} {prev} {b.get(k, float('nan')):8.2f} {a[k]:8.2f}")
+    r = f"{ratios[k]:9.2f}" if k in ratios else "        —"
+    l = f"{loads[k]:6.2f}" if k in loads else "     —"
+    print(f"{k:32} {prev} {b.get(k, float('nan')):8.2f} {a[k]:8.2f} {r} {l}")
 # the coverage gate: every top-delta query selected from the newest
 # bench evidence MUST have an AB row, else the artifact repeats the
 # r7/r9 hole where the biggest movers stayed unexplained

@@ -56,9 +56,23 @@ object Bench {
     // unset (the driver's mode) = every query
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // load evidence: four rounds of phantom bench outliers came from
+    // background sandbox load that only a post-hoc idle rerun could
+    // refute. Record, IN BAND, (a) the 1-min system loadavg sampled at
+    // each query's start and (b) the chosen (min-wall) run's
+    // process-CPU-seconds over wall-seconds. A genuine plan regression
+    // keeps cpu/wall stable; external load inflates wall while cpu/wall
+    // drops and loadavg spikes — diagnosable from the artifact alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuNs: Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    val loadStart = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
+      val loadAtStart = osBean.getSystemLoadAverage
       // min over SUCCESSFUL runs only: a query that throws fails fast,
       // and recording its elapsed time would let min-of-N report a
       // bogus small number for a broken query (r7 advisor finding). A
@@ -71,6 +85,7 @@ object Bench {
         // re-made fresh each run regardless)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
+        val cpu0 = processCpuNs
         try {
           // scope = the run's real storage lifecycle: eager candidate
           // checkpoints are built inside the timed region (construction
@@ -80,7 +95,12 @@ object Bench {
           graft.operators.Dedup.withCandidateScope {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           }
-          Some((System.nanoTime() - t0) / 1e9)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu1 = processCpuNs
+          val cpuRatio =
+            if (cpu0 >= 0 && cpu1 >= 0 && wall > 0) (cpu1 - cpu0) / 1e9 / wall
+            else -1.0
+          Some((wall, cpuRatio))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -90,13 +110,22 @@ object Bench {
       if (times.isEmpty) {
         System.err.println(s"[bench] $name: no successful run; omitted")
         None
-      } else Some(name -> times.min)
+      } else {
+        val (wall, cpuRatio) = times.minBy(_._1)
+        Some(name -> (wall, cpuRatio, loadAtStart))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val ratios = results.map { case (k, (_, r, _)) => "\"" + k + f"\":$r%.2f" }
+      .mkString("{", ",", "}")
+    val loads = results.map { case (k, (_, _, l)) => "\"" + k + f"\":$l%.2f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val loadEnd = osBean.getSystemLoadAverage
+    val load = f""""load":{"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpus":$cpus}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cpu_ratio":$ratios,"loadavg":$loads,$load,"sf":"$sfDir"}"""
     println(line)
     // stdout is wrapped in sbt [info] noise; give the driver a clean
     // machine-readable copy at the repo root.

@@ -1813,14 +1813,16 @@ object SparkEntry {
     "q_date_dim" -> ((s, dir) => dateDim(s, dir)),
     // star join: the fact table against the conformed calendar dim
     // (broadcast — a date spine is always dimension-sized); weekly
-    // revenue rollup on the dim's ISO attributes
+    // revenue rollup on (ISO year, ISO week) so a week spanning a
+    // year boundary lands in ONE bucket (grouping by calendar year
+    // would split ISO week 1 across two rows every late December)
     "q_star_join" -> ((s, dir) =>
       t(s, dir, "orders")
         .select(col("o_orderdate").cast("date").as("d"),
           round(col("o_totalprice") * 100).cast("long").as("c"))
-        .join(broadcast(dateDim(s, dir).select(col("d"), col("yr"),
+        .join(broadcast(dateDim(s, dir).select(col("d"), col("iso_yr"),
           col("iso_week"))), "d")
-        .groupBy(col("yr"), col("iso_week"))
+        .groupBy(col("iso_yr"), col("iso_week"))
         .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("cents"))),
     // per-source term signatures (c-TF-IDF lift): the 5 most over-
     // represented terms per source vs the whole corpus
@@ -2543,11 +2545,17 @@ object SparkEntry {
       graft.operators.Stats.modePerGroup(t(s, dir, "customer"),
         groupCol = "c_nationkey", valCol = "c_mktsegment")),
     // which sources near-duplicate each other: jaccard>=0.5 pairs
-    // rolled up to canonical source pairs — the governance view
+    // rolled up to canonical source pairs — the governance view.
+    // Pairs come from the banded prune-then-verify path (LSH candidate
+    // buckets, exact-jaccard verify) — NOT the corpus-wide shingle
+    // self-join, whose shared-shingle blow-up is quadratic per hot
+    // shingle at 100x scale. The exact all-pairs SQL stays the oracle,
+    // so an LSH recall shortfall fails the hash check.
     "q_source_overlap" -> ((s, dir) => {
       val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      Dedup.ngramJaccardPairs(docsSplit(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5)
+      Dedup.minhashVerifiedPairs(docsSplit(s, dir), "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 32,
+        candThreshold = 0.35, threshold = 0.5)
         .join(src.select(col("doc_id").as("id_a"),
           col("source").as("__sa")), Seq("id_a"))
         .join(src.select(col("doc_id").as("id_b"),
@@ -2570,11 +2578,15 @@ object SparkEntry {
         .select(col("id_a").as("v")).distinct()
       graft.operators.Graph.bfsDepth(edges, seeds, maxIter = 6)
     }),
-    // near-dup cluster-size histogram: the dedup tier's yield report
+    // near-dup cluster-size histogram: the dedup tier's yield report.
+    // Banded prune-then-verify pairs (see q_source_overlap) — the
+    // exact recursive-component SQL stays the oracle.
     "q_dedup_cluster_sizes" -> ((s, dir) =>
       Dedup.componentsAuto(
-        Dedup.ngramJaccardPairs(docsSplit(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5).select(col("id_a"), col("id_b")))
+        Dedup.minhashVerifiedPairs(docsSplit(s, dir), "doc_id", "text",
+          shingleWidth = 3, numHashes = 128, bands = 32,
+          candThreshold = 0.35, threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
         .groupBy(col("component")).agg(count(lit(1)).as("__cs"))
         .groupBy(col("__cs").as("csize"))
         .agg(count(lit(1)).as("n_clusters"))),
@@ -2717,6 +2729,13 @@ object SparkEntry {
         (expr("weekday(d)") + 1).cast("long").as("isodow"),
         quarter(col("d")).cast("long").as("qtr"),
         weekofyear(col("d")).cast("long").as("iso_week"),
+        // ISO week-numbering year = calendar year of the week's
+        // Thursday (ISO 8601): week 1 spanning late December belongs
+        // to the NEXT year, week 52/53 spanning early January to the
+        // PREVIOUS. Grouping by (yr, iso_week) instead would split one
+        // ISO week into two buckets at every year boundary.
+        year(date_add(col("d"), lit(4) - (expr("weekday(d)") + 1)))
+          .cast("long").as("iso_yr"),
         (expr("weekday(d)") >= 5).as("is_weekend"),
         (col("d") === last_day(col("d"))).as("is_month_end"))
 
@@ -4112,6 +4131,7 @@ object SparkEntry {
       "CAST(isodow(d) AS BIGINT) AS isodow, " +
       "CAST(quarter(d) AS BIGINT) AS qtr, " +
       "CAST(weekofyear(d) AS BIGINT) AS iso_week, " +
+      "CAST(isoyear(d) AS BIGINT) AS iso_yr, " +
       "isodow(d) >= 6 AS is_weekend, " +
       "d = last_day(d) AS is_month_end FROM dd"),
     "q_class_terms" -> (
@@ -4771,7 +4791,7 @@ object SparkEntry {
       "CAST(max(CASE WHEN rn = ceil(n*0.9) THEN dur END) AS BIGINT) " +
       "  AS p90_dur_us FROM r GROUP BY 1"),
     "q_star_join" -> (
-      "SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr, " +
+      "SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_yr, " +
       "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week, " +
       "CAST(count(*) AS BIGINT) AS n_orders, " +
       "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +

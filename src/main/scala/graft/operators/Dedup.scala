@@ -125,23 +125,6 @@ object Dedup {
                    bands: Int = 32, threshold: Double = 0.5,
                    seed: Long = FakeGen.DefaultSeed): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
-
-    // band b's hash = hash of the signature slice [b*rows, (b+1)*rows);
-    // statically unrolled (bands is a plan-time constant).
-    // The banded explode carries ONLY (id, band, bandHash) — never the
-    // 1KB signature (numHashes longs): shuffling signatures through the
-    // docs x bands explode measured ~100x more shuffle bytes. Signatures
-    // re-attach to the (tiny) candidate set afterwards.
-    val bandHashes = (0 until bands).map(b =>
-      hash(slice(col("sig"), b * rows + 1, rows), lit(b)))
-    val banded = sigs.select(col("id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
-
-    val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
     // materialize: `cand` feeds three consumers below (two sides of the
     // doc-id union + the pair join); Spark has no cross-join common-
     // subplan reuse, so without materialization the banding self-join
@@ -149,10 +132,8 @@ object Dedup {
     // checkpoint, not lazy persist: the r7 lazy switch regressed this
     // tier ~2x (cold cache stages race under AQE) — A/B/C table at
     // materializeShared.
-    val cand = materializeShared(a.join(b, Seq("band", "bandHash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b"))
+    val cand = materializeShared(bandedCandidates(df, idCol, textCol,
+      shingleWidth, numHashes, bands, seed))
 
     // re-attach signatures by recomputing them ONLY for candidate docs
     // (semi-join the raw rows first): referencing `sigs` here would
@@ -169,6 +150,38 @@ object Dedup {
       .withColumn("est_jaccard", graft.functions.text.sigAgreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** The raw LSH band-bucket candidate join of [[minhashPairs]], before
+    * the eager materialization hides its plan: (id_a < id_b) doc pairs
+    * sharing at least one band hash. Package-private so PlanAuditSpec
+    * can assert the join really buckets on the band hash (the property
+    * that keeps the governance queries off the corpus-quadratic
+    * shingle self-join). */
+  private[graft] def bandedCandidates(df: DataFrame, idCol: String,
+                                      textCol: String, shingleWidth: Int,
+                                      numHashes: Int, bands: Int,
+                                      seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
+    // band b's hash = hash of the signature slice [b*rows, (b+1)*rows);
+    // statically unrolled (bands is a plan-time constant).
+    // The banded explode carries ONLY (id, band, bandHash) — never the
+    // 1KB signature (numHashes longs): shuffling signatures through the
+    // docs x bands explode measured ~100x more shuffle bytes. Signatures
+    // re-attach to the (tiny) candidate set afterwards.
+    val bandHashes = (0 until bands).map(b =>
+      hash(slice(col("sig"), b * rows + 1, rows), lit(b)))
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+    val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Near-duplicate pairs via SimHash + MULTI-PROBE pigeonhole banding
@@ -752,7 +765,13 @@ object Dedup {
   def componentsAuto(pairs: DataFrame, maxDriverPairs: Long = 2000000L,
                      maxIter: Int = 25): DataFrame = {
     val norm = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    val n = norm.count()
+    // branch probe: all we need is "does the edge list exceed the
+    // bound", so count a LIMIT(bound+1) slice — Spark stops scanning
+    // once the limit is hit, instead of paying a full count of a
+    // possibly-expensive upstream (the near-dup pair join) just to
+    // pick a branch. probe <= bound iff the true count <= bound.
+    val probeCap = math.min(maxDriverPairs + 1, Int.MaxValue.toLong).toInt
+    val n = norm.limit(probeCap).count()
     if (n <= maxDriverPairs) {
       val arr = norm.collect().map(r => (r.getLong(0), r.getLong(1)))
       val comp = unionFindComponents(arr).toSeq

@@ -174,7 +174,10 @@ object Graph {
     * least one neighbor, scored |N(a)∩N(b)|·1e6 div |N(a)∪N(b)| and
     * thresholded. The common-neighbor self-join is quadratic only
     * within one vertex's adjacency list (the triangle-count shape),
-    * never globally; degrees ride a small broadcast. */
+    * never globally. The degree attaches are plain equi-joins — the
+    * degree table is |V|-sized, so a forced broadcast would ship a
+    * multi-GB table to every executor at 100x scale; AQE broadcasts it
+    * anyway when the runtime size is under the threshold. */
   def neighborJaccard(edges: DataFrame, thresholdPpm: Long): DataFrame = {
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000L)
     val ud = edges.select(col("id_a").as("a"), col("id_b").as("b"))
@@ -185,10 +188,8 @@ object Graph {
     val u2 = ud.select(col("a").as("v2"), col("b"))
     u1.join(u2, Seq("b")).filter(col("v1") < col("v2"))
       .groupBy(col("v1"), col("v2")).agg(count(lit(1)).as("common"))
-      .join(broadcast(deg.select(col("v").as("v1"), col("d").as("__d1"))),
-        Seq("v1"))
-      .join(broadcast(deg.select(col("v").as("v2"), col("d").as("__d2"))),
-        Seq("v2"))
+      .join(deg.select(col("v").as("v1"), col("d").as("__d1")), Seq("v1"))
+      .join(deg.select(col("v").as("v2"), col("d").as("__d2")), Seq("v2"))
       .withColumn("jac_ppm",
         expr("common * 1000000L div (__d1 + __d2 - common)"))
       .filter(col("jac_ppm") >= thresholdPpm)

@@ -300,7 +300,13 @@ object Sampling {
     * offsets by one small window, then a per-bucket PARALLEL cumsum
     * window; global cum = bucket prefix + local cum. The corpus total
     * rides a single-row broadcast (BM25 pattern) and the keep
-    * predicate `(cum − tok)·1e6 < pPpm·total` is all-integer. */
+    * predicate `(cum − tok)·1e6 < pPpm·total` is all-integer —
+    * evaluated WITHOUT either 64-bit product: both `cum·1e6` and
+    * `pPpm·total` overflow BIGINT past ~9.2e12 total tokens (real at
+    * 100 TB), so the threshold is decomposed exactly as
+    * `floor(pPpm·total/1e6) = pPpm·(total div 1e6) +
+    * (pPpm·(total mod 1e6)) div 1e6`, with the remainder deciding the
+    * strict-inequality tie. Safe for any token total up to Long.Max. */
   def nucleusTopP(df: DataFrame, scoreCol: String, tieCol: String,
                   tokenCol: String, pPpm: Long,
                   buckets: Int = 64): DataFrame = {
@@ -332,9 +338,16 @@ object Sampling {
       .crossJoin(broadcast(total))
       .withColumn("__cum",
         col("__prefix") + sum(col(tokenCol)).over(wLocal).cast("long"))
-      .filter((col("__cum") - col(tokenCol)) * lit(1000000L) <
-        lit(pPpm) * col("__total"))
-      .drop("__b", "__prefix", "__total")
+      // (cum − tok)·1e6 < pPpm·total, overflow-free: with
+      // total = 1e6·q + r, floor(pPpm·total/1e6) = pPpm·q +
+      // (pPpm·r) div 1e6 (≤ total ≤ Long.Max since pPpm ≤ 1e6), and
+      // c < pPpm·total/1e6 ⟺ c < thr ∨ (c = thr ∧ remainder > 0)
+      .withColumn("__thr", lit(pPpm) * expr("__total div 1000000") +
+        expr(s"(${pPpm}L * (__total % 1000000)) div 1000000"))
+      .withColumn("__rem", expr(s"(${pPpm}L * (__total % 1000000)) % 1000000"))
+      .filter(col("__cum") - col(tokenCol) < col("__thr") ||
+        (col("__cum") - col(tokenCol) === col("__thr") && col("__rem") > 0))
+      .drop("__b", "__prefix", "__total", "__thr", "__rem")
   }
 
   /** Deterministic "reservoir" of k rows: rank every row by the md5 of a

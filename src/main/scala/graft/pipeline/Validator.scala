@@ -76,27 +76,43 @@ object Validator {
 
   /** Declarative data-quality rule report: each rule is (name, frame,
     * violation predicate) and the report is one row per rule with its
-    * violation and checked counts. Rules over the SAME frame instance
-    * fuse into a single scan + aggregate (conditional sums side by
-    * side); distinct frames run as parallel stages of one union job.
-    * Scale: never more than one pass per table regardless of how many
-    * rules it carries. */
+    * violation and checked counts. Rules over the SAME frame INSTANCE
+    * (reference identity — the documented fusion contract; callers
+    * that want one scan per table share the DataFrame object rather
+    * than re-reading it) fuse into a single scan + aggregate
+    * (conditional sums side by side); distinct frames run as parallel
+    * stages of one union job. Scale: never more than one pass per
+    * table regardless of how many rules it carries.
+    *
+    * Report row order is the DECLARATION order of `rules` — stable
+    * across runs and independent of how frames happen to fuse
+    * (asserted in ControlPlaneSpec). The sort is over one row per
+    * rule, so it costs nothing. */
   def ruleReport(rules: Seq[(String, DataFrame,
       org.apache.spark.sql.Column)]): DataFrame = {
     require(rules.nonEmpty, "report needs at least one rule")
-    rules.groupBy(_._2).map { case (df, rs) =>
-      val sums = rs.map { case (name, _, pred) =>
+    // first-appearance frame order, then rules grouped per frame with
+    // their declaration index — Scala's Map.groupBy alone iterates in
+    // unspecified order, which made the union (hence report) order
+    // nondeterministic
+    val frames = rules.map(_._2).distinct
+    val byFrame = rules.zipWithIndex.groupBy(_._1._2)
+    frames.map { df =>
+      val rs = byFrame(df)
+      val sums = rs.map { case ((name, _, pred), _) =>
         sum(when(pred, 1L).otherwise(0L)).as(s"__v_$name")
       }
       val agged = df.agg(sums.head, sums.tail :+
         count(lit(1)).cast("long").as("__n"): _*)
-      val rows = rs.map { case (name, _, _) =>
-        struct(lit(name).as("rule"), col(s"__v_$name").cast("long")
-          .as("n_violations"), col("__n").as("n_checked"))
+      val rows = rs.map { case ((name, _, _), idx) =>
+        struct(lit(idx).as("idx"), lit(name).as("rule"),
+          col(s"__v_$name").cast("long").as("n_violations"),
+          col("__n").as("n_checked"))
       }
       agged.select(explode(array(rows: _*)).as("__r"))
-        .select(col("__r.rule"), col("__r.n_violations"),
-          col("__r.n_checked"))
+        .select(col("__r.idx").as("__idx"), col("__r.rule"),
+          col("__r.n_violations"), col("__r.n_checked"))
     }.reduce(_ unionByName _)
+      .orderBy(col("__idx")).drop("__idx")
   }
 }

@@ -30,6 +30,24 @@ class ComponentsSpec extends SparkTestBase {
     assert(driver(1L) == 1L && driver(3L) == 1L && driver(11L) == 10L)
   }
 
+  test("componentsAuto: capped probe still picks the right branch at the boundary") {
+    // 4 pairs; the probe counts a LIMIT(bound+1) slice, so the branch
+    // decision must stay exact at bound == n and bound == n - 1
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val expected = Dedup.componentsAuto(pairs, maxDriverPairs = 0L)
+      .as[(Long, Long)].collect().toMap // distributed reference
+    val atBound = Dedup.componentsAuto(pairs, maxDriverPairs = 4L)
+      .as[(Long, Long)].collect().toMap // n == bound -> driver branch
+    val belowBound = Dedup.componentsAuto(pairs, maxDriverPairs = 3L)
+      .as[(Long, Long)].collect().toMap // n == bound+1 -> distributed
+    assert(atBound == expected && belowBound == expected)
+    // a bound past Int.MaxValue must not overflow the probe's limit()
+    val huge = Dedup.componentsAuto(pairs, maxDriverPairs = Long.MaxValue - 1)
+      .as[(Long, Long)].collect().toMap
+    assert(huge == expected)
+  }
+
   test("unionFindDropIds: chains and disjoint clusters") {
     val drop = Dedup.unionFindDropIds(Array((2L, 1L), (2L, 3L), (10L, 11L)))
     assert(drop == Set(2L, 3L, 11L)) // keep 1 (chain min) and 10

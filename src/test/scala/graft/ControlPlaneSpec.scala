@@ -65,6 +65,26 @@ class ControlPlaneSpec extends AnyFunSuite {
     intercept[RuntimeException](Shell.runOrThrow(Seq("sh", "-c", "echo boom 1>&2; exit 1")))
   }
 
+  test("ruleReport: declaration-order rows, stable across runs") {
+    val spark = SparkTestBase.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val c = Seq((1L, -5L), (2L, 3L)).toDF("id", "bal")
+    val o = Seq((1L, 0L)).toDF("id", "price")
+    // frames deliberately interleaved (c, o, c): row order must follow
+    // the DECLARATION order, not the frame-fusion grouping, and must
+    // be identical on a second run
+    val rules = Seq(
+      ("neg_bal", c, col("bal") < 0),
+      ("zero_price", o, col("price") <= 0),
+      ("big_bal", c, col("bal") > 100))
+    def run() = graft.pipeline.Validator.ruleReport(rules)
+      .collect().map(_.getString(0)).toSeq
+    val first = run()
+    assert(first == Seq("neg_bal", "zero_price", "big_bal"))
+    assert(run() == first)
+  }
+
   test("bpe token count kernel") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.TextKernels

@@ -11,30 +11,81 @@ class PlanAuditSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
-  test("whole surface: no UDF, no python barrier, no unbounded cartesian in ANY query plan") {
-    // The blanket scale-hygiene sweep: every one of the ~100 public
+  // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
+  // plan, and every allowance carries its justification — an entry
+  // whose query no longer plans a BNLJ FAILS the sweep (stale
+  // allowances are how a genuine all-pairs regression hides). Three
+  // legitimate shapes:
+  //  (a) deliberate linear scans: the ANN brute-force baseline and the
+  //      PQ ADC scan (m-byte codes, not raw vectors) — corpus x small
+  //      query set by design;
+  //  (b) the SINGLE-ROW global-stats broadcast (a scalar attach —
+  //      corpus x 1 row, never all-pairs; the operator keeps its stats
+  //      distributed instead of collecting them to the driver);
+  //  (c) DOMAIN-bounded broadcasts: a handful of category rows, fixed
+  //      by the schema, not the corpus.
+  private val bnljAllowed: Map[String, String] = Map(
+    "q_ann_topk" -> "(a) brute-force ANN baseline: corpus x small query set",
+    "q_ann_filtered" -> "(a) brute-force ANN over the filtered slice",
+    "q_ann_pq" -> "(a) PQ ADC linear scan over m-byte codes",
+    "q_image_search" -> "(a) dHash hamming scan: corpus x single query row",
+    "q_hard_negatives" -> "(a) corpus x sampled query slice with label-mismatch predicate",
+    "q_bm25_score" -> "(b) single-row corpus stats (N, avgdl) attach",
+    "q_histogram" -> "(b) single-row min/max bounds attach",
+    "q_skyline" -> "(b) single-row bucket-bounds attach",
+    "q_pmi_collocations" -> "(b) single-row token total attach",
+    "q_mix_top_p" -> "(b) nucleusTopP: single-row score bounds + token total",
+    "q_power_users" -> "(b) composes nucleusTopP: inherits its two single-row attaches",
+    "q_benford" -> "(b) single-row total count for ppm shares",
+    "q_balance_labels" -> "(b) single-row min-class-count attach",
+    "q_class_terms" -> "(b) single-row corpus token total (c-TF-IDF)",
+    "q_cusum" -> "(b) single-row series mean attach",
+    "q_rfm" -> "(b) single-row corpus max-date anchor",
+    "q_recommend" -> "(b) single-row basket total for lift marginals",
+    "q_churn" -> "(b) single-row observation-horizon (max day) attach",
+    "q_dist_drift" -> "(b) single-row per-half totals for TV distance",
+    "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
+
+  // Partition-less WindowExec nodes serialize their input into ONE
+  // task, so each one must be provably bounded. Every allowance names
+  // its bound; a query that plans a NEW global window without an entry
+  // fails the sweep, and an entry whose query stops planning one fails
+  // too (same staleness rule as bnljAllowed).
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q_ab_lift" -> "control-rate attach over the 2-row variant frame",
+    "q_freshness" -> "max-ts attach over one row per event TYPE",
+    "q_contribution" -> "share-of-total over one row per nation (25)",
+    "q_cusum" -> "running sum over one row per day of the series",
+    "q_user_growth" -> "cumulative users over one row per day",
+    "q_period_over_period" -> "lag over one row per day",
+    "q_mix_top_p" -> "nucleusTopP bucket-prefix window: <= `buckets` (64) rows",
+    "q_power_users" -> "composes nucleusTopP: same <= 64-row bucket window",
+    "q_skyline" -> "bucket-frontier running max: one row per bucket",
+    "q_ntile" -> ("global quartile label IS a total order by contract; " +
+      "the one intentional full-sort window in the surface"))
+
+  /** A WindowExec line with an EMPTY partition spec. Spark's argString
+    * skips empty sequences, so a global window prints NO trailing
+    * bracket group (or only the order spec, whose entries carry
+    * ASC/DESC); a partitioned one always prints its partition-column
+    * group, which never does. */
+  private def hasGlobalWindow(plan: String): Boolean =
+    plan.linesIterator.exists { l =>
+      val i = l.indexOf("Window [")
+      i >= 0 && !l.substring(i).split("\\], \\[").drop(1)
+        .exists(g => g.trim.nonEmpty && !g.contains("ASC") && !g.contains("DESC"))
+    }
+
+  test("whole surface: no UDF, no python barrier, no unbounded cartesian, no unlisted BNLJ or global window in ANY query plan") {
+    // The blanket scale-hygiene sweep: every one of the ~230 public
     // queries must plan without a ScalaUDF (kills whole-stage codegen),
     // a python eval barrier, or a CartesianProduct (the unbounded
-    // all-pairs shape). BroadcastNestedLoopJoin is allowed ONLY where
-    // it is the intended plan: the two linear-scan ANN tiers (the
-    // brute-force baseline and the PQ compressed-domain ADC scan — a
-    // deliberate full scan over m-byte codes, not raw vectors), and
-    // the SINGLE-ROW global-stats broadcast pattern (a scalar attach —
-    // corpus x 1 row, not all-pairs; the operator keeps its stats
-    // distributed instead of collecting them to the driver):
-    // q_bm25_score's corpus stats, q_histogram's + q_skyline's min/max
-    // bounds, q_pmi_collocations' token total, q_mix_top_p's token
-    // total, q_cusum's series mean. q_t_closeness broadcasts the
-    // sensitive-category DOMAIN (a handful of rows) to densify the
-    // group x category frame — domain-bounded, not corpus-bounded.
-    // Every other approximate tier must bucket-join.
-    val bnljAllowed = Set("q_ann_topk", "q_ann_filtered", "q_ann_pq",
-      "q_bm25_score",
-      "q_histogram", "q_skyline", "q_pmi_collocations", "q_mix_top_p",
-      "q_benford", "q_image_search", "q_hard_negatives", "q_balance_labels",
-      "q_class_terms", "q_cusum", "q_rfm", "q_t_closeness", "q_recommend",
-      "q_churn", "q_power_users", "q_dist_drift")
+    // all-pairs shape). BNLJ and partition-less windows are allowed
+    // only with a justified entry above — bidirectionally: unlisted
+    // occurrences fail, and unused allowances fail.
     val offenders = scala.collection.mutable.Buffer.empty[String]
+    val bnljSeen = scala.collection.mutable.Set.empty[String]
+    val gwinSeen = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // candidate-scope bracket: dedup-tier queries materialize shared
       // candidate sets eagerly at CONSTRUCTION; release them per query
@@ -44,11 +95,67 @@ class PlanAuditSpec extends SparkTestBase {
         if (plan.contains("ScalaUDF")) offenders += s"$name: ScalaUDF"
         if (plan.contains("BatchEvalPython")) offenders += s"$name: python barrier"
         if (plan.contains("CartesianProduct")) offenders += s"$name: cartesian"
-        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
-          offenders += s"$name: unexpected nested-loop join"
+        if (plan.contains("BroadcastNestedLoopJoin")) {
+          bnljSeen += name
+          if (!bnljAllowed.contains(name))
+            offenders += s"$name: unexpected nested-loop join"
+        }
+        if (hasGlobalWindow(plan)) {
+          gwinSeen += name
+          if (!globalWindowAllowed.contains(name))
+            offenders += s"$name: unlisted partition-less window"
+        }
       }
     }
+    for (name <- bnljAllowed.keys if !bnljSeen(name))
+      offenders += s"$name: STALE bnljAllowed entry (no BNLJ planned)"
+    for (name <- globalWindowAllowed.keys if !gwinSeen(name))
+      offenders += s"$name: STALE globalWindowAllowed entry (no global window planned)"
     assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
+  }
+
+  test("governance near-dup queries route through the banded prune, not a corpus shingle self-join") {
+    // q_source_overlap / q_dedup_cluster_sizes feed on minhash-verified
+    // pairs: the only shingle joins their plans may carry are the
+    // verify stage's COMPOUND (id, sh) joins, bounded by the candidate
+    // set. A join keyed on the shingle ALONE is the corpus-wide
+    // self-join (quadratic per hot shingle at 100x) and fails here.
+    // The exact tiers (q_dedup_ngram_jaccard, q_dedup_containment,
+    // q_decontaminate_exact) keep solo-shingle joins BY DESIGN — they
+    // are the oracle forms the banded path is verified against.
+    val soloShingleJoin = "Join \\[sh#\\d+L?\\], \\[sh#\\d+L?\\]".r
+    for (q <- Seq("q_source_overlap", "q_dedup_cluster_sizes")) {
+      graft.operators.Dedup.withCandidateScope {
+        val plan = SparkEntry.queries(q)(spark, sf("sf0.01"))
+          .queryExecution.executedPlan.toString
+        assert(soloShingleJoin.findFirstIn(plan).isEmpty,
+          s"$q joins on the shingle alone (corpus self-join):\n$plan")
+      }
+    }
+    // the candidate generator those queries route through buckets on
+    // the LSH band hash (minhashPairs eagerly materializes it, which
+    // hides the join from the query plans above — so assert on the raw
+    // pre-materialization subplan directly)
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val candPlan = graft.operators.Dedup
+      .bandedCandidates(docs, "doc_id", "text",
+        shingleWidth = 3, numHashes = 128, bands = 32, seed = 42L)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("bandHash"),
+      s"minhash candidate join lost its band-bucket key:\n$candPlan")
+    assert(soloShingleJoin.findFirstIn(candPlan).isEmpty,
+      s"candidate generator joins on the shingle alone:\n$candPlan")
+  }
+
+  test("link prediction carries no forced broadcast on the |V|-sized degree joins") {
+    // Graph.neighborJaccard's degree table is vertex-count-sized — a
+    // forced broadcast() ships multi-GB at 100x scale. The joins must
+    // reach the planner hint-free (AQE may still CHOOSE a broadcast
+    // when the runtime size permits — that is the point).
+    val df = SparkEntry.queries("q_link_predict")(spark, sf("sf0.01"))
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"),
+      s"q_link_predict still carries a join hint:\n$logical")
   }
 
   test("single-exchange operators really plan one hash exchange") {

@@ -180,6 +180,26 @@ class StatsSpec extends SparkTestBase {
     assert(run(1) == run(4) && run(4) == run(64))
   }
 
+  test("nucleusTopP: no BIGINT overflow at multi-trillion token totals") {
+    import graft.operators.Sampling
+    // 4 rows x 4e12 tokens = 1.6e13 total. The naive predicate
+    // (cum - tok) * 1e6 wraps negative at row 4 (1.2e13 * 1e6 > Long.Max)
+    // and would KEEP the over-budget row; the decomposed threshold must
+    // cut it. p=0.5 -> budget 8e12 -> rows 1,2 (row 3's prefix is
+    // exactly the budget, strict cut).
+    val big = Seq((1L, 4L, 4000000000000L), (2L, 3L, 4000000000000L),
+      (3L, 2L, 4000000000000L), (4L, 1L, 4000000000000L))
+      .toDF("id", "score", "tok")
+    val got = Sampling.nucleusTopP(big, "score", "id", "tok", pPpm = 500000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    // mid-row crossing at the same scale: budget 9.6e12 falls inside
+    // row 3 -> crossing row kept, row 4 still cut
+    val sixty = Sampling.nucleusTopP(big, "score", "id", "tok", pPpm = 600000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sixty == Set(1L, 2L, 3L))
+  }
+
   test("pmiCollocations: minCount prunes hapax pairs before ranking") {
     val docs = Seq("x y", "p q", "p q").toDF("text")
     val got = Corpus.pmiCollocations(docs, "text", minCount = 2, k = 10)
