@@ -1,0 +1,2547 @@
+package graft
+
+/** The DuckDB oracle SQL for every SQL-expressible SparkEntry query,
+  * plus the shared SQL fragments and generated replicas the map is
+  * assembled from. Extracted from SparkEntry verbatim (round 12) so the
+  * driver-contract file stays navigable; [[SparkEntry.oracleSql]]
+  * delegates here and the content is unchanged.
+  *
+  * Init-order contract (the q_triangle_count null-interpolation bug,
+  * round 7): `oracleSqlTail` is a STRICT val, so every helper it
+  * references must be declared before it or be `lazy`. `all` is a def,
+  * so its own references are order-free.
+  */
+import graft.fakegen.FakeGen
+
+private[graft] object Oracles {
+
+  /** Exact n-gram (n=3) jaccard pairs at threshold 0.5 over documents —
+    * the shared oracle for the exact tier and both prune-then-verify
+    * tiers (minhash / simhash). */
+  // ---- shared quality-signal SQL fragments (q_text_quality +
+  // q_quality_filter oracles; one source of truth for the formulas) ----
+  private val qAlphaSql = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+    "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / length(text) END"
+  private val qPunctSql = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+    "length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / length(text) END"
+  private val qStopListSql = "['the','a','an','and','of','to','in','is','it','that'," +
+    "'for','on','with','as','was','at','by']"
+  private val qToksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val qStopSql = s"CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
+    s"len(list_filter($qToksSql, x -> list_contains($qStopListSql, x))) * 1.0 / len($qToksSql) END"
+  private val qNtokSql = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+    "len(regexp_split_to_array(trim(text), '\\s+')) END"
+  private val qQualitySql =
+    s"0.35 * ($qAlphaSql) + 0.25 * least(($qStopSql) * 3.0, 1.0) + " +
+    s"0.25 * least(($qNtokSql) / 100.0, 1.0) + " +
+    s"0.15 * (1.0 - least(($qPunctSql) * 5.0, 1.0))"
+
+  // kernel-parity tokenization (TextKernels.tokens): lower + \s+ split
+  // + DROP empty segments; empty docs produce NO shingles (the WHERE),
+  // exactly like shingleHashes — r4 review finding on edge-whitespace
+  // and empty-doc divergence. ONE copy of the jaccard CTE chain,
+  // shared by the exact-tier oracle and the simhash-pruned oracle.
+  private val jaccardCtesSql: String =
+    "jtok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(text), '\\s+'), t -> t != '') AS ts " +
+    "  FROM documents), " +
+    "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+    "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+    "  FROM jtok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+    "  WHERE len(ts) > 0), " +
+    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+    "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "jj AS (SELECT id_a, id_b, " +
+    "  round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
+    "  FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+    "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5)"
+
+  /** Closed-form replay of the deterministic test image's decoded
+    * stats: shared by q_multimodal_decode (PPM/BMP fixture) and
+    * q_multimodal_decode_png (same pixels, PNG-encoded). */
+  private val decodedStatsOracleSql: String =
+    "WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 7 AS INT) AS width, " +
+    "  CAST(1 + doc_id % 5 AS INT) AS height FROM documents), " +
+    "px AS (SELECT doc_id, width, height, " +
+    "  unnest(range(0, 3*width*height)) AS i FROM dims), " +
+    "pv AS (SELECT doc_id, width, height, i, " +
+    "  (doc_id*31 + i) % 256 AS v FROM px) " +
+    "SELECT doc_id, width, height, CAST(3 AS INT) AS channels, " +
+    "CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r, " +
+    "CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
+    "CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
+    "FROM pv GROUP BY doc_id, width, height"
+
+  private val exactJaccardSql: String =
+    s"WITH $jaccardCtesSql SELECT id_a, id_b, jaccard FROM jj"
+
+  /** Shared dims CTE for the deterministic test WAV (AudioCodec
+    * .testWav): channels/bit-depth/frame-count as pure functions of
+    * doc_id, mirrored by both audio oracle rows. INT casts pin the
+    * pandas dtypes to the Spark struct's int32 fields. */
+  private val audioDimsSql: String =
+    "dims AS (SELECT doc_id, " +
+    "  CAST(1 + doc_id % 2 AS INT) AS channels, " +
+    "  CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits, " +
+    "  CAST(1 + doc_id % 9 AS INT) AS n_frames FROM documents)"
+
+  // Geometry/colorspace/frame-count of VideoCodec.testY4m, plus the
+  // derived plane sizes (csize is the subsampled 4:2:0 plane when the
+  // id lands on C420)
+  private val videoDimsSql: String =
+    "dims AS (SELECT doc_id, " +
+    "  CAST(4 + 2 * (doc_id % 3) AS INT) AS w, " +
+    "  CAST(2 + 2 * (doc_id % 2) AS INT) AS h, " +
+    "  doc_id % 4 < 2 AS cs444, " +
+    "  CAST(1 + doc_id % 5 AS INT) AS nf FROM documents), " +
+    "pl AS (SELECT doc_id, w, h, cs444, nf, w*h AS ysize, " +
+    "  CASE WHEN cs444 THEN w*h ELSE (w//2)*(h//2) END AS csize FROM dims)"
+
+  /** SplitMix64 finalizer applied to a HUGEINT SQL expression, in
+    * mod-2^64 arithmetic (64x64 multiplies split at 32 bits so the
+    * product stays inside the signed 128-bit HUGEINT). ONE copy,
+    * shared by the rolling-fingerprint and simhash oracle replicas —
+    * apply it to a short CTE COLUMN reference, not a big expression:
+    * the chain substitutes its input several times. */
+  private def splitMix64Sql(input: String): String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    def mulmod(x: String, c: String) =
+      s"(((($x) % 4294967296) * $c + (((($x) // 4294967296) * $c) % 4294967296) * 4294967296) % $M)"
+    def xorshift(x: String, s: Long) = s"xor($x, ($x) // ${1L << s})"
+    val x1 = xorshift(input, 30)
+    val x2 = mulmod(s"($x1)", java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L))
+    val x3 = xorshift(s"($x2)", 27)
+    val x4 = mulmod(s"($x3)", java.lang.Long.toUnsignedString(0x94d049bb133111ebL))
+    xorshift(s"($x4)", 31)
+  }
+
+  /** Exact SQL replica of `simhashVerifiedPairs` SEMANTICS: pairs with
+    * (simhash hamming <= maxHamming) AND (exact n-gram jaccard >=
+    * threshold). The pigeonhole banding finds exactly the hamming-
+    * bounded pairs, so the band plan never appears here — only the
+    * hamming predicate does. The simhash itself is recomputed in
+    * DuckDB: FNV-1a token hashes xor seed through the SplitMix64
+    * HUGEINT replica (the rollingFpSql machinery), per-bit +-1 vote
+    * sums, bit table joined per true pair. This makes the oracle exact
+    * on ANY corpus — the previous exact-jaccard oracle was only valid
+    * where hamming(true pair) <= maxHamming held corpus-wide, which
+    * the sf0.001/sf0.1 soak disproved (true-pair hamming reaches 13).
+    */
+  private val simhashPrunedJaccardSql: String = {
+    // FNV-1a over the token's chars (ASCII corpus: bytes == codepoints);
+    // staged through CTE COLUMNS (fh -> h) so the SplitMix64 chain
+    // expands over a 2-char column name, not the whole fold expression
+    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      "(h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616::HUGEINT)"
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(" +
+    "  lower(text), '\\s+'), t -> t != '')) AS w FROM documents), " +
+    s"wh0 AS (SELECT doc_id, xor(($fnv), ${FakeGen.DefaultSeed}) AS fh FROM tok), " +
+    s"wh AS (SELECT doc_id, (${splitMix64Sql("fh")}) AS h FROM wh0), " +
+    "pw AS (SELECT CAST(b AS INT) AS b, list_reduce(list_prepend(1::HUGEINT, " +
+    "  list_transform(range(b), x -> 2::HUGEINT)), (a, c) -> a * c) AS p " +
+    "  FROM (SELECT unnest(range(64)) AS b)), " +
+    "bits AS (SELECT doc_id, b, CASE WHEN sum(CASE WHEN (h // p) % 2 = 1 " +
+    "  THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit " +
+    "  FROM wh, pw GROUP BY doc_id, b), " +
+    s"$jaccardCtesSql, " +
+    "ham AS (SELECT jj.id_a, jj.id_b, " +
+    "  sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS hd " +
+    "  FROM jj JOIN bits ba ON ba.doc_id = jj.id_a " +
+    "  JOIN bits bb ON bb.doc_id = jj.id_b AND bb.b = ba.b GROUP BY 1, 2) " +
+    "SELECT jj.id_a, jj.id_b, jj.jaccard FROM jj " +
+    "JOIN ham ON ham.id_a = jj.id_a AND ham.id_b = jj.id_b WHERE ham.hd <= 6"
+  }
+
+  /** Brute-force exact top-1 cosine over the planted [[annQueries]] —
+    * the oracle for both ANN tiers in the near-copy retrieval regime. */
+  private val incrementalDedupSql: String =
+    "WITH fp AS (SELECT doc_id, " +
+    "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+    "FROM documents), " +
+    "new_first AS (SELECT doc_id FROM fp WHERE doc_id >= 400 " +
+    "QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
+    // NOT EXISTS, not NOT IN: one NULL fingerprint in the index would
+    // make NOT IN return NULL for EVERY row (0 survivors) while the
+    // Spark left_anti keeps null-keyed rows — the null-aware form
+    // matches the operator on any future corpus
+    "clean AS (SELECT n.doc_id FROM new_first n JOIN fp f USING (doc_id) " +
+    "WHERE NOT EXISTS (SELECT 1 FROM fp e WHERE e.doc_id < 400 " +
+    "AND e.fp = f.fp)) " +
+    "SELECT d.* FROM documents d JOIN clean USING (doc_id)"
+
+  /** The q_bm25_score topic query — three high-frequency corpus terms
+    * plus one guaranteed absent (df=0 contributes 0 everywhere). */
+  private[graft] val bm25Terms = Seq("scan", "join", "window", "zzzunseen")
+
+  /** GENERATED BM25 oracle: same terms, same k1/b constants as the
+    * operator defaults, float expression trees parenthesized exactly
+    * as Corpus.bm25 builds them (multiply-then-divide ratio, left-assoc
+    * products) so both engines round identically at every step; the
+    * per-term floor-to-micros + integer sum makes the final compare
+    * exact. */
+  private val bm25Sql: String = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(", ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val ratio = "(CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))"
+    val termSum = bm25Terms.indices.map { i =>
+      val idf = s"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)" +
+        s" / (CAST(df$i AS DOUBLE) + 0.5))"
+      val tfn = s"(CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + " +
+        s"1.2 * (1.0 - 0.75 + 0.75 * $ratio))"
+      s"CASE WHEN tf$i > 0 THEN CAST(floor($idf * $tfn * 1000000.0) " +
+        "AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(trim(text)), '\\s+'), x -> x != '') AS toks FROM documents), " +
+    s"d AS (SELECT doc_id, len(toks) AS dl, $tfs FROM tk), " +
+    s"g AS (SELECT count(*) AS n, sum(dl) AS t, $dfs FROM d) " +
+    s"SELECT doc_id, $termSum AS bm25_micros, dl AS n_tokens FROM d, g"
+  }
+
+  /** The q_chunk_content oracle: replay TextKernels.contentCuts with
+    * exact BIGINT arithmetic — the same Rabin polynomial
+    * sum(cp_j * 257^(15-j)) mod (2^31-1) recomputed per position (the
+    * oracle pays O(n*k); the engine's rolling pass is the point), then
+    * segments between consecutive cuts via lag(). Terms and weights
+    * are GENERATED here so kernel and oracle share one constant set. */
+  private val contentChunkSql: String = {
+    val k = 16
+    val p = 2147483647L
+    val poly = (0 until k).map { j =>
+      // weight of the char ending at offset j from the window start
+      val pow = (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * 257L % p)
+      s"CAST(ord(substring(text, CAST(i AS INT) - ${k - 1 - j}, 1)) AS BIGINT) * $pow"
+    }.mkString(" + ")
+    "WITH cp AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+    "b AS (SELECT doc_id, text, CAST(i AS BIGINT) AS cut " +
+    s"  FROM cp, LATERAL (SELECT unnest(range($k, n)) AS i) " +
+    s"  WHERE (($poly) % $p) % 64 = 0 " +
+    "UNION ALL SELECT doc_id, text, n FROM cp WHERE n >= 1), " +
+    "s AS (SELECT doc_id, text, cut, " +
+    "  lag(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) AS prev, " +
+    "  row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS ci FROM b) " +
+    "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, " +
+    "substring(text, CAST(prev + 1 AS INT), CAST(cut - prev AS INT)) AS chunk, " +
+    "CAST(cut - prev AS INT) AS n_chunk_chars FROM s"
+  }
+
+  /** Shared CTEs for the substring-dedup oracles: filtered tokens,
+    * positioned word 5-grams (0-based start), grams occurring in >= 2
+    * distinct docs, and the token positions their spans cover. Mirrors
+    * Dedup.gramStream/duplicatedGrams exactly (same tokenization
+    * convention as the chunk oracle above). */
+  private val substrDupCtes: String =
+    "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(trim(text)), '\\s+'), x -> x != '') AS toks FROM documents), " +
+    "g AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+5], ' ') AS gram " +
+    "  FROM tk, LATERAL (SELECT unnest(range(greatest(len(toks) - 4, 0))) AS i)), " +
+    "dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2), " +
+    "h AS (SELECT g.* FROM g JOIN dup USING (gram)), " +
+    "cov AS (SELECT DISTINCT doc_id, p FROM h, " +
+    "  LATERAL (SELECT unnest(generate_series(pos, pos + 4)) AS p))"
+
+  private val annTop1Sql: String = {
+    val cos = "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
+    "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+    "  FROM embeddings WHERE vec_id < 5) " +
+    s"SELECT query_id, c.vec_id AS corpus_id, $cos AS cos, " +
+    "CAST(row_number() OVER (PARTITION BY query_id " +
+    s"ORDER BY $cos DESC, c.vec_id ASC) AS INT) AS rank " +
+    "FROM q JOIN embeddings c ON query_id != c.vec_id " +
+    "QUALIFY rank <= 1"
+  }
+
+  /** SQL replica of TextKernels.rollingFingerprint: the FNV-style
+    * rolling hash then the SplitMix64 finalizer, in HUGEINT arithmetic
+    * mod 2^64. 64x64-bit multiplies are split at 32 bits so no
+    * intermediate exceeds HUGEINT range. */
+  private val rollingFpSql: String = {
+    val roll = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(string_split(n, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      "(h, c) -> (h * 1099511628211 + c) % 18446744073709551616::HUGEINT)"
+    "WITH nn AS (SELECT doc_id, " +
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n FROM documents), " +
+    "rr AS (SELECT doc_id, CASE WHEN n = '' THEN 14695981039346656037::HUGEINT " +
+    s"ELSE $roll END AS rh FROM nn) " +
+    s"SELECT doc_id, lower(hex(CAST((${splitMix64Sql("rh")}) AS UBIGINT))) AS fp FROM rr"
+  }
+
+  /** SQL replica of TextKernels.langId, GENERATED from the kernel's own
+    * stopword lists (one source of truth): per-language token hit
+    * counts, argmax with first-in-order tie-break, 'und' below the 5%
+    * stopword-signal floor. The CJK branch is vacuous on this ASCII
+    * corpus (verified) and omitted. */
+  private val langIdSql: String = {
+    val langs = graft.functions.TextKernels.stopwordSource
+    def arr(words: Seq[String]) =
+      words.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
+    val hits = langs.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> list_contains(${arr(ws)}, x))) AS h_$l"
+    }.mkString(", ")
+    val m = langs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ",", ")")
+    val firstMax = langs.map { case (l, _) => s"WHEN h_$l = m THEN '$l'" }.mkString(" ")
+    "WITH tk AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN [] " +
+    "ELSE regexp_split_to_array(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') " +
+    "END AS toks FROM documents), " +
+    s"h AS (SELECT doc_id, lang, len(toks) AS ntoks, $hits FROM tk), " +
+    s"mm AS (SELECT *, $m AS m FROM h) " +
+    "SELECT doc_id, lang AS labeled, " +
+    "CASE WHEN m = 0 OR m * 20 < ntoks THEN 'und' " +
+    s"ELSE CASE $firstMax END END AS predicted FROM mm"
+  }
+
+
+  /** The full query-name -> DuckDB SQL map (main map ++ tail). */
+  def all: Map[String, String] = Map(
+    // ---- faker shape invariants: the oracle recomputes every expected
+    // value from the ORIGINAL tables; the Spark side computes the same
+    // columns from the FAKED values, so any contract break (shape,
+    // preserved formatting, surviving digit, passed-through element,
+    // nondeterminism) flips the driver's hash compare. -----------------
+    "q_fake_name" ->
+      "SELECT c_custkey, true AS shape_ok, true AS differs FROM customer",
+    "q_fake_email" ->
+      "SELECT c_custkey, true AS shape_ok FROM customer",
+    "q_fake_company" ->
+      "SELECT s_suppkey, true AS shape_ok, true AS differs FROM supplier",
+    "q_fake_address" ->
+      "SELECT c_custkey, true AS shape_ok FROM customer",
+    "q_fake_uuid" ->
+      "SELECT c_custkey, true AS shape_ok FROM customer",
+    "q_fake_phone" ->
+      ("SELECT c_custkey, " +
+       "regexp_replace(printf('+30 21 %07d', c_custkey), '[0-9]', 'D', 'g')" +
+       " AS skeleton, CAST(0 AS INTEGER) AS digits_same FROM customer"),
+    "q_fake_multi_email" ->
+      ("SELECT c_custkey, true AS braced, CAST(2 AS INTEGER) AS n_elems, " +
+       "CAST(2 AS INTEGER) AS n_valid, CAST(0 AS INTEGER) AS n_unchanged " +
+       "FROM customer"),
+    "q_fake_email_id_prefix" ->
+      ("SELECT c_custkey, CAST(c_custkey AS INTEGER) AS id_prefix, " +
+       "true AS rest_ok FROM customer"),
+    "q_fake_determinism" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches",
+    "q_filter_contains" ->
+      "SELECT * FROM customer WHERE c_name LIKE '%11%'",
+    "q_filter_startswith" ->
+      "SELECT * FROM part WHERE p_name LIKE 'red%'",
+    "q_filter_endswith" ->
+      "SELECT * FROM part WHERE p_name LIKE '%bolt'",
+    "q_filter_starts_ends" ->
+      "SELECT * FROM customer WHERE c_name LIKE 'Customer#%' AND c_name LIKE '%5'",
+    "q_filter_equals" ->
+      "SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'",
+    "q_filter_anyof_int" ->
+      "SELECT * FROM supplier WHERE s_nationkey IS NULL OR s_nationkey NOT IN (1, 2, 3)",
+    // events.ts: µs-aligned on both sides (see `events` helper above).
+    "q_filter_anyof_string" ->
+      ("SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props " +
+       "FROM events WHERE event_type IS NULL OR event_type NOT IN ('click', 'view')"),
+    "q_limit" ->
+      "SELECT * FROM customer ORDER BY c_custkey LIMIT 100",
+    "q_replace" ->
+      "SELECT c_custkey, 'CONFIDENTIAL' AS c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "q_nullify" ->
+      "SELECT c_custkey, c_name, c_nationkey, CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment FROM customer",
+    "q_sanitize_null_bytes" ->
+      ("SELECT doc_id, CASE WHEN contains(text, chr(0)) THEN NULL ELSE text END AS text, " +
+       "CASE WHEN contains(lang, chr(0)) THEN NULL ELSE lang END AS lang, " +
+       "CASE WHEN contains(source, chr(0)) THEN NULL ELSE source END AS source, " +
+       "n_chars FROM documents"),
+    "q_cdc_latest_per_key" ->
+      ("SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props FROM events " +
+       "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"),
+    "q_k_anonymity" -> (
+      "WITH b AS (SELECT c_nationkey, " +
+      "  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bal_band " +
+      "  FROM customer) " +
+      "SELECT c_nationkey, bal_band, count(*) AS n FROM b " +
+      "GROUP BY 1, 2 HAVING count(*) < 5"),
+    "q_l_diversity" -> (
+      "WITH b AS (SELECT c_nationkey, c_mktsegment, " +
+      "  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS bal_band " +
+      "  FROM customer) " +
+      "SELECT c_nationkey, bal_band, count(*) AS n, " +
+      "count(DISTINCT c_mktsegment) AS n_distinct_sensitive FROM b " +
+      "GROUP BY 1, 2 HAVING count(DISTINCT c_mktsegment) < 3"),
+    "q_snapshot_diff" -> (
+      "WITH n AS (" +
+      "  SELECT c_custkey, c_name, c_nationkey, " +
+      "    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50.0 " +
+      "      ELSE c_acctbal END AS c_acctbal, c_mktsegment " +
+      "  FROM customer WHERE c_custkey % 7 != 0 " +
+      "  UNION ALL " +
+      "  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, " +
+      "    c_mktsegment FROM customer WHERE c_custkey % 11 = 0), " +
+      "j AS (SELECT coalesce(c.c_custkey, n.c_custkey) AS c_custkey, " +
+      "  CASE WHEN n.c_custkey IS NULL THEN 'removed' " +
+      "       WHEN c.c_custkey IS NULL THEN 'added' " +
+      "       WHEN (c.c_name IS DISTINCT FROM n.c_name) " +
+      "         OR (c.c_nationkey IS DISTINCT FROM n.c_nationkey) " +
+      "         OR (c.c_acctbal IS DISTINCT FROM n.c_acctbal) " +
+      "         OR (c.c_mktsegment IS DISTINCT FROM n.c_mktsegment) " +
+      "       THEN 'changed' END AS change " +
+      "  FROM customer c FULL OUTER JOIN n ON c.c_custkey = n.c_custkey) " +
+      "SELECT c_custkey, change FROM j WHERE change IS NOT NULL"),
+    "q_benford" -> (
+      "WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) " +
+      "  AS VARCHAR), 1, 1) AS digit FROM orders), " +
+      "t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM d) " +
+      "SELECT digit, count(*) AS n, " +
+      "CAST(count(*) * 1000000 // nn AS BIGINT) AS share_ppm " +
+      "FROM d, t GROUP BY digit, nn"),
+    "q_cdc_scd2" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
+      "  FROM events WHERE user_id % 5 = 0), " +
+      "d AS (SELECT *, lag(1) OVER wl AS pex, " +
+      "  lag(event_type) OVER wl AS pe FROM e " +
+      "  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "f AS (SELECT user_id, ts, event_id, event_type FROM d " +
+      "  WHERE pex IS NULL OR pe IS DISTINCT FROM event_type) " +
+      "SELECT user_id, ts, event_id, event_type, ts AS effective_from, " +
+      "lead(ts) OVER w AS effective_to, " +
+      "(lead(ts) OVER w IS NULL) AS is_current " +
+      "FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "q_cdc_apply_delta" -> (
+      "WITH delta AS (" +
+      "  SELECT 'U' AS op, 2 AS dts, o_orderkey, o_custkey, o_orderstatus, " +
+      "         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority " +
+      "  FROM orders WHERE o_orderkey % 3 = 0 " +
+      "  UNION ALL " +
+      "  SELECT 'D', 1, o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "         o_orderdate, o_orderpriority " +
+      "  FROM orders WHERE o_orderkey % 17 = 0" +
+      "), latest AS (" +
+      "  SELECT * FROM delta " +
+      "  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY dts DESC) = 1" +
+      ") " +
+      "SELECT o.* FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey " +
+      "WHERE l.o_orderkey IS NULL " +
+      "UNION ALL " +
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+      "o_orderpriority FROM latest WHERE op IN ('I', 'U')"),
+    // replays dmsFixture's IN-WINDOW delta content (the %5/dts=1 and
+    // %7/dts=2 update batches; the %11 delete and the undated backfill
+    // are outside the DateAware window, so they must NOT appear here):
+    // latest dts per key wins => %35 keys carry +222
+    "q_cdc_dateaware" -> (
+      "WITH delta AS (" +
+      "  SELECT 1 AS dts, o_orderkey, o_custkey, o_orderstatus, " +
+      "         o_totalprice + 111.0 AS o_totalprice, o_orderdate, o_orderpriority " +
+      "  FROM orders WHERE o_orderkey % 5 = 0 " +
+      "  UNION ALL " +
+      "  SELECT 2, o_orderkey, o_custkey, o_orderstatus, " +
+      "         o_totalprice + 222.0, o_orderdate, o_orderpriority " +
+      "  FROM orders WHERE o_orderkey % 7 = 0" +
+      "), latest AS (" +
+      "  SELECT * FROM delta " +
+      "  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY dts DESC) = 1" +
+      ") " +
+      "SELECT o.* FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey " +
+      "WHERE l.o_orderkey IS NULL " +
+      "UNION ALL " +
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+      "o_orderpriority FROM latest"),
+    // LOAD halves reunited, no CDC: the original table
+    "q_cdc_fullload" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders"),
+    // all four fixture CDC files resolved by latest dts per key:
+    // backfill (dts=9) deletes even keys; %11 delete (dts=3) beats the
+    // updates; %7 (dts=2) beats %5 (dts=1); remaining %5 keys get +111
+    "q_cdc_absolute" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 222.0 " +
+      "WHEN o_orderkey % 5 = 0 THEN o_totalprice + 111.0 " +
+      "ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders " +
+      "WHERE o_orderkey % 2 = 1 AND o_orderkey % 11 <> 0"),
+    // point-in-time cut at ingestion ts <= 1: only the %5/dts=1 update
+    // batch is in-state; the %7 update, the %11 delete and the undated
+    // backfill (all later) must be absent
+    "q_cdc_asof_snapshot" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 111.0 " +
+      "ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders"),
+    // additive evolution: %13 keys deleted (later ts beats the update),
+    // surviving %4 keys carry the new column, everyone else NULL
+    "q_cdc_schema_evolution" -> (
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "o_orderdate, o_orderpriority, " +
+      "CASE WHEN o_orderkey % 4 = 0 " +
+      "THEN concat('ch-', CAST(o_orderkey % 3 AS VARCHAR)) END AS o_channel " +
+      "FROM orders WHERE o_orderkey % 13 <> 0"),
+    // the zone-map prune must be invisible in the result: exactly the
+    // plain box predicate over the source table
+    "q_zonemap_prune" -> (
+      "SELECT doc_id, source, n_chars FROM documents " +
+      "WHERE doc_id BETWEEN 64 AND 191 AND n_chars BETWEEN 100 AND 400"),
+    // the same iterated min-aggregate chain: step k = first matching
+    // event strictly after step k-1, within the window of step 1
+    "q_funnel" -> (
+      s"WITH $funnelCtes " +
+      "SELECT user_id, t1, t2, t3, " +
+      "CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) " +
+      "  AS INT) AS steps_completed FROM s3"),
+    // the funnel's headline metric: step-to-step conversion in ppm
+    "q_funnel_rates" -> (
+      s"WITH $funnelCtes, " +
+      "agg AS (SELECT CAST(count(*) AS BIGINT) AS n1, " +
+      "  CAST(count(t2) AS BIGINT) AS n2, CAST(count(t3) AS BIGINT) AS n3 " +
+      "  FROM s3) " +
+      "SELECT 1 AS step, n1 AS n_reached, CAST(NULL AS BIGINT) AS conv_ppm " +
+      "  FROM agg " +
+      "UNION ALL SELECT 2, n2, n2 * 1000000 // n1 FROM agg " +
+      "UNION ALL SELECT 3, n3, CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 " +
+      "  END FROM agg"),
+    // identical integer z-test over the identical frame: milli-scaled
+    // readings, trailing-20-excluding-self window, (ts, event_id) order
+    "q_anomalies" -> (
+      "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts, value, " +
+      "  CAST(round(value * 1000) AS BIGINT) AS x FROM events), " +
+      "st AS (SELECT user_id, event_id, ts, value, x, " +
+      "  count(x) OVER w AS n, sum(x) OVER w AS s, sum(x*x) OVER w AS q " +
+      "  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+      "SELECT user_id, event_id, ts, value, " +
+      "coalesce(n >= 8 AND (n*x - s)*(n*x - s) > 9*(n*q - s*s), FALSE) " +
+      "  AS is_anomaly FROM st"),
+    // integer period buckets (floor division) => exact cross-engine
+    "q_retention" -> (
+      "WITH p AS (SELECT DISTINCT user_id, " +
+      "  epoch_us(ts) // 604800000000 AS pp FROM events), " +
+      "c AS (SELECT user_id, min(pp) AS cohort FROM p GROUP BY user_id) " +
+      "SELECT cohort, pp - cohort AS offset, count(*) AS n_active " +
+      "FROM p JOIN c USING (user_id) GROUP BY cohort, pp - cohort"),
+    // sequential rule replay: rule i counts matches on text with rules
+    // < i already replaced — identical chained-regex semantics as the
+    // operator, one rule set shared between both sides
+    "q_pii_report" -> {
+      val rules = graft.operators.Transformators.PiiRules
+      val counts = rules.zipWithIndex.map { case ((re, tag), i) =>
+        val prior = rules.take(i).foldLeft("text") { case (acc, (r, tg)) =>
+          s"regexp_replace($acc, '$r', '$tg', 'g')"
+        }
+        s"CAST(sum(len(regexp_extract_all($prior, '$re'))) AS BIGINT) AS " +
+          graft.operators.Transformators.piiCountCol(tag)
+      }.mkString(", ")
+      s"SELECT source, count(*) AS docs, $counts FROM documents GROUP BY source"
+    },
+    "q1_agg" -> (
+      "SELECT l_returnflag, l_linestatus, " +
+      "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty, " +
+      "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price, " +
+      "count(*) AS count_order " +
+      "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q_join_agg" -> (
+      "SELECT c_mktsegment, " +
+      "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue, " +
+      "count(*) AS n_orders " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY c_mktsegment"),
+    "q_window_topk" -> (
+      "SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "CAST(row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn " +
+      "FROM orders " +
+      "QUALIFY rn <= 3"),
+    "q_topk_rewrite" -> (
+      "SELECT o_custkey, o_orderkey, o_totalprice FROM orders " +
+      "QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3"),
+
+    // ---- engine generality ---------------------------------------------
+    "q_join_semi" ->
+      ("SELECT * FROM customer WHERE EXISTS (SELECT 1 FROM orders " +
+       "WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
+    "q_join_anti" ->
+      ("SELECT * FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+       "WHERE o_custkey = c_custkey)"),
+    "q_join_outer" ->
+      ("SELECT n_nationkey, n_name, s_suppkey, s_name FROM nation " +
+       "LEFT JOIN supplier ON n_nationkey = s_nationkey"),
+    "q_set_ops" ->
+      ("SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000 " +
+       "INTERSECT " +
+       "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"),
+    "q_agg_stats" ->
+      ("SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+       "count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows " +
+       "FROM lineitem GROUP BY l_returnflag"),
+    "q_rollup" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
+       "GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"),
+    "q_cube" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
+       "GROUP BY CUBE (o_orderpriority, o_orderstatus)"),
+    "q_pivot" ->
+      ("SELECT o_orderpriority, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+       "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p " +
+       "FROM orders GROUP BY o_orderpriority"),
+    "q_unpivot" ->
+      ("WITH wide AS (SELECT l_returnflag, " +
+       "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS qty, " +
+       "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS base_price, " +
+       "sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 AS discount " +
+       "FROM lineitem GROUP BY l_returnflag) " +
+       "SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide " +
+       "UNION ALL SELECT l_returnflag, 'base_price', base_price FROM wide " +
+       "UNION ALL SELECT l_returnflag, 'discount', discount FROM wide"),
+    "q_grouping_sets" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n FROM orders " +
+       "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))"),
+    "q_sketch_kmv" -> kmvOracle,
+    // lossless merge => the merged sketch equals the whole-corpus
+    // sketch; same oracle
+    "q_sketch_kmv_merge" -> kmvOracle,
+    "q_sketch_quantile" -> quantileSketchOracle,
+    // lossless merge (disjoint shards, keep k smallest by hash) =>
+    // merged ≡ whole-corpus bottom-k; same oracle
+    "q_sketch_quantile_merge" -> quantileSketchOracle,
+    // KMV set algebra replay: same hash stream, union-k via list ops,
+    // at-capacity intersection via exact integer floor division
+    "q_sketch_overlap" ->
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+       "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
+       "    AS BIGINT) AS h FROM events " +
+       "  WHERE event_type IN ('click', 'purchase')), " +
+       "r AS (SELECT event_type, h, row_number() OVER " +
+       "  (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+       "sk AS (SELECT event_type, list(h ORDER BY h) AS sketch " +
+       "  FROM r WHERE rn <= 32 GROUP BY event_type), " +
+       "ab AS (SELECT " +
+       "  (SELECT sketch FROM sk WHERE event_type = 'click') AS a, " +
+       "  (SELECT sketch FROM sk WHERE event_type = 'purchase') AS b), " +
+       "u AS (SELECT a, b, list_sort(list_distinct(a || b))[1:32] AS uk FROM ab), " +
+       "e AS (SELECT uk, CASE WHEN len(uk) < 32 THEN len(uk) " +
+       "  ELSE CAST(floor(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) " +
+       "    / uk[32]) AS BIGINT) END AS uest, " +
+       "  len(list_intersect(list_intersect(uk, a), b)) AS inter FROM u) " +
+       "SELECT CAST(uest AS BIGINT) AS n_union_est, " +
+       "CAST(CASE WHEN len(uk) < 32 THEN inter " +
+       "  ELSE (inter * uest) // 32 END AS BIGINT) AS n_common_est FROM e"),
+    "q_percentiles" ->
+      ("SELECT event_type, " +
+       "round(quantile_cont(value, 0.5), 6) AS p50, " +
+       "round(quantile_cont(value, 0.95), 6) AS p95, " +
+       "round(quantile_cont(value, 0.99), 6) AS p99 " +
+       "FROM events GROUP BY event_type"),
+    // CAST the outer sum: DuckDB sums BIGINT into HUGEINT, which pandas
+    // widens to float64 and the typed hash diverges from Spark's int64.
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
+       "PARTITION BY o_custkey ORDER BY o_orderkey " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents " +
+       "FROM orders"),
+    "q_json_extract" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k " +
+       "FROM events"),
+    "q_date_parts" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS y, " +
+       "CAST(month(o_orderdate) AS INT) AS m, count(*) AS n " +
+       "FROM orders GROUP BY 1, 2"),
+    // CAST the integer sums: DuckDB types sum(int) as HUGEINT -> float64
+    // in pandas, while Spark emits int64 (judge-verified dtype mismatch).
+    "q_conditional_agg" ->
+      ("SELECT user_id, " +
+       "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, " +
+       "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors, " +
+       "count(*) AS total FROM events GROUP BY user_id"),
+
+    "q_topk_custom" ->
+      ("SELECT * FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3"),
+
+    // ---- temporal ------------------------------------------------------
+    "q_asof_join" -> (
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts, c.click_id " +
+      "FROM (SELECT event_id, user_id, ts FROM events " +
+      "      WHERE event_type = 'purchase') p " +
+      "ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events " +
+      "      WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+
+    "q_range_join" -> (
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts, c.event_id AS click_id " +
+      "FROM (SELECT event_id, user_id, ts FROM events " +
+      "      WHERE event_type = 'purchase') p " +
+      "JOIN (SELECT event_id, user_id, ts FROM events " +
+      "      WHERE event_type = 'click') c " +
+      "ON p.user_id = c.user_id " +
+      "AND epoch_us(p.ts) >= epoch_us(c.ts) " +
+      "AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000"),
+
+    // ---- sampling ------------------------------------------------------
+    "q_sample_mod" ->
+      "SELECT * FROM customer WHERE c_custkey % 100 < 10",
+    "q_sample_stratified" ->
+      ("SELECT * FROM documents " +
+       "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 20"),
+    // the md5 sampling contract is engine-portable by design: the same
+    // decision string + lexicographic threshold, byte for byte. The hex
+    // literals come from Sampling.thresholdHex — one source of truth.
+    "q_sample_hash" ->
+      ("SELECT * FROM customer WHERE " +
+       "substr(md5('42::' || CAST(c_custkey AS VARCHAR)), 1, 15) < " +
+       s"'${graft.operators.Sampling.thresholdHex(0.25)}'"),
+    // exact-quota replay: per-group quota in integer math, selection by
+    // the same (md5, key) ordering
+    "q_sample_proportional" ->
+      ("WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+       "t AS (SELECT sum(n) AS total FROM c), " +
+       "q AS (SELECT source, greatest(1, (100 * n) // total) AS quota " +
+       "  FROM c, t), " +
+       "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+       "  ORDER BY substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15), " +
+       "  doc_id) AS rn FROM documents) " +
+       "SELECT r.doc_id, r.source FROM r JOIN q USING (source) " +
+       "WHERE r.rn <= q.quota"),
+    // thresholds embedded from the SAME double arithmetic as the query
+    // (0.8 + 0.1 binds the float64 sum, not a 0.9 literal)
+    "q_split_assign" ->
+      ("SELECT doc_id, CASE " +
+       s"WHEN h < '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train' " +
+       s"WHEN h < '${graft.operators.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val' " +
+       "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+       "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
+       "FROM documents)"),
+    // the salted two-stage aggregate must equal the plain groupBy
+    "q_skew_salted_agg" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    // the salt must not change the result: plain inner join
+    "q_skew_salted_join" -> (
+      "SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    // Morton replay: unrolled shift-and-or over the 31-bit domain
+    "q_zorder_key" -> {
+      def morton(x: String, y: String) = (0 until 31).map(i =>
+        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      "SELECT event_id, CAST(" + morton("user_id", "event_id") +
+        " AS BIGINT) AS z FROM events"
+    },
+    "q_mix_weighted" ->
+      ("SELECT doc_id AS id, 'docs' AS __source FROM documents WHERE " +
+       "substr(md5('42:docs:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+       s"'${graft.operators.Sampling.thresholdHex(0.5)}' " +
+       "UNION ALL " +
+       "SELECT event_id AS id, 'events' AS __source FROM events WHERE " +
+       "substr(md5('42:events:' || CAST(event_id AS VARCHAR)), 1, 15) < " +
+       s"'${graft.operators.Sampling.thresholdHex(0.1)}'"),
+
+    // ---- text analysis ------------------------------------------------
+    "q_token_count" -> (
+      "SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens " +
+      "FROM documents"),
+    "q_text_quality" -> (
+      s"SELECT doc_id, round($qAlphaSql, 6) AS alpha_ratio, " +
+      s"round($qPunctSql, 6) AS punct_ratio, round($qStopSql, 6) AS stopword_ratio, " +
+      s"round($qQualitySql, 6) AS quality FROM documents"),
+    // the curation spine: each stage's oracle fragment composed over
+    // the previous stage's output (normalize feeds the fingerprint,
+    // the quality fragments read the NORMALIZED text — ratios change
+    // when whitespace collapses, so applying them to raw text would be
+    // wrong), then the portable md5 sampling contract
+    "q_curation_pipeline" -> (
+      "WITH docs2 AS (SELECT doc_id, source, " +
+      "trim(regexp_replace(regexp_replace(nfc_normalize(text), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+      "'[ \\t\\n\\r]+', ' ', 'g')) AS text FROM documents), " +
+      "dd AS (SELECT doc_id, source, text, " +
+      "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+      "FROM docs2), " +
+      "keep AS (SELECT doc_id, source, text FROM dd QUALIFY " +
+      "row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1), " +
+      s"gated AS (SELECT doc_id, source, text FROM keep WHERE ($qNtokSql) " +
+      s"BETWEEN 20 AND 1000 AND round($qQualitySql, 6) >= 0.55) " +
+      "SELECT doc_id, source, text FROM gated WHERE " +
+      "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      s"'${graft.operators.Sampling.thresholdHex(0.5)}'"),
+    // utf8proc NFC on the DuckDB side vs java.text.Normalizer on the
+    // Spark side — same Unicode composition tables; the planted
+    // decomposed suffix (chr(769)/chr(778)/chr(8491)) must compose
+    // identically, and the strip/collapse classes are spelled out
+    // explicitly in both engines (no \s)
+    "q_text_normalize" -> (
+      "SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+      "nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778) || " +
+      "' ' || chr(8491)), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+      "'[ \\t\\n\\r]+', ' ', 'g')) AS text_norm FROM documents"),
+    // entropy terms floored to 1e6-scaled longs PER WORD and summed as
+    // integers (order-free); ttr is one exact-int division, unrounded
+    "q_diversity" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts FROM documents), " +
+      "w AS (SELECT doc_id, unnest(ts) AS w FROM tok), " +
+      "n AS (SELECT doc_id, len(ts) AS n FROM tok), " +
+      "cnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), " +
+      "e AS (SELECT cnt.doc_id, count(*) AS d, " +
+      "  sum(CAST(floor(1e6 * ((c * 1.0 / n.n) * ln(c * 1.0 / n.n)) + 0.5) " +
+      "      AS BIGINT)) AS s " +
+      "  FROM cnt JOIN n ON cnt.doc_id = n.doc_id GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(e.d, 0) AS BIGINT) AS n_distinct, " +
+      "CAST(coalesce(-e.s, 0) AS BIGINT) AS entropy_scaled, " +
+      "CASE WHEN coalesce(n.n, 0) = 0 THEN 0.0 ELSE " +
+      "CAST(e.d AS DOUBLE) / n.n END AS ttr " +
+      "FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id " +
+      "LEFT JOIN e ON d.doc_id = e.doc_id"),
+    "q_fingerprint_md5" -> (
+      "SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp " +
+      "FROM documents"),
+    "q_fingerprint_rolling" -> rollingFpSql,
+    // \s in the symbol class so regex-whitespace separates runs — the
+    // kernel separates on the SAME regex-\s class (isWsRegex, unified
+    // in r4), so this oracle is exact on any input, not just this
+    // corpus.
+    "q_token_count_bpe" -> (
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+      "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS INT) AS n_bpe_tokens " +
+      "FROM documents"),
+    // the full trained merge table replayed as a generated replace()
+    // chain on the Sep-wrapped symbol representation (generated from
+    // Bpe.default, same pattern as langIdSql: the oracle is DERIVED
+    // from the kernel's static model, then executed independently)
+    // word boundary spelled EXPLICITLY ([\x09-\x0D ]+ after stripping
+    // non-ws controls) — RE2's \s excludes \x0B while the kernel's
+    // Java \s includes it, so '\s+' here would diverge on vertical
+    // tabs; this replays Bpe.pretokenize exactly (see its doc)
+    "q_bpe_tokenize" -> (
+      "WITH wd AS (SELECT doc_id, w FROM documents, LATERAL (" +
+      "  SELECT unnest(regexp_split_to_array(regexp_replace(text, " +
+      "'[\\x00-\\x08\\x0e-\\x1f]+', '', 'g'), '[\\x09-\\x0d ]+')) AS w) " +
+      "  WHERE len(w) > 0), " +
+      "tk AS (SELECT doc_id, unnest(string_split(trim(" +
+      graft.functions.Bpe.mergeChainSql(graft.functions.Bpe.default, "w") +
+      ", chr(31)), chr(31) || chr(31))) AS tok FROM wd), " +
+      "ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "  CAST(sum(length(tok)) AS BIGINT) AS sum_chars, " +
+      "  CAST(max(length(tok)) AS INT) AS max_chars FROM tk GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+      "CAST(COALESCE(a.sum_chars, 0) AS BIGINT) AS sum_chars, " +
+      "CAST(COALESCE(a.max_chars, 0) AS INT) AS max_chars " +
+      "FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id"),
+
+    // model-free invariants of ANY correct BPE apply: tokens tile the
+    // word chars; the word count matches the shared pretokenizer
+    // (same explicit separator class as q_bpe_tokenize — RE2 \s has
+    // no \x0B; stripped set for sum_chars = controls + space, exactly
+    // the chars pretokenize never lets into a word)
+    "q_bpe_train_apply" -> (
+      "SELECT doc_id, " +
+      "CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, " +
+      "'[\\x00-\\x08\\x0e-\\x1f]+', '', 'g'), '[\\x09-\\x0d ]+'), " +
+      "x -> len(x) > 0)) AS INT) AS n_words, " +
+      "CAST(length(regexp_replace(text, '[\\x00-\\x1f ]', '', 'g')) AS BIGINT) " +
+      "AS sum_chars FROM documents"),
+
+    "q_lang_id" -> langIdSql,
+
+    // ---- dedup family --------------------------------------------------
+    "q_dedup_exact" ->
+      ("SELECT * FROM documents " +
+       "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"),
+    "q_dedup_fingerprint" ->
+      ("SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY " +
+       "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) ORDER BY doc_id) = 1"),
+    "q_dedup_ngram_jaccard" -> exactJaccardSql,
+    // cross-tier oracles: the prune-then-verify queries emit EXACT
+    // n-gram jaccard for LSH/simhash candidates, so the exact-pairs SQL
+    // is a true oracle wherever the pruner's recall is 1 (it is, on the
+    // planted corpus — pinned in TextDedupSpec).
+    "q_dedup_minhash" -> exactJaccardSql,
+    // NOT the exact-jaccard oracle: simhash prunes by HAMMING, and
+    // true-jaccard pairs reach hamming 13 on this data (HammingAudit)
+    // — the oracle replicates the pruner's exact semantics instead
+    "q_dedup_simhash" -> simhashPrunedJaccardSql,
+    // cross-tier oracle: Spark dedups via minhash-LSH components; the
+    // oracle dedups via EXACT jaccard pairs + recursive-CTE components.
+    // They agree because the LSH tier recovers exactly the exact tier's
+    // pairs on this corpus (cross-validated in q_dedup_minhash).
+    "q_dedup_corpus" -> (
+      "WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jp AS (SELECT id_a, id_b FROM cp JOIN sz x ON x.doc_id = id_a " +
+      "  JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM jp " +
+      "  UNION SELECT id_b, id_a FROM jp), " +
+      "reach AS (SELECT src, dst FROM edges " +
+      "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
+      "  FROM reach GROUP BY src) " +
+      "SELECT d.* FROM documents d WHERE d.doc_id NOT IN " +
+      "(SELECT id FROM comp WHERE component != id)"),
+    "q_dedup_embedding" -> (
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c.cos, 6) AS cos " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, " +
+      "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
+      "WHERE c.cos >= 0.45"),
+    // float32 nudge is bit-identical in both engines (IEEE single add);
+    // cosine then runs in doubles on both sides (established recipe).
+    "q_dedup_embedding_lsh" -> (
+      "WITH aug AS (" +
+      "  SELECT vec_id, embedding FROM embeddings " +
+      "  UNION ALL " +
+      "  SELECT vec_id + 100000, " +
+      "    list_prepend(embedding[1] + CAST(0.05 AS FLOAT), embedding[2:]) " +
+      "  FROM embeddings WHERE vec_id < 25" +
+      ") " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c.cos, 6) AS cos " +
+      "FROM aug a JOIN aug b ON a.vec_id < b.vec_id, " +
+      "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
+      "WHERE c.cos >= 0.7"),
+
+    // exact cross-split jaccard pairs decide contamination; survivors =
+    // corpus docs with no >=0.5 partner in the reference split
+    "q_decontaminate" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id >= 20 AND b.doc_id < 20 " +
+      "  GROUP BY 1, 2), " +
+      "bad AS (SELECT DISTINCT id_a FROM cp " +
+      "  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5) " +
+      "SELECT d.* FROM documents d WHERE d.doc_id >= 20 " +
+      "AND d.doc_id NOT IN (SELECT id_a FROM bad)"),
+    // any-shared-8-gram contamination: same tok CTE, width-8 windows
+    // (i : i+7, end = len-6), whole-doc fallback under 8 tokens
+    "q_decontaminate_exact" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 8 THEN " +
+      "    array_to_string(ts[i:i+7], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 6, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "bad AS (SELECT DISTINCT a.doc_id AS id FROM sh a " +
+      "  JOIN sh b ON a.sh = b.sh AND a.doc_id >= 20 AND b.doc_id < 20) " +
+      "SELECT d.* FROM documents d WHERE d.doc_id >= 20 " +
+      "AND d.doc_id NOT IN (SELECT id FROM bad)"),
+    // same exact-jaccard verification as q_decontaminate, aggregated
+    // per corpus source over the verified (doc, eval-item) pairs
+    "q_contamination_report" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id >= 20 AND b.doc_id < 20 " +
+      "  GROUP BY 1, 2), " +
+      "bad AS (SELECT id_a, id_b FROM cp " +
+      "  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5) " +
+      "SELECT d.source, count(DISTINCT b.id_a) AS n_docs_flagged, " +
+      "count(*) AS n_matches " +
+      "FROM bad b JOIN documents d ON d.doc_id = b.id_a GROUP BY d.source"),
+
+    "q_dedup_embedding_corpus" -> embCorpusDedupSql,
+    // cluster-bounded (SemDeDup) dedup shares the all-pairs oracle: on
+    // this corpus every >=0.7 pair is a planted near-copy, and each
+    // pair SHARES A PROBED CLUSTER under nprobe=2 soft assignment
+    // (co-probing pinned at all three SFs in TextDedupSpec — hard
+    // nprobe=1 assignment provably misses boundary pairs), so cluster
+    // bounding drops nothing the all-pairs tier keeps; a recall
+    // shortfall WOULD fail this hash check.
+    "q_semantic_dedup" -> embCorpusDedupSql) ++ oracleSqlTail
+
+  private val embCorpusDedupSql: String = (
+      "WITH RECURSIVE aug AS (" +
+      "  SELECT vec_id, embedding FROM embeddings " +
+      "  UNION ALL " +
+      "  SELECT vec_id + 100000, " +
+      "    list_prepend(embedding[1] + CAST(0.05 AS FLOAT), embedding[2:]) " +
+      "  FROM embeddings WHERE vec_id < 25" +
+      "), jp AS (" +
+      "  SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "  FROM aug a JOIN aug b ON a.vec_id < b.vec_id, " +
+      "  LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+      "  CAST(b.embedding AS DOUBLE[])) AS cos) c WHERE c.cos >= 0.7" +
+      "), edges AS (SELECT id_a AS src, id_b AS dst FROM jp " +
+      "  UNION SELECT id_b, id_a FROM jp" +
+      "), reach AS (SELECT src, dst FROM edges " +
+      "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src" +
+      "), comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
+      "  FROM reach GROUP BY src) " +
+      "SELECT vec_id FROM aug WHERE vec_id NOT IN " +
+      "(SELECT id FROM comp WHERE component != id)")
+
+  private val oracleSqlTail: Map[String, String] = Map(
+
+    // ---- similarity search ---------------------------------------------
+    "q_ann_lsh" -> annTop1Sql,
+    "q_ann_pq" -> annTop1Sql,
+    "q_ann_ivf_pq" -> annTop1Sql,
+    "q_ann_ivf" -> annTop1Sql,
+    "q_ann_ivf_index" -> annTop1Sql,
+    "q_ann_ivfpq_index" -> annTop1Sql,
+    "q_ann_ivfpq_append" -> annTop1Sql,
+    "q_ann_sql" -> annTop1Sql,
+    "q_ann_topk" -> (
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INT) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id != c.vec_id " +
+      "QUALIFY rank <= 10"),
+    "q_hard_negatives" -> (
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INT) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON q.vec_id % 100 = 0 " +
+      "AND q.vec_id != c.vec_id AND q.label != c.label " +
+      "QUALIFY rank <= 5"),
+    "q_balance_labels" -> (
+      "WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label), " +
+      "m AS (SELECT min(n) AS mn FROM c), " +
+      "r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY label " +
+      "  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings) " +
+      "SELECT vec_id, label FROM r, m WHERE rn <= mn"),
+
+    // ---- multimodal -----------------------------------------------------
+    "q_multimodal_bytes" -> (
+      "SELECT doc_id AS asset_id, " +
+      "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents"),
+    // byte histogram via char codes: corpus is pure ASCII (verified), so
+    // unicode(char) == byte value and char count == octet count.
+    "q_multimodal_features" -> (
+      "WITH chars AS (" +
+      "  SELECT doc_id, unicode(c) // 16 AS bin " +
+      "  FROM documents, LATERAL unnest(string_split(text, '')) AS t(c)" +
+      "), counts AS (" +
+      "  SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2" +
+      "), grid AS (" +
+      "  SELECT doc_id, unnest(range(16)) AS bin FROM documents" +
+      ") " +
+      "SELECT g.doc_id AS asset_id, CAST(g.bin AS INT) AS bin, " +
+      "CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt " +
+      "FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.bin = c.bin"),
+
+    // recomputes the decoded-image stats from doc_id alone (the test
+    // image's dims/pixels are pure functions of the id): any decoder
+    // bug — BGR order, bottom-up rows, row padding, header scan —
+    // diverges from this closed form
+    "q_multimodal_decode" -> decodedStatsOracleSql,
+    // the PNG fixture carries the SAME pixels, so the same closed form
+    // gates the javax.imageio decode path (PNG is lossless: a DEFLATE /
+    // scanline-filter / color-model bug flips the integer sums)
+    "q_multimodal_decode_png" -> decodedStatsOracleSql,
+
+    // NN-resize replay: source pixel index of output (x, y) is
+    // ((x*w)//4, (y*h)//3) — integer division exactly as the codec's
+    // (x*srcW)/outW — then the test-image pixel formula applies
+    "q_multimodal_resize" -> (
+      "WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, " +
+      "  1 + doc_id % 5 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, xs.x, ys.y, cs.c FROM dims, " +
+      "  (SELECT unnest(range(4)) AS x) xs, " +
+      "  (SELECT unnest(range(3)) AS y) ys, " +
+      "  (SELECT unnest(range(3)) AS c) cs), " +
+      "pv AS (SELECT doc_id, c, " +
+      "  (doc_id*31 + 3*(((y*h)//3)*w + ((x*w)//4)) + c) % 256 AS v FROM g) " +
+      "SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height, " +
+      "CAST(3 AS INT) AS channels, " +
+      "CAST(sum(CASE WHEN c=0 THEN v ELSE 0 END) AS BIGINT) AS sum_r, " +
+      "CAST(sum(CASE WHEN c=1 THEN v ELSE 0 END) AS BIGINT) AS sum_g, " +
+      "CAST(sum(CASE WHEN c=2 THEN v ELSE 0 END) AS BIGINT) AS sum_b " +
+      "FROM pv GROUP BY doc_id"),
+
+    // replays the 9x8 NN gray grid from the pixel closed form
+    // ((id*31 + 3*(sy*w + sx) + c) % 256, summed over c), then every
+    // horizontal-gradient bit, packed into 32-bit halves (shifts stay
+    // < 32 — no engine-specific signed-shift edge at bit 63)
+    "q_multimodal_dhash" -> (
+      "WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, " +
+      "  1 + doc_id % 5 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, xs.x, ys.y FROM dims, " +
+      "  (SELECT unnest(range(9)) AS x) xs, " +
+      "  (SELECT unnest(range(8)) AS y) ys), " +
+      "gray AS (SELECT doc_id, x, y, " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9))) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 2) % 256) AS v FROM g), " +
+      "bits AS (SELECT a.doc_id, a.y, a.x, " +
+      "  CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit " +
+      "  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.y = b.y " +
+      "    AND b.x = a.x + 1 WHERE a.x < 8) " +
+      "SELECT doc_id, " +
+      "CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (1::BIGINT << (y*8+x-32)) " +
+      "  ELSE 0 END) AS BIGINT) AS dhash_hi, " +
+      "CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
+      "  ELSE 0 END) AS BIGINT) AS dhash_lo " +
+      "FROM bits GROUP BY doc_id"),
+
+    // same hash closed form, then hamming to doc 7's hash under the
+    // (hamming, id) total order
+    "q_image_search" -> (
+      "WITH dims AS (SELECT doc_id, 1 + doc_id % 7 AS w, " +
+      "  1 + doc_id % 5 AS h FROM documents), " +
+      "g AS (SELECT doc_id, w, h, xs.x, ys.y FROM dims, " +
+      "  (SELECT unnest(range(9)) AS x) xs, " +
+      "  (SELECT unnest(range(8)) AS y) ys), " +
+      "gray AS (SELECT doc_id, x, y, " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9))) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256) + " +
+      "  ((doc_id*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 2) % 256) AS v FROM g), " +
+      "bits AS (SELECT a.doc_id, a.y, a.x, " +
+      "  CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit " +
+      "  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.y = b.y " +
+      "    AND b.x = a.x + 1 WHERE a.x < 8), " +
+      "dh AS (SELECT doc_id, " +
+      "  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (1::BIGINT << (y*8+x-32)) " +
+      "    ELSE 0 END) AS BIGINT) AS hi, " +
+      "  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
+      "    ELSE 0 END) AS BIGINT) AS lo " +
+      "  FROM bits GROUP BY doc_id), " +
+      "q AS (SELECT hi AS qhi, lo AS qlo FROM dh WHERE doc_id = 7) " +
+      "SELECT d.doc_id, CAST(bit_count(xor(d.hi, qhi)) + " +
+      "  bit_count(xor(d.lo, qlo)) AS INT) AS hamming " +
+      "FROM dh d, q WHERE d.doc_id != 7 " +
+      "ORDER BY hamming ASC, doc_id ASC LIMIT 10"),
+
+    // hash closed form over the extended population (copies under
+    // id+1e6 hash from their BASE id — lossless recompression shares
+    // pixels), then an exact all-pairs hamming filter: the oracle is
+    // allowed the O(n^2) form the operator's banding avoids
+    "q_image_neardup" -> (
+      "WITH ids AS (SELECT doc_id FROM documents " +
+      "  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0), " +
+      "dims AS (SELECT doc_id, doc_id % 1000000 AS base, " +
+      "  1 + (doc_id % 1000000) % 7 AS w, 1 + (doc_id % 1000000) % 5 AS h FROM ids), " +
+      "g AS (SELECT doc_id, base, w, h, xs.x, ys.y FROM dims, " +
+      "  (SELECT unnest(range(9)) AS x) xs, (SELECT unnest(range(8)) AS y) ys), " +
+      "gray AS (SELECT doc_id, x, y, " +
+      "  ((base*31 + 3*(((y*h)//8)*w + ((x*w)//9))) % 256) + " +
+      "  ((base*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 1) % 256) + " +
+      "  ((base*31 + 3*(((y*h)//8)*w + ((x*w)//9)) + 2) % 256) AS v FROM g), " +
+      "bits AS (SELECT a.doc_id, a.y, a.x, " +
+      "  CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit " +
+      "  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.y = b.y " +
+      "    AND b.x = a.x + 1 WHERE a.x < 8), " +
+      "dh AS (SELECT doc_id, " +
+      "  CAST(sum(CASE WHEN y*8+x >= 32 THEN bit * (1::BIGINT << (y*8+x-32)) " +
+      "    ELSE 0 END) AS BIGINT) AS hi, " +
+      "  CAST(sum(CASE WHEN y*8+x < 32 THEN bit * (1::BIGINT << (y*8+x)) " +
+      "    ELSE 0 END) AS BIGINT) AS lo " +
+      "  FROM bits GROUP BY doc_id) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) " +
+      "  AS hamming " +
+      "FROM dh a JOIN dh b ON a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"),
+
+    // recomputes the decoded-clip stats from doc_id alone (the test
+    // WAV's shape and every PCM sample are pure functions of the id):
+    // an endianness, sign-extension, 8-bit-centering, interleave, or
+    // RIFF chunk-scan bug diverges from this closed form
+    "q_multimodal_audio_decode" -> (
+      s"WITH $audioDimsSql, " +
+      "ix AS (SELECT doc_id, channels, bits, n_frames, " +
+      "  unnest(range(0, channels * n_frames)) AS i FROM dims), " +
+      "sv AS (SELECT doc_id, channels, bits, n_frames, i, " +
+      "  CASE WHEN bits = 8 THEN (doc_id*31 + i) % 256 - 128 " +
+      "  ELSE (doc_id*37 + i*101) % 65536 - 32768 END AS v FROM ix) " +
+      "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, channels, bits, " +
+      "n_frames, " +
+      "CAST(sum(CASE WHEN i % channels = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0, " +
+      "CAST(sum(CASE WHEN i % channels = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1, " +
+      "CAST(sum(abs(v)) AS BIGINT) AS sum_abs " +
+      "FROM sv GROUP BY doc_id, channels, bits, n_frames"),
+
+    // NN-resample replay: source frame of output k is (k*n_frames)//4
+    // — integer division exactly as the codec's (k*nFrames)/outFrames
+    // — then the test-clip sample formula applies at the source
+    // frame's interleaved index
+    "q_multimodal_audio_resample" -> (
+      s"WITH $audioDimsSql, " +
+      "fr AS (SELECT doc_id, channels, bits, n_frames AS src_frames, " +
+      "  unnest(range(0, 4)) AS k FROM dims), " +
+      "ix AS (SELECT doc_id, channels, bits, (k * src_frames) // 4 AS src, " +
+      "  unnest(range(0, channels)) AS c FROM fr), " +
+      "sv AS (SELECT doc_id, channels, bits, c, " +
+      "  CASE WHEN bits = 8 THEN (doc_id*31 + (src*channels + c)) % 256 - 128 " +
+      "  ELSE (doc_id*37 + (src*channels + c)*101) % 65536 - 32768 END AS v " +
+      "  FROM ix) " +
+      "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, channels, bits, " +
+      "CAST(4 AS INT) AS n_frames, " +
+      "CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_ch0, " +
+      "CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_ch1, " +
+      "CAST(sum(abs(v)) AS BIGINT) AS sum_abs " +
+      "FROM sv GROUP BY doc_id, channels, bits"),
+
+    // windowed-energy replay: window w covers interleaved sample
+    // indices [w*3*channels, (w+1)*3*channels); clips with fewer than
+    // 3 frames yield zero windows (range(0, 0) unnests to no rows),
+    // matching the full-windows-only posexplode
+    "q_multimodal_audio_energy" -> (
+      s"WITH $audioDimsSql, " +
+      "w AS (SELECT doc_id, channels, bits, " +
+      "  unnest(range(0, n_frames // 3)) AS win FROM dims), " +
+      "ix AS (SELECT doc_id, channels, bits, win, " +
+      "  unnest(range(0, 3*channels)) AS j FROM w), " +
+      "sv AS (SELECT doc_id, win, win*3*channels + j AS i, bits FROM ix), " +
+      "ev AS (SELECT doc_id, win, " +
+      "  CASE WHEN bits = 8 THEN (doc_id*31 + i) % 256 - 128 " +
+      "  ELSE (doc_id*37 + i*101) % 65536 - 32768 END AS v FROM sv) " +
+      "SELECT doc_id, CAST(win AS INT) AS win, " +
+      "CAST(sum(abs(v)) AS BIGINT) AS energy " +
+      "FROM ev GROUP BY doc_id, win"),
+
+    // JSONL replay: the fixture is a pure function of documents, so
+    // the oracle rebuilds both populations — clean rows carry the
+    // original values (round-trip fidelity), malformed ones the exact
+    // raw line in the quarantine column with an all-null payload
+    "q_jsonl_scan" -> (
+      "SELECT doc_id, source, text, CAST(NULL AS VARCHAR) AS quarantined " +
+      "FROM documents WHERE doc_id % 97 <> 0 " +
+      "UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), " +
+      "CAST(NULL AS VARCHAR), " +
+      "'BROKEN {\"doc_id\": ' || CAST(doc_id AS VARCHAR) " +
+      "FROM documents WHERE doc_id % 97 = 0"),
+
+    // write->read round-trip must reproduce the source table exactly
+    "q_jsonl_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+
+    // CSV replay: same two-population rebuild as q_jsonl_scan
+    "q_csv_scan" -> (
+      "SELECT doc_id, source, text, CAST(NULL AS VARCHAR) AS quarantined " +
+      "FROM documents WHERE doc_id % 97 <> 0 " +
+      "UNION ALL " +
+      "SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), " +
+      "CAST(NULL AS VARCHAR), " +
+      "'BROKEN id ' || CAST(doc_id AS VARCHAR) " +
+      "FROM documents WHERE doc_id % 97 = 0"),
+    "q_csv_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+    "q_orc_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+    "q_partitioned_write" -> "SELECT doc_id, source, text FROM documents",
+    "q_compact_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+
+    // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
+    // p*3 + i) mod 256 for i in [0, planeSize) — a plane-order,
+    // chroma-subsampling, or FRAME-scan bug in the codec diverges
+    // from this closed form
+    "q_multimodal_video_decode" -> (
+      s"WITH $videoDimsSql, " +
+      "fx AS (SELECT doc_id, w, h, cs444, nf, ysize, csize, " +
+      "  unnest(range(0, nf)) AS f FROM pl), " +
+      "px AS (SELECT doc_id, w, h, cs444, nf, f, p, " +
+      "  unnest(range(0, CASE WHEN p = 0 THEN ysize ELSE csize END)) AS i " +
+      "  FROM fx, LATERAL (SELECT unnest([0, 1, 2]) AS p)), " +
+      "v AS (SELECT doc_id, w, h, cs444, nf, p, " +
+      "  (doc_id*13 + f*7 + p*3 + i) % 256 AS v FROM px) " +
+      "SELECT doc_id, w AS width, h AS height, " +
+      "CAST(CASE WHEN cs444 THEN 444 ELSE 420 END AS INT) AS colorspace, " +
+      "nf AS n_frames, " +
+      "CAST(sum(CASE WHEN p = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_y, " +
+      "CAST(sum(CASE WHEN p = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_u, " +
+      "CAST(sum(CASE WHEN p = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_v " +
+      "FROM v GROUP BY doc_id, w, h, cs444, nf"),
+
+    // NN frame-sample replay: source frame of output k is
+    // (k*nf)//3 — integer division exactly as the codec's
+    // (k*nFrames)/outFrames — then the test-clip byte formula applies
+    // over that frame's Y plane
+    "q_multimodal_video_frames_real" -> (
+      s"WITH $videoDimsSql, " +
+      "fr AS (SELECT doc_id, ysize, nf, unnest(range(0, 3)) AS k FROM pl), " +
+      "ix AS (SELECT doc_id, k, (k * nf) // 3 AS src, " +
+      "  unnest(range(0, ysize)) AS i FROM fr) " +
+      "SELECT doc_id, CAST(k AS INT) AS frame_idx, " +
+      "CAST(sum((doc_id*13 + src*7 + i) % 256) AS BIGINT) AS luma " +
+      "FROM ix GROUP BY doc_id, k"),
+
+    "q_pack_sequences" -> (
+      "WITH t AS (SELECT doc_id, lang, " +
+      "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens " +
+      "FROM documents) " +
+      "SELECT doc_id, lang, n_tokens, " +
+      "CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) " +
+      "// 512 AS BIGINT) AS pack_id FROM t"),
+
+    // token-window chunking: same tokenization pair as q_token_count
+    // (Spark split vs RE2 regexp_split_to_array, ASCII-ws corpus);
+    // chunk-count formula mirrors Chunking.tokenWindows exactly
+    "q_chunk_windows" -> (
+      "WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks " +
+      "FROM documents), " +
+      "n AS (SELECT doc_id, toks, len(toks) AS n, " +
+      "CASE WHEN len(toks) <= 32 THEN 1 ELSE (len(toks) - 32 + 23) // 24 + 1 END AS nc " +
+      "FROM t) " +
+      "SELECT doc_id, CAST(i AS INT) AS chunk_idx, " +
+      "array_to_string(list_slice(toks, CAST(i * 24 + 1 AS INT), CAST(i * 24 + 32 AS INT)), ' ') AS chunk, " +
+      "CAST(least(32, n - i * 24) AS INT) AS n_chunk_tokens " +
+      "FROM n, LATERAL (SELECT unnest(range(nc)) AS i)"),
+
+    "q_chunk_content" -> contentChunkSql,
+
+    "q_multimodal_frames" -> (
+      "SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx, " +
+      "substring(text, CAST(i * 48 + 1 AS INT), 64) AS frame " +
+      "FROM documents, LATERAL (SELECT unnest(range(" +
+      "CASE WHEN length(text) >= 64 THEN (length(text) - 64) // 48 + 1 " +
+      "ELSE 0 END)) AS i)"),
+
+    // pipeline spine: limit (ordered) -> sanitize (identity on this
+    // clean table) -> AnyOfInt filter (drops matching) -> Replace+Nullify
+    "q_anonymize_pipeline" -> (
+      "SELECT c_custkey, 'ANONYMIZED' AS c_name, c_nationkey, " +
+      "CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment " +
+      "FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 1000) " +
+      "WHERE c_nationkey IS NULL OR c_nationkey NOT IN (3, 4)"),
+
+    // ---- corpus analysis / sessionization (round 4) --------------------
+    "q_sessionize" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events), " +
+      "m AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER " +
+      "  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 " +
+      "  THEN 1 ELSE 0 END AS ns FROM e), " +
+      "si AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id " +
+      "  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "  AS BIGINT) AS session_idx FROM m) " +
+      "SELECT user_id, session_idx, count(*) AS n_events, " +
+      "min(ts) AS session_start, max(ts) AS session_end " +
+      "FROM si GROUP BY 1, 2"),
+    "q_quality_repetition" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "base AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, " +
+      "  CAST(len(list_distinct(ts)) AS INT) AS n_distinct FROM tok), " +
+      "bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bc GROUP BY 1) " +
+      "SELECT b.doc_id, b.n_tokens, b.n_distinct, " +
+      "round(CASE WHEN b.n_tokens = 0 THEN 0.0 " +
+      "  ELSE 1.0 - b.n_distinct * 1.0 / b.n_tokens END, 6) AS dup_word_ratio, " +
+      "round(CASE WHEN mx.nb IS NULL THEN 0.0 " +
+      "  ELSE mx.mc * 1.0 / mx.nb END, 6) AS top_bigram_ratio " +
+      "FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id"),
+    "q_vocab_topk" -> (
+      "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), " +
+      "'\\s+')) AS token FROM documents) " +
+      "SELECT token, count(*) AS cnt FROM tok WHERE length(token) > 0 " +
+      "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50"),
+    "q_date_dim" -> (
+      "WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo, " +
+      "  CAST(max(o_orderdate) AS DATE) AS hi FROM orders), " +
+      "dd AS (SELECT CAST(unnest(generate_series(lo, hi, " +
+      "  INTERVAL 1 DAY)) AS DATE) AS d FROM span) " +
+      "SELECT d, CAST(year(d) AS BIGINT) AS yr, " +
+      "CAST(month(d) AS BIGINT) AS mo, " +
+      "CAST(day(d) AS BIGINT) AS dom, " +
+      "CAST(isodow(d) AS BIGINT) AS isodow, " +
+      "CAST(quarter(d) AS BIGINT) AS qtr, " +
+      "CAST(weekofyear(d) AS BIGINT) AS iso_week, " +
+      "CAST(isoyear(d) AS BIGINT) AS iso_yr, " +
+      "isodow(d) >= 6 AS is_weekend, " +
+      "d = last_day(d) AS is_month_end FROM dd"),
+    "q_class_terms" -> (
+      "WITH tok AS (SELECT source AS class, unnest(list_filter(" +
+      "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
+      "t -> t != '')) AS term FROM documents), " +
+      "tc AS (SELECT class, term, count(*) AS tf_c FROM tok GROUP BY 1, 2), " +
+      "sc AS (SELECT class, term, tf_c, " +
+      "  CAST(sum(tf_c) OVER (PARTITION BY term) AS BIGINT) AS tf_g, " +
+      "  CAST(sum(tf_c) OVER (PARTITION BY class) AS BIGINT) AS ct, " +
+      "  (SELECT CAST(sum(tf_c) AS BIGINT) FROM tc) AS total " +
+      "  FROM tc), " +
+      "lf AS (SELECT class, term, tf_c, " +
+      "  ((tf_c * 1000000 // tf_g) * total // ct) AS lift_ppm FROM sc " +
+      "  WHERE tf_c >= 5) " +
+      "SELECT class, term, tf_c, CAST(lift_ppm AS BIGINT) AS lift_ppm, " +
+      "CAST(row_number() OVER (PARTITION BY class " +
+      "  ORDER BY lift_ppm DESC, term ASC) AS BIGINT) AS rank " +
+      "FROM lf QUALIFY rank <= 5"),
+    "q_winsorize" -> (
+      "WITH e AS (SELECT event_type, event_id, value FROM events " +
+      "  WHERE user_id % 11 = 0), " +
+      "r AS (SELECT event_type, event_id, value, " +
+      "  row_number() OVER (PARTITION BY event_type " +
+      "    ORDER BY value ASC, event_id ASC) AS rn, " +
+      "  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n " +
+      "  FROM e), " +
+      "b AS (SELECT event_type, event_id, value, rn, n, " +
+      "  greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) AS rlo, " +
+      "  CAST(ceil(0.95 * n) AS BIGINT) AS rhi FROM r), " +
+      "lim AS (SELECT event_type, " +
+      "  max(CASE WHEN rn = rlo THEN value END) AS lo, " +
+      "  max(CASE WHEN rn = rhi THEN value END) AS hi " +
+      "  FROM b GROUP BY event_type) " +
+      "SELECT b.event_type, b.event_id, b.value, " +
+      "least(greatest(b.value, lim.lo), lim.hi) AS v_clip " +
+      "FROM b JOIN lim ON b.event_type = lim.event_type"),
+    // lift_ppm = N·c(ab)·1e6 div (c(a)·c(b)) — all-integer, so the
+    // ranking (monotone in PMI) replays exactly
+    "q_pmi_collocations" -> (
+      "WITH tok AS (SELECT list_filter(regexp_split_to_array(" +
+      "lower(trim(coalesce(text, ''))), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "uc AS (SELECT w, count(*) AS c FROM " +
+      "  (SELECT unnest(ts) AS w FROM tok) GROUP BY w), " +
+      "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uc), " +
+      "bi AS (SELECT ts[i] AS w1, ts[i+1] AS w2 " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2 " +
+      "  HAVING count(*) >= 3) " +
+      "SELECT w1, w2, c_ab, " +
+      "CAST(n_total * c_ab * 1000000 // (a.c * b.c) AS BIGINT) AS lift_ppm " +
+      "FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tot " +
+      "ORDER BY lift_ppm DESC, w1 ASC, w2 ASC LIMIT 40"),
+    "q_transitions" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
+      "  FROM events), " +
+      "p AS (SELECT event_type AS from_state, lead(event_type) OVER " +
+      "  (PARTITION BY user_id ORDER BY ts, event_id) AS to_state FROM e), " +
+      "c AS (SELECT from_state, to_state, count(*) AS n FROM p " +
+      "  WHERE to_state IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT from_state, to_state, n, " +
+      "CAST(n * 1000000 // CAST(sum(n) OVER (PARTITION BY from_state) " +
+      "  AS BIGINT) AS BIGINT) AS p_ppm FROM c"),
+    "q_resample_locf" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, value " +
+      "  FROM events), " +
+      "b AS (SELECT user_id, ts // 86400000000 AS bkt, value, " +
+      "  row_number() OVER (PARTITION BY user_id, ts // 86400000000 " +
+      "  ORDER BY ts DESC, event_id DESC) AS rn FROM e), " +
+      "lastv AS (SELECT user_id, bkt, value FROM b WHERE rn = 1), " +
+      "spans AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi " +
+      "  FROM lastv GROUP BY user_id), " +
+      "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bkt " +
+      "  FROM spans), " +
+      "j AS (SELECT g.user_id, g.bkt, l.value FROM grid g " +
+      "  LEFT JOIN lastv l ON g.user_id = l.user_id AND g.bkt = l.bkt) " +
+      "SELECT user_id, CAST(bkt * 86400000000 AS BIGINT) AS bucket_start, " +
+      "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
+      "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "  AS value FROM j"),
+    "q_histogram" -> (
+      "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc, " +
+      "  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), " +
+      "b AS (SELECT min(xc) AS lo, max(xc) AS hi FROM c) " +
+      "SELECT CAST((xc - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bin, " +
+      "count(*) AS n, min(v) AS bin_min, max(v) AS bin_max " +
+      "FROM c, b GROUP BY 1"),
+    "q_mad_outliers" -> (
+      "WITH m AS (SELECT event_type, value, quantile_cont(value, 0.5) OVER " +
+      "  (PARTITION BY event_type) AS med FROM events), " +
+      "d AS (SELECT event_type, abs(value - med) AS dev, med FROM m), " +
+      "d2 AS (SELECT event_type, dev, med, quantile_cont(dev, 0.5) OVER " +
+      "  (PARTITION BY event_type) AS mad FROM d) " +
+      "SELECT event_type, count(*) AS n, " +
+      "count(*) FILTER (WHERE dev > 3.0 * 1.4826 * mad) AS n_outliers, " +
+      "round(min(med), 6) AS med, round(min(mad), 6) AS mad " +
+      "FROM d2 GROUP BY event_type"),
+    // exact reachability closure: component = min id reachable
+    // (including self) — the fixpoint the min-label BSP converges to
+    "q_graph_components" -> (
+      "WITH RECURSIVE e AS (SELECT DISTINCT " +
+      "  CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey * 2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50 AND l_linenumber = 7), " +
+      "ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+      "reach(s, t) AS (SELECT a, b FROM ud " +
+      "  UNION SELECT r.s, u.b FROM reach r JOIN ud u ON r.t = u.a) " +
+      "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
+      "FROM reach GROUP BY s"),
+    "q_pagerank" -> pagerankOracle,
+    "q_ewma" -> ewmaOracle,
+    // a<b<c triple join — the oracle may use the simple form the
+    // operator's degree orientation makes scale-safe
+    "q_triangle_count" -> (
+      s"WITH $coPartEdgesSql " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_triangles " +
+      "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
+      "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"),
+    "q_degree_dist" -> (
+      s"WITH $coPartEdgesSql, " +
+      "d AS (SELECT v, count(*) AS dd FROM " +
+      "  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v) " +
+      "SELECT dd AS degree, count(*) AS n_vertices FROM d GROUP BY dd"),
+    "q_fd_violations" -> (
+      "SELECT l_partkey, count(DISTINCT l_suppkey) AS n_distinct, " +
+      "count(*) AS n_rows FROM lineitem GROUP BY l_partkey " +
+      "HAVING count(DISTINCT l_suppkey) > 1"),
+    "q_order_lifecycle" -> (
+      "SELECT o_orderkey, " +
+      "CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "  min(CAST(l_shipdate AS DATE))) AS BIGINT) AS days_to_first_ship, " +
+      "CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "  max(CAST(l_shipdate AS DATE))) AS BIGINT) AS days_to_last_ship, " +
+      "count(*) AS n_lines " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_orderkey % 9 = 0 " +
+      "GROUP BY o_orderkey, o_orderdate"),
+    "q_ri_audit" -> (
+      "SELECT 'orders->customer' AS relation, " +
+      "CAST(count(*) AS BIGINT) AS n_orphans FROM " +
+      "  (SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 5000000 " +
+      "    ELSE o_custkey END AS k FROM orders) o " +
+      "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.k) " +
+      "UNION ALL " +
+      "SELECT 'lineitem->orders', CAST(count(*) AS BIGINT) FROM lineitem l " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)"),
+    "q_mix_top_p" -> (
+      "WITH d AS (SELECT doc_id, n_chars, CAST(len(list_filter(" +
+      "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
+      "t -> t != '')) AS BIGINT) AS tok FROM documents), " +
+      "t AS (SELECT CAST(sum(tok) AS BIGINT) AS total FROM d), " +
+      "c AS (SELECT doc_id, n_chars, tok, CAST(sum(tok) OVER " +
+      "  (ORDER BY n_chars DESC, doc_id ASC ROWS BETWEEN UNBOUNDED " +
+      "  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM d) " +
+      "SELECT doc_id, n_chars, tok, cum_tokens FROM c, t " +
+      "WHERE (cum_tokens - tok) * 1000000 < 600000 * total"),
+    "q_join_nullsafe" -> (
+      "WITH a AS (SELECT nullif(o_orderpriority, '1-URGENT') AS p " +
+      "  FROM orders), " +
+      "b AS (SELECT DISTINCT nullif(o_orderpriority, '1-URGENT') AS p " +
+      "  FROM orders) " +
+      "SELECT a.p, count(*) AS n FROM a JOIN b " +
+      "ON a.p IS NOT DISTINCT FROM b.p GROUP BY a.p"),
+    "q_ntile" -> (
+      "SELECT c_custkey, c_acctbal, CAST(ntile(4) OVER " +
+      "(ORDER BY c_acctbal ASC, c_custkey ASC) AS BIGINT) AS quartile " +
+      "FROM customer"),
+    "q_window_distribution" -> (
+      "SELECT c_custkey, c_nationkey, " +
+      "CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm, " +
+      "CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm, " +
+      "CAST(dense_rank() OVER w AS BIGINT) AS dr " +
+      "FROM customer WINDOW w AS (PARTITION BY c_nationkey " +
+      "ORDER BY c_acctbal ASC, c_custkey ASC)"),
+    "q_inverted_index" -> (
+      "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+      "regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), " +
+      "t -> t != '')) AS term FROM documents), " +
+      "td AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY 1, 2), " +
+      "r AS (SELECT term, doc_id, c, row_number() OVER " +
+      "  (PARTITION BY term ORDER BY doc_id) AS rn FROM td) " +
+      "SELECT term, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf, " +
+      "array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 8)), ',') " +
+      "  AS posting_sample " +
+      "FROM r GROUP BY term"),
+    // closed-form 2-D skyline: per-price max date, then a strict-prefix
+    // running max over descending price; survivors join back for ties
+    "q_skyline" -> (
+      "WITH g AS (SELECT o_totalprice AS x, max(o_orderdate) AS y " +
+      "  FROM orders GROUP BY 1), " +
+      "s AS (SELECT x, y, max(y) OVER (ORDER BY x DESC " +
+      "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM g) " +
+      "SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate " +
+      "FROM orders o JOIN s ON o.o_totalprice = s.x AND o.o_orderdate = s.y " +
+      "WHERE s.pm IS NULL OR s.y > s.pm"),
+    "q_trigram_join" -> (
+      "WITH p AS (SELECT p_partkey AS id, " +
+      "  lower(trim(coalesce(p_name, ''))) AS s " +
+      "  FROM part WHERE p_partkey % 20 = 0), " +
+      "g AS (SELECT id, list_distinct([substr(s, i, 3) " +
+      "  for i in range(1, len(s) - 1)]) AS gs FROM p WHERE len(s) >= 3) " +
+      "SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b, " +
+      "CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS shared, " +
+      "CAST(len(list_intersect(a.gs, b.gs)) * 1000000 // " +
+      "  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) " +
+      "  AS BIGINT) AS jac_ppm " +
+      "FROM g a JOIN g b ON a.id < b.id " +
+      "WHERE len(list_intersect(a.gs, b.gs)) >= 1 " +
+      "AND len(list_intersect(a.gs, b.gs)) * 1000000 // " +
+      "  (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) " +
+      "  >= 450000"),
+    "q_corpus_stats" -> (
+      "SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_len, " +
+      "round(quantile_cont(n_chars, 0.25), 6) AS p25, " +
+      "round(quantile_cont(n_chars, 0.5), 6) AS p50, " +
+      "round(quantile_cont(n_chars, 0.9), 6) AS p90, " +
+      "round(quantile_cont(n_chars, 0.99), 6) AS p99 " +
+      "FROM documents GROUP BY source"),
+    // generated from Transformators.PiiRules — one source of truth for
+    // the pattern strings (they are RE2-compatible by construction)
+    "q_pii_redact" -> {
+      val redacted = graft.operators.Transformators.PiiRules
+        .foldLeft("c_name") { case (acc, (re, tag)) =>
+          s"regexp_replace($acc, '$re', '$tag', 'g')"
+        }
+      s"SELECT c_custkey, $redacted AS c_name, c_nationkey, c_acctbal, " +
+      "c_mktsegment FROM customer"
+    },
+    // scaled-log arithmetic written IDENTICALLY on both sides:
+    // floor(1e6*ln(p)+0.5) as exact longs (order-independent integer
+    // sums), perplexity from the same division shape, round 6
+    "q_bm25_score" -> bm25Sql,
+    "q_lm_score" -> (
+      "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+      "  regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS w " +
+      "  FROM documents), " +
+      "cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w), " +
+      "tot AS (SELECT sum(c) AS t FROM cnt), " +
+      "vocab AS (SELECT w, CAST(floor(1e6 * ln(c * 1.0 / t) + 0.5) AS BIGINT) AS lp " +
+      "  FROM cnt, tot QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 20), " +
+      "oov AS (SELECT CAST(floor(1e6 * ln(0.5 / t) + 0.5) AS BIGINT) AS lp FROM tot), " +
+      "scored AS (SELECT doc_id, count(*) AS n, " +
+      "  sum(coalesce(v.lp, o.lp)) AS s " +
+      "  FROM tok LEFT JOIN vocab v USING (w) CROSS JOIN oov o GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(sc.n, 0) AS INT) AS n_tokens, " +
+      "CAST(coalesce(sc.s, 0) AS BIGINT) AS lp_scaled, " +
+      "CASE WHEN coalesce(sc.n, 0) = 0 THEN 0.0 ELSE " +
+      "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.n * 1000000.0)), 6) END AS ppl " +
+      "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id"),
+    // the exact quadratic form the blocking avoids; both engines'
+    // levenshtein is the standard unit-cost edit distance
+    "q_fuzzy_pairs" -> (
+      "WITH pop AS (SELECT c_custkey AS id, lower(trim(c_name)) AS s " +
+      "  FROM customer WHERE c_custkey % 10 = 0) " +
+      "SELECT a.id AS id_a, b.id AS id_b, " +
+      "CAST(levenshtein(a.s, b.s) AS INT) AS dist " +
+      "FROM pop a JOIN pop b ON a.id < b.id " +
+      "WHERE levenshtein(a.s, b.s) <= 1"),
+    // full replay: identical integer-scaled idf, exact integer dot and
+    // norms, cosine as the only double (sqrt correctly rounded), same
+    // total order through the LIMIT
+    "q_tfidf_sim" -> (
+      "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+      "  regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '')) AS w " +
+      "  FROM documents), " +
+      "tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w), " +
+      "n AS (SELECT count(*) AS nd FROM documents), " +
+      "idf AS (SELECT w, CAST(floor(1e3 * ln(nd * 1.0 / df) + 0.5) AS BIGINT) " +
+      "  AS idf FROM (SELECT w, count(*) AS df FROM tf GROUP BY w) dfq, n " +
+      "  WHERE df BETWEEN 2 AND 50), " +
+      "vec AS (SELECT doc_id, tf.w, tf * idf AS wt FROM tf JOIN idf USING (w)), " +
+      "nrm AS (SELECT doc_id, sum(wt * wt) AS n2 FROM vec GROUP BY doc_id), " +
+      "dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "  sum(a.wt * b.wt) AS d FROM vec a JOIN vec b " +
+      "  ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, round(CAST(d AS DOUBLE) / " +
+      "  (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos " +
+      "FROM dot JOIN nrm na ON na.doc_id = id_a " +
+      "JOIN nrm nb ON nb.doc_id = id_b " +
+      "ORDER BY cos DESC, id_a, id_b LIMIT 20"),
+    // full model replay in SQL: both vocab tiers retrained from the
+    // corpus, identical scaled-log arithmetic, chr(31) = the 
+    // bigram separator; stupid-backoff branch = ln(0.4) + unigram(w2)
+    "q_lm_bigram" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(" +
+      "  regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x != '') AS t " +
+      "  FROM documents), " +
+      "uni AS (SELECT unnest(t) AS w FROM tok), " +
+      "cnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w), " +
+      "tot AS (SELECT sum(c) AS tt FROM cnt), " +
+      "vocab AS (SELECT w, CAST(floor(1e6 * ln(c * 1.0 / tt) + 0.5) AS BIGINT) AS lp " +
+      "  FROM cnt, tot QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 20), " +
+      "oov AS (SELECT CAST(floor(1e6 * ln(0.5 / tt) + 0.5) AS BIGINT) AS lp FROM tot), " +
+      "bo AS (SELECT CAST(floor(1e6 * ln(0.4) + 0.5) AS BIGINT) AS lp), " +
+      "pairs AS (SELECT doc_id, " +
+      "  unnest(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1])) AS b, " +
+      "  unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2 " +
+      "  FROM tok WHERE len(t) >= 2), " +
+      "bcnt AS (SELECT b, count(*) AS cb FROM pairs GROUP BY b), " +
+      "bmodel AS (SELECT b, CAST(floor(1e6 * ln(cb * 1.0 / c1.c) + 0.5) AS BIGINT) AS lp " +
+      "  FROM bcnt JOIN cnt c1 ON split_part(bcnt.b, chr(31), 1) = c1.w " +
+      "  QUALIFY row_number() OVER (ORDER BY cb DESC, b ASC) <= 30), " +
+      "scored AS (SELECT doc_id, count(*) AS nb, " +
+      "  sum(coalesce(bm.lp, bo.lp + coalesce(v.lp, o.lp))) AS s " +
+      "  FROM pairs LEFT JOIN bmodel bm USING (b) " +
+      "  LEFT JOIN vocab v ON pairs.w2 = v.w " +
+      "  CROSS JOIN oov o CROSS JOIN bo GROUP BY doc_id) " +
+      "SELECT tk.doc_id, " +
+      "CAST(CASE WHEN len(tk.t) >= 2 THEN len(tk.t) - 1 ELSE 0 END AS INT) AS n_bigrams, " +
+      "CAST(coalesce(sc.s, 0) AS BIGINT) AS lp_scaled, " +
+      "CASE WHEN coalesce(sc.nb, 0) = 0 THEN 0.0 ELSE " +
+      "round(exp(-(CAST(sc.s AS DOUBLE)) / (sc.nb * 1000000.0)), 6) END AS ppl " +
+      "FROM tok tk LEFT JOIN scored sc ON tk.doc_id = sc.doc_id"),
+    // generated per column — one UNION ALL branch per customer column
+    "q_profile" -> (Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .map(c => s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM customer")
+      .mkString(" UNION ALL ") +
+      // temporal columns: DATE straight through; the events timestamp
+      // compares at µs on both sides (epoch_us mirrors the Spark
+      // side's timestamp_micros(ts div 1000) surface)
+      " UNION ALL SELECT 'o_orderdate' AS col_name, count(*) AS n_rows, " +
+      "CAST(count(*) - count(o_orderdate) AS BIGINT) AS n_nulls, " +
+      "CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct FROM orders" +
+      " UNION ALL SELECT 'ts' AS col_name, count(*) AS n_rows, " +
+      "CAST(count(*) - count(ts) AS BIGINT) AS n_nulls, " +
+      "CAST(count(DISTINCT epoch_us(ts)) AS BIGINT) AS n_distinct FROM events"),
+    "q_source_report" -> (
+      "WITH t AS (SELECT source, " +
+      "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp, " +
+      s"CAST($qNtokSql AS BIGINT) AS tok, " +
+      s"round($qQualitySql, 6) AS q FROM documents) " +
+      // integer-only projection (mirrors Corpus.sourceReportInts): no
+      // DOUBLE column survives to the compared output, so the row hash
+      // cannot depend on any engine's float formatting — n_dups and
+      // sum_q_scaled carry the same information as the dup_rate /
+      // avg_quality ratios (one division recovers them)
+      "SELECT source, count(*) AS n_docs, " +
+      "count(DISTINCT fp) AS n_distinct, " +
+      "CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dups, " +
+      // CAST required: DuckDB types sum(BIGINT) as HUGEINT, which pandas
+      // materializes as float64 while the Spark parquet column is int64 —
+      // a typed hasher then differs on bit-identical values (this exact
+      // column was the r5–r7 q_source_report hash mismatch)
+      "CAST(sum(tok) AS BIGINT) AS total_tokens, " +
+      "CAST(sum(CAST(floor(q * 1e6 + 0.5) AS BIGINT)) AS BIGINT) " +
+      "AS sum_q_scaled " +
+      "FROM t GROUP BY source"),
+    // replays the runtime-derived keep-rate in SQL: rate = budget /
+    // exact integer token total (both engines do the same float64
+    // division), threshold = floor(rate * 16^15) rendered as 15 hex
+    // digits — the same math as Sampling.thresholdHex, so the per-row
+    // lexicographic md5 compare selects the identical rows
+    "q_mix_token_budget" -> (
+      "WITH t AS (SELECT doc_id, " +
+      s"CAST($qNtokSql AS BIGINT) AS tok FROM documents), " +
+      "ev AS (SELECT doc_id FROM t WHERE doc_id % 2 = 0), " +
+      "rate AS (SELECT CAST(5000 AS DOUBLE) / sum(tok) AS r FROM t " +
+      "  WHERE doc_id % 2 = 0) " +
+      // r >= 1 replicates hashSample's keep-all branch: thresholdHex is
+      // undefined at rate 1 (needs 16 hex digits) and Spark skips the
+      // filter entirely — without this guard the truncated threshold
+      // would silently keep ~1/16 of rows (r4 review finding)
+      "SELECT doc_id, 'even' AS __source FROM ev, rate " +
+      "WHERE r >= 1.0 OR " +
+      "substr(md5('42:even:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      "  lpad(lower(hex(CAST(floor(r * power(16.0, 15)) AS BIGINT))), 15, '0') " +
+      "UNION ALL " +
+      "SELECT doc_id, 'odd' AS __source FROM t WHERE doc_id % 2 != 0"),
+    // temperature mix at tau=2: shares via sqrt (IEEE correctly rounded
+    // => engine-identical from the same exact integer totals); operand
+    // order mirrors Sampling.temperatureMix exactly: (p/denom * B) / t
+    "q_mix_temperature" -> (
+      "WITH t AS (SELECT doc_id, " +
+      s"CAST($qNtokSql AS BIGINT) AS tok FROM documents), " +
+      "te AS (SELECT CAST(sum(tok) AS DOUBLE) AS v FROM t WHERE doc_id % 2 = 0), " +
+      "tod AS (SELECT CAST(sum(tok) AS DOUBLE) AS v FROM t WHERE doc_id % 2 != 0), " +
+      "rates AS (SELECT " +
+      "  sqrt(te.v) / (sqrt(te.v) + sqrt(tod.v)) * CAST(6000 AS DOUBLE) / te.v AS re, " +
+      "  sqrt(tod.v) / (sqrt(te.v) + sqrt(tod.v)) * CAST(6000 AS DOUBLE) / tod.v AS ro " +
+      "  FROM te, tod) " +
+      "SELECT doc_id, 'even' AS __source FROM t, rates WHERE doc_id % 2 = 0 " +
+      "AND (re >= 1.0 OR " +
+      "substr(md5('42:even:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      "  lpad(lower(hex(CAST(floor(re * power(16.0, 15)) AS BIGINT))), 15, '0')) " +
+      "UNION ALL " +
+      "SELECT doc_id, 'odd' AS __source FROM t, rates WHERE doc_id % 2 != 0 " +
+      "AND (ro >= 1.0 OR " +
+      "substr(md5('42:odd:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +
+      "  lpad(lower(hex(CAST(floor(ro * power(16.0, 15)) AS BIGINT))), 15, '0'))"),
+    // the 60-bit md5 value rebuilt digit-by-digit as exact BIGINT math
+    // (v < 16^15 fits int64); v is non-negative so % == pmod
+    "q_shard_assign" -> {
+      val poly = (1 to 15).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * " +
+          (1L << (4 * (15 - i)))).mkString(" + ")
+      "WITH t AS (SELECT doc_id, " +
+      "substr(md5('42:shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
+      "FROM documents), " +
+      s"v AS (SELECT doc_id, h, CAST($poly AS BIGINT) AS v FROM t) " +
+      "SELECT doc_id, CAST(v % 8 AS INT) AS __shard, " +
+      "CAST(row_number() OVER (PARTITION BY v % 8 ORDER BY h, doc_id) - 1 " +
+      "AS BIGINT) AS __pos FROM v"
+    },
+    // repetition CTEs shared with q_quality_repetition; quality formula
+    // shared with q_text_quality — all comparisons on round-6 values,
+    // matching the Spark side's rounded signals exactly
+    "q_quality_filter" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "base AS (SELECT doc_id, len(ts) AS n_tokens, " +
+      "  len(list_distinct(ts)) AS n_distinct FROM tok), " +
+      "bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bc GROUP BY 1), " +
+      "rep AS (SELECT b.doc_id, b.n_tokens, " +
+      "  round(CASE WHEN b.n_tokens = 0 THEN 0.0 " +
+      "    ELSE 1.0 - b.n_distinct * 1.0 / b.n_tokens END, 6) AS dwr, " +
+      "  round(CASE WHEN mx.nb IS NULL THEN 0.0 " +
+      "    ELSE mx.mc * 1.0 / mx.nb END, 6) AS tbr " +
+      "  FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id) " +
+      "SELECT d.* FROM documents d JOIN rep r ON d.doc_id = r.doc_id " +
+      "WHERE r.n_tokens BETWEEN 20 AND 1000 " +
+      s"AND round($qQualitySql, 6) >= 0.55 " +
+      "AND r.dwr <= 0.6 AND r.tbr <= 0.1"),
+    "q_dedup_incremental" -> incrementalDedupSql,
+    // the bloom pre-filter is result-invisible (no false negatives;
+    // false positives removed by the verify join) => same oracle
+    "q_dedup_incremental_bloom" -> incrementalDedupSql,
+    "q_dedup_chunks" -> (
+      "WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), " +
+      "  '\\s+') AS ts FROM documents), " +
+      "ch AS (SELECT doc_id, i, array_to_string(ts[i*10+1:i*10+10], ' ') AS chunk " +
+      "  FROM tok, LATERAL (SELECT unnest(range(CAST(ceil(len(ts) / 10.0) " +
+      "  AS BIGINT))) AS i)), " +
+      "win AS (SELECT doc_id, i, chunk FROM ch QUALIFY " +
+      "  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) = 1) " +
+      "SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS text_clean " +
+      "FROM win GROUP BY doc_id"),
+    "q_dedup_substring" -> (substrDupCtes +
+      ", nd AS (SELECT doc_id, count(DISTINCT gram) AS n_dup_ngrams " +
+      "  FROM h GROUP BY doc_id), " +
+      "cv AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(nd.n_dup_ngrams, 0) AS n_dup_ngrams, " +
+      "coalesce(cv.dup_tokens, 0) AS dup_tokens, len(t.toks) AS n_tokens " +
+      "FROM tk t LEFT JOIN nd USING (doc_id) LEFT JOIN cv USING (doc_id)"),
+    "q_dedup_substring_clean" -> substrCleanOracle,
+    // same semantics through the SQL surface => same oracle
+    "q_substring_clean_sql" -> substrCleanOracle,
+    "q_sample_reservoir" -> (
+      "SELECT doc_id, lang, source, n_chars FROM documents " +
+      "ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 200"),
+    "q_window_range_frame" -> (
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+      "  CAST(round(value*100) AS BIGINT) AS cents FROM events) " +
+      "SELECT event_id, user_id, ts_us, " +
+      "CAST(count(*) OVER w AS BIGINT) AS w_cnt, " +
+      "CAST(sum(cents) OVER w AS BIGINT) AS w_cents " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us " +
+      "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
+    "q_time_to_event" -> (
+      "WITH g AS (SELECT event_type, lead(epoch_us(ts)) OVER " +
+      "  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+      "  - epoch_us(ts) AS gap FROM events) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+      "CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_gap_us " +
+      "FROM g WHERE gap IS NOT NULL GROUP BY event_type"),
+    // the IVM merge must equal the full recompute — so the oracle IS
+    // the full recompute
+    "q_ivm_agg" -> (
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM orders GROUP BY o_orderpriority"),
+    "q_cusum" -> (
+      "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_idx, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total, " +
+      "  CAST(count(*) AS BIGINT) AS days FROM d) " +
+      "SELECT day_idx, n, CAST(sum(n*1000000 - " +
+      "  (SELECT total*1000000//days FROM t)) OVER " +
+      "  (ORDER BY day_idx) AS BIGINT) AS cusum_ppm FROM d"),
+    "q_contribution" -> (
+      "WITH r AS (SELECT c_nationkey, " +
+      "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents " +
+      "  FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "  GROUP BY c_nationkey) " +
+      "SELECT c_nationkey, cents, " +
+      "cents*1000000 // CAST(sum(cents) OVER () AS BIGINT) AS share_ppm " +
+      "FROM r"),
+    "q_embed_quantize" -> (
+      "WITH q AS (SELECT vec_id, label, list_transform(embedding, " +
+      "  x -> greatest(-127, least(127, " +
+      "  CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)))) AS qq " +
+      "  FROM embeddings) " +
+      "SELECT vec_id, label, " +
+      "CAST(list_aggregate(qq, 'sum') AS BIGINT) AS q_sum, " +
+      "CAST(list_aggregate(list_transform(qq, x -> abs(x)), 'sum') " +
+      "  AS BIGINT) AS q_l1, " +
+      "CAST(list_aggregate(qq, 'max') AS BIGINT) AS q_max FROM q"),
+    "q_quantile_normalize" -> (
+      "WITH d AS (SELECT doc_id, source, n_chars, " +
+      "  CAST(rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) " +
+      "    AS BIGINT) AS rk, " +
+      "  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt " +
+      "  FROM documents) " +
+      "SELECT doc_id, source, n_chars, (rk-1)*1000000 // (cnt-1) AS pct_ppm " +
+      "FROM d"),
+    "q_gaps_islands" -> (
+      "WITH d AS (SELECT DISTINCT user_id, " +
+      "  epoch_us(ts) // 86400000000 AS day_idx FROM events), " +
+      "i AS (SELECT user_id, day_idx, day_idx - row_number() OVER " +
+      "  (PARTITION BY user_id ORDER BY day_idx) AS isl FROM d) " +
+      "SELECT user_id, CAST(min(day_idx) AS BIGINT) AS start_day, " +
+      "CAST(max(day_idx) AS BIGINT) AS end_day, " +
+      "CAST(count(*) AS BIGINT) AS n_days FROM i GROUP BY user_id, isl"),
+    "q_attribution" -> (
+      "WITH m AS (SELECT event_id, user_id, event_type, " +
+      "  epoch_us(ts) AS ts_us, " +
+      "  CASE WHEN event_type IN ('click','view') THEN event_id END AS mk_id, " +
+      "  CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END " +
+      "    AS mk_ts FROM events), " +
+      "a AS (SELECT event_id, user_id, event_type, ts_us, " +
+      "  last_value(mk_id IGNORE NULLS) OVER w AS attr_id, " +
+      "  last_value(mk_ts IGNORE NULLS) OVER w AS attr_ts FROM m " +
+      "  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+      "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT event_id, user_id, attr_id, ts_us - attr_ts AS gap_us FROM a " +
+      "WHERE event_type = 'purchase' AND attr_id IS NOT NULL"),
+    // exact reachability closure (the q_graph_components oracle) +
+    // majority vote with the (votes desc, label asc) tie-break
+    "q_component_label" -> (
+      "WITH RECURSIVE e AS (SELECT DISTINCT " +
+      "  CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey * 2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50 AND l_linenumber = 7), " +
+      "ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+      "reach(s, t) AS (SELECT a, b FROM ud " +
+      "  UNION SELECT r.s, u.b FROM reach r JOIN ud u ON r.t = u.a), " +
+      "comp AS (SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) " +
+      "  AS component FROM reach GROUP BY s), " +
+      "lab AS (SELECT c.component, cu.c_mktsegment AS seg, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM comp c " +
+      "  JOIN customer cu ON c.id = cu.c_custkey * 2 GROUP BY 1, 2), " +
+      "mx AS (SELECT component, seg, n, rank() OVER (PARTITION BY " +
+      "  component ORDER BY n DESC, seg ASC) AS rk FROM lab) " +
+      "SELECT component, seg AS majority_label, n AS n_votes " +
+      "FROM mx WHERE rk = 1"),
+    "q_basket_pairs" -> (
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 200 AS pg " +
+      "  FROM lineitem) " +
+      "SELECT a.pg AS item_a, b.pg AS item_b, " +
+      "CAST(count(*) AS BIGINT) AS support " +
+      "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.pg < b.pg " +
+      "GROUP BY 1, 2 HAVING count(*) >= 8"),
+    "q_dq_rules" -> (
+      "SELECT 'c_acctbal_nonneg' AS rule, CAST(count(*) FILTER " +
+      "  (WHERE c_acctbal < 0) AS BIGINT) AS n_violations, " +
+      "  CAST(count(*) AS BIGINT) AS n_checked FROM customer " +
+      "UNION ALL SELECT 'c_name_prefix', CAST(count(*) FILTER " +
+      "  (WHERE c_name NOT LIKE 'Customer#%') AS BIGINT), " +
+      "  CAST(count(*) AS BIGINT) FROM customer " +
+      "UNION ALL SELECT 'o_totalprice_pos', CAST(count(*) FILTER " +
+      "  (WHERE o_totalprice <= 0) AS BIGINT), " +
+      "  CAST(count(*) AS BIGINT) FROM orders " +
+      "UNION ALL SELECT 'l_discount_range', CAST(count(*) FILTER " +
+      "  (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT), " +
+      "  CAST(count(*) AS BIGINT) FROM lineitem"),
+    "q_asof_tolerance" -> (
+      "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us " +
+      "  FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT event_id AS attr_id, user_id, epoch_us(ts) AS c_ts " +
+      "  FROM events WHERE event_type = 'click') " +
+      "SELECT p.event_id, p.user_id, c.attr_id, p.ts_us - c.c_ts AS gap_us " +
+      "FROM p JOIN c ON p.user_id = c.user_id " +
+      "  AND c.c_ts <= p.ts_us AND c.c_ts > p.ts_us - 14400000000 " +
+      "QUALIFY row_number() OVER (PARTITION BY p.event_id " +
+      "  ORDER BY c.c_ts DESC, c.attr_id DESC) = 1"),
+    "q_ohlc_resample" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx, " +
+      "  epoch_us(ts) AS ts_us, event_id, " +
+      "  CAST(round(value*100) AS BIGINT) AS cents FROM events), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day_idx " +
+      "  ORDER BY ts_us, event_id) AS ra, " +
+      "  row_number() OVER (PARTITION BY user_id, day_idx " +
+      "  ORDER BY ts_us DESC, event_id DESC) AS rd FROM e) " +
+      "SELECT user_id, day_idx, " +
+      "CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_c, " +
+      "CAST(max(cents) AS BIGINT) AS high_c, " +
+      "CAST(min(cents) AS BIGINT) AS low_c, " +
+      "CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_c, " +
+      "CAST(count(*) AS BIGINT) AS n_events FROM r GROUP BY 1, 2"),
+    "q_target_encode" -> (
+      "WITH o AS (SELECT o_orderkey, o_orderpriority, " +
+      "  CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+      "g AS (SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS s, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1) " +
+      "SELECT o_orderkey, o.o_orderpriority, (s - c) // (n - 1) " +
+      "  AS loo_cents " +
+      "FROM o JOIN g USING (o_orderpriority) WHERE o_orderkey % 13 = 0"),
+    "q_label_outliers" -> (
+      "WITH q AS (SELECT vec_id, label, list_transform(embedding, " +
+      "  x -> greatest(-127, least(127, " +
+      "  CAST(floor(CAST(x AS DOUBLE)*127 + 0.5) AS BIGINT)))) AS qq " +
+      "  FROM embeddings), " +
+      "e AS (SELECT vec_id, label, i AS pos, qq[i+1] AS code " +
+      "  FROM q, LATERAL (SELECT unnest(range(len(qq))) AS i)), " +
+      "c AS (SELECT label, pos, CAST(sum(code) AS BIGINT) AS csum, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), " +
+      "d AS (SELECT e.vec_id, e.label, " +
+      "  CAST(sum((e.code * c.n - c.csum) * (e.code * c.n - c.csum)) " +
+      "    AS BIGINT) AS dist_sc " +
+      "  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos " +
+      "  GROUP BY 1, 2) " +
+      "SELECT vec_id, label, dist_sc, CAST(rank() OVER (PARTITION BY " +
+      "  label ORDER BY dist_sc DESC, vec_id ASC) AS BIGINT) AS out_rank " +
+      "FROM d QUALIFY out_rank <= 5"),
+    "q_sketch_hll" -> hllOracle,
+    // merged shard registers ≡ whole-corpus registers => same oracle
+    "q_sketch_hll_merge" -> hllOracle,
+    "q_dist_drift" -> (
+      "WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) " +
+      "  AS xc, CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 " +
+      "  ELSE 1 END AS half FROM events), " +
+      "b AS (SELECT min(xc) AS lo, max(xc) AS hi FROM c), " +
+      "g AS (SELECT event_type, (xc - lo) * 10 // (hi - lo + 1) AS bin, " +
+      "  CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n0, " +
+      "  CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n1 " +
+      "  FROM c, b GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(sum(n0) AS BIGINT) AS t0, " +
+      "  CAST(sum(n1) AS BIGINT) AS t1 FROM g GROUP BY 1) " +
+      "SELECT g.event_type, CAST(sum(abs(n0 * 1000000 // t0 - " +
+      "  n1 * 1000000 // t1)) // 2 AS BIGINT) AS tv_ppm " +
+      "FROM g JOIN t ON g.event_type = t.event_type GROUP BY 1"),
+    "q_session_duration" -> (
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts " +
+      "  FROM events), " +
+      "l AS (SELECT *, CASE WHEN ts - lag(ts) OVER w > 21600000000 " +
+      "  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk FROM e " +
+      "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id " +
+      "  ORDER BY ts, event_id) AS sess FROM l), " +
+      "agg AS (SELECT user_id, sess, max(ts) - min(ts) AS dur " +
+      "  FROM s GROUP BY 1, 2), " +
+      "r AS (SELECT user_id, dur, row_number() OVER (PARTITION BY " +
+      "  user_id ORDER BY dur, sess) AS rn, " +
+      "  count(*) OVER (PARTITION BY user_id) AS n FROM agg) " +
+      "SELECT user_id, CAST(max(n) AS BIGINT) AS n_sessions, " +
+      "CAST(max(CASE WHEN rn = ceil(n*0.5) THEN dur END) AS BIGINT) " +
+      "  AS p50_dur_us, " +
+      "CAST(max(CASE WHEN rn = ceil(n*0.9) THEN dur END) AS BIGINT) " +
+      "  AS p90_dur_us FROM r GROUP BY 1"),
+    "q_star_join" -> (
+      "SELECT CAST(isoyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_yr, " +
+      "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week, " +
+      "CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+      "  AS cents FROM orders GROUP BY 1, 2"),
+    "q_iqr_outliers" -> (
+      "WITH c AS (SELECT event_type, CAST(round(value*100) AS BIGINT) " +
+      "  AS xc, event_id FROM events), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+      "  ORDER BY xc, event_id) AS rn, " +
+      "  count(*) OVER (PARTITION BY event_type) AS n FROM c), " +
+      "q AS (SELECT event_type, " +
+      "  max(CASE WHEN rn = ceil(n*0.25) THEN xc END) AS q1c, " +
+      "  max(CASE WHEN rn = ceil(n*0.75) THEN xc END) AS q3c, " +
+      "  max(n) AS n FROM r GROUP BY 1) " +
+      "SELECT c.event_type, CAST(max(q.n) AS BIGINT) AS n, " +
+      "CAST(max(q1c) AS BIGINT) AS q1_c, CAST(max(q3c) AS BIGINT) AS q3_c, " +
+      "CAST(count(*) FILTER (WHERE 2*xc < 2*q1c - 3*(q3c-q1c) " +
+      "  OR 2*xc > 2*q3c + 3*(q3c-q1c)) AS BIGINT) AS n_outliers " +
+      "FROM c JOIN q ON c.event_type = q.event_type GROUP BY 1"),
+    "q_ann_filtered" -> (
+      "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+      "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), " +
+      "CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS INT) AS rank " +
+      "FROM embeddings q JOIN embeddings c ON q.vec_id < 5 " +
+      "AND q.vec_id != c.vec_id AND c.label % 2 = 0 " +
+      "QUALIFY rank <= 5"),
+    "q_activity_heatmap" -> (
+      "WITH d AS (SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow, " +
+      "  epoch_us(ts) % 86400000000 // 3600000000 AS hour FROM events), " +
+      "g AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n FROM d " +
+      "  GROUP BY 1, 2) " +
+      "SELECT dow, hour, n, n * 1000000 // " +
+      "CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS share_ppm FROM g"),
+    "q_lead_time_percentiles" -> (
+      "WITH l AS (SELECT o_orderpriority AS pri, " +
+      "  CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "    CAST(l_shipdate AS DATE)) AS BIGINT) AS days, " +
+      "  o_orderkey, l_linenumber " +
+      "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "r AS (SELECT pri, days, row_number() OVER (PARTITION BY pri " +
+      "  ORDER BY days, o_orderkey, l_linenumber) AS rn, " +
+      "  count(*) OVER (PARTITION BY pri) AS n FROM l) " +
+      "SELECT pri, CAST(max(n) AS BIGINT) AS n, " +
+      "CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN days END) AS BIGINT) " +
+      "  AS p50_days, " +
+      "CAST(max(CASE WHEN rn = ceil(n * 0.9) THEN days END) AS BIGINT) " +
+      "  AS p90_days FROM r GROUP BY pri"),
+    "q_user_growth" -> (
+      "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1), " +
+      "nf AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new " +
+      "  FROM f GROUP BY 1), " +
+      "sp AS (SELECT DISTINCT day FROM d) " +
+      "SELECT sp.day, coalesce(nf.n_new, 0) AS n_new, " +
+      "CAST(sum(coalesce(nf.n_new, 0)) OVER (ORDER BY sp.day) AS BIGINT) " +
+      "  AS cum_users FROM sp LEFT JOIN nf ON sp.day = nf.day"),
+    "q_longest_streak" -> (
+      "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "i AS (SELECT user_id, day, day - row_number() OVER (PARTITION BY " +
+      "  user_id ORDER BY day) AS isl FROM d), " +
+      "s AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len " +
+      "  FROM i GROUP BY 1, 2) " +
+      "SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak FROM s " +
+      "GROUP BY 1"),
+    "q_quality_yield" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts FROM documents), " +
+      "base AS (SELECT doc_id, len(ts) AS n_tokens, " +
+      "  len(list_distinct(ts)) AS n_distinct FROM tok), " +
+      "bg AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS nb FROM bc GROUP BY 1), " +
+      "rep AS (SELECT b.doc_id, b.n_tokens, " +
+      "  round(CASE WHEN b.n_tokens = 0 THEN 0.0 " +
+      "    ELSE 1.0 - b.n_distinct * 1.0 / b.n_tokens END, 6) AS dwr, " +
+      "  round(CASE WHEN mx.nb IS NULL THEN 0.0 " +
+      "    ELSE mx.mc * 1.0 / mx.nb END, 6) AS tbr " +
+      "  FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id) " +
+      "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(count(*) FILTER (WHERE r.n_tokens BETWEEN 20 AND 1000 " +
+      s"  AND round($qQualitySql, 6) >= 0.55 " +
+      "  AND r.dwr <= 0.6 AND r.tbr <= 0.1) AS BIGINT) AS n_kept, " +
+      "CAST(count(*) FILTER (WHERE r.n_tokens BETWEEN 20 AND 1000 " +
+      s"  AND round($qQualitySql, 6) >= 0.55 " +
+      "  AND r.dwr <= 0.6 AND r.tbr <= 0.1) AS BIGINT) * 1000000 // " +
+      "  CAST(count(*) AS BIGINT) AS yield_ppm " +
+      "FROM documents d JOIN rep r ON d.doc_id = r.doc_id GROUP BY 1"),
+    "q_churn" -> (
+      "WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "l AS (SELECT user_id, day, lead(day) OVER (PARTITION BY user_id " +
+      "  ORDER BY day) AS nxt FROM a), " +
+      "mx AS (SELECT max(day) AS maxd FROM a) " +
+      "SELECT day, CAST(count(*) AS BIGINT) AS n_active, " +
+      "CAST(count(*) FILTER (WHERE nxt IS NULL OR nxt > day + 1) " +
+      "  AS BIGINT) AS n_churned, " +
+      "CAST(count(*) FILTER (WHERE nxt IS NULL OR nxt > day + 1) " +
+      "  AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS churn_ppm " +
+      "FROM l WHERE day < (SELECT maxd FROM mx) GROUP BY day"),
+    "q_new_vs_returning" -> (
+      "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 " +
+      "  AS day FROM events), " +
+      "f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1) " +
+      "SELECT day, CAST(count(*) FILTER (WHERE day = fd) AS BIGINT) " +
+      "  AS n_new, CAST(count(*) FILTER (WHERE day > fd) AS BIGINT) " +
+      "  AS n_returning FROM d JOIN f USING (user_id) GROUP BY day"),
+    "q_power_users" -> (
+      "WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n " +
+      "  FROM events GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM u), " +
+      "c AS (SELECT user_id, n, CAST(sum(n) OVER (ORDER BY n DESC, " +
+      "  user_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "  AS BIGINT) AS cum_events FROM u) " +
+      "SELECT user_id, n, cum_events FROM c, t " +
+      "WHERE (cum_events - n) * 1000000 < 800000 * total"),
+    "q_recommend" -> (
+      "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey % 200 AS pg " +
+      "  FROM lineitem), " +
+      "nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) " +
+      "  AS n_baskets FROM li), " +
+      "s AS (SELECT pg, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1), " +
+      "p AS (SELECT a.pg AS item_a, b.pg AS item_b, " +
+      "  CAST(count(*) AS BIGINT) AS support FROM li a " +
+      "  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.pg <> b.pg " +
+      "  GROUP BY 1, 2 HAVING count(*) >= 8), " +
+      "l AS (SELECT item_a, item_b, support, " +
+      "  support * (SELECT n_baskets FROM nb) * 1000000 // (sa.n * sb.n) " +
+      "    AS lift_ppm FROM p JOIN s sa ON sa.pg = item_a " +
+      "  JOIN s sb ON sb.pg = item_b) " +
+      "SELECT item_a, item_b, support, lift_ppm, " +
+      "CAST(row_number() OVER (PARTITION BY item_a ORDER BY lift_ppm " +
+      "  DESC, item_b ASC) AS BIGINT) AS rec_rank " +
+      "FROM l QUALIFY rec_rank <= 3"),
+    "q_link_predict" -> (
+      "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey*2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50), " +
+      "ud AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+      "deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM ud " +
+      "  GROUP BY 1), " +
+      "cn AS (SELECT u1.a AS v1, u2.a AS v2, CAST(count(*) AS BIGINT) " +
+      "  AS common FROM ud u1 JOIN ud u2 ON u1.b = u2.b AND u1.a < u2.a " +
+      "  GROUP BY 1, 2) " +
+      "SELECT v1, v2, common, " +
+      "common * 1000000 // (d1.d + d2.d - common) AS jac_ppm " +
+      "FROM cn JOIN deg d1 ON d1.v = v1 JOIN deg d2 ON d2.v = v2 " +
+      "WHERE common * 1000000 // (d1.d + d2.d - common) >= 500000"),
+    "q_attribution_linear" -> (
+      "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts " +
+      "  FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT event_id AS touch_id, user_id, epoch_us(ts) AS c_ts " +
+      "  FROM events WHERE event_type IN ('click','view')), " +
+      "m AS (SELECT p.event_id, p.user_id, c.touch_id, " +
+      "  CAST(count(*) OVER (PARTITION BY p.event_id) AS BIGINT) " +
+      "    AS n_touches FROM p JOIN c ON p.user_id = c.user_id " +
+      "  AND c.c_ts <= p.ts AND c.c_ts > p.ts - 14400000000) " +
+      "SELECT event_id, user_id, touch_id, n_touches, " +
+      "1000000 // n_touches AS credit_ppm FROM m"),
+    "q_engagement" -> (
+      "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+      "  epoch_us(ts) // 86400000000 // 30 AS month, user_id FROM events), " +
+      "dau AS (SELECT day, month, CAST(count(DISTINCT user_id) AS BIGINT) " +
+      "  AS dau FROM d GROUP BY 1, 2), " +
+      "mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) " +
+      "  AS mau FROM d GROUP BY 1) " +
+      "SELECT day, dau.month, dau, mau, dau * 1000000 // mau " +
+      "  AS stickiness_ppm FROM dau JOIN mau USING (month)"),
+    "q_log2_histogram" -> (
+      "SELECT CAST(length(bin(n_chars)) AS BIGINT) AS bin2, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(min(n_chars) AS BIGINT) AS lo, " +
+      "CAST(max(n_chars) AS BIGINT) AS hi " +
+      "FROM documents WHERE n_chars > 0 GROUP BY 1"),
+    "q_freshness" -> (
+      "WITH m AS (SELECT event_type, CAST(max(epoch_us(ts)) AS BIGINT) " +
+      "  AS max_ts FROM events GROUP BY 1) " +
+      "SELECT event_type, max_ts, " +
+      "CAST(max(max_ts) OVER () AS BIGINT) - max_ts AS lag_us FROM m"),
+    "q_lead_time" -> (
+      "WITH l AS (SELECT o_orderpriority AS pri, " +
+      "  CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+      "    CAST(l_shipdate AS DATE)) AS BIGINT) AS days " +
+      "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey) " +
+      "SELECT pri, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(days) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_days, " +
+      "CAST(min(days) AS BIGINT) AS min_days, " +
+      "CAST(max(days) AS BIGINT) AS max_days FROM l GROUP BY 1"),
+    "q_mode_per_group" -> (
+      "WITH c AS (SELECT c_nationkey, c_mktsegment, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2), " +
+      "r AS (SELECT *, rank() OVER (PARTITION BY c_nationkey " +
+      "  ORDER BY n DESC, c_mktsegment ASC) AS rk FROM c) " +
+      "SELECT c_nationkey, c_mktsegment AS mode_value, n FROM r " +
+      "WHERE rk = 1"),
+    "q_source_overlap" -> (
+      s"WITH $jaccardCtesSql, " +
+      "so AS (SELECT da.source AS sa, db.source AS sb FROM jj " +
+      "  JOIN documents da ON da.doc_id = id_a " +
+      "  JOIN documents db ON db.doc_id = id_b) " +
+      "SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b, " +
+      "CAST(count(*) AS BIGINT) AS n_pairs FROM so GROUP BY 1, 2"),
+    "q_graph_bfs" -> bfsOracle,
+    "q_dedup_cluster_sizes" -> (
+      s"WITH RECURSIVE $jaccardCtesSql, " +
+      "ud2 AS (SELECT id_a AS a, id_b AS b FROM jj " +
+      "  UNION SELECT id_b, id_a FROM jj), " +
+      "reach(s, t) AS (SELECT a, b FROM ud2 " +
+      "  UNION SELECT r.s, u.b FROM reach r JOIN ud2 u ON r.t = u.a), " +
+      "comp AS (SELECT s AS id, least(s, min(t)) AS c FROM reach " +
+      "  GROUP BY s), " +
+      "cs AS (SELECT c, CAST(count(*) AS BIGINT) AS csize FROM comp " +
+      "  GROUP BY c) " +
+      "SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters FROM cs " +
+      "GROUP BY 1"),
+    "q_ab_lift" -> (
+      "WITH u AS (SELECT user_id, user_id % 2 AS variant, " +
+      "  count(*) FILTER (WHERE event_type = 'purchase') AS np " +
+      "  FROM events GROUP BY 1, 2), " +
+      "v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users, " +
+      "  CAST(count(*) FILTER (WHERE np >= 14) AS BIGINT) AS n_conv " +
+      "  FROM u GROUP BY 1), " +
+      "r AS (SELECT variant, n_users, n_conv, " +
+      "  n_conv * 1000000 // n_users AS rate_ppm FROM v), " +
+      "c AS (SELECT *, max(CASE WHEN variant = 0 THEN rate_ppm END) " +
+      "  OVER () AS ctrl FROM r) " +
+      "SELECT variant, n_users, n_conv, rate_ppm, " +
+      "CASE WHEN variant <> 0 THEN (rate_ppm - ctrl) * 1000000 // ctrl " +
+      "END AS lift_ppm FROM c"),
+    "q_readability" -> (
+      "WITH d AS (SELECT doc_id, " +
+      "  CAST(len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), " +
+      "    '\\s+'), t -> t != '')) AS BIGINT) AS n_words, " +
+      "  CAST(greatest(len(list_filter(regexp_split_to_array(" +
+      "    coalesce(text, ''), '[.!?]+'), s -> trim(s) != '')), 1) " +
+      "    AS BIGINT) AS n_sentences, " +
+      "  CAST(length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) " +
+      "    AS BIGINT) AS nc FROM documents) " +
+      "SELECT doc_id, n_words, n_sentences, " +
+      "n_words * 1000000 // n_sentences AS wps_ppm, " +
+      "CASE WHEN n_words > 0 THEN nc * 1000000 // n_words END AS cpw_ppm " +
+      "FROM d"),
+    "q_daily_paths" -> (
+      "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+      "  event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+      "rk AS (SELECT *, row_number() OVER (PARTITION BY user_id, day " +
+      "  ORDER BY ts_us, event_id) AS rn FROM d), " +
+      "p AS (SELECT user_id, day, string_agg(event_type, '>' " +
+      "  ORDER BY ts_us, event_id) AS path FROM rk WHERE rn <= 5 " +
+      "  GROUP BY 1, 2) " +
+      "SELECT path, CAST(count(*) AS BIGINT) AS n_buckets FROM p " +
+      "GROUP BY 1 HAVING count(*) >= 5"),
+    "q_t_closeness" -> (
+      "WITH g AS (SELECT c_nationkey AS grp, c_mktsegment AS seg, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2), " +
+      "gt AS (SELECT grp, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1), " +
+      "al AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) " +
+      "  AS n_all FROM customer GROUP BY 1), " +
+      "at2 AS (SELECT CAST(sum(n_all) AS BIGINT) AS tot_all FROM al), " +
+      "d AS (SELECT al.seg, gt.grp, coalesce(g.n, 0) AS n, gt.tot, " +
+      "  al.n_all, (SELECT tot_all FROM at2) AS tot_all " +
+      "  FROM al CROSS JOIN gt " +
+      "  LEFT JOIN g ON g.grp = gt.grp AND g.seg = al.seg) " +
+      "SELECT grp AS c_nationkey, CAST(sum(abs(n*1000000//tot - " +
+      "  n_all*1000000//tot_all)) // 2 AS BIGINT) AS tv_ppm " +
+      "FROM d GROUP BY grp"),
+    "q_spearman" -> (
+      "WITH m AS (SELECT c_custkey, c_mktsegment AS seg, c_acctbal, " +
+      "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+      "    AS cents FROM customer JOIN orders ON c_custkey = o_custkey " +
+      "  GROUP BY 1, 2, 3), " +
+      "r AS (SELECT seg, " +
+      "  CAST(row_number() OVER (PARTITION BY seg ORDER BY c_acctbal, " +
+      "    c_custkey) AS BIGINT) AS ra, " +
+      "  CAST(row_number() OVER (PARTITION BY seg ORDER BY cents, " +
+      "    c_custkey) AS BIGINT) AS rb FROM m) " +
+      "SELECT seg, CAST(count(*) AS BIGINT) AS n, " +
+      "1000000 - 6000000 * CAST(sum((ra-rb)*(ra-rb)) AS BIGINT) // " +
+      "  (CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) * " +
+      "  CAST(count(*) AS BIGINT) - 1)) AS rho_ppm FROM r GROUP BY seg"),
+    "q_rake_keyphrases" -> rakeOracle,
+    "q_period_over_period" -> (
+      "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+      "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) " +
+      "    AS cents FROM orders GROUP BY 1), " +
+      "l AS (SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev " +
+      "  FROM d) " +
+      "SELECT day, cents, CASE WHEN prev IS NOT NULL THEN " +
+      "(cents - prev) * 1000000 // prev END AS delta_ppm FROM l"),
+    "q_cohort_ltv" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p, " +
+      "  CAST(round(value*100) AS BIGINT) AS c FROM events), " +
+      "f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1), " +
+      "g AS (SELECT cohort, e.p - cohort AS offs, " +
+      "  CAST(sum(c) AS BIGINT) AS cents, " +
+      "  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+      "  FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2) " +
+      "SELECT cohort, offs AS offset, cents, n_users, " +
+      "CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY offs) AS BIGINT) " +
+      "  AS cum_cents FROM g"),
+    // reuses the shared jaccard shingle CTEs; jj is simply unused
+    "q_dedup_containment" -> (
+      s"WITH $jaccardCtesSql " +
+      "SELECT id_a, id_b, CAST(common AS BIGINT) AS common, " +
+      "common * 1000000 // x.sz AS cont_ab_ppm, " +
+      "common * 1000000 // y.sz AS cont_ba_ppm " +
+      "FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
+      "WHERE common * 1000000 // x.sz >= 800000 " +
+      "  OR common * 1000000 // y.sz >= 800000"),
+    "q_seasonality" -> (
+      "WITH d AS (SELECT event_type, " +
+      "  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) " +
+      "SELECT event_type, dow, n, n * 1000000 // " +
+      "CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm " +
+      "FROM d"),
+    "q_rfm" -> (
+      "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, " +
+      "  CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders), " +
+      "per AS (SELECT o_custkey, max(d) AS last_d, " +
+      "  CAST(count(*) AS BIGINT) AS f, CAST(sum(c) AS BIGINT) AS m_cents " +
+      "  FROM o GROUP BY 1), " +
+      "g AS (SELECT max(last_d) AS maxd FROM per), " +
+      "j AS (SELECT cu.c_mktsegment AS seg, per.*, " +
+      "  CAST(date_diff('day', last_d, (SELECT maxd FROM g)) AS BIGINT) " +
+      "    AS rec FROM per JOIN customer cu ON per.o_custkey = cu.c_custkey) " +
+      "SELECT o_custkey, seg, rec, f, m_cents, " +
+      "CAST(ntile(5) OVER (PARTITION BY seg ORDER BY rec ASC, o_custkey " +
+      "  ASC) AS BIGINT) * 100 + " +
+      "CAST(ntile(5) OVER (PARTITION BY seg ORDER BY f DESC, o_custkey " +
+      "  ASC) AS BIGINT) * 10 + " +
+      "CAST(ntile(5) OVER (PARTITION BY seg ORDER BY m_cents DESC, " +
+      "  o_custkey ASC) AS BIGINT) AS rfm FROM j")
+  )
+
+  /** SQL replica of Corpus.rakeKeyphrases, GENERATED from the kernel's
+    * own stopword list (one source of truth, the langIdSql pattern):
+    * stopword-free runs via the pos − row_number islands key, word
+    * degree/freq in integer ppm, phrase scores summed per instance. */
+  private lazy val rakeOracle: String = {
+    val stop = graft.functions.TextKernels.enStopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(trim(text)), '\\s+'), t -> t != '') AS ts FROM documents), " +
+    "pt AS (SELECT doc_id, i + 1 AS pos, ts[i + 1] AS tok " +
+    "  FROM tk, LATERAL (SELECT unnest(range(len(ts))) AS i)), " +
+    s"cand AS (SELECT doc_id, pos, tok FROM pt WHERE NOT list_contains($stop, tok)), " +
+    "ph AS (SELECT doc_id, pos, tok, pos - row_number() OVER " +
+    "  (PARTITION BY doc_id ORDER BY pos) AS pk FROM cand), " +
+    "phr AS (SELECT doc_id, pk, string_agg(tok, ' ' ORDER BY pos) AS phrase, " +
+    "  count(*) AS plen FROM ph GROUP BY 1, 2), " +
+    "wo AS (SELECT p.doc_id, p.pk, p.tok, r.plen FROM ph p " +
+    "  JOIN phr r ON p.doc_id = r.doc_id AND p.pk = r.pk), " +
+    "wsc AS (SELECT tok, CAST(sum(plen) AS BIGINT) * 1000000 // " +
+    "  CAST(count(*) AS BIGINT) AS wscore FROM wo GROUP BY tok), " +
+    "psc AS (SELECT w.doc_id, w.pk, CAST(sum(c.wscore) AS BIGINT) AS score " +
+    "  FROM wo w JOIN wsc c ON w.tok = c.tok GROUP BY 1, 2) " +
+    "SELECT r.phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
+    "CAST(min(s.score) AS BIGINT) AS score_ppm " +
+    "FROM phr r JOIN psc s ON r.doc_id = s.doc_id AND r.pk = s.pk " +
+    "GROUP BY 1 HAVING count(*) >= 3 " +
+    "ORDER BY score_ppm DESC, phrase ASC LIMIT 30"
+  }
+
+  /** Shared CTE chain of the view→click→purchase funnel (strict-order,
+    * 3-day window) — used by the per-user row and the rates report. */
+  private lazy val funnelCtes: String =
+    "ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events), " +
+    "s1 AS (SELECT user_id, min(ts) AS t1 FROM ev " +
+    "  WHERE event_type = 'view' GROUP BY user_id), " +
+    "s2 AS (SELECT s1.user_id, s1.t1, " +
+    "  min(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.t1 + 259200000000 " +
+    "    THEN e.ts END) AS t2 " +
+    "  FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id " +
+    "    AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), " +
+    "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, " +
+    "  min(CASE WHEN e.ts > s2.t2 AND e.ts <= s2.t1 + 259200000000 " +
+    "    THEN e.ts END) AS t3 " +
+    "  FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id " +
+    "    AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, s2.t2)"
+
+  /** SQL replica of Graph.bfsDepth's 6 fixed rounds, generated like
+    * pagerankOracle: each step unions the frontier's min-plus
+    * expansion; the final min per vertex is the ≤6-hop distance. */
+  private lazy val bfsOracle: String = {
+    val head =
+      "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey*2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50), " +
+      "ud AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+      "s0 AS (SELECT DISTINCT a AS v, CAST(0 AS BIGINT) AS d FROM e0 " +
+      "  WHERE (a - 1) // 2 % 25 = 0)"
+    val steps = (1 to 6).map { i =>
+      s", s$i AS (SELECT v, d FROM s${i - 1} UNION " +
+      s"SELECT vv, dd FROM (SELECT ud.b AS vv, min(s.d) + 1 AS dd " +
+      s"FROM s${i - 1} s JOIN ud ON s.v = ud.a GROUP BY ud.b))"
+    }.mkString
+    head + steps +
+    " SELECT v, CAST(min(d) AS BIGINT) AS depth FROM s6 GROUP BY v"
+  }
+
+  /** SQL replica of the HLL register build: same 52-bit md5 hash as
+    * the KMV oracle, bucket = hash div 2^44, rho = trailing-zero rank
+    * of the 44-bit remainder via the shared shift-mod arithmetic. */
+  private lazy val hllOracle: String =
+    "WITH v AS (SELECT event_type, " +
+    "  user_id * 100000 + epoch_us(ts) // 86400000000 AS ud FROM events), " +
+    "h AS (SELECT DISTINCT event_type, " +
+    "  CAST(concat('0x', substr(md5(CAST(ud AS VARCHAR)), 1, 13)) " +
+    "    AS BIGINT) AS h FROM v), " +
+    "b AS (SELECT event_type, h // 17592186044416 AS bucket, " +
+    "  h % 17592186044416 AS rem FROM h), " +
+    "r AS (SELECT event_type, bucket, " +
+    "  max(len(list_filter(range(1, 44), k -> rem % (1::BIGINT << k) = 0)) " +
+    "    + 1) AS r FROM b GROUP BY 1, 2) " +
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets, " +
+    "CAST(sum(r) AS BIGINT) AS sum_rho, CAST(max(r) AS BIGINT) AS max_rho, " +
+    "CAST((256 - count(*)) * 17592186044416 + " +
+    "  sum(1::BIGINT << (44 - r)) AS BIGINT) AS denom FROM r GROUP BY 1"
+
+  /** Shared by q_sketch_quantile and its merge row (lossless merge ⇒
+    * same sketch ⇒ same oracle): rebuild the bottom-64 md5-ordered row
+    * sample per group, then DuckDB's quantile_cont over the sampled
+    * values — the same linear interpolation as the estimator. */
+  private lazy val quantileSketchOracle: String =
+    "WITH h AS (SELECT event_type, value, " +
+    "  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) " +
+    "    AS BIGINT) AS h FROM events), " +
+    "r AS (SELECT event_type, value, row_number() OVER " +
+    "  (PARTITION BY event_type ORDER BY h, value) AS rn FROM h) " +
+    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_est, " +
+    "round(quantile_cont(value, 0.9), 6) AS p90_est " +
+    "FROM r WHERE rn <= 64 GROUP BY event_type"
+
+  /** The same graph in SQL, shared by both graph-query oracles
+    * ([[SparkEntry]] keeps the DataFrame twin, coPartEdges). */
+  private lazy val coPartEdgesSql: String =
+    "li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem " +
+    "  WHERE l_orderkey % 5 = 0), " +
+    "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
+    "  JOIN li b ON a.ok = b.ok AND a.p < b.p)"
+
+  /** q_ewma's oracle: the same fixed left-to-right chain of
+    * power-of-two-weighted lags (exact exponent shifts, no rounding). */
+  private lazy val ewmaOracle: String = {
+    val terms = (0 to 9).map { k =>
+      val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+      s"coalesce($v / ${1L << k}.0, 0.0)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, value " +
+    "FROM events WHERE user_id % 7 = 0) " +
+    s"SELECT user_id, ts, event_id, $terms AS ewma " +
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+  }
+
+  /** q_pagerank's oracle, generated by unrolling the 5 power steps as
+    * chained CTEs — each step replays pageRankScaled's integer
+    * arithmetic exactly (`//` ≡ Spark `div` on non-negative BIGINTs). */
+  private lazy val pagerankOracle: String = {
+    val S = "1000000000000"
+    val head =
+      "WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
+      "CAST(o_custkey + 100000 AS BIGINT) AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_quantity >= 48), " +
+      "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "od AS (SELECT src, count(*) AS od FROM e GROUP BY src), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+      s"r0 AS (SELECT id, CAST($S // n AS BIGINT) AS pr FROM nodes, nn)"
+    val steps = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s", s$i AS (SELECT e.dst AS id, " +
+      "CAST(sum(r.pr // o.od) AS BIGINT) AS m " +
+      s"FROM e JOIN $p r ON e.src = r.id JOIN od o ON e.src = o.src " +
+      "GROUP BY e.dst)" +
+      s", r$i AS (SELECT nodes.id, CAST(((15 * $S) // (100 * n)) + " +
+      s"((85 * coalesce(s$i.m, 0)) // 100) AS BIGINT) AS pr " +
+      s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id, nn)"
+    }.mkString
+    head + steps + " SELECT id, pr AS rank_scaled FROM r5"
+  }
+
+  private lazy val kmvOracle: String =
+    "WITH h AS (SELECT DISTINCT event_type, " +
+    "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
+    "    AS BIGINT) AS h FROM events), " +
+    "r AS (SELECT event_type, h, row_number() OVER " +
+    "  (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+    "k AS (SELECT event_type, max(h) AS kth, count(*) AS n " +
+    "  FROM r WHERE rn <= 32 GROUP BY event_type) " +
+    "SELECT event_type, CASE WHEN n < 32 THEN n " +
+    "ELSE CAST(floor(CAST(31 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) " +
+    "  / kth) AS BIGINT) END AS n_est " +
+    "FROM k"
+
+  private lazy val substrCleanOracle: String = substrDupCtes +
+    ", pt AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok " +
+    "  FROM tk, LATERAL (SELECT unnest(range(len(toks))) AS i)), " +
+    "cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean " +
+    "  FROM pt WHERE NOT EXISTS (SELECT 1 FROM cov c " +
+    "    WHERE c.doc_id = pt.doc_id AND c.p = pt.pos) GROUP BY doc_id) " +
+    "SELECT t.doc_id, coalesce(cl.text_clean, '') AS text_clean " +
+    "FROM tk t LEFT JOIN cl USING (doc_id)"
+}
