@@ -509,16 +509,9 @@ object SparkEntry {
     }),
     // Benford first-significant-digit profile of order totals: counts
     // plus observed ppm share, all-integer
-    "q_benford" -> ((s, dir) => {
-      val d = t(s, dir, "orders")
-        .select(substring(floor(col("o_totalprice")).cast("long")
-          .cast("string"), 1, 1).as("digit"))
-      val total = d.agg(count(lit(1)).as("__n"))
-      d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(total))
-        .select(col("digit"), col("n"),
-          expr("n * 1000000L div __n").as("share_ppm"))
-    }),
+    "q_benford" -> ((s, dir) =>
+      graft.operators.Analytics.benford(t(s, dir, "orders"),
+        numCol = "o_totalprice")),
     // SCD Type 2 dimension from the event stream: per-user event_type
     // version history with validity intervals; no-op updates collapse
     "q_cdc_scd2" -> ((s, dir) =>
@@ -2147,14 +2140,13 @@ object SparkEntry {
     // contribution / ratio-to-report: nation revenue share in ppm; the
     // share window runs over the ALREADY-AGGREGATED ≤25-row frame
     // (bounded by |nation|), not the input
-    "q_contribution" -> ((s, dir) => {
-      val r = t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .withColumn("c", round(col("o_totalprice") * 100).cast("long"))
-        .groupBy(col("c_nationkey")).agg(sum(col("c")).as("cents"))
-      r.select(col("c_nationkey"), col("cents"),
-        expr("cents * 1000000 div (sum(cents) OVER ())").as("share_ppm"))
-    }),
+    "q_contribution" -> ((s, dir) =>
+      graft.operators.Analytics.shareOfTotal(
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .withColumn("c", round(col("o_totalprice") * 100).cast("long"))
+          .groupBy(col("c_nationkey")).agg(sum(col("c")).as("cents")),
+        valCol = "cents", outCol = "share_ppm")),
     // int8 scalar quantization of the embedding column (the ANN
     // serving compression step); integer code summaries pin every
     // component's quantized value through position-weighted sums
@@ -2288,65 +2280,28 @@ object SparkEntry {
         nBins = 10)),
     // per-user session-duration SLAs: exact order-statistic p50/p90
     // over 6h-gap sessions
-    "q_session_duration" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sess = graft.operators.Temporal.sessionize(events(s, dir),
-        "user_id", "ts", gap = 21600000000L, tieCol = "event_id")
-        .withColumn("dur", col("session_end") - col("session_start"))
-      val wp = Window.partitionBy(col("user_id"))
-      val wr = wp.orderBy(col("dur").asc, col("session_idx").asc)
-      sess.withColumn("__rn", row_number().over(wr))
-        .withColumn("__n", count(lit(1)).over(wp))
-        .groupBy(col("user_id"))
-        .agg(max(col("__n")).as("n_sessions"),
-          max(when(col("__rn") === ceil(col("__n") * 0.5), col("dur")))
-            .as("p50_dur_us"),
-          max(when(col("__rn") === ceil(col("__n") * 0.9), col("dur")))
-            .as("p90_dur_us"))
-    }),
+    "q_session_duration" -> ((s, dir) =>
+      graft.operators.Analytics.exactPercentiles(
+        graft.operators.Temporal.sessionize(events(s, dir), "user_id", "ts",
+            gap = 21600000000L, tieCol = "event_id")
+          .withColumn("dur", col("session_end") - col("session_start")),
+        groupCol = "user_id", valCol = "dur", tieCols = Seq("session_idx"),
+        percentiles = Seq(0.5 -> "p50_dur_us", 0.9 -> "p90_dur_us"),
+        nName = "n_sessions")),
     // Tukey IQR outliers at exact order-statistic quartiles; the
     // 1.5-IQR fences stay integer by scaling everything by 2
-    "q_iqr_outliers" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val c = events(s, dir).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("xc"), col("event_id"))
-      val wp = Window.partitionBy(col("event_type"))
-      val wr = wp.orderBy(col("xc").asc, col("event_id").asc)
-      c.withColumn("__rn", row_number().over(wr))
-        .withColumn("__n", count(lit(1)).over(wp))
-        .withColumn("__q1",
-          max(when(col("__rn") === ceil(col("__n") * 0.25), col("xc")))
-            .over(wp))
-        .withColumn("__q3",
-          max(when(col("__rn") === ceil(col("__n") * 0.75), col("xc")))
-            .over(wp))
-        .groupBy(col("event_type"))
-        .agg(max(col("__n")).as("n"), max(col("__q1")).as("q1_c"),
-          max(col("__q3")).as("q3_c"),
-          count(when(
-            col("xc") * 2 < col("__q1") * 2 - (col("__q3") - col("__q1")) * 3
-              || col("xc") * 2 > col("__q3") * 2 +
-                (col("__q3") - col("__q1")) * 3, 1)).as("n_outliers"))
-    }),
+    "q_iqr_outliers" -> ((s, dir) =>
+      graft.operators.Analytics.iqrOutliers(
+        events(s, dir).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("xc"), col("event_id")),
+        groupCol = "event_type", valCol = "xc", tieCol = "event_id")),
     // the funnel's headline metric: step-to-step conversion ppm
-    "q_funnel_rates" -> ((s, dir) => {
-      val f = graft.operators.Temporal.funnel(events(s, dir), "user_id",
-        "ts", steps = Seq(col("event_type") === "view",
+    "q_funnel_rates" -> ((s, dir) =>
+      graft.operators.Analytics.funnelRates(events(s, dir), "user_id", "ts",
+        steps = Seq(col("event_type") === "view",
           col("event_type") === "click",
           col("event_type") === "purchase"),
-        window = 259200000000L)
-      f.agg(count(lit(1)).as("n1"), count(col("t2")).as("n2"),
-          count(col("t3")).as("n3"))
-        .select(explode(array(
-          struct(lit(1).as("step"), col("n1").as("n_reached"),
-            lit(null).cast("long").as("conv_ppm")),
-          struct(lit(2).as("step"), col("n2").as("n_reached"),
-            expr("n2 * 1000000 div n1").as("conv_ppm")),
-          struct(lit(3).as("step"), col("n3").as("n_reached"),
-            expr("CASE WHEN n2 > 0 THEN n3 * 1000000 div n2 END")
-              .as("conv_ppm")))).as("__r"))
-        .select(col("__r.step"), col("__r.n_reached"), col("__r.conv_ppm"))
-    }),
+        windowUs = 259200000000L)),
     // filtered vector search: metadata predicate pushed INSIDE the
     // search (pre-filter, never an under-filled post-filter)
     "q_ann_filtered" -> ((s, dir) => {
@@ -2369,41 +2324,26 @@ object SparkEntry {
     // SLA percentiles: exact order-statistic p50/p90 lead-time days
     // per priority (rank = ceil(p*n) under a total order — only input
     // values appear, nothing interpolated)
-    "q_lead_time_percentiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val l = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_orderpriority").as("pri"),
-          datediff(col("l_shipdate").cast("date"),
-            col("o_orderdate").cast("date")).cast("long").as("days"),
-          col("o_orderkey"), col("l_linenumber"))
-      val w = Window.partitionBy(col("pri"))
-        .orderBy(col("days").asc, col("o_orderkey").asc,
-          col("l_linenumber").asc)
-      val wp = Window.partitionBy(col("pri"))
-      l.withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(wp))
-        .withColumn("__r50", ceil(col("__n") * 0.5))
-        .withColumn("__r90", ceil(col("__n") * 0.9))
-        .groupBy(col("pri"))
-        .agg(max(col("__n")).as("n"),
-          max(when(col("__rn") === col("__r50"), col("days"))).as("p50_days"),
-          max(when(col("__rn") === col("__r90"), col("days"))).as("p90_days"))
-    }),
+    "q_lead_time_percentiles" -> ((s, dir) =>
+      graft.operators.Analytics.exactPercentiles(
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority").as("pri"),
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")).cast("long").as("days"),
+            col("o_orderkey"), col("l_linenumber")),
+        groupCol = "pri", valCol = "days",
+        tieCols = Seq("o_orderkey", "l_linenumber"),
+        percentiles = Seq(0.5 -> "p50_days", 0.9 -> "p90_days"),
+        nName = "n")),
     // user growth curve: new users per day and the cumulative distinct
     // total (running window over the day-sized frame)
-    "q_user_growth" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = events(s, dir)
-        .select(col("user_id"), expr("ts div 86400000000").as("day"))
-        .distinct()
-      val nf = d.groupBy(col("user_id")).agg(min(col("day")).as("__fd"))
-        .groupBy(col("__fd").as("day")).agg(count(lit(1)).as("n_new"))
-      d.select(col("day")).distinct()
-        .join(nf, Seq("day"), "left").na.fill(0L, Seq("n_new"))
-        .withColumn("cum_users",
-          sum(col("n_new")).over(Window.orderBy(col("day").asc)).cast("long"))
-    }),
+    "q_user_growth" -> ((s, dir) =>
+      graft.operators.Analytics.userGrowth(
+        events(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000").as("day"))
+          .distinct(),
+        userCol = "user_id", dayCol = "day")),
     // longest consecutive-day streak per user (max island length)
     "q_longest_streak" -> ((s, dir) =>
       graft.operators.Temporal.activityIslands(events(s, dir),
@@ -2424,21 +2364,12 @@ object SparkEntry {
     }),
     // daily churn: actives whose next active day is not tomorrow
     // (last observed day excluded — its churn is not yet knowable)
-    "q_churn" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val a = events(s, dir)
-        .select(col("user_id"), expr("ts div 86400000000").as("day"))
-        .distinct()
-      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
-      val l = a.withColumn("__nxt", lead(col("day"), 1).over(w))
-      val mx = a.agg(max(col("day")).as("__maxd"))
-      l.crossJoin(broadcast(mx)).filter(col("day") < col("__maxd"))
-        .groupBy(col("day"))
-        .agg(count(lit(1)).as("n_active"),
-          count(when(col("__nxt").isNull || col("__nxt") > col("day") + 1,
-            1)).as("n_churned"))
-        .withColumn("churn_ppm", expr("n_churned * 1000000 div n_active"))
-    }),
+    "q_churn" -> ((s, dir) =>
+      graft.operators.Analytics.dailyChurn(
+        events(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000").as("day"))
+          .distinct(),
+        userCol = "user_id", dayCol = "day")),
     // acquisition mix: new (first-ever day) vs returning actives per day
     "q_new_vs_returning" -> ((s, dir) => {
       val d = events(s, dir)
@@ -2481,7 +2412,6 @@ object SparkEntry {
     // linear multi-touch attribution: every click/view inside the
     // 4-hour window before a purchase shares the credit equally (ppm)
     "q_attribution_linear" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = events(s, dir)
       val p = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -2489,12 +2419,9 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("__s"),
           (col("ts") + lit(14400000000L - 1)).as("__e"),
           col("event_id").as("touch_id"))
-      graft.operators.Temporal.rangeJoin(p, c, Seq("user_id"), "ts",
-        "__s", "__e", blockWidth = 14400000000L)
-        .withColumn("n_touches", count(lit(1))
-          .over(Window.partitionBy(col("event_id"))).cast("long"))
-        .select(col("event_id"), col("user_id"), col("touch_id"),
-          col("n_touches"), expr("1000000 div n_touches").as("credit_ppm"))
+      graft.operators.Analytics.attributionLinear(p, c, Seq("user_id"),
+        "ts", "__s", "__e", blockWidth = 14400000000L,
+        anchorIdCol = "event_id", touchIdCol = "touch_id")
     }),
     // engagement: daily actives against the 30-day-window actives,
     // stickiness = DAU/MAU ppm; the MAU side is months-sized and
@@ -2519,27 +2446,20 @@ object SparkEntry {
           max(col("n_chars")).as("hi"))),
     // freshness report: per-type high-water mark and its lag behind
     // the corpus max (window over the aggregated per-type frame)
-    "q_freshness" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      events(s, dir).groupBy(col("event_type"))
-        .agg(max(col("ts")).as("max_ts"))
-        .withColumn("lag_us",
-          max(col("max_ts")).over(Window.partitionBy()) - col("max_ts"))
-    }),
+    "q_freshness" -> ((s, dir) =>
+      graft.operators.Analytics.freshnessLag(events(s, dir),
+        groupCol = "event_type", tsCol = "ts")),
     // shipping lead-time distribution per priority (integer day
     // diffs; the synthetic dates include negative lead times — the
     // report shape, not the calendar, is the contract here)
     "q_lead_time" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_orderpriority").as("pri"),
-          datediff(col("l_shipdate").cast("date"),
-            col("o_orderdate").cast("date")).cast("long").as("__days"))
-        .groupBy(col("pri"))
-        .agg(count(lit(1)).as("n"), sum(col("__days")).as("__s"),
-          min(col("__days")).as("min_days"), max(col("__days")).as("max_days"))
-        .select(col("pri"), col("n"), expr("__s div n").as("avg_days"),
-          col("min_days"), col("max_days"))),
+      graft.operators.Analytics.spanStats(
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority").as("pri"),
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")).cast("long").as("days")),
+        groupCol = "pri", valCol = "days")),
     // exact per-group mode with deterministic tie-break
     "q_mode_per_group" -> ((s, dir) =>
       graft.operators.Stats.modePerGroup(t(s, dir, "customer"),
@@ -2593,36 +2513,18 @@ object SparkEntry {
     // A/B lift report: per-variant conversion rates (>=14 purchases)
     // and lift vs control in ppm; control rate attaches via a window
     // over the two-row variant frame
-    "q_ab_lift" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val v = events(s, dir)
-        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
-        .agg(count(when(col("event_type") === "purchase", 1)).as("__np"))
-        .groupBy(col("variant"))
-        .agg(count(lit(1)).as("n_users"),
-          count(when(col("__np") >= 14, 1)).as("n_conv"))
-        .withColumn("rate_ppm", expr("n_conv * 1000000 div n_users"))
-      v.withColumn("__ctrl", max(when(col("variant") === 0,
-          col("rate_ppm"))).over(Window.partitionBy()))
-        .withColumn("lift_ppm", expr("CASE WHEN variant <> 0 THEN " +
-          "(rate_ppm - __ctrl) * 1000000 div __ctrl END"))
-        .drop("__ctrl")
-    }),
+    "q_ab_lift" -> ((s, dir) =>
+      graft.operators.Analytics.abLift(
+        events(s, dir)
+          .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+          .agg(count(when(col("event_type") === "purchase", 1)).as("__np"))
+          .select(col("variant"), (col("__np") >= 14).as("__conv")),
+        variantCol = "variant", convCol = "__conv")),
     // readability profile: words/sentence and chars/word ratios in
     // exact ppm — the Flesch-style signals without the float formula
     "q_readability" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        size(filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
-          t => length(t) > 0)).cast("long").as("n_words"),
-        greatest(size(filter(split(coalesce(col("text"), lit("")),
-          "[.!?]+"), s => length(trim(s)) > 0)), lit(1)).cast("long")
-          .as("n_sentences"),
-        length(regexp_replace(coalesce(col("text"), lit("")), "\\s", ""))
-          .cast("long").as("__nc"))
-        .withColumn("wps_ppm", expr("n_words * 1000000 div n_sentences"))
-        .withColumn("cpw_ppm", expr(
-          "CASE WHEN n_words > 0 THEN __nc * 1000000 div n_words END"))
-        .drop("__nc")),
+      graft.operators.Analytics.readability(t(s, dir, "documents"),
+        idCol = "doc_id", textCol = "text")),
     // top daily event journeys: ordered first-5 type sequences per
     // (user, day), counted corpus-wide, >= 5 occurrences
     "q_daily_paths" -> ((s, dir) =>
@@ -2657,35 +2559,20 @@ object SparkEntry {
         minCount = 3L, k = 30)),
     // period-over-period revenue deltas in ppm (lag over the
     // aggregated daily frame, bounded by distinct days)
-    "q_period_over_period" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, dir, "orders")
-        .groupBy(col("o_orderdate").cast("date").as("day"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-        .withColumn("__prev",
-          lag(col("cents"), 1).over(Window.orderBy(col("day").asc)))
-        .withColumn("delta_ppm", expr(
-          "CASE WHEN __prev IS NOT NULL " +
-            "THEN (cents - __prev) * 1000000 div __prev END"))
-        .drop("__prev")
-    }),
+    "q_period_over_period" -> ((s, dir) =>
+      graft.operators.Analytics.periodDelta(
+        t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")),
+        orderCol = "day", valCol = "cents")),
     // cohort LTV: cumulative cents per weekly signup cohort over
     // period offsets — retention's revenue companion
-    "q_cohort_ltv" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = events(s, dir).select(col("user_id"),
-        expr("ts div 604800000000").as("__p"),
-        round(col("value") * 100).cast("long").as("__c"))
-      val firstP = e.groupBy(col("user_id")).agg(min(col("__p")).as("__cohort"))
-      e.join(firstP, "user_id")
-        .groupBy(col("__cohort").as("cohort"),
-          (col("__p") - col("__cohort")).as("offset"))
-        .agg(sum(col("__c")).as("cents"),
-          countDistinct(col("user_id")).as("n_users"))
-        .withColumn("cum_cents",
-          sum(col("cents")).over(Window.partitionBy(col("cohort"))
-            .orderBy(col("offset").asc)).cast("long"))
-    }),
+    "q_cohort_ltv" -> ((s, dir) =>
+      graft.operators.Analytics.cohortLtv(
+        events(s, dir).select(col("user_id"),
+          expr("ts div 604800000000").as("__p"),
+          round(col("value") * 100).cast("long").as("__c")),
+        userCol = "user_id", periodCol = "__p", centsCol = "__c")),
     // directed shingle containment (Broder): catches subset copies
     // jaccard structurally misses; either direction >= 0.8 surfaces
     "q_dedup_containment" -> ((s, dir) =>

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics report operators, extracted from the inline
+  * SparkEntry query bodies (round 12) so each multi-step report is a
+  * named, unit-tested operator (the Temporal/Stats pattern). Semantics
+  * are unchanged — every consumer query keeps its DuckDB oracle.
+  *
+  * Scale notes follow each operator; the common rules: exact integer
+  * ppm arithmetic (never float ratios), per-key windows (the only
+  * partition-less windows ride provably tiny frames and are named in
+  * PlanAuditSpec's globalWindowAllowed), and single-row global stats
+  * attached via broadcast cross-join (the BM25 pattern) instead of a
+  * driver collect.
+  */
+object Analytics {
+
+  /** Exact per-group order-statistic percentiles: rank by (value, tie)
+    * inside each group, pick the ceil(n*p)-th value per requested
+    * percentile. One hash exchange on the group key; both windows and
+    * the final aggregate reuse it. `percentiles` maps p -> output
+    * column name; `nName` names the group-count column. */
+  def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
+                       tieCols: Seq[String],
+                       percentiles: Seq[(Double, String)],
+                       nName: String): DataFrame = {
+    require(percentiles.nonEmpty)
+    val wp = Window.partitionBy(col(groupCol))
+    val wr = wp.orderBy((col(valCol).asc +: tieCols.map(col(_).asc)): _*)
+    val ranked = df.withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wp))
+    val aggs = max(col("__n")).as(nName) +: percentiles.map { case (p, name) =>
+      max(when(col("__rn") === ceil(col("__n") * p), col(valCol))).as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Tukey IQR outlier counts per group at exact order-statistic
+    * quartiles; the 1.5-IQR fences stay integer by scaling both sides
+    * by 2. Input value must already be an integer scale (e.g. cents).
+    * Output: (group, n, q1_c, q3_c, n_outliers). Same one-exchange
+    * shape as [[exactPercentiles]]. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  tieCol: String): DataFrame = {
+    val wp = Window.partitionBy(col(groupCol))
+    val wr = wp.orderBy(col(valCol).asc, col(tieCol).asc)
+    df.withColumn("__rn", row_number().over(wr))
+      .withColumn("__n", count(lit(1)).over(wp))
+      .withColumn("__q1",
+        max(when(col("__rn") === ceil(col("__n") * 0.25), col(valCol)))
+          .over(wp))
+      .withColumn("__q3",
+        max(when(col("__rn") === ceil(col("__n") * 0.75), col(valCol)))
+          .over(wp))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), max(col("__q1")).as("q1_c"),
+        max(col("__q3")).as("q3_c"),
+        count(when(
+          col(valCol) * 2 < col("__q1") * 2 - (col("__q3") - col("__q1")) * 3
+            || col(valCol) * 2 > col("__q3") * 2 +
+              (col("__q3") - col("__q1")) * 3, 1)).as("n_outliers"))
+  }
+
+  /** Step-to-step funnel conversion in exact ppm over
+    * [[Temporal.funnel]]'s per-user step timestamps. The funnel output
+    * collapses to ONE row of step counts (a single aggregate), then
+    * explodes to one report row per step — no second pass over the
+    * events. Conversion guards n=0 (ANSI div). */
+  def funnelRates(df: DataFrame, userCol: String, tsCol: String,
+                  steps: Seq[Column], windowUs: Long): DataFrame = {
+    require(steps.size >= 2)
+    val f = Temporal.funnel(df, userCol, tsCol, steps, windowUs)
+    val counts = (1 to steps.size).map { i =>
+      if (i == 1) count(lit(1)).as("n1") else count(col(s"t$i")).as(s"n$i")
+    }
+    val agged = f.agg(counts.head, counts.tail: _*)
+    val rows = (1 to steps.size).map { i =>
+      val conv =
+        if (i == 1) lit(null).cast("long")
+        else expr(s"CASE WHEN n${i - 1} > 0 THEN n$i * 1000000 div n${i - 1} END")
+      struct(lit(i).as("step"), col(s"n$i").as("n_reached"),
+        conv.as("conv_ppm"))
+    }
+    agged.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.step"), col("__r.n_reached"), col("__r.conv_ppm"))
+  }
+
+  /** Linear (equal-credit) multi-touch attribution: each anchor
+    * (purchase) range-joins its in-window touches, then splits credit
+    * 1e6/n_touches. The range join is [[Temporal.rangeJoin]]'s banded
+    * equi-join — never a time-cross; the credit window partitions by
+    * the anchor id, bounded by touches-per-anchor. Output: (anchorId,
+    * keys..., touchId, n_touches, credit_ppm). */
+  def attributionLinear(anchors: DataFrame, touches: DataFrame,
+                        keys: Seq[String], tsCol: String, startCol: String,
+                        endCol: String, blockWidth: Long,
+                        anchorIdCol: String, touchIdCol: String): DataFrame =
+    Temporal.rangeJoin(anchors, touches, keys, tsCol, startCol, endCol,
+        blockWidth)
+      .withColumn("n_touches", count(lit(1))
+        .over(Window.partitionBy(col(anchorIdCol))).cast("long"))
+      .select((col(anchorIdCol) +: keys.map(col)) ++
+        Seq(col(touchIdCol), col("n_touches"),
+          expr("1000000 div n_touches").as("credit_ppm")): _*)
+
+  /** Cohort LTV: users cohorted by their first period, revenue summed
+    * per (cohort, period offset) with a running cumulative. The cumsum
+    * window partitions by cohort — frames are periods-per-cohort sized,
+    * never user-sized. */
+  def cohortLtv(df: DataFrame, userCol: String, periodCol: String,
+                centsCol: String): DataFrame = {
+    val firstP = df.groupBy(col(userCol))
+      .agg(min(col(periodCol)).as("__cohort"))
+    df.join(firstP, userCol)
+      .groupBy(col("__cohort").as("cohort"),
+        (col(periodCol) - col("__cohort")).as("offset"))
+      .agg(sum(col(centsCol)).as("cents"),
+        countDistinct(col(userCol)).as("n_users"))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(Window.partitionBy(col("cohort"))
+          .orderBy(col("offset").asc)).cast("long"))
+  }
+
+  /** Daily churn: an active user churns on day d when their next
+    * active day is > d+1 (or never). The last observed day is censored
+    * out via a single-row max-day broadcast (bnljAllowed pattern).
+    * Input must be (user, day) DISTINCT actives. */
+  def dailyChurn(actives: DataFrame, userCol: String,
+                 dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(dayCol).asc)
+    val l = actives.withColumn("__nxt", lead(col(dayCol), 1).over(w))
+    val mx = actives.agg(max(col(dayCol)).as("__maxd"))
+    l.crossJoin(broadcast(mx)).filter(col(dayCol) < col("__maxd"))
+      .groupBy(col(dayCol))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__nxt").isNull || col("__nxt") > col(dayCol) + 1,
+          1)).as("n_churned"))
+      .withColumn("churn_ppm", expr("n_churned * 1000000 div n_active"))
+  }
+
+  /** Growth curve: new users (first-ever active day) per day plus the
+    * cumulative distinct-user total. The running window is global but
+    * rides the day-sized frame (one row per day —
+    * globalWindowAllowed). */
+  def userGrowth(actives: DataFrame, userCol: String,
+                 dayCol: String): DataFrame = {
+    val nf = actives.groupBy(col(userCol)).agg(min(col(dayCol)).as("__fd"))
+      .groupBy(col("__fd").as(dayCol)).agg(count(lit(1)).as("n_new"))
+    actives.select(col(dayCol)).distinct()
+      .join(nf, Seq(dayCol), "left").na.fill(0L, Seq("n_new"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col(dayCol).asc)).cast("long"))
+  }
+
+  /** Benford first-significant-digit profile: counts plus observed ppm
+    * share, all-integer; the total rides a single-row broadcast. */
+  def benford(df: DataFrame, numCol: String): DataFrame = {
+    val d = df.select(substring(floor(col(numCol)).cast("long")
+      .cast("string"), 1, 1).as("digit"))
+    val total = d.agg(count(lit(1)).as("__n"))
+    d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div __n").as("share_ppm"))
+  }
+
+  /** A/B lift report from one row per user (variant, converted?):
+    * per-variant conversion rates and lift vs the `control` variant in
+    * ppm. The control rate attaches via a window over the
+    * variants-sized frame (globalWindowAllowed). */
+  def abLift(perUser: DataFrame, variantCol: String, convCol: String,
+             control: Long = 0L): DataFrame = {
+    val v = perUser.groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col(convCol), 1)).as("n_conv"))
+      .withColumn("rate_ppm", expr("n_conv * 1000000 div n_users"))
+    v.withColumn("__ctrl", max(when(col(variantCol) === control,
+        col("rate_ppm"))).over(Window.partitionBy()))
+      .withColumn("lift_ppm", expr(s"CASE WHEN $variantCol <> $control THEN " +
+        "(rate_ppm - __ctrl) * 1000000 div __ctrl END"))
+      .drop("__ctrl")
+  }
+
+  /** Share-of-total in exact ppm appended as `outCol`; the total rides
+    * a window over the already-aggregated (group-sized) frame. */
+  def shareOfTotal(df: DataFrame, valCol: String,
+                   outCol: String): DataFrame =
+    df.withColumn(outCol,
+      expr(s"$valCol * 1000000 div (sum($valCol) OVER ())"))
+
+  /** Period-over-period delta in ppm via lag over the period-sized
+    * frame (one row per period — globalWindowAllowed). */
+  def periodDelta(df: DataFrame, orderCol: String,
+                  valCol: String): DataFrame =
+    df.withColumn("__prev", lag(col(valCol), 1).over(
+        Window.orderBy(col(orderCol).asc)))
+      .withColumn("delta_ppm", expr(
+        s"CASE WHEN __prev IS NOT NULL " +
+          s"THEN ($valCol - __prev) * 1000000 div __prev END"))
+      .drop("__prev")
+
+  /** Per-group freshness: latest timestamp and its lag behind the
+    * global max (the monitoring "how stale is each feed" view). The
+    * global-max window rides one row per group
+    * (globalWindowAllowed). */
+  def freshnessLag(df: DataFrame, groupCol: String,
+                   tsCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(max(col(tsCol)).as("max_ts"))
+      .withColumn("lag_us",
+        max(col("max_ts")).over(Window.partitionBy()) - col("max_ts"))
+
+  /** Integer span stats per group: n, truncated mean, min, max —
+    * output columns named after `valCol` (avg_<v>, min_<v>, max_<v>).
+    * One partial-aggregated exchange. */
+  def spanStats(df: DataFrame, groupCol: String,
+                valCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("__s"),
+        min(col(valCol)).as(s"min_$valCol"),
+        max(col(valCol)).as(s"max_$valCol"))
+      .select(col(groupCol), col("n"), expr("__s div n").as(s"avg_$valCol"),
+        col(s"min_$valCol"), col(s"max_$valCol"))
+
+  /** Readability profile: words/sentence and chars/word in exact ppm —
+    * the Flesch-style signals without the float formula. Pure
+    * projection (one codegen stage, no shuffle). */
+  def readability(df: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+        t => length(t) > 0)).cast("long").as("n_words"),
+      greatest(size(filter(split(coalesce(col(textCol), lit("")),
+        "[.!?]+"), s => length(trim(s)) > 0)), lit(1)).cast("long")
+        .as("n_sentences"),
+      length(regexp_replace(coalesce(col(textCol), lit("")), "\\s", ""))
+        .cast("long").as("__nc"))
+      .withColumn("wps_ppm", expr("n_words * 1000000 div n_sentences"))
+      .withColumn("cpw_ppm", expr(
+        "CASE WHEN n_words > 0 THEN __nc * 1000000 div n_words END"))
+      .drop("__nc")
+}

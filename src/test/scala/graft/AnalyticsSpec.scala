@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for every Analytics operator (extracted from
+  * the inline SparkEntry bodies in round 12 — these pin the semantics
+  * independently of the DuckDB oracles). */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactPercentiles: ceil(n*p)-th order statistic per group, ties broken by tieCols") {
+    val d = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L), ("g", 40L, 4L))
+      .toDF("grp", "v", "tie")
+    val r = Analytics.exactPercentiles(d, "grp", "v", Seq("tie"),
+      Seq(0.5 -> "p50", 0.9 -> "p90"), nName = "n").collect().head
+    // ceil(4*.5)=2nd=20, ceil(4*.9)=4th=40
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("p50") == 20L &&
+      r.getAs[Long]("p90") == 40L)
+  }
+
+  test("iqrOutliers: integer 1.5-IQR fences catch only the extreme") {
+    val d = (1L to 8L).map(i => ("g", i * 10, i)) :+ (("g", 1000L, 9L))
+    val r = Analytics.iqrOutliers(d.toDF("grp", "v", "tie"), "grp", "v", "tie")
+      .collect().head
+    // n=9: q1 = 3rd = 30, q3 = 7th = 70, IQR=40 -> fences [-30, 130]
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("q1_c") == 30L &&
+      r.getAs[Long]("q3_c") == 70L && r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("funnelRates: per-step reach and ppm conversion") {
+    val e = Seq((1L, 0L, "view"), (1L, 1L, "click"), (1L, 2L, "purchase"),
+      (2L, 0L, "view"), (2L, 1L, "click"), (3L, 0L, "view"))
+      .toDF("u", "ts", "et")
+    val r = Analytics.funnelRates(e, "u", "ts",
+      Seq(col("et") === "view", col("et") === "click",
+        col("et") === "purchase"), windowUs = 1000L)
+      .collect().map(x => (x.getInt(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).sortBy(_._1).toSeq
+    assert(r == Seq((1, 3L, -1L), (2, 2L, 666666L), (3, 1L, 500000L)))
+  }
+
+  test("attributionLinear: equal ppm credit across in-window touches") {
+    val p = Seq((100L, 7L, 50L)).toDF("event_id", "u", "ts")
+    val c = Seq((7L, 0L, 99L, 201L), (7L, 10L, 109L, 202L),
+      (7L, 60L, 169L, 203L)) // starts after the purchase: never joins
+      .toDF("u", "__s", "__e", "touch_id")
+    val r = Analytics.attributionLinear(p, c, Seq("u"), "ts", "__s", "__e",
+      blockWidth = 100L, anchorIdCol = "event_id", touchIdCol = "touch_id")
+      .collect().map(x => (x.getAs[Long]("touch_id"),
+        x.getAs[Long]("n_touches"), x.getAs[Long]("credit_ppm"))).toSet
+    assert(r == Set((201L, 2L, 500000L), (202L, 2L, 500000L)))
+  }
+
+  test("cohortLtv: first-period cohorts with per-cohort running revenue") {
+    val d = Seq((1L, 0L, 100L), (1L, 1L, 200L), (2L, 1L, 50L))
+      .toDF("u", "p", "c")
+    val r = Analytics.cohortLtv(d, "u", "p", "c").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getAs[Long]("cents"),
+        x.getAs[Long]("n_users"), x.getAs[Long]("cum_cents"))).toSet
+    assert(r == Set((0L, 0L, 100L, 1L, 100L), (0L, 1L, 200L, 1L, 300L),
+      (1L, 0L, 50L, 1L, 50L)))
+  }
+
+  test("dailyChurn: churn = no next-day activity; last day censored") {
+    val a = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("u", "day")
+    val r = Analytics.dailyChurn(a, "u", "day").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_active"),
+        x.getAs[Long]("n_churned"), x.getAs[Long]("churn_ppm"))).toSeq
+    // day 2 (the max day) is censored out; day 1: u2 churns, u1 returns
+    assert(r == Seq((1L, 2L, 1L, 500000L)))
+  }
+
+  test("userGrowth: new-user counts with zero-filled days and cumulative total") {
+    val a = Seq((1L, 1L), (2L, 1L), (1L, 2L), (3L, 3L)).toDF("u", "day")
+    val r = Analytics.userGrowth(a, "u", "day").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_new"),
+        x.getAs[Long]("cum_users"))).sortBy(_._1).toSeq
+    assert(r == Seq((1L, 2L, 2L), (2L, 0L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("benford: first significant digit shares in exact ppm") {
+    val d = Seq(19.5, 150.0, 2.3, 95.0).toDF("x")
+    val r = Analytics.benford(d, "x").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("n"),
+        x.getAs[Long]("share_ppm"))).toSet
+    assert(r == Set(("1", 2L, 500000L), ("2", 1L, 250000L),
+      ("9", 1L, 250000L)))
+  }
+
+  test("abLift: rate and lift vs the control variant in ppm") {
+    val u = Seq((0L, false), (0L, true), (1L, true), (1L, true))
+      .toDF("variant", "conv")
+    val r = Analytics.abLift(u, "variant", "conv").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("rate_ppm"),
+        if (x.isNullAt(4)) -1L else x.getAs[Long]("lift_ppm"))).toSet
+    assert(r == Set((0L, 500000L, -1L), (1L, 1000000L, 1000000L)))
+  }
+
+  test("shareOfTotal: ppm shares over the aggregated frame") {
+    val d = Seq(("a", 30L), ("b", 70L)).toDF("k", "cents")
+    val r = Analytics.shareOfTotal(d, "cents", "share_ppm").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("share_ppm"))).toSet
+    assert(r == Set(("a", 300000L), ("b", 700000L)))
+  }
+
+  test("periodDelta: lag-based ppm delta, truncation toward zero") {
+    val d = Seq((1L, 100L), (2L, 150L), (3L, 120L)).toDF("day", "cents")
+    val r = Analytics.periodDelta(d, "day", "cents").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(2)) None
+        else Some(x.getAs[Long]("delta_ppm")))).sortBy(_._1).toSeq
+    assert(r == Seq((1L, None), (2L, Some(500000L)), (3L, Some(-200000L))))
+  }
+
+  test("freshnessLag: per-group max ts lag behind the global max") {
+    val d = Seq(("a", 100L), ("a", 90L), ("b", 70L)).toDF("g", "ts")
+    val r = Analytics.freshnessLag(d, "g", "ts").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("max_ts"),
+        x.getAs[Long]("lag_us"))).toSet
+    assert(r == Set(("a", 100L, 0L), ("b", 70L, 30L)))
+  }
+
+  test("spanStats: n / truncated avg / min / max named after the value column") {
+    val d = Seq(("x", 1L), ("x", 2L), ("x", 4L)).toDF("g", "days")
+    val r = Analytics.spanStats(d, "g", "days").collect().head
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("avg_days") == 2L &&
+      r.getAs[Long]("min_days") == 1L && r.getAs[Long]("max_days") == 4L)
+  }
+
+  test("readability: ppm words-per-sentence and chars-per-word") {
+    val d = Seq((1L, "Hello world. Bye")).toDF("id", "text")
+    val r = Analytics.readability(d, "id", "text").collect().head
+    assert(r.getAs[Long]("n_words") == 3L &&
+      r.getAs[Long]("n_sentences") == 2L &&
+      r.getAs[Long]("wps_ppm") == 1500000L &&
+      r.getAs[Long]("cpw_ppm") == 4666666L)
+  }
+}
