@@ -602,6 +602,10 @@ private[graft] object Oracles {
     // lossless merge => the merged sketch equals the whole-corpus
     // sketch; same oracle
     "q_sketch_kmv_merge" -> kmvOracle,
+    // the pure-SQL builds replay the identical hash stream and bottom-k
+    // order, so the operator-tier oracles transfer row for row
+    "q_sketch_kmv_sql" -> kmvOracle,
+    "q_sketch_quantile_sql" -> quantileSketchOracle,
     "q_sketch_quantile" -> quantileSketchOracle,
     // lossless merge (disjoint shards, keep k smallest by hash) =>
     // merged ≡ whole-corpus bottom-k; same oracle

@@ -786,6 +786,41 @@ object SparkEntry {
           round(Sketch.quantileEstimate(col("qsketch"), 0.5), 6).as("p50_est"),
           round(Sketch.quantileEstimate(col("qsketch"), 0.9), 6).as("p90_est"))
     }),
+    // the KMV tier on the PURE-SQL surface: sketch build is plain
+    // aggregates over kmv_hash (collect_set -> array_sort -> slice =
+    // bottom-k), estimate via kmv_estimate — zero Scala imports, same
+    // exact-replay oracle as the operator tier. NB the SQL build
+    // collects each group's distinct hashes before slicing; the
+    // operator tier's TopKPerKey heap is the bounded-memory path for
+    // heavy groups — this surface is for SQL-only contexts.
+    "q_sketch_kmv_sql" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_kmv_events")
+      s.sql("""
+        SELECT event_type,
+               kmv_estimate(slice(array_sort(collect_set(kmv_hash(user_id))),
+                                  1, 32), 32) AS n_est
+        FROM graft_kmv_events GROUP BY event_type
+      """)
+    }),
+    // the bottom-k quantile sketch on the PURE-SQL surface (same
+    // caveat: the SQL build collects the group; the operator tier's
+    // heap is the scale path). Struct arrays sort by (h, v) exactly
+    // like the operator's (hash, value) order.
+    "q_sketch_quantile_sql" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      t(s, dir, "events").createOrReplaceTempView("graft_qsk_events")
+      s.sql("""
+        SELECT event_type,
+               round(quantile_estimate(qsk, 0.5D), 6) AS p50_est,
+               round(quantile_estimate(qsk, 0.9D), 6) AS p90_est
+        FROM (SELECT event_type,
+                     slice(array_sort(collect_list(struct(
+                       kmv_hash(event_id) AS h,
+                       CAST(value AS DOUBLE) AS v))), 1, 64) AS qsk
+              FROM graft_qsk_events GROUP BY event_type)
+      """)
+    }),
     // the MERGE path: per-shard sketches (event_id parity) rolled up
     // without rescanning — shards partition the rows, so union the
     // (h, v) pairs and keep the k smallest by hash: the merged sketch

@@ -92,11 +92,47 @@ object registry {
       // (array<string> scalar subquery — the dup-set aggregate itself
       // is plain SQL); n must match the width the set was built with
       "remove_dup_grams" -> (args => RemoveDupGramsExpr(args(0), args(1),
-        intArg(args, 2, 5))))
+        intArg(args, 2, 5))),
+      // ---- sketch tier on the SQL surface: the estimator/merge
+      // Column compositions from operators.Sketch re-exposed as SQL
+      // functions (Bridge round-trips Column <-> Expression; the trees
+      // are pure built-ins, so they stay codegen'd). Sketch BUILD is
+      // plain SQL once kmv_hash exists:
+      //   slice(array_sort(collect_set(kmv_hash(v))), 1, k)
+      // k (and quantile q) are literals — they parameterize the
+      // expression shape, exactly like the Scala signatures. ----------
+      "kmv_hash" -> (args => sketchCol(graft.operators.Sketch.kmvHash(
+        colOf(args.head)))),
+      "kmv_estimate" -> (args => sketchCol(graft.operators.Sketch.kmvEstimate(
+        colOf(args.head), intArg(args, 1, 32)))),
+      "kmv_union" -> (args => sketchCol(graft.operators.Sketch.kmvUnionK(
+        colOf(args(0)), colOf(args(1)), intArg(args, 2, 32)))),
+      "kmv_intersect_estimate" -> (args =>
+        sketchCol(graft.operators.Sketch.kmvIntersectEstimate(
+          colOf(args(0)), colOf(args(1)), intArg(args, 2, 32)))),
+      "quantile_estimate" -> (args =>
+        sketchCol(graft.operators.Sketch.quantileEstimate(
+          colOf(args.head), doubleArg(args, 1, 0.5)))))
   }
+
+  private def colOf(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def sketchCol(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.graftbridge.Bridge.toExpression(c)
 
   private def intArg(args: Seq[Expression], at: Int, default: Int): Int =
     longLiteral(args, at, s"argument $at").map(_.toInt).getOrElse(default)
+
+  /** Literal arg as a Double (quantile q): numeric literals only. */
+  private def doubleArg(args: Seq[Expression], at: Int, default: Double): Double =
+    if (args.length > at) args(at) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+        scala.util.Try(v.toString.toDouble).getOrElse(
+          throw new IllegalArgumentException(
+            s"argument $at must be a numeric literal, got '$v'"))
+      case other => throw new IllegalArgumentException(
+        s"argument $at must be a non-null numeric literal, got $other")
+    } else default
 
   /** Register as session temp functions on an existing session. */
   def registerAll(spark: SparkSession): Unit =

@@ -29,6 +29,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Convert a Column's node tree into a real catalyst Expression:
+    * Column-DSL function calls become catalyst UnresolvedFunction
+    * nodes the analyzer then resolves (lambdas included). Unlike
+    * [[expression]], which only unwraps Columns that directly wrap an
+    * Expression and otherwise leaves an opaque ColumnNodeExpression
+    * the executor cannot codegen — the SQL-surface sketch functions
+    * hit exactly that. */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame from a logical plan (custom operators' entry point). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -62,6 +62,48 @@ class SketchSpec extends SparkTestBase {
     assert(est == 10L, s"below-capacity overlap must be exact, got $est")
   }
 
+  test("SQL surface: kmv/quantile functions equal the operator tier exactly") {
+    import graft.operators.Sketch
+    graft.functions.registry.registerAll(spark)
+    val ev = spark.read.parquet(sf("sf0.01") + "/events.parquet")
+    ev.createOrReplaceTempView("sketch_sql_events")
+    // estimator parity: pure-SQL build+estimate == Sketch.kmv pipeline
+    val opEst = Sketch.kmv(ev, Seq("event_type"), "user_id", 32)
+      .select($"event_type", Sketch.kmvEstimate($"sketch", 32).as("n_est"))
+      .as[(String, Long)].collect().toMap
+    val sqlEst = spark.sql(
+      """SELECT event_type, kmv_estimate(
+        |  slice(array_sort(collect_set(kmv_hash(user_id))), 1, 32), 32)
+        |FROM sketch_sql_events GROUP BY event_type""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(sqlEst == opEst)
+    // set algebra parity: union-k and intersect estimate via SQL
+    // functions == the Column compositions, on the same sketch pair
+    val pair = Sketch.kmv(ev, Seq("event_type"), "user_id", 32)
+      .agg(max(when($"event_type" === "click", $"sketch")).as("a"),
+        max(when($"event_type" === "purchase", $"sketch")).as("b"))
+    pair.createOrReplaceTempView("sketch_sql_pair")
+    val opAlg = pair.select(Sketch.kmvUnionK($"a", $"b", 32).as("u"),
+        Sketch.kmvIntersectEstimate($"a", $"b", 32).as("i"))
+      .as[(Seq[Long], Long)].head()
+    val sqlAlg = spark.sql(
+      """SELECT kmv_union(a, b, 32), kmv_intersect_estimate(a, b, 32)
+        |FROM sketch_sql_pair""".stripMargin)
+      .as[(Seq[Long], Long)].head()
+    assert(sqlAlg == opAlg)
+    // quantile estimator parity on a hand sketch (odd n: exact median)
+    val q = spark.sql(
+      "SELECT quantile_estimate(array(struct(1L AS h, 5.0D AS v), " +
+      "struct(2L AS h, 1.0D AS v), struct(3L AS h, 9.0D AS v)), 0.5D)")
+      .as[Double].head()
+    assert(q == 5.0)
+    // k / q must be literals — a column there is an analysis error
+    intercept[Exception] {
+      spark.sql("SELECT kmv_estimate(array(1L), user_id) " +
+        "FROM sketch_sql_events LIMIT 1").collect()
+    }
+  }
+
   test("quantile sketch: below-capacity groups are EXACT; estimator == percentile") {
     import graft.operators.Sketch
     // 40 rows < k=64 => the sample is the whole group and the
