@@ -662,12 +662,12 @@ object Dedup {
       .distinct().cache())
     // Each round references the previous round's result: without lineage
     // truncation the logical plan doubles per iteration (OOM by ~30
-    // rounds). localCheckpoint materializes and cuts the lineage; on a
-    // real cluster prefer reliable checkpoint (HDFS) for fault
-    // tolerance of long chains.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    // rounds). LineageCut materializes and cuts the lineage —
+    // localCheckpoint by default, reliable (HDFS) checkpoint when the
+    // session opts in via spark.graft.bsp.checkpoint=reliable (fault
+    // tolerance for long chains on a real cluster).
+    var labels = LineageCut.cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -686,14 +686,13 @@ object Dedup {
       // O(diameter) to O(log diameter) — on a long chain that is the
       // difference between 30 rounds of fixed per-round job overhead
       // and 6. One extra self-join of the label table per round.
-      val next = stepped.as("s")
+      val next = LineageCut.cut(stepped.as("s")
         .join(stepped.select(col("id").as("__cid"),
           col("component").as("__cc")),
           col("s.component") === col("__cid"), "left")
         .select(col("s.id").as("id"),
           least(col("s.component"), coalesce(col("__cc"), col("s.component")))
-            .as("component"))
-        .localCheckpoint(true)
+            .as("component")))
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).limit(1).count()
       // the superseded round's checkpoint blocks are dead the moment
@@ -701,7 +700,8 @@ object Dedup {
       // downstream re-reads them): free immediately instead of holding
       // O(iterations) label snapshots until GC — on a long fixpoint
       // that's the difference between O(1) and O(diameter) storage
-      org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(labels)
+      // (reliable mode also deletes the superseded snapshot's files)
+      LineageCut.release(labels)
       labels = next
       converged = changed == 0
       iter += 1

@@ -27,43 +27,43 @@ object Graph {
     * rank table on src (edges re-used from a cached/checkpointed
     * distinct) + one map-side-combined sum on dst. N rides the plan as
     * a single-row broadcast (the BM25 stats pattern) — no driver
-    * action at construction. Lineage is cut per iteration with an
-    * eager localCheckpoint, the [[Dedup.components]] pattern (on a
-    * real cluster prefer reliable checkpoint); iterations are O(E)
-    * each, the textbook BSP shape that scales to any edge count the
-    * cluster's shuffle can hold. */
+    * action at construction. Lineage is cut per iteration via
+    * [[LineageCut]] (eager localCheckpoint by default; set
+    * spark.graft.bsp.checkpoint=reliable for executor-loss-tolerant
+    * HDFS snapshots on a real cluster); iterations are O(E) each, the
+    * textbook BSP shape that scales to any edge count the cluster's
+    * shuffle can hold. */
   def pageRankScaled(edges: DataFrame, srcCol: String, dstCol: String,
                      iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(scale >= 1000000L, s"scale too small for ppm precision: $scale")
-    val e = edges
+    // lineage cuts via LineageCut: eager localCheckpoint by default,
+    // opt-in reliable checkpoint (spark.graft.bsp.checkpoint=reliable)
+    // for clusters where executor loss must not kill the loop
+    val e = LineageCut.cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(true) // consumed by outdeg + every iteration
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .distinct()) // consumed by outdeg + every iteration
+    val nodes = LineageCut.cut(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct())
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val nDf = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
-    var rank = nodes.crossJoin(broadcast(nDf))
+    var rank = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
       .select(col("id"), expr(s"${scale}L div n_nodes").as("pr"),
-        col("n_nodes"))
-      .localCheckpoint(true)
+        col("n_nodes")))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), expr("pr div od").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
-      val next = rank.select(col("id"), col("n_nodes"))
+      val next = LineageCut.cut(rank.select(col("id"), col("n_nodes"))
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           expr(s"((15 * ${scale}L) div (100 * n_nodes)) + " +
             "((85 * coalesce(m, 0L)) div 100)").as("pr"),
-          col("n_nodes"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(rank)
+          col("n_nodes")))
+      LineageCut.release(rank)
       rank = next
     }
     rank.select(col("id"), col("pr").as("rank_scaled"))
@@ -152,21 +152,21 @@ object Graph {
     * lineage is truncated per round (the components-loop pattern). */
   def bfsDepth(edges: DataFrame, seeds: DataFrame, maxIter: Int): DataFrame = {
     require(maxIter >= 1 && maxIter <= 64, s"maxIter out of range: $maxIter")
-    val ud = edges.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct().localCheckpoint(true)
-    var dist = seeds.select(col("v"), lit(0L).as("d")).localCheckpoint(true)
+    val ud = LineageCut.cut(
+      edges.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+        .distinct())
+    var dist = LineageCut.cut(seeds.select(col("v"), lit(0L).as("d")))
     for (_ <- 1 to maxIter) {
       val next = dist.join(ud, dist("v") === ud("a"))
         .select(ud("b").as("v"), (dist("d") + lit(1L)).as("d"))
-      val stepped = dist.unionByName(next)
-        .groupBy(col("v")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(dist)
+      val stepped = LineageCut.cut(dist.unionByName(next)
+        .groupBy(col("v")).agg(min(col("d")).as("d")))
+      LineageCut.release(dist)
       dist = stepped
     }
     val out = dist.select(col("v"), col("d").as("depth"))
-    org.apache.spark.sql.graftbridge.Bridge.releaseMaterialized(ud)
+    LineageCut.release(ud)
     out
   }
 

@@ -106,6 +106,22 @@ object Bridge {
     }
   }
 
+  /** The reliable-checkpoint file behind a checkpointed Dataset (None
+    * for local checkpoints and uncheckpointed plans) — the handle the
+    * BSP loops' reliable mode needs to delete a superseded iteration's
+    * snapshot (the PeriodicCheckpointer discipline). Reachable only
+    * through the same `private[sql]` LogicalRDD leaf as
+    * [[releaseMaterialized]]. */
+  def checkpointFileOf(df: org.apache.spark.sql.Dataset[_]): Option[String] = {
+    var found: Option[String] = None
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD if found.isEmpty =>
+        found = lr.rdd.getCheckpointFile
+      case _ => ()
+    }
+    found
+  }
+
   /** Whether the session's CacheManager holds any cached plan — the
     * lifecycle assertion tests need (CacheManager is private[sql] and
     * exposes no public count). */

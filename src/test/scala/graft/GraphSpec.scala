@@ -75,6 +75,52 @@ class GraphSpec extends SparkTestBase {
     assert(got == Set((1L, "y", 2L), (10L, "a", 1L)))
   }
 
+  test("LineageCut reliable mode: BSP results identical, superseded snapshots deleted") {
+    import graft.operators.{Dedup, Graph, LineageCut}
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val seeds = Seq(0L).toDF("v")
+    val localBfs = Graph.bfsDepth(edges, seeds, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    val localPr = Graph.pageRankScaled(
+        edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val localComp = Dedup.components(edges).as[(Long, Long)].collect().toMap
+
+    // reliable mode without a checkpoint dir must fail with a clear
+    // message, not a cryptic SparkException mid-loop
+    spark.conf.set(LineageCut.ModeKey, "reliable")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_bsp_ck")
+    try {
+      val noDir = intercept[IllegalArgumentException](
+        Graph.bfsDepth(edges, seeds, maxIter = 2))
+      assert(noDir.getMessage.contains("setCheckpointDir"))
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+
+      assert(Graph.bfsDepth(edges, seeds, maxIter = 12)
+        .as[(Long, Long)].collect().toMap == localBfs)
+      assert(Graph.pageRankScaled(edges.toDF("src", "dst"), "src", "dst",
+        iters = 3).as[(Long, Long)].collect().toMap == localPr)
+      assert(Dedup.components(edges).as[(Long, Long)].collect().toMap
+        == localComp)
+
+      // PeriodicCheckpointer discipline: superseded iterations'
+      // snapshot dirs are deleted as the loops advance, so the dir
+      // holds only the few LIVE cuts (finals + loop-invariant edge
+      // tables), not one snapshot per iteration (12+3+... > 20)
+      def rddDirs(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(q => q.getFileName.toString.startsWith("rdd-")).count()
+        finally s.close()
+      }
+      assert(rddDirs(ckDir) <= 8,
+        s"checkpoint dir holds ${rddDirs(ckDir)} snapshots — release " +
+          "is not deleting superseded iterations")
+    } finally {
+      spark.conf.unset(LineageCut.ModeKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
+    }
+  }
+
   test("bfsDepth: chain distances, multi-source min, maxIter horizon") {
     import graft.operators.Graph
     // chain 1-2-3-4-5-6 plus seed 10 adjacent to 4
