@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -204,6 +204,78 @@ object CdcStream {
       }(stateEnc, entryEnc)
       .toDF("__key", "__ts", "__row")
       .select(col("__key"), col("__ts"), col("__row.*"))
+  }
+
+  /** Streaming funnel progression — the stateful face of
+    * [[graft.operators.Temporal.funnel]]: per key, advance a step
+    * cursor as qualifying events arrive and emit one IMMUTABLE
+    * (key, step, ts) COMPLETION fact per step reached — the
+    * append-mode-safe decomposition of the batch funnel frame (a
+    * batch funnel row is the pivot of its key's completions;
+    * conversion rates are a plain streaming count per step
+    * downstream).
+    *
+    * Semantics mirror the batch operator exactly under per-key
+    * event-time-ordered arrival: step 1 anchors at the key's first
+    * matching event, step k requires a match STRICTLY after step k-1
+    * and within `windowUs` of step 1; rows older than the key's
+    * cursor are dropped (the transitionsStream late-arrival
+    * contract — a late event cannot retroactively splice into an
+    * already-emitted progression). Restart-parity with the batch
+    * operator is pinned in StreamingValidatorSpec.
+    *
+    * State per key is THREE scalars — (steps_done, t1, t_last) —
+    * not the event history: everything the decision needs. Rows
+    * matching no step are filtered before the state store, so state
+    * traffic is funnel-relevant events only; the store is O(keys)
+    * regardless of stream length. Step predicates pack into a
+    * per-row BITMASK (≤ 63 steps), so overlapping predicates (e.g.
+    * repeated event types) resolve per-step like the batch form. */
+  def funnelStream(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, steps: Seq[Column],
+                   windowUs: Long): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 63,
+      s"funnel needs 2..63 steps, got ${steps.size}")
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    import org.apache.spark.sql.Encoders
+    val nSteps = steps.size
+    val entryEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong)
+    val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+      Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaLong)
+    val mask = steps.zipWithIndex.map { case (p, i) =>
+      when(p, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) // bits are disjoint, so + is bitwise-or
+    val keyed = events.select(
+        col(keyCol).cast("long").as("_1"),
+        col(tsCol).cast("long").as("_2"),
+        col(tieCol).cast("long").as("_3"),
+        mask.as("_4"))
+      .filter(col("_4") =!= 0L)
+      .as(entryEnc)
+    keyed.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Int, Long, Long), (Long, Int, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         st: GroupState[(Int, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (k, t1, tLast) = st.getOption.getOrElse((0, 0L, 0L))
+          val out = Seq.newBuilder[(Long, Int, Long)]
+          sorted.foreach { case (_, t, _, m) =>
+            if (k < nSteps && ((m >> k) & 1L) == 1L &&
+                (k == 0 || (t > tLast && t <= t1 + windowUs))) {
+              if (k == 0) t1 = t
+              tLast = t
+              k += 1
+              out += ((key, k, t))
+            }
+          }
+          if (k > 0) st.update((k, t1, tLast))
+          out.result().iterator
+      }(stEnc, outEnc)
+      .toDF("__key", "step", "step_ts")
   }
 
   /** Streaming transition-pair extraction — the stateful face of

@@ -428,6 +428,56 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(combined == batch)
   }
 
+  test("streaming funnel completions match batch across a checkpoint restart") {
+    import graft.operators.Temporal
+    val steps = Seq($"event_type" === "view", $"event_type" === "click",
+      $"event_type" === "purchase")
+    val windowUs = 259200000000L // 3 days, the q_funnel_rates window
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fn").toString
+    val ev = eventsUs().select($"user_id", $"ts", $"event_id", $"event_type")
+    // split EARLY (5th percentile of ts — any ts split keeps per-key
+    // arrival in event-time order, so the batch operator stays the
+    // exact ground truth): at the median this dense fixture completes
+    // every funnel in phase 1 and the restart leg would assert nothing
+    val split = ev.agg(expr("percentile(ts, 0.05D)")).first().getDouble(0).toLong
+    ev.filter($"ts" <= split).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val ckpt = s"$dir/ckpt"
+
+    def runPhase(): Unit = {
+      val stream = CdcStream.readFiles(spark, s"$dir/in", schema,
+        maxFilesPerTrigger = 4)
+      val done = CdcStream.funnelStream(stream, "user_id", "ts",
+        "event_id", steps, windowUs)
+      val q = done.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runPhase()
+    val n1 = spark.read.parquet(s"$dir/out").count()
+    ev.filter($"ts" > split).write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    val all = spark.read.parquet(s"$dir/out")
+    assert(n1 > 0 && all.count() > n1,
+      "phase 2 must add completions (some span the restart)")
+
+    // the accumulated completion facts ARE the batch funnel frame:
+    // (key, k, t_k) for every non-null t_k — set-exact, not just counts
+    val streamed = all.select($"__key", $"step", $"step_ts")
+      .as[(Long, Int, Long)].collect().toSet
+    val batchFrame = Temporal.funnel(ev, "user_id", "ts", steps, windowUs)
+    val batch = batchFrame.collect().flatMap { r =>
+      (1 to 3).flatMap { k =>
+        val i = batchFrame.columns.indexOf(s"t$k")
+        if (r.isNullAt(i)) Nil
+        else Seq((r.getLong(0), k, r.getLong(i)))
+      }
+    }.toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} completions, batch ${batch.size}")
+  }
+
   test("validator config end-to-end from TOML") {
     spark.read.parquet(sf() + "/customer.parquet").createOrReplaceTempView("v_customer")
     val v = ConfigLoader.parseValidations("""
