@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Analytics
+
+/** Randomized-equivalence tests for the extracted analytics operators:
+  * each is pinned to an INDEPENDENT brute-force replica (plain Scala
+  * collections / BigInt arithmetic) over seeded-random data — the
+  * DuckDB oracles pin the fixture, these pin the semantics off it.
+  * Few seeds, larger inputs (each property is a Spark job). */
+class AnalyticsPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randRows(seed: Long, n: Int): Seq[(String, Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    // duplicate-heavy values so order-statistic tie handling is hit
+    (1 to n).map(i => (s"g${r.nextInt(5)}", r.nextInt(50).toLong, i.toLong))
+  }
+
+  test("exactPercentiles == brute-force ceil(n*p)-th order statistic") {
+    for (seed <- Seq(7L, 21L, 99L)) {
+      val rows = randRows(seed, 400)
+      val got = Analytics.exactPercentiles(rows.toDF("g", "v", "tie"),
+          "g", "v", Seq("tie"),
+          Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90"), nName = "n")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val exp = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(t => (t._2, t._3)).sorted.map(_._1)
+        // the same double arithmetic the operator's ceil(n*p) runs
+        def pick(p: Double) = sorted(math.ceil(sorted.size * p).toInt - 1)
+        g -> ((sorted.size.toLong, pick(0.25), pick(0.5), pick(0.9)))
+      }
+      assert(got == exp, s"seed $seed")
+    }
+  }
+
+  test("iqrOutliers == brute-force integer-fence replica") {
+    for (seed <- Seq(3L, 17L)) {
+      val rows = randRows(seed, 300)
+      val got = Analytics.iqrOutliers(rows.toDF("g", "v", "tie"),
+          "g", "v", "tie")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val exp = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(t => (t._2, t._3)).sorted.map(_._1)
+        val n = sorted.size
+        val q1 = sorted(math.ceil(n * 0.25).toInt - 1)
+        val q3 = sorted(math.ceil(n * 0.75).toInt - 1)
+        val out = sorted.count(v =>
+          2 * v < 2 * q1 - 3 * (q3 - q1) || 2 * v > 2 * q3 + 3 * (q3 - q1))
+        g -> ((n.toLong, q1, q3, out.toLong))
+      }
+      assert(got == exp, s"seed $seed")
+    }
+  }
+
+  test("benford == BigInt first-digit replica; shares truncate toward zero") {
+    val r = new scala.util.Random(11L)
+    val vals = (1 to 500).map(_ => r.nextDouble() * math.pow(10, r.nextInt(6)))
+    val got = Analytics.benford(vals.toDF("x"), "x").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val digits = vals.map(v => math.floor(v).toLong.toString.take(1))
+    val exp = digits.groupBy(identity).map { case (d, ds) =>
+      val n = BigInt(ds.size)
+      d -> ((ds.size.toLong, (n * 1000000 / BigInt(vals.size)).toLong))
+    }
+    assert(got == exp)
+  }
+
+  test("shareOfTotal == BigInt ppm replica on random aggregates") {
+    val r = new scala.util.Random(23L)
+    val rows = (1 to 40).map(i => (i.toLong, (r.nextInt(100000) + 1).toLong))
+    val got = Analytics.shareOfTotal(rows.toDF("k", "cents"),
+        "cents", "share_ppm")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val total = BigInt(rows.map(_._2).sum)
+    val exp = rows.map { case (k, c) =>
+      k -> (BigInt(c) * 1000000 / total).toLong
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("cohortLtv cumulative == per-cohort prefix-sum replica") {
+    val r = new scala.util.Random(31L)
+    val rows = (1 to 300).map(_ =>
+      (r.nextInt(20).toLong, r.nextInt(6).toLong, r.nextInt(500).toLong))
+    val got = Analytics.cohortLtv(rows.toDF("u", "p", "c"), "u", "p", "c")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getAs[Long]("cents"), x.getAs[Long]("n_users"),
+          x.getAs[Long]("cum_cents")))).toMap
+    val cohortOf = rows.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).min }
+    val cells = rows.groupBy(t => (cohortOf(t._1), t._2 - cohortOf(t._1)))
+      .map { case (key, rs) =>
+        key -> ((rs.map(_._3).sum, rs.map(_._1).distinct.size.toLong)) }
+    val exp = cells.map { case ((co, off), (cents, nu)) =>
+      val cum = cells.collect {
+        case ((c2, o2), (ct, _)) if c2 == co && o2 <= off => ct }.sum
+      (co, off) -> ((cents, nu, cum))
+    }
+    assert(got == exp)
+  }
+}

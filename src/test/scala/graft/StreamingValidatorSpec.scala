@@ -428,6 +428,34 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(combined == batch)
   }
 
+  test("funnelStream edge semantics: overlap, window cut, no-entry, late drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val steps = Seq($"et" === "a", $"et" === "a", $"et" === "b")
+    val out = CdcStream.funnelStream(
+      in.toDF.toDF("u", "ts", "tie", "et"), "u", "ts", "tie",
+      steps, windowUs = 100L)
+    val q = out.writeStream.format("memory").queryName("graft_funnel_unit")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, 10L, 1L, "a"), (1L, 15L, 2L, "a"), (1L, 20L, 3L, "b"), // full
+        (2L, 10L, 1L, "a"), (2L, 200L, 2L, "a"), // 2nd a outside window
+        (3L, 10L, 1L, "b")) // wrong first step: never enters
+      q.processAllAvailable()
+      // a late event older than key 1's cursor must not splice in
+      in.addData((1L, 5L, 0L, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_funnel_unit")
+        .as[(Long, Int, Long)].collect().toSet
+      // overlapping a/a predicates advance steps 1 AND 2 (strictly
+      // increasing ts); key 2 stalls at step 1; key 3 absent
+      assert(rows == Set((1L, 1, 10L), (1L, 2, 15L), (1L, 3, 20L),
+        (2L, 1, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming funnel completions match batch across a checkpoint restart") {
     import graft.operators.Temporal
     val steps = Seq($"event_type" === "view", $"event_type" === "click",
