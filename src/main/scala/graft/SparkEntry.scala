@@ -1937,12 +1937,17 @@ object SparkEntry {
     }),
     // quartile bucketing (the curriculum/percentile-band primitive);
     // deterministic under the (balance, key) total order
-    "q_ntile" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(Window.orderBy(col("c_acctbal").asc,
-          col("c_custkey").asc)).cast("long").as("quartile"))
-    }),
+    // global quartiles WITHOUT the single-partition ntile window: the
+    // two-phase global-rank form (range buckets + prefix offsets +
+    // parallel per-bucket rank) produces the identical labels and
+    // survives a 100x scale-up — the built-in
+    // ntile().over(Window.orderBy) serializes the whole table into one
+    // task
+    "q_ntile" -> ((s, dir) =>
+      graft.operators.Analytics.ntileDistributed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        k = 4, valCol = "c_acctbal", tieCols = Seq("c_custkey"),
+        outCol = "quartile")),
     // rank-distribution window functions (percent_rank / cume_dist /
     // dense_rank) partitioned per nation — the analytics-window sweep.
     // Reported as FLOOR-scaled ppm ints: round(,6) is a midpoint trap

@@ -225,6 +225,62 @@ object Analytics {
       .select(col(groupCol), col("n"), expr("__s div n").as(s"avg_$valCol"),
         col(s"min_$valCol"), col(s"max_$valCol"))
 
+  /** EXACT global ntile(k) without the single-partition sort: Spark's
+    * `ntile(k).over(Window.orderBy(...))` serializes the WHOLE input
+    * into one task — the one plan shape that cannot survive a 100x
+    * scale-up. This computes the identical bucket labels via the
+    * nucleusTopP two-phase global rank:
+    *
+    *   - range-bucket on the (numeric) order value (single-row min/max
+    *     broadcast; equal values always share a bucket, so bucket asc
+    *     is consistent with value asc),
+    *   - per-bucket counts -> a ≤`buckets`-row prefix table (the one
+    *     partition-less window, bounded by construction),
+    *   - PARALLEL per-bucket row_number; global rank = prefix + local,
+    *   - ntile label from the rank in pure integer arithmetic with
+    *     Spark's own bucket-size convention (first n mod k buckets get
+    *     the extra row).
+    *
+    * `tieCols` must totalize the order (ntile of a non-total order is
+    * not well defined across engines). Equivalence with the built-in
+    * is property-pinned in AnalyticsSpec. */
+  def ntileDistributed(df: DataFrame, k: Int, valCol: String,
+                       tieCols: Seq[String], outCol: String,
+                       buckets: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(buckets >= 1)
+    val bounds = df.agg(min(col(valCol).cast("double")).as("__lo"),
+      max(col(valCol).cast("double")).as("__hi"),
+      count(lit(1)).as("__n"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1), floor(
+            (col(valCol).cast("double") - col("__lo")) /
+              (col("__hi") - col("__lo")) * buckets).cast("int"))))
+    val prefixes = bucketed.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__bn")).over(Window.orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bn")
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy((col(valCol).asc +: tieCols.map(col(_).asc)): _*)
+    bucketed
+      .join(broadcast(prefixes), Seq("__b"))
+      .withColumn("__rank", col("__prefix") + row_number().over(wLocal))
+      // Spark ntile: size = n div k, rem = n mod k; the first `rem`
+      // buckets carry size+1 rows. CASE is lazy, so the div-by-size
+      // branch never evaluates when n < k (size = 0).
+      .withColumn(outCol, expr(
+        s"CASE WHEN __rank <= (__n % $k) * ((__n div $k) + 1) " +
+          s"THEN (__rank - 1) div ((__n div $k) + 1) + 1 " +
+          s"ELSE (__n % $k) + " +
+          s"(__rank - (__n % $k) * ((__n div $k) + 1) - 1) div (__n div $k) " +
+          "+ 1 END").cast("long"))
+      .drop("__b", "__lo", "__hi", "__n", "__prefix", "__rank")
+  }
+
   /** Readability profile: words/sentence and chars/word in exact ppm —
     * the Flesch-style signals without the float formula. Pure
     * projection (one codegen stage, no shuffle). */

@@ -127,6 +127,34 @@ class AnalyticsSpec extends SparkTestBase {
       r.getAs[Long]("min_days") == 1L && r.getAs[Long]("max_days") == 4L)
   }
 
+  test("ntileDistributed == built-in ntile on random data (ties, n % k != 0, n < k)") {
+    import org.apache.spark.sql.expressions.Window
+    val r = new scala.util.Random(13L)
+    // duplicate-heavy values force tie-handling through tieCols; sizes
+    // cover remainder buckets and the n < k degenerate case
+    for ((n, k) <- Seq((97, 4), (50, 7), (3, 8), (64, 64), (10, 1))) {
+      val rows = (1L to n.toLong).map(i => (i, r.nextInt(9).toDouble))
+        .toDF("id", "v")
+      val expected = rows.select($"id",
+          ntile(k).over(Window.orderBy($"v".asc, $"id".asc))
+            .cast("long").as("q"))
+        .as[(Long, Long)].collect().toMap
+      val got = Analytics.ntileDistributed(rows, k, "v", Seq("id"), "q",
+          buckets = 4)
+        .select($"id", $"q").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n k=$k")
+    }
+    // all-equal values: one range bucket, labels still exact
+    val flat = (1L to 10L).map((_, 5.0)).toDF("id", "v")
+    val gotFlat = Analytics.ntileDistributed(flat, 4, "v", Seq("id"), "q")
+      .select($"id", $"q").as[(Long, Long)].collect().toMap
+    val expFlat = flat.select($"id",
+        ntile(4).over(Window.orderBy($"v".asc, $"id".asc))
+          .cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotFlat == expFlat)
+  }
+
   test("readability: ppm words-per-sentence and chars-per-word") {
     val d = Seq((1L, "Hello world. Bye")).toDF("id", "text")
     val r = Analytics.readability(d, "id", "text").collect().head

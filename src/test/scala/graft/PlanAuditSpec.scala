@@ -44,6 +44,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_recommend" -> "(b) single-row basket total for lift marginals",
     "q_churn" -> "(b) single-row observation-horizon (max day) attach",
     "q_dist_drift" -> "(b) single-row per-half totals for TV distance",
+    "q_ntile" -> "(b) ntileDistributed: single-row min/max/count bounds attach",
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
 
   // Partition-less WindowExec nodes serialize their input into ONE
@@ -61,8 +62,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_mix_top_p" -> "nucleusTopP bucket-prefix window: <= `buckets` (64) rows",
     "q_power_users" -> "composes nucleusTopP: same <= 64-row bucket window",
     "q_skyline" -> "bucket-frontier running max: one row per bucket",
-    "q_ntile" -> ("global quartile label IS a total order by contract; " +
-      "the one intentional full-sort window in the surface"))
+    "q_ntile" -> ("ntileDistributed bucket-prefix window: <= `buckets` " +
+      "(64) rows — the full-sort ntile window is GONE since round 12"))
 
   /** A WindowExec line with an EMPTY partition spec. Spark's argString
     * skips empty sequences, so a global window prints NO trailing
