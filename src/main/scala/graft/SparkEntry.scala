@@ -2330,8 +2330,9 @@ object SparkEntry {
         nName = "n_sessions")),
     // Tukey IQR outliers at exact order-statistic quartiles; the
     // 1.5-IQR fences stay integer by scaling everything by 2
+    // five event-type groups: low-cardinality regime -> bucketed ranks
     "q_iqr_outliers" -> ((s, dir) =>
-      graft.operators.Analytics.iqrOutliers(
+      graft.operators.Analytics.iqrOutliersBucketed(
         events(s, dir).select(col("event_type"),
           round(col("value") * 100).cast("long").as("xc"), col("event_id")),
         groupCol = "event_type", valCol = "xc", tieCol = "event_id")),
@@ -2364,8 +2365,11 @@ object SparkEntry {
     // SLA percentiles: exact order-statistic p50/p90 lead-time days
     // per priority (rank = ceil(p*n) under a total order — only input
     // values appear, nothing interpolated)
+    // five priority groups over every lineitem: the LOW-cardinality
+    // regime, so ranks come from the bucketed two-phase form — a
+    // billion-row priority never serializes into one window task
     "q_lead_time_percentiles" -> ((s, dir) =>
-      graft.operators.Analytics.exactPercentiles(
+      graft.operators.Analytics.exactPercentilesBucketed(
         t(s, dir, "orders")
           .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_orderpriority").as("pri"),

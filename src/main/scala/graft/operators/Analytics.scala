@@ -22,7 +22,12 @@ object Analytics {
     * inside each group, pick the ceil(n*p)-th value per requested
     * percentile. One hash exchange on the group key; both windows and
     * the final aggregate reuse it. `percentiles` maps p -> output
-    * column name; `nName` names the group-count column. */
+    * column name; `nName` names the group-count column.
+    *
+    * Regime note: a group's rows pass through ONE window task here —
+    * right for many small groups (per-user stats). For a handful of
+    * huge categories use [[exactPercentilesBucketed]], which computes
+    * the same ranks two-phase and never serializes a group. */
   def exactPercentiles(df: DataFrame, groupCol: String, valCol: String,
                        tieCols: Seq[String],
                        percentiles: Seq[(Double, String)],
@@ -38,11 +43,101 @@ object Analytics {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group global rank via the two-phase form (the
+    * [[ntileDistributed]] machinery, per group): range-bucket each row
+    * inside its group from a broadcast per-group min/max, turn
+    * per-(group, bucket) counts into prefix offsets with one
+    * PARTITIONED window over the (groups x buckets)-row table, then
+    * rank = prefix + per-(group, bucket) row_number — no task ever
+    * holds more than one bucket of one group. Appends `__rank` (1-based
+    * within group by (value, ties) asc) and `__gn` (group count).
+    *
+    * Regime: for LOW-CARDINALITY groups (a handful of categories over
+    * billions of rows), where a plain per-group window serializes an
+    * entire huge group into ONE task. With millions of small groups the
+    * plain window is better (the prefix table would be groups x
+    * buckets rows); callers pick per [[exactPercentiles]] vs
+    * [[exactPercentilesBucketed]]. Equal values always share a bucket
+    * (floor of a monotone expression), so a near-constant column
+    * degrades toward one hot bucket — the value-spread caveat shared
+    * with nucleusTopP's bucketing. */
+  private def bucketedGroupRank(df: DataFrame, groupCol: String,
+                                valCol: String, tieCols: Seq[String],
+                                buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val bounds = df.groupBy(col(groupCol)).agg(
+      min(col(valCol).cast("double")).as("__lo"),
+      max(col(valCol).cast("double")).as("__hi"),
+      count(lit(1)).as("__gn"))
+    val bucketed = df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1), floor(
+            (col(valCol).cast("double") - col("__lo")) /
+              (col("__hi") - col("__lo")) * buckets).cast("int"))))
+    val prefixes = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__prefix",
+        coalesce(sum(col("__bn")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__b").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__bn")
+    val wLocal = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy((col(valCol).asc +: tieCols.map(col(_).asc)): _*)
+    bucketed
+      .join(broadcast(prefixes), Seq(groupCol, "__b"))
+      .withColumn("__rank", col("__prefix") + row_number().over(wLocal))
+      .drop("__b", "__lo", "__hi", "__prefix")
+  }
+
+  /** [[exactPercentiles]] for the low-cardinality-group regime: same
+    * output, but ranks come from [[bucketedGroupRank]] so a
+    * billion-row category never serializes into one window task. */
+  def exactPercentilesBucketed(df: DataFrame, groupCol: String,
+                               valCol: String, tieCols: Seq[String],
+                               percentiles: Seq[(Double, String)],
+                               nName: String,
+                               buckets: Int = 64): DataFrame = {
+    require(percentiles.nonEmpty)
+    val ranked = bucketedGroupRank(df, groupCol, valCol, tieCols, buckets)
+    val aggs = max(col("__gn")).as(nName) +:
+      percentiles.map { case (p, name) =>
+        max(when(col("__rank") === ceil(col("__gn") * p), col(valCol)))
+          .as(name)
+      }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[iqrOutliers]] for the low-cardinality-group regime: quartiles
+    * come off the bucketed rank as a one-row-per-group aggregate that
+    * broadcast-joins back for the fence count — both passes are
+    * map-side-combined aggregates, no per-group window task. */
+  def iqrOutliersBucketed(df: DataFrame, groupCol: String, valCol: String,
+                          tieCol: String, buckets: Int = 64): DataFrame = {
+    val ranked = bucketedGroupRank(df, groupCol, valCol, Seq(tieCol),
+      buckets)
+    val qs = ranked.groupBy(col(groupCol)).agg(
+      max(col("__gn")).as("__n"),
+      max(when(col("__rank") === ceil(col("__gn") * 0.25), col(valCol)))
+        .as("__q1"),
+      max(when(col("__rank") === ceil(col("__gn") * 0.75), col(valCol)))
+        .as("__q3"))
+    ranked.join(broadcast(qs), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), max(col("__q1")).as("q1_c"),
+        max(col("__q3")).as("q3_c"),
+        count(when(
+          col(valCol) * 2 < col("__q1") * 2 - (col("__q3") - col("__q1")) * 3
+            || col(valCol) * 2 > col("__q3") * 2 +
+              (col("__q3") - col("__q1")) * 3, 1)).as("n_outliers"))
+  }
+
   /** Tukey IQR outlier counts per group at exact order-statistic
     * quartiles; the 1.5-IQR fences stay integer by scaling both sides
     * by 2. Input value must already be an integer scale (e.g. cents).
     * Output: (group, n, q1_c, q3_c, n_outliers). Same one-exchange
-    * shape as [[exactPercentiles]]. */
+    * shape as [[exactPercentiles]] — the per-group window regime; use
+    * [[iqrOutliersBucketed]] when groups are few and huge. */
   def iqrOutliers(df: DataFrame, groupCol: String, valCol: String,
                   tieCol: String): DataFrame = {
     val wp = Window.partitionBy(col(groupCol))

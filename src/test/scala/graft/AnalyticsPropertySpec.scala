@@ -56,6 +56,39 @@ class AnalyticsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("bucketed order-statistic forms == plain forms on random data") {
+    // the low-cardinality-regime variants must produce IDENTICAL
+    // output to the per-group-window forms — duplicate-heavy values
+    // (bucket-boundary ties) and several bucket counts
+    for (seed <- Seq(5L, 42L); buckets <- Seq(1, 4, 64)) {
+      val rows = randRows(seed, 350)
+      val df = rows.toDF("g", "v", "tie")
+      val plainP = Analytics.exactPercentiles(df, "g", "v", Seq("tie"),
+        Seq(0.5 -> "p50", 0.9 -> "p90"), "n").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val bucketP = Analytics.exactPercentilesBucketed(df, "g", "v",
+        Seq("tie"), Seq(0.5 -> "p50", 0.9 -> "p90"), "n",
+        buckets = buckets).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(bucketP == plainP, s"seed $seed buckets $buckets")
+      val plainI = Analytics.iqrOutliers(df, "g", "v", "tie").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val bucketI = Analytics.iqrOutliersBucketed(df, "g", "v", "tie",
+        buckets = buckets).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(bucketI == plainI, s"seed $seed buckets $buckets")
+    }
+    // all-equal values inside a group: one range bucket, still exact
+    val flat = Seq(("g", 7L, 1L), ("g", 7L, 2L), ("g", 7L, 3L))
+      .toDF("g", "v", "tie")
+    assert(Analytics.exactPercentilesBucketed(flat, "g", "v", Seq("tie"),
+        Seq(0.5 -> "p50"), "n").collect().head.getLong(2) == 7L)
+  }
+
   test("benford == BigInt first-digit replica; shares truncate toward zero") {
     val r = new scala.util.Random(11L)
     val vals = (1 to 500).map(_ => r.nextDouble() * math.pow(10, r.nextInt(6)))
