@@ -61,9 +61,9 @@ object Analytics {
     * (floor of a monotone expression), so a near-constant column
     * degrades toward one hot bucket — the value-spread caveat shared
     * with nucleusTopP's bucketing. */
-  private def bucketedGroupRank(df: DataFrame, groupCol: String,
-                                valCol: String, tieCols: Seq[String],
-                                buckets: Int): DataFrame = {
+  def bucketedGroupRank(df: DataFrame, groupCol: String,
+                        valCol: String, tieCols: Seq[String],
+                        buckets: Int = 64): DataFrame = {
     require(buckets >= 1)
     val bounds = df.groupBy(col(groupCol)).agg(
       min(col(valCol).cast("double")).as("__lo"),

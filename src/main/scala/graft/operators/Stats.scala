@@ -60,21 +60,23 @@ object Stats {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 tieCol: String, pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
-    import org.apache.spark.sql.expressions.Window
-    val wg = Window.partitionBy(col(groupCol))
-    val wr = wg.orderBy(col(valueCol).asc, col(tieCol).asc)
-    df
-      .withColumn("__rn", row_number().over(wr))
-      .withColumn("__n", count(lit(1)).over(wg))
-      .withColumn("__rlo", greatest(lit(1L), ceil(lit(pLo) * col("__n"))))
-      .withColumn("__rhi", ceil(lit(pHi) * col("__n")))
-      .withColumn("__lo",
-        max(when(col("__rn") === col("__rlo"), col(valueCol))).over(wg))
-      .withColumn("__hi",
-        max(when(col("__rn") === col("__rhi"), col(valueCol))).over(wg))
+    // bucketed two-phase rank (per-value-type clipping groups are FEW
+    // and huge — the low-cardinality regime, see
+    // Analytics.bucketedGroupRank); the order-statistic clip bounds
+    // reduce to a one-row-per-group aggregate that broadcast-joins
+    // back for the clip projection
+    val cols = df.columns
+    val ranked = Analytics.bucketedGroupRank(df, groupCol, valueCol,
+      Seq(tieCol))
+    val bounds = ranked.groupBy(col(groupCol)).agg(
+      max(when(col("__rank") === greatest(lit(1L),
+        ceil(lit(pLo) * col("__gn"))), col(valueCol))).as("__lo"),
+      max(when(col("__rank") === ceil(lit(pHi) * col("__gn")),
+        col(valueCol))).as("__hi"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
       .withColumn("v_clip",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__rn", "__n", "__rlo", "__rhi", "__lo", "__hi")
+      .select((cols.map(col) :+ col("v_clip")): _*)
   }
 
   /** 2-D skyline (Pareto frontier, maximize both axes; Börzsönyi et
@@ -252,14 +254,17 @@ object Stats {
     * nation-sized groups; scale the ppm factor down for larger ones. */
   def spearmanPpm(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wx = Window.partitionBy(col(groupCol))
-      .orderBy(col(xCol).asc, col(keyCol).asc)
-    val wy = Window.partitionBy(col(groupCol))
-      .orderBy(col(yCol).asc, col(keyCol).asc)
-    df.select(col(groupCol),
-        row_number().over(wx).cast("long").as("__ra"),
-        row_number().over(wy).cast("long").as("__rb"))
+    // two independent rank passes via the bucketed two-phase rank
+    // (correlation groups are typically FEW and huge — the
+    // low-cardinality regime, see Analytics.bucketedGroupRank; a plain
+    // per-group window would serialize each group into one task),
+    // re-joined on the row key
+    def ranks(c: String, as: String) =
+      Analytics.bucketedGroupRank(
+          df.select(col(groupCol), col(c), col(keyCol)),
+          groupCol, c, Seq(keyCol))
+        .select(col(groupCol), col(keyCol), col("__rank").as(as))
+    ranks(xCol, "__ra").join(ranks(yCol, "__rb"), Seq(groupCol, keyCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum((col("__ra") - col("__rb")) * (col("__ra") - col("__rb")))

@@ -89,6 +89,48 @@ class AnalyticsPropertySpec extends SparkTestBase {
         Seq(0.5 -> "p50"), "n").collect().head.getLong(2) == 7L)
   }
 
+  test("spearmanPpm (bucketed ranks) == brute-force rank replica") {
+    import graft.operators.Stats
+    for (seed <- Seq(2L, 44L)) {
+      val r = new scala.util.Random(seed)
+      val rows = (1L to 200L).map(k =>
+        (s"g${r.nextInt(3)}", k, r.nextInt(40).toDouble, r.nextInt(9999).toLong))
+      val got = Stats.spearmanPpm(rows.toDF("g", "k", "x", "y"),
+          "g", "x", "y", "k").collect()
+        .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      val exp = rows.groupBy(_._1).map { case (g, rs) =>
+        val ra = rs.sortBy(t => (t._3, t._2)).zipWithIndex
+          .map { case (t, i) => t._2 -> (i + 1L) }.toMap
+        val rb = rs.sortBy(t => (t._4, t._2)).zipWithIndex
+          .map { case (t, i) => t._2 -> (i + 1L) }.toMap
+        val n = rs.size.toLong
+        val d2 = rs.map(t => { val d = ra(t._2) - rb(t._2); d * d }).sum
+        g -> ((n, 1000000L - (6000000L * d2) / (n * (n * n - 1))))
+      }
+      assert(got == exp, s"seed $seed")
+    }
+  }
+
+  test("winsorize (bucketed bounds) == brute-force order-statistic clip") {
+    import graft.operators.Stats
+    for (seed <- Seq(9L, 77L)) {
+      val r = new scala.util.Random(seed)
+      val rows = (1L to 180L).map(k =>
+        (s"g${r.nextInt(3)}", k, r.nextInt(30).toDouble))
+      val got = Stats.winsorize(rows.toDF("g", "k", "v"),
+          "g", "v", "k", pLo = 0.05, pHi = 0.95).collect()
+        .map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(3)).toMap
+      val exp = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(t => (t._3, t._2)).map(_._3)
+        val n = sorted.size
+        val lo = sorted(math.max(1, math.ceil(0.05 * n).toInt) - 1)
+        val hi = sorted(math.ceil(0.95 * n).toInt - 1)
+        rs.map(t => (t._1, t._2) -> math.min(math.max(t._3, lo), hi))
+      }
+      assert(got == exp, s"seed $seed")
+    }
+  }
+
   test("benford == BigInt first-digit replica; shares truncate toward zero") {
     val r = new scala.util.Random(11L)
     val vals = (1 to 500).map(_ => r.nextDouble() * math.pow(10, r.nextInt(6)))
