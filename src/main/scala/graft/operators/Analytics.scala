@@ -60,7 +60,18 @@ object Analytics {
     * [[exactPercentilesBucketed]]. Equal values always share a bucket
     * (floor of a monotone expression), so a near-constant column
     * degrades toward one hot bucket — the value-spread caveat shared
-    * with nucleusTopP's bucketing. */
+    * with nucleusTopP's bucketing.
+    *
+    * Cost shape: THREE streaming passes over the input (bounds,
+    * per-bucket counts, final rank) — the honest minimum for EXACT
+    * distributed ranks (TeraSort-style single-pass ranking needs only
+    * approximate split points; exact rank offsets need exact counts).
+    * Each pass is embarrassingly parallel and nothing is materialized,
+    * so at toy scale the extra passes show as a fixed overhead the
+    * single-task window doesn't pay — the trade inverts as soon as a
+    * group outgrows one task. Callers whose input is an expensive
+    * upstream (a fact join) can pre-materialize it to pay that
+    * upstream once. */
   def bucketedGroupRank(df: DataFrame, groupCol: String,
                         valCol: String, tieCols: Seq[String],
                         buckets: Int = 64): DataFrame = {
