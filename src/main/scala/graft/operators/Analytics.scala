@@ -69,9 +69,16 @@ object Analytics {
     * Each pass is embarrassingly parallel and nothing is materialized,
     * so at toy scale the extra passes show as a fixed overhead the
     * single-task window doesn't pay — the trade inverts as soon as a
-    * group outgrows one task. Callers whose input is an expensive
-    * upstream (a fact join) can pre-materialize it to pay that
-    * upstream once. */
+    * group outgrows one task.
+    *
+    * Deliberately NOT eagerly checkpointed: an r12 idle A/B at sf0.1
+    * (materializeShared on the ranked frame + the q_lead_time join
+    * slice, min-of-3) measured a wash across all four consumer queries
+    * — the two consumers of the ranked frame start from the same
+    * exchanges, which AQE reuse already computes once (the
+    * contaminationPairs bucketHits lesson), and eager checkpointing
+    * would also make bare plan CONSTRUCTION launch jobs for every
+    * caller. */
   def bucketedGroupRank(df: DataFrame, groupCol: String,
                         valCol: String, tieCols: Seq[String],
                         buckets: Int = 64): DataFrame = {
