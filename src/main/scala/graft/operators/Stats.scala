@@ -189,16 +189,17 @@ object Stats {
     * quality scores live on different scales. Both windows share the
     * group partitioning: one exchange. */
   def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
-      tieCol: String): DataFrame = {
-    val wo = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-      .orderBy(col(valCol).asc, col(tieCol).asc)
-    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    df.select(col(tieCol), col(groupCol), col(valCol),
-      rank().over(wo).cast("long").as("__rk"),
-      count(lit(1)).over(wc).cast("long").as("__cnt"))
+      tieCol: String): DataFrame =
+    // (valCol, tieCol) is a TOTAL order (tieCol unique), so the rank
+    // here is a row number — the bucketed two-phase rank is a drop-in.
+    // Cross-source normalization groups are few and corpus-huge (the
+    // low-cardinality regime, see Analytics.bucketedGroupRank); the
+    // previous per-group window serialized each source into one task.
+    Analytics.bucketedGroupRank(
+        df.select(col(tieCol), col(groupCol), col(valCol)),
+        groupCol, valCol, Seq(tieCol))
       .select(col(tieCol), col(groupCol), col(valCol),
-        expr("(__rk - 1) * 1000000 div (__cnt - 1)").as("pct_ppm"))
-  }
+        expr("(__rank - 1) * 1000000 div (__gn - 1)").as("pct_ppm"))
 
   /** Leave-one-out target encoding: each row's category is replaced by
     * the mean target of the OTHER rows in its category — the standard

@@ -217,7 +217,7 @@ class StatsSpec extends SparkTestBase {
     assert(got == Seq((1L, -1333333L), (2L, 333334L), (3L, 1L)))
   }
 
-  test("quantileNormalize: rank ppm within group, ties share rank") {
+  test("quantileNormalize: rank ppm within group, value ties break by the tie column") {
     import graft.operators.Stats
     val df = Seq((1L, "s", 10L), (2L, "s", 20L), (3L, "s", 30L),
       (4L, "t", 5L), (5L, "t", 5L)).toDF("id", "src", "v")
