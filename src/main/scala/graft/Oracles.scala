@@ -606,6 +606,74 @@ private[graft] object Oracles {
     // order, so the operator-tier oracles transfer row for row
     "q_sketch_kmv_sql" -> kmvOracle,
     "q_sketch_quantile_sql" -> quantileSketchOracle,
+    "q_sketch_cms" -> cmsOracle,
+    "q_sketch_cms_merge" -> cmsOracle,
+    "q_autocorrelation" -> (
+      "WITH daily AS (SELECT CAST(ts AS DATE) AS day, " +
+      "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+      "lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag), " +
+      "pairs AS (SELECT l.lag AS lag, a.n AS x, b.n AS y " +
+      "  FROM lags l JOIN daily a ON true " +
+      "  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)), " +
+      "s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, " +
+      "  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "  CAST(sum(x*y) AS BIGINT) AS sxy, " +
+      "  CAST(sum(x*x) AS BIGINT) AS sxx, " +
+      "  CAST(sum(y*y) AS BIGINT) AS syy FROM pairs GROUP BY lag) " +
+      "SELECT CAST(lag AS BIGINT) AS lag, n, " +
+      "CAST(round(1000000.0 * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
+      "    CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+      "  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
+      "    CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+      "   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - " +
+      "    CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))) AS BIGINT) AS rho_ppm " +
+      "FROM s"),
+    "q_regr_trend" -> (
+      "WITH daily AS (SELECT o_orderpriority AS grp, " +
+      "  CAST(o_orderdate AS DATE) AS day, " +
+      "  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100) " +
+      "    AS BIGINT) AS y FROM orders GROUP BY 1, 2), " +
+      "dx AS (SELECT grp, CAST(day - DATE '1992-01-01' AS BIGINT) AS x, " +
+      "  y FROM daily), " +
+      "s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days, " +
+      "  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "  CAST(sum(x*y) AS BIGINT) AS sxy, " +
+      "  CAST(sum(x*x) AS BIGINT) AS sxx, " +
+      "  CAST(sum(y*y) AS BIGINT) AS syy FROM dx GROUP BY grp), " +
+      "d2 AS (SELECT grp, n_days, " +
+      "  CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
+      "    CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num, " +
+      "  CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
+      "    CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den, " +
+      "  CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE) - " +
+      "    CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary FROM s) " +
+      "SELECT grp, n_days, " +
+      "CAST(round(1000000.0 * num / den) AS BIGINT) AS slope_ppm, " +
+      "CAST(round(1000000.0 * num * num / (den * vary)) AS BIGINT) " +
+      "  AS r2_ppm FROM d2"),
+    "q_label_centroid_sim" -> (
+      "WITH q AS (SELECT label, unnest(list_transform(embedding, x -> " +
+      "  CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv, " +
+      "  unnest(range(len(embedding))) AS pos FROM embeddings), " +
+      "c AS (SELECT label, pos, " +
+      "  (CAST(sum(qv) AS BIGINT) + 1000000 * CAST(count(*) AS BIGINT)) " +
+      "    // CAST(count(*) AS BIGINT) - 1000000 AS m " +
+      "  FROM q GROUP BY 1, 2), " +
+      "p AS (SELECT a.label AS label_a, b.label AS label_b, " +
+      "  CAST(sum(a.m * b.m) AS BIGINT) AS dot, " +
+      "  CAST(sum(a.m * a.m) AS BIGINT) AS na, " +
+      "  CAST(sum(b.m * b.m) AS BIGINT) AS nb " +
+      "  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label " +
+      "  GROUP BY 1, 2) " +
+      "SELECT label_a, label_b, " +
+      "CAST(round(1000000.0 * CAST(dot AS DOUBLE) / " +
+      "  (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) " +
+      "  AS BIGINT) AS cos_ppm FROM p"),
+    "q_equidepth_bins" -> (
+      "WITH r AS (SELECT value, CAST(ntile(16) OVER (ORDER BY value, " +
+      "  event_id) AS BIGINT) AS bucket FROM events) " +
+      "SELECT bucket, CAST(count(*) AS BIGINT) AS n, " +
+      "min(value) AS lo, max(value) AS hi FROM r GROUP BY bucket"),
     "q_sketch_quantile" -> quantileSketchOracle,
     // lossless merge (disjoint shards, keep k smallest by hash) =>
     // merged ≡ whole-corpus bottom-k; same oracle
@@ -2526,6 +2594,33 @@ private[graft] object Oracles {
     }.mkString
     head + steps + " SELECT id, pr AS rank_scaled FROM r5"
   }
+
+  /** CMS replay: rebuild the depth×width counter table from exact
+    * token counts (cell sums are order-free), re-hash the 30 probe
+    * tokens with the same salted md5, take the per-probe min. Shared
+    * by q_sketch_cms and q_sketch_cms_merge (shard tables SUM to the
+    * corpus table, so the merged estimates are identical by
+    * construction). */
+  private lazy val cmsOracle: String =
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), " +
+    "  '\\s+')) AS token FROM documents), " +
+    "tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok " +
+    "  WHERE length(token) > 0 GROUP BY token), " +
+    "probes AS (SELECT token, cnt FROM tf " +
+    "  ORDER BY cnt DESC, token ASC LIMIT 30), " +
+    "d AS (SELECT unnest([0, 1, 2, 3]) AS i), " +
+    "counters AS (SELECT d.i AS i, " +
+    "  CAST(concat('0x', substr(md5(concat(CAST(d.i AS VARCHAR), ':', " +
+    "    token)), 1, 13)) AS BIGINT) % 1024 AS bucket, " +
+    "  CAST(sum(cnt) AS BIGINT) AS c " +
+    "  FROM tf CROSS JOIN d GROUP BY 1, 2) " +
+    "SELECT p.token AS token, p.cnt AS exact_cnt, " +
+    "  CAST(min(c.c) AS BIGINT) AS est_cnt " +
+    "FROM probes p CROSS JOIN d " +
+    "JOIN counters c ON c.i = d.i AND c.bucket = " +
+    "  CAST(concat('0x', substr(md5(concat(CAST(d.i AS VARCHAR), ':', " +
+    "    p.token)), 1, 13)) AS BIGINT) % 1024 " +
+    "GROUP BY 1, 2"
 
   private lazy val kmvOracle: String =
     "WITH h AS (SELECT DISTINCT event_type, " +

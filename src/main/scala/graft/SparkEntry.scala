@@ -821,6 +821,39 @@ object SparkEntry {
               FROM graft_qsk_events GROUP BY event_type)
       """)
     }),
+    // count-min sketch over the document token stream (d=4, w=1024):
+    // probe the 30 hottest exact tokens — CMS never underestimates,
+    // and with this vocab-vs-width ratio the table replays exactly
+    "q_sketch_cms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val table = graft.operators.Sketch.cms(toks, Nil, "token",
+        depth = 4, width = 1024)
+      val probes = graft.operators.Corpus.vocabTopK(docs, "text", 30)
+        .withColumnRenamed("cnt", "exact_cnt")
+      graft.operators.Sketch.cmsEstimate(table, probes, "token",
+          depth = 4, width = 1024)
+        .select(col("token"), col("exact_cnt"), col("est").as("est_cnt"))
+    }),
+    // per-source CMS shards summed cell-wise ≡ the corpus table
+    // (counts are additive), so the merged estimates replay
+    // q_sketch_cms's oracle verbatim — the roll-up never rescans
+    "q_sketch_cms_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val shards = graft.operators.Sketch.cms(toks, Seq("source"),
+        "token", depth = 4, width = 1024)
+      val merged = graft.operators.Sketch.cmsMerge(shards)
+      val probes = graft.operators.Corpus.vocabTopK(docs, "text", 30)
+        .withColumnRenamed("cnt", "exact_cnt")
+      graft.operators.Sketch.cmsEstimate(merged, probes, "token",
+          depth = 4, width = 1024)
+        .select(col("token"), col("exact_cnt"), col("est").as("est_cnt"))
+    }),
     // the MERGE path: per-shard sketches (event_id parity) rolled up
     // without rescanning — shards partition the rows, so union the
     // (h, v) pairs and keep the k smallest by hash: the merged sketch
@@ -2594,6 +2627,38 @@ object SparkEntry {
       graft.operators.Stats.spearmanPpm(m, groupCol = "seg",
         xCol = "c_acctbal", yCol = "cents", keyCol = "c_custkey")
     }),
+    // sample ACF of the daily event count at lags 1..7 — weekly
+    // rhythm detection over the same bounded daily frame as
+    // periodDelta; sufficient stats exact BIGINT, one IEEE step out
+    "q_autocorrelation" -> ((s, dir) =>
+      graft.operators.Analytics.autocorrelation(
+        t(s, dir, "events"), tsCol = "ts", maxLag = 7)),
+    // per-order-priority OLS trend of daily revenue (dollars/day in
+    // ppm) — dollars, not cents, keeps n·Σxy BIGINT-safe at 100 TB
+    "q_regr_trend" -> ((s, dir) =>
+      graft.operators.Analytics.trendSlopes(
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"),
+            col("o_orderdate").cast("date").as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100")
+              .as("dollars")),
+        groupCol = "o_orderpriority", dayCol = "day", valCol = "dollars")),
+    // pairwise cosine between per-label embedding centroids — the
+    // corpus-mix geometry report (which label clusters sit close)
+    "q_label_centroid_sim" -> ((s, dir) =>
+      graft.operators.Similarity.labelCentroidCosine(
+        t(s, dir, "embeddings"), labelCol = "label", vecCol = "embedding")),
+    // equi-depth 16-bin histogram of event values on the distributed
+    // exact-ntile path (no global sort window)
+    "q_equidepth_bins" -> ((s, dir) =>
+      graft.operators.Analytics.ntileDistributed(
+          t(s, dir, "events").select(col("event_id"), col("value")),
+          k = 16, valCol = "value", tieCols = Seq("event_id"),
+          outCol = "bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy(col("bucket"))),
     // RAKE keyphrase extraction: stopword-free runs scored by corpus
     // degree/freq in integer ppm; top-30 phrases seen >= 3 times
     "q_rake_keyphrases" -> ((s, dir) =>

@@ -411,4 +411,84 @@ object Analytics {
       .withColumn("cpw_ppm", expr(
         "CASE WHEN n_words > 0 THEN __nc * 1000000 div n_words END"))
       .drop("__nc")
+
+  /** Lag-k autocorrelation of the daily row-count series (the sample
+    * ACF of Box & Jenkins over lag-aligned pairs), exact up to one
+    * final IEEE step. The corpus collapses to ONE map-side-combined
+    * daily aggregation; the lag alignment is a self-join of that
+    * bounded table (AQE broadcasts it), so nothing downstream exceeds
+    * maxLag·days rows. Sufficient statistics are exact BIGINT SUMS
+    * (Σy² stays in range while daily counts stay under
+    * ~sqrt(9.2e18/days) ≈ 3e7 on a 30-year span — the documented
+    * bound, pmiCollocations-style); the n·Σxy-shaped PRODUCTS are
+    * taken in double so they can never overflow, and every double op
+    * (cast/mul/sub/div/sqrt) is correctly rounded IEEE over the same
+    * exact integer inputs — the oracle replays the ppm bit-for-bit
+    * by running the SAME ops in the SAME order. */
+  def autocorrelation(df: DataFrame, tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive, got $maxLag")
+    val daily = df.groupBy(col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val base = daily.select(col("day").as("day_a"), col("n").as("x"))
+    val lagged = daily.select(
+      explode(sequence(lit(1), lit(maxLag))).as("lag"),
+      col("day").as("day_b"), col("n").as("y"))
+    val s = base
+      .join(lagged,
+        date_add(col("day_a"), col("lag").cast("int")) === col("day_b"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("lag").cast("long").as("lag"), col("n"),
+        round(lit(1e6) * num / (sqrt(varx) * sqrt(vary)))
+          .cast("long").as("rho_ppm"))
+      .orderBy(col("lag"))
+  }
+
+  /** Per-group OLS trend of a daily BIGINT series: slope (units/day)
+    * and fit quality in exact-integer-fed ppm. Same numeric
+    * discipline as [[autocorrelation]]: one daily aggregation bounds
+    * everything at distinct (group, day) rows; sufficient stats are
+    * exact BIGINT SUMS (x = days since 1992-01-01 stays ≤ ~13k;
+    * Σy² stays in range while daily group totals stay under
+    * ~sqrt(9.2e18/days) — callers keep units coarse, dollars not
+    * cents, the pmiCollocations documented-bound pattern); the
+    * n·Σxy-shaped products are taken in double so they never
+    * overflow, and slope and r² are same-order correctly-rounded
+    * IEEE steps, replayed verbatim by the oracle. */
+  def trendSlopes(df: DataFrame, groupCol: String, dayCol: String,
+                  valCol: String): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("grp"), col(dayCol).as("day"))
+      .agg(sum(col(valCol)).as("y"))
+      .select(col("grp"),
+        datediff(col("day"), to_date(lit("1992-01-01"))).cast("long").as("x"),
+        col("y"))
+    val s = daily.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n_days").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("grp"), col("n_days"),
+        round(lit(1e6) * num / den).cast("long").as("slope_ppm"),
+        round(lit(1e6) * num * num / (den * vary)).cast("long").as("r2_ppm"))
+      .orderBy(col("grp"))
+  }
 }

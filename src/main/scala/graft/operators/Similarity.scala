@@ -133,4 +133,49 @@ object Similarity {
   def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, pred: Column, k: Int): DataFrame =
     bruteForceTopK(corpus.filter(pred), queries, idCol, vecCol, k)
+
+  /** Pairwise cosine similarity between per-label centroids, in ppm —
+    * the corpus-mix geometry report (which label clusters sit close).
+    *
+    * Cosine is scale-invariant, so the centroid can be the exact
+    * integer MEAN of the 1e6-quantized elements (floor(x·1e6 + 0.5)
+    * is exact from float32 in any engine): the mean keeps every
+    * element under ~1e6 in magnitude, so the dim-bounded dot products
+    * stay BIGINT-exact at ANY corpus scale — the corpus-size-dependent
+    * raw sums never meet a multiplication. The mean division is made
+    * floor-vs-truncate-proof by shifting the numerator nonnegative
+    * first (unit-scale elements, so +1e6·cnt suffices); positive
+    * integer division agrees across engines.
+    *
+    * Scale shape: one map-side-combined (label, pos) aggregation
+    * bounds everything at labels·dim rows; the pairwise stage is a
+    * self-join of that tiny table (AQE broadcasts it). The final
+    * cos_ppm is one same-order IEEE step over exact integers, so the
+    * oracle replays it bit-for-bit. */
+  def labelCentroidCosine(df: DataFrame, labelCol: String,
+                          vecCol: String): DataFrame = {
+    val q = df.select(col(labelCol).as("label"),
+      posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
+        .as(Seq("pos", "qv")))
+    val c = q.groupBy(col("label"), col("pos"))
+      .agg(sum(col("qv")).as("__s"), count(lit(1)).as("__cnt"))
+      .withColumn("m",
+        expr("(__s + 1000000 * __cnt) div __cnt - 1000000"))
+      .select(col("label"), col("pos"), col("m"))
+    val a = c.select(col("label").as("label_a"), col("pos"),
+      col("m").as("ma"))
+    val b = c.select(col("label").as("label_b"), col("pos").as("pos_b"),
+      col("m").as("mb"))
+    a.join(b, col("pos") === col("pos_b") && col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na"),
+        sum(col("mb") * col("mb")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        round(lit(1e6) * col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .cast("long").as("cos_ppm"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
 }

@@ -209,4 +209,72 @@ object Sketch {
     when(size(uk) < k, inter)
       .otherwise(shiftright(inter * kmvEstimate(uk, k), shift))
   }
+
+  // ---------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005). Same md5
+  // contract as [[kmvHash]]: row i's bucket for value v is the 52-bit
+  // hash of "i:v" mod width — the row salt makes the depth rows
+  // independent hash functions sharing one engine-portable primitive.
+  // The counter TABLE is the artifact: (row, bucket, c) with at most
+  // depth·width rows per group — engine-replayable, MERGEABLE by
+  // per-cell SUM (shards partition the rows and cell counts are
+  // additive, so summed shard tables ≡ the whole-corpus table), and
+  // every point estimate min_row c[row][bucket_row(v)] upper-bounds
+  // the true count (CMS never underestimates; the overestimate is
+  // ≤ 2·corpus/width with probability 1 − 1/2^depth).
+  //
+  // Scale shape mirrors [[kmv]]: ONE map-side-combined aggregation
+  // builds per-value counts (∝ distinct values, not corpus rows);
+  // the depth-way expansion and the counter roll-up run on that
+  // bounded table; nothing downstream exceeds depth·width rows.
+  // ---------------------------------------------------------------
+
+  /** CMS bucket of `value` under depth row `row`: 52-bit md5 of
+    * "row:value" mod `width`. */
+  def cmsBucket(row: Column, value: Column, width: Int): Column =
+    kmvHash(concat(row.cast("string"), lit(":"), value.cast("string"))) %
+      lit(width.toLong)
+
+  /** Per-group CMS counter table over `valueCol` occurrences:
+    * (groupCols..., row, bucket, c), ≤ depth·width rows per group. */
+  def cms(df: DataFrame, groupCols: Seq[String], valueCol: String,
+          depth: Int, width: Int): DataFrame = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    require(width > 1, s"width must exceed 1, got $width")
+    val tf = df
+      .groupBy(groupCols.map(col) :+ col(valueCol).cast("string").as("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+    tf.select(groupCols.map(col) ++ Seq(
+        explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col("__v"), col("__n")): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("row"),
+        cmsBucket(col("row"), col("__v"), width).as("bucket")): _*)
+      .agg(sum(col("__n")).as("c"))
+  }
+
+  /** Merge per-shard counter tables (shards partition the rows, so
+    * cells ADD): drops the shard grouping, sums per cell. Merged ≡
+    * whole-corpus table by construction; input is ≤ depth·width·shards
+    * rows and source data is never touched. */
+  def cmsMerge(tables: DataFrame): DataFrame =
+    tables.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Point estimates for `probes.valueCol` against a (group-free)
+    * counter table: min over the depth cells each probe hashes to.
+    * Probe and table sides are both bounded (probes are a top-k or a
+    * watch-list; the table ≤ depth·width rows), so the join
+    * broadcasts — corpus data is never rescanned. */
+  def cmsEstimate(table: DataFrame, probes: DataFrame, valueCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val probeCols = probes.columns.map(col).toSeq
+    probes
+      .select(probeCols :+
+        explode(sequence(lit(0), lit(depth - 1))).as("__row"): _*)
+      .withColumn("__bucket", cmsBucket(col("__row"), col(valueCol), width))
+      .join(table, col("__row") === table("row") &&
+        col("__bucket") === table("bucket"))
+      .groupBy(probeCols: _*)
+      .agg(min(col("c")).as("est"))
+  }
 }
