@@ -619,15 +619,18 @@ private[graft] object Oracles {
       "  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
       "  CAST(sum(x*y) AS BIGINT) AS sxy, " +
       "  CAST(sum(x*x) AS BIGINT) AS sxx, " +
-      "  CAST(sum(y*y) AS BIGINT) AS syy FROM pairs GROUP BY lag) " +
+      "  CAST(sum(y*y) AS BIGINT) AS syy FROM pairs GROUP BY lag), " +
+      "d2 AS (SELECT lag, n, " +
+      "  CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
+      "    CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num, " +
+      "  CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
+      "    CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS varx, " +
+      "  CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - " +
+      "    CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary FROM s) " +
       "SELECT CAST(lag AS BIGINT) AS lag, n, " +
-      "CAST(round(1000000.0 * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
-      "    CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
-      "  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
-      "    CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
-      "   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - " +
-      "    CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))) AS BIGINT) AS rho_ppm " +
-      "FROM s"),
+      "CASE WHEN varx > 0 AND vary > 0 THEN " +
+      "CAST(round(1000000.0 * num / (sqrt(varx) * sqrt(vary))) AS BIGINT) " +
+      "END AS rho_ppm FROM d2"),
     "q_regr_trend" -> (
       "WITH daily AS (SELECT o_orderpriority AS grp, " +
       "  CAST(o_orderdate AS DATE) AS day, " +
@@ -648,9 +651,11 @@ private[graft] object Oracles {
       "  CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE) - " +
       "    CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vary FROM s) " +
       "SELECT grp, n_days, " +
-      "CAST(round(1000000.0 * num / den) AS BIGINT) AS slope_ppm, " +
+      "CASE WHEN den > 0 THEN " +
+      "CAST(round(1000000.0 * num / den) AS BIGINT) END AS slope_ppm, " +
+      "CASE WHEN den > 0 AND vary > 0 THEN " +
       "CAST(round(1000000.0 * num * num / (den * vary)) AS BIGINT) " +
-      "  AS r2_ppm FROM d2"),
+      "END AS r2_ppm FROM d2"),
     "q_label_centroid_sim" -> (
       "WITH q AS (SELECT label, unnest(list_transform(embedding, x -> " +
       "  CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv, " +
@@ -2339,7 +2344,8 @@ private[graft] object Oracles {
       "c AS (SELECT *, max(CASE WHEN variant = 0 THEN rate_ppm END) " +
       "  OVER () AS ctrl FROM r) " +
       "SELECT variant, n_users, n_conv, rate_ppm, " +
-      "CASE WHEN variant <> 0 THEN (rate_ppm - ctrl) * 1000000 // ctrl " +
+      "CASE WHEN variant <> 0 AND ctrl > 0 " +
+      "THEN (rate_ppm - ctrl) * 1000000 // ctrl " +
       "END AS lift_ppm FROM c"),
     "q_readability" -> (
       "WITH d AS (SELECT doc_id, " +

@@ -87,9 +87,15 @@ object Analytics {
       min(col(valCol).cast("double")).as("__lo"),
       max(col(valCol).cast("double")).as("__hi"),
       count(lit(1)).as("__gn"))
+    // NULL values bucket to 0 explicitly: floor(NULL) is NULL and
+    // least() SKIPS nulls, so without this branch nulls would land in
+    // the TOP bucket and rank after the highest values — the opposite
+    // of the window form this replaces (Spark asc = nulls FIRST). With
+    // bucket 0 + the nulls-first local orderBy, window semantics hold.
     val bucketed = df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("__b",
-        when(col("__hi") === col("__lo"), lit(0))
+        when(col(valCol).isNull, lit(0))
+          .when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(lit(buckets - 1), floor(
             (col(valCol).cast("double") - col("__lo")) /
               (col("__hi") - col("__lo")) * buckets).cast("int"))))
@@ -283,7 +289,10 @@ object Analytics {
   /** A/B lift report from one row per user (variant, converted?):
     * per-variant conversion rates and lift vs the `control` variant in
     * ppm. The control rate attaches via a window over the
-    * variants-sized frame (globalWindowAllowed). */
+    * variants-sized frame (globalWindowAllowed). Lift is NULL when the
+    * control variant converted zero users (the ratio is undefined and
+    * the integer div would throw under ANSI mode) or is absent from
+    * the data entirely. */
   def abLift(perUser: DataFrame, variantCol: String, convCol: String,
              control: Long = 0L): DataFrame = {
     val v = perUser.groupBy(col(variantCol))
@@ -292,7 +301,8 @@ object Analytics {
       .withColumn("rate_ppm", expr("n_conv * 1000000 div n_users"))
     v.withColumn("__ctrl", max(when(col(variantCol) === control,
         col("rate_ppm"))).over(Window.partitionBy()))
-      .withColumn("lift_ppm", expr(s"CASE WHEN $variantCol <> $control THEN " +
+      .withColumn("lift_ppm", expr(s"CASE WHEN $variantCol <> $control " +
+        "AND __ctrl > 0 THEN " +
         "(rate_ppm - __ctrl) * 1000000 div __ctrl END"))
       .drop("__ctrl")
   }
@@ -365,9 +375,13 @@ object Analytics {
     val bounds = df.agg(min(col(valCol).cast("double")).as("__lo"),
       max(col(valCol).cast("double")).as("__hi"),
       count(lit(1)).as("__n"))
+    // Same null-to-bucket-0 rule as bucketedGroupRank: built-in ntile
+    // over an asc order ranks nulls first, so nulls must not fall into
+    // the top bucket via least()'s null-skipping.
     val bucketed = df.crossJoin(broadcast(bounds))
       .withColumn("__b",
-        when(col("__hi") === col("__lo"), lit(0))
+        when(col(valCol).isNull, lit(0))
+          .when(col("__hi") === col("__lo"), lit(0))
           .otherwise(least(lit(buckets - 1), floor(
             (col(valCol).cast("double") - col("__lo")) /
               (col("__hi") - col("__lo")) * buckets).cast("int"))))
@@ -449,9 +463,14 @@ object Analytics {
       col("sx").cast("double") * col("sx").cast("double")
     val vary = nD * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
+    // Degenerate-series guard: a constant series (varx or vary = 0)
+    // would divide by zero → Infinity, and the cast("long") of a
+    // non-finite double THROWS under Spark 4's default ANSI mode,
+    // failing the whole query. rho is undefined there → NULL.
     s.select(col("lag").cast("long").as("lag"), col("n"),
-        round(lit(1e6) * num / (sqrt(varx) * sqrt(vary)))
-          .cast("long").as("rho_ppm"))
+        when(varx > 0 && vary > 0,
+          round(lit(1e6) * num / (sqrt(varx) * sqrt(vary))).cast("long"))
+          .as("rho_ppm"))
       .orderBy(col("lag"))
   }
 
@@ -486,9 +505,16 @@ object Analytics {
       col("sx").cast("double") * col("sx").cast("double")
     val vary = nD * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
+    // Degenerate-group guards, matching funnelRates' div discipline:
+    // a single-day group has den = 0 (slope undefined), a constant
+    // series has vary = 0 (r² undefined) — unguarded they produce
+    // Infinity/NaN and the cast("long") throws under ANSI mode.
     s.select(col("grp"), col("n_days"),
-        round(lit(1e6) * num / den).cast("long").as("slope_ppm"),
-        round(lit(1e6) * num * num / (den * vary)).cast("long").as("r2_ppm"))
+        when(den > 0, round(lit(1e6) * num / den).cast("long"))
+          .as("slope_ppm"),
+        when(den > 0 && vary > 0,
+          round(lit(1e6) * num * num / (den * vary)).cast("long"))
+          .as("r2_ppm"))
       .orderBy(col("grp"))
   }
 }

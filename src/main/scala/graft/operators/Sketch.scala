@@ -264,7 +264,11 @@ object Sketch {
     * counter table: min over the depth cells each probe hashes to.
     * Probe and table sides are both bounded (probes are a top-k or a
     * watch-list; the table ≤ depth·width rows), so the join
-    * broadcasts — corpus data is never rescanned. */
+    * broadcasts — corpus data is never rescanned. The counter table
+    * stores only non-empty cells, so the join is LEFT and a missing
+    * cell counts as zero — a watch-list probe absent from the corpus
+    * estimates 0 (min over ALL depth cells), not min over whichever
+    * cells happen to be occupied. */
   def cmsEstimate(table: DataFrame, probes: DataFrame, valueCol: String,
                   depth: Int, width: Int): DataFrame = {
     val probeCols = probes.columns.map(col).toSeq
@@ -273,8 +277,8 @@ object Sketch {
         explode(sequence(lit(0), lit(depth - 1))).as("__row"): _*)
       .withColumn("__bucket", cmsBucket(col("__row"), col(valueCol), width))
       .join(table, col("__row") === table("row") &&
-        col("__bucket") === table("bucket"))
+        col("__bucket") === table("bucket"), "left")
       .groupBy(probeCols: _*)
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 }

@@ -88,6 +88,50 @@ class AnalyticsSpec extends SparkTestBase {
       ("9", 1L, 250000L)))
   }
 
+  test("abLift: zero-conversion control yields NULL lift, not an ANSI div-by-zero") {
+    val u = Seq((0L, false), (0L, false), (1L, true), (1L, false))
+      .toDF("variant", "conv")
+    val r = Analytics.abLift(u, "variant", "conv").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("rate_ppm"), x.isNullAt(4)))
+      .toSet
+    assert(r == Set((0L, 0L, true), (1L, 500000L, true)))
+  }
+
+  test("bucketedGroupRank: NULL values rank FIRST (window nulls-first semantics)") {
+    val d = Seq(("g", Option(30L), 1L), ("g", Option.empty[Long], 2L),
+      ("g", Option(10L), 3L), ("g", Option.empty[Long], 4L),
+      ("g", Option(20L), 5L)).toDF("grp", "v", "tie")
+    val r = Analytics.bucketedGroupRank(d, "grp", "v", Seq("tie"), buckets = 4)
+      .select($"tie", $"__rank").as[(Long, Long)].collect().toMap
+    // nulls first (tie asc breaks the tie), then values ascending
+    assert(r == Map(2L -> 1L, 4L -> 2L, 3L -> 3L, 5L -> 4L, 1L -> 5L))
+  }
+
+  test("trendSlopes: single-day and constant groups yield NULLs, not ANSI cast failures") {
+    val d = Seq(("solo", "1995-01-01", 5L),
+      ("flat", "1995-01-01", 7L), ("flat", "1995-01-02", 7L),
+      ("up", "1995-01-01", 1L), ("up", "1995-01-02", 3L))
+      .toDF("g", "day", "v")
+      .withColumn("day", to_date(col("day")))
+    val r = Analytics.trendSlopes(d, "g", "day", "v").collect()
+      .map(x => (x.getString(0),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)))).toSet
+    // solo: den=0 → both NULL; flat: slope exactly 0, vary=0 → r² NULL;
+    // up: slope 2/day, perfect fit
+    assert(r == Set(("solo", None, None), ("flat", Some(0L), None),
+      ("up", Some(2000000L), Some(1000000L))))
+  }
+
+  test("autocorrelation: a constant daily series yields NULL rho, not an ANSI cast failure") {
+    // 8 days, one event per day -> every lagged pair is (1,1): varx=vary=0
+    val e = (1 to 8).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"1995-01-0$i%d 12:00:00")))
+      .toDF("id", "ts")
+    val r = Analytics.autocorrelation(e, "ts", maxLag = 3).collect()
+    assert(r.length == 3 && r.forall(_.isNullAt(2)))
+  }
+
   test("abLift: rate and lift vs the control variant in ppm") {
     val u = Seq((0L, false), (0L, true), (1L, true), (1L, true))
       .toDF("variant", "conv")
@@ -153,6 +197,19 @@ class AnalyticsSpec extends SparkTestBase {
           .cast("long").as("q"))
       .as[(Long, Long)].collect().toMap
     assert(gotFlat == expFlat)
+    // NULL values: built-in ntile over an asc order puts nulls FIRST;
+    // the bucketed form must send them to bucket 0, not (via least()'s
+    // null-skipping) to the top bucket
+    val withNulls = Seq((1L, Option(5.0)), (2L, Option.empty[Double]),
+      (3L, Option(1.0)), (4L, None), (5L, Option(9.0)), (6L, Option(7.0)))
+      .toDF("id", "v")
+    val gotNull = Analytics.ntileDistributed(withNulls, 3, "v", Seq("id"), "q")
+      .select($"id", $"q").as[(Long, Long)].collect().toMap
+    val expNull = withNulls.select($"id",
+        ntile(3).over(Window.orderBy($"v".asc, $"id".asc))
+          .cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotNull == expNull)
   }
 
   test("readability: ppm words-per-sentence and chars-per-word") {

@@ -194,6 +194,22 @@ class SketchSpec extends SparkTestBase {
     assert(math.abs(est - n) / n < 0.2, s"est $est vs true $n")
   }
 
+  test("cmsEstimate: a probe absent from the corpus estimates 0 (empty cells count as zero)") {
+    import graft.operators.Sketch
+    val corpus = Seq.tabulate(50)(i => s"tok${i % 5}").toDF("v")
+    val table = Sketch.cms(corpus, Nil, "v", depth = 4, width = 64)
+    val probes = Seq("tok0", "never-seen-token").toDF("v")
+    val est = Sketch.cmsEstimate(table, probes, "v", depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    // present probe: every depth cell holds >= its true count of 10
+    assert(est("tok0") >= 10L)
+    // absent probe: with 5 distinct values over width 64, at least one
+    // of its 4 cells is empty -> min(coalesce(c,0)) = 0. Under the old
+    // inner join this probe either vanished or min'd only its
+    // collided cells.
+    assert(est("never-seen-token") == 0L)
+  }
+
   test("RhoExpr: CTZ rank equals the 43-step mod chain for edge and random remainders") {
     import graft.functions.SketchKernels
     def chain(rem: Long): Long =
