@@ -244,8 +244,13 @@ private[graft] object Oracles {
     "cov AS (SELECT DISTINCT doc_id, p FROM h, " +
     "  LATERAL (SELECT unnest(generate_series(pos, pos + 4)) AS p))"
 
+  /** The exact-cosine score expression shared by every ANN/eval oracle
+    * (query side aliased `qv`, corpus side aliased `c`). */
+  private val annCosSql: String =
+    "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+
   private val annTop1Sql: String = {
-    val cos = "list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    val cos = annCosSql
     "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
     "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
     "  FROM embeddings WHERE vec_id < 5) " +
@@ -1082,6 +1087,59 @@ private[graft] object Oracles {
     "q_ann_lsh" -> annTop1Sql,
     "q_ann_pq" -> annTop1Sql,
     "q_ann_ivf_pq" -> annTop1Sql,
+    // recall@10 of the int4-style (scale 7) integer-dot ranking vs the
+    // exact cosine ranking over the planted queries; the quantized side
+    // replays the SAME half-up quantizer and BIGINT dot as the operator
+    "q_recall_at_k" -> (
+      "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
+      "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+      "  FROM embeddings WHERE vec_id < 5), " +
+      "ex AS (SELECT query_id, c.vec_id AS corpus_id, " +
+      s"  row_number() OVER (PARTITION BY query_id ORDER BY $annCosSql DESC, " +
+      "    c.vec_id ASC) AS rank " +
+      "  FROM q JOIN embeddings c ON query_id != c.vec_id " +
+      "  QUALIFY rank <= 10), " +
+      "q8 AS (SELECT query_id, list_transform(qv, x -> greatest(-7, " +
+      "  least(7, CAST(floor(CAST(x AS DOUBLE)*7 + 0.5) AS BIGINT)))) AS qa " +
+      "  FROM q), " +
+      "c8 AS (SELECT vec_id, list_transform(embedding, x -> greatest(-7, " +
+      "  least(7, CAST(floor(CAST(x AS DOUBLE)*7 + 0.5) AS BIGINT)))) AS ca " +
+      "  FROM embeddings), " +
+      "ax AS (SELECT query_id, vec_id AS corpus_id, " +
+      "  CAST(list_sum(list_transform(range(1, len(qa) + 1), " +
+      "    i -> qa[i] * ca[i])) AS BIGINT) AS dot " +
+      "  FROM q8 JOIN c8 ON query_id != vec_id), " +
+      "ar AS (SELECT query_id, corpus_id, " +
+      "  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, " +
+      "    corpus_id ASC) AS rank FROM ax QUALIFY rank <= 10), " +
+      "hits AS (SELECT e.query_id, count(*) AS n_hits FROM ex e " +
+      "  JOIN ar a USING (query_id, corpus_id) GROUP BY 1), " +
+      "den AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact " +
+      "  FROM ex GROUP BY 1) " +
+      "SELECT d.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+      "d.n_exact, coalesce(h.n_hits, 0) * 1000000 // d.n_exact AS recall_ppm " +
+      "FROM den d LEFT JOIN hits h USING (query_id)"),
+    // MRR + precision@20 of the exact ranking with label relevance,
+    // excluding each query's planted near-copy from the relevant set
+    "q_retrieval_mrr" -> (
+      "WITH q AS (SELECT vec_id + 200000 AS query_id, label AS qlabel, " +
+      "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+      "  FROM embeddings WHERE vec_id < 5), " +
+      "ranked AS (SELECT query_id, qlabel, c.vec_id AS corpus_id, " +
+      "  c.label AS clabel, " +
+      s"  row_number() OVER (PARTITION BY query_id ORDER BY $annCosSql DESC, " +
+      "    c.vec_id ASC) AS rank " +
+      "  FROM q JOIN embeddings c ON query_id != c.vec_id " +
+      "  QUALIFY rank <= 20), " +
+      "rel AS (SELECT *, clabel = qlabel AND corpus_id != query_id - 200000 " +
+      "  AS is_rel FROM ranked) " +
+      "SELECT query_id, " +
+      "CAST(min(CASE WHEN is_rel THEN rank END) AS BIGINT) AS first_rel_rank, " +
+      "CAST(coalesce(1000000 // min(CASE WHEN is_rel THEN rank END), 0) " +
+      "  AS BIGINT) AS rr_ppm, " +
+      "CAST(count(CASE WHEN is_rel THEN 1 END) AS BIGINT) AS n_rel, " +
+      "count(CASE WHEN is_rel THEN 1 END) * 1000000 // 20 AS precision_ppm " +
+      "FROM rel GROUP BY 1"),
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
     "q_ann_ivfpq_index" -> annTop1Sql,

@@ -1286,6 +1286,40 @@ object SparkEntry {
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", "label", k = 5)
     }),
+    // retrieval eval, recall side: how much ranking quality int4-style
+    // quantization costs — recall@10 of the integer-dot ranking against
+    // the exact float-cosine ranking, per planted query. scale=7 is
+    // deliberately coarse so the curve is informative (int8 preserves
+    // the top-10 exactly on this corpus)
+    "q_recall_at_k" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = annQueries(emb)
+      graft.operators.Eval.recallAtK(
+        Similarity.quantizedTopK(emb, q, "vec_id", "embedding", k = 10,
+          scale = 7),
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10),
+        k = 10)
+    }),
+    // retrieval eval, relevance side: MRR + precision@20 of the exact
+    // ranking against label relevance, EXCLUDING each query's planted
+    // near-copy (which is always rank 1 and would make MRR degenerate)
+    // — "past the known duplicate, how soon does the ranking reach the
+    // right class?"
+    "q_retrieval_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(emb, annQueries(emb),
+        "vec_id", "embedding", k = 20)
+      val ql = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 200000).as("query_id"),
+          col("label").as("__qlabel"))
+      val cl = emb.select(col("vec_id").as("corpus_id"),
+        col("label").as("__clabel"))
+      val rel = ranked.join(broadcast(ql), Seq("query_id"))
+        .join(cl, Seq("corpus_id"))
+        .withColumn("__is_rel", col("__clabel") === col("__qlabel") &&
+          col("corpus_id") =!= col("query_id") - 200000)
+      graft.operators.Eval.rankingQuality(rel, "__is_rel", k = 20)
+    }),
     // class-balanced downsample: every label keeps min-class-count
     // rows by content-keyed hash order
     "q_balance_labels" -> ((s, dir) =>

@@ -41,9 +41,14 @@ object vectors {
     * widening and the dyadic constants bit-for-bit, so the codes are
     * engine-exact. Stays a codegen'd higher-order `transform` (array in,
     * array out — the fused kernels above are scalar-reducers). */
-  def quantizeInt8(vecCol: String): Column =
+  def quantizeInt8(vecCol: String): Column = quantize(vecCol, 127)
+
+  /** Symmetric linear quantization to integer codes in [-scale, scale]
+    * (scale 127 = int8, 7 = int4-style). Half-up rounding via
+    * floor(x·scale + 0.5) so every engine rounds identically. */
+  def quantize(vecCol: String, scale: Int): Column =
     org.apache.spark.sql.functions.expr(
-      s"transform($vecCol, x -> CAST(greatest(CAST(-127 AS BIGINT), " +
-        "least(CAST(127 AS BIGINT), " +
-        "CAST(floor(CAST(x AS DOUBLE) * 127D + 0.5D) AS BIGINT))) AS BIGINT))")
+      s"transform($vecCol, x -> CAST(greatest(CAST(-$scale AS BIGINT), " +
+        s"least(CAST($scale AS BIGINT), " +
+        s"CAST(floor(CAST(x AS DOUBLE) * ${scale}D + 0.5D) AS BIGINT))) AS BIGINT))")
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation over ranked candidate lists — the
+  * measurement half of the ANN tier. The search operators
+  * ([[Similarity]], [[Ivf]], [[Pq]]) produce rankings; these operators
+  * score them: recall of an approximate/compressed ranking against the
+  * exact one, and reciprocal rank + precision against a relevance
+  * label. Mirrors the reference's validator posture (compute the
+  * quality number next to the data, don't export and re-join —
+  * rustic-witcher keeps validation inside the engine,
+  * data_anonymization/src/spark_data_validator.rs).
+  *
+  * All metrics are exact-integer ppm (`x * 1000000 div y`), so results
+  * replay bit-for-bit in any engine. Scale shape: every input here is
+  * queries×k rows — the corpus-sized work already happened inside the
+  * search operator — so these joins and aggregations are trivially
+  * broadcastable at any corpus scale; nothing below re-touches corpus
+  * data.
+  */
+object Eval {
+
+  /** Recall@k of an approximate ranking against the exact one, per
+    * query: `|approx top-k ∩ exact top-k| / |exact top-k|` in ppm.
+    * Both inputs carry (query_id, corpus_id, rank) as produced by the
+    * search tier. The denominator is the exact list's size (= k unless
+    * the corpus is smaller), so a query with fewer than k true
+    * neighbors is not penalized for the shortfall. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"))
+    val den = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val hits = e.join(a, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    den.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        expr("coalesce(n_hits, 0) * 1000000 div n_exact").as("recall_ppm"))
+  }
+
+  /** Reciprocal rank and precision@k of a ranked list against a
+    * boolean relevance column: per query, the rank of the FIRST
+    * relevant hit (NULL when none land in the top k — rr_ppm then 0,
+    * the standard MRR convention), the relevant count, and
+    * precision@k, all in exact ppm. */
+  def rankingQuality(ranked: DataFrame, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    ranked.filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(min(when(col(relCol), col("rank"))).cast("long")
+          .as("first_rel_rank"),
+        count(when(col(relCol), 1)).as("n_rel"))
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_ppm"),
+        col("n_rel"),
+        expr(s"n_rel * 1000000 div $k").as("precision_ppm"))
+  }
+}

@@ -66,6 +66,32 @@ object Similarity {
     selectAndRank(scored, k)
   }
 
+  /** Exact top-k by INTEGER dot product over `scale`-clamped quantized
+    * codes — the compressed-domain retrieval baseline whose quality
+    * [[Eval.recallAtK]] measures against [[bruteForceTopK]]. Scoring is
+    * all-BIGINT (dim terms of at most scale² each), so the ranking is
+    * engine-bit-exact with ties broken by corpus id; at coarse scales
+    * (e.g. 7 = int4-style) recall < 1 and the eval tier quantifies the
+    * quantization cost. Same bounded-heap selection as the float tier. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    scale: Int = 127): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      vectors.quantize(vecCol, scale).as("ca"))
+    val q = queries.select(col(idCol).as("query_id"),
+      vectors.quantize(vecCol, scale).as("qa"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, ca, (x, y) -> x * y), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val top = graft.plans.TopK.perKey(
+      scored.select(col("query_id"), col("corpus_id"), col("dot")),
+      Seq("query_id"), Seq(("dot", false), ("corpus_id", true)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("corpus_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("corpus_id"), col("dot"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: corpus bucketed by `nBits` hyperplane sign
     * bits; each query probes its own bucket plus all single-bit-flip
     * neighbors (multi-probe), then exact cosine re-ranks candidates.

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Eval, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the retrieval-eval tier: recall@k,
+  * reciprocal rank, precision@k, and the quantized integer-dot
+  * ranking they score. */
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranked(rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "corpus_id", "rank")
+
+  test("recallAtK: per-query overlap in ppm; missed queries keep a 0-hit row") {
+    val exact = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+    // query 1 recovers 2 of 3; query 2 recovers none
+    val approx = ranked((1L, 10L, 1), (1L, 12L, 2), (1L, 99L, 3),
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3))
+    val r = Eval.recallAtK(approx, exact, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    assert(r == Set((1L, 2L, 3L, 666666L), (2L, 0L, 3L, 0L)))
+  }
+
+  test("recallAtK: ranks past k are ignored on both sides") {
+    val exact = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val approx = ranked((1L, 11L, 1), (1L, 10L, 4))
+    val r = Eval.recallAtK(approx, exact, k = 2).collect().head
+    // exact top-2 = {10, 11}; approx top-2 = {11} (rank 4 dropped)
+    assert(r.getAs[Long]("n_hits") == 1L && r.getAs[Long]("n_exact") == 2L &&
+      r.getAs[Long]("recall_ppm") == 500000L)
+  }
+
+  test("rankingQuality: MRR from the first relevant rank, 0 when none relevant") {
+    val d = Seq((1L, 100L, 1, false), (1L, 101L, 2, false), (1L, 102L, 3, true),
+      (1L, 103L, 4, true), (2L, 200L, 1, false), (2L, 201L, 2, false))
+      .toDF("query_id", "corpus_id", "rank", "rel")
+    val r = Eval.rankingQuality(d, "rel", k = 4).collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        x.getLong(2), x.getLong(3), x.getLong(4))).toSet
+    // q1: first rel at 3 -> rr 333333, 2 rel of 4; q2: none -> rr 0
+    assert(r == Set((1L, 3L, 333333L, 2L, 500000L),
+      (2L, -1L, 0L, 0L, 0L)))
+  }
+
+  test("quantizedTopK at int8 scale reproduces the exact cosine top-1 on planted near-copies") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.02f)),
+          slice(col("embedding"), 2, 100000)).as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toMap
+    val quant = Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 1)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toMap
+    assert(quant == exact)
+    // and the eval tier agrees: recall@1 of int8 vs exact is 1.0
+    val r = Eval.recallAtK(
+      Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 1),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1), 1)
+      .select($"recall_ppm").as[Long].collect()
+    assert(r.nonEmpty && r.forall(_ == 1000000L))
+  }
+}
