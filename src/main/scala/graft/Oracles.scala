@@ -1942,6 +1942,14 @@ private[graft] object Oracles {
       s"AND round($qQualitySql, 6) >= 0.55 " +
       "AND r.dwr <= 0.6 AND r.tbr <= 0.1"),
     "q_dedup_incremental" -> incrementalDedupSql,
+    // new-batch docs that are NOT >= 0.5-jaccard near-dups of any
+    // accepted (doc_id < 400) document; jj carries id_a < id_b, and an
+    // accepted-vs-new pair always has the accepted id on the a side
+    "q_neardup_incremental" -> (
+      s"WITH $jaccardCtesSql " +
+      "SELECT d.* FROM documents d WHERE d.doc_id >= 400 " +
+      "AND NOT EXISTS (SELECT 1 FROM jj " +
+      "  WHERE jj.id_b = d.doc_id AND jj.id_a < 400)"),
     // the bloom pre-filter is result-invisible (no false negatives;
     // false positives removed by the verify join) => same oracle
     "q_dedup_incremental_bloom" -> incrementalDedupSql,

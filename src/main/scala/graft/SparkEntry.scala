@@ -1866,6 +1866,18 @@ object SparkEntry {
       Dedup.incrementalByFingerprint(
         docs.filter(col("doc_id") >= 400), "doc_id", "text", existingFps)
     }),
+    // incremental NEAR-dup ingest: the new batch probes the accepted
+    // corpus' persisted minhash band index — corpus text is touched
+    // only for band-collision candidates, never re-signatured. Oracle
+    // is the exact all-pairs jaccard across the 400 boundary (banding
+    // recall is 1 on this corpus, the q_dedup_minhash property)
+    "q_neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val accepted = docs.filter(col("doc_id") < 400)
+      val index = Dedup.minhashBandIndex(accepted, "doc_id", "text")
+      Dedup.incrementalNearDup(accepted, index,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text")
+    }),
     // the bloom-join tier of the same operation: result-identical by
     // construction (no false negatives; false positives verified by the
     // exact join), so the SAME oracle checks it

@@ -447,9 +447,13 @@ object Analytics {
     val lagged = daily.select(
       explode(sequence(lit(1), lit(maxLag))).as("lag"),
       col("day").as("day_b"), col("n").as("y"))
+    // equi-join form: day_a + lag = day_b rewritten so each side of
+    // the predicate touches ONE frame (date_add(day_a, lag) mixes
+    // both, forcing a nested-loop join; date_sub(day_b, lag) is pure
+    // right side, so this hash-partitions on the derived day key)
     val s = base
       .join(lagged,
-        date_add(col("day_a"), col("lag").cast("int")) === col("day_b"))
+        col("day_a") === date_sub(col("day_b"), col("lag").cast("int")))
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -158,30 +158,80 @@ object Dedup {
     * can assert the join really buckets on the band hash (the property
     * that keeps the governance queries off the corpus-quadratic
     * shingle self-join). */
-  private[graft] def bandedCandidates(df: DataFrame, idCol: String,
-                                      textCol: String, shingleWidth: Int,
-                                      numHashes: Int, bands: Int,
-                                      seed: Long): DataFrame = {
+  /** The MinHash-LSH band table of a corpus slice: (id, band,
+    * bandHash), `bands` rows per document. This IS the persistable
+    * near-dup INDEX — write it as parquet partitioned however the
+    * ingest shards, append each accepted batch's rows, and probe new
+    * batches against it with [[incrementalNearDup]] without ever
+    * re-signaturing the accepted corpus. Band b's hash = hash of the
+    * signature slice [b*rows, (b+1)*rows), statically unrolled (bands
+    * is a plan-time constant). The explode carries ONLY (id, band,
+    * bandHash) — never the 1KB signature (numHashes longs): shuffling
+    * signatures through the docs x bands explode measured ~100x more
+    * shuffle bytes. */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       shingleWidth: Int = 3, numHashes: Int = 128,
+                       bands: Int = 32,
+                       seed: Long = FakeGen.DefaultSeed): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = df.select(col(idCol).as("id"),
       text.minhash(col(textCol), shingleWidth, numHashes, seed).as("sig"))
-    // band b's hash = hash of the signature slice [b*rows, (b+1)*rows);
-    // statically unrolled (bands is a plan-time constant).
-    // The banded explode carries ONLY (id, band, bandHash) — never the
-    // 1KB signature (numHashes longs): shuffling signatures through the
-    // docs x bands explode measured ~100x more shuffle bytes. Signatures
-    // re-attach to the (tiny) candidate set afterwards.
     val bandHashes = (0 until bands).map(b =>
       hash(slice(col("sig"), b * rows + 1, rows), lit(b)))
-    val banded = sigs.select(col("id"),
+    sigs.select(col("id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "bandHash")))
+  }
+
+  private[graft] def bandedCandidates(df: DataFrame, idCol: String,
+                                      textCol: String, shingleWidth: Int,
+                                      numHashes: Int, bands: Int,
+                                      seed: Long): DataFrame = {
+    val banded = minhashBandIndex(df, idCol, textCol, shingleWidth,
+      numHashes, bands, seed)
     val a = banded.select(col("band"), col("bandHash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bandHash"), col("id").as("id_b"))
     a.join(b, Seq("band", "bandHash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Incremental NEAR-dup ingest: drop every `newDocs` row that is an
+    * n-gram-jaccard near-duplicate (>= `threshold`) of some
+    * already-accepted document, probing a PERSISTED band index
+    * ([[minhashBandIndex]] over the accepted corpus) instead of
+    * re-scanning the corpus — the near-dup analogue of
+    * [[incrementalByFingerprint]]. Ids must be disjoint across the two
+    * sides (same contract as the exact tier).
+    *
+    * Scale shape: the probe is an equi-join on (band, bandHash) — the
+    * batch's band rows are batch-sized (AQE broadcasts them against
+    * the corpus-sized index), candidates are bounded by real band
+    * collisions, and the exact-jaccard verify shingles ONLY candidate
+    * docs (semi-join prune inside [[verifyPairsJaccard]]). The
+    * accepted corpus' text is touched only for those candidates —
+    * never re-signatured, never re-shingled corpus-wide. Within-batch
+    * duplicates are NOT collapsed here (that is [[minhashVerifiedPairs]]'
+    * job on the batch itself). */
+  def incrementalNearDup(indexDocs: DataFrame, index: DataFrame,
+                         newDocs: DataFrame, idCol: String, textCol: String,
+                         shingleWidth: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32, threshold: Double = 0.5,
+                         seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    val probe = minhashBandIndex(newDocs, idCol, textCol, shingleWidth,
+      numHashes, bands, seed)
+    val cand = index.select(col("band"), col("bandHash"), col("id").as("id_a"))
+      .join(probe.select(col("band"), col("bandHash"), col("id").as("id_b")),
+        Seq("band", "bandHash"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val both = indexDocs.select(col(idCol), col(textCol))
+      .unionByName(newDocs.select(col(idCol), col(textCol)))
+    val dups = verifyPairsJaccard(both, idCol, textCol, cand,
+      shingleWidth, threshold)
+    newDocs.join(dups.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
   }
 
   /** Near-duplicate pairs via SimHash + MULTI-PROBE pigeonhole banding

@@ -45,6 +45,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_churn" -> "(b) single-row observation-horizon (max day) attach",
     "q_dist_drift" -> "(b) single-row per-half totals for TV distance",
     "q_ntile" -> "(b) ntileDistributed: single-row min/max/count bounds attach",
+    "q_equidepth_bins" -> "(b) ntileDistributed: same single-row bounds attach as q_ntile",
+    "q_recall_at_k" -> "(a) brute + quantized-dot eval rankings: corpus x 5 planted queries",
+    "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
 
   // Partition-less WindowExec nodes serialize their input into ONE
@@ -63,7 +66,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_power_users" -> "composes nucleusTopP: same <= 64-row bucket window",
     "q_skyline" -> "bucket-frontier running max: one row per bucket",
     "q_ntile" -> ("ntileDistributed bucket-prefix window: <= `buckets` " +
-      "(64) rows — the full-sort ntile window is GONE since round 12"))
+      "(64) rows — the full-sort ntile window is GONE since round 12"),
+    "q_equidepth_bins" -> ("ntileDistributed: same <= 64-row bucket-prefix " +
+      "window as q_ntile"))
 
   /** A WindowExec line with an EMPTY partition spec. Spark's argString
     * skips empty sequences, so a global window prints NO trailing

@@ -557,4 +557,39 @@ class TextDedupSpec extends SparkTestBase {
     val perQuery = rows.groupBy(_.getAs[Long]("query_id")).map(_._2.size)
     assert(perQuery.forall(_ == 4), perQuery.toString)
   }
+
+  test("incrementalNearDup: parquet-persisted index round-trips; appended index == rebuilt index") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val accepted = docs.filter($"doc_id" < 400)
+    val batch = docs.filter($"doc_id" >= 400)
+    val inMem = Dedup.incrementalNearDup(accepted,
+      Dedup.minhashBandIndex(accepted, "doc_id", "text"), batch,
+      "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+
+    // the index survives a parquet round-trip (the persisted-ingest path)
+    val dir = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    Dedup.minhashBandIndex(accepted, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val fromDisk = Dedup.incrementalNearDup(accepted,
+      spark.read.parquet(dir), batch, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(fromDisk == inMem)
+
+    // appending a slice's band rows == rebuilding over the union —
+    // the property that makes the index maintainable without rescans
+    val first = accepted.filter($"doc_id" < 200)
+    val second = accepted.filter($"doc_id" >= 200)
+    val appended = Dedup.minhashBandIndex(first, "doc_id", "text")
+      .unionByName(Dedup.minhashBandIndex(second, "doc_id", "text"))
+    val viaAppend = Dedup.incrementalNearDup(accepted, appended, batch,
+      "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaAppend == inMem)
+
+    // sanity: the fixture plants cross-boundary near-dups, so the
+    // survivor set is a strict subset of the batch
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    assert(inMem.subsetOf(batchIds) && inMem.size < batchIds.size)
+  }
 }
