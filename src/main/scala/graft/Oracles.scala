@@ -1941,6 +1941,38 @@ private[graft] object Oracles {
       "WHERE r.n_tokens BETWEEN 20 AND 1000 " +
       s"AND round($qQualitySql, 6) >= 0.55 " +
       "AND r.dwr <= 0.6 AND r.tbr <= 0.1"),
+    // hashing-trick vectorizer: same 52-bit md5 bucket + independent
+    // md5 sign bit as Corpus.featureHash
+    "q_feature_hash" -> (
+      "WITH tk AS (SELECT doc_id, unnest(list_filter(" +
+      "  regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '')) " +
+      "  AS tok FROM documents), " +
+      "h AS (SELECT doc_id, " +
+      "  CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 64 " +
+      "    AS feature, " +
+      "  CASE WHEN CAST(concat('0x', substr(md5('sign:' || tok), 1, 13)) " +
+      "    AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s FROM tk) " +
+      "SELECT doc_id, feature, CAST(sum(s) AS BIGINT) AS val " +
+      "FROM h GROUP BY 1, 2"),
+    // nearest-centroid confusion: scaled-integer centroids (the
+    // q_label_centroid_sim discipline), exact BIGINT L2, argmin with
+    // label-asc ties
+    "q_centroid_confusion" -> (
+      "WITH q AS (SELECT vec_id, label AS true_label, " +
+      "  unnest(list_transform(embedding, x -> " +
+      "    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv, " +
+      "  unnest(range(len(embedding))) AS pos FROM embeddings), " +
+      "c AS (SELECT true_label AS clabel, pos, " +
+      "  (CAST(sum(qv) AS BIGINT) + 1000000 * CAST(count(*) AS BIGINT)) " +
+      "    // CAST(count(*) AS BIGINT) - 1000000 AS m FROM q GROUP BY 1, 2), " +
+      "d AS (SELECT q.vec_id, q.true_label, c.clabel, " +
+      "  CAST(sum((qv - m) * (qv - m)) AS BIGINT) AS dist " +
+      "  FROM q JOIN c ON c.pos = q.pos GROUP BY 1, 2, 3), " +
+      "p AS (SELECT vec_id, true_label, clabel AS predicted_label, " +
+      "  row_number() OVER (PARTITION BY vec_id " +
+      "    ORDER BY dist ASC, clabel ASC) AS rk FROM d) " +
+      "SELECT true_label, predicted_label, CAST(count(*) AS BIGINT) AS n " +
+      "FROM p WHERE rk = 1 GROUP BY 1, 2"),
     "q_dedup_incremental" -> incrementalDedupSql,
     // new-batch docs that are NOT >= 0.5-jaccard near-dups of any
     // accepted (doc_id < 400) document; jj carries id_a < id_b, and an

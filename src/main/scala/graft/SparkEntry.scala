@@ -2694,6 +2694,16 @@ object SparkEntry {
     "q_label_centroid_sim" -> ((s, dir) =>
       graft.operators.Similarity.labelCentroidCosine(
         t(s, dir, "embeddings"), labelCol = "label", vecCol = "embedding")),
+    // label-space health check: nearest-centroid confusion matrix over
+    // the embedding corpus (L2 to integer centroids, resubstitution)
+    "q_centroid_confusion" -> ((s, dir) =>
+      graft.operators.Similarity.nearestCentroidConfusion(
+        t(s, dir, "embeddings"), "vec_id", "label", "embedding")),
+    // hashing-trick vectorizer: vocabulary-free signed token counts in
+    // a fixed 64-bucket space (sparse form; cancellations keep 0 rows)
+    "q_feature_hash" -> ((s, dir) =>
+      graft.operators.Corpus.featureHash(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)),
     // equi-depth 16-bin histogram of event values on the distributed
     // exact-ntile path (no global sort window)
     "q_equidepth_bins" -> ((s, dir) =>

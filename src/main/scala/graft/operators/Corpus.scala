@@ -611,4 +611,30 @@ object Corpus {
       .orderBy(col("score_ppm").desc, col("phrase").asc)
       .limit(k)
   }
+
+  /** Hashing-trick vectorizer (Weinberger et al., ICML 2009): tokens
+    * hash into a FIXED `dim`-bucket signed-count space — no vocabulary
+    * table to build, broadcast, or keep consistent across batches,
+    * which is the whole point at corpus scale: feature extraction
+    * becomes a stateless per-row projection + one map-side-combined
+    * aggregation, and any two clusters hash identically forever. The
+    * sign bit (an independent hash) makes collisions cancel in
+    * expectation instead of accumulating. Output is the sparse form
+    * (id, feature, val), val = signed count — rows where signs fully
+    * cancel are kept (the hashed vector's true coordinate is 0).
+    * Both hashes ride the engine-portable 52-bit md5 ([[Sketch.kmvHash]]),
+    * so the vectors replay bit-for-bit in any engine. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val toks = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    toks.select(col(idCol),
+        (Sketch.kmvHash(col("__tok")) % dim).as("feature"),
+        when(Sketch.kmvHash(concat(lit("sign:"), col("__tok"))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("__s"))
+      .groupBy(col(idCol), col("feature"))
+      .agg(sum(col("__s")).as("val"))
+  }
 }

@@ -178,6 +178,40 @@ object Similarity {
     * self-join of that tiny table (AQE broadcasts it). The final
     * cos_ppm is one same-order IEEE step over exact integers, so the
     * oracle replays it bit-for-bit. */
+  /** Nearest-centroid classification confusion matrix — the "is the
+    * embedding space linearly organized by label" health check a
+    * labeled corpus gets before anyone trains on it. Every vector is
+    * assigned to the label whose centroid is L2-closest (resubstitution:
+    * each vector contributes to its own label's centroid), and the
+    * (true_label, predicted_label, n) cells come back — |labels|² rows
+    * at most. All-integer: the same scaled-mean centroid discipline as
+    * [[labelCentroidCosine]] and EXACT BIGINT squared distances, so the
+    * argmin (ties by label asc) is engine-bit-exact. Scale shape: the
+    * centroid table is |labels|·dim rows (broadcasts); scoring is one
+    * equi-join on the position key + a rows·dim·|labels| linear pass —
+    * no pairwise vector join anywhere. */
+  def nearestCentroidConfusion(df: DataFrame, idCol: String,
+                               labelCol: String, vecCol: String): DataFrame = {
+    val q = df.select(col(idCol).as("id"), col(labelCol).as("true_label"),
+      posexplode(transform(col(vecCol),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
+        .as(Seq("pos", "qv")))
+    val cent = q.groupBy(col("true_label"), col("pos"))
+      .agg(sum(col("qv")).as("__s"), count(lit(1)).as("__cnt"))
+      .withColumn("m",
+        expr("(__s + 1000000 * __cnt) div __cnt - 1000000"))
+      .select(col("true_label").as("clabel"), col("pos"), col("m"))
+    val dist = q.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("id"), col("true_label"), col("clabel"))
+      .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("__dist"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__dist").asc, col("clabel").asc)
+    dist.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy(col("true_label"), col("clabel").as("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def labelCentroidCosine(df: DataFrame, labelCol: String,
                           vecCol: String): DataFrame = {
     val q = df.select(col(labelCol).as("label"),

@@ -46,6 +46,40 @@ class EvalSpec extends SparkTestBase {
       (2L, -1L, 0L, 0L, 0L)))
   }
 
+  test("nearestCentroidConfusion: separable labels classify; a planted outlier crosses over") {
+    // label 0: two vectors at (1,0) plus one mislabeled at (0,1);
+    // label 1: two at (0,1). Integer centroids: c0 = (666666, 333333),
+    // c1 = (0, 1000000) — the outlier is L2-closer to c1.
+    val d = Seq((1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)),
+      (3L, 0, Seq(0.0f, 1.0f)), (4L, 1, Seq(0.0f, 1.0f)),
+      (5L, 1, Seq(0.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val r = Similarity.nearestCentroidConfusion(d, "vec_id", "label",
+        "embedding").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSet
+    assert(r == Set((0, 0, 2L), (0, 1, 1L), (1, 1, 2L)))
+  }
+
+  test("featureHash: stable buckets, signed counts scale with repetition, dim bound holds") {
+    import graft.operators.Corpus
+    val d = Seq((1L, "alpha beta alpha"), (2L, "alpha"), (3L, "beta beta"))
+      .toDF("doc_id", "text")
+    val r = Corpus.featureHash(d, "doc_id", "text", dim = 64).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.forall { case (_, f, _) => f >= 0 && f < 64 })
+    // the same token always lands in the same bucket with the same
+    // sign: doc 2 pins alpha's (bucket, sign), doc 3 pins beta's at
+    // twice the unit — doc 1 must equal 2*alpha + 1*beta exactly
+    val byDoc = r.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(t => t._2 -> t._3).toMap }
+    val (alphaF, alphaUnit) = byDoc(2L).head
+    assert(alphaUnit.abs == 1L)
+    val (betaF, betaTwo) = byDoc(3L).head
+    assert(betaTwo.abs == 2L)
+    val expected1 = Seq(alphaF -> 2L * alphaUnit, betaF -> betaTwo / 2L)
+      .groupMapReduce(_._1)(_._2)(_ + _).filter(_._2 != 0L)
+    assert(byDoc(1L) == expected1)
+  }
+
   test("quantizedTopK at int8 scale reproduces the exact cosine top-1 on planted near-copies") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
