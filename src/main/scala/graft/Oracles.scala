@@ -1622,6 +1622,35 @@ private[graft] object Oracles {
       "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
       "FROM reach GROUP BY s"),
     "q_pagerank" -> pagerankOracle,
+    "q_pagerank_personalized" -> pprOracle,
+    // reliability curve: nearest-centroid top-1 (the confusion oracle's
+    // d/p CTEs), corpus ranked by confidence, exact-integer decile
+    // split (rank-1)*10 // n
+    "q_centroid_calibration" -> (
+      "WITH q AS (SELECT vec_id, label AS true_label, " +
+      "  unnest(list_transform(embedding, x -> " +
+      "    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv, " +
+      "  unnest(range(len(embedding))) AS pos FROM embeddings), " +
+      "c AS (SELECT true_label AS clabel, pos, " +
+      "  (CAST(sum(qv) AS BIGINT) + 1000000 * CAST(count(*) AS BIGINT)) " +
+      "    // CAST(count(*) AS BIGINT) - 1000000 AS m FROM q GROUP BY 1, 2), " +
+      "d AS (SELECT q.vec_id, q.true_label, c.clabel, " +
+      "  CAST(sum((qv - m) * (qv - m)) AS BIGINT) AS dist " +
+      "  FROM q JOIN c ON c.pos = q.pos GROUP BY 1, 2, 3), " +
+      "top AS (SELECT vec_id, true_label, clabel AS predicted_label, dist, " +
+      "  row_number() OVER (PARTITION BY vec_id " +
+      "    ORDER BY dist ASC, clabel ASC) AS rk FROM d QUALIFY rk = 1), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM top), " +
+      "ranked AS (SELECT *, row_number() OVER (ORDER BY dist ASC, " +
+      "  vec_id ASC) AS grk FROM top) " +
+      "SELECT (grk - 1) * 10 // n_total AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(count(CASE WHEN predicted_label = true_label THEN 1 END) " +
+      "  AS BIGINT) AS n_correct, " +
+      "min(dist) AS lo_dist, max(dist) AS hi_dist, " +
+      "count(CASE WHEN predicted_label = true_label THEN 1 END) " +
+      "  * 1000000 // count(*) AS acc_ppm " +
+      "FROM ranked, nn GROUP BY 1"),
     "q_ewma" -> ewmaOracle,
     // a<b<c triple join — the oracle may use the simple form the
     // operator's degree orientation makes scale-safe
@@ -2695,6 +2724,38 @@ private[graft] object Oracles {
       s", r$i AS (SELECT nodes.id, CAST(((15 * $S) // (100 * n)) + " +
       s"((85 * coalesce(s$i.m, 0)) // 100) AS BIGINT) AS pr " +
       s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id, nn)"
+    }.mkString
+    head + steps + " SELECT id, pr AS rank_scaled FROM r5"
+  }
+
+  /** Personalized-PageRank replay: the pagerankOracle recurrence with
+    * the teleport term gated on seed membership (suppliers ≡ 0 mod 7)
+    * and normalized by |seeds| instead of |nodes|. */
+  private lazy val pprOracle: String = {
+    val S = "1000000000000"
+    val head =
+      "WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
+      "CAST(o_custkey + 100000 AS BIGINT) AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_quantity >= 48), " +
+      "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "seeds AS (SELECT id FROM nodes WHERE id < 100000 AND id % 7 = 0), " +
+      "od AS (SELECT src, count(*) AS od FROM e GROUP BY src), " +
+      "ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds), " +
+      "r0 AS (SELECT nodes.id, CASE WHEN seeds.id IS NOT NULL " +
+      s"THEN CAST($S // n AS BIGINT) ELSE 0 END AS pr " +
+      "FROM nodes LEFT JOIN seeds ON nodes.id = seeds.id, ns)"
+    val steps = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s", s$i AS (SELECT e.dst AS id, " +
+      "CAST(sum(r.pr // o.od) AS BIGINT) AS m " +
+      s"FROM e JOIN $p r ON e.src = r.id JOIN od o ON e.src = o.src " +
+      "GROUP BY e.dst)" +
+      s", r$i AS (SELECT nodes.id, CAST(CASE WHEN seeds.id IS NOT NULL " +
+      s"THEN (15 * $S) // (100 * n) ELSE 0 END + " +
+      s"((85 * coalesce(s$i.m, 0)) // 100) AS BIGINT) AS pr " +
+      s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id " +
+      "LEFT JOIN seeds ON nodes.id = seeds.id, ns)"
     }.mkString
     head + steps + " SELECT id, pr AS rank_scaled FROM r5"
   }

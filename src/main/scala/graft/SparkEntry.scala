@@ -2122,6 +2122,22 @@ object SparkEntry {
           (col("o_custkey") + 100000).cast("long").as("dst"))
       graft.operators.Graph.pageRankScaled(edges, "src", "dst", iters = 5)
     }),
+    // personalized PageRank from a trusted supplier seed set: proximity
+    // to the seeds over the same supplier->customer graph — the
+    // graph-curation primitive ("expand from what we trust")
+    "q_pagerank_personalized" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") >= 48)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey") + 100000).cast("long").as("dst"))
+      val nodes = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id"))).distinct()
+      val seeds = nodes.filter(col("id") < 100000 && col("id") % 7 === 0)
+      graft.operators.Graph.personalizedPageRankScaled(
+        edges, "src", "dst", seeds, iters = 5)
+    }),
     // BM25 relevance against a fixed topic query (3 corpus terms + one
     // guaranteed-absent term exercising the df=0 guard); per-term
     // contributions floored to 1e6-scaled longs and integer-summed —
@@ -2699,6 +2715,12 @@ object SparkEntry {
     "q_centroid_confusion" -> ((s, dir) =>
       graft.operators.Similarity.nearestCentroidConfusion(
         t(s, dir, "embeddings"), "vec_id", "label", "embedding")),
+    // reliability curve of the same classifier: equal-count confidence
+    // deciles (distributed rank, no global window) with per-bin accuracy
+    "q_centroid_calibration" -> ((s, dir) =>
+      graft.operators.Similarity.centroidCalibration(
+        t(s, dir, "embeddings"), "vec_id", "label", "embedding",
+        bins = 10)),
     // hashing-trick vectorizer: vocabulary-free signed token counts in
     // a fixed 64-bucket space (sparse form; cancellations keep 0 rows)
     "q_feature_hash" -> ((s, dir) =>

@@ -69,6 +69,60 @@ object Graph {
     rank.select(col("id"), col("pr").as("rank_scaled"))
   }
 
+  /** Personalized PageRank (Jeh & Widom, WWW 2003): the teleport mass
+    * returns to the `seeds` set instead of spreading uniformly, so
+    * scores measure proximity TO THE SEEDS — the graph-based curation
+    * primitive ("rank everything by closeness to this trusted set").
+    * Same scaled-integer BSP discipline as [[pageRankScaled]] (exact
+    * BIGINT arithmetic, per-iteration lineage cuts, opt-in reliable
+    * checkpoints), same no-dangling-redistribution convention; the
+    * only change is the seed-indicator teleport term. Seeds are a
+    * DataFrame of node ids (column `id`) — its size bounds nothing
+    * here (it joins, never collects or broadcasts by force). */
+  def personalizedPageRankScaled(edges: DataFrame, srcCol: String,
+                                 dstCol: String, seeds: DataFrame,
+                                 iters: Int,
+                                 scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(scale >= 1000000L, s"scale too small for ppm precision: $scale")
+    val e = LineageCut.cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = LineageCut.cut(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct())
+    val seed = seeds.select(col("id").cast("long").as("id"))
+      .distinct()
+      .withColumn("__isSeed", lit(true))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val nsDf = seed.agg(count(lit(1)).cast("long").as("n_seeds"))
+    val base = LineageCut.cut(nodes
+      .join(seed, Seq("id"), "left")
+      .crossJoin(broadcast(nsDf))
+      .select(col("id"), coalesce(col("__isSeed"), lit(false)).as("__isSeed"),
+        col("n_seeds")))
+    var rank = LineageCut.cut(base.select(col("id"),
+      when(col("__isSeed"), expr(s"${scale}L div n_seeds"))
+        .otherwise(lit(0L)).as("pr")))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"), expr("pr div od").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      val next = LineageCut.cut(base
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("__isSeed"),
+            expr(s"(15 * ${scale}L) div (100 * n_seeds)"))
+            .otherwise(lit(0L)) +
+            expr("(85 * coalesce(m, 0L)) div 100")).as("pr")))
+      LineageCut.release(rank)
+      rank = next
+    }
+    rank.select(col("id"), col("pr").as("rank_scaled"))
+  }
+
   /** Exact triangle count over an undirected pair list — the graph
     * clustering signal (and the classic MapReduce graph benchmark,
     * Suri & Vassilvitskii 2011, "Counting triangles and the curse of

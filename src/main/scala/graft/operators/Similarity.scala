@@ -191,7 +191,17 @@ object Similarity {
     * equi-join on the position key + a rows·dim·|labels| linear pass —
     * no pairwise vector join anywhere. */
   def nearestCentroidConfusion(df: DataFrame, idCol: String,
-                               labelCol: String, vecCol: String): DataFrame = {
+                               labelCol: String, vecCol: String): DataFrame =
+    nearestCentroid(df, idCol, labelCol, vecCol)
+      .groupBy(col("true_label"), col("clabel").as("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-vector exact L2 distances to every label centroid:
+    * (id, true_label, clabel, __dist). Shared engine of the confusion
+    * matrix and the calibration curve. */
+  private def centroidDistances(df: DataFrame, idCol: String,
+                                labelCol: String,
+                                vecCol: String): DataFrame = {
     val q = df.select(col(idCol).as("id"), col(labelCol).as("true_label"),
       posexplode(transform(col(vecCol),
         x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
@@ -201,15 +211,48 @@ object Similarity {
       .withColumn("m",
         expr("(__s + 1000000 * __cnt) div __cnt - 1000000"))
       .select(col("true_label").as("clabel"), col("pos"), col("m"))
-    val dist = q.join(broadcast(cent), Seq("pos"))
+    q.join(broadcast(cent), Seq("pos"))
       .groupBy(col("id"), col("true_label"), col("clabel"))
       .agg(sum((col("qv") - col("m")) * (col("qv") - col("m"))).as("__dist"))
+  }
+
+  /** Each vector's nearest centroid: (id, true_label, clabel, __dist)
+    * at rank 1 of the (dist asc, label asc) total order. */
+  private def nearestCentroid(df: DataFrame, idCol: String,
+                              labelCol: String, vecCol: String): DataFrame = {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("__dist").asc, col("clabel").asc)
-    dist.withColumn("__rk", row_number().over(w))
+    centroidDistances(df, idCol, labelCol, vecCol)
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .groupBy(col("true_label"), col("clabel").as("predicted_label"))
-      .agg(count(lit(1)).as("n"))
+      .drop("__rk")
+  }
+
+  /** Reliability curve of the nearest-centroid classifier: vectors
+    * sorted by their top-1 distance (most-confident first) and split
+    * into `bins` equal-count bins; per bin the accuracy in ppm plus
+    * the distance range. A healthy label space shows accuracy
+    * decaying with distance — a flat curve means the distance carries
+    * no signal. The corpus-wide rank is DISTRIBUTED
+    * ([[Analytics.bucketedGroupRank]] under a constant group), so no
+    * corpus-sized window serializes into one task; bin boundaries are
+    * exact-integer rank arithmetic ((rank-1)·bins div n), replayed
+    * verbatim by the oracle. */
+  def centroidCalibration(df: DataFrame, idCol: String, labelCol: String,
+                          vecCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val top = nearestCentroid(df, idCol, labelCol, vecCol)
+      .withColumn("__g", lit(0))
+    val ranked = Analytics.bucketedGroupRank(top, "__g", "__dist",
+      tieCols = Seq("id"))
+    ranked
+      .withColumn("bin", expr(s"(__rank - 1) * $bins div __gn"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("clabel") === col("true_label"), 1)).as("n_correct"),
+        min(col("__dist")).as("lo_dist"),
+        max(col("__dist")).as("hi_dist"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n"))
   }
 
   def labelCentroidCosine(df: DataFrame, labelCol: String,

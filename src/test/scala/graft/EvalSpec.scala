@@ -80,6 +80,27 @@ class EvalSpec extends SparkTestBase {
     assert(byDoc(1L) == expected1)
   }
 
+  test("centroidCalibration: bins partition the corpus; totals agree with the confusion diagonal") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val cal = Similarity.centroidCalibration(emb, "vec_id", "label",
+      "embedding", bins = 10).collect()
+    val n = emb.count()
+    assert(cal.map(_.getAs[Long]("n")).sum == n)
+    assert(cal.map(_.getAs[Long]("bin")).toSet == (0L to 9L).toSet)
+    // equal-count deciles on 500 rows: every bin holds exactly 50
+    assert(cal.forall(_.getAs[Long]("n") == n / 10))
+    // total correct across bins == the confusion matrix diagonal
+    val diag = Similarity.nearestCentroidConfusion(emb, "vec_id", "label",
+        "embedding").collect()
+      .filter(r => r.getInt(0) == r.getInt(1)).map(_.getAs[Long]("n")).sum
+    assert(cal.map(_.getAs[Long]("n_correct")).sum == diag)
+    // distance ranges are ordered bin to bin (confidence is monotone)
+    val sorted = cal.sortBy(_.getAs[Long]("bin"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_dist") <= b.getAs[Long]("lo_dist"))
+    }
+  }
+
   test("quantizedTopK at int8 scale reproduces the exact cosine top-1 on planted near-copies") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)

@@ -19,6 +19,30 @@ class GraphSpec extends SparkTestBase {
       3L -> 474999999999L))
   }
 
+  test("personalizedPageRankScaled: teleport lands only on seeds; all-nodes seeding == plain PageRank") {
+    // chain 1→2→3 with seed {1}: after one step only node 1 keeps the
+    // teleport term, node 2 gets 85% of the full seed mass, node 3
+    // nothing yet (r0(2) = 0)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds1 = Seq(1L).toDF("id")
+    val got = Graph.personalizedPageRankScaled(e, "src", "dst", seeds1,
+        iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // S=1e12, |seeds|=1: r1(1) = 15e12 div 100 = 150000000000
+    // r1(2) = 85 * (1e12 div 1) div 100 = 850000000000; r1(3) = 0
+    assert(got == Map(1L -> 150000000000L, 2L -> 850000000000L, 3L -> 0L))
+    // seeding EVERY node degenerates to the uniform teleport — must
+    // equal pageRankScaled exactly, iteration for iteration
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L).toDF("id")
+    val ppr = Graph.personalizedPageRankScaled(e2, "src", "dst", all,
+        iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pr = Graph.pageRankScaled(e2, "src", "dst", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ppr == pr)
+  }
+
   test("pageRankScaled: a symmetric cycle is a fixpoint of the iteration") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val got = Graph.pageRankScaled(e, "src", "dst", iters = 4)

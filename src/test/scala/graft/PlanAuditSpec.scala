@@ -46,6 +46,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_dist_drift" -> "(b) single-row per-half totals for TV distance",
     "q_ntile" -> "(b) ntileDistributed: single-row min/max/count bounds attach",
     "q_equidepth_bins" -> "(b) ntileDistributed: same single-row bounds attach as q_ntile",
+    "q_centroid_calibration" -> ("(b) bucketedGroupRank single-row bounds " +
+      "attach (constant group folds the equi key away)"),
     "q_recall_at_k" -> "(a) brute + quantized-dot eval rankings: corpus x 5 planted queries",
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
@@ -68,7 +70,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ntile" -> ("ntileDistributed bucket-prefix window: <= `buckets` " +
       "(64) rows — the full-sort ntile window is GONE since round 12"),
     "q_equidepth_bins" -> ("ntileDistributed: same <= 64-row bucket-prefix " +
-      "window as q_ntile"))
+      "window as q_ntile"),
+    "q_centroid_calibration" -> ("bucketedGroupRank <= 64-row bucket-prefix " +
+      "window (constant group folds the partition key away)"))
 
   /** A WindowExec line with an EMPTY partition spec. Spark's argString
     * skips empty sequences, so a global window prints NO trailing
