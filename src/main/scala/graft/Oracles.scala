@@ -915,6 +915,31 @@ private[graft] object Oracles {
       "CAST(COALESCE(a.max_chars, 0) AS INT) AS max_chars " +
       "FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id"),
 
+    // per-source fertility/compression roll-up of the q_bpe_tokenize
+    // replay: same merge-chain tokens, same pretokenizer word count
+    "q_bpe_fertility" -> (
+      "WITH wd AS (SELECT doc_id, w FROM documents, LATERAL (" +
+      "  SELECT unnest(regexp_split_to_array(regexp_replace(text, " +
+      "'[\\x00-\\x08\\x0e-\\x1f]+', '', 'g'), '[\\x09-\\x0d ]+')) AS w) " +
+      "  WHERE len(w) > 0), " +
+      "tk AS (SELECT doc_id, unnest(string_split(trim(" +
+      graft.functions.Bpe.mergeChainSql(graft.functions.Bpe.default, "w") +
+      ", chr(31)), chr(31) || chr(31))) AS tok FROM wd), " +
+      "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "  CAST(sum(length(tok)) AS BIGINT) AS sum_chars FROM tk GROUP BY 1), " +
+      "pw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words " +
+      "  FROM wd GROUP BY 1), " +
+      "ag AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "  CAST(sum(coalesce(pw.n_words, 0)) AS BIGINT) AS n_words, " +
+      "  CAST(sum(coalesce(pd.n_tokens, 0)) AS BIGINT) AS n_tokens, " +
+      "  CAST(sum(coalesce(pd.sum_chars, 0)) AS BIGINT) AS n_chars " +
+      "  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id " +
+      "  LEFT JOIN pw ON d.doc_id = pw.doc_id GROUP BY 1) " +
+      "SELECT source, n_docs, n_words, n_tokens, n_chars, " +
+      "CASE WHEN n_words > 0 THEN n_tokens * 1000000 // n_words END " +
+      "  AS fertility_ppm, " +
+      "CASE WHEN n_tokens > 0 THEN n_chars * 1000000 // n_tokens END " +
+      "  AS chars_per_token_ppm FROM ag"),
     // model-free invariants of ANY correct BPE apply: tokens tile the
     // word chars; the word count matches the shared pretokenizer
     // (same explicit separator class as q_bpe_tokenize — RE2 \s has
@@ -974,6 +999,35 @@ private[graft] object Oracles {
       "  FROM reach GROUP BY src) " +
       "SELECT d.* FROM documents d WHERE d.doc_id NOT IN " +
       "(SELECT id FROM comp WHERE component != id)"),
+    // same recursive-component replay as q_dedup_corpus (over the FULL
+    // documents table, no split), but the survivor per component is
+    // argmax(n_chars, id asc) instead of the minimum id
+    "q_dedup_keep_best" -> (
+      "WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jp AS (SELECT id_a, id_b FROM cp JOIN sz x ON x.doc_id = id_a " +
+      "  JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM jp " +
+      "  UNION SELECT id_b, id_a FROM jp), " +
+      "reach AS (SELECT src, dst FROM edges " +
+      "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
+      "  FROM reach GROUP BY src), " +
+      "rep AS (SELECT c.id, row_number() OVER (PARTITION BY c.component " +
+      "  ORDER BY d.n_chars DESC, c.id ASC) AS rk " +
+      "  FROM comp c JOIN documents d ON d.doc_id = c.id) " +
+      "SELECT d.* FROM documents d WHERE d.doc_id NOT IN " +
+      "(SELECT id FROM rep WHERE rk > 1)"),
     "q_dedup_embedding" -> (
       "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c.cos, 6) AS cos " +
       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, " +

@@ -1145,6 +1145,31 @@ object SparkEntry {
     // tokens exactly tile each word's chars (sum_chars == non-ws
     // length) and pretokenizer parity (n_words). Exact merge
     // semantics are pinned by q_bpe_tokenize + BpeSpec.
+    // tokenizer-eval report: per-source fertility (BPE tokens per
+    // pretokenizer word) and compression (chars per BPE token) in
+    // exact ppm — the "which sources tokenize badly" budgeting signal
+    "q_bpe_fertility" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val docs = t(s, dir, "documents")
+      val words = filter(
+        split(regexp_replace(col("text"), "[\\x00-\\x08\\x0E-\\x1F]+", ""),
+          "[\\x09-\\x0D ]+"),
+        w => length(w) > 0)
+      docs.select(col("source"),
+          size(words).cast("long").as("__w"),
+          Bridge.column(graft.functions.BpeStatsExpr(
+            Bridge.expression(col("text")), graft.functions.Bpe.default))
+            .as("__st"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("n_words"),
+          sum(col("__st.n_tokens")).as("n_tokens"),
+          sum(col("__st.sum_chars")).as("n_chars"))
+        .withColumn("fertility_ppm",
+          expr("CASE WHEN n_words > 0 THEN n_tokens * 1000000 div n_words END"))
+        .withColumn("chars_per_token_ppm",
+          expr("CASE WHEN n_tokens > 0 THEN n_chars * 1000000 div n_tokens END"))
+    }),
     "q_bpe_train_apply" -> ((s, dir) => {
       import org.apache.spark.sql.graftbridge.Bridge
       val docs = t(s, dir, "documents")
@@ -1212,6 +1237,13 @@ object SparkEntry {
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dedupCorpus(docsSplit(s, dir), "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
+    // quality-aware variant: each cluster keeps its LONGEST member
+    // (n_chars desc, id asc) — the RefinedWeb/Dolma curation rule —
+    // instead of the minimum id; cluster structure identical
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupCorpusKeepBest(docsSplit(s, dir), "doc_id", "text",
+        qualityCol = "n_chars", shingleWidth = 3, numHashes = 128,
+        bands = 32, threshold = 0.5)),
     // same prune-then-verify shape with the simhash hamming pruner.
     // maxHamming 6: the planted near-dups (jaccard 0.95-0.99) sit at
     // simhash hamming up to 6 on this corpus, so 7-band pigeonhole

@@ -864,6 +864,39 @@ object Dedup {
         probeHamming, seed),
       maxDriverPairs)
 
+  /** [[dedupCorpus]] with QUALITY-AWARE representative selection: each
+    * near-dup cluster keeps its best member by (`qualityCol` desc, id
+    * asc) instead of the minimum id — the "keep the longest copy"
+    * curation rule (RefinedWeb/Dolma keep the highest-quality
+    * duplicate, not the first-seen one; Penedo et al. 2023 §3.3).
+    * Same pair source and hybrid clustering as [[dedupCorpus]], so the
+    * cluster STRUCTURE is identical — only the survivor per cluster
+    * changes. The representative window partitions by component
+    * (bounded by the largest dup cluster, never corpus-sized). */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          qualityCol: String, shingleWidth: Int = 3,
+                          numHashes: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.5,
+                          seed: Long = FakeGen.DefaultSeed,
+                          maxDriverPairs: Long = 2000000L): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleWidth, numHashes,
+      bands, threshold, seed)
+    val comp = componentsAuto(pairs, maxDriverPairs)
+    val q = df.select(col(idCol).cast("long").as("id"),
+      col(qualityCol).as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("__q").desc, col("id").asc)
+    val drop = comp.join(q, Seq("id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    // no broadcast hint: the drop set is dup-rate x corpus, which AQE
+    // can judge at runtime (the forced-|V|-broadcast lesson from
+    // Graph.neighborJaccard)
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Shared clustering tail of the corpus dedups: cluster the (id_a,
     * id_b) near-dup pairs and anti-join every non-minimum component
     * member out of `df`. Hybrid: pair lists that fit the driver

@@ -558,6 +558,30 @@ class TextDedupSpec extends SparkTestBase {
     assert(perQuery.forall(_ == 4), perQuery.toString)
   }
 
+  test("dedupCorpusKeepBest: clusters keep the highest-quality member, ties to the lower id") {
+    // docs 1-3 are one near-dup cluster (same text ± a suffix); doc 9
+    // is a singleton. Quality = q column: doc 2 wins its cluster.
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    val d = Seq(
+      (1L, base, 10L), (2L, base + " tail", 30L), (3L, base + " x", 20L),
+      (9L, "completely different text about other things entirely " * 8, 5L))
+      .toDF("doc_id", "text", "q")
+    val kept = Dedup.dedupCorpusKeepBest(d, "doc_id", "text", "q")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L))
+    // min-id semantics differ: dedupCorpus keeps doc 1 instead — same
+    // cluster structure, different representative
+    val keptMin = Dedup.dedupCorpus(d, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptMin == Set(1L, 9L))
+    // quality tie breaks to the smaller id
+    val tie = Seq((5L, base, 7L), (6L, base + " y", 7L))
+      .toDF("doc_id", "text", "q")
+    val keptTie = Dedup.dedupCorpusKeepBest(tie, "doc_id", "text", "q")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptTie == Set(5L))
+  }
+
   test("incrementalNearDup: parquet-persisted index round-trips; appended index == rebuilt index") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val accepted = docs.filter($"doc_id" < 400)
