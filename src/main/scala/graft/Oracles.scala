@@ -796,6 +796,53 @@ private[graft] object Oracles {
        "ELSE 'test' END AS split FROM (SELECT doc_id, " +
        "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
        "FROM documents)"),
+    // cluster-aware split: the q_dedup_corpus component replay, then
+    // the standard md5 split rule applied to the COMPONENT id
+    "q_split_leakage_free" -> (
+      "WITH RECURSIVE " +
+      "tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts " +
+      "  FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+      "  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jp AS (SELECT id_a, id_b FROM cp JOIN sz x ON x.doc_id = id_a " +
+      "  JOIN sz y ON y.doc_id = id_b " +
+      "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM jp " +
+      "  UNION SELECT id_b, id_a FROM jp), " +
+      "reach AS (SELECT src, dst FROM edges " +
+      "  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "comp AS (SELECT src AS id, least(src, min(dst)) AS component " +
+      "  FROM reach GROUP BY src), " +
+      "m AS (SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) " +
+      "  AS component FROM documents d LEFT JOIN comp c ON c.id = d.doc_id), " +
+      "hx AS (SELECT doc_id, component, " +
+      "  substr(md5('42:split:' || CAST(component AS VARCHAR)), 1, 15) AS h " +
+      "  FROM m) " +
+      "SELECT doc_id, component, CASE " +
+      s"WHEN h < '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train' " +
+      s"WHEN h < '${graft.operators.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val' " +
+      "ELSE 'test' END AS split FROM hx"),
+    // correlated key-sample join-size estimate: same md5 membership,
+    // same integer scale-up
+    "q_join_size_est" -> (
+      "WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c " +
+      "  FROM events GROUP BY 1), " +
+      "ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM f), " +
+      "s AS (SELECT c FROM f WHERE CAST(concat('0x', " +
+      "  substr(md5('js:' || CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) " +
+      "  % 8 = 0), " +
+      "est AS (SELECT CAST(coalesce(sum(c * c), 0) * 8 AS BIGINT) " +
+      "  AS est_size, CAST(count(*) AS BIGINT) AS n_sampled FROM s) " +
+      "SELECT ex.exact_size, est.est_size, est.n_sampled, " +
+      "CASE WHEN ex.exact_size > 0 THEN " +
+      "abs(est.est_size - ex.exact_size) * 1000000 // ex.exact_size END " +
+      "  AS err_ppm FROM ex, est"),
     // the salted two-stage aggregate must equal the plain groupBy
     "q_skew_salted_agg" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",

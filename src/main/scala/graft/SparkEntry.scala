@@ -966,6 +966,18 @@ object SparkEntry {
       graft.operators.Sampling.splitAssign(t(s, dir, "documents"),
           "doc_id", trainFrac = 0.8, valFrac = 0.1)
         .select(col("doc_id"), col("split"))),
+    // leakage-free variant: near-dup clusters split as UNITS (split
+    // identity = component representative), so no eval doc has a
+    // near-copy in train
+    "q_split_leakage_free" -> ((s, dir) =>
+      Dedup.leakageFreeSplit(docsSplit(s, dir), "doc_id", "text",
+          trainFrac = 0.8, valFrac = 0.1)
+        .select(col("doc_id"), col("component"), col("split"))),
+    // correlated-key-sample join-size estimate: predicted vs exact
+    // self-join cardinality on the events user key, no join executed
+    "q_join_size_est" -> ((s, dir) =>
+      graft.operators.Sketch.selfJoinSizeEstimate(
+        events(s, dir).select(col("user_id")), "user_id", mod = 8)),
     // Z-order layout key on the oracle board: the Morton interleave is
     // pure integer bit math, replayed in the oracle as the unrolled
     // 31-term shift-and-or — any curve bug (bit order, sign handling)

@@ -897,6 +897,32 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS are
+    * assigned as units, so no eval document has a near-copy in train —
+    * the contamination mode a plain per-document hash split
+    * ([[Sampling.splitAssign]]) cannot prevent. Split identity is the
+    * cluster representative (component min id; singletons are their
+    * own id), hashed with the same content-keyed md5 rule as every
+    * sampling operator, so assignment stays stable across runs,
+    * re-partitionings, and corpus growth that doesn't touch a cluster.
+    * Same pair source and hybrid clustering as [[dedupCorpus]]. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                       trainFrac: Double, valFrac: Double,
+                       shingleWidth: Int = 3, numHashes: Int = 128,
+                       bands: Int = 32, threshold: Double = 0.5,
+                       seed: Long = FakeGen.DefaultSeed,
+                       maxDriverPairs: Long = 2000000L): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleWidth, numHashes,
+      bands, threshold, seed)
+    val comp = componentsAuto(pairs, maxDriverPairs)
+      .withColumnRenamed("id", idCol)
+    val withComp = df.join(comp, Seq(idCol), "left")
+      .withColumn("component",
+        coalesce(col("component"), col(idCol).cast("long")))
+    Sampling.splitAssign(withComp, "component", trainFrac, valFrac,
+      seed, domain = "split")
+  }
+
   /** Shared clustering tail of the corpus dedups: cluster the (id_a,
     * id_b) near-dup pairs and anti-join every non-minimum component
     * member out of `df`. Hybrid: pair lists that fit the driver

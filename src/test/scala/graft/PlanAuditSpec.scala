@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_mix_top_p" -> "(b) nucleusTopP: single-row score bounds + token total",
     "q_power_users" -> "(b) composes nucleusTopP: inherits its two single-row attaches",
     "q_benford" -> "(b) single-row total count for ppm shares",
+    "q_join_size_est" -> "(b) single-row exact x single-row estimate attach",
     "q_balance_labels" -> "(b) single-row min-class-count attach",
     "q_class_terms" -> "(b) single-row corpus token total (c-TF-IDF)",
     "q_cusum" -> "(b) single-row series mean attach",

@@ -582,6 +582,41 @@ class TextDedupSpec extends SparkTestBase {
     assert(keptTie == Set(5L))
   }
 
+  test("leakageFreeSplit: no near-dup cluster straddles splits; singletons follow the plain hash rule") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val split = Dedup.leakageFreeSplit(docs, "doc_id", "text",
+      trainFrac = 0.8, valFrac = 0.1)
+    val rows = split.select($"doc_id", $"component", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.length == 500)
+    // every component lands in exactly one split
+    val perComp = rows.groupBy(_._2).map(_._2.map(_._3).distinct.size)
+    assert(perComp.forall(_ == 1))
+    // the fixture has real multi-member clusters, so the invariant is
+    // load-bearing, not vacuous
+    assert(rows.groupBy(_._2).exists(_._2.size > 1))
+    // all three splits are populated at this fraction split
+    assert(rows.map(_._3).distinct.toSet == Set("train", "val", "test"))
+    // and the near-dup PAIRS the dedup tier finds never straddle
+    val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    assert(pairs.forall { case (a, b) => splitOf(a) == splitOf(b) })
+  }
+
+  test("selfJoinSizeEstimate: exact on a uniform key space, sane error on the real corpus") {
+    import graft.operators.Sketch
+    // every key sampled (mod 1) => estimate == exact
+    val d = (1L to 300L).map(i => i % 30).toDF("k")
+    val r1 = Sketch.selfJoinSizeEstimate(d, "k", mod = 1).collect().head
+    assert(r1.getAs[Long]("est_size") == r1.getAs[Long]("exact_size") &&
+      r1.getAs[Long]("err_ppm") == 0L)
+    // uniform frequencies: ANY key sample scales back exactly
+    val r8 = Sketch.selfJoinSizeEstimate(d, "k", mod = 8).collect().head
+    assert(r8.getAs[Long]("exact_size") == 300L * 10L)
+    assert(r8.getAs[Long]("est_size") % (10L * 10L * 8L) == 0L)
+  }
+
   test("incrementalNearDup: parquet-persisted index round-trips; appended index == rebuilt index") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val accepted = docs.filter($"doc_id" < 400)
