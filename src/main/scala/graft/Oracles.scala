@@ -796,6 +796,45 @@ private[graft] object Oracles {
        "ELSE 'test' END AS split FROM (SELECT doc_id, " +
        "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
        "FROM documents)"),
+    // per-doc novelty: shingle first-occurrence (min doc) share, the
+    // same string-shingle CTEs the jaccard oracles use (counts agree
+    // with the hashed-shingle kernel — collision-free at 52 bits)
+    "q_novelty" -> (
+      "WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+      "lower(text), '\\s+'), t -> t != '') AS ts FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+      "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+      "  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+      "  WHERE len(ts) > 0), " +
+      "fst AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS first_doc " +
+      "  FROM sh GROUP BY 1), " +
+      "pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+      "  CAST(count(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS BIGINT) " +
+      "    AS n_novel FROM sh s JOIN fst f ON f.sh = s.sh GROUP BY 1) " +
+      "SELECT d.doc_id, CAST(coalesce(p.n_shingles, 0) AS BIGINT) " +
+      "  AS n_shingles, " +
+      "CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel, " +
+      "CASE WHEN p.n_shingles > 0 THEN p.n_novel * 1000000 // p.n_shingles " +
+      "ELSE 0 END AS novelty_ppm " +
+      "FROM documents d LEFT JOIN pd p ON p.doc_id = d.doc_id"),
+    // Zipf coverage replay: full-rank window is fine oracle-side
+    // (cutoffs <= 20 make it equal to the operator's bounded top-k)
+    "q_vocab_coverage" -> (
+      "WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(" +
+      "lower(trim(text)), '\\s+'), t -> t != '')) AS tok FROM documents), " +
+      "tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok " +
+      "  GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, " +
+      "  CAST(count(*) AS BIGINT) AS n_types FROM tf), " +
+      "rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) " +
+      "  AS r FROM tf), " +
+      "cuts AS (SELECT unnest([5, 10, 20]) AS k) " +
+      "SELECT CAST(k AS BIGINT) AS k, t.n_types, t.total, " +
+      "CAST(coalesce(sum(CASE WHEN r <= k THEN cnt END), 0) AS BIGINT) " +
+      "  AS covered, " +
+      "CAST(coalesce(sum(CASE WHEN r <= k THEN cnt END), 0) AS BIGINT) " +
+      "  * 1000000 // t.total AS coverage_ppm " +
+      "FROM cuts, rk, tot t GROUP BY 1, 2, 3"),
     // cluster-aware split: the q_dedup_corpus component replay, then
     // the standard md5 split rule applied to the COMPONENT id
     "q_split_leakage_free" -> (

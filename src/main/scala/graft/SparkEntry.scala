@@ -2770,6 +2770,16 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       graft.operators.Corpus.featureHash(
         t(s, dir, "documents"), "doc_id", "text", dim = 64)),
+    // per-doc n-gram novelty: share of shingles first seen HERE — the
+    // marginal-contribution curation signal (near-dups of earlier docs
+    // score ~0)
+    "q_novelty" -> ((s, dir) =>
+      Dedup.noveltyReport(docsSplit(s, dir), "doc_id", "text")),
+    // Zipf truncation curve: occurrence share covered by the top-k
+    // vocabulary types at k = 5/10/20
+    "q_vocab_coverage" -> ((s, dir) =>
+      graft.operators.Corpus.vocabCoverage(
+        t(s, dir, "documents"), "text", cutoffs = Seq(5, 10, 20))),
     // equi-depth 16-bin histogram of event values on the distributed
     // exact-ntile path (no global sort window)
     "q_equidepth_bins" -> ((s, dir) =>

@@ -612,6 +612,40 @@ object Corpus {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve (the Zipf-truncation signal): for each
+    * rank cutoff k, the share of all token OCCURRENCES covered by the
+    * k most frequent types — "how much of the stream survives a
+    * k-entry vocabulary". The top-`max(cutoffs)` types come off the
+    * bounded-heap top-k operator (never a vocab-wide sort window);
+    * everything after is a cutoffs×k cross of driver-bounded frames.
+    * Ranks order by (count desc, token asc), exact-integer ppm. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    cutoffs: Seq[Int]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1),
+      s"cutoffs must be positive, got $cutoffs")
+    val tf = df.select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val tot = tf.agg(sum(col("__cnt")).as("total"),
+      count(lit(1)).as("n_types"))
+    val top = graft.plans.TopK.perKey(
+      tf.withColumn("__g", lit(0)),
+      Seq("__g"), Seq(("__cnt", false), ("__tok", true)), cutoffs.max)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+      .orderBy(col("__cnt").desc, col("__tok").asc)
+    val ranked = top.withColumn("__r", row_number().over(w))
+    val cuts = ranked.sparkSession.range(1)
+      .select(explode(array(cutoffs.map(k => lit(k.toLong)): _*)).as("k"))
+    ranked.crossJoin(broadcast(cuts))
+      .groupBy(col("k"))
+      .agg(coalesce(sum(when(col("__r") <= col("k"), col("__cnt"))), lit(0L))
+        .as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_types"), col("total"), col("covered"),
+        expr("covered * 1000000 div total").as("coverage_ppm"))
+  }
+
   /** Hashing-trick vectorizer (Weinberger et al., ICML 2009): tokens
     * hash into a FIXED `dim`-bucket signed-count space — no vocabulary
     * table to build, broadcast, or keep consistent across batches,

@@ -897,6 +897,32 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Per-document n-gram NOVELTY: the share of a document's distinct
+    * shingles whose first corpus occurrence (minimum id) is this
+    * document — 1.0 for genuinely new content, 0 for a pure rehash of
+    * earlier documents, the "how much does this doc add" curation
+    * signal between exact dedup (all-or-nothing) and near-dup pairs
+    * (pairwise only). Cost is one aggregation + one join keyed on the
+    * shingle — shuffle ∝ distinct (doc, shingle) rows, linear like the
+    * exact-ngram tiers, never pairwise. All-integer ppm. */
+  def noveltyReport(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val first = sh.groupBy(col("sh")).agg(min(col("id")).as("__first"))
+    val perDoc = sh.join(first, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__ns"),
+        count(when(col("__first") === col("id"), 1)).as("__nv"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ns"), lit(0L)).as("n_shingles"),
+        coalesce(col("__nv"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "CASE WHEN n_shingles > 0 THEN n_novel * 1000000 div n_shingles " +
+          "ELSE 0 END"))
+  }
+
   /** Leakage-free train/val/test split: near-duplicate CLUSTERS are
     * assigned as units, so no eval document has a near-copy in train —
     * the contamination mode a plain per-document hash split

@@ -582,6 +582,33 @@ class TextDedupSpec extends SparkTestBase {
     assert(keptTie == Set(5L))
   }
 
+  test("noveltyReport: first doc scores 1.0, an exact copy 0, half-new content in between") {
+    val base = "one two three four five six seven eight"
+    val d = Seq((1L, base), (2L, base),
+      (3L, base + " nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val r = Dedup.noveltyReport(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("novelty_ppm")).toMap
+    // doc 1: all 6 shingles novel; doc 2: exact copy, 0 novel
+    assert(r(1L) == 1000000L && r(2L) == 0L)
+    // doc 3: 12 shingles, the 6 base-only ones first seen at doc 1,
+    // "six seven eight" .. onward are new (7 of 12? exact: shingles
+    // crossing the boundary are new) — just pin strict betweenness
+    assert(r(3L) > 0L && r(3L) < 1000000L)
+  }
+
+  test("vocabCoverage: covered counts are cumulative and hit 100% past the vocab size") {
+    import graft.operators.Corpus
+    val d = Seq("a a a a b b c", "a b c d").toDF("text")
+    val r = Corpus.vocabCoverage(d, "text", Seq(1, 2, 10)).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("covered"),
+        x.getAs[Long]("coverage_ppm"))).sortBy(_._1)
+    // counts: a=5, b=3, c=2, d=1; total 11
+    assert(r(0) == (1L, 5L, 454545L))
+    assert(r(1) == (2L, 8L, 727272L))
+    assert(r(2) == (10L, 11L, 1000000L))
+  }
+
   test("leakageFreeSplit: no near-dup cluster straddles splits; singletons follow the plain hash rule") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val split = Dedup.leakageFreeSplit(docs, "doc_id", "text",
