@@ -412,6 +412,28 @@ private[graft] object Oracles {
       "lead(ts) OVER w AS effective_to, " +
       "(lead(ts) OVER w IS NULL) AS is_current " +
       "FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    // PIT replay: the q_cdc_scd2 version CTEs, then INTERVAL
+    // CONTAINMENT (from <= ts < to) — equal to the operator's
+    // asof-on-from because SCD2 intervals tile per key
+    "q_pit_join" -> (
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
+      "  FROM events WHERE user_id % 5 = 0), " +
+      "d AS (SELECT *, lag(1) OVER wl AS pex, " +
+      "  lag(event_type) OVER wl AS pe FROM e " +
+      "  WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+      "f AS (SELECT user_id, ts, event_id, event_type FROM d " +
+      "  WHERE pex IS NULL OR pe IS DISTINCT FROM event_type), " +
+      "v AS (SELECT user_id, ts, event_id, event_type, " +
+      "  ts AS effective_from, lead(ts) OVER w AS effective_to, " +
+      "  (lead(ts) OVER w IS NULL) AS is_current " +
+      "  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT e.user_id, e.ts, e.event_id, " +
+      "v.ts AS dim_ts, v.event_id AS dim_event_id, " +
+      "v.event_type AS dim_event_type, " +
+      "v.effective_to AS dim_effective_to, v.is_current AS dim_is_current " +
+      "FROM e JOIN v ON v.user_id = e.user_id " +
+      "AND v.effective_from <= e.ts " +
+      "AND (v.effective_to IS NULL OR e.ts < v.effective_to)"),
     "q_cdc_apply_delta" -> (
       "WITH delta AS (" +
       "  SELECT 'U' AS op, 2 AS dts, o_orderkey, o_custkey, o_orderstatus, " +

@@ -521,6 +521,19 @@ object SparkEntry {
             col("event_type")),
         pk = Seq("user_id"), ts = "ts", tie = "event_id",
         tracked = Seq("event_type"))),
+    // point-in-time join: every event of the SCD2 population paired
+    // with the dimension version in effect at its timestamp — asof on
+    // effective_from (intervals tile), one exchange, no range join
+    "q_pit_join" -> ((s, dir) => {
+      val pop = events(s, dir).filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val dim = CdcMerge.scd2(pop, pk = Seq("user_id"), ts = "ts",
+        tie = "event_id", tracked = Seq("event_type"))
+      CdcMerge.pointInTimeJoin(
+        pop.select(col("user_id"), col("ts"), col("event_id")),
+        dim, pk = Seq("user_id"), factTs = "ts")
+    }),
     // Full snapshot+delta merge with I/U/D ops, delta derived
     // deterministically from orders so the oracle can build the same one.
     "q_cdc_apply_delta" -> ((s, dir) => {

@@ -190,4 +190,25 @@ object CdcMerge {
       .withColumn("effective_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("effective_to").isNull)
   }
+
+  /** Point-in-time (AS OF) join of a fact stream against an SCD2
+    * dimension ([[scd2]] output): each fact row is paired with the
+    * dimension VERSION in effect at its timestamp — the warehouse
+    * "join facts to history, not to today" primitive. Because SCD2
+    * intervals TILE per key (effective_to is the next version's
+    * effective_from), "latest version with effective_from <= fact ts"
+    * IS interval containment, so this rides [[Temporal.asofJoin]]'s
+    * union + single-partitioned-window plan — one exchange on the key,
+    * no range join, no interval multiplication. Dimension payload
+    * lands under `prefix` (pre-renamed, so name collisions with fact
+    * columns are impossible by construction). */
+  def pointInTimeJoin(fact: DataFrame, dim: DataFrame, pk: Seq[String],
+                      factTs: String, fromCol: String = "effective_from",
+                      prefix: String = "dim_"): DataFrame = {
+    val payload = dim.columns.filterNot(c => pk.contains(c) || c == fromCol)
+    val d = payload.foldLeft(dim) { (df, c) =>
+      df.withColumnRenamed(c, prefix + c)
+    }.withColumnRenamed(fromCol, factTs)
+    graft.operators.Temporal.asofJoin(fact, d, pk, factTs, rightPrefix = "")
+  }
 }

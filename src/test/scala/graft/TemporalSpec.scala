@@ -224,4 +224,21 @@ class TemporalSpec extends SparkTestBase {
     // both multi-event days truncate to a>b>c; z day is below minCount
     assert(got == Set(("a>b>c", 2L)))
   }
+
+  test("pointInTimeJoin: facts land on the version in effect at their ts, current version open-ended") {
+    import graft.operators.CdcMerge
+    // user 1 changes state at ts 10 (A) and 30 (B); facts at 10, 20,
+    // 30, 40 must see A, A, B, B
+    val changes = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"),
+      (1L, 30L, 3L, "B")).toDF("user_id", "ts", "event_id", "state")
+    val dim = CdcMerge.scd2(changes, pk = Seq("user_id"), ts = "ts",
+      tie = "event_id", tracked = Seq("state"))
+    val facts = Seq((1L, 10L, 101L), (1L, 20L, 102L), (1L, 30L, 103L),
+      (1L, 40L, 104L)).toDF("user_id", "ts", "event_id")
+    val got = CdcMerge.pointInTimeJoin(facts, dim, Seq("user_id"), "ts")
+      .select($"event_id", $"dim_state", $"dim_is_current")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(got == Set((101L, "A", false), (102L, "A", false),
+      (103L, "B", true), (104L, "B", true)))
+  }
 }
