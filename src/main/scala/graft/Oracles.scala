@@ -1281,6 +1281,46 @@ private[graft] object Oracles {
       "SELECT d.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
       "d.n_exact, coalesce(h.n_hits, 0) * 1000000 // d.n_exact AS recall_ppm " +
       "FROM den d LEFT JOIN hits h USING (query_id)"),
+    // RRF fusion replay: both top-20 rankings (exact cosine, scale-7
+    // integer dot), per-list 1e6 // (60 + rank), summed and re-ranked
+    "q_rrf_fusion" -> (
+      "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
+      "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+      "  FROM embeddings WHERE vec_id < 5), " +
+      "ex AS (SELECT query_id, c.vec_id AS corpus_id, " +
+      s"  row_number() OVER (PARTITION BY query_id ORDER BY $annCosSql DESC, " +
+      "    c.vec_id ASC) AS rank " +
+      "  FROM q JOIN embeddings c ON query_id != c.vec_id " +
+      "  QUALIFY rank <= 20), " +
+      "q8 AS (SELECT query_id, list_transform(qv, x -> greatest(-7, " +
+      "  least(7, CAST(floor(CAST(x AS DOUBLE)*7 + 0.5) AS BIGINT)))) AS qa " +
+      "  FROM q), " +
+      "c8 AS (SELECT vec_id, list_transform(embedding, x -> greatest(-7, " +
+      "  least(7, CAST(floor(CAST(x AS DOUBLE)*7 + 0.5) AS BIGINT)))) AS ca " +
+      "  FROM embeddings), " +
+      "ax AS (SELECT query_id, vec_id AS corpus_id, " +
+      "  CAST(list_sum(list_transform(range(1, len(qa) + 1), " +
+      "    i -> qa[i] * ca[i])) AS BIGINT) AS dot " +
+      "  FROM q8 JOIN c8 ON query_id != vec_id), " +
+      "ar AS (SELECT query_id, corpus_id, " +
+      "  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, " +
+      "    corpus_id ASC) AS rank FROM ax QUALIFY rank <= 20), " +
+      "u AS (SELECT query_id, corpus_id, 1000000 // (60 + rank) AS s " +
+      "  FROM ex UNION ALL " +
+      "  SELECT query_id, corpus_id, 1000000 // (60 + rank) FROM ar), " +
+      "f AS (SELECT query_id, corpus_id, CAST(sum(s) AS BIGINT) " +
+      "  AS rrf_score, CAST(count(*) AS BIGINT) AS n_lists " +
+      "  FROM u GROUP BY 1, 2) " +
+      "SELECT query_id, corpus_id, rrf_score, n_lists, " +
+      "CAST(row_number() OVER (PARTITION BY query_id " +
+      "  ORDER BY rrf_score DESC, corpus_id ASC) AS INT) AS rank " +
+      "FROM f QUALIFY rank <= 10"),
+    // dense per-epoch positions: rank of md5('42:epoch1:' || id)
+    "q_epoch_order" -> (
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+      "CAST(concat('0x', substr(md5('42:epoch1:' || " +
+      "  CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC, doc_id ASC) " +
+      "AS BIGINT) AS pos FROM documents"),
     // MRR + precision@20 of the exact ranking with label relevance,
     // excluding each query's planted near-copy from the relevant set
     "q_retrieval_mrr" -> (

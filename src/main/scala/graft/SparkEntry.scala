@@ -1357,6 +1357,22 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10),
         k = 10)
     }),
+    // hybrid-retrieval merge: RRF fusion of the exact-cosine and
+    // quantized-dot rankings (rank-only, no score calibration needed)
+    "q_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = annQueries(emb)
+      graft.operators.Eval.rrfFuse(Seq(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 20),
+        Similarity.quantizedTopK(emb, q, "vec_id", "embedding", k = 20,
+          scale = 7)), k = 60, topK = 10)
+    }),
+    // deterministic per-epoch training order: dense global positions
+    // from the content-keyed hash rank, different permutation per epoch
+    "q_epoch_order" -> ((s, dir) =>
+      graft.operators.Sampling.epochOrder(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        epoch = 1)),
     // retrieval eval, relevance side: MRR + precision@20 of the exact
     // ranking against label relevance, EXCLUDING each query's planted
     // near-copy (which is always rank 1 and would make MRR degenerate)

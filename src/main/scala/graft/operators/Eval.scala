@@ -44,6 +44,31 @@ object Eval {
         expr("coalesce(n_hits, 0) * 1000000 div n_exact").as("recall_ppm"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * combine N per-query rankings into one by summing 1/(k + rank) —
+    * the standard hybrid-retrieval merge (lexical + dense lists fuse
+    * without score calibration because only RANKS enter). Scores are
+    * exact-integer `1000000 div (k + rank)` so fusion replays
+    * bit-for-bit; final order (rrf_score desc, corpus_id asc) is
+    * total. Inputs and output are queries×k-sized — corpus work
+    * happened inside the search operators. */
+  def rrfFuse(rankings: Seq[org.apache.spark.sql.DataFrame], k: Int = 60,
+              topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0 && topK >= 1, s"bad k=$k topK=$topK")
+    val scored = rankings.map(_.select(col("query_id"), col("corpus_id"),
+        expr(s"1000000 div ($k + rank)").as("__s")))
+      .reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("__s")).as("rrf_score"), count(lit(1)).as("n_lists"))
+    val top = graft.plans.TopK.perKey(scored, Seq("query_id"),
+      Seq(("rrf_score", false), ("corpus_id", true)), topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("corpus_id").asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+
   /** Reciprocal rank and precision@k of a ranked list against a
     * boolean relevance column: per query, the rank of the FIRST
     * relevant hit (NULL when none land in the top k — rr_ppm then 0,

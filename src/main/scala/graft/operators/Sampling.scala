@@ -65,6 +65,23 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic per-epoch training order: every key gets a dense
+    * global position 1..n from the rank of its content-keyed hash
+    * under domain `epoch<e>` — a different, reproducible permutation
+    * each epoch, the same on every rerun, resumable mid-epoch (skip
+    * pos <= checkpoint). The corpus-wide rank is DISTRIBUTED
+    * ([[Analytics.bucketedGroupRank]] under a constant group over the
+    * hash value), so no global sort window serializes the corpus. */
+  def epochOrder(df: DataFrame, keyCol: String, epoch: Int,
+                 seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val hv = conv(sampleHex(col(keyCol), s"epoch$epoch", seed), 16, 10)
+      .cast("long")
+    val keyed = df.withColumn("__hv", hv).withColumn("__g", lit(0))
+    Analytics.bucketedGroupRank(keyed, "__g", "__hv", tieCols = Seq(keyCol))
+      .select(col(keyCol), col("__rank").as("pos"))
+  }
+
   /** Keep ~`fraction` of rows, decided by content (md5 of key + seed +
     * domain): stable across runs, partitionings, and task retries. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,

@@ -80,6 +80,36 @@ class EvalSpec extends SparkTestBase {
     assert(byDoc(1L) == expected1)
   }
 
+  test("rrfFuse: agreement beats a single top spot; scores are exact integer sums") {
+    // list A: x first, y second; list B: y first, x absent.
+    // y: 1e6/61 + 1e6/60 = 16393+16666 = 33059 beats x: 1e6/60 = 16666
+    val a = ranked((1L, 100L, 1), (1L, 200L, 2))
+    val b = ranked((1L, 200L, 1), (1L, 300L, 2))
+    val r = graft.operators.Eval.rrfFuse(Seq(a, b), k = 59, topK = 3)
+      .collect()
+      .map(x => (x.getAs[Long]("corpus_id"), x.getAs[Long]("rrf_score"),
+        x.getAs[Long]("n_lists"), x.getAs[Int]("rank")))
+      .sortBy(_._4)
+    assert(r(0) == (200L, 33059L, 2L, 1))
+    assert(r(1) == (100L, 16666L, 1L, 2))
+    assert(r(2) == (300L, 16393L, 1L, 3))
+  }
+
+  test("epochOrder: dense 1..n positions, different permutations across epochs, stable within") {
+    import graft.operators.Sampling
+    val d = (1L to 200L).toDF("doc_id")
+    val e1 = Sampling.epochOrder(d, "doc_id", epoch = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(e1.values.toSeq.sorted == (1L to 200L))
+    val e1again = Sampling.epochOrder(d, "doc_id", epoch = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(e1again == e1)
+    val e2 = Sampling.epochOrder(d, "doc_id", epoch = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(e2 != e1)
+    assert(e2.values.toSeq.sorted == (1L to 200L))
+  }
+
   test("centroidCalibration: bins partition the corpus; totals agree with the confusion diagonal") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val cal = Similarity.centroidCalibration(emb, "vec_id", "label",

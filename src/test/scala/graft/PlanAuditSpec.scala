@@ -52,6 +52,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_centroid_calibration" -> ("(b) bucketedGroupRank single-row bounds " +
       "attach (constant group folds the equi key away)"),
     "q_recall_at_k" -> "(a) brute + quantized-dot eval rankings: corpus x 5 planted queries",
+    "q_rrf_fusion" -> "(a) brute + quantized-dot rankings being fused: corpus x 5 planted queries",
+    "q_epoch_order" -> ("(b) bucketedGroupRank single-row bounds attach " +
+      "(constant group folds the equi key, as q_centroid_calibration)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
 
@@ -75,7 +78,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_equidepth_bins" -> ("ntileDistributed: same <= 64-row bucket-prefix " +
       "window as q_ntile"),
     "q_centroid_calibration" -> ("bucketedGroupRank <= 64-row bucket-prefix " +
-      "window (constant group folds the partition key away)"))
+      "window (constant group folds the partition key away)"),
+    "q_epoch_order" -> ("bucketedGroupRank <= 64-row bucket-prefix window " +
+      "(constant group folds the partition key away)"))
 
   /** A WindowExec line with an EMPTY partition spec. Spark's argString
     * skips empty sequences, so a global window prints NO trailing
