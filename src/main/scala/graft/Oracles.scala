@@ -818,6 +818,19 @@ private[graft] object Oracles {
        "ELSE 'test' END AS split FROM (SELECT doc_id, " +
        "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
        "FROM documents)"),
+    // phrase search: plain substring scan is a valid oracle for the
+    // index-probed operator (same result set by construction)
+    "q_phrase_search" -> (
+      "WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents) " +
+      "SELECT doc_id, CAST((length(t) - length(replace(t, " +
+      "'window stream', ''))) // length('window stream') AS BIGINT) " +
+      "AS n_occurrences FROM lt WHERE contains(t, 'window stream')"),
+    // k-per-group sample: same md5 order, QUALIFY row_number <= 3
+    "q_sample_per_group" -> (
+      "SELECT source, doc_id FROM documents " +
+      "QUALIFY row_number() OVER (PARTITION BY source ORDER BY " +
+      "substr(md5('42:pergroup:' || CAST(doc_id AS VARCHAR)), 1, 15) ASC, " +
+      "doc_id ASC) <= 3"),
     // per-doc novelty: shingle first-occurrence (min doc) share, the
     // same string-shingle CTEs the jaccard oracles use (counts agree
     // with the hashed-shingle kernel — collision-free at 52 bits)

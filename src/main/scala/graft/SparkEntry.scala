@@ -2121,6 +2121,17 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       graft.operators.Corpus.invertedIndex(t(s, dir, "documents"),
         idCol = "doc_id", textCol = "text", maxPostings = 8)),
+    // exact phrase search through the index-shaped token probe:
+    // all-tokens candidates, substring verify on candidates only
+    "q_phrase_search" -> ((s, dir) =>
+      graft.operators.Corpus.phraseSearch(t(s, dir, "documents"),
+        "doc_id", "text", phrase = "window stream")),
+    // deterministic k-per-group review sample (3 docs per source by
+    // content-keyed hash, bounded-heap selection)
+    "q_sample_per_group" -> ((s, dir) =>
+      graft.operators.Sampling.samplePerGroup(
+        t(s, dir, "documents").select(col("source"), col("doc_id")),
+        groupCol = "source", keyCol = "doc_id", k = 3)),
     // 2-D skyline of orders (maximize price AND recency): distributive
     // bucket-frontier plan, never a whole-corpus single-partition sort
     "q_skyline" -> ((s, dir) =>

@@ -612,6 +612,33 @@ object Corpus {
       .limit(k)
   }
 
+  /** Exact phrase search in the inverted-index prune-then-verify
+    * shape: candidates are documents containing ALL of the phrase's
+    * tokens (a token-level probe over the exploded token stream — the
+    * access path an inverted index gives, bounded by the rarest
+    * token's postings), then the substring verify and occurrence count
+    * run on candidates ONLY — never a corpus-wide contains() scan.
+    * Occurrences count by exact length arithmetic, engine-portable. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val p = phrase.toLowerCase.trim
+    require(p.nonEmpty && !p.contains("'"), s"bad phrase: '$phrase'")
+    val toks = p.split("\\s+").filter(_.nonEmpty).distinct
+    val cand = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(col("__tok").isin(toks.toIndexedSeq: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__tok")).as("__nt"))
+      .filter(col("__nt") === toks.length)
+      .select(col(idCol))
+    df.join(cand, Seq(idCol), "left_semi")
+      .withColumn("__lt", lower(col(textCol)))
+      .filter(col("__lt").contains(p))
+      .select(col(idCol), expr(
+        s"(length(__lt) - length(replace(__lt, '$p', ''))) div ${p.length}")
+        .as("n_occurrences"))
+  }
+
   /** Vocabulary coverage curve (the Zipf-truncation signal): for each
     * rank cutoff k, the share of all token OCCURRENCES covered by the
     * k most frequent types — "how much of the stream survives a

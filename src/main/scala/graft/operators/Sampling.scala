@@ -65,6 +65,20 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic per-GROUP sample: the k rows of each group with the
+    * smallest content-keyed hash — the "pull 3 docs per source for
+    * review" op, stable across runs and growth that doesn't touch a
+    * group's k smallest hashes. Selection rides the bounded-heap top-k
+    * operator (one partial+final pass, no per-group sort). */
+  def samplePerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int, seed: Long = FakeGen.DefaultSeed,
+                     domain: String = "pergroup"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keyed = df.withColumn("__h", sampleHex(col(keyCol), domain, seed))
+    graft.plans.TopK.perKey(keyed, Seq(groupCol),
+      Seq(("__h", true), (keyCol, true)), k).drop("__h")
+  }
+
   /** Deterministic per-epoch training order: every key gets a dense
     * global position 1..n from the rank of its content-keyed hash
     * under domain `epoch<e>` — a different, reproducible permutation

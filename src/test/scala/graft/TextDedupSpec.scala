@@ -582,6 +582,31 @@ class TextDedupSpec extends SparkTestBase {
     assert(keptTie == Set(5L))
   }
 
+  test("phraseSearch: multi-occurrence counting, token-present-but-not-adjacent excluded") {
+    import graft.operators.Corpus
+    val d = Seq(
+      (1L, "big table scan with big table scan again"),
+      (2L, "table here and big there"), // both tokens, never adjacent
+      (3L, "nothing relevant"),
+      (4L, "BIG TABLE in caps")) // case-folded match
+      .toDF("doc_id", "text")
+    val r = Corpus.phraseSearch(d, "doc_id", "text", "big table")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("samplePerGroup: exactly k per group, stable, and a subset of the group") {
+    import graft.operators.Sampling
+    val d = (1L to 100L).map(i => (s"g${i % 4}", i)).toDF("g", "id")
+    val s1 = Sampling.samplePerGroup(d, "g", "id", k = 5)
+      .as[(String, Long)].collect().toSet
+    assert(s1.size == 20 && s1.groupBy(_._1).forall(_._2.size == 5))
+    assert(s1.forall { case (g, i) => s"g${i % 4}" == g })
+    val s2 = Sampling.samplePerGroup(d, "g", "id", k = 5)
+      .as[(String, Long)].collect().toSet
+    assert(s2 == s1)
+  }
+
   test("noveltyReport: first doc scores 1.0, an exact copy 0, half-new content in between") {
     val base = "one two three four five six seven eight"
     val d = Seq((1L, base), (2L, base),
