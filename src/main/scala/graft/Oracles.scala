@@ -1357,6 +1357,22 @@ private[graft] object Oracles {
       "FROM rel GROUP BY 1"),
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
+    // deleted ids (100..110) are never the planted top-1, so deletion
+    // must not change the answers — same brute oracle
+    "q_ann_ivf_delete" -> annTop1Sql,
+    // per-dimension matrix health: micro mean, exact milli scatter
+    "q_embed_dims" -> (
+      "WITH q AS (SELECT unnest(list_transform(embedding, x -> " +
+      "  CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv, " +
+      "  unnest(range(len(embedding))) AS pos FROM embeddings), " +
+      "a AS (SELECT pos, CAST(count(*) AS BIGINT) AS n, " +
+      "  CAST(sum(qv) AS BIGINT) AS s, " +
+      "  CAST(sum((qv // 1000) * (qv // 1000)) AS BIGINT) AS s2m, " +
+      "  CAST(sum(qv // 1000) AS BIGINT) AS sm, " +
+      "  min(qv) AS min_micro, max(qv) AS max_micro FROM q GROUP BY 1) " +
+      "SELECT CAST(pos AS BIGINT) AS pos, n, " +
+      "(s + 1000000 * n) // n - 1000000 AS mean_micro, " +
+      "n * s2m - sm * sm AS scatter_milli2, min_micro, max_micro FROM a"),
     "q_ann_ivfpq_index" -> annTop1Sql,
     "q_ann_ivfpq_append" -> annTop1Sql,
     "q_ann_sql" -> annTop1Sql,

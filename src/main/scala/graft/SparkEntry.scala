@@ -373,6 +373,20 @@ object SparkEntry {
         "embedding", p, nlist = 16, iters = 2)
     }
 
+  /** IVF index with tombstoned deletions for q_ann_ivf_delete: same
+    * build as [[ivfIndexDir]], then vec_ids 100..110 marked deleted —
+    * none of them is a planted top-1, so the brute-force oracle still
+    * applies while the load path must honor the tombstones. */
+  private def ivfDeleteIndexDir(s: SparkSession, dir: String): String =
+    FixtureDirs.getOrBuild(s, dir, "ivf_index_del") { p =>
+      graft.operators.IvfIndex.build(t(s, dir, "embeddings"), "vec_id",
+        "embedding", p, nlist = 16, iters = 2)
+      graft.operators.IvfIndex.markDeleted(
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") >= 100 && col("vec_id") <= 110),
+        "vec_id", p)
+    }
+
   /** Persisted IVF-PQ index for q_ann_ivfpq_index: same build-once
     * contract as [[ivfIndexDir]], reusing the memoized quantizers
     * (train once, build once, serve many — the full serving cycle the
@@ -1443,6 +1457,14 @@ object SparkEntry {
     // equal the retrain path, so the brute-force oracle applies)
     "q_ann_ivf_index" -> ((s, dir) => {
       val idx = graft.operators.IvfIndex.load(s, ivfIndexDir(s, dir))
+      graft.operators.IvfIndex.topK(idx, annQueries(t(s, dir, "embeddings")),
+        "vec_id", "embedding", k = 1, nprobe = 2)
+    }),
+    // the MAINTAINED-index path: tombstoned deletes honored at load
+    // (O(deletes) side file, lists never rewritten); deleted ids are
+    // not the planted answers, so the brute oracle still applies
+    "q_ann_ivf_delete" -> ((s, dir) => {
+      val idx = graft.operators.IvfIndex.load(s, ivfDeleteIndexDir(s, dir))
       graft.operators.IvfIndex.topK(idx, annQueries(t(s, dir, "embeddings")),
         "vec_id", "embedding", k = 1, nprobe = 2)
     }),
@@ -2794,6 +2816,25 @@ object SparkEntry {
     "q_label_centroid_sim" -> ((s, dir) =>
       graft.operators.Similarity.labelCentroidCosine(
         t(s, dir, "embeddings"), labelCol = "label", vecCol = "embedding")),
+    // embedding-matrix health: per-DIMENSION stats (dead or collapsed
+    // dimensions show scatter 0) — micro-scaled means, milli-scaled
+    // exact-integer scatter n*Σq² - (Σq)² (BIGINT-safe to ~1e13 rows)
+    "q_embed_dims" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long")))
+          .as(Seq("pos", "qv")))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qv")).as("__s"),
+          sum(expr("(qv div 1000) * (qv div 1000)")).as("__s2m"),
+          sum(expr("qv div 1000")).as("__sm"),
+          min(col("qv")).as("min_micro"),
+          max(col("qv")).as("max_micro"))
+        .select(col("pos").cast("long").as("pos"), col("n"),
+          expr("(__s + 1000000 * n) div n - 1000000").as("mean_micro"),
+          expr("n * __s2m - __sm * __sm").as("scatter_milli2"),
+          col("min_micro"), col("max_micro"))),
     // label-space health check: nearest-centroid confusion matrix over
     // the embedding corpus (L2 to integer centroids, resubstitution)
     "q_centroid_confusion" -> ((s, dir) =>

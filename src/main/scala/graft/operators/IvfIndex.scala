@@ -52,8 +52,51 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
       .orderBy("cluster").collect() // nlist rows — driver-bounded
       .map(_.getSeq[Float](1).toArray)
-    Loaded(centroids, spark.read.parquet(s"$dir/lists.parquet"))
+    val lists = spark.read.parquet(s"$dir/lists.parquet")
+    Loaded(centroids, tombstonesOf(spark, dir) match {
+      case Some(t) => lists.join(t, Seq("id"), "left_anti")
+      case None => lists
+    })
   }
+
+  private def tombstonesOf(spark: SparkSession,
+                           dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("id")))
+    else None
+  }
+
+  /** DELETE from the index without touching the inverted lists: append
+    * the ids to a tombstone side file; [[load]] anti-joins it, so
+    * every subsequent query treats the rows as gone. O(deletes) work —
+    * the lists (corpus-scale) are not rewritten, the tombstone side
+    * stays small between compactions and AQE broadcasts it into the
+    * probe path. */
+  def markDeleted(ids: DataFrame, idCol: String, dir: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones.parquet")
+
+  /** Fold tombstones into the lists (rewrite-and-swap, same
+    * cluster-partitioned layout as [[build]]) and drop the side file.
+    * Query results are identical before and after by construction —
+    * compaction only reclaims space and removes the anti-join. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    tombstonesOf(spark, dir).foreach { t =>
+      val live = spark.read.parquet(s"$dir/lists.parquet")
+        .join(t, Seq("id"), "left_anti")
+      live.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$dir/lists.compacting.parquet")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val old = new org.apache.hadoop.fs.Path(s"$dir/lists.parquet")
+      val next = new org.apache.hadoop.fs.Path(s"$dir/lists.compacting.parquet")
+      val fs = old.getFileSystem(conf)
+      fs.delete(old, true)
+      fs.rename(next, old)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones.parquet"), true)
+    }
 
   /** ANN top-k against the prebuilt lists: no retraining, no corpus
     * reassignment, and only the PROBED lists are read — the distinct

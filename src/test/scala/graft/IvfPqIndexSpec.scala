@@ -87,6 +87,35 @@ class IvfPqIndexSpec extends SparkTestBase {
     rmrf(new java.io.File(dirInc)); rmrf(new java.io.File(dirFull))
   }
 
+  test("IvfIndex tombstones: deleted ids vanish from every k; compaction is result-identical and drops the side file") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    IvfIndex.build(emb, "vec_id", "embedding", dir, nlist = 8, iters = 2)
+    val q = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 900000).as("vec_id"), $"embedding")
+    def served(k: Int): Set[Long] =
+      IvfIndex.topK(IvfIndex.load(spark, dir), q, "vec_id", "embedding",
+          k = k, nprobe = 8)
+        .select($"corpus_id").as[Long].collect().toSet
+    // before deletion the nearest neighbors (the originals) are served
+    val before = served(5)
+    assert(before.exists(_ < 3))
+    IvfIndex.markDeleted(emb.filter($"vec_id" < 3), "vec_id", dir)
+    val afterAll = IvfIndex.topK(IvfIndex.load(spark, dir), q, "vec_id",
+        "embedding", k = 500, nprobe = 8)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(afterAll.forall(_ >= 3), "tombstoned ids must never be served")
+    val afterDelete = served(5)
+    // compaction: identical results, tombstone file gone
+    IvfIndex.compact(spark, dir)
+    assert(served(5) == afterDelete)
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
+    // and the compacted lists physically dropped the rows
+    assert(spark.read.parquet(s"$dir/lists.parquet")
+      .filter($"id" < 3).count() == 0)
+  }
+
   test("plan: probed-cluster directory pruning + codes-only ADC scan") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_plan").toString
     IvfPqIndex.buildTrained(emb, "vec_id", "embedding", dir,
