@@ -818,6 +818,24 @@ private[graft] object Oracles {
        "ELSE 'test' END AS split FROM (SELECT doc_id, " +
        "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
        "FROM documents)"),
+    // Gini split gain: exact-integer impurity replay over the
+    // (feature, label) domain counts
+    "q_gini_gain" -> (
+      "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+      "cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents " +
+      "  GROUP BY 1), " +
+      "g0 AS (SELECT 1000000 - CAST(sum(c * c) AS BIGINT) * 1000000 " +
+      "  // (any_value(nn.n) * any_value(nn.n)) AS gini_ppm FROM cls, nn), " +
+      "vc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c " +
+      "  FROM documents GROUP BY 1, 2), " +
+      "vg AS (SELECT source, CAST(sum(c) AS BIGINT) AS nv, " +
+      "  1000000 - CAST(sum(c * c) AS BIGINT) * 1000000 " +
+      "  // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS gv " +
+      "  FROM vc GROUP BY 1), " +
+      "w AS (SELECT CAST(sum(nv * gv) AS BIGINT) // any_value(nn.n) " +
+      "  AS weighted_gini_ppm FROM vg, nn) " +
+      "SELECT nn.n, g0.gini_ppm, w.weighted_gini_ppm, " +
+      "g0.gini_ppm - w.weighted_gini_ppm AS gain_ppm FROM nn, g0, w"),
     // phrase search: plain substring scan is a valid oracle for the
     // index-probed operator (same result set by construction)
     "q_phrase_search" -> (

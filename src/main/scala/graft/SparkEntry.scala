@@ -2851,6 +2851,11 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       graft.operators.Corpus.featureHash(
         t(s, dir, "documents"), "doc_id", "text", dim = 64)),
+    // feature relevance: Gini split gain of source against lang — one
+    // domain-sized count, exact-integer impurities
+    "q_gini_gain" -> ((s, dir) =>
+      graft.operators.Analytics.giniGain(
+        t(s, dir, "documents"), featureCol = "source", labelCol = "lang")),
     // per-doc n-gram novelty: share of shingles first seen HERE — the
     // marginal-contribution curation signal (near-dups of earlier docs
     // score ~0)

@@ -274,6 +274,33 @@ object Analytics {
         sum(col("n_new")).over(Window.orderBy(col(dayCol).asc)).cast("long"))
   }
 
+  /** Gini split gain of a categorical feature against a label (the
+    * CART split criterion as a standalone feature-relevance report):
+    * corpus impurity, the feature-weighted impurity, and their
+    * difference — gain 0 means the feature carries no label signal.
+    * The corpus is touched ONCE (one map-side-combined count over the
+    * (feature, label) domain); every Gini term derives from that
+    * domain-sized table in exact integer ppm (Σc² ratios, truncating
+    * div — replayed verbatim by the oracle). */
+  def giniGain(df: DataFrame, featureCol: String,
+               labelCol: String): DataFrame = {
+    val vc = df.groupBy(col(featureCol).as("__f"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val nDf = vc.agg(sum(col("__c")).as("n"))
+    val cls = vc.groupBy(col("__l")).agg(sum(col("__c")).as("__c"))
+    val g0 = cls.crossJoin(broadcast(nDf))
+      .agg(expr("1000000 - sum(__c * __c) * 1000000 div (max(n) * max(n))")
+        .as("gini_ppm"))
+    val vg = vc.groupBy(col("__f"))
+      .agg(sum(col("__c")).as("__nv"),
+        expr("1000000 - sum(__c * __c) * 1000000 div " +
+          "(sum(__c) * sum(__c))").as("__gv"))
+    val w = vg.crossJoin(broadcast(nDf))
+      .agg(expr("sum(__nv * __gv) div max(n)").as("weighted_gini_ppm"))
+    nDf.crossJoin(broadcast(g0)).crossJoin(broadcast(w))
+      .withColumn("gain_ppm", col("gini_ppm") - col("weighted_gini_ppm"))
+  }
+
   /** Benford first-significant-digit profile: counts plus observed ppm
     * share, all-integer; the total rides a single-row broadcast. */
   def benford(df: DataFrame, numCol: String): DataFrame = {

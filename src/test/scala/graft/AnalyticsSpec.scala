@@ -88,6 +88,22 @@ class AnalyticsSpec extends SparkTestBase {
       ("9", 1L, 250000L)))
   }
 
+  test("giniGain: a perfectly predictive feature captures all impurity, a useless one none") {
+    // 2 classes, 50/50 -> overall gini = 500000
+    val perfect = Seq(("f1", "a"), ("f1", "a"), ("f2", "b"), ("f2", "b"))
+      .toDF("f", "l")
+    val p = Analytics.giniGain(perfect, "f", "l").collect().head
+    assert(p.getAs[Long]("gini_ppm") == 500000L &&
+      p.getAs[Long]("weighted_gini_ppm") == 0L &&
+      p.getAs[Long]("gain_ppm") == 500000L)
+    // identical class mix in every feature value -> zero gain
+    val useless = Seq(("f1", "a"), ("f1", "b"), ("f2", "a"), ("f2", "b"))
+      .toDF("f", "l")
+    val u = Analytics.giniGain(useless, "f", "l").collect().head
+    assert(u.getAs[Long]("gini_ppm") == 500000L &&
+      u.getAs[Long]("gain_ppm") == 0L)
+  }
+
   test("abLift: zero-conversion control yields NULL lift, not an ANSI div-by-zero") {
     val u = Seq((0L, false), (0L, false), (1L, true), (1L, false))
       .toDF("variant", "conv")

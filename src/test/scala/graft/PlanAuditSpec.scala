@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_power_users" -> "(b) composes nucleusTopP: inherits its two single-row attaches",
     "q_benford" -> "(b) single-row total count for ppm shares",
     "q_join_size_est" -> "(b) single-row exact x single-row estimate attach",
+    "q_gini_gain" -> "(b) single-row n/impurity/weighted-impurity attaches",
     "q_vocab_coverage" -> ("(b) top-cutoff frame (<= 20 rows) x cutoff list " +
       "x single-row totals attach"),
     "q_balance_labels" -> "(b) single-row min-class-count attach",
