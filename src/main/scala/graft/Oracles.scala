@@ -818,6 +818,32 @@ private[graft] object Oracles {
        "ELSE 'test' END AS split FROM (SELECT doc_id, " +
        "substr(md5('42::' || CAST(doc_id AS VARCHAR)), 1, 15) AS h " +
        "FROM documents)"),
+    // forget audit: per-table totals + matched counts for the subject
+    // key set (custkey ≡ 0 mod 97)
+    "q_forget_report" -> (
+      "WITH k AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k " +
+      "  FROM customer WHERE c_custkey % 97 = 0) " +
+      "SELECT 'customer' AS table_name, " +
+      "CAST(count(*) AS BIGINT) AS rows_total, " +
+      "CAST(count(CASE WHEN k.k IS NOT NULL THEN 1 END) AS BIGINT) " +
+      "  AS rows_matched " +
+      "FROM customer LEFT JOIN k ON CAST(c_custkey AS BIGINT) = k.k " +
+      "UNION ALL " +
+      "SELECT 'orders', CAST(count(*) AS BIGINT), " +
+      "CAST(count(CASE WHEN k.k IS NOT NULL THEN 1 END) AS BIGINT) " +
+      "FROM orders LEFT JOIN k ON CAST(o_custkey AS BIGINT) = k.k"),
+    // trending: per-day type ranks, previous-day self-join, delta
+    "q_trending" -> (
+      "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
+      "  event_type AS cat, CAST(count(*) AS BIGINT) AS n " +
+      "  FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT day, cat, n, CAST(row_number() OVER (" +
+      "  PARTITION BY day ORDER BY n DESC, cat ASC) AS BIGINT) AS rank " +
+      "  FROM daily), " +
+      "p AS (SELECT cat, day + 1 AS day, rank AS prev_rank FROM r) " +
+      "SELECT r.day, r.cat, r.n, r.rank, p.prev_rank, " +
+      "p.prev_rank - r.rank AS rank_delta " +
+      "FROM r LEFT JOIN p ON p.day = r.day AND p.cat = r.cat"),
     // Gini split gain: exact-integer impurity replay over the
     // (feature, label) domain counts
     "q_gini_gain" -> (

@@ -2851,6 +2851,22 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       graft.operators.Corpus.featureHash(
         t(s, dir, "documents"), "doc_id", "text", dim = 64)),
+    // right-to-be-forgotten audit: per-table totals + rows a purge of
+    // the requested subject keys would remove
+    "q_forget_report" -> ((s, dir) => {
+      val keys = t(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+      graft.operators.Privacy.forgetReport(
+        Seq(("customer", t(s, dir, "customer"), "c_custkey"),
+          ("orders", t(s, dir, "orders"), "o_custkey")),
+        keys, "c_custkey")
+    }),
+    // day-over-day trending: per-day event-type ranks joined to the
+    // previous day's (positive delta = rising)
+    "q_trending" -> ((s, dir) =>
+      graft.operators.Analytics.trendingRanks(
+        events(s, dir).withColumn("day", expr("ts div 86400000000")),
+        dayCol = "day", catCol = "event_type")),
     // feature relevance: Gini split gain of source against lang — one
     // domain-sized count, exact-integer impurities
     "q_gini_gain" -> ((s, dir) =>

@@ -274,6 +274,27 @@ object Analytics {
         sum(col("n_new")).over(Window.orderBy(col(dayCol).asc)).cast("long"))
   }
 
+  /** Day-over-day trending ranks: per day, categories ranked by count
+    * (count desc, category asc), each joined to its own previous-day
+    * rank — `rank_delta` positive = rising. The rank window partitions
+    * by DAY (bounded by the category domain per partition, never
+    * corpus-wide) and the self-join is a plain equi-join on
+    * (day, category). `dayCol` is an epoch-day BIGINT so the
+    * previous-day key is exact integer arithmetic. */
+  def trendingRanks(df: DataFrame, dayCol: String,
+                    catCol: String): DataFrame = {
+    val daily = df.groupBy(col(dayCol).as("day"), col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("cat").asc)
+    val ranked = daily.withColumn("rank",
+      row_number().over(w).cast("long"))
+    val prev = ranked.select(col("cat"), (col("day") + 1).as("day"),
+      col("rank").as("prev_rank"))
+    ranked.join(prev, Seq("day", "cat"), "left")
+      .withColumn("rank_delta", col("prev_rank") - col("rank"))
+  }
+
   /** Gini split gain of a categorical feature against a label (the
     * CART split criterion as a standalone feature-relevance report):
     * corpus impurity, the feature-weighted impurity, and their

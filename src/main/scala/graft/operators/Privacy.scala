@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** Right-to-be-forgotten audit: for each table that carries the
+    * subject key, the total row count and how many rows a purge of
+    * `keys` would remove — the report a deletion request gets BEFORE
+    * (and the receipt it gets AFTER) the anti-join purge runs. Each
+    * table is touched once by a semi-join-counted aggregate; the keys
+    * side is request-sized and broadcast-able. The purge itself is the
+    * same `left_anti` join ([[forgetPurge]]); running the report on
+    * the purged output must show rows_matched 0 (spec-pinned). */
+  def forgetReport(tables: Seq[(String, DataFrame, String)],
+                   keys: DataFrame, keyCol: String): DataFrame = {
+    require(tables.nonEmpty, "forgetReport needs at least one table")
+    val k = keys.select(col(keyCol).cast("long").as("__k")).distinct()
+    tables.map { case (name, df, c) =>
+      df.select(col(c).cast("long").as("__k"))
+        .join(k.withColumn("__hit", lit(1)), Seq("__k"), "left")
+        .agg(lit(name).as("table_name"),
+          count(lit(1)).as("rows_total"),
+          count(col("__hit")).as("rows_matched"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The purge half of [[forgetReport]]: drop every row whose key is
+    * in the request set (null-keyed rows survive — they identify no
+    * subject). */
+  def forgetPurge(df: DataFrame, keyColName: String, keys: DataFrame,
+                  keyCol: String): DataFrame =
+    df.join(keys.select(col(keyCol).cast("long").as(keyColName)).distinct(),
+      Seq(keyColName), "left_anti")
+
   /** Quasi-identifier groups smaller than k — each one a re-
     * identification risk (an attacker knowing the QI values pins the
     * individual to < k candidates). Returns (QI columns..., n) for

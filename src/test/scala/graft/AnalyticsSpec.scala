@@ -88,6 +88,40 @@ class AnalyticsSpec extends SparkTestBase {
       ("9", 1L, 250000L)))
   }
 
+  test("trendingRanks: rank deltas against the previous day; first day has NULL prev") {
+    // day 1: a=3, b=1 -> a rank 1, b rank 2
+    // day 2: a=1, b=2 -> b rank 1 (delta +1, rising), a rank 2 (-1)
+    val d = (Seq.fill(3)((1L, "a")) ++ Seq((1L, "b")) ++
+      Seq((2L, "a")) ++ Seq.fill(2)((2L, "b"))).toDF("day", "cat")
+    val r = Analytics.trendingRanks(d, "day", "cat").collect()
+      .map(x => ((x.getLong(0), x.getString(1)),
+        (x.getLong(3), if (x.isNullAt(4)) None else Some(x.getLong(4)),
+          if (x.isNullAt(5)) None else Some(x.getLong(5))))).toMap
+    assert(r((1L, "a")) == (1L, None, None))
+    assert(r((1L, "b")) == (2L, None, None))
+    assert(r((2L, "b")) == (1L, Some(2L), Some(1L)))
+    assert(r((2L, "a")) == (2L, Some(1L), Some(-1L)))
+  }
+
+  test("forgetReport + forgetPurge: counts match, purged output reports zero matches, nulls survive") {
+    import graft.operators.Privacy
+    val t1 = Seq(Some(1L), Some(2L), Some(3L), None).toDF("k")
+    val t2 = Seq(1L, 1L, 5L).toDF("k")
+    val keys = Seq(1L, 9L).toDF("subject")
+    val rep = Privacy.forgetReport(
+      Seq(("t1", t1, "k"), ("t2", t2, "k")), keys, "subject")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(rep == Map("t1" -> (4L, 1L), "t2" -> (3L, 2L)))
+    val purged = Privacy.forgetPurge(t2, "k", keys, "subject")
+    assert(purged.count() == 1)
+    val purgedNulls = Privacy.forgetPurge(t1, "k", keys, "subject")
+    assert(purgedNulls.count() == 3) // the null-keyed row survives
+    val after = Privacy.forgetReport(Seq(("t2", purged, "k")), keys,
+      "subject").collect().head
+    assert(after.getLong(2) == 0L)
+  }
+
   test("giniGain: a perfectly predictive feature captures all impurity, a useless one none") {
     // 2 classes, 50/50 -> overall gini = 500000
     val perfect = Seq(("f1", "a"), ("f1", "a"), ("f2", "b"), ("f2", "b"))
