@@ -832,6 +832,16 @@ private[graft] object Oracles {
       "SELECT 'orders', CAST(count(*) AS BIGINT), " +
       "CAST(count(CASE WHEN k.k IS NOT NULL THEN 1 END) AS BIGINT) " +
       "FROM orders LEFT JOIN k ON CAST(o_custkey AS BIGINT) = k.k"),
+    // rolling WAU: each (user, day) observation supports days d..d+6;
+    // distinct support pairs counted per observed day
+    "q_rolling_wau" -> (
+      "WITH ud AS (SELECT DISTINCT user_id, " +
+      "  epoch_us(ts) // 86400000000 AS d FROM events), " +
+      "days AS (SELECT DISTINCT d AS day FROM ud), " +
+      "sup AS (SELECT DISTINCT user_id, d + i AS day FROM ud, " +
+      "  LATERAL (SELECT unnest(range(0, 7)) AS i)) " +
+      "SELECT s.day, CAST(count(*) AS BIGINT) AS active_keys " +
+      "FROM sup s JOIN days USING (day) GROUP BY 1"),
     // trending: per-day type ranks, previous-day self-join, delta
     "q_trending" -> (
       "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, " +

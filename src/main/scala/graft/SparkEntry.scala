@@ -2861,6 +2861,12 @@ object SparkEntry {
           ("orders", t(s, dir, "orders"), "o_custkey")),
         keys, "c_custkey")
     }),
+    // trailing-7-day distinct actives (WAU series) — exact sliding
+    // distinct via support-explode, no range join
+    "q_rolling_wau" -> ((s, dir) =>
+      graft.operators.Temporal.rollingDistinct(
+        events(s, dir).withColumn("day", expr("ts div 86400000000")),
+        dayCol = "day", keyCol = "user_id", windowDays = 7)),
     // day-over-day trending: per-day event-type ranks joined to the
     // previous day's (positive delta = rising)
     "q_trending" -> ((s, dir) =>

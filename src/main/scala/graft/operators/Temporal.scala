@@ -63,6 +63,29 @@ object Temporal {
     }.drop("__last_r")
   }
 
+  /** Trailing-window distinct actives (the WAU/MAU series): for every
+    * observed day, the distinct keys seen in the trailing `windowDays`
+    * days. EXACT distinct over a sliding window without a range join
+    * or a per-day re-scan: each distinct (key, day) observation
+    * SUPPORTS the `windowDays` days it keeps the key active for (a
+    * map-side explode — |observations|·window rows, linear), then one
+    * distinct + count per day, restricted to days that exist in the
+    * data. `dayCol` is an epoch-day BIGINT. */
+  def rollingDistinct(df: DataFrame, dayCol: String, keyCol: String,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = df.select(col(dayCol).as("__d"), col(keyCol).as("__k"))
+      .distinct()
+    val days = ud.select(col("__d").as("day")).distinct()
+    val support = ud.select(col("__k"),
+        explode(sequence(col("__d"), col("__d") + (windowDays - 1)))
+          .as("day"))
+      .distinct()
+    support.join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_keys"))
+  }
+
   /** Gap-based sessionization: events within `gap` of the previous
     * event (per key) share a session; a larger gap starts a new one.
     * Emits one row per (key, session): index, event count, start/end.

@@ -225,6 +225,22 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Set(("a>b>c", 2L)))
   }
 
+  test("rollingDistinct: trailing-window actives, repeats collapse, window edge exact") {
+    // user 1 on days 1 and 3 (twice); user 2 on day 10 only
+    val d = Seq((1L, 1L), (3L, 1L), (3L, 1L), (10L, 2L))
+      .toDF("day", "k")
+    val r = Temporal.rollingDistinct(d, "day", "k", windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    // observed days only: 1, 3, 10. Day 1: {1}; day 3: {1} (both obs
+    // inside the window, one user); day 10: day-3 support ends at
+    // day 9, so only user 2
+    assert(r == Map(1L -> 1L, 3L -> 1L, 10L -> 1L))
+    // window 8 pulls user 1's day-3 observation into day 10
+    val r8 = Temporal.rollingDistinct(d, "day", "k", windowDays = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(r8(10L) == 2L)
+  }
+
   test("pointInTimeJoin: facts land on the version in effect at their ts, current version open-ended") {
     import graft.operators.CdcMerge
     // user 1 changes state at ts 10 (A) and 30 (B); facts at 10, 20,
