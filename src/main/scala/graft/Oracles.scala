@@ -854,6 +854,44 @@ private[graft] object Oracles {
       "SELECT r.day, r.cat, r.n, r.rank, p.prev_rank, " +
       "p.prev_rank - r.rank AS rank_delta " +
       "FROM r LEFT JOIN p ON p.day = r.day AND p.cat = r.cat"),
+    // life table: churned = lifetimes equal to k, at_risk = lifetimes
+    // >= k (reverse cumulative), hazard in truncating ppm
+    "q_survival_hazard" -> (
+      "WITH life AS (SELECT user_id, " +
+      "  max(epoch_us(ts) // 86400000000) - " +
+      "  min(epoch_us(ts) // 86400000000) AS lt FROM events GROUP BY 1), " +
+      "b AS (SELECT lt AS day_offset, CAST(count(*) AS BIGINT) AS churned " +
+      "  FROM life GROUP BY 1) " +
+      "SELECT day_offset, " +
+      "CAST(sum(churned) OVER (ORDER BY day_offset DESC " +
+      "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "  AS at_risk, churned, " +
+      "churned * 1000000 // CAST(sum(churned) OVER (ORDER BY day_offset " +
+      "  DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "  AS hazard_ppm FROM b"),
+    // per-user inter-arrival gaps on the µs axis, reported in whole
+    // seconds with a truncating mean
+    "q_interarrival" -> (
+      "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) " +
+      "  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+      "  AS gap FROM events) " +
+      "SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps, " +
+      "CAST(sum(gap) // (1000000 * count(gap)) AS BIGINT) AS mean_gap_s, " +
+      "CAST(min(gap) // 1000000 AS BIGINT) AS min_gap_s, " +
+      "CAST(max(gap) // 1000000 AS BIGINT) AS max_gap_s " +
+      "FROM g WHERE gap IS NOT NULL GROUP BY 1"),
+    // second-order Markov: lead(2) over each user's (ts, event_id)
+    // stream, normalized per from-state in truncating ppm
+    "q_markov_2step" -> (
+      "WITH seq AS (SELECT user_id, event_type AS from_state, " +
+      "  lead(event_type, 2) OVER (PARTITION BY user_id " +
+      "    ORDER BY epoch_us(ts), event_id) AS to_state FROM events), " +
+      "c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n " +
+      "  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2), " +
+      "tot AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS t " +
+      "  FROM c GROUP BY 1) " +
+      "SELECT c.from_state, c.to_state, c.n, c.n * 1000000 // t.t AS p_ppm " +
+      "FROM c JOIN tot t USING (from_state)"),
     // Gini split gain: exact-integer impurity replay over the
     // (feature, label) domain counts
     "q_gini_gain" -> (

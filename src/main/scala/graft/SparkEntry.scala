@@ -2873,6 +2873,22 @@ object SparkEntry {
       graft.operators.Analytics.trendingRanks(
         events(s, dir).withColumn("day", expr("ts div 86400000000")),
         dayCol = "day", catCol = "event_type")),
+    // discrete life-table: at-risk / churned / hazard ppm per observed
+    // lifetime (frame bounded by the corpus day span)
+    "q_survival_hazard" -> ((s, dir) =>
+      graft.operators.Temporal.survivalHazard(
+        events(s, dir).withColumn("day", expr("ts div 86400000000")),
+        keyCol = "user_id", dayCol = "day")),
+    // per-user cadence profile: gap count + truncating mean/min/max
+    // inter-event gap in whole seconds
+    "q_interarrival" -> ((s, dir) =>
+      graft.operators.Temporal.interArrival(events(s, dir),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id")),
+    // second-order Markov reachability: P(state at t+2 | state at t)
+    // in ppm — same one-shuffle shape as q_transitions at lead(2)
+    "q_markov_2step" -> ((s, dir) =>
+      graft.operators.Temporal.transitions(events(s, dir), "user_id",
+        "ts", "event_type", tieCol = "event_id", step = 2)),
     // feature relevance: Gini split gain of source against lang — one
     // domain-sized count, exact-integer impurities
     "q_gini_gain" -> ((s, dir) =>

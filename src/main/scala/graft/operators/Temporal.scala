@@ -327,12 +327,14 @@ object Temporal {
     * matrix) instead of rescanning the events — a second window pass
     * avoided. */
   def transitions(events: DataFrame, keyCol: String, tsCol: String,
-                  stateCol: String, tieCol: String): DataFrame = {
+                  stateCol: String, tieCol: String,
+                  step: Int = 1): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieCol).asc)
     val pairs = events
       .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
-      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .withColumn("__next", lead(col(stateCol), step).over(w))
       .filter(col("__next").isNotNull)
       .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
       .agg(count(lit(1)).as("n"))
@@ -479,5 +481,52 @@ object Temporal {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_buckets"))
       .filter(col("n_buckets") >= minCount)
+  }
+
+  /** Discrete survival/hazard table over observed key lifetimes: for
+    * each distinct lifetime k (in `dayCol` units, last − first per
+    * key), the at-risk count (lifetime ≥ k), the churn count
+    * (lifetime = k) and the hazard in exact ppm — the life-table
+    * estimator at day grain (Kaplan–Meier's hazard column without the
+    * float survival product; the cumulative product is derivable
+    * downstream at whatever precision a consumer wants).
+    *
+    * Scale shape: one key-grain aggregate (map-side combined), then a
+    * roll-up whose cardinality is the number of DISTINCT lifetimes —
+    * bounded by the corpus's day span, not by keys — so the
+    * reverse-cumulative at-risk window runs over a frame of at most a
+    * few thousand rows at any corpus size (globalWindowAllowed). */
+  def survivalHazard(df: DataFrame, keyCol: String,
+                     dayCol: String): DataFrame = {
+    val life = df.groupBy(col(keyCol))
+      .agg((max(col(dayCol)) - min(col(dayCol))).as("__lt"))
+    val byLt = life.groupBy(col("__lt").as("day_offset"))
+      .agg(count(lit(1)).as("churned"))
+    // at_risk(k) = Σ churned over lifetimes ≥ k: a reverse running sum
+    // over the lifetime-grain frame
+    val w = Window.orderBy(col("day_offset").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byLt.withColumn("at_risk", sum(col("churned")).over(w))
+      .select(col("day_offset"), col("at_risk"), col("churned"),
+        expr("churned * 1000000L div at_risk").as("hazard_ppm"))
+  }
+
+  /** Per-key inter-arrival statistics: number of gaps, truncating mean
+    * gap, min and max gap, all in whole seconds from the µs axis —
+    * the cadence profile behind rate limiting, bot detection and
+    * retention features. One key shuffle (the lag window), then a
+    * key-grain aggregate that reuses the window's partitioning. */
+  def interArrival(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.select(col(keyCol), col(tsCol), col(tieCol))
+      .withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("sum(__gap) div (1000000L * count(1))").as("mean_gap_s"),
+        expr("min(__gap) div 1000000L").as("min_gap_s"),
+        expr("max(__gap) div 1000000L").as("max_gap_s"))
   }
 }

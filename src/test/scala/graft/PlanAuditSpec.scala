@@ -81,7 +81,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_centroid_calibration" -> ("bucketedGroupRank <= 64-row bucket-prefix " +
       "window (constant group folds the partition key away)"),
     "q_epoch_order" -> ("bucketedGroupRank <= 64-row bucket-prefix window " +
-      "(constant group folds the partition key away)"))
+      "(constant group folds the partition key away)"),
+    "q_survival_hazard" -> ("reverse-cumulative at-risk over one row per " +
+      "DISTINCT lifetime — bounded by the corpus day span, not by keys"))
 
   /** A WindowExec line with an EMPTY partition spec. Spark's argString
     * skips empty sequences, so a global window prints NO trailing

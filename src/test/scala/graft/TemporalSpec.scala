@@ -257,4 +257,34 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Set((101L, "A", false), (102L, "A", false),
       (103L, "B", true), (104L, "B", true)))
   }
+
+  test("survivalHazard: at-risk is reverse-cumulative, hazard exact ppm, last offset always 1e6") {
+    // lifetimes: u1 = 0 (single day), u2 = 2, u3 = 2, u4 = 5
+    val d = Seq((1L, 10L), (2L, 10L), (2L, 12L), (3L, 1L), (3L, 3L),
+      (4L, 0L), (4L, 5L)).toDF("k", "day")
+    val r = Temporal.survivalHazard(d, "k", "day")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      (0L, 4L, 1L, 250000L),  // everyone at risk at 0; u1 churns
+      (2L, 3L, 2L, 666666L),  // u2,u3 churn of {u2,u3,u4}
+      (5L, 1L, 1L, 1000000L)))// the longest lifetime always hazards out
+  }
+
+  test("interArrival: gaps per (ts, tie) order in whole seconds; single-event keys drop") {
+    // u1: gaps 2s and 5s (mean 3s truncating); u2: one event, no gap
+    val d = Seq((1L, 0L, 1L), (1L, 2000000L, 2L), (1L, 7000000L, 3L),
+      (2L, 0L, 4L)).toDF("k", "ts", "id")
+    val r = Temporal.interArrival(d, "k", "ts", "id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L, 3L, 2L, 5L)))
+  }
+
+  test("transitions step=2: skips one state, rows with no t+2 successor drop") {
+    // u1 stream: A B A B -> 2-step pairs (A,A), (B,B)
+    val d = Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"),
+      (1L, 3L, 3L, "A"), (1L, 4L, 4L, "B")).toDF("k", "ts", "id", "st")
+    val r = Temporal.transitions(d, "k", "ts", "st", tieCol = "id", step = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(r == Set(("A", "A", 1L, 1000000L), ("B", "B", 1L, 1000000L)))
+  }
 }
