@@ -2727,6 +2727,39 @@ private[graft] object Oracles {
       "  AND c.c_ts <= p.ts AND c.c_ts > p.ts - 14400000000) " +
       "SELECT event_id, user_id, touch_id, n_touches, " +
       "1000000 // n_touches AS credit_ppm FROM m"),
+    // decay attribution: exact power-of-two weights, credit halves per
+    // full hour of touch age, capped at 20 half-lives
+    "q_attribution_decay" -> (
+      "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts " +
+      "  FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT event_id AS touch_id, user_id, epoch_us(ts) AS c_ts " +
+      "  FROM events WHERE event_type IN ('click','view')), " +
+      "m AS (SELECT p.event_id, p.user_id, c.touch_id, " +
+      "  least(20, (p.ts - c.c_ts) // 3600000000) AS half_lives " +
+      "  FROM p JOIN c ON p.user_id = c.user_id " +
+      "  AND c.c_ts <= p.ts AND c.c_ts > p.ts - 14400000000), " +
+      "w AS (SELECT *, (CAST(1 AS BIGINT) << " +
+      "  CAST(20 - half_lives AS INTEGER)) AS w FROM m) " +
+      "SELECT event_id, user_id, touch_id, half_lives, " +
+      "w * 1000000 // CAST(sum(w) OVER (PARTITION BY event_id) AS BIGINT) " +
+      "  AS credit_ppm FROM w"),
+    // Heaps curve: new-type credit lands on the smallest doc id
+    // containing the type; both cumulatives are plain prefix sums
+    "q_heaps_law" -> (
+      "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(" +
+      "  lower(trim(text)), '\\s+')) AS t FROM documents), " +
+      "tk AS (SELECT doc_id, t FROM tok WHERE length(t) > 0), " +
+      "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens " +
+      "  FROM tk GROUP BY 1), " +
+      "fd AS (SELECT min(doc_id) AS doc_id FROM tk GROUP BY t), " +
+      "nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new " +
+      "  FROM fd GROUP BY 1) " +
+      "SELECT p.doc_id, p.n_tokens, " +
+      "CAST(sum(p.n_tokens) OVER (ORDER BY p.doc_id) AS BIGINT) " +
+      "  AS cum_tokens, " +
+      "CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY p.doc_id) AS BIGINT) " +
+      "  AS cum_types " +
+      "FROM pd p LEFT JOIN nn n USING (doc_id)"),
     "q_engagement" -> (
       "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, " +
       "  epoch_us(ts) // 86400000000 // 30 AS month, user_id FROM events), " +

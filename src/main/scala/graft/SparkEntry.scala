@@ -2668,6 +2668,26 @@ object SparkEntry {
         "ts", "__s", "__e", blockWidth = 14400000000L,
         anchorIdCol = "event_id", touchIdCol = "touch_id")
     }),
+    // exponential time-decay attribution: credit halves per hour of
+    // touch age, exact via power-of-two integer weights
+    "q_attribution_decay" -> ((s, dir) => {
+      val e = events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").as("__s"),
+          (col("ts") + lit(14400000000L - 1)).as("__e"),
+          col("event_id").as("touch_id"))
+      graft.operators.Analytics.attributionDecay(p, c, Seq("user_id"),
+        "ts", "__s", "__e", blockWidth = 14400000000L,
+        anchorIdCol = "event_id", touchIdCol = "touch_id",
+        halfLifeUs = 3600000000L, maxSteps = 20)
+    }),
+    // Heaps-law vocabulary growth: running tokens vs running distinct
+    // types in doc order, on the distributed prefix-sum path
+    "q_heaps_law" -> ((s, dir) =>
+      graft.operators.Corpus.heapsCurve(docsSplit(s, dir),
+        "doc_id", "text")),
     // engagement: daily actives against the 30-day-window actives,
     // stickiness = DAU/MAU ppm; the MAU side is months-sized and
     // broadcasts

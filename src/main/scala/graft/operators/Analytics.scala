@@ -225,6 +225,75 @@ object Analytics {
         Seq(col(touchIdCol), col("n_touches"),
           expr("1000000 div n_touches").as("credit_ppm")): _*)
 
+  /** Exponential time-decay attribution: every touch inside the
+    * lookback window gets credit ∝ 2^(−steps), steps = full half-lives
+    * between touch and conversion — the industry decay model kept
+    * EXACT by using power-of-two integer weights (1L << (maxSteps −
+    * steps)) instead of a float pow. `maxSteps` caps the shift (older
+    * touches all weigh 1); ≤ 42 keeps w·1e6 inside BIGINT.
+    *
+    * Same scale shape as [[attributionLinear]]: the blocked range join
+    * bounds candidate pairs, the per-anchor normalizing window rides
+    * the anchor-id partition (touches-per-window sized). */
+  def attributionDecay(anchors: DataFrame, touches: DataFrame,
+                       keys: Seq[String], tsCol: String, startCol: String,
+                       endCol: String, blockWidth: Long,
+                       anchorIdCol: String, touchIdCol: String,
+                       halfLifeUs: Long, maxSteps: Int = 20): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be > 0, got $halfLifeUs")
+    require(maxSteps >= 1 && maxSteps <= 42,
+      s"maxSteps must be in [1, 42] (w * 1e6 must fit a BIGINT), got $maxSteps")
+    Temporal.rangeJoin(anchors, touches, keys, tsCol, startCol, endCol,
+        blockWidth)
+      .withColumn("__steps",
+        least(lit(maxSteps.toLong),
+          expr(s"($tsCol - $startCol) div ${halfLifeUs}L")))
+      .withColumn("__w", expr(s"shiftleft(1L, cast($maxSteps - __steps AS int))"))
+      .withColumn("__tot", sum(col("__w"))
+        .over(Window.partitionBy(col(anchorIdCol))))
+      .select((col(anchorIdCol) +: keys.map(col)) ++
+        Seq(col(touchIdCol), col("__steps").as("half_lives"),
+          expr("__w * 1000000L div __tot").as("credit_ppm")): _*)
+  }
+
+  /** Distributed prefix sums over a totally-ordered axis: cum_<col>
+    * running totals of each `valCols` in `orderCol` order, without a
+    * global-sort window. Two-phase: range-bucket the axis (bounds from
+    * a single-row broadcast — the BM25 attach pattern), per-bucket
+    * partials prefix-summed over a ≤`buckets`-row frame, then local
+    * running sums inside each bucket partition. The only partition-less
+    * window rides the `buckets`-row partial frame regardless of input
+    * size. `orderCol` must be unique (a total order): equal keys in
+    * different range buckets would otherwise order arbitrarily. */
+  def distributedCumSum(df: DataFrame, orderCol: String,
+                        valCols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(valCols.nonEmpty && buckets >= 1)
+    val bounds = df.agg(min(col(orderCol).cast("double")).as("__lo"),
+      max(col(orderCol).cast("double")).as("__hi"))
+    val bucketed = df.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(buckets - 1), floor(
+            (col(orderCol).cast("double") - col("__lo")) /
+              (col("__hi") - col("__lo")) * buckets).cast("int"))))
+      .drop("__lo", "__hi")
+    val partialAggs = valCols.map(c => sum(col(c)).as(s"__s_$c"))
+    val partials = bucketed.groupBy(col("__b"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val wPrefix = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = valCols.foldLeft(partials) { (d, c) =>
+      d.withColumn(s"__p_$c",
+        coalesce(sum(col(s"__s_$c")).over(wPrefix), lit(0L)))
+    }.select(col("__b") +: valCols.map(c => col(s"__p_$c")): _*)
+    val wLocal = Window.partitionBy(col("__b")).orderBy(col(orderCol).asc)
+    valCols.foldLeft(bucketed.join(broadcast(prefixed), Seq("__b"))) {
+      (d, c) =>
+        d.withColumn(s"cum_$c",
+          (col(s"__p_$c") + sum(col(c)).over(wLocal)).cast("long"))
+    }.drop("__b" +: valCols.map(c => s"__p_$c"): _*)
+  }
+
   /** Cohort LTV: users cohorted by their first period, revenue summed
     * per (cohort, period offset) with a running cumulative. The cumsum
     * window partitions by cohort — frames are periods-per-cohort sized,

@@ -646,6 +646,35 @@ object Corpus {
     * bounded-heap top-k operator (never a vocab-wide sort window);
     * everything after is a cutoffs×k cross of driver-bounded frames.
     * Ranks order by (count desc, token asc), exact-integer ppm. */
+  /** Heaps-law vocabulary-growth curve: processing documents in id
+    * order, the running token total and running distinct-type total
+    * after each document — the empirical V(n) ≈ K·n^β curve that sizes
+    * tokenizer vocabularies and detects corpus saturation (a flattening
+    * tail means new data stops contributing types).
+    *
+    * A type counts as "new" in the smallest doc id containing it, so
+    * cum_types needs no distinct-over-prefix: one (token → min doc)
+    * aggregation turns it into an ordinary prefix sum, and both
+    * cumulatives ride [[Analytics.distributedCumSum]] — no global-sort
+    * window at any corpus size. Docs with zero tokens don't advance
+    * either axis and are omitted. */
+  def heapsCurve(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstDoc = toks.groupBy(col("__tok"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val joined = perDoc.join(firstDoc, Seq("doc_id"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    Analytics.distributedCumSum(joined, "doc_id", Seq("n_tokens", "n_new"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("cum_n_tokens").as("cum_tokens"),
+        col("cum_n_new").as("cum_types"))
+  }
+
   def vocabCoverage(df: DataFrame, textCol: String,
                     cutoffs: Seq[Int]): DataFrame = {
     require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1),

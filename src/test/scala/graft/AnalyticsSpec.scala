@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Analytics
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hand-computed fixtures for every Analytics operator (extracted from
@@ -260,6 +261,36 @@ class AnalyticsSpec extends SparkTestBase {
           .cast("long").as("q"))
       .as[(Long, Long)].collect().toMap
     assert(gotNull == expNull)
+  }
+
+  test("distributedCumSum: equals the global-window prefix sum at every bucket count") {
+    val d = (1L to 40L).map(i => (i * 3L, i % 7L, i % 5L))
+      .toDF("id", "a", "b")
+    val exp = d.select($"id",
+        sum($"a").over(Window.orderBy($"id")).cast("long").as("ca"),
+        sum($"b").over(Window.orderBy($"id")).cast("long").as("cb"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (buckets <- Seq(1, 3, 64)) {
+      val got = Analytics.distributedCumSum(d, "id", Seq("a", "b"), buckets)
+        .select($"id", $"cum_a", $"cum_b")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == exp, s"buckets=$buckets")
+    }
+  }
+
+  test("attributionDecay: power-of-two credits, fresh touch outweighs stale 2:1 per half-life") {
+    // anchor at ts 100s; touches at 100s (0 half-lives) and 61s ago
+    // (1 half-life at 60s): weights 2:1 -> credits 666666 / 333333
+    val p = Seq((1L, 7L, 100000000L)).toDF("aid", "k", "ts")
+    val c = Seq((10L, 7L, 100000000L), (11L, 7L, 39000000L))
+      .toDF("tid", "k", "t0")
+      .select($"k", $"t0".as("__s"), ($"t0" + 120000000L - 1).as("__e"), $"tid")
+    val got = Analytics.attributionDecay(p, c, Seq("k"), "ts", "__s", "__e",
+        blockWidth = 120000000L, anchorIdCol = "aid", touchIdCol = "tid",
+        halfLifeUs = 60000000L, maxSteps = 20)
+      .select($"tid", $"half_lives", $"credit_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 0L, 666666L), (11L, 1L, 333333L)))
   }
 
   test("readability: ppm words-per-sentence and chars-per-word") {

@@ -476,4 +476,19 @@ class CorpusOpsSpec extends SparkTestBase {
     // only "big data" clears minCount 2
     assert(got.toSeq == Seq(("big data", 2L)))
   }
+
+  test("heapsCurve: repeats advance tokens only, new types credit the first doc, empty docs drop") {
+    import graft.operators.Corpus
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "   "), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val got = Corpus.heapsCurve(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        col("cum_types"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 3L, 3L, 2L),   // a b a: 3 tokens, types {a, b}
+      (2L, 2L, 5L, 3L),   // b c: only c is new
+      (4L, 2L, 7L, 4L)))  // c d: d new; doc 3 (whitespace) omitted
+  }
 }

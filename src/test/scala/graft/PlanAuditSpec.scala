@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_epoch_order" -> ("(b) bucketedGroupRank single-row bounds attach " +
       "(constant group folds the equi key, as q_centroid_calibration)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
-    "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
+    "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)",
+    "q_heaps_law" -> ("(b) distributedCumSum single-row axis-bounds " +
+      "attach + 64-row bucket-prefix attach"))
 
   // Partition-less WindowExec nodes serialize their input into ONE
   // task, so each one must be provably bounded. Every allowance names
@@ -83,7 +85,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_epoch_order" -> ("bucketedGroupRank <= 64-row bucket-prefix window " +
       "(constant group folds the partition key away)"),
     "q_survival_hazard" -> ("reverse-cumulative at-risk over one row per " +
-      "DISTINCT lifetime — bounded by the corpus day span, not by keys"))
+      "DISTINCT lifetime — bounded by the corpus day span, not by keys"),
+    "q_heaps_law" -> ("distributedCumSum bucket-prefix window: <= " +
+      "`buckets` (64) rows regardless of corpus size"))
 
   /** A WindowExec line with an EMPTY partition spec. Spark's argString
     * skips empty sequences, so a global window prints NO trailing
