@@ -1712,6 +1712,13 @@ private[graft] object Oracles {
     "q_orc_roundtrip" -> "SELECT doc_id, source, text FROM documents",
     "q_partitioned_write" -> "SELECT doc_id, source, text FROM documents",
     "q_compact_roundtrip" -> "SELECT doc_id, source, text FROM documents",
+    // bucketed-table round-trip must preserve join semantics exactly:
+    // the oracle replays the plain join over the source parquet
+    "q_bucketed_join" -> (
+      "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, " +
+      "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+      "  AS cents " +
+      "FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1"),
 
     // Y4M replay: plane p of frame f holds bytes (doc_id*13 + f*7 +
     // p*3 + i) mod 256 for i in [0, planeSize) — a plane-order,

@@ -323,6 +323,26 @@ object SparkEntry {
     * merged to 4 — the oracle replays content from `documents` alone,
     * so compaction must be byte-faithful; LayoutSpec pins the file
     * counts. */
+  /** Bucketed orders/lineitem pair for q_bucketed_join, built once per
+    * (session, sf dir) via ModelMemo — the bucketed WRITE is the
+    * amortized one-time shuffle; every subsequent join is co-located.
+    * Table names carry an sf-dir digest so two sf dirs in one session
+    * can't clobber each other's catalog entries. */
+  private def bucketedJoinTables(s: SparkSession, dir: String): (String, String) =
+    ModelMemo.getOrTrain(s, s"bucketed_join:$dir") {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val bo = s"b_orders_$sfx"
+      val bl = s"b_lineitem_$sfx"
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "orders"), bo, "o_orderkey", 8,
+        sortCols = Seq("o_orderkey"))
+      graft.operators.Bucketing.writeBucketed(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        bl, "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+      (bo, bl)
+    }
+
   private def compactFixture(s: SparkSession, dir: String): String =
     FixtureDirs.getOrBuild(s, dir, "compact_fixture") { baseDir =>
       val frag = s"$baseDir/fragmented"
@@ -1781,6 +1801,16 @@ object SparkEntry {
     "q_orc_roundtrip" -> ((s, dir) =>
       s.read.orc(orcExportFixture(s, dir))
         .select(col("doc_id"), col("source"), col("text"))),
+    // co-located join over same-bucketed tables: the write pays the
+    // shuffle once; the repeated daily join then plans exchange-free
+    // (pinned with broadcast disabled in BucketingStreamSpec)
+    "q_bucketed_join" -> ((s, dir) => {
+      val (bo, bl) = bucketedJoinTables(s, dir)
+      graft.operators.Bucketing.coLocatedJoin(s, bo, bl, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    }),
     // small-file compaction round-trip: 64 fragments merged to 4 with
     // no shuffle; content must replay from the source table exactly
     "q_compact_roundtrip" -> ((s, dir) =>
