@@ -1989,6 +1989,7 @@ private[graft] object Oracles {
       "SELECT CAST(count(*) AS BIGINT) AS n_triangles " +
       "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
       "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"),
+    "q_kcore" -> kCoreOracle,
     "q_degree_dist" -> (
       s"WITH $coPartEdgesSql, " +
       "d AS (SELECT v, count(*) AS dd FROM " +
@@ -3050,6 +3051,23 @@ private[graft] object Oracles {
     "  WHERE l_orderkey % 5 = 0), " +
     "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
     "  JOIN li b ON a.ok = b.ok AND a.p < b.p)"
+
+  /** SQL replica of Graph.kCore's 4 fixed peel rounds at k = 16: each
+    * round keeps vertices with ≥ k surviving-degree and restricts the
+    * edge set to kept endpoints (generated like bfsOracle). */
+  private lazy val kCoreOracle: String = {
+    val k = 16
+    val head = s"WITH $coPartEdgesSql, " +
+      "r0 AS (SELECT a, b FROM e UNION SELECT b, a FROM e)"
+    val steps = (1 to 4).map { i =>
+      s", k$i AS (SELECT a FROM r${i - 1} GROUP BY a " +
+      s"HAVING count(*) >= $k), " +
+      s"r$i AS (SELECT r.a, r.b FROM r${i - 1} r " +
+      s"JOIN k$i x ON r.a = x.a JOIN k$i y ON r.b = y.a)"
+    }.mkString
+    head + steps +
+    " SELECT a AS v, CAST(count(*) AS BIGINT) AS degree FROM r4 GROUP BY 1"
+  }
 
   /** q_ewma's oracle: the same fixed left-to-right chain of
     * power-of-two-weighted lags (exact exponent shifts, no rounding). */

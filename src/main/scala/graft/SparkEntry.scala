@@ -2207,6 +2207,10 @@ object SparkEntry {
     // before any heavier graph job
     "q_degree_dist" -> ((s, dir) =>
       graft.operators.Graph.degreeDistribution(coPartEdges(s, dir))),
+    // dense-community extraction: 4 peel rounds toward the 16-core of
+    // the co-purchase graph (fixed-round contract, like q_graph_bfs)
+    "q_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCore(coPartEdges(s, dir), k = 16, rounds = 4)),
     // functional-dependency audit (RI's sibling): does l_partkey
     // determine l_suppkey? The report lists determinant values mapped
     // to more than one dependent — real TPC-H violates this FD (a part

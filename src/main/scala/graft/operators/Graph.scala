@@ -224,6 +224,37 @@ object Graph {
     out
   }
 
+  /** Fixed-round k-core peeling: repeatedly drop vertices whose degree
+    * in the SURVIVING subgraph is below k, `rounds` times, and report
+    * the survivors with their end-state degrees — the standard
+    * dense-community / spam-ring extractor. Fixed-round contract like
+    * [[bfsDepth]]: the result is the round-`rounds` peel state, which
+    * equals the true k-core once a round removes nothing.
+    *
+    * Each round is one map-side-combined degree count plus two
+    * left-semi equi-joins against the ≤|V|-row keep set (AQE chooses
+    * the join strategy — never a forced broadcast), with per-round
+    * lineage cuts so the plan doesn't grow with the round count. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    var ud = LineageCut.cut(
+      edges.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+        .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = ud.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("a").as("__v"))
+      val next = LineageCut.cut(
+        ud.join(keep, ud("a") === keep("__v"), "left_semi")
+          .join(keep, ud("b") === keep("__v"), "left_semi"))
+      LineageCut.release(ud)
+      ud = next
+    }
+    val out = ud.groupBy(col("a").as("v")).agg(count(lit(1)).as("degree"))
+    out
+  }
+
   /** Link prediction by neighbor-set Jaccard: node pairs sharing at
     * least one neighbor, scored |N(a)∩N(b)|·1e6 div |N(a)∪N(b)| and
     * thresholded. The common-neighbor self-join is quadratic only

@@ -158,4 +158,23 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 4L -> 1L,
       3L -> 2L, 5L -> 2L))
   }
+
+  test("kCore: cascading peel needs its round, fixed-round state before convergence") {
+    import graft.operators.Graph
+    // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is the
+    // triangle, but vertex 4 only drops AFTER 5 does (cascade)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val r1 = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 peels only 5 (degree 1); 4 survives with degree 1 left
+    assert(r1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    val r2 = Graph.kCore(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // converged: round 3 equals round 2
+    val r3 = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == r2)
+  }
 }
