@@ -128,14 +128,16 @@ private[graft] object Oracles {
     * where hamming(true pair) <= maxHamming held corpus-wide, which
     * the sf0.001/sf0.1 soak disproved (true-pair hamming reaches 13).
     */
-  private val simhashPrunedJaccardSql: String = {
-    // FNV-1a over the token's chars (ASCII corpus: bytes == codepoints);
-    // staged through CTE COLUMNS (fh -> h) so the SplitMix64 chain
-    // expands over a 2-char column name, not the whole fold expression
+  /** Per-doc 64-bit SimHash bit table (tok/wh0/wh/pw/bits CTEs) —
+    * FNV-1a over the token's chars (ASCII corpus: bytes == codepoints),
+    * staged through CTE COLUMNS (fh -> h) so the SplitMix64 chain
+    * expands over a 2-char column name, not the whole fold expression.
+    * Shared by the simhash dedup row and the simhash recall eval. */
+  private lazy val simhashBitsCtesSql: String = {
     val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
       "list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
       "(h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616::HUGEINT)"
-    "WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(" +
+    "tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(" +
     "  lower(text), '\\s+'), t -> t != '')) AS w FROM documents), " +
     s"wh0 AS (SELECT doc_id, xor(($fnv), ${FakeGen.DefaultSeed}) AS fh FROM tok), " +
     s"wh AS (SELECT doc_id, (${splitMix64Sql("fh")}) AS h FROM wh0), " +
@@ -144,7 +146,39 @@ private[graft] object Oracles {
     "  FROM (SELECT unnest(range(64)) AS b)), " +
     "bits AS (SELECT doc_id, b, CASE WHEN sum(CASE WHEN (h // p) % 2 = 1 " +
     "  THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit " +
-    "  FROM wh, pw GROUP BY doc_id, b), " +
+    "  FROM wh, pw GROUP BY doc_id, b)"
+  }
+
+  /** SimHash flag-rate eval: the shared-shingle pair frame bucketed by
+    * exact-jaccard decile with the hd ≤ 6 share, replaying the same
+    * bit table as the dedup row. */
+  private lazy val simhashFlagRateSql: String =
+    s"WITH $simhashBitsCtesSql, " +
+    "jtok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+    "lower(text), '\\s+'), t -> t != '') AS ts FROM documents), " +
+    "shx AS (SELECT DISTINCT doc_id, CASE WHEN len(ts) >= 3 THEN " +
+    "    array_to_string(ts[i:i+2], ' ') ELSE array_to_string(ts, ' ') END AS sh " +
+    "  FROM jtok, LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 2))) AS i) " +
+    "  WHERE len(ts) > 0), " +
+    "szx AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY doc_id), " +
+    "jpx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common " +
+    "  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+    "  GROUP BY 1, 2), " +
+    "jq AS (SELECT id_a, id_b, " +
+    "  common * 1000000 // (x.sz + y.sz - common) AS jacc_ppm " +
+    "  FROM jpx JOIN szx x ON x.doc_id = id_a JOIN szx y ON y.doc_id = id_b), " +
+    "ham AS (SELECT jq.id_a, jq.id_b, jq.jacc_ppm, " +
+    "  sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS hd " +
+    "  FROM jq JOIN bits ba ON ba.doc_id = jq.id_a " +
+    "  JOIN bits bb ON bb.doc_id = jq.id_b AND bb.b = ba.b GROUP BY 1, 2, 3) " +
+    "SELECT jacc_ppm // 100000 AS jacc_decile, " +
+    "CAST(count(*) AS BIGINT) AS n_pairs, " +
+    "CAST(count(CASE WHEN hd <= 6 THEN 1 END) AS BIGINT) AS n_flagged, " +
+    "count(CASE WHEN hd <= 6 THEN 1 END) * 1000000 // count(*) AS flag_ppm " +
+    "FROM ham GROUP BY 1"
+
+  private lazy val simhashPrunedJaccardSql: String =
+    s"WITH $simhashBitsCtesSql, " +
     s"$jaccardCtesSql, " +
     "ham AS (SELECT jj.id_a, jj.id_b, " +
     "  sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END) AS hd " +
@@ -152,7 +186,6 @@ private[graft] object Oracles {
     "  JOIN bits bb ON bb.doc_id = jj.id_b AND bb.b = ba.b GROUP BY 1, 2) " +
     "SELECT jj.id_a, jj.id_b, jj.jaccard FROM jj " +
     "JOIN ham ON ham.id_a = jj.id_a AND ham.id_b = jj.id_b WHERE ham.hd <= 6"
-  }
 
   /** Brute-force exact top-1 cosine over the planted [[annQueries]] —
     * the oracle for both ANN tiers in the near-copy retrieval regime. */
@@ -1185,6 +1218,52 @@ private[graft] object Oracles {
     // true-jaccard pairs reach hamming 13 on this data (HammingAudit)
     // — the oracle replicates the pruner's exact semantics instead
     "q_dedup_simhash" -> simhashPrunedJaccardSql,
+    "q_dedup_eval" -> simhashFlagRateSql,
+    // KMV estimate (the kmv oracle's 52-bit md5 contract) next to the
+    // exact distinct count, relative error in ppm
+    "q_kmv_eval" -> (
+      "WITH h AS (SELECT DISTINCT event_type, " +
+      "  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) " +
+      "    AS BIGINT) AS h FROM events), " +
+      "r AS (SELECT event_type, h, row_number() OVER " +
+      "  (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+      "k AS (SELECT event_type, max(h) AS kth, count(*) AS n " +
+      "  FROM r WHERE rn <= 32 GROUP BY event_type), " +
+      "est AS (SELECT event_type, CASE WHEN n < 32 THEN n " +
+      "  ELSE CAST(floor(CAST(31 AS DOUBLE) * " +
+      "    CAST(4503599627370496 AS DOUBLE) / kth) AS BIGINT) END AS n_est " +
+      "  FROM k), " +
+      "ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) " +
+      "  AS n_exact FROM events GROUP BY 1) " +
+      "SELECT est.event_type, est.n_est, ex.n_exact, " +
+      "CASE WHEN n_exact > 0 THEN abs(n_est - n_exact) * 1000000 // n_exact " +
+      "  END AS err_ppm " +
+      "FROM est JOIN ex USING (event_type)"),
+    // quantile-sketch rank error: the sketch estimate's actual rank in
+    // the corpus vs the integer target rank (ceil(n/2), ceil(9n/10))
+    "q_sketch_eval" -> (
+      "WITH h AS (SELECT event_type, value, " +
+      "  CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) " +
+      "    AS BIGINT) AS h FROM events), " +
+      "r AS (SELECT event_type, value, row_number() OVER " +
+      "  (PARTITION BY event_type ORDER BY h, value) AS rn FROM h), " +
+      "est AS (SELECT event_type, " +
+      "  round(quantile_cont(value, 0.5), 6) AS e50, " +
+      "  round(quantile_cont(value, 0.9), 6) AS e90 " +
+      "  FROM r WHERE rn <= 64 GROUP BY event_type) " +
+      "SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST((count(*) + 1) // 2 AS BIGINT) AS rank_exact_p50, " +
+      "CAST(count(CASE WHEN ev.value <= e.e50 THEN 1 END) AS BIGINT) " +
+      "  AS rank_est_p50, " +
+      "abs(count(CASE WHEN ev.value <= e.e50 THEN 1 END) " +
+      "  - (count(*) + 1) // 2) * 1000000 // count(*) AS err_p50_ppm, " +
+      "CAST((count(*) * 9 + 9) // 10 AS BIGINT) AS rank_exact_p90, " +
+      "CAST(count(CASE WHEN ev.value <= e.e90 THEN 1 END) AS BIGINT) " +
+      "  AS rank_est_p90, " +
+      "abs(count(CASE WHEN ev.value <= e.e90 THEN 1 END) " +
+      "  - (count(*) * 9 + 9) // 10) * 1000000 // count(*) AS err_p90_ppm " +
+      "FROM events ev JOIN est e USING (event_type) " +
+      "GROUP BY ev.event_type, e.e50, e.e90"),
     // cross-tier oracle: Spark dedups via minhash-LSH components; the
     // oracle dedups via EXACT jaccard pairs + recursive-CTE components.
     // They agree because the LSH tier recovers exactly the exact tier's

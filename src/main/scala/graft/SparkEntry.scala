@@ -871,6 +871,20 @@ object SparkEntry {
     // count-min sketch over the document token stream (d=4, w=1024):
     // probe the 30 hottest exact tokens — CMS never underestimates,
     // and with this vocab-vs-width ratio the table replays exactly
+    // sketch-accuracy audits: estimate vs exact, in-engine (the eval
+    // tier's approximation half — run these before trusting sketch
+    // roll-ups as the serving path)
+    "q_kmv_eval" -> ((s, dir) =>
+      graft.operators.Eval.kmvCardinalityError(t(s, dir, "events"),
+        Seq("event_type"), "user_id", k = 32)),
+    "q_sketch_eval" -> ((s, dir) =>
+      graft.operators.Eval.quantileSketchRankError(t(s, dir, "events"),
+        "event_type", "value", "event_id", k = 64)),
+    // SimHash gate characterization: flag rate by exact-jaccard decile
+    // (recall on the dup band, false-flag rate on the low-sim mass)
+    "q_dedup_eval" -> ((s, dir) =>
+      Dedup.simhashFlagRateEval(docsSplit(s, dir), "doc_id", "text",
+        n = 3, maxHamming = 6)),
     "q_sketch_cms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = docs.select(

@@ -547,6 +547,43 @@ object Dedup {
     verifyPairsJaccard(df, idCol, textCol,
       simhashPairs(df, idCol, textCol, maxHamming, seed), n, threshold)
 
+  /** Detector-characterization eval for the SimHash gate: every
+    * shared-shingle pair bucketed by exact-jaccard decile, with the
+    * share the hd ≤ `maxHamming` hamming gate would flag — on the
+    * near-dup bands that share is the gate's RECALL, on the low-sim
+    * bands its false-flag rate. The quality report run before trusting
+    * a banding config at corpus scale. Exact integer ppm throughout.
+    *
+    * Scale shape: the pair frame is the shared-shingle join the exact
+    * dedup tier already pays (linear in posting lists, never
+    * corpus-quadratic); signatures attach as two plain equi-joins. */
+  def simhashFlagRateEval(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, maxHamming: Int = 6,
+                          seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    val shingles = shingleSets(df, idCol, textCol, n)
+    val sizes = shingleSizes(df, idCol, textCol, n)
+    val a = shingles.select(col("id").as("id_a"), col("sh"))
+    val b = shingles.select(col("id").as("id_b"), col("sh"))
+    val pairs = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("__jacc_ppm",
+        expr("common * 1000000L div (sz_a + sz_b - common)"))
+    val sigs = df.select(col(idCol).as("__sid"),
+      text.simhash(col(textCol), seed).as("__sig"))
+    pairs
+      .join(sigs.select(col("__sid").as("id_a"), col("__sig").as("__sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("__sid").as("id_b"), col("__sig").as("__sb")),
+        Seq("id_b"))
+      .withColumn("__hd", expr("bit_count(__sa ^ __sb)"))
+      .groupBy(expr("__jacc_ppm div 100000").as("jacc_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("__hd") <= maxHamming, 1)).as("n_flagged"))
+      .withColumn("flag_ppm", expr("n_flagged * 1000000L div n_pairs"))
+  }
+
   /** Training-set DECONTAMINATION: drop every corpus document that is a
     * near-duplicate (n-gram jaccard >= `threshold`) of some document in
     * `reference` (an eval/benchmark set). Asymmetric by design: the

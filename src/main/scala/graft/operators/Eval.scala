@@ -86,4 +86,55 @@ object Eval {
         col("n_rel"),
         expr(s"n_rel * 1000000 div $k").as("precision_ppm"))
   }
+
+  /** KMV cardinality-sketch error report: per group, the k-minimum-
+    * values estimate next to the exact distinct count and the relative
+    * error in ppm — the accuracy audit run before trusting sketch
+    * roll-ups as the serving path. The exact side is one
+    * map-side-combined distinct count; the sketch side is [[Sketch.kmv]]
+    * (bounded-heap top-k, never a global sort). */
+  def kmvCardinalityError(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, k: Int): DataFrame = {
+    val est = Sketch.kmv(df, groupCols, valueCol, k)
+      .select(groupCols.map(col) :+
+        Sketch.kmvEstimate(col("sketch"), k).as("n_est"): _*)
+    val exact = df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    est.join(exact, groupCols)
+      .withColumn("err_ppm", expr(
+        "CASE WHEN n_exact > 0 " +
+        "THEN abs(n_est - n_exact) * 1000000L div n_exact END"))
+  }
+
+  /** Quantile-sketch RANK-error report: for p50/p90, how many corpus
+    * rows actually fall at or below the sketch's estimate vs the true
+    * target rank, and the gap as a share of n — rank error is the
+    * quantity sketch guarantees (KLL/GK-style bounds are rank bounds),
+    * and unlike value error it stays exact-integer. Target ranks use
+    * integer formulas (ceil(n/2), ceil(9n/10)) so no float multiply
+    * sits near a boundary. The estimate row per group is tiny and
+    * equi-joins back onto the corpus (AQE broadcasts it). */
+  def quantileSketchRankError(df: DataFrame, groupCol: String,
+                              valueCol: String, idCol: String,
+                              k: Int): DataFrame = {
+    val est = Sketch.quantileSketch(df, Seq(groupCol), valueCol, idCol, k)
+      .select(col(groupCol),
+        round(Sketch.quantileEstimate(col("qsketch"), 0.5), 6).as("__e50"),
+        round(Sketch.quantileEstimate(col("qsketch"), 0.9), 6).as("__e90"))
+    df.select(col(groupCol), col(valueCol))
+      .join(est, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(col(valueCol) <= col("__e50"), 1)).as("rank_est_p50"),
+        count(when(col(valueCol) <= col("__e90"), 1)).as("rank_est_p90"))
+      .select(col(groupCol), col("n"),
+        expr("(n + 1) div 2").as("rank_exact_p50"),
+        col("rank_est_p50"),
+        expr("abs(rank_est_p50 - (n + 1) div 2) * 1000000L div n")
+          .as("err_p50_ppm"),
+        expr("(n * 9 + 9) div 10").as("rank_exact_p90"),
+        col("rank_est_p90"),
+        expr("abs(rank_est_p90 - (n * 9 + 9) div 10) * 1000000L div n")
+          .as("err_p90_ppm"))
+  }
 }

@@ -149,4 +149,32 @@ class EvalSpec extends SparkTestBase {
       .select($"recall_ppm").as[Long].collect()
     assert(r.nonEmpty && r.forall(_ == 1000000L))
   }
+
+  test("kmvCardinalityError: below-capacity groups are exact (err 0)") {
+    import graft.operators.Eval
+    // 3 distinct values < k=32: the sketch IS the value set
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("b", 9L))
+      .toDF("g", "v")
+    val r = Eval.kmvCardinalityError(d, Seq("g"), "v", k = 32)
+      .select($"g", $"n_est", $"n_exact", $"err_ppm")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(r == Set(("a", 3L, 3L, 0L), ("b", 1L, 1L, 0L)))
+  }
+
+  test("quantileSketchRankError: full-capacity sketch has zero rank error; targets use integer formulas") {
+    import graft.operators.Eval
+    // k >= n: the sketch holds every row, so estimates are the true
+    // interpolated quantiles and the observed ranks land within the
+    // interpolation bracket of the targets
+    val d = (1 to 20).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val r = Eval.quantileSketchRankError(d, "g", "v", "id", k = 64)
+      .collect().head
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("rank_exact_p50") == 10L) // ceil(20/2) - wait, (20+1) div 2 = 10
+    assert(r.getAs[Long]("rank_exact_p90") == 18L) // (20*9+9) div 10
+    // quantile_cont p50 over 1..20 = 10.5 -> 10 values <= it; p90 =
+    // 18.1 -> 18 values <= it: zero rank error at full capacity
+    assert(r.getAs[Long]("err_p50_ppm") == 0L)
+    assert(r.getAs[Long]("err_p90_ppm") == 0L)
+  }
 }

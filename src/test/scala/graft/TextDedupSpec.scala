@@ -703,4 +703,28 @@ class TextDedupSpec extends SparkTestBase {
     val batchIds = batch.select($"doc_id").as[Long].collect().toSet
     assert(inMem.subsetOf(batchIds) && inMem.size < batchIds.size)
   }
+
+  test("simhashFlagRateEval: near-identical pair flags in the top decile, low-overlap pair doesn't") {
+    // docs 1/2 differ by one token (high jaccard, tiny hamming);
+    // docs 3/4 share one shingle out of many (low jaccard, far hashes)
+    // simhash needs enough tokens for the majority vote to stabilize:
+    // a one-token edit on a ~40-token doc flips only a few bits
+    val base = ((1 to 38).map(i => s"tok$i") :+ "tail").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, "shared tri gram one two three four five six seven"),
+      (4L, "shared tri gram aa bb cc dd ee ff gg hh ii jj kk ll"))
+      .toDF("doc_id", "text")
+    val r = Dedup.simhashFlagRateEval(docs, "doc_id", "text",
+        n = 3, maxHamming = 6)
+      .select($"jacc_decile", $"n_pairs", $"n_flagged", $"flag_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val byDecile = r.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val hi = byDecile.keys.max
+    assert(hi >= 7, s"planted near-dup should land in a high decile: $byDecile")
+    assert(byDecile(hi) == (1L, 1L, 1000000L))
+    val lo = byDecile.keys.min
+    assert(lo <= 2 && byDecile(lo)._3 == 0L,
+      s"low-sim pair must not flag: $byDecile")
+  }
 }
