@@ -2100,6 +2100,38 @@ object SparkEntry {
     "q_resample_locf" -> ((s, dir) =>
       graft.operators.Temporal.resampleLocf(events(s, dir), "user_id",
         "ts", "value", tieCol = "event_id", step = 86400000000L)),
+    // gap days linearly blended between neighbors in exact integer
+    // cents (LOCF's interpolating sibling)
+    "q_interp_resample" -> ((s, dir) =>
+      graft.operators.Temporal.resampleInterpolate(
+        events(s, dir).withColumn("cents",
+          round(col("value") * 100).cast("long")),
+        "user_id", "ts", "cents", tieCol = "event_id",
+        step = 86400000000L)),
+    // peak concurrent sessions per day: +1/-1 boundary sweep whose
+    // prefix sum rides the distributed cumsum path
+    "q_concurrency" -> ((s, dir) =>
+      graft.operators.Temporal.concurrencyCurve(
+        graft.operators.Temporal.sessionize(
+          events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+          keyCol = "user_id", tsCol = "ts", gap = 1800000000L,
+          tieCol = "event_id"),
+        startCol = "session_start", endCol = "session_end",
+        tieCols = Seq("user_id", "session_idx"),
+        bucketUs = 86400000000L)),
+    // detector-vs-label agreement: lang-id confusion matrix with
+    // per-label shares (the diagonal is the detector's recall)
+    "q_langid_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("lang").as("labeled"),
+          text.langId(col("text")).as("predicted"))
+        .groupBy(col("labeled"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("label_total",
+          sum(col("n")).over(Window.partitionBy(col("labeled"))))
+        .withColumn("share_ppm", expr("n * 1000000L div label_total"))
+    }),
     // truncated EWMA (α=1/2): power-of-two weights shift exponents
     // without rounding, so the smoothed doubles are engine-bit-exact
     "q_ewma" -> ((s, dir) =>

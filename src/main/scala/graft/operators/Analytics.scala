@@ -263,10 +263,12 @@ object Analytics {
     * partials prefix-summed over a ≤`buckets`-row frame, then local
     * running sums inside each bucket partition. The only partition-less
     * window rides the `buckets`-row partial frame regardless of input
-    * size. `orderCol` must be unique (a total order): equal keys in
-    * different range buckets would otherwise order arbitrarily. */
+    * size. (`orderCol`, `tieCols`) must totalize the order; equal
+    * `orderCol` values always land in the SAME range bucket, so the
+    * tie-break only ever resolves within one bucket's local window. */
   def distributedCumSum(df: DataFrame, orderCol: String,
-                        valCols: Seq[String], buckets: Int = 64): DataFrame = {
+                        valCols: Seq[String], buckets: Int = 64,
+                        tieCols: Seq[String] = Nil): DataFrame = {
     require(valCols.nonEmpty && buckets >= 1)
     val bounds = df.agg(min(col(orderCol).cast("double")).as("__lo"),
       max(col(orderCol).cast("double")).as("__hi"))
@@ -286,7 +288,9 @@ object Analytics {
       d.withColumn(s"__p_$c",
         coalesce(sum(col(s"__s_$c")).over(wPrefix), lit(0L)))
     }.select(col("__b") +: valCols.map(c => col(s"__p_$c")): _*)
-    val wLocal = Window.partitionBy(col("__b")).orderBy(col(orderCol).asc)
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy((col(orderCol).asc +: tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     valCols.foldLeft(bucketed.join(broadcast(prefixed), Seq("__b"))) {
       (d, c) =>
         d.withColumn(s"cum_$c",

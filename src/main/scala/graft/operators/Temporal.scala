@@ -308,6 +308,79 @@ object Temporal {
         last(col("__v"), ignoreNulls = true).over(wCarry).as("value"))
   }
 
+  /** [[resampleLocf]]'s interpolating sibling: gap days get the LINEAR
+    * blend of the surrounding observations instead of a carried-forward
+    * value — `(pv·(nd−g) + nv·(g−pd)) div (nd−pd)` in exact integer
+    * arithmetic over an integer `valueCol` (cents/micros — the caller
+    * scales), so the blend is engine-exact with truncating division.
+    * Observed days keep their own (last-per-bucket) reading verbatim.
+    * The grid spans each key's [min, max] bucket, so both neighbors
+    * always exist. Same scale shape as LOCF: one key shuffle, windows
+    * and the final projection all ride the (key) partition. */
+  def resampleInterpolate(events: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String, tieCol: String,
+                          step: Long): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val b = events
+      .withColumn("__bkt", expr(s"`$tsCol` div ${step}L"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("__bkt"))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__bkt"), col(valueCol).as("__v"))
+    val grid = b.groupBy(col(keyCol))
+      .agg(min(col("__bkt")).as("__lo"), max(col("__bkt")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__bkt"))
+    val wBack = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col(keyCol)).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(b, Seq(keyCol, "__bkt"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wBack))
+      .withColumn("__pd", last(when(col("__v").isNotNull, col("__bkt")),
+        ignoreNulls = true).over(wBack))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wFwd))
+      .withColumn("__nd", first(when(col("__v").isNotNull, col("__bkt")),
+        ignoreNulls = true).over(wFwd))
+      .select(col(keyCol), (col("__bkt") * step).as("bucket_start"),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(expr(
+            "(__pv * (__nd - __bkt) + __nv * (__bkt - __pd)) div (__nd - __pd)"))
+          .as("interp_cents"))
+  }
+
+  /** Concurrency curve over an interval table: per time bucket, the
+    * maximum number of simultaneously-open intervals and the boundary
+    * count — the occupancy/peak-load report (concurrent sessions,
+    * simultaneous jobs) done as the classic +1/−1 boundary sweep. At
+    * equal timestamps starts order before ends, so a session starting
+    * exactly when another ends counts as overlap (inclusive ends,
+    * matching [[rangeJoin]]'s convention).
+    *
+    * The running occupancy is a PREFIX SUM over all boundaries, which
+    * would classically be one global sorted pass; here it rides
+    * [[Analytics.distributedCumSum]], so the only partition-less
+    * window is the 64-row bucket-prefix frame at any scale. */
+  def concurrencyCurve(sessions: DataFrame, startCol: String,
+                       endCol: String, tieCols: Seq[String],
+                       bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    require(tieCols.nonEmpty,
+      "tieCols must uniquely identify an interval (total sweep order)")
+    val starts = sessions.select(
+      col(startCol).as("__ts") +: lit(0).as("__kind") +:
+        lit(1L).as("__d") +: tieCols.map(col): _*)
+    val ends = sessions.select(
+      col(endCol).as("__ts") +: lit(1).as("__kind") +:
+        lit(-1L).as("__d") +: tieCols.map(col): _*)
+    Analytics.distributedCumSum(starts.unionByName(ends), "__ts",
+        Seq("__d"), tieCols = "__kind" +: tieCols)
+      .groupBy(expr(s"__ts div ${bucketUs}L").as("day"))
+      .agg(max(col("cum___d")).as("max_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences
     * — the behavioral-model primitive behind next-event prediction and
     * anomalous-flow detection (e.g. Ye 2000, "A Markov chain model of
