@@ -1,5 +1,12 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+
 /** Physical-plan regression guards: the properties that make these
   * operators scale are asserted, not assumed (prompt: ".explain the
   * plan and iterate until it's the plan you'd want").
@@ -11,17 +18,93 @@ class PlanAuditSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  // ---- operator-level allowances (structural, not per-query) --------
+  // The recurring bounded shapes get recognized by PLAN STRUCTURE so a
+  // new caller of distributedCumSum / nucleusTopP / ntileDistributed /
+  // bucketedGroupRank passes the sweep with zero allowlist edits, while
+  // a genuinely unbounded nested loop or global window still fails
+  // (negative-control test at the bottom of this suite).
+
+  /** The plan's unary spine ends at a driver-bounded leaf: an aggregate
+    * whose grouping keys are all foldable (zero keys, or a folded
+    * constant group — either way ONE output row), or a literal local
+    * relation (rows embedded in the plan at construction — bounded by
+    * the code, not the corpus). */
+  private def boundedSpine(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec => a.groupingExpressions.forall(_.foldable)
+    case _: LocalTableScanExec => true
+    case u if u.children.length == 1 => boundedSpine(u.children.head)
+    case _ => false
+  }
+
+  /** corpus x 1 (or x literal-rows) is a scalar attach, not all-pairs:
+    * the crossJoin(broadcast(singleRowAgg)) bounds pattern every
+    * two-phase operator uses. Benign without a per-query allowance. */
+  private def benignScalarAttach(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    }
+    boundedSpine(build)
+  }
+
+  /** A partition-less WindowExec is benign iff it is the bounded
+    * bucket-prefix frame of the two-phase operators: ordered solely by
+    * the internal capped bucket index `__b` (reserved name — always
+    * built with `least(lit(buckets - 1), ...)`, buckets <= 64) AND fed
+    * by an aggregate grouped by that same `__b`, so the window input
+    * has at most `buckets` rows at ANY corpus size. Ordering by a
+    * column merely NAMED __b does not pass: without the __b-keyed
+    * aggregate beneath, the window is flagged. */
+  private def benignBucketPrefixWindow(w: WindowExec): Boolean = {
+    val orderedByBucket = w.orderSpec.nonEmpty && w.orderSpec.forall(_.child match {
+      case a: Attribute => a.name == "__b"
+      case _ => false
+    })
+    def bucketAgg(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+          case at: Attribute => at.name == "__b"
+          case e => e.foldable
+        }
+      case u if u.children.length == 1 => bucketAgg(u.children.head)
+      case _ => false
+    }
+    orderedByBucket && bucketAgg(w.child)
+  }
+
+  /** collect over the physical tree INCLUDING physical subquery plans;
+    * pre-preparation subquery expressions can still wrap LOGICAL plans
+    * (which collectWithSubqueries would feed this partial function,
+    * CCE), so the subquery hop type-guards on SparkPlan. */
+  private def collectPhysical[B](p: SparkPlan)(f: PartialFunction[SparkPlan, B]): Seq[B] = {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    val subPlans = p.collect { case n =>
+      n.expressions.flatMap(_.collect { case pe: PlanExpression[_] => pe.plan })
+    }.flatten.collect { case sp: SparkPlan => sp }
+    p.collect(f) ++ subPlans.flatMap(sp => collectPhysical(sp)(f))
+  }
+
+  private def nonBenignBnljs(tree: SparkPlan): Seq[BroadcastNestedLoopJoinExec] =
+    collectPhysical(tree) {
+      case j: BroadcastNestedLoopJoinExec if !benignScalarAttach(j) => j
+    }
+
+  private def nonBenignGlobalWindows(tree: SparkPlan): Seq[WindowExec] =
+    collectPhysical(tree) {
+      case w: WindowExec if w.partitionSpec.isEmpty && !benignBucketPrefixWindow(w) => w
+    }
+
   // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
-  // plan, and every allowance carries its justification — an entry
-  // whose query no longer plans a BNLJ FAILS the sweep (stale
-  // allowances are how a genuine all-pairs regression hides). Three
-  // legitimate shapes:
+  // plan. The single-row / literal-rows scalar-attach shape (the old
+  // pattern (b)) is now recognized STRUCTURALLY by benignScalarAttach —
+  // those queries need no entry, and a stale entry FAILS the sweep
+  // (stale allowances are how a genuine all-pairs regression hides).
+  // What still needs a justified per-query entry:
   //  (a) deliberate linear scans: the ANN brute-force baseline and the
   //      PQ ADC scan (m-byte codes, not raw vectors) — corpus x small
-  //      query set by design;
-  //  (b) the SINGLE-ROW global-stats broadcast (a scalar attach —
-  //      corpus x 1 row, never all-pairs; the operator keeps its stats
-  //      distributed instead of collecting them to the driver);
+  //      query set by design (the query side is a corpus-derived slice,
+  //      not a literal relation, so structure alone can't bound it);
   //  (c) DOMAIN-bounded broadcasts: a handful of category rows, fixed
   //      by the schema, not the corpus.
   private val bnljAllowed: Map[String, String] = Map(
@@ -30,42 +113,31 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ann_pq" -> "(a) PQ ADC linear scan over m-byte codes",
     "q_image_search" -> "(a) dHash hamming scan: corpus x single query row",
     "q_hard_negatives" -> "(a) corpus x sampled query slice with label-mismatch predicate",
-    "q_bm25_score" -> "(b) single-row corpus stats (N, avgdl) attach",
-    "q_histogram" -> "(b) single-row min/max bounds attach",
-    "q_skyline" -> "(b) single-row bucket-bounds attach",
-    "q_pmi_collocations" -> "(b) single-row token total attach",
-    "q_mix_top_p" -> "(b) nucleusTopP: single-row score bounds + token total",
-    "q_power_users" -> "(b) composes nucleusTopP: inherits its two single-row attaches",
-    "q_benford" -> "(b) single-row total count for ppm shares",
-    "q_join_size_est" -> "(b) single-row exact x single-row estimate attach",
-    "q_gini_gain" -> "(b) single-row n/impurity/weighted-impurity attaches",
-    "q_vocab_coverage" -> ("(b) top-cutoff frame (<= 20 rows) x cutoff list " +
-      "x single-row totals attach"),
-    "q_balance_labels" -> "(b) single-row min-class-count attach",
-    "q_class_terms" -> "(b) single-row corpus token total (c-TF-IDF)",
-    "q_cusum" -> "(b) single-row series mean attach",
-    "q_rfm" -> "(b) single-row corpus max-date anchor",
-    "q_recommend" -> "(b) single-row basket total for lift marginals",
-    "q_churn" -> "(b) single-row observation-horizon (max day) attach",
-    "q_dist_drift" -> "(b) single-row per-half totals for TV distance",
-    "q_ntile" -> "(b) ntileDistributed: single-row min/max/count bounds attach",
-    "q_equidepth_bins" -> "(b) ntileDistributed: same single-row bounds attach as q_ntile",
-    "q_centroid_calibration" -> ("(b) bucketedGroupRank single-row bounds " +
-      "attach (constant group folds the equi key away)"),
+    "q_vocab_coverage" -> ("top-cutoff frame (<= 20 rows) x cutoff list " +
+      "x totals attach (the <=20-row side is an agg-derived LIMIT, not " +
+      "a single row, so the structural rule can't prove it)"),
+    "q_centroid_calibration" -> ("bucketedGroupRank bounds attach whose " +
+      "build side nests the k-row centroid subquery (bounded by k, " +
+      "carried through a join the structural spine-walk stops at)"),
     "q_recall_at_k" -> "(a) brute + quantized-dot eval rankings: corpus x 5 planted queries",
     "q_rrf_fusion" -> "(a) brute + quantized-dot rankings being fused: corpus x 5 planted queries",
-    "q_epoch_order" -> ("(b) bucketedGroupRank single-row bounds attach " +
-      "(constant group folds the equi key, as q_centroid_calibration)"),
+    "q_epoch_order" -> ("bucketedGroupRank bounds attach with a joined " +
+      "build side (bounded, as q_centroid_calibration)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
-    "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)",
-    "q_heaps_law" -> ("(b) distributedCumSum single-row axis-bounds " +
-      "attach + 64-row bucket-prefix attach"))
+    "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
 
   // Partition-less WindowExec nodes serialize their input into ONE
   // task, so each one must be provably bounded. Every allowance names
   // its bound; a query that plans a NEW global window without an entry
   // fails the sweep, and an entry whose query stops planning one fails
   // too (same staleness rule as bnljAllowed).
+  // The `__b` bucket-prefix frame (<= buckets rows by construction) is
+  // now recognized STRUCTURALLY by benignBucketPrefixWindow — the
+  // distributedCumSum / nucleusTopP / ntileDistributed callers need no
+  // entry here, and a stale entry fails the sweep. What remains are the
+  // DOMAIN-bounded frames: one row per day / nation / event type —
+  // bounded by the schema or the time span, not by a capped index the
+  // structural rule can prove.
   private val globalWindowAllowed: Map[String, String] = Map(
     "q_ab_lift" -> "control-rate attach over the 2-row variant frame",
     "q_freshness" -> "max-ts attach over one row per event TYPE",
@@ -73,41 +145,23 @@ class PlanAuditSpec extends SparkTestBase {
     "q_cusum" -> "running sum over one row per day of the series",
     "q_user_growth" -> "cumulative users over one row per day",
     "q_period_over_period" -> "lag over one row per day",
-    "q_mix_top_p" -> "nucleusTopP bucket-prefix window: <= `buckets` (64) rows",
-    "q_power_users" -> "composes nucleusTopP: same <= 64-row bucket window",
     "q_skyline" -> "bucket-frontier running max: one row per bucket",
-    "q_ntile" -> ("ntileDistributed bucket-prefix window: <= `buckets` " +
-      "(64) rows — the full-sort ntile window is GONE since round 12"),
-    "q_equidepth_bins" -> ("ntileDistributed: same <= 64-row bucket-prefix " +
-      "window as q_ntile"),
     "q_centroid_calibration" -> ("bucketedGroupRank <= 64-row bucket-prefix " +
-      "window (constant group folds the partition key away)"),
+      "window whose input carries a join the structural rule stops at"),
     "q_epoch_order" -> ("bucketedGroupRank <= 64-row bucket-prefix window " +
-      "(constant group folds the partition key away)"),
+      "(same joined-input shape as q_centroid_calibration)"),
     "q_survival_hazard" -> ("reverse-cumulative at-risk over one row per " +
-      "DISTINCT lifetime — bounded by the corpus day span, not by keys"),
-    "q_heaps_law" -> ("distributedCumSum bucket-prefix window: <= " +
-      "`buckets` (64) rows regardless of corpus size"))
-
-  /** A WindowExec line with an EMPTY partition spec. Spark's argString
-    * skips empty sequences, so a global window prints NO trailing
-    * bracket group (or only the order spec, whose entries carry
-    * ASC/DESC); a partitioned one always prints its partition-column
-    * group, which never does. */
-  private def hasGlobalWindow(plan: String): Boolean =
-    plan.linesIterator.exists { l =>
-      val i = l.indexOf("Window [")
-      i >= 0 && !l.substring(i).split("\\], \\[").drop(1)
-        .exists(g => g.trim.nonEmpty && !g.contains("ASC") && !g.contains("DESC"))
-    }
+      "DISTINCT lifetime — bounded by the corpus day span, not by keys"))
 
   test("whole surface: no UDF, no python barrier, no unbounded cartesian, no unlisted BNLJ or global window in ANY query plan") {
-    // The blanket scale-hygiene sweep: every one of the ~230 public
+    // The blanket scale-hygiene sweep: every one of the ~280 public
     // queries must plan without a ScalaUDF (kills whole-stage codegen),
     // a python eval barrier, or a CartesianProduct (the unbounded
-    // all-pairs shape). BNLJ and partition-less windows are allowed
-    // only with a justified entry above — bidirectionally: unlisted
-    // occurrences fail, and unused allowances fail.
+    // all-pairs shape). BNLJ and partition-less windows are recognized
+    // structurally when they are the bounded operator shapes (scalar
+    // attach / __b bucket-prefix — see helpers above); anything else is
+    // allowed only with a justified entry above — bidirectionally:
+    // unlisted occurrences fail, and unused allowances fail.
     val offenders = scala.collection.mutable.Buffer.empty[String]
     val bnljSeen = scala.collection.mutable.Set.empty[String]
     val gwinSeen = scala.collection.mutable.Set.empty[String]
@@ -116,16 +170,17 @@ class PlanAuditSpec extends SparkTestBase {
       // candidate sets eagerly at CONSTRUCTION; release them per query
       // so the sweep doesn't accrete CacheManager entries
       graft.operators.Dedup.withCandidateScope {
-        val plan = fn(spark, sf("sf0.01")).queryExecution.executedPlan.toString
+        val qe = fn(spark, sf("sf0.01")).queryExecution
+        val plan = qe.executedPlan.toString
         if (plan.contains("ScalaUDF")) offenders += s"$name: ScalaUDF"
         if (plan.contains("BatchEvalPython")) offenders += s"$name: python barrier"
         if (plan.contains("CartesianProduct")) offenders += s"$name: cartesian"
-        if (plan.contains("BroadcastNestedLoopJoin")) {
+        if (nonBenignBnljs(qe.sparkPlan).nonEmpty) {
           bnljSeen += name
           if (!bnljAllowed.contains(name))
             offenders += s"$name: unexpected nested-loop join"
         }
-        if (hasGlobalWindow(plan)) {
+        if (nonBenignGlobalWindows(qe.sparkPlan).nonEmpty) {
           gwinSeen += name
           if (!globalWindowAllowed.contains(name))
             offenders += s"$name: unlisted partition-less window"
@@ -382,5 +437,58 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.indexOf("partial_max_by") > plan.indexOf("Exchange hashpartitioning"),
       s"expected partial max_by below the PK exchange:\n$plan")
     assert(!plan.contains("Window"), s"window formulation should be gone:\n$plan")
+  }
+
+  test("structural allowances: bounded operator shapes pass with zero allowlist entries; genuinely unbounded shapes still fail") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = eventsUs("sf0.001").select(col("user_id"), col("ts"),
+      col("event_id"), col("value").cast("long").as("v"))
+
+    // (1) the real operator: distributedCumSum's only partition-less
+    // window is the <=64-row bucket-prefix frame — benign structurally,
+    // no allowlist edit needed for ANY new caller (the q_concurrency
+    // footgun from round 13)
+    val good = graft.operators.Analytics.distributedCumSum(
+      ev, "ts", Seq("v"), tieCols = Seq("event_id"))
+    val goodW = good.queryExecution.sparkPlan.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(goodW.nonEmpty, "expected the bucket-prefix global window in the plan")
+    assert(goodW.forall(benignBucketPrefixWindow),
+      "the bounded bucket-prefix window must be structurally benign")
+    assert(nonBenignBnljs(good.queryExecution.sparkPlan).isEmpty,
+      "the single-row bounds attach BNLJ must be structurally benign")
+
+    // (2) the classic serialize-everything shape: a running sum over the
+    // RAW corpus ordered by ts — one task at any scale. Must be flagged.
+    val badRunning = ev.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("ts").asc, col("event_id").asc)))
+    assert(nonBenignGlobalWindows(badRunning.queryExecution.sparkPlan).nonEmpty,
+      "an unbounded global running sum must NOT pass the structural allowance")
+
+    // (3) adversarial: naming a corpus-cardinality column `__b` is not
+    // enough — without the __b-keyed (<= buckets rows) aggregate
+    // beneath, the window is still flagged
+    val badNamed = ev.withColumn("__b", col("user_id"))
+      .withColumn("cum", sum(col("v")).over(Window.orderBy(col("__b").asc)))
+    assert(nonBenignGlobalWindows(badNamed.queryExecution.sparkPlan).nonEmpty,
+      "a column merely NAMED __b must not satisfy the bucket-prefix allowance")
+
+    // (4) a per-key aggregate (unbounded groups) under a global window
+    // ordered by the key: bounded by |keys|, which GROWS with the
+    // corpus — flagged, unlike the capped __b bucket index
+    val badPerKey = ev.groupBy(col("user_id")).agg(sum(col("v")).as("s"))
+      .withColumn("cum", sum(col("s")).over(Window.orderBy(col("user_id").asc)))
+    assert(nonBenignGlobalWindows(badPerKey.queryExecution.sparkPlan).nonEmpty,
+      "a per-key (corpus-growing) global window must still be flagged")
+
+    // (5) an actual all-pairs nested loop (non-equi corpus x corpus
+    // self-join) must NOT pass the scalar-attach allowance
+    val l = ev.select(col("user_id").as("a"), col("v").as("va")).limit(1000)
+    val r = ev.select(col("user_id").as("b"), col("v").as("vb")).limit(1000)
+    val badJoin = l.join(broadcast(r), col("va") < col("vb"))
+    assert(nonBenignBnljs(badJoin.queryExecution.sparkPlan).nonEmpty,
+      "a corpus x corpus nested loop must NOT pass the scalar-attach allowance")
   }
 }
