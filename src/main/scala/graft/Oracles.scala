@@ -333,6 +333,76 @@ private[graft] object Oracles {
     s"ELSE CASE $firstMax END END AS predicted FROM mm"
   }
 
+  /** Confusion matrix over [[langIdSql]]'s per-doc (labeled, predicted)
+    * pairs — the oracle is DERIVED from the same generated detector
+    * replica (one source of truth, no reimplementation drift), then
+    * aggregated with ppm-integer shares. */
+  private val langidConfusionSql: String =
+    s"WITH base AS (SELECT labeled, predicted FROM ($langIdSql) t), " +
+    "cm AS (SELECT labeled, predicted, count(*) AS n FROM base " +
+    "  GROUP BY 1, 2), " +
+    "wt AS (SELECT labeled, predicted, n, CAST(sum(n) OVER " +
+    "  (PARTITION BY labeled) AS BIGINT) AS label_total FROM cm) " +
+    "SELECT labeled, predicted, n, label_total, " +
+    "n * 1000000 // label_total AS share_ppm FROM wt"
+
+  /** Gap-day linear interpolation between the surrounding observations
+    * in exact integer cents — the [[Temporal.resampleInterpolate]]
+    * twin: same last-per-bucket collapse, same [min, max] grid, same
+    * truncating-division blend (`//` and Spark `div` both truncate
+    * toward zero, verified on negatives). */
+  private val interpResampleSql: String =
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, " +
+    "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+    "b AS (SELECT user_id, tsu // 86400000000 AS bkt, cents, " +
+    "  row_number() OVER (PARTITION BY user_id, tsu // 86400000000 " +
+    "  ORDER BY tsu DESC, event_id DESC) AS rn FROM e), " +
+    "o AS (SELECT user_id, bkt, cents FROM b WHERE rn = 1), " +
+    "spans AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi " +
+    "  FROM o GROUP BY user_id), " +
+    "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS bkt FROM spans), " +
+    "j AS (SELECT g.user_id, g.bkt, o.cents, " +
+    "  last_value(o.cents IGNORE NULLS) OVER w AS pv, " +
+    "  last_value(CASE WHEN o.cents IS NOT NULL THEN g.bkt END " +
+    "    IGNORE NULLS) OVER w AS pd, " +
+    "  first_value(o.cents IGNORE NULLS) OVER wf AS nv, " +
+    "  first_value(CASE WHEN o.cents IS NOT NULL THEN g.bkt END " +
+    "    IGNORE NULLS) OVER wf AS nd " +
+    "  FROM grid g LEFT JOIN o ON g.user_id = o.user_id AND g.bkt = o.bkt " +
+    "  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.bkt " +
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+    "  wf AS (PARTITION BY g.user_id ORDER BY g.bkt " +
+    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+    "SELECT user_id, CAST(bkt * 86400000000 AS BIGINT) AS bucket_start, " +
+    "CASE WHEN cents IS NOT NULL THEN cents " +
+    "  ELSE (pv * (nd - bkt) + nv * (bkt - pd)) // (nd - pd) END " +
+    "  AS interp_cents FROM j"
+
+  /** +1/−1 boundary sweep over the sessionize CTE (the q_sessionize
+    * oracle verbatim), cumulative occupancy via a window prefix sum
+    * in the same (ts, kind, user_id, session_idx) total order the
+    * Spark side's distributedCumSum uses. BOUNDARY-DAY-ONLY semantics:
+    * a day on which sessions are open but no session starts or ends
+    * emits no row (pinned by TemporalCurveSpec). */
+  private val concurrencySql: String =
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events), " +
+    "m AS (SELECT user_id, ts, event_id, CASE WHEN ts - lag(ts) OVER " +
+    "  (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 " +
+    "  THEN 1 ELSE 0 END AS ns FROM e), " +
+    "si AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id " +
+    "  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+    "  AS BIGINT) AS session_idx FROM m), " +
+    "sess AS (SELECT user_id, session_idx, min(ts) AS s, max(ts) AS e2 " +
+    "  FROM si GROUP BY 1, 2), " +
+    "bnd AS (SELECT s AS ts, 0 AS kind, CAST(1 AS BIGINT) AS d, " +
+    "  user_id, session_idx FROM sess " +
+    "  UNION ALL SELECT e2 AS ts, 1 AS kind, CAST(-1 AS BIGINT) AS d, " +
+    "  user_id, session_idx FROM sess), " +
+    "c AS (SELECT ts, CAST(sum(d) OVER (ORDER BY ts, kind, user_id, " +
+    "  session_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+    "  AS BIGINT) AS cum FROM bnd) " +
+    "SELECT ts // 86400000000 AS day, CAST(max(cum) AS BIGINT) " +
+    "  AS max_concurrency, count(*) AS n_boundaries FROM c GROUP BY 1"
 
   /** The full query-name -> DuckDB SQL map (main map ++ tail). */
   def all: Map[String, String] = Map(
@@ -2000,6 +2070,9 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_interp_resample" -> interpResampleSql,
+    "q_concurrency" -> concurrencySql,
+    "q_langid_confusion" -> langidConfusionSql,
     "q_histogram" -> (
       "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc, " +
       "  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem), " +

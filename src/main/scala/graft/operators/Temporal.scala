@@ -358,6 +358,13 @@ object Temporal {
     * exactly when another ends counts as overlap (inclusive ends,
     * matching [[rangeJoin]]'s convention).
     *
+    * BOUNDARY-DAY-ONLY semantics: the report has one row per bucket
+    * that contains at least one boundary — a day on which sessions are
+    * open but none starts or ends emits NO row (its occupancy is
+    * constant and readable from the previous boundary's running sum).
+    * Pinned by TemporalCurveSpec and the DuckDB oracle; emit-a-grid
+    * variants can compose [[resampleLocf]] over this output.
+    *
     * The running occupancy is a PREFIX SUM over all boundaries, which
     * would classically be one global sorted pass; here it rides
     * [[Analytics.distributedCumSum]], so the only partition-less

@@ -49,10 +49,17 @@ class MinimumSliceSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a matching query") {
+  test("queries and oracles are the SAME key set (no unverifiable query can land)") {
+    // Round 13 ended red because three queries were registered with no
+    // oracle — err: "no_oracle" in CORRECTNESS, invisible to sbt test.
+    // The gate is bidirectional: an oracle without a query is dead SQL,
+    // and a query without an oracle is UNVERIFIED surface — both fail
+    // here, so neither can compile into a snapshot commit.
     val qs = SparkEntry.queries.keySet
-    val orphans = SparkEntry.oracleSql.keySet -- qs
-    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
+    assert((qs -- os).isEmpty,
+      s"queries with NO oracle (unverified surface): ${(qs -- os).toSeq.sorted}")
   }
 
   test("whole-table fake_all_strings transformator") {
