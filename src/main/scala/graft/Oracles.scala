@@ -294,6 +294,72 @@ private[graft] object Oracles {
     "QUALIFY rank <= 1"
   }
 
+  /** ε-DP release replica: the md5-ppm uniform (the sketch oracles'
+    * portable hash) through the SAME integer geometric cutpoints the
+    * Spark expression bakes (Privacy.geometricCutpoints — one source
+    * of truth; the float exp never runs in either engine's query). */
+  private val dpCase: String =
+    graft.operators.Privacy.geometricCutpoints(1.0, 8).init
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  private val dpBaseSql: String =
+    "WITH g AS (SELECT event_type, count(*) AS n_exact FROM events " +
+    "  GROUP BY 1), " +
+    "u AS (SELECT event_type, n_exact, CAST(concat('0x', " +
+    "  substr(md5(concat(event_type, ':', 'dp42')), 1, 13)) AS BIGINT) " +
+    "  % 1000000 AS u FROM g), " +
+    s"n AS (SELECT event_type, n_exact, CAST($dpCase AS BIGINT) AS noise " +
+    "  FROM u), " +
+    "r AS (SELECT event_type, n_exact, noise, " +
+    "  greatest(CAST(0 AS BIGINT), n_exact + noise) AS n_noisy FROM n) "
+
+  private val dpNoisySql: String =
+    dpBaseSql + "SELECT event_type, n_noisy FROM r"
+
+  private val dpAuditSql: String =
+    dpBaseSql + "SELECT event_type, n_exact, noise, n_noisy, " +
+    "abs(noise) <= 8 AS noise_ok, " +
+    "abs(n_noisy - n_exact) * 1000000 // n_exact AS err_ppm FROM r"
+
+  /** Recall@10 curve of the quantized serving path at int scales
+    * 1/3/7 vs the exact cosine ranking — the q_recall_at_k replica
+    * with the quantization blocks parameterized by scale. */
+  private val recallCurveSql: String = {
+    def quantBlock(s: Int): String =
+      s"q8_$s AS (SELECT query_id, list_transform(qv, x -> greatest(-$s, " +
+      s"  least($s, CAST(floor(CAST(x AS DOUBLE)*$s + 0.5) AS BIGINT)))) " +
+      "  AS qa FROM q), " +
+      s"c8_$s AS (SELECT vec_id, list_transform(embedding, x -> " +
+      s"  greatest(-$s, least($s, CAST(floor(CAST(x AS DOUBLE)*$s + 0.5) " +
+      "  AS BIGINT)))) AS ca FROM embeddings), " +
+      s"ax_$s AS (SELECT query_id, vec_id AS corpus_id, " +
+      "  CAST(list_sum(list_transform(range(1, len(qa) + 1), " +
+      s"    i -> qa[i] * ca[i])) AS BIGINT) AS dot FROM q8_$s " +
+      s"  JOIN c8_$s ON query_id != vec_id), " +
+      s"ar_$s AS (SELECT query_id, corpus_id, row_number() OVER " +
+      "  (PARTITION BY query_id ORDER BY dot DESC, corpus_id ASC) AS rank " +
+      s"  FROM ax_$s QUALIFY rank <= 10), " +
+      s"h_$s AS (SELECT e.query_id, count(*) AS n_hits FROM ex e " +
+      s"  JOIN ar_$s a USING (query_id, corpus_id) GROUP BY 1), " +
+      s"r_$s AS (SELECT CAST($s AS INTEGER) AS q_scale, d.query_id, " +
+      "  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, d.n_exact, " +
+      "  coalesce(h.n_hits, 0) * 1000000 // d.n_exact AS recall_ppm " +
+      s"  FROM den d LEFT JOIN h_$s h USING (query_id))"
+    "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
+    "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+    "  FROM embeddings WHERE vec_id < 5), " +
+    "ex AS (SELECT query_id, c.vec_id AS corpus_id, " +
+    s"  row_number() OVER (PARTITION BY query_id ORDER BY $annCosSql DESC, " +
+    "    c.vec_id ASC) AS rank FROM q JOIN embeddings c " +
+    "  ON query_id != c.vec_id QUALIFY rank <= 10), " +
+    "den AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact " +
+    "  FROM ex GROUP BY 1), " +
+    Seq(1, 3, 7).map(quantBlock).mkString(", ") + " " +
+    "SELECT * FROM r_1 UNION ALL SELECT * FROM r_3 UNION ALL " +
+    "SELECT * FROM r_7"
+  }
+
   /** SQL replica of TextKernels.rollingFingerprint: the FNV-style
     * rolling hash then the SplitMix64 finalizer, in HUGEINT arithmetic
     * mod 2^64. 64x64-bit multiplies are split at 32 bits so no
@@ -2070,6 +2136,9 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_dp_noisy_counts" -> dpNoisySql,
+    "q_dp_noise_audit" -> dpAuditSql,
+    "q_recall_curve" -> recallCurveSql,
     "q_interp_resample" -> interpResampleSql,
     "q_concurrency" -> concurrencySql,
     "q_langid_confusion" -> langidConfusionSql,

@@ -528,6 +528,18 @@ object SparkEntry {
             .as("bal_band")),
         quasiCols = Seq("c_nationkey", "bal_band"),
         sensitiveCol = "c_mktsegment", l = 3)),
+    // ε-DP count release: per-event-type counts under the truncated
+    // geometric mechanism (eps=1, bound=8), deterministic salted-hash
+    // noise so the release replays bit-for-bit
+    "q_dp_noisy_counts" -> ((s, dir) =>
+      graft.operators.Privacy.dpNoisyCounts(events(s, dir),
+        Seq("event_type"), eps = 1.0, bound = 8, seed = "dp42")
+        .select(col("event_type"), col("n_noisy"))),
+    // the audit half of the same release: exact vs noisy, drawn noise,
+    // truncation-bound check, utility loss in ppm
+    "q_dp_noise_audit" -> ((s, dir) =>
+      graft.operators.Privacy.dpNoiseAudit(events(s, dir),
+        Seq("event_type"), eps = 1.0, bound = 8, seed = "dp42")),
     // snapshot diff: added/removed/changed keys between the customer
     // table and a deterministically mutated copy (deletes %7, balance
     // bumps %3, one synthetic insert block)
@@ -1404,6 +1416,21 @@ object SparkEntry {
           scale = 7),
         Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10),
         k = 10)
+    }),
+    // accuracy-vs-cost curve for the quantized serving path: recall@10
+    // against the exact ranking at int quantization scales 1/3/7 — the
+    // report that picks the cheapest scale meeting the recall target
+    "q_recall_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = annQueries(emb)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = 10)
+      Seq(1, 3, 7).map { sc =>
+        graft.operators.Eval.recallAtK(
+          Similarity.quantizedTopK(emb, q, "vec_id", "embedding", k = 10,
+            scale = sc),
+          exact, k = 10).withColumn("q_scale", lit(sc))
+      }.reduce(_ unionByName _)
     }),
     // hybrid-retrieval merge: RRF fusion of the exact-cosine and
     // quantized-dot rankings (rank-only, no score calibration needed)

@@ -70,6 +70,80 @@ object Privacy {
       .filter(col("n_distinct_sensitive") < l)
   }
 
+  /** ppm CDF cutpoints of the TRUNCATED two-sided geometric ("discrete
+    * Laplace") distribution on [-bound, bound] with α = exp(-eps):
+    * P(k) ∝ α^|k|, renormalized over the truncated support. Returned
+    * as (cutpoint_ppm, k) pairs — noise(u) = the first k whose
+    * cutpoint exceeds u_ppm, a pure integer compare chain, so the
+    * mechanism replays bit-for-bit in ANY engine once the constants
+    * are baked (the float exp happens exactly once, here, at plan
+    * build; both the Spark expression and the DuckDB oracle embed the
+    * SAME integers). Shared single source of truth for
+    * [[dpNoisyCounts]] and the Oracles replica. */
+  def geometricCutpoints(eps: Double, bound: Int): Seq[(Long, Int)] = {
+    require(eps > 0 && bound >= 1, s"bad eps=$eps bound=$bound")
+    val alpha = math.exp(-eps)
+    val ks = -bound to bound
+    val weights = ks.map(k => math.pow(alpha, math.abs(k)))
+    val z = weights.sum
+    val cums = weights.scanLeft(0.0)(_ + _).tail
+    // last cutpoint pinned to exactly 1e6 so the chain is total
+    ks.zip(cums).map { case (k, c) =>
+      (if (k == bound) 1000000L else math.floor(c / z * 1e6).toLong, k)
+    }
+  }
+
+  /** The deterministic uniform driving the mechanism: ppm value from
+    * the md5 of the group key + seed — the engine-portable hash the
+    * sketch oracles already use (md5 hex is identical everywhere;
+    * 13 hex chars = 52 bits, mod 1e6 → u_ppm). */
+  private def uPpmExpr(keyExpr: String, seed: String): String =
+    s"cast(conv(substr(md5(concat($keyExpr, ':', '$seed')), 1, 13), 16, 10) " +
+    s"as bigint) % 1000000"
+
+  private def noiseCase(uCol: String, eps: Double, bound: Int): String =
+    geometricCutpoints(eps, bound).init.map { case (c, k) =>
+      s"WHEN $uCol < ${c}L THEN ${k}L"
+    }.mkString("CASE ", " ", s" ELSE ${bound}L END")
+
+  /** ε-DP count release via the truncated geometric mechanism (Ghosh,
+    * Roughgarden & Sundararajan 2009: the geometric mechanism is the
+    * universally utility-maximizing ε-DP mechanism for count queries;
+    * Dwork et al. 2006 for ε-DP itself). Per group: the exact count
+    * plus integer noise drawn from [[geometricCutpoints]] at the
+    * group's deterministic u, clamped at 0 for releasability. The
+    * salted-hash randomness makes the release REPLAYABLE — the same
+    * (data, eps, bound, seed) always produces the same noisy counts,
+    * which is what makes the release auditable ([[dpNoiseAudit]]) and
+    * oracle-checkable; rotate the seed per release period.
+    *
+    * Scale shape: ONE map-side-combined count aggregation; the noise
+    * projection is per-GROUP (report-sized), stateless, codegen'd. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
+                    bound: Int, seed: String): DataFrame = {
+    require(groupCols.nonEmpty)
+    val key = groupCols.map(c => s"cast(`$c` as string)")
+      .mkString("concat_ws('|', ", ", ", ")")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("__u", expr(uPpmExpr(key, seed)))
+      .withColumn("noise", expr(noiseCase("__u", eps, bound)))
+      .withColumn("n_noisy", greatest(lit(0L), expr("n_exact + noise")))
+  }
+
+  /** The audit half: the released noisy count next to the exact one,
+    * the drawn noise, the truncation-bound check, and the utility loss
+    * in ppm of the true count — the report a DP release gets before
+    * the exact side is discarded. Same single aggregation as the
+    * release (it IS the release plus the audit columns). */
+  def dpNoiseAudit(df: DataFrame, groupCols: Seq[String], eps: Double,
+                   bound: Int, seed: String): DataFrame =
+    dpNoisyCounts(df, groupCols, eps, bound, seed)
+      .withColumn("noise_ok", abs(col("noise")) <= lit(bound.toLong))
+      .withColumn("err_ppm",
+        expr("abs(n_noisy - n_exact) * 1000000L div n_exact"))
+      .drop("__u")
+
   /** t-closeness distance per quasi-identifier group (Li et al. 2007):
     * even an l-diverse group leaks when its sensitive-value
     * DISTRIBUTION skews far from the corpus — here measured as the

@@ -120,6 +120,7 @@ class PlanAuditSpec extends SparkTestBase {
       "build side nests the k-row centroid subquery (bounded by k, " +
       "carried through a join the structural spine-walk stops at)"),
     "q_recall_at_k" -> "(a) brute + quantized-dot eval rankings: corpus x 5 planted queries",
+    "q_recall_curve" -> "(a) brute + quantized-dot rankings at 3 scales: corpus x 5 planted queries",
     "q_rrf_fusion" -> "(a) brute + quantized-dot rankings being fused: corpus x 5 planted queries",
     "q_epoch_order" -> ("bucketedGroupRank bounds attach with a joined " +
       "build side (bounded, as q_centroid_calibration)"),
