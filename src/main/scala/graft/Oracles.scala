@@ -360,6 +360,40 @@ private[graft] object Oracles {
     "SELECT * FROM r_7"
   }
 
+  /** Cohen's kappa over [[langIdSql]]'s (labeled, predicted) pairs —
+    * same derived-confusion base as the confusion-matrix oracle, then
+    * the exact-integer ppm kappa identity. LAZY: declared before
+    * langIdSql in file order, so a strict val would interpolate null
+    * (the q_triangle_count init-order trap). */
+  private lazy val cohensKappaSql: String =
+    s"WITH base AS (SELECT labeled, predicted FROM ($langIdSql) t), " +
+    "cm AS (SELECT labeled, predicted, count(*) AS n FROM base " +
+    "  GROUP BY 1, 2), " +
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, " +
+    "  CAST(sum(CASE WHEN labeled = predicted THEN n ELSE 0 END) " +
+    "  AS BIGINT) AS diag FROM cm), " +
+    "rt AS (SELECT labeled AS cls, CAST(sum(n) AS BIGINT) AS rt " +
+    "  FROM cm GROUP BY 1), " +
+    "ct AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS ct " +
+    "  FROM cm GROUP BY 1), " +
+    "pe AS (SELECT CAST(coalesce(sum(rt * ct), 0) AS BIGINT) AS pe_num " +
+    "  FROM rt JOIN ct USING (cls)) " +
+    "SELECT n_total, diag, diag * 1000000 // n_total AS po_ppm, " +
+    "pe_num * 1000000 // (n_total * n_total) AS pe_ppm, " +
+    "CASE WHEN n_total * n_total = pe_num THEN 0 " +
+    "ELSE (diag * n_total - pe_num) * 1000000 // " +
+    "  (n_total * n_total - pe_num) END AS kappa_ppm " +
+    "FROM tot CROSS JOIN pe"
+
+  private val keySkewSql: String =
+    "WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), " +
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, " +
+    "  CAST(sum(cnt) AS BIGINT) AS n_rows FROM c) " +
+    "SELECT c.user_id, c.cnt, c.cnt * 1000000 // s.n_rows AS share_ppm, " +
+    "c.cnt * s.n_keys * 1000000 // s.n_rows AS hot_ratio_ppm, " +
+    "s.n_keys, s.n_rows FROM c CROSS JOIN s " +
+    "ORDER BY c.cnt DESC, c.user_id ASC LIMIT 10"
+
   /** SQL replica of TextKernels.rollingFingerprint: the FNV-style
     * rolling hash then the SplitMix64 finalizer, in HUGEINT arithmetic
     * mod 2^64. 64x64-bit multiplies are split at 32 bits so no
@@ -2136,6 +2170,8 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_cohens_kappa" -> cohensKappaSql,
+    "q_key_skew_profile" -> keySkewSql,
     "q_dp_noisy_counts" -> dpNoisySql,
     "q_dp_noise_audit" -> dpAuditSql,
     "q_recall_curve" -> recallCurveSql,

@@ -1076,6 +1076,12 @@ object SparkEntry {
           "o_custkey", buckets = 8)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("c_mktsegment"))),
+    // the skew DIAGNOSIS the salted paths depend on: topK heaviest
+    // keys, their row share, and hot-ratio vs a uniform key (1e6 ppm
+    // = exactly average) — run on the join key before the shuffle
+    "q_key_skew_profile" -> ((s, dir) =>
+      graft.operators.Skew.keySkewProfile(events(s, dir),
+        Seq("user_id"), topK = 10)),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),
@@ -2159,6 +2165,15 @@ object SparkEntry {
           sum(col("n")).over(Window.partitionBy(col("labeled"))))
         .withColumn("share_ppm", expr("n * 1000000L div label_total"))
     }),
+    // chance-corrected detector-vs-label agreement on the same pairs:
+    // Cohen's kappa in exact ppm (the one-number summary of the
+    // confusion matrix above)
+    "q_cohens_kappa" -> ((s, dir) =>
+      graft.operators.Eval.cohensKappa(
+        t(s, dir, "documents")
+          .select(col("lang").as("labeled"),
+            text.langId(col("text")).as("predicted")),
+        "labeled", "predicted")),
     // truncated EWMA (α=1/2): power-of-two weights shift exponents
     // without rounding, so the smoothed doubles are engine-bit-exact
     "q_ewma" -> ((s, dir) =>

@@ -137,4 +137,37 @@ object Eval {
         expr("abs(rank_est_p90 - (n * 9 + 9) div 10) * 1000000L div n")
           .as("err_p90_ppm"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two categorical columns —
+    * chance-corrected agreement, the standard inter-annotator /
+    * detector-vs-label metric. One row: n, the diagonal, observed and
+    * expected agreement, and kappa, all exact-integer ppm:
+    * `kappa_ppm = (diag·n − Σ_c rt_c·ct_c) · 1e6 div (n² − Σ rt·ct)`
+    * (0 when the denominator vanishes — the single-class degenerate
+    * case where kappa is undefined). Exactness bound: n²·1e6 must fit
+    * a BIGINT, so evaluate on slices of ≤ ~3e6 rows (eval sets are
+    * sampled anyway; shard bigger ones and pool the confusion counts).
+    *
+    * Scale shape: one (a, b) pair-count aggregation (map-side
+    * combined, |domain|² rows), then class-marginal roll-ups and two
+    * single-row attaches — everything after the first shuffle is
+    * domain-sized. */
+  def cohensKappa(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = pairs.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = cm.agg(sum(col("__n")).as("n_total"),
+      sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+        .as("diag"))
+    val rt = cm.groupBy(col("__a").as("__cls")).agg(sum(col("__n")).as("__rt"))
+    val ct = cm.groupBy(col("__b").as("__cls")).agg(sum(col("__n")).as("__ct"))
+    val pe = rt.join(ct, Seq("__cls"))
+      .agg(coalesce(sum(expr("__rt * __ct")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n_total"), col("diag"),
+        expr("diag * 1000000L div n_total").as("po_ppm"),
+        expr("pe_num * 1000000L div (n_total * n_total)").as("pe_ppm"),
+        expr("CASE WHEN n_total * n_total = pe_num THEN 0L " +
+          "ELSE (diag * n_total - pe_num) * 1000000L " +
+          "div (n_total * n_total - pe_num) END").as("kappa_ppm"))
+  }
 }

@@ -79,4 +79,31 @@ object Skew {
       explode(array((0 until buckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The diagnosis that DECIDES whether the salted paths above (or AQE
+    * skew handling) are worth their cost: the topK heaviest join/agg
+    * keys with their share of all rows and their hot ratio vs a
+    * perfectly uniform key (`cnt·n_keys·1e6 div n_rows` — 1e6 = exactly
+    * average, 50e6 = this key is 50x a fair shard). Run it on the join
+    * key BEFORE shipping a 100 TB shuffle; a top entry at >>1e6 ppm is
+    * the straggler task.
+    *
+    * Scale shape: one map-side-combined count per key, a
+    * TakeOrderedAndProject for the topK (per-partition heads merged on
+    * the driver — no global sort shuffle), and a single-row stats
+    * attach (structurally-benign broadcast). */
+  def keySkewProfile(df: DataFrame, keys: Seq[String],
+                     topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty && topK >= 1)
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"))
+    counts.orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
+      .limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(keys.map(col) ++ Seq(col("cnt"),
+        expr("cnt * 1000000L div n_rows").as("share_ppm"),
+        expr("cnt * n_keys * 1000000L div n_rows").as("hot_ratio_ppm"),
+        col("n_keys"), col("n_rows")): _*)
+  }
 }

@@ -177,4 +177,43 @@ class EvalSpec extends SparkTestBase {
     assert(r.getAs[Long]("err_p50_ppm") == 0L)
     assert(r.getAs[Long]("err_p90_ppm") == 0L)
   }
+
+  test("cohensKappa: perfect agreement 1e6; independent raters ~0; single-class degenerate 0") {
+    def kappa(pairs: Seq[(String, String)]): (Long, Long, Long) = {
+      val r = Eval.cohensKappa(pairs.toDF("a", "b"), "a", "b").first()
+      (r.getAs[Long]("po_ppm"), r.getAs[Long]("pe_ppm"),
+        r.getAs[Long]("kappa_ppm"))
+    }
+    // perfect: po = 1, kappa = exactly 1e6 regardless of marginals
+    assert(kappa(Seq(("x", "x"), ("y", "y"), ("x", "x")))._3 === 1000000L)
+    // independent: a 2x2 with uniform marginals, po = pe = 1/2 -> 0
+    val (po, pe, k0) = kappa(Seq(
+      ("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")))
+    assert(po === 500000L && pe === 500000L && k0 === 0L)
+    // both raters constant: n^2 == pe_num, the guarded degenerate case
+    assert(kappa(Seq(("x", "x"), ("x", "x")))._3 === 0L)
+    // worked asymmetric example: 10 pairs, diag 5+2 = 7, marginals
+    // a: x=7 y=3, b: x=6 y=4 -> pe_num = 42 + 12 = 54
+    // kappa = (7*10 - 54) * 1e6 div (100 - 54) = 16e6 div 46 = 347826
+    val pairs = Seq.fill(5)(("x", "x")) ++ Seq.fill(2)(("x", "y")) ++
+      Seq.fill(1)(("y", "x")) ++ Seq.fill(2)(("y", "y"))
+    assert(kappa(pairs)._3 === 347826L)
+  }
+
+  test("keySkewProfile: hot key surfaces with exact share and hot-ratio; topK cuts on (cnt desc, key asc)") {
+    import graft.operators.Skew
+    // 4 keys, counts 6/2/1/1 over 10 rows
+    val rows = Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L)
+    val out = Skew.keySkewProfile(rows.toDF("k"), Seq("k"), topK = 2)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("hot_ratio_ppm")))
+    // hot key 1: share 600000 ppm, hot ratio 6*4*1e6/10 = 2.4e6 (2.4x fair)
+    assert(out.toSeq === Seq((1L, 6L, 600000L, 2400000L),
+      (2L, 2L, 200000L, 800000L)))
+    // tie at the topK boundary resolves by key asc: keys 3 and 4 tie
+    // at cnt 1 -> topK=3 must include key 3, not key 4
+    val out3 = Skew.keySkewProfile(rows.toDF("k"), Seq("k"), topK = 3)
+      .collect().map(_.getAs[Long]("k"))
+    assert(out3.toSeq === Seq(1L, 2L, 3L))
+  }
 }
