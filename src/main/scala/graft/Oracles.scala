@@ -385,6 +385,31 @@ private[graft] object Oracles {
     "  (n_total * n_total - pe_num) END AS kappa_ppm " +
     "FROM tot CROSS JOIN pe"
 
+  private val topPathsSql: String =
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type " +
+    "  FROM events), " +
+    "t3 AS (SELECT event_type AS p1, lead(event_type, 1) OVER w AS p2, " +
+    "  lead(event_type, 2) OVER w AS p3 FROM e " +
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+    "c AS (SELECT p1, p2, p3, count(*) AS cnt FROM t3 " +
+    "  WHERE p3 IS NOT NULL GROUP BY 1, 2, 3), " +
+    "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_paths FROM c) " +
+    "SELECT p1, p2, p3, cnt, cnt * 1000000 // n_paths AS share_ppm " +
+    "FROM c CROSS JOIN tot ORDER BY cnt DESC, p1, p2, p3 LIMIT 20"
+
+  private val bootstrapSql: String =
+    "WITH e AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS c " +
+    "  FROM events), " +
+    "x AS (SELECT b, c FROM e, LATERAL (SELECT unnest(range(0, 32)) AS b) " +
+    "  WHERE CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), " +
+    "  ':', CAST(b AS VARCHAR), ':', 'bs')), 1, 13)) AS BIGINT) " +
+    "  % 1000000 < 500000), " +
+    "g AS (SELECT CAST(b AS INTEGER) AS resample, " +
+    "  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_cents " +
+    "  FROM x GROUP BY 1) " +
+    "SELECT resample, n, sum_cents, sum_cents * 1000000 // n " +
+    "  AS mean_cents_ppm FROM g"
+
   private val keySkewSql: String =
     "WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), " +
     "s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, " +
@@ -2170,6 +2195,8 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_top_paths" -> topPathsSql,
+    "q_bootstrap_ci" -> bootstrapSql,
     "q_cohens_kappa" -> cohensKappaSql,
     "q_key_skew_profile" -> keySkewSql,
     "q_dp_noisy_counts" -> dpNoisySql,

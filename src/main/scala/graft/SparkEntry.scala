@@ -2128,6 +2128,18 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       graft.operators.Temporal.transitions(events(s, dir), "user_id",
         "ts", "event_type", tieCol = "event_id")),
+    // flow mining one step richer than the pair matrix: the top-20
+    // event-type trigrams across all user streams with ppm shares
+    "q_top_paths" -> ((s, dir) =>
+      graft.operators.Temporal.topPaths(events(s, dir), "user_id",
+        "ts", "event_type", tieCol = "event_id", topK = 20)),
+    // sampling-uncertainty read on the corpus mean: 32 deterministic
+    // half-sample resamples, exact integer sums and ppm means
+    "q_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Stats.bootstrapMeans(
+        events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_id", "cents", b = 32)),
     // gap-filled daily resample with LOCF: one row per (user, day) of
     // the user's span, empty days carry the last value forward
     "q_resample_locf" -> ((s, dir) =>

@@ -314,4 +314,35 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(expr("sum(__d) div 2").cast("long").as("tv_ppm"))
   }
+
+  /** Deterministic half-sample bootstrap of a mean: B resamples, each
+    * keeping the rows whose salted md5 ppm (id:b) falls below 500000 —
+    * a replayable stand-in for Poisson bootstrap that gives the same
+    * uncertainty read (Kleiner et al. 2014, "bag of little bootstraps"
+    * motivates subsample-based CI at scale). Per resample: n, the
+    * exact cents sum, and the ppm-scaled mean (`sum·1e6 div n`) — all
+    * integers, so the whole CI table replays bit-for-bit in any
+    * engine. Spread across the B means IS the sampling-uncertainty
+    * estimate (report min/max or a quantile downstream).
+    *
+    * Scale shape: the B-way explode multiplies MAP-side rows (B·|df|
+    * hash evaluations — the price of one-pass bootstrap), but the
+    * map-side combine collapses the shuffle to B rows per partition;
+    * no second scan, no driver loop. Exactness bound: |sum_cents|·1e6
+    * must fit a BIGINT (cents sums to ~9e12, i.e. ~$92B per resample);
+    * rescale the value column or shard the corpus beyond that. */
+  def bootstrapMeans(df: DataFrame, idCol: String, centsCol: String,
+                     b: Int = 32, seed: String = "bs"): DataFrame = {
+    require(b >= 2 && b <= 256, s"b must be in [2, 256], got $b")
+    df.select(col(idCol).cast("string").as("__id"),
+        col(centsCol).cast("long").as("__c"))
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .filter(expr(
+        "cast(conv(substr(md5(concat(__id, ':', cast(__b as string), " +
+        s"':', '$seed')), 1, 13), 16, 10) as bigint) % 1000000 < 500000"))
+      .groupBy(col("__b").as("resample"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("sum_cents"))
+      .select(col("resample"), col("n"), col("sum_cents"),
+        expr("sum_cents * 1000000L div n").as("mean_cents_ppm"))
+  }
 }

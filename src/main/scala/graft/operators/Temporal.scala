@@ -425,6 +425,40 @@ object Temporal {
         expr("n * 1000000L div __tot").as("p_ppm"))
   }
 
+  /** Top event-type PATHS: the most common length-3 subsequences of
+    * each key's (ts, tie)-ordered stream — the flow-mining view one
+    * step richer than [[transitions]]' pair matrix (which trigram of
+    * screens/events dominates the corpus, the input to funnel design
+    * and anomalous-flow review). Per trigram: count, plus its share of
+    * all trigrams in exact ppm.
+    *
+    * Scale shape: ONE key shuffle (both leads ride the same window
+    * frame), a map-side-combined count whose cardinality is at most
+    * |states|³, a TakeOrderedAndProject for the topK and a single-row
+    * total attach (structurally-benign broadcast). */
+  def topPaths(events: DataFrame, keyCol: String, tsCol: String,
+               stateCol: String, tieCol: String,
+               topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val tri = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol))
+      .withColumn("__s2", lead(col(stateCol), 1).over(w))
+      .withColumn("__s3", lead(col(stateCol), 2).over(w))
+      .filter(col("__s3").isNotNull)
+      .groupBy(col(stateCol).as("p1"), col("__s2").as("p2"),
+        col("__s3").as("p3"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tri.agg(sum(col("cnt")).as("n_paths"))
+    tri.orderBy(col("cnt").desc, col("p1").asc, col("p2").asc,
+        col("p3").asc)
+      .limit(topK)
+      .crossJoin(broadcast(tot))
+      .select(col("p1"), col("p2"), col("p3"), col("cnt"),
+        expr("cnt * 1000000L div n_paths").as("share_ppm"))
+  }
+
   /** Per-key sliding aggregate over the closed time range
     * [ts − rangeUs, ts]: the rolling-activity feature primitive
     * (e.g. "events and spend in the last hour"). A RANGE frame on the

@@ -292,4 +292,39 @@ class StatsSpec extends SparkTestBase {
       .toSet
     assert(got == Set(("g", "b", 2L), ("h", "x", 1L)))
   }
+
+  test("bootstrapMeans: deterministic replay, half-ish coverage per resample, exact ppm means, resamples differ") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("cents", ($"id" % 100) * 10)
+    def run() = Stats.bootstrapMeans(df, "id", "cents", b = 8)
+      .orderBy("resample").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run()
+    assert(a.sameElements(run()), "same seed must replay identically")
+    assert(a.length === 8 && a.map(_._1).toSeq === (0 until 8))
+    // each resample keeps ~50% of 1000 rows (binomial: 3-sigma ~ 47)
+    assert(a.forall { case (_, n, _, _) => n > 400 && n < 600 },
+      s"resample sizes out of band: ${a.map(_._2).mkString(",")}")
+    // exact integer identity per row
+    assert(a.forall { case (_, n, s, m) => m === s * 1000000L / n })
+    // the resamples must actually differ (that's the spread being read)
+    assert(a.map(_._4).distinct.length > 1)
+  }
+
+  test("topPaths: trigram counts over the (ts, tie) order; ppm shares; topK tie-break") {
+    // user 1: a b a b a  -> trigrams aba, bab, aba
+    // user 2: a b a      -> aba
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (1L, 40L, 4L, "b"), (1L, 50L, 5L, "a"),
+      (2L, 10L, 6L, "a"), (2L, 20L, 7L, "b"), (2L, 30L, 8L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.topPaths(ev, "user_id", "ts", "event_type",
+        tieCol = "event_id", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    // 4 trigrams total: aba x3 (750000 ppm), bab x1 (250000 ppm)
+    assert(out.toSeq === Seq(("a", "b", "a", 3L, 750000L),
+      ("b", "a", "b", 1L, 250000L)))
+  }
 }
