@@ -410,6 +410,45 @@ private[graft] object Oracles {
     "SELECT resample, n, sum_cents, sum_cents * 1000000 // n " +
     "  AS mean_cents_ppm FROM g"
 
+  private val chiSquareSql: String =
+    "WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o " +
+    "  FROM documents GROUP BY 1, 2), " +
+    "rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+    "ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+    "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), " +
+    "grid AS (SELECT rt.a, ct.b, r, c FROM rt CROSS JOIN ct), " +
+    "j AS (SELECT g.a, g.b, g.r, g.c, CAST(coalesce(cells.o, 0) AS BIGINT) " +
+    "  AS o FROM grid g LEFT JOIN cells ON g.a = cells.a AND g.b = cells.b), " +
+    "t AS (SELECT (o * n - r * c) AS d, (r * c * n) AS m " +
+    "  FROM j CROSS JOIN tot), " +
+    "s AS (SELECT CAST(sum((d * d // m) * 1000000 + " +
+    "  (d * d % m) * 1000000 // m) AS BIGINT) AS chi2_ppm FROM t), " +
+    "lv AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS a_levels, " +
+    "  CAST(count(DISTINCT b) AS BIGINT) AS b_levels FROM cells) " +
+    "SELECT n, a_levels, b_levels, " +
+    "(a_levels - 1) * (b_levels - 1) AS dof, chi2_ppm " +
+    "FROM tot CROSS JOIN lv CROSS JOIN s"
+
+  /** Nested learning-curve samples: threshold literals come from
+    * Sampling.thresholdHex with the default seed — one source of
+    * truth, same as every sampling-family oracle. */
+  private val nestedSamplesSql: String = {
+    import graft.operators.Sampling.thresholdHex
+    val seed = graft.fakegen.FakeGen.DefaultSeed
+    val lv = Seq(0.01, 0.1, 0.5).map(f =>
+      s"(${(f * 1e6).toLong}, '${thresholdHex(f)}')").mkString(", ")
+    s"WITH e AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS c, " +
+    s"  substr(md5('$seed:curve:' || CAST(event_id AS VARCHAR)), 1, 15) " +
+    "  AS h FROM events), " +
+    s"lv AS (SELECT * FROM (VALUES $lv) AS t(fraction_ppm, thr)), " +
+    "x AS (SELECT fraction_ppm, c FROM e JOIN lv ON e.h < lv.thr), " +
+    "g AS (SELECT CAST(fraction_ppm AS BIGINT) AS fraction_ppm, " +
+    "  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_cents " +
+    "  FROM x GROUP BY 1) " +
+    "SELECT fraction_ppm, n, sum_cents, sum_cents * 1000000 // n " +
+    "  AS mean_cents_ppm FROM g"
+  }
+
   private val keySkewSql: String =
     "WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), " +
     "s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, " +
@@ -2195,6 +2234,8 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_chi_square" -> chiSquareSql,
+    "q_nested_samples" -> nestedSamplesSql,
     "q_top_paths" -> topPathsSql,
     "q_bootstrap_ci" -> bootstrapSql,
     "q_cohens_kappa" -> cohensKappaSql,

@@ -2140,6 +2140,18 @@ object SparkEntry {
         events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "event_id", "cents", b = 32)),
+    // is language independent of source? Pearson chi-square over the
+    // densified lang x source grid in exact ppm integers
+    "q_chi_square" -> ((s, dir) =>
+      graft.operators.Stats.chiSquare(t(s, dir, "documents"),
+        "lang", "source")),
+    // learning-curve levels: nested 1%/10%/50% samples (each a strict
+    // subset of the next) with per-level n / sum / ppm mean
+    "q_nested_samples" -> ((s, dir) =>
+      graft.operators.Sampling.nestedSamples(
+        events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "event_id", "cents", fractions = Seq(0.01, 0.1, 0.5))),
     // gap-filled daily resample with LOCF: one row per (user, day) of
     // the user's span, empty days carry the last value forward
     "q_resample_locf" -> ((s, dir) =>

@@ -117,6 +117,37 @@ object Sampling {
                  nPerClass: Int): DataFrame =
     graft.plans.TopK.perKey(df, Seq(classCol), Seq((orderCol, true)), nPerClass)
 
+  /** Learning-curve levels: NESTED deterministic samples at increasing
+    * fractions — every smaller level is a strict SUBSET of every larger
+    * one by construction (one [[sampleHex]] per row, rising
+    * thresholds), which is the property scaling-law experiments need
+    * (the 1% run's data is literally inside the 10% run's). Per level:
+    * n, exact cents sum, ppm mean — the per-level statistics that
+    * accompany each curve point, replayable in any engine.
+    *
+    * Scale shape: one scan; the level explode multiplies map-side rows
+    * by |fractions| but the map-side combine collapses the shuffle to
+    * |fractions| rows per partition. */
+  def nestedSamples(df: DataFrame, keyCol: String, centsCol: String,
+                    fractions: Seq[Double] = Seq(0.01, 0.1, 0.5),
+                    seed: Long = FakeGen.DefaultSeed,
+                    domain: String = "curve"): DataFrame = {
+    require(fractions.nonEmpty && fractions == fractions.sorted &&
+      fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be ascending in (0,1), got $fractions")
+    val levels = explode(array(fractions.map(f =>
+      struct(lit((f * 1e6).toLong).as("fraction_ppm"),
+        lit(thresholdHex(f)).as("__thr"))): _*))
+    df.select(col(centsCol).cast("long").as("__c"),
+        sampleHex(col(keyCol), domain, seed).as("__h"))
+      .withColumn("__l", levels)
+      .filter(col("__h") < col("__l.__thr"))
+      .groupBy(col("__l.fraction_ppm").as("fraction_ppm"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("sum_cents"))
+      .select(col("fraction_ppm"), col("n"), col("sum_cents"),
+        expr("sum_cents * 1000000L div n").as("mean_cents_ppm"))
+  }
+
   /** EXACT budget-proportional stratified sample: group g contributes
     * max(1, floor(budget * n_g / N)) rows — its population share of
     * the budget, never zero for a nonempty group — chosen

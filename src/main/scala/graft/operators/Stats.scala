@@ -315,6 +315,46 @@ object Stats {
       .agg(expr("sum(__d) div 2").cast("long").as("tv_ppm"))
   }
 
+  /** Pearson chi-square independence statistic between two categorical
+    * columns, in EXACT integer arithmetic: with o the observed cell,
+    * r/c the marginals and N the total, each cell contributes
+    * `(o·N − r·c)² / (r·c·N)` to χ² — evaluated as ppm via the
+    * overflow-safe split `q·1e6 + rem·1e6 div m` (q = d² div m,
+    * rem = d² % m), so the statistic replays bit-for-bit. The grid is
+    * DENSIFIED (a zero cell still contributes r·c/N) via the
+    * domain-bounded marginal cross — the t-closeness posture. One row:
+    * N, the level counts, degrees of freedom, and χ²·1e6.
+    * Exactness bound: N ≤ ~5e4 per evaluated slice (d² ≤ N⁴ must fit
+    * a BIGINT); sample bigger corpora first — the audit is about the
+    * association, not the row count.
+    *
+    * Scale shape: one cell-count aggregation (map-side combined,
+    * |A|·|B| rows), two domain-sized marginal roll-ups, and a
+    * domain×domain cross — nothing after the first shuffle touches
+    * corpus rows. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val ct = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      count(lit(1)).as("__cells"))
+    rt.crossJoin(broadcast(ct))
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d", expr("__o * __n - __r * __c"))
+      .withColumn("__m", expr("__r * __c * __n"))
+      .withColumn("__t",
+        expr("(__d * __d div __m) * 1000000L + (__d * __d % __m) * 1000000L div __m"))
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__a")).cast("long").as("a_levels"),
+        countDistinct(col("__b")).cast("long").as("b_levels"),
+        sum(col("__t")).as("chi2_ppm"))
+      .select(col("n"), col("a_levels"), col("b_levels"),
+        expr("(a_levels - 1) * (b_levels - 1)").as("dof"), col("chi2_ppm"))
+  }
+
   /** Deterministic half-sample bootstrap of a mean: B resamples, each
     * keeping the rows whose salted md5 ppm (id:b) falls below 500000 —
     * a replayable stand-in for Poisson bootstrap that gives the same

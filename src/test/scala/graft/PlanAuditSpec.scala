@@ -125,7 +125,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_epoch_order" -> ("bucketedGroupRank bounds attach with a joined " +
       "build side (bounded, as q_centroid_calibration)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
-    "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)")
+    "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)",
+    "q_chi_square" -> ("(c) marginal DOMAIN x DOMAIN densify (|langs| x " +
+      "|sources| rows, fixed by the schema — zero cells must enter the statistic)"))
 
   // Partition-less WindowExec nodes serialize their input into ONE
   // task, so each one must be provably bounded. Every allowance names

@@ -225,4 +225,25 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("nestedSamples: levels are strict subsets (same hash, rising thresholds); stats are exact") {
+    val df = spark.range(2000).toDF("id").withColumn("cents", $"id" * 3)
+    val out = Sampling.nestedSamples(df, "id", "cents",
+        fractions = Seq(0.1, 0.3, 0.6))
+      .orderBy("fraction_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(100000L, 300000L, 600000L))
+    // counts strictly ascend and sit near the nominal rates
+    val ns = out.map(_._2)
+    assert(ns(0) < ns(1) && ns(1) < ns(2))
+    assert(ns(0) > 120 && ns(0) < 280 && ns(2) > 1050 && ns(2) < 1350,
+      s"counts far off nominal: ${ns.toSeq}")
+    assert(out.forall { case (_, n, s, m) => m === s * 1000000L / n })
+    // SUBSET property, row-exact: the 10% membership is contained in
+    // the 30% membership (same sampleHex, larger threshold)
+    def ids(f: Double) = Sampling.hashSample(df, "id", f, domain = "curve")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val (s10, s30) = (ids(0.1), ids(0.3))
+    assert(s10.subsetOf(s30) && s10.size < s30.size)
+  }
 }

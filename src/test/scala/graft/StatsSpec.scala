@@ -311,6 +311,31 @@ class StatsSpec extends SparkTestBase {
     assert(a.map(_._4).distinct.length > 1)
   }
 
+  test("chiSquare: independence gives 0; a perfectly associated 2x2 gives N*1e6; zero cells contribute via the densified grid") {
+    def chi(pairs: Seq[(String, String)]) = {
+      val r = Stats.chiSquare(pairs.toDF("a", "b"), "a", "b").first()
+      (r.getAs[Long]("n"), r.getAs[Long]("dof"), r.getAs[Long]("chi2_ppm"))
+    }
+    // uniform 2x2: every cell o = r*c/N exactly -> chi2 = 0
+    assert(chi(Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")))
+      === ((4L, 1L, 0L)))
+    // perfect association (diagonal only): chi2 = N for a 2x2
+    // (phi = 1). The off-diagonal ZERO cells only enter through the
+    // densified grid — drop them and the statistic would be wrong.
+    assert(chi(Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v")))
+      === ((4L, 1L, 4000000L)))
+    // worked 2x3 example, N=6: rows x:4 y:2; cols u:3 v:2 w:1
+    // cells x:(u2,v1,w1) y:(u1,v1,w0)
+    // d = o*6 - r*c per cell: x/u 0, x/v 6-8=-2, x/w 6-4=2,
+    //                         y/u 6-6=0, y/v 6-4=2, y/w -2
+    // terms*1e6: 4/(8*6)=1/12, 4/(4*6)=1/6, 4/(4*6)=1/6, 4/(2*6)=1/3
+    // chi2 = 1/12+1/6+1/6+1/3 = 3/4 -> 750000 ppm (sum of floors:
+    // 83333+166666+166666+333333 = 749998)
+    val (n, dof, c23) = chi(Seq(("x", "u"), ("x", "u"), ("x", "v"),
+      ("x", "w"), ("y", "u"), ("y", "v")))
+    assert(n === 6L && dof === 2L && c23 === 749998L)
+  }
+
   test("topPaths: trigram counts over the (ts, tie) order; ppm shares; topK tie-break") {
     // user 1: a b a b a  -> trigrams aba, bab, aba
     // user 2: a b a      -> aba
