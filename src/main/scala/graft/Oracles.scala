@@ -410,6 +410,40 @@ private[graft] object Oracles {
     "SELECT resample, n, sum_cents, sum_cents * 1000000 // n " +
     "  AS mean_cents_ppm FROM g"
 
+  /** 3 synchronous LPA rounds unrolled (most-frequent neighbor label,
+    * min-label ties) over the q_graph_components co-purchase edges —
+    * per-vertex fixpoint, the full determinism pin. */
+  private val labelPropSql: String = {
+    def round(i: Int, prev: String): String =
+      s"n$i AS (SELECT ud.a AS v, l.lbl, count(*) AS c FROM ud " +
+      s"  JOIN $prev l ON ud.b = l.v GROUP BY 1, 2), " +
+      s"m$i AS (SELECT v, max(c) AS mc FROM n$i GROUP BY 1), " +
+      s"l$i AS (SELECT n$i.v, min(n$i.lbl) AS lbl FROM n$i " +
+      s"  JOIN m$i ON n$i.v = m$i.v AND n$i.c = m$i.mc GROUP BY 1)"
+    "WITH e AS (SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
+    "  CAST(o_custkey * 2 AS BIGINT) AS b " +
+    "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+    "  WHERE l_quantity = 50 AND l_linenumber = 7), " +
+    "ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
+    "v AS (SELECT DISTINCT a AS v FROM ud), " +
+    "l0 AS (SELECT v, v AS lbl FROM v), " +
+    round(1, "l0") + ", " + round(2, "l1") + ", " + round(3, "l2") + " " +
+    "SELECT v AS id, lbl AS community FROM l3"
+  }
+
+  private val weightedQuartilesSql: String =
+    "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
+    "  CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber " +
+    "  FROM lineitem), " +
+    "t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM c), " +
+    "r AS (SELECT v, CAST(sum(w) OVER (ORDER BY v, l_orderkey, " +
+    "  l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM c) " +
+    "SELECT t.tw AS total_weight, " +
+    "  min(CASE WHEN cw * 4 >= tw THEN v END) AS wq25_cents, " +
+    "  min(CASE WHEN cw * 2 >= tw THEN v END) AS wq50_cents, " +
+    "  min(CASE WHEN cw * 4 >= 3 * tw THEN v END) AS wq75_cents " +
+    "FROM r, t GROUP BY t.tw"
+
   private val chiSquareSql: String =
     "WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o " +
     "  FROM documents GROUP BY 1, 2), " +
@@ -2234,6 +2268,8 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_label_prop" -> labelPropSql,
+    "q_weighted_quartiles" -> weightedQuartilesSql,
     "q_chi_square" -> chiSquareSql,
     "q_nested_samples" -> nestedSamplesSql,
     "q_top_paths" -> topPathsSql,

@@ -2323,6 +2323,30 @@ object SparkEntry {
     // the co-purchase graph (fixed-round contract, like q_graph_bfs)
     "q_kcore" -> ((s, dir) =>
       graft.operators.Graph.kCore(coPartEdges(s, dir), k = 16, rounds = 4)),
+    // deterministic synchronous label propagation (3 rounds, min-label
+    // ties) on the same co-purchase graph as q_graph_components — the
+    // local-community view between connectivity and k-core density
+    "q_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(edges, "id_a", "id_b",
+        rounds = 3)
+    }),
+    // weighted quartiles of extended price, weighted by quantity — the
+    // revenue-weighted distribution read; prefix weights ride the
+    // distributed cumsum (no global-sort window at any scale)
+    "q_weighted_quartiles" -> ((s, dir) =>
+      graft.operators.Stats.weightedQuartiles(
+        t(s, dir, "lineitem")
+          .withColumn("cents",
+            round(col("l_extendedprice") * 100).cast("long"))
+          .withColumn("w", col("l_quantity").cast("long")),
+        "cents", "w", tieCols = Seq("l_orderkey", "l_linenumber"))),
     // functional-dependency audit (RI's sibling): does l_partkey
     // determine l_suppkey? The report lists determinant values mapped
     // to more than one dependent — real TPC-H violates this FD (a part

@@ -235,6 +235,44 @@ object Graph {
     * left-semi equi-joins against the ≤|V|-row keep set (AQE chooses
     * the join strategy — never a forced broadcast), with per-round
     * lineage cuts so the plan doesn't grow with the round count. */
+  /** Synchronous label propagation (Raghavan et al. 2007) for FIXED
+    * `rounds`: every vertex simultaneously adopts the most frequent
+    * label among its neighbors, ties broken by MIN label — both rules
+    * make the sweep fully deterministic (async LPA's order-dependence
+    * is exactly what an oracle-checked engine cannot ship). Labels
+    * start as vertex ids; after r rounds a vertex's label is a
+    * community seed at most r hops away, so small `rounds` (3-5) give
+    * the local-community view that sits between [[Dedup.components]]
+    * (pure connectivity) and [[kCore]] (density).
+    *
+    * Scale shape: per round, ONE edge⋈label shuffle + two map-side-
+    * combined aggregations keyed by vertex; per-iteration
+    * [[LineageCut]] with the BSP checkpoint discipline the PageRank
+    * family uses. Isolated vertices cannot occur (vertices come from
+    * the edge list). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    val ud = LineageCut.cut(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .unionByName(edges
+        .select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct())
+    var lab = LineageCut.cut(
+      ud.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+    for (_ <- 1 to rounds) {
+      val nl = ud.join(lab.select(col("v").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a").as("v"), col("lbl")).agg(count(lit(1)).as("__c"))
+      val mx = nl.groupBy(col("v")).agg(max(col("__c")).as("__mc"))
+      val next = LineageCut.cut(nl.join(mx, Seq("v"))
+        .filter(col("__c") === col("__mc"))
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+      LineageCut.release(lab)
+      lab = next
+    }
+    lab.select(col("v").as("id"), col("lbl").as("community"))
+  }
+
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")

@@ -315,6 +315,33 @@ object Stats {
       .agg(expr("sum(__d) div 2").cast("long").as("tv_ppm"))
   }
 
+  /** Weighted quartiles of an integer-cents value: the smallest value
+    * whose cumulative WEIGHT reaches 25/50/75% of the total (lower
+    * weighted quantile — `4·cum ≥ q·total` in pure integer compares).
+    * The weighted median is the robust center when rows carry unequal
+    * mass (revenue-weighted price, token-weighted doc score).
+    *
+    * Scale shape: the prefix weights ride
+    * [[Analytics.distributedCumSum]] — NO global-sort window at any
+    * size (only the ≤64-row bucket-prefix frame) — then one single-row
+    * total attach and one map-side-combined conditional-min aggregate.
+    * (tieCols must totalize the value order, same contract as the
+    * cumsum.) */
+  def weightedQuartiles(df: DataFrame, centsCol: String, weightCol: String,
+                        tieCols: Seq[String]): DataFrame = {
+    require(tieCols.nonEmpty, "tieCols must totalize the order")
+    val c = df.select((col(centsCol).cast("long").as("__v") +:
+      col(weightCol).cast("long").as("__w") +: tieCols.map(col)): _*)
+    val cum = Analytics.distributedCumSum(c, "__v", Seq("__w"),
+      tieCols = tieCols)
+    val tot = c.agg(sum(col("__w")).as("__tw"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("__tw")).as("total_weight"),
+        min(when(expr("cum___w * 4 >= __tw"), col("__v"))).as("wq25_cents"),
+        min(when(expr("cum___w * 2 >= __tw"), col("__v"))).as("wq50_cents"),
+        min(when(expr("cum___w * 4 >= 3 * __tw"), col("__v"))).as("wq75_cents"))
+  }
+
   /** Pearson chi-square independence statistic between two categorical
     * columns, in EXACT integer arithmetic: with o the observed cell,
     * r/c the marginals and N the total, each cell contributes

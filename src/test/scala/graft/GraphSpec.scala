@@ -177,4 +177,17 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r3 == r2)
   }
+
+  test("labelPropagation: two bridged triangles settle into their own communities; replay is deterministic") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; hand-traced
+    // 3 synchronous rounds (min-label ties) end at communities 1 and 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    def run() = Graph.labelPropagation(edges, "id_a", "id_b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(got === run(), "synchronous sweep must replay identically")
+  }
 }

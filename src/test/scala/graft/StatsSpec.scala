@@ -311,6 +311,22 @@ class StatsSpec extends SparkTestBase {
     assert(a.map(_._4).distinct.length > 1)
   }
 
+  test("weightedQuartiles: lower weighted quantiles by cumulative mass, tie order totalized") {
+    // values (cents, weight): 10x1, 20x1, 30x2 -> total 4
+    // cum: 10->1, 20->2, 30->4; q25 needs cw>=1, q50 cw>=2, q75 cw>=3
+    val df = Seq((10L, 1L, 1L, 1L), (20L, 1L, 2L, 1L), (30L, 2L, 3L, 1L))
+      .toDF("cents", "w", "k1", "k2")
+    val r = Stats.weightedQuartiles(df, "cents", "w", Seq("k1", "k2")).first()
+    assert((r.getAs[Long]("total_weight"), r.getAs[Long]("wq25_cents"),
+      r.getAs[Long]("wq50_cents"), r.getAs[Long]("wq75_cents"))
+      === ((4L, 10L, 20L, 30L)))
+    // one heavy row dominating: median = that row's value
+    val df2 = Seq((5L, 100L, 1L, 1L), (99L, 1L, 2L, 1L))
+      .toDF("cents", "w", "k1", "k2")
+    assert(Stats.weightedQuartiles(df2, "cents", "w", Seq("k1", "k2"))
+      .first().getAs[Long]("wq50_cents") === 5L)
+  }
+
   test("chiSquare: independence gives 0; a perfectly associated 2x2 gives N*1e6; zero cells contribute via the densified grid") {
     def chi(pairs: Seq[(String, String)]) = {
       val r = Stats.chiSquare(pairs.toDF("a", "b"), "a", "b").first()
