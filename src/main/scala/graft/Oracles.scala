@@ -410,6 +410,30 @@ private[graft] object Oracles {
     "SELECT resample, n, sum_cents, sum_cents * 1000000 // n " +
     "  AS mean_cents_ppm FROM g"
 
+  /** Encoding-advisor replica: per-column profile UNION, sum_len only
+    * for STRING columns (same no-double-stringify rule as the Spark
+    * side). */
+  private val encodingAdvisorSql: String = {
+    val strCols = Set("c_name", "c_mktsegment")
+    val parts = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+      "c_acctbal").map { c =>
+      val sl = if (strCols(c)) s"CAST(coalesce(sum(length($c)), 0) AS BIGINT)"
+               else "CAST(0 AS BIGINT)"
+      s"SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(count($c) AS BIGINT) AS n_nonnull, " +
+      s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+      s"$sl AS sum_len FROM customer"
+    }
+    "WITH p AS (" + parts.mkString(" UNION ALL ") + ") " +
+    "SELECT column_name, n, n_nonnull, n_distinct, sum_len, " +
+    "(n - n_nonnull) * 1000000 // n AS null_ppm, " +
+    "n_distinct * 1000000 // n AS distinct_ppm, " +
+    "CASE WHEN n_nonnull * 10 <= n THEN 'sparse' " +
+    "WHEN n_distinct <= 1 THEN 'constant' " +
+    "WHEN n_distinct * 20 <= n_nonnull THEN 'dict' " +
+    "ELSE 'plain' END AS suggestion FROM p"
+  }
+
   /** 3 synchronous LPA rounds unrolled (most-frequent neighbor label,
     * min-label ties) over the q_graph_components co-purchase edges —
     * per-vertex fixpoint, the full determinism pin. */
@@ -2268,6 +2292,7 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_encoding_advisor" -> encodingAdvisorSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_quartiles" -> weightedQuartilesSql,
     "q_chi_square" -> chiSquareSql,

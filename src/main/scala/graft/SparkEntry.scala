@@ -2140,6 +2140,12 @@ object SparkEntry {
         events(s, dir).withColumn("cents",
           floor(col("value") * 100).cast("long")),
         "event_id", "cents", b = 32)),
+    // storage-encoding advisor: per-column cardinality/null/width
+    // profile and the dict/plain/constant/sparse suggestion, one scan
+    "q_encoding_advisor" -> ((s, dir) =>
+      graft.operators.Layout.encodingAdvisor(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+          "c_acctbal"))),
     // is language independent of source? Pearson chi-square over the
     // densified lang x source grid in exact ppm integers
     "q_chi_square" -> ((s, dir) =>

@@ -73,4 +73,44 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
   }
+
+  /** Column-encoding advisor: per column, the cardinality/null/width
+    * profile and a deterministic storage-encoding suggestion —
+    * `sparse` (mostly null), `constant`, `dict` (distinct ≤ 5% of
+    * non-null — dictionary pages win), else `plain`. The profile a
+    * 100 TB table gets before choosing parquet encodings and
+    * bucketing columns. `sum_len` is byte length for STRING columns
+    * and 0 otherwise (numeric width is known from the type; casting
+    * doubles to strings for width is also an engine-portability trap).
+    *
+    * Scale shape: ONE scan — the multi-column distinct counts plan as
+    * a single Expand aggregation (|cols|× map-side rows, the standard
+    * price of multi-distinct), then a row-per-column stack of the
+    * single result row. */
+  def encodingAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "encodingAdvisor needs at least one column")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs = cols.flatMap { c =>
+      val lenAgg =
+        if (types(c) == org.apache.spark.sql.types.StringType)
+          coalesce(sum(length(col(c))).cast("long"), lit(0L))
+        else sum(lit(0L)).cast("long")
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        lenAgg.as(s"__sl_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', __nn_$c, __nd_$c, __sl_$c").mkString(", ") +
+      ") as (column_name, n_nonnull, n_distinct, sum_len)"
+    one.select(col("n"), expr(stackExpr))
+      .select(col("column_name"), col("n"), col("n_nonnull"),
+        col("n_distinct"), col("sum_len"),
+        expr("(n - n_nonnull) * 1000000L div n").as("null_ppm"),
+        expr("n_distinct * 1000000L div n").as("distinct_ppm"),
+        expr("CASE WHEN n_nonnull * 10 <= n THEN 'sparse' " +
+          "WHEN n_distinct <= 1 THEN 'constant' " +
+          "WHEN n_distinct * 20 <= n_nonnull THEN 'dict' " +
+          "ELSE 'plain' END").as("suggestion"))
+  }
 }

@@ -166,4 +166,30 @@ class LayoutSpec extends SparkTestBase {
     // and the layouts hold the same rows
     assert(spark.read.parquet(zDir).count() == ev.count())
   }
+
+  test("encodingAdvisor: rule boundaries (sparse/constant/dict/plain), string-only sum_len, one-scan plan") {
+    import spark.implicits._
+    val n = 100
+    val df = (1 to n).map { i =>
+      (i.toLong,                                      // unique -> plain
+       "k",                                           // constant
+       (i % 4).toString,                              // 4 of 100 -> dict
+       if (i <= 5) Some(s"v$i") else None)            // 95% null -> sparse
+    }.toDF("id", "konst", "cat", "mostly_null")
+    val rows = Layout.encodingAdvisor(df,
+        Seq("id", "konst", "cat", "mostly_null"))
+      .collect().map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("sum_len"),
+          r.getAs[String]("suggestion"))).toMap
+    assert(rows("id") === ((100L, 0L, "plain")))     // numeric: sum_len 0
+    assert(rows("konst") === ((1L, 100L, "constant")))
+    assert(rows("cat")._3 === "dict" && rows("cat")._1 === 4L)
+    assert(rows("mostly_null")._3 === "sparse")
+    // exactly one scan of the input: multi-distinct plans as ONE
+    // Expand aggregation, not one job per column
+    val plan = Layout.encodingAdvisor(df, Seq("id", "cat"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("LocalTableScan")) <= 1,
+      s"advisor should scan the input once:\n$plan")
+  }
 }
