@@ -398,12 +398,11 @@ private[graft] object Oracles {
     "FROM c CROSS JOIN tot ORDER BY cnt DESC, p1, p2, p3 LIMIT 20"
 
   private val bootstrapSql: String =
-    "WITH e AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS c " +
-    "  FROM events), " +
+    "WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c, " +
+    "  CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), " +
+    "  ':', 'bs')), 1, 13)) AS BIGINT) AS u FROM events), " +
     "x AS (SELECT b, c FROM e, LATERAL (SELECT unnest(range(0, 32)) AS b) " +
-    "  WHERE CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), " +
-    "  ':', CAST(b AS VARCHAR), ':', 'bs')), 1, 13)) AS BIGINT) " +
-    "  % 1000000 < 500000), " +
+    "  WHERE (u >> b) & 1 = 1), " +
     "g AS (SELECT CAST(b AS INTEGER) AS resample, " +
     "  CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_cents " +
     "  FROM x GROUP BY 1) " +

@@ -382,33 +382,42 @@ object Stats {
         expr("(a_levels - 1) * (b_levels - 1)").as("dof"), col("chi2_ppm"))
   }
 
-  /** Deterministic half-sample bootstrap of a mean: B resamples, each
-    * keeping the rows whose salted md5 ppm (id:b) falls below 500000 —
-    * a replayable stand-in for Poisson bootstrap that gives the same
-    * uncertainty read (Kleiner et al. 2014, "bag of little bootstraps"
-    * motivates subsample-based CI at scale). Per resample: n, the
-    * exact cents sum, and the ppm-scaled mean (`sum·1e6 div n`) — all
-    * integers, so the whole CI table replays bit-for-bit in any
-    * engine. Spread across the B means IS the sampling-uncertainty
-    * estimate (report min/max or a quantile downstream).
+  /** Deterministic half-sample bootstrap of a mean: B resamples, row r
+    * belongs to resample i iff BIT i of its salted 52-bit md5 value is
+    * set — one hash per ROW (not per row×resample; a good hash's bits
+    * are independent fair coins, so the B memberships are independent
+    * 50% draws) — a replayable stand-in for Poisson bootstrap that
+    * gives the same uncertainty read (Kleiner et al. 2014, "bag of
+    * little bootstraps" motivates subsample-based CI at scale). Per
+    * resample: n, the exact cents sum, and the ppm-scaled mean
+    * (`sum·1e6 div n`) — all integers, so the CI table replays
+    * bit-for-bit in any engine. Spread across the B means IS the
+    * sampling-uncertainty estimate.
     *
-    * Scale shape: the B-way explode multiplies MAP-side rows (B·|df|
-    * hash evaluations — the price of one-pass bootstrap), but the
-    * map-side combine collapses the shuffle to B rows per partition;
-    * no second scan, no driver loop. Exactness bound: |sum_cents|·1e6
-    * must fit a BIGINT (cents sums to ~9e12, i.e. ~$92B per resample);
-    * rescale the value column or shard the corpus beyond that. */
+    * Scale shape: ONE scan, one md5 per row, 2B conditional aggregates
+    * folded map-side to a single partial row per partition — no row
+    * multiplication, no per-resample pass (the explode formulation
+    * benched 32× the hashing for nothing). Exactness bound:
+    * |sum_cents|·1e6 must fit a BIGINT (cents sums to ~9e12, ~$92B per
+    * resample); rescale the value column or shard beyond that. */
   def bootstrapMeans(df: DataFrame, idCol: String, centsCol: String,
                      b: Int = 32, seed: String = "bs"): DataFrame = {
-    require(b >= 2 && b <= 256, s"b must be in [2, 256], got $b")
+    require(b >= 2 && b <= 48, s"b must be in [2, 48] (hash bits), got $b")
+    val u = expr("cast(conv(substr(md5(concat(__id, ':', " +
+      s"'$seed')), 1, 13), 16, 10) as bigint)")
+    val aggs = (0 until b).flatMap { i =>
+      val in = expr(s"(__u >> $i) & 1 = 1")
+      Seq(sum(when(in, 1L)).as(s"__n_$i"),
+        sum(when(in, col("__c"))).as(s"__s_$i"))
+    }
+    val stackExpr = s"stack($b, " +
+      (0 until b).map(i => s"$i, __n_$i, __s_$i").mkString(", ") +
+      ") as (resample, n, sum_cents)"
     df.select(col(idCol).cast("string").as("__id"),
         col(centsCol).cast("long").as("__c"))
-      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
-      .filter(expr(
-        "cast(conv(substr(md5(concat(__id, ':', cast(__b as string), " +
-        s"':', '$seed')), 1, 13), 16, 10) as bigint) % 1000000 < 500000"))
-      .groupBy(col("__b").as("resample"))
-      .agg(count(lit(1)).as("n"), sum(col("__c")).as("sum_cents"))
+      .select(col("__c"), u.as("__u"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
       .select(col("resample"), col("n"), col("sum_cents"),
         expr("sum_cents * 1000000L div n").as("mean_cents_ppm"))
   }
