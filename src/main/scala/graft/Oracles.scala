@@ -409,6 +409,36 @@ private[graft] object Oracles {
     "SELECT resample, n, sum_cents, sum_cents * 1000000 // n " +
     "  AS mean_cents_ppm FROM g"
 
+  private val mannWhitneySql: String =
+    "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, " +
+    "  CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 ELSE 1 END " +
+    "  AS h FROM events), " +
+    "g AS (SELECT v, CAST(count(*) AS BIGINT) AS c, " +
+    "  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca " +
+    "  FROM e GROUP BY 1), " +
+    "cum AS (SELECT v, c, ca, CAST(sum(c) OVER (ORDER BY v " +
+    "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM g), " +
+    "tot AS (SELECT CAST(sum(c - ca) AS BIGINT) AS n0, " +
+    "  CAST(sum(ca) AS BIGINT) AS na FROM g) " +
+    "SELECT n0, na AS n1, " +
+    "CAST(sum(ca * (2 * (cc - c) + c + 1)) AS BIGINT) - na * (na + 1) " +
+    "  AS u2_a, 2 * n0 * na AS u2_max " +
+    "FROM cum CROSS JOIN tot GROUP BY n0, na"
+
+  private val conformalSql: String =
+    "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v " +
+    "  FROM events), " +
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), " +
+    "r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) " +
+    "  AS rn FROM e), " +
+    "a AS (SELECT CAST(alpha_ppm AS BIGINT) AS alpha_ppm " +
+    "  FROM (VALUES (100000), (50000)) AS t(alpha_ppm)), " +
+    "k AS (SELECT a.alpha_ppm, t.n, least(t.n, ((t.n + 1) * " +
+    "  (1000000 - a.alpha_ppm) + 999999) // 1000000) AS rk " +
+    "  FROM a CROSS JOIN t) " +
+    "SELECT k.alpha_ppm, k.n, k.rk AS rank_k, r.v AS threshold_cents " +
+    "FROM k JOIN r ON r.rn = k.rk"
+
   /** Encoding-advisor replica: per-column profile UNION, sum_len only
     * for STRING columns (same no-double-stringify rule as the Spark
     * side). */
@@ -2291,6 +2321,8 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_mann_whitney" -> mannWhitneySql,
+    "q_conformal" -> conformalSql,
     "q_encoding_advisor" -> encodingAdvisorSql,
     "q_label_prop" -> labelPropSql,
     "q_weighted_quartiles" -> weightedQuartilesSql,

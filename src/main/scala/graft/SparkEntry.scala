@@ -2699,6 +2699,24 @@ object SparkEntry {
             .as("half")),
         groupCol = "event_type", centsCol = "xc", cohortCol = "half",
         nBins = 10)),
+    // nonparametric location-shift test between the two time halves:
+    // Mann-Whitney U in exact doubled-rank integers (no normal
+    // approximation, no floats; u2_a vs u2_max/2 reads the direction)
+    "q_mann_whitney" -> ((s, dir) =>
+      graft.operators.Stats.mannWhitneyU(
+        events(s, dir).select(
+          round(col("value") * 100).cast("long").as("cents"),
+          when(expr("ts div 86400000000") < 19738, 0).otherwise(1)
+            .as("half")),
+        "cents", "half")),
+    // split-conformal calibration: the ceil((n+1)(1-alpha))-th smallest
+    // score at alpha = 10%/5%, selected via the distributed cumsum
+    "q_conformal" -> ((s, dir) =>
+      graft.operators.Stats.conformalThresholds(
+        events(s, dir).withColumn("cents",
+          round(col("value") * 100).cast("long")),
+        "cents", tieCols = Seq("event_id"),
+        alphasPpm = Seq(100000L, 50000L))),
     // per-user session-duration SLAs: exact order-statistic p50/p90
     // over 6h-gap sessions
     "q_session_duration" -> ((s, dir) =>

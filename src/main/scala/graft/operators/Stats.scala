@@ -342,6 +342,74 @@ object Stats {
         min(when(expr("cum___w * 4 >= 3 * __tw"), col("__v"))).as("wq75_cents"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between cohort 0 and cohort 1
+    * of an integer-cents value, in EXACT integers: with per-distinct-
+    * value counts and the cumulative count of strictly-smaller values,
+    * cohort A's tie-averaged rank sum DOUBLED is
+    * `R2 = Σ_v cA(v)·(2·below(v) + c(v) + 1)` (average rank of a tie
+    * block of size c starting after `below` rows is below + (c+1)/2 —
+    * doubling clears the half), and `U2 = R2 − nA·(nA+1)` is twice the
+    * U statistic. Reports (n0, n1, u2_a, u2_max = 2·n0·n1) — the
+    * nonparametric location-shift test that needs no distributional
+    * assumption and no floats (compare u2_a to u2_max/2 for direction;
+    * normal-approximate downstream if a p-value is wanted).
+    *
+    * Scale shape: one distinct-value aggregation, prefix counts on
+    * [[Analytics.distributedCumSum]] (no global-sort window), one
+    * single-row total attach. */
+  def mannWhitneyU(df: DataFrame, centsCol: String, cohortCol: String)
+      : DataFrame = {
+    val v = df.select(col(centsCol).cast("long").as("__v"),
+        col(cohortCol).cast("int").as("__h"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("__ca"))
+    val cum = Analytics.distributedCumSum(v, "__v", Seq("__c"))
+    val tot = v.agg(sum(col("__c") - col("__ca")).as("__n0"),
+      sum(col("__ca")).as("__na"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__n0"), col("__na"),
+        // cum___c includes v's own block: below = cum - c
+        expr("__ca * (2 * (cum___c - __c) + __c + 1)").as("__r2"))
+      .groupBy(col("__n0"), col("__na"))
+      .agg(sum(col("__r2")).as("__r2a"))
+      .select(col("__n0").as("n0"), col("__na").as("n1"),
+        expr("__r2a - __na * (__na + 1)").as("u2_a"),
+        expr("2 * __n0 * __na").as("u2_max"))
+  }
+
+  /** Split-conformal prediction thresholds (Vovk et al. 2005; Lei et
+    * al. 2018): for each miscoverage α, the ⌈(n+1)(1−α)⌉-th smallest
+    * calibration score — the radius that makes prediction sets cover
+    * with probability ≥ 1−α. Rank arithmetic is exact integer
+    * (`r = (n+1)·(1e6−α_ppm) div 1e6 + 1`, capped at n), and the
+    * selection is "smallest value whose cumulative count reaches r" —
+    * one [[Analytics.distributedCumSum]] pass, never a global sort.
+    * One output row per α: alpha_ppm, n, rank, threshold_cents. */
+  def conformalThresholds(df: DataFrame, centsCol: String,
+                          tieCols: Seq[String],
+                          alphasPpm: Seq[Long]): DataFrame = {
+    require(alphasPpm.nonEmpty &&
+      alphasPpm.forall(a => a > 0 && a < 1000000),
+      s"alphas must be ppm in (0, 1e6), got $alphasPpm")
+    val c = df.select((col(centsCol).cast("long").as("__v") +:
+      lit(1L).as("__one") +: tieCols.map(col)): _*)
+    val cum = Analytics.distributedCumSum(c, "__v", Seq("__one"),
+      tieCols = tieCols)
+    val tot = c.agg(count(lit(1)).as("__n"))
+    val withN = cum.crossJoin(broadcast(tot))
+    alphasPpm.map { a =>
+      withN
+        .withColumn("__r", // ceil((n+1)(1-α)) in ppm, capped at n
+          least(col("__n"),
+            expr(s"((__n + 1) * ${1000000L - a}L + 999999L) div 1000000L")))
+        .agg(lit(a).as("alpha_ppm"), max(col("__n")).as("n"),
+          max(col("__r")).as("rank_k"),
+          min(when(expr("cum___one >= __r"), col("__v")))
+            .as("threshold_cents"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Pearson chi-square independence statistic between two categorical
     * columns, in EXACT integer arithmetic: with o the observed cell,
     * r/c the marginals and N the total, each cell contributes

@@ -311,6 +311,41 @@ class StatsSpec extends SparkTestBase {
     assert(a.map(_._4).distinct.length > 1)
   }
 
+  test("mannWhitneyU: hand ranks with and without ties; U2_a + U2_b = 2*n0*n1") {
+    // no ties: c0 {1,3}, c1 {2,4} -> R_A = 2+4 = 6, U = 3 -> u2 = 6
+    val a = Stats.mannWhitneyU(Seq((1L, 0), (3L, 0), (2L, 1), (4L, 1))
+      .toDF("cents", "half"), "cents", "half").first()
+    assert((a.getAs[Long]("n0"), a.getAs[Long]("n1"),
+      a.getAs[Long]("u2_a"), a.getAs[Long]("u2_max")) === ((2L, 2L, 6L, 8L)))
+    // ties: c0 {1,2}, c1 {2,3} -> avg rank of the 2s is 2.5,
+    // R_A = 2.5 + 4 = 6.5 -> R2 = 13, u2_a = 13 - 2*3 = 7
+    val b = Stats.mannWhitneyU(Seq((1L, 0), (2L, 0), (2L, 1), (3L, 1))
+      .toDF("cents", "half"), "cents", "half").first()
+    assert(b.getAs[Long]("u2_a") === 7L)
+    // complement: swapping cohorts must give u2_b with u2_a+u2_b = 2*n0*n1
+    val c = Stats.mannWhitneyU(Seq((1L, 1), (2L, 1), (2L, 0), (3L, 0))
+      .toDF("cents", "half"), "cents", "half").first()
+    assert(b.getAs[Long]("u2_a") + c.getAs[Long]("u2_a") === 8L)
+  }
+
+  test("conformalThresholds: ceil((n+1)(1-alpha))-th smallest, exact-multiple boundary, cap at n") {
+    val df = (1 to 10).map(i => (i.toLong * 10, i.toLong)).toDF("cents", "id")
+    val out = Stats.conformalThresholds(df, "cents", Seq("id"),
+        alphasPpm = Seq(100000L, 500000L))
+      .orderBy("alpha_ppm").collect()
+      .map(r => (r.getAs[Long]("alpha_ppm"), r.getAs[Long]("n"),
+        r.getAs[Long]("rank_k"), r.getAs[Long]("threshold_cents")))
+    // n=10: alpha .1 -> ceil(11*.9) = 10 -> 100; alpha .5 -> ceil(5.5) = 6 -> 60
+    assert(out.toSeq === Seq((100000L, 10L, 10L, 100L),
+      (500000L, 10L, 6L, 60L)))
+    // exact multiple: n=9, alpha .1 -> ceil(10*.9) = 9 exactly (no +1 drift)
+    val df9 = (1 to 9).map(i => (i.toLong * 10, i.toLong)).toDF("cents", "id")
+    val r9 = Stats.conformalThresholds(df9, "cents", Seq("id"),
+      alphasPpm = Seq(100000L)).first()
+    assert((r9.getAs[Long]("rank_k"), r9.getAs[Long]("threshold_cents"))
+      === ((9L, 90L)))
+  }
+
   test("weightedQuartiles: lower weighted quantiles by cumulative mass, tie order totalized") {
     // values (cents, weight): 10x1, 20x1, 30x2 -> total 4
     // cum: 10->1, 20->2, 30->4; q25 needs cw>=1, q50 cw>=2, q75 cw>=3
