@@ -2406,6 +2406,38 @@ private[graft] object Oracles {
       "SELECT CAST(count(*) AS BIGINT) AS n_triangles " +
       "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
       "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"),
+    // a<b<c enumeration is equivalent to the engine's degree-oriented
+    // one (each triangle once); attribution to all three corners
+    "q_clustering_coeff" -> (
+      s"WITH $coPartEdgesSql, " +
+      "tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w " +
+      "  FROM e e1 JOIN e e2 ON e1.b = e2.a " +
+      "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+      "pv AS (SELECT unnest([u, v, w]) AS v0 FROM tri), " +
+      "t AS (SELECT v0, CAST(count(*) AS BIGINT) AS tri FROM pv " +
+      "  GROUP BY 1), " +
+      "d AS (SELECT v, CAST(count(*) AS BIGINT) AS dd FROM " +
+      "  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) " +
+      "  GROUP BY v) " +
+      "SELECT d.v AS id, d.dd AS degree, " +
+      "CAST(coalesce(t.tri, 0) AS BIGINT) AS n_tri, " +
+      "CASE WHEN d.dd >= 2 THEN 2 * coalesce(t.tri, 0) * 1000000 // " +
+      "  (d.dd * (d.dd - 1)) ELSE 0 END AS coeff_ppm " +
+      "FROM d LEFT JOIN t ON t.v0 = d.v"),
+    "q_mutual_nn" -> (
+      "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+      "  round(c.cos, 6) AS cos " +
+      "  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, " +
+      "  LATERAL (SELECT list_cosine_similarity(" +
+      "    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) " +
+      "    AS cos) c WHERE c.cos >= 0.45), " +
+      "bo AS (SELECT id_a, id_b, cos FROM p " +
+      "  UNION ALL SELECT id_b, id_a, cos FROM p), " +
+      "best AS (SELECT id_a AS s, id_b AS t, cos FROM " +
+      "  (SELECT *, row_number() OVER (PARTITION BY id_a " +
+      "    ORDER BY cos DESC, id_b ASC) AS rn FROM bo) WHERE rn = 1) " +
+      "SELECT x.s AS id_a, x.t AS id_b, x.cos AS cos FROM best x " +
+      "JOIN best y ON x.t = y.s AND y.t = x.s WHERE x.s < x.t"),
     "q_kcore" -> kCoreOracle,
     "q_degree_dist" -> (
       s"WITH $coPartEdgesSql, " +

@@ -2325,6 +2325,18 @@ object SparkEntry {
     // supplier→customer shipment graph (which has zero triangles)
     "q_triangle_count" -> ((s, dir) =>
       graft.operators.Graph.triangleCount(coPartEdges(s, dir))),
+    // per-vertex cohesion profile on the same graph: local clustering
+    // coefficient in exact ppm (degree-oriented wedge closure, each
+    // triangle attributed to its three corners)
+    "q_clustering_coeff" -> ((s, dir) =>
+      graft.operators.Graph.clusteringCoefficient(coPartEdges(s, dir))),
+    // reciprocal best match over the bucketed embedding candidates:
+    // pairs where each side is the other's top-scoring neighbor — the
+    // high-precision alignment filter (one-way top-1 keeps hubs)
+    "q_mutual_nn" -> ((s, dir) =>
+      Similarity.mutualTopMatches(
+        Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45))),
     // degree distribution of the same graph — the shape check run
     // before any heavier graph job
     "q_degree_dist" -> ((s, dir) =>

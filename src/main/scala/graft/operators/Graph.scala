@@ -235,6 +235,51 @@ object Graph {
     * left-semi equi-joins against the ≤|V|-row keep set (AQE chooses
     * the join strategy — never a forced broadcast), with per-round
     * lineage cuts so the plan doesn't grow with the round count. */
+  /** Per-vertex local clustering coefficient: `2·t(v) / (d(v)·(d(v)−1))`
+    * in exact ppm, where t(v) counts triangles through v — the
+    * community-cohesion profile ("how clique-like is each vertex's
+    * neighborhood"). Triangles are enumerated ONCE each by the same
+    * degree-oriented wedge closure as [[triangleCount]] (Suri &
+    * Vassilvitskii 2011 — wedge work is Σd(v)² of the ORIENTED graph,
+    * i.e. bounded by the degree order, not by hot vertices), then
+    * attributed to all three corners. deg < 2 reports 0 (guarded —
+    * ANSI div-by-zero throws).
+    *
+    * Scale shape: degree agg + two wedge joins keyed on vertex ids +
+    * one explode(3)·count — all equi-joins, map-side-combined counts,
+    * no all-pairs stage. */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String = "id_a",
+                            bCol: String = "id_b"): DataFrame = {
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val tri = o.select(col("src").as("u"), col("dst").as("v"))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+      .join(o.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"))
+    val perV = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("v0"))
+      .groupBy(col("v0")).agg(count(lit(1)).as("t"))
+    deg.join(perV, deg("v") === perV("v0"), "left")
+      .select(col("v").as("id"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        expr("CASE WHEN d >= 2 THEN 2 * coalesce(t, 0L) * 1000000L " +
+          "div (d * (d - 1)) ELSE 0L END").as("coeff_ppm"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for FIXED
     * `rounds`: every vertex simultaneously adopts the most frequent
     * label among its neighbors, ties broken by MIN label — both rules

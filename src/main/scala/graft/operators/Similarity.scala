@@ -281,4 +281,32 @@ object Similarity {
           .cast("long").as("cos_ppm"))
       .orderBy(col("label_a"), col("label_b"))
   }
+
+  /** Mutual nearest neighbors over a scored candidate pair list
+    * (columns id_a, id_b, cos — canonical id_a < id_b, e.g. from
+    * [[Dedup.embeddingNearDupPairs]]): keep the pairs where each side
+    * is the OTHER side's best-scoring neighbor (ties by min id). The
+    * reciprocal-best-match criterion is the standard high-precision
+    * alignment/dedup filter (a one-way top-1 keeps hub neighbors;
+    * mutuality kills them).
+    *
+    * Scale shape: candidate-list-sized only — one symmetrize, one
+    * per-id window top-1, one self-equi-join; the corpus-sized work
+    * already happened in the (bucketed) candidate generator. */
+  def mutualTopMatches(pairs: DataFrame): DataFrame = {
+    val both = pairs.select(col("id_a"), col("id_b"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("cos")))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b").asc)
+    val best = both.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id_a").as("s"), col("id_b").as("t"), col("cos"))
+    best.as("x")
+      .join(best.as("y"),
+        col("x.t") === col("y.s") && col("y.t") === col("x.s"))
+      .filter(col("x.s") < col("x.t"))
+      .select(col("x.s").as("id_a"), col("x.t").as("id_b"),
+        col("x.cos").as("cos"))
+  }
 }

@@ -200,6 +200,23 @@ class EvalSpec extends SparkTestBase {
     assert(kappa(pairs)._3 === 347826L)
   }
 
+  test("mutualTopMatches: reciprocal best only — a one-way best into a better-matched pair is dropped") {
+    // best(1)=2 and best(2)=1 -> mutual; best(3)=4, best(4)=3 -> mutual;
+    // the (2,3) edge is one-way on both ends and must vanish
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (3L, 4L, 0.95))
+      .toDF("id_a", "id_b", "cos")
+    val got = Similarity.mutualTopMatches(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set((1L, 2L, 0.9), (3L, 4L, 0.95)))
+    // hub case: 1 is everyone's best, but 1's best is only 2 -> one pair
+    val hub = Seq((1L, 2L, 0.9), (1L, 3L, 0.8), (1L, 4L, 0.7))
+      .toDF("id_a", "id_b", "cos")
+    assert(Similarity.mutualTopMatches(hub)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L)))
+  }
+
   test("keySkewProfile: hot key surfaces with exact share and hot-ratio; topK cuts on (cnt desc, key asc)") {
     import graft.operators.Skew
     // 4 keys, counts 6/2/1/1 over 10 rows

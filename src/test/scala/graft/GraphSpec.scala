@@ -178,6 +178,24 @@ class GraphSpec extends SparkTestBase {
     assert(r3 == r2)
   }
 
+  test("clusteringCoefficient: triangle + pendant hand graph; each triangle hits all three corners") {
+    import spark.implicits._
+    // K3 {1,2,3} with pendant 4 hanging off 1:
+    //  v1: deg 3, 1 triangle -> 2*1e6/(3*2) = 333333
+    //  v2, v3: deg 2, 1 triangle -> 1e6 (their neighborhood is a clique)
+    //  v4: deg 1 -> 0 by convention (guarded division)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Graph.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 333333L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L)),
+      4L -> ((1L, 0L, 0L))))
+  }
+
   test("labelPropagation: two bridged triangles settle into their own communities; replay is deterministic") {
     // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; hand-traced
     // 3 synchronous rounds (min-label ties) end at communities 1 and 3
