@@ -409,6 +409,32 @@ private[graft] object Oracles {
     "SELECT resample, n, sum_cents, sum_cents * 1000000 // n " +
     "  AS mean_cents_ppm FROM g"
 
+  private val paretoSql: String =
+    "WITH rev AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice " +
+    "  * 100) AS BIGINT)) AS BIGINT) AS r FROM orders GROUP BY 1), " +
+    "cum AS (SELECT r, CAST(sum(r) OVER (ORDER BY r DESC, o_custkey " +
+    "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr FROM rev), " +
+    "tot AS (SELECT CAST(sum(r) AS BIGINT) AS t, " +
+    "  CAST(count(*) AS BIGINT) AS nk FROM rev), " +
+    "th AS (SELECT CAST(p AS BIGINT) AS threshold_ppm FROM " +
+    "  (VALUES (500000), (800000), (900000)) AS v(p)) " +
+    "SELECT th.threshold_ppm, " +
+    "CAST(coalesce(sum(CASE WHEN cum.cr < (tot.t * th.threshold_ppm " +
+    "  + 999999) // 1000000 THEN 1 END), 0) + 1 AS BIGINT) AS n_keys, " +
+    "max(tot.nk) AS n_total_keys " +
+    "FROM th CROSS JOIN tot CROSS JOIN cum GROUP BY 1"
+
+  private val langPuritySql: String =
+    "WITH c AS (SELECT source, lang, count(*) AS n FROM documents " +
+    "  GROUP BY 1, 2), " +
+    "w AS (SELECT source, lang, n, " +
+    "  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs, " +
+    "  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_langs, " +
+    "  row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) " +
+    "  AS rn FROM c) " +
+    "SELECT source, n_docs, n_langs, lang AS top_lang, " +
+    "n * 1000000 // n_docs AS top_share_ppm FROM w WHERE rn = 1"
+
   private val mannWhitneySql: String =
     "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, " +
     "  CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 ELSE 1 END " +
@@ -2321,6 +2347,8 @@ private[graft] object Oracles {
       "last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
       "  ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
       "  AS value FROM j"),
+    "q_pareto" -> paretoSql,
+    "q_lang_purity" -> langPuritySql,
     "q_mann_whitney" -> mannWhitneySql,
     "q_conformal" -> conformalSql,
     "q_encoding_advisor" -> encodingAdvisorSql,

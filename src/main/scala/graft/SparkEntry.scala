@@ -2711,6 +2711,31 @@ object SparkEntry {
             .as("half")),
         groupCol = "event_type", centsCol = "xc", cohortCol = "half",
         nBins = 10)),
+    // revenue concentration: how many top customers cover 50/80/90% of
+    // order value — descending prefix totals on the distributed cumsum
+    "q_pareto" -> ((s, dir) =>
+      graft.operators.Stats.paretoCoverage(
+        t(s, dir, "orders").withColumn("cents",
+          round(col("o_totalprice") * 100).cast("long")),
+        "o_custkey", "cents",
+        thresholdsPpm = Seq(500000L, 800000L, 900000L))),
+    // per-source language purity: majority-language share (ppm), the
+    // pre-training mix-quality gate beside the chi-square audit
+    "q_lang_purity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "documents").groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("source"))
+      val wr = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang").asc)
+      c.withColumn("n_docs", sum(col("n")).over(w))
+        .withColumn("n_langs", count(lit(1)).over(w))
+        .withColumn("__rn", row_number().over(wr))
+        .filter(col("__rn") === 1)
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("lang").as("top_lang"),
+          expr("n * 1000000L div n_docs").as("top_share_ppm"))
+    }),
     // nonparametric location-shift test between the two time halves:
     // Mann-Whitney U in exact doubled-rank integers (no normal
     // approximation, no floats; u2_a vs u2_max/2 reads the direction)

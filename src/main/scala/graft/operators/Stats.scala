@@ -342,6 +342,39 @@ object Stats {
         min(when(expr("cum___w * 4 >= 3 * __tw"), col("__v"))).as("wq75_cents"))
   }
 
+  /** Pareto concentration: for each coverage threshold, how many of
+    * the top keys (by their cents total, descending) it takes to reach
+    * that share of the grand total — the "how 80/20 is this corpus"
+    * report (revenue concentration, token-source concentration).
+    * `n_keys(t)` = rank of the first key whose inclusive cumulative
+    * total reaches `ceil(t·total)` — all exact ppm-integer arithmetic.
+    *
+    * Scale shape: one per-key aggregation, descending prefix totals on
+    * [[Analytics.distributedCumSum]] (order by the negated total — no
+    * global-sort window), one single-row total attach, one counting
+    * aggregate per threshold. */
+  def paretoCoverage(df: DataFrame, keyCol: String, centsCol: String,
+                     thresholdsPpm: Seq[Long]): DataFrame = {
+    require(thresholdsPpm.nonEmpty &&
+      thresholdsPpm.forall(t => t > 0 && t < 1000000),
+      s"thresholds must be ppm in (0, 1e6), got $thresholdsPpm")
+    val rev = df.groupBy(col(keyCol).as("__k"))
+      .agg(sum(col(centsCol).cast("long")).as("__r"))
+    val cum = Analytics.distributedCumSum(
+      rev.withColumn("__nr", -col("__r")), "__nr", Seq("__r"),
+      tieCols = Seq("__k"))
+    val tot = rev.agg(sum(col("__r")).as("__t"),
+      count(lit(1)).as("__nk"))
+    val withT = cum.crossJoin(broadcast(tot))
+    thresholdsPpm.map { t =>
+      withT.agg(lit(t).as("threshold_ppm"),
+        (coalesce(sum(when(
+          expr(s"cum___r < (__t * ${t}L + 999999L) div 1000000L"), 1L)),
+          lit(0L)) + 1L).as("n_keys"),
+        max(col("__nk")).as("n_total_keys"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between cohort 0 and cohort 1
     * of an integer-cents value, in EXACT integers: with per-distinct-
     * value counts and the cumulative count of strictly-smaller values,

@@ -311,6 +311,17 @@ class StatsSpec extends SparkTestBase {
     assert(a.map(_._4).distinct.length > 1)
   }
 
+  test("paretoCoverage: hand revenues 50/30/20 at thresholds 50/80/90%") {
+    val df = Seq(("a", 50L), ("b", 30L), ("c", 20L)).toDF("k", "cents")
+    val out = Stats.paretoCoverage(df, "k", "cents",
+        thresholdsPpm = Seq(500000L, 800000L, 900000L))
+      .orderBy("threshold_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 50%: top key alone (50/100); 80%: two keys (80/100); 90%: three
+    assert(out.toSeq === Seq((500000L, 1L, 3L), (800000L, 2L, 3L),
+      (900000L, 3L, 3L)))
+  }
+
   test("mannWhitneyU: hand ranks with and without ties; U2_a + U2_b = 2*n0*n1") {
     // no ties: c0 {1,3}, c1 {2,4} -> R_A = 2+4 = 6, U = 3 -> u2 = 6
     val a = Stats.mannWhitneyU(Seq((1L, 0), (3L, 0), (2L, 1), (4L, 1))
