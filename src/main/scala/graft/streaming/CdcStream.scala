@@ -326,4 +326,65 @@ object CdcStream {
       }(stEnc, outEnc)
       .toDF("from_state", "to_state")
   }
+
+  /** Streaming face of [[graft.operators.Temporal.ewmaHalfLife]]: per
+    * key, the truncated α=1/2 EWMA over the last `lags+1` values,
+    * emitted PER EVENT and BIT-IDENTICAL to the batch operator — the
+    * ring buffer sums newest-first in the same ascending-lag order
+    * with the same power-of-two divisions (exact exponent shifts), so
+    * a restart-parity test can compare doubles with ==. Rows arriving
+    * older than the key's newest state entry are dropped (the same
+    * watermark-style contract as [[transitionsStream]]); within a
+    * micro-batch rows sort by (ts, tie). State per key is `lags+1`
+    * (ts, tie, value) triples — O(keys·lags), independent of stream
+    * length. */
+  def ewmaStream(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCol: String,
+                 lags: Int = 9): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags out of range: $lags")
+    import org.apache.spark.sql.Encoders
+    val entryEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaDouble)
+    val stEnc = Encoders.product[(Seq[Long], Seq[Long], Seq[Double])]
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaDouble)
+    val keyed = events.select(
+        col(keyCol).cast("long").as("_1"),
+        col(tsCol).cast("long").as("_2"),
+        col(tieCol).cast("long").as("_3"),
+        col(valueCol).cast("double").as("_4")).as(entryEnc)
+    keyed.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Seq[Long], Seq[Long], Seq[Double]),
+        (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         st: GroupState[(Seq[Long], Seq[Long], Seq[Double])]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var (tss, ties, vs) = st.getOption
+            .getOrElse((Seq.empty[Long], Seq.empty[Long], Seq.empty[Double]))
+          val out = Seq.newBuilder[(Long, Long, Long, Double)]
+          sorted.foreach { case (_, t, tie, v) =>
+            val isNewest = tss.isEmpty || t > tss.last ||
+              (t == tss.last && tie > ties.last)
+            if (isNewest) {
+              tss :+= t; ties :+= tie; vs :+= v
+              if (vs.size > lags + 1) {
+                tss = tss.tail; ties = ties.tail; vs = vs.tail
+              }
+              // ascending-lag order, same as the batch reduceLeft:
+              // v0/1 + v1/2 + ... (absent lags contribute 0)
+              var s = 0.0
+              var k = 0
+              while (k < vs.size) {
+                s += vs(vs.size - 1 - k) / math.pow(2.0, k)
+                k += 1
+              }
+              out += ((key, t, tie, s))
+            } // else: late arrival older than the state — dropped
+          }
+          if (tss.nonEmpty) st.update((tss, ties, vs))
+          out.result().iterator
+      }(stEnc, outEnc)
+      .toDF("__key", "ts", "tie", "ewma")
+  }
 }

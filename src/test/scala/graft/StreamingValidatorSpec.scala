@@ -456,6 +456,45 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ewmaStream: per-event EWMA equals the batch operator BIT-FOR-BIT across a checkpoint restart") {
+    import graft.operators.Temporal
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ew").toString
+    val ev = eventsUs().filter($"user_id" % 7 === 0)
+      .select($"user_id", $"ts", $"event_id", $"value")
+    // early split so the ring-buffer state genuinely spans the restart
+    val split = ev.agg(expr("percentile(ts, 0.05D)")).first().getDouble(0).toLong
+    ev.filter($"ts" <= split).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runPhase(): Unit = {
+      val stream = CdcStream.readFiles(spark, s"$dir/in", schema,
+        maxFilesPerTrigger = 4)
+      val q = CdcStream.ewmaStream(stream, "user_id", "ts", "event_id",
+          "value")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runPhase()
+    val n1 = spark.read.parquet(s"$dir/out").count()
+    ev.filter($"ts" > split).write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"__key", $"ts", $"tie", $"ewma")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = Temporal.ewmaHalfLife(ev, "user_id", "ts", "event_id",
+        "value")
+      .select($"user_id", $"ts", $"event_id", $"ewma")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(n1 > 0 && streamed.size > n1.toInt,
+      "phase 2 must add per-event outputs across the restart")
+    // set equality on RAW doubles: same ascending-lag sum order and
+    // power-of-two divisions on both paths, so == is exact
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows vs batch ${batch.size}")
+  }
+
   test("streaming funnel completions match batch across a checkpoint restart") {
     import graft.operators.Temporal
     val steps = Seq($"event_type" === "view", $"event_type" === "click",
