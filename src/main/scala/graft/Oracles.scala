@@ -76,6 +76,26 @@ private[graft] object Oracles {
   private val exactJaccardSql: String =
     s"WITH $jaccardCtesSql SELECT id_a, id_b, jaccard FROM jj"
 
+  /** Yield curve over the same exact-pair CTEs at the looser 0.3 floor
+    * (string-replace of the embedded threshold — both occurrences),
+    * then per-threshold pair/doc counts with zero-yield thresholds
+    * kept via LEFT JOIN (Spark's empty aggregates emit 0 rows too). */
+  private val dedupYieldSql: String =
+    s"WITH ${jaccardCtesSql.replace("0.5", "0.3")}, " +
+    "th AS (SELECT p FROM (VALUES (300000), (500000), (700000), " +
+    "  (900000)) AS v(p)), " +
+    "base AS (SELECT th.p AS tp, jj.id_a, jj.id_b FROM jj CROSS JOIN th " +
+    "  WHERE jj.jaccard >= th.p / 1000000.0), " +
+    "np AS (SELECT tp, CAST(count(*) AS BIGINT) AS n_pairs FROM base " +
+    "  GROUP BY 1), " +
+    "nd AS (SELECT tp, CAST(count(DISTINCT id) AS BIGINT) AS n_docs " +
+    "  FROM (SELECT tp, unnest([id_a, id_b]) AS id FROM base) " +
+    "  GROUP BY 1) " +
+    "SELECT CAST(th.p AS BIGINT) AS threshold_ppm, " +
+    "CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs, " +
+    "CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs " +
+    "FROM th LEFT JOIN np ON np.tp = th.p LEFT JOIN nd ON nd.tp = th.p"
+
   /** Shared dims CTE for the deterministic test WAV (AudioCodec
     * .testWav): channels/bit-depth/frame-count as pure functions of
     * doc_id, mirrored by both audio oracle rows. INT casts pin the
@@ -1556,6 +1576,7 @@ private[graft] object Oracles {
       ("SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY " +
        "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) ORDER BY doc_id) = 1"),
     "q_dedup_ngram_jaccard" -> exactJaccardSql,
+    "q_dedup_yield_curve" -> dedupYieldSql,
     // cross-tier oracles: the prune-then-verify queries emit EXACT
     // n-gram jaccard for LSH/simhash candidates, so the exact-pairs SQL
     // is a true oracle wherever the pruner's recall is 1 (it is, on the

@@ -1316,6 +1316,25 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsSplit(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5)),
+    // the knob-tuning report for the dedup tier: pairs and docs
+    // flagged at each Jaccard threshold — pick the threshold from the
+    // yield curve, not by folklore. One exact-pair computation
+    // (materialized, freed by the candidate scope), 4 tiny aggs.
+    "q_dedup_yield_curve" -> ((s, dir) => {
+      val pairs = Dedup.materializeShared(
+        Dedup.ngramJaccardPairs(docsSplit(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.3))
+      Seq(0.3, 0.5, 0.7, 0.9).map { t =>
+        val p = pairs.filter(col("jaccard") >= t)
+        val np = p.agg(count(lit(1)).as("n_pairs"))
+        val nd = p.select(explode(array(col("id_a"), col("id_b")))
+            .as("id"))
+          .agg(countDistinct(col("id")).as("n_docs"))
+        np.crossJoin(broadcast(nd))
+          .select(lit((t * 1e6).toLong).as("threshold_ppm"),
+            col("n_pairs"), col("n_docs"))
+      }.reduce(_ unionByName _)
+    }),
     // prune-then-verify: minhash-LSH candidates (loose 0.35 prune on the
     // signature estimate) verified by EXACT n-gram jaccard — so the
     // exact-jaccard SQL IS the oracle, and an LSH recall shortfall on
