@@ -41,7 +41,7 @@ private[graft] object Oracles {
   // exactly like shingleHashes — r4 review finding on edge-whitespace
   // and empty-doc divergence. ONE copy of the jaccard CTE chain,
   // shared by the exact-tier oracle and the simhash-pruned oracle.
-  private val jaccardCtesSql: String =
+  private def jaccardCtes(threshold: Double): String =
     "jtok AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
     "lower(text), '\\s+'), t -> t != '') AS ts " +
     "  FROM documents), " +
@@ -55,7 +55,9 @@ private[graft] object Oracles {
     "jj AS (SELECT id_a, id_b, " +
     "  round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard " +
     "  FROM jp JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b " +
-    "  WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.5)"
+    s"  WHERE common * 1.0 / (x.sz + y.sz - common) >= $threshold)"
+
+  private val jaccardCtesSql: String = jaccardCtes(0.5)
 
   /** Closed-form replay of the deterministic test image's decoded
     * stats: shared by q_multimodal_decode (PPM/BMP fixture) and
@@ -77,11 +79,11 @@ private[graft] object Oracles {
     s"WITH $jaccardCtesSql SELECT id_a, id_b, jaccard FROM jj"
 
   /** Yield curve over the same exact-pair CTEs at the looser 0.3 floor
-    * (string-replace of the embedded threshold — both occurrences),
-    * then per-threshold pair/doc counts with zero-yield thresholds
-    * kept via LEFT JOIN (Spark's empty aggregates emit 0 rows too). */
+    * (the shared CTE builder parameterized by threshold), then
+    * per-threshold pair/doc counts with zero-yield thresholds kept via
+    * LEFT JOIN (Spark's empty aggregates emit 0 rows too). */
   private val dedupYieldSql: String =
-    s"WITH ${jaccardCtesSql.replace("0.5", "0.3")}, " +
+    s"WITH ${jaccardCtes(0.3)}, " +
     "th AS (SELECT p FROM (VALUES (300000), (500000), (700000), " +
     "  (900000)) AS v(p)), " +
     "base AS (SELECT th.p AS tp, jj.id_a, jj.id_b FROM jj CROSS JOIN th " +
@@ -326,8 +328,11 @@ private[graft] object Oracles {
   private val dpBaseSql: String =
     "WITH g AS (SELECT event_type, count(*) AS n_exact FROM events " +
     "  GROUP BY 1), " +
+    // group-key encoding mirrors Privacy.encodedKey: escape '\' then
+    // '|', NULL -> '\N' (identity on the fixture's simple values)
     "u AS (SELECT event_type, n_exact, CAST(concat('0x', " +
-    "  substr(md5(concat(event_type, ':', 'dp42')), 1, 13)) AS BIGINT) " +
+    "  substr(md5(concat(coalesce(replace(replace(event_type, '\\', " +
+    "  '\\\\'), '|', '\\|'), '\\N'), ':', 'dp42')), 1, 13)) AS BIGINT) " +
     "  % 1000000 AS u FROM g), " +
     s"n AS (SELECT event_type, n_exact, CAST($dpCase AS BIGINT) AS noise " +
     "  FROM u), " +

@@ -315,6 +315,10 @@ object Graph {
       LineageCut.release(lab)
       lab = next
     }
+    // The result depends only on the final `lab` checkpoint; the
+    // symmetrized edge frame is superseded once the rounds finish
+    // (bfs/kCore release theirs the same way).
+    LineageCut.release(ud)
     lab.select(col("v").as("id"), col("lbl").as("community"))
   }
 

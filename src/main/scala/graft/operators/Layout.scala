@@ -89,6 +89,12 @@ object Layout {
     * single result row. */
   def encodingAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "encodingAdvisor needs at least one column")
+    // Names are interpolated into the stack() SQL and into aggregate
+    // aliases (__nn_$c), so restrict to safe identifiers — a quote,
+    // backtick, dot or space would mis-parse the stack expression.
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"encodingAdvisor column name must be a plain identifier " +
+        s"([A-Za-z_][A-Za-z0-9_]*), got: '$c'"))
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val aggs = cols.flatMap { c =>
       val lenAgg =

@@ -101,6 +101,22 @@ object Privacy {
     s"cast(conv(substr(md5(concat($keyExpr, ':', '$seed')), 1, 13), 16, 10) " +
     s"as bigint) % 1000000"
 
+  /** Injective group-key encoding for the noise hash: per column,
+    * escape '\' then '|' and map NULL to the sentinel "\N" (which no
+    * escaped value can produce — a real backslash always doubles), so
+    * distinct group tuples like ('a', NULL) vs (NULL, 'a') or
+    * ('a|b','c') vs ('a','b|c') can never hash to the same u and draw
+    * correlated noise. Identity on values without '\', '|' or NULLs,
+    * so single simple-valued group columns keep their hash input. The
+    * DuckDB oracle applies the same replace/coalesce chain. */
+  private def encodedKey(groupCols: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws("|", groupCols.map { c =>
+      coalesce(
+        replace(replace(col(c).cast("string"),
+          lit("\\"), lit("\\\\")), lit("|"), lit("\\|")),
+        lit("\\N"))
+    }: _*)
+
   private def noiseCase(uCol: String, eps: Double, bound: Int): String =
     geometricCutpoints(eps, bound).init.map { case (c, k) =>
       s"WHEN $uCol < ${c}L THEN ${k}L"
@@ -122,11 +138,11 @@ object Privacy {
   def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], eps: Double,
                     bound: Int, seed: String): DataFrame = {
     require(groupCols.nonEmpty)
-    val key = groupCols.map(c => s"cast(`$c` as string)")
-      .mkString("concat_ws('|', ", ", ", ")")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_exact"))
-      .withColumn("__u", expr(uPpmExpr(key, seed)))
+      .withColumn("__key", encodedKey(groupCols))
+      .withColumn("__u", expr(uPpmExpr("__key", seed)))
+      .drop("__key")
       .withColumn("noise", expr(noiseCase("__u", eps, bound)))
       .withColumn("n_noisy", greatest(lit(0L), expr("n_exact + noise")))
   }

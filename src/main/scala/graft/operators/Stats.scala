@@ -519,6 +519,12 @@ object Stats {
       .select(col("__c"), u.as("__u"))
       .agg(aggs.head, aggs.tail: _*)
       .select(expr(stackExpr))
+      // A resample with zero members aggregates to NULL n/sum; the
+      // oracle's unnest-and-group formulation emits no row for it.
+      // Coalesce-and-filter so both engines agree on tiny inputs
+      // (RobustnessSpec pins the n=1 corpus).
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .filter(col("n") > 0)
       .select(col("resample"), col("n"), col("sum_cents"),
         expr("sum_cents * 1000000L div n").as("mean_cents_ppm"))
   }
