@@ -548,9 +548,20 @@ private[graft] object Oracles {
     "  min(CASE WHEN cw * 4 >= 3 * tw THEN v END) AS wq75_cents " +
     "FROM r, t GROUP BY t.tw"
 
+  /** Mirrors Stats.chiSquareSampled's self-disabling bound guard: keep
+    * a row iff u32 < (maxN·2^32) // N — all-keep when N ≤ 40 000, a
+    * content-hash sample above it, identical integers in both
+    * engines. */
   private val chiSquareSql: String =
-    "WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o " +
-    "  FROM documents GROUP BY 1, 2), " +
+    "WITH nn AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS nn " +
+    "  FROM documents), " +
+    "pre AS (SELECT lang, source FROM documents CROSS JOIN nn " +
+    "  WHERE CAST(concat('0x', substr(md5(concat('" +
+    s"${graft.fakegen.FakeGen.DefaultSeed}:chi2:', " +
+    "  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) " +
+    s"  < ${40000L * 4294967296L} // nn), " +
+    "cells AS (SELECT lang AS a, source AS b, count(*) AS o " +
+    "  FROM pre GROUP BY 1, 2), " +
     "rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
     "ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
     "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), " +

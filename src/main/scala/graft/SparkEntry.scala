@@ -2166,10 +2166,12 @@ object SparkEntry {
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
           "c_acctbal"))),
     // is language independent of source? Pearson chi-square over the
-    // densified lang x source grid in exact ppm integers
+    // densified lang x source grid in exact ppm integers; the sampled
+    // wrapper enforces the N<=4e4 exactness bound (self-disabling
+    // content-hash sample, identical arithmetic in the oracle)
     "q_chi_square" -> ((s, dir) =>
-      graft.operators.Stats.chiSquare(t(s, dir, "documents"),
-        "lang", "source")),
+      graft.operators.Stats.chiSquareSampled(t(s, dir, "documents"),
+        "doc_id", "lang", "source")),
     // learning-curve levels: nested 1%/10%/50% samples (each a strict
     // subset of the next) with per-level n / sum / ppm mean
     "q_nested_samples" -> ((s, dir) =>

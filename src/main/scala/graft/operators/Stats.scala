@@ -460,6 +460,34 @@ object Stats {
     * |A|·|B| rows), two domain-sized marginal roll-ups, and a
     * domain×domain cross — nothing after the first shuffle touches
     * corpus rows. */
+  /** [[chiSquare]] with its exactness precondition ENFORCED: when the
+    * input exceeds `maxN` rows, a content-hash sample (the
+    * [[Sampling.sampleHex]] md5 pattern, 8 hex chars = u32) brings the
+    * expected evaluated slice down to `maxN` before the exact-integer
+    * statistic runs — the guard the bare operator documents but left to
+    * the caller. The keep predicate is pure integer arithmetic,
+    * `u32 < (maxN·2^32) div N`, so it replays bit-for-bit in any
+    * engine: when N ≤ maxN the right side is ≥ 2^32 and every row is
+    * kept (the filter self-disables — no driver-side branch, one
+    * static plan/SQL for both regimes). N rides a single-row broadcast
+    * (the scalar-attach pattern). `maxN` is capped at 50 000 so even a
+    * +5σ binomial overshoot keeps d² = (o·N − r·c)² ≤ N⁴ inside
+    * BIGINT under ANSI mode. */
+  def chiSquareSampled(df: DataFrame, idCol: String, aCol: String,
+                       bCol: String, maxN: Long = 40000L,
+                       seed: Long = graft.fakegen.FakeGen.DefaultSeed): DataFrame = {
+    require(maxN >= 1L && maxN <= 50000L,
+      s"maxN must be in [1, 5e4] (N^4 must fit BIGINT), got $maxN")
+    val u32 = conv(substring(md5(concat(lit(s"$seed:chi2:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val tot = df.agg(greatest(count(lit(1)), lit(1L)).as("__nn"))
+    val pre = df.select(col(aCol), col(bCol), u32.as("__u32"))
+      .crossJoin(broadcast(tot))
+      .filter(expr(s"__u32 < ${maxN * 4294967296L}L div __nn"))
+      .select(col(aCol), col(bCol))
+    chiSquare(pre, aCol, bCol)
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
