@@ -316,6 +316,66 @@ private[graft] object Oracles {
     "QUALIFY rank <= 1"
   }
 
+  /** Full-fidelity replica of the IVF-PQ refine pipeline on the FIXED
+    * sign-grid quantizers (Ivf.signCentroids(64) / Pq.signCodebook(64,
+    * 16, 0.5f)) — the one ANN row where the oracle verifies the whole
+    * probe → ADC → exact-re-rank composition rather than a planted
+    * top-1, possible because assignment (sign pattern of dims 1-2),
+    * probing (order of ±x1±x2), encoding (per-dim sign, ties at 0.0 to
+    * −h) and the ADC distance are all closed-form. The ADC sum nests
+    * parentheses exactly like the kernel's left-fold (per-subspace
+    * 4-term fold, then the 16-subspace fold), so the doubles — and
+    * therefore the rerank-window cut — replay bit-for-bit. */
+  private val annIvfPqRefineSql: String = {
+    def qd(i: Int) = s"CAST(qv[$i] AS DOUBLE)"
+    def xd(i: Int) = s"CAST(c.embedding[$i] AS DOUBLE)"
+    // codeword sign for dim i: +0.5 when the corpus value is > 0
+    // (negative zero and exact 0.0 fall to -0.5, nearestL2's tie rule)
+    def cw(i: Int) = s"(CASE WHEN ${xd(i)} > 0 THEN 0.5 ELSE -0.5 END)"
+    def sq(i: Int) = { val t = s"(${qd(i)} - ${cw(i)})"; s"($t * $t)" }
+    def subSum(s: Int) =
+      (1 to 4).map(j => sq(s * 4 + j)).reduce((a, b) => s"($a + $b)")
+    val adc = (0 until 16).map(subSum).reduce((a, b) => s"($a + $b)")
+    // centroid dots: bit 0 of the cluster id -> dim 1 sign, bit 1 ->
+    // dim 2 sign (+1 when set); fl(±x1 ±x2) matches the kernel's fold
+    def dot(v1: String, v2: String, cl: Int) = {
+      val a = if ((cl & 1) == 1) v1 else s"(- $v1)"
+      val b = if ((cl & 2) == 2) v2 else s"(- $v2)"
+      s"($a + $b)"
+    }
+    def dots(v1: String, v2: String) = (0 until 4).map(dot(v1, v2, _))
+    val cd = dots(xd(1), xd(2))
+    val cluster =
+      s"CASE WHEN ${cd(0)} >= ${cd(1)} AND ${cd(0)} >= ${cd(2)} AND " +
+      s"${cd(0)} >= ${cd(3)} THEN 0 WHEN ${cd(1)} >= ${cd(2)} AND " +
+      s"${cd(1)} >= ${cd(3)} THEN 1 WHEN ${cd(2)} >= ${cd(3)} THEN 2 " +
+      "ELSE 3 END"
+    val qDot = "CASE u.cl " + (0 until 4).map(i =>
+      s"WHEN $i THEN ${dot("CAST(qv[1] AS DOUBLE)", "CAST(qv[2] AS DOUBLE)", i)}")
+      .mkString(" ") + " END"
+    "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
+    "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+    "  FROM embeddings WHERE vec_id < 5), " +
+    s"cq AS (SELECT vec_id, embedding, $cluster AS cluster " +
+    "  FROM embeddings c), " +
+    "qp AS (SELECT query_id, cl FROM (SELECT query_id, cl, " +
+    "    row_number() OVER (PARTITION BY query_id " +
+    "    ORDER BY dot DESC, cl ASC) AS pr " +
+    s"  FROM (SELECT query_id, u.cl, $qDot AS dot " +
+    "    FROM q, (SELECT unnest(range(0, 4)) AS cl) u) qq) p WHERE pr <= 2), " +
+    "cand AS (SELECT qp.query_id, q.qv, c.vec_id AS corpus_id, " +
+    s"  c.embedding, $adc AS adc " +
+    "  FROM qp JOIN q USING (query_id) JOIN cq c ON c.cluster = qp.cl " +
+    "  WHERE qp.query_id != c.vec_id), " +
+    "win AS (SELECT query_id, qv, corpus_id, embedding, " +
+    "  row_number() OVER (PARTITION BY query_id " +
+    "  ORDER BY adc ASC, corpus_id ASC) AS arank FROM cand) " +
+    s"SELECT query_id, corpus_id, $annCosSql AS cos, " +
+    "CAST(row_number() OVER (PARTITION BY query_id " +
+    s"ORDER BY $annCosSql DESC, corpus_id ASC) AS INT) AS rank " +
+    "FROM win c WHERE arank <= 64 QUALIFY rank <= 10"
+  }
+
   /** ε-DP release replica: the md5-ppm uniform (the sketch oracles'
     * portable hash) through the SAME integer geometric cutpoints the
     * Spark expression bakes (Privacy.geometricCutpoints — one source
@@ -1817,6 +1877,7 @@ private[graft] object Oracles {
     "q_ann_lsh" -> annTop1Sql,
     "q_ann_pq" -> annTop1Sql,
     "q_ann_ivf_pq" -> annTop1Sql,
+    "q_ann_ivfpq_refine" -> annIvfPqRefineSql,
     // recall@10 of the int4-style (scale 7) integer-dot ranking vs the
     // exact cosine ranking over the planted queries; the quantized side
     // replays the SAME half-up quantizer and BIGINT dot as the operator

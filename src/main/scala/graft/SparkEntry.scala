@@ -1537,6 +1537,21 @@ object SparkEntry {
         nprobe = 2, rerank = 32)
     }),
 
+    // the refine stage under a FULL-FIDELITY oracle: the same IVF-PQ
+    // probe/ADC/re-rank pipeline, but on the fixed sign-grid quantizers
+    // (4 sign centroids over dims 1-2; 16x16 ±0.5 codebook) whose
+    // assignment, probing, and ADC distances are closed-form — so the
+    // DuckDB oracle replicates the ENTIRE composition at k=10, not just
+    // a planted top-1. nprobe=2 of 4 prunes half the corpus; the
+    // rerank=64 ADC window then feeds the exact-cosine refine.
+    "q_ann_ivfpq_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Pq.ivfAdcTopK(emb, annQueries(emb), "vec_id",
+        "embedding", k = 10, graft.operators.Ivf.signCentroids(64),
+        graft.operators.Pq.signCodebook(64, 16, 0.5f),
+        nprobe = 2, rerank = 64, refine = true)
+    }),
+
     // the PERSISTED-index serving path: build+write the inverted lists,
     // load them back, query with partition-pruned probing — the whole
     // save/load/query cycle under the driver's oracle (results must

@@ -98,6 +98,26 @@ object Ivf {
   }
 
   /** Cluster id column for a vector column. */
+  /** Fixed sign-pattern coarse quantizer: 4 centroids that are ±1 on
+    * the first two dims and 0 elsewhere, so assignment reduces to the
+    * SIGN PATTERN of (x1, x2) — training-free, plan-embeddable, and
+    * exactly replayable in plain SQL (cosine order against these
+    * centroids is the order of ±x1±x2). The cold-start / parity-test
+    * quantizer: q_ann_ivfpq_refine runs the full IVF-PQ refine
+    * pipeline on it so the DuckDB oracle can replicate probe + ADC +
+    * re-rank bit-for-bit, which no trained (Lloyd) quantizer allows.
+    * Centroid index i: bit 0 → dim 1 sign, bit 1 → dim 2 sign
+    * (+1 when set, −1 when clear). */
+  def signCentroids(dim: Int): Array[Array[Float]] = {
+    require(dim >= 2, s"signCentroids needs dim >= 2, got $dim")
+    Array.tabulate(4) { i =>
+      val c = new Array[Float](dim)
+      c(0) = if ((i & 1) == 1) 1f else -1f
+      c(1) = if ((i & 2) == 2) 1f else -1f
+      c
+    }
+  }
+
   def assign(vec: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(NearestCentroidExpr(
       Bridge.expression(vec.cast("array<float>")),

@@ -82,6 +82,27 @@ object Pq {
   /** The compressed representation: (id, m codes). This is the ONLY
     * thing the ADC scan carries — raw vectors stay at the source until
     * the re-rank joins the few surviving candidates back. */
+  /** Fixed sign-grid codebook: m subspaces of dim/m dims each, with
+    * k = 2^subDim codewords = every ±h sign pattern (bit j of the code
+    * → dim j sign; +h when set). Encoding under L2 then reduces to the
+    * per-dim sign of the vector (ties at 0.0 fall to the cleared bit,
+    * nearestL2's lowest-index rule), so encode AND the ADC distance
+    * are closed-form — training-free, deterministic, and exactly
+    * replayable in plain SQL. The parity-test twin of [[train]]:
+    * q_ann_ivfpq_refine runs the real pipeline on it so the DuckDB
+    * oracle can verify the whole probe/ADC/refine composition, not
+    * just a planted top-1. */
+  def signCodebook(dim: Int, m: Int, h: Float): PqTable = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    require(subDim <= 4, s"subDim $subDim > 4 would need 2^$subDim codes")
+    require(h > 0f, s"grid half-step must be positive, got $h")
+    val k = 1 << subDim
+    new PqTable(Array.tabulate(m, k) { (_, c) =>
+      Array.tabulate(subDim)(j => if (((c >> j) & 1) == 1) h else -h)
+    })
+  }
+
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
              cb: PqTable): DataFrame =
     corpus.select(col(idCol).as("corpus_id"),
@@ -104,7 +125,8 @@ object Pq {
     * contract as every ANN tier. */
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, coarse: Array[Array[Float]],
-                 cb: PqTable, nprobe: Int = 2, rerank: Int = 32): DataFrame = {
+                 cb: PqTable, nprobe: Int = 2, rerank: Int = 32,
+                 refine: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must cover k=$k")
     val lists = corpus.select(col(idCol).as("corpus_id"),
       Ivf.assign(col(vecCol), coarse).as("cluster"),
@@ -122,7 +144,31 @@ object Pq {
         adcScore(col("lut"), col("codes"), cb).as("adc"))
     val cands = graft.plans.TopK.perKey(scored,
       Seq("query_id"), Seq(("adc", true), ("corpus_id", true)), rerank)
-    rerankExact(corpus, idCol, vecCol, q, cands, k)
+    if (refine) rerankExact(corpus, idCol, vecCol, q, cands, k)
+    else adcRankOnly(corpus, idCol, vecCol, q, cands, k)
+  }
+
+  /** The NO-refine serving path: rank by the compressed-domain
+    * distance alone — the recall baseline the exact re-rank stage is
+    * measured against (EvalSpec pins refined recall@k strictly above
+    * this at equal nprobe). The exact cosine is still attached for the
+    * shared ANN output contract, but the RANK is the ADC rank. */
+  private def adcRankOnly(corpus: DataFrame, idCol: String, vecCol: String,
+                          q: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = graft.plans.TopK.perKey(cands,
+      Seq("query_id"), Seq(("adc", true), ("corpus_id", true)), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("corpus_id").asc)
+    val ranked = top.withColumn("rank", row_number().over(w))
+    corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<float>").as("cv"))
+      .join(broadcast(ranked.select(col("query_id"), col("corpus_id"),
+        col("rank"))), Seq("corpus_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        graft.functions.vectors.cosine(col("qv"), col("cv")).as("cos"),
+        col("rank"))
   }
 
   /** Exact-cosine re-rank of bounded candidates: broadcast them INTO

@@ -150,6 +150,36 @@ class EvalSpec extends SparkTestBase {
     assert(r.nonEmpty && r.forall(_ == 1000000L))
   }
 
+  test("IVF-PQ refine stage lifts recall@10 strictly above the ADC-only ranking at equal nprobe") {
+    val dir = sf("sf0.001")
+    val emb = spark.read.parquet(dir + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.02f)),
+          slice(col("embedding"), 2, 100000)).as("embedding"))
+    val coarse = SparkEntry.ivfCentroidsFor(spark, dir)
+    val cb = SparkEntry.pqCodebookFor(spark, dir)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+    def hits(refine: Boolean): Long = Eval.recallAtK(
+      graft.operators.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding", k = 10,
+        coarse, cb, nprobe = 2, rerank = 32, refine = refine),
+      exact, 10).agg(sum($"n_hits")).as[Long].head()
+    val refined = hits(refine = true)
+    val unrefined = hits(refine = false)
+    // the exact re-rank of the SAME ADC candidate window must strictly
+    // beat ranking by the compressed-domain distance alone — the
+    // standard recall lever the refine stage exists for
+    assert(refined > unrefined,
+      s"refine should lift recall@10: refined=$refined unrefined=$unrefined")
+    // and the refined top-1 is still every query's planted near-copy
+    val top1 = graft.operators.Pq.ivfAdcTopK(emb, q, "vec_id", "embedding",
+      k = 1, coarse, cb, nprobe = 2, rerank = 32)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toMap
+    val bruteTop1 = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toMap
+    assert(top1 == bruteTop1)
+  }
+
   test("kmvCardinalityError: below-capacity groups are exact (err 0)") {
     import graft.operators.Eval
     // 3 distinct values < k=32: the sketch IS the value set
