@@ -31,13 +31,18 @@ print(','.join(sorted(q, key=q.get, reverse=True)[:10]))")
 fi
 echo "# comparing working tree vs $REF on: $QUERIES"
 
-for i in $(seq 1 60); do
-  LOAD=$(cut -d' ' -f1 /proc/loadavg)
-  python3 -c "import sys; sys.exit(0 if float('$LOAD') < float('$MAX_LOAD') else 1)" && break
-  [ "$i" = 60 ] && { echo "box still loaded (loadavg $LOAD) after 10 min; refusing"; exit 1; }
-  echo "# loadavg $LOAD >= $MAX_LOAD, waiting for idle ($i)..."
-  sleep 10
-done
+# our OWN previous bench leg leaves the 1-min loadavg elevated for a
+# minute or two, so the idle wait runs before EVERY leg, not just once
+wait_idle() {
+  for i in $(seq 1 60); do
+    LOAD=$(cut -d' ' -f1 /proc/loadavg)
+    python3 -c "import sys; sys.exit(0 if float('$LOAD') < float('$MAX_LOAD') else 1)" && return 0
+    [ "$i" = 60 ] && { echo "box still loaded (loadavg $LOAD) after 10 min; refusing"; exit 1; }
+    echo "# loadavg $LOAD >= $MAX_LOAD, waiting for idle ($i)..."
+    sleep 10
+  done
+}
+wait_idle
 
 WT=$(mktemp -d /tmp/graft_cmp_XXXX)
 cleanup() { git worktree remove --force "$WT" 2>/dev/null || true; }
@@ -56,6 +61,7 @@ bench_in() {
 
 echo "# benching working tree (min-of-$RUNS)..."
 bench_in . /tmp/bench_cmp_ours.json
+wait_idle
 echo "# benching $REF in $WT (min-of-$RUNS, includes its compile)..."
 bench_in "$WT" /tmp/bench_cmp_theirs.json
 

@@ -15,6 +15,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Load gate FIRST, before the Spark session and warmup add their
+    // own 32-thread burst to the 1-min average — and with patience: a
+    // caller's just-finished build leg (or our own previous bench)
+    // legitimately leaves the average elevated for a minute or two, so
+    // wait for decay before declaring the box loaded (r15: the probe's
+    // first attempt refused on its own fixture-build tail).
+    val osBean0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
+    var loadStart = osBean0.getSystemLoadAverage
+    var waits = 0
+    while (loadStart > maxLoad && waits < 20) {
+      System.err.println(f"[bench] loadavg $loadStart%.2f > $maxLoad%.2f — waiting for decay (${waits + 1}/20)")
+      Thread.sleep(30000)
+      loadStart = osBean0.getSystemLoadAverage
+      waits += 1
+    }
+    val loadWarning = if (loadStart > maxLoad) {
+      val msg = f"loadavg_start $loadStart%.2f > $maxLoad%.2f: numbers unusable for comparisons"
+      System.err.println(s"[bench] WARNING: $msg")
+      if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_LOADED").contains("1")) {
+        System.err.println("[bench] refusing to bench on a loaded box " +
+          "(SPARK_GRAFT_BENCH_REFUSE_LOADED=1)")
+        sys.exit(3)
+      }
+      s""""load_warning":"$msg","""
+    } else ""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -68,27 +95,8 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
-    val loadStart = osBean.getSystemLoadAverage
-    // A loaded box produces numbers that neither confirm nor refute
-    // anything (r14 judge: the committed A/B was captured at loadavg
-    // 3.7 and had to be redone from scratch). Gate: above the
-    // threshold, either refuse outright (SPARK_GRAFT_BENCH_REFUSE_LOADED=1,
-    // the mode for hand-run artifact benches) or stamp a loud in-band
-    // warning the judge can discard on sight (default, so the driver's
-    // unattended per-round run still produces a diagnosable artifact).
-    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2.0)
-    val loadWarning = if (loadStart > maxLoad) {
-      val msg = f"loadavg_start $loadStart%.2f > $maxLoad%.2f: numbers unusable for comparisons"
-      System.err.println(s"[bench] WARNING: $msg")
-      if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_LOADED").contains("1")) {
-        System.err.println("[bench] refusing to bench on a loaded box " +
-          "(SPARK_GRAFT_BENCH_REFUSE_LOADED=1)")
-        spark.stop()
-        sys.exit(3)
-      }
-      s""""load_warning":"$msg","""
-    } else ""
+    // (the load gate ran at main entry, before the session's own
+    // startup burst could inflate the measurement)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>

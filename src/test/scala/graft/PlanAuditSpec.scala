@@ -13,8 +13,14 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 class PlanAuditSpec extends SparkTestBase {
 
+  /** The dir every sweep builds plans against. Overridable so the
+    * scale probe (scripts/scale_probe.sh) can run the SAME structural
+    * gate against its 10x fixture — "no new plan offenders at the
+    * larger input" uses this suite, not a weaker grep. */
+  private val auditDir = sys.env.getOrElse("GRAFT_AUDIT_DIR", sf("sf0.01"))
+
   private def planOf(q: String): String = {
-    val df = SparkEntry.queries(q)(spark, sf("sf0.01"))
+    val df = SparkEntry.queries(q)(spark, auditDir)
     df.queryExecution.executedPlan.toString
   }
 
@@ -173,7 +179,7 @@ class PlanAuditSpec extends SparkTestBase {
       // candidate sets eagerly at CONSTRUCTION; release them per query
       // so the sweep doesn't accrete CacheManager entries
       graft.operators.Dedup.withCandidateScope {
-        val qe = fn(spark, sf("sf0.01")).queryExecution
+        val qe = fn(spark, auditDir).queryExecution
         val plan = qe.executedPlan.toString
         if (plan.contains("ScalaUDF")) offenders += s"$name: ScalaUDF"
         if (plan.contains("BatchEvalPython")) offenders += s"$name: python barrier"
@@ -209,7 +215,7 @@ class PlanAuditSpec extends SparkTestBase {
     val soloShingleJoin = "Join \\[sh#\\d+L?\\], \\[sh#\\d+L?\\]".r
     for (q <- Seq("q_source_overlap", "q_dedup_cluster_sizes")) {
       graft.operators.Dedup.withCandidateScope {
-        val plan = SparkEntry.queries(q)(spark, sf("sf0.01"))
+        val plan = SparkEntry.queries(q)(spark, auditDir)
           .queryExecution.executedPlan.toString
         assert(soloShingleJoin.findFirstIn(plan).isEmpty,
           s"$q joins on the shingle alone (corpus self-join):\n$plan")
@@ -219,7 +225,7 @@ class PlanAuditSpec extends SparkTestBase {
     // the LSH band hash (minhashPairs eagerly materializes it, which
     // hides the join from the query plans above — so assert on the raw
     // pre-materialization subplan directly)
-    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val docs = spark.read.parquet(auditDir + "/documents.parquet")
     val candPlan = graft.operators.Dedup
       .bandedCandidates(docs, "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32, seed = 42L)
@@ -235,7 +241,7 @@ class PlanAuditSpec extends SparkTestBase {
     // forced broadcast() ships multi-GB at 100x scale. The joins must
     // reach the planner hint-free (AQE may still CHOOSE a broadcast
     // when the runtime size permits — that is the point).
-    val df = SparkEntry.queries("q_link_predict")(spark, sf("sf0.01"))
+    val df = SparkEntry.queries("q_link_predict")(spark, auditDir)
     val logical = df.queryExecution.analyzed.toString
     assert(!logical.contains("UnresolvedHint") && !logical.contains("ResolvedHint"),
       s"q_link_predict still carries a join hint:\n$logical")
@@ -401,7 +407,7 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("contaminationPairs construction: zero jobs with checkDisjoint=false") {
     import org.apache.spark.sql.functions.col
-    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val docs = spark.read.parquet(auditDir + "/documents.parquet")
     @volatile var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
