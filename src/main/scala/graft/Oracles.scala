@@ -1500,6 +1500,22 @@ private[graft] object Oracles {
       "SELECT event_id, CAST(" + morton("user_id", "event_id") +
         " AS BIGINT) AS z FROM events"
     },
+    // N-dim Morton replay: 3 dims x 20 bits, bit i of dim d at i*3+d;
+    // ((x % m) + m) % m replicates Spark's pmod on a possibly-negative
+    // cents dim
+    "q_zorder_key3" -> {
+      val m = 1048576L
+      def nneg(x: String) = s"(((($x) % $m) + $m) % $m)"
+      val dims = Seq(nneg("CAST(user_id AS BIGINT)"),
+        nneg("CAST(event_id AS BIGINT)"),
+        nneg("CAST(floor(value * 100) AS BIGINT)"))
+      val terms = for (i <- 0 until 20; d <- dims.indices)
+        yield s"(((d$d >> $i) & 1) << ${i * 3 + d})"
+      "WITH dd AS (SELECT event_id, " +
+        dims.zipWithIndex.map { case (e, d) => s"$e AS d$d" }.mkString(", ") +
+        " FROM events) " +
+        s"SELECT event_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS z FROM dd"
+    },
     "q_mix_weighted" ->
       ("SELECT doc_id AS id, 'docs' AS __source FROM documents WHERE " +
        "substr(md5('42:docs:' || CAST(doc_id AS VARCHAR)), 1, 15) < " +

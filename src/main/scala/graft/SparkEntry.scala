@@ -1060,6 +1060,15 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_id"),
         graft.operators.Layout.zorder2(
           col("user_id"), col("event_id")).as("z"))),
+    // the N-dimensional curve (3 dims x 20 bits here): bit i of dim d
+    // lands at i*3 + d; oracle replays the unrolled 60-term interleave
+    "q_zorder_key3" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.operators.Layout.zorderN(Seq(
+          pmod(col("user_id"), lit(1048576L)),
+          pmod(col("event_id"), lit(1048576L)),
+          pmod(floor(col("value") * 100).cast("long"), lit(1048576L))),
+          bits = 20).as("z"))),
     // skew-safe aggregation surfaced on the oracle board: the salted
     // two-stage count must be RESULT-INVISIBLE (equal to the plain
     // groupBy), which is exactly what the plain-SQL oracle asserts

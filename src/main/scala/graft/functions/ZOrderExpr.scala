@@ -36,6 +36,35 @@ object ZOrderKernels {
         s"zorder2 domain is [0, 2^31): got ($x, $y)")
     spread(x) | (spread(y) << 1)
   }
+
+  /** N-dimensional Morton code: bit i of dims(d) lands at position
+    * i·n + d, interleaving the low `bits` bits of every dim — the
+    * general curve zorder2 is the n=2, bits=31 special case of
+    * (mortonN(Array(x, y), 31) == morton(x, y), spec-pinned). Each dim
+    * must sit in [0, 2^bits) and n·bits ≤ 63, enforced loudly — a
+    * silently truncated dim would interleave garbage into the middle
+    * of the curve and destroy the locality the key exists for. */
+  def mortonN(dims: Array[Long], bits: Int): Long = {
+    val n = dims.length
+    require(n >= 2 && bits >= 1 && n * bits <= 63,
+      s"zorder_n needs 2+ dims and n*bits <= 63, got n=$n bits=$bits")
+    val lim = 1L << bits
+    var out = 0L
+    var d = 0
+    while (d < n) {
+      val v = dims(d)
+      if (v < 0 || v >= lim)
+        throw new IllegalArgumentException(
+          s"zorder_n domain is [0, 2^$bits) per dim: got $v in dim $d")
+      var i = 0
+      while (i < bits) {
+        out |= ((v >> i) & 1L) << (i * n + d)
+        i += 1
+      }
+      d += 1
+    }
+    out
+  }
 }
 
 /** SQL/column `zorder2(x, y)` — the interleaved sort key. */
@@ -53,4 +82,36 @@ case class ZOrderExpr(left: Expression, right: Expression)
       s"graft.functions.ZOrderKernels.morton($x, $y)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** SQL/column `zorder_n(x1, ..., xn)` — the N-dimensional interleaved
+  * sort key (bit i of dim d at position i·n + d, `bits` low bits per
+  * dim). Null-intolerant like zorder2; evaluation is one pass of
+  * integer bit math per row (interpreted — the key is computed once at
+  * WRITE time to order a layout, never in a scan hot loop, so codegen
+  * would buy nothing measurable). */
+case class ZOrderNExpr(children: Seq[Expression], bits: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  require(children.size >= 2 && bits >= 1 && children.size * bits <= 63,
+    s"zorder_n needs 2+ dims and n*bits <= 63, got n=${children.size} bits=$bits")
+  override def declaredInputTypes: Seq[DataType] = children.map(_ => LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = s"zorder_n$bits"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val dims = new Array[Long](children.size)
+    var d = 0
+    while (d < dims.length) {
+      val v = children(d).eval(input)
+      if (v == null) return null
+      dims(d) = v.asInstanceOf[Long]
+      d += 1
+    }
+    ZOrderKernels.mortonN(dims, bits)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderNExpr =
+    copy(children = newChildren)
 }

@@ -22,6 +22,14 @@ object Layout {
     Bridge.column(ZOrderExpr(
       Bridge.expression(x.cast("long")), Bridge.expression(y.cast("long"))))
 
+  /** `zorder_n(cols...)` as a column — the N-dimensional interleave
+    * ([[zorder2]] is the n=2, bits=31 special case; LayoutSpec pins
+    * the equality). Callers pick `bits` so n·bits ≤ 63 and pmod/bucket
+    * each dim into [0, 2^bits) first — [[writeZOrderedN]] does both. */
+  def zorderN(cols: Seq[Column], bits: Int): Column =
+    Bridge.column(graft.functions.ZOrderNExpr(
+      cols.map(c => Bridge.expression(c.cast("long"))), bits))
+
   /** Compact a parquet directory's many small files into about
     * `targetFiles` larger ones — the small-files problem is the top
     * operational pain of long-running ingest (every file costs a task,
@@ -68,6 +76,37 @@ object Layout {
     df.withColumn("__z", zorder2(
         bucket(col(xCol), b.getLong(0), b.getLong(1)),
         bucket(col(yCol), b.getLong(2), b.getLong(3))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[writeZOrdered]] generalized to N dimensions: one min/max
+    * aggregate over ALL dims, linear bucketing into the shared
+    * `bitsPerDim`-bit range, then range-clustering on the
+    * [[zorderN]] curve. Same normalization rationale; bitsPerDim
+    * shrinks as dims grow (n·bits ≤ 63), which is also the right
+    * layout call — more clustered dimensions need fewer distinct
+    * values per dim for the min-max envelopes to stay tight. */
+  def writeZOrderedN(df: DataFrame, dims: Seq[String], dir: String,
+                     nFiles: Int, bitsPerDim: Int = 12): Unit = {
+    require(dims.size >= 2, s"need 2+ dims, got ${dims.size}")
+    require(bitsPerDim > 0 && dims.size * bitsPerDim <= 63,
+      s"n*bits must fit 63 bits: ${dims.size} x $bitsPerDim")
+    val aggs = dims.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val nb = 1L << bitsPerDim
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(nb - 1),
+        floor((c.cast("long") - lit(lo)) * lit(nb) / lit(hi - lo + 1)))
+        .cast("long")
+    val keyed = dims.zipWithIndex.map { case (c, i) =>
+      bucket(col(c), b.getLong(2 * i), b.getLong(2 * i + 1))
+    }
+    df.withColumn("__z", zorderN(keyed, bitsPerDim))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
