@@ -327,6 +327,63 @@ object CdcStream {
       .toDF("from_state", "to_state")
   }
 
+  /** Streaming gap sessionizer — the stateful face of
+    * [[graft.operators.Temporal.sessionize]]: per key, the open
+    * session is one (idx, start, end, lastTie, n) tuple; an event more
+    * than `gap` after the session's end CLOSES it (one emitted row,
+    * identical to the batch operator's (key, session_idx, n_events,
+    * session_start, session_end) grouping — session_idx counts gap
+    * breaks from 0, exactly the batch cumsum) and opens the next.
+    * Sessions still OPEN when the stream pauses stay in state and are
+    * emitted by whichever later batch closes them — so on a replayed
+    * fixture the emitted rows are the batch frame MINUS each key's
+    * final (never-closed) session, the pairing the restart-parity spec
+    * asserts. Rows older than the key's cursor are dropped (the
+    * watermark-style late contract shared by [[transitionsStream]] /
+    * [[ewmaStream]]); within a micro-batch rows sort by (ts, tie).
+    * State per key is ONE tuple — O(keys), independent of stream
+    * length. */
+  def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, gap: Long): DataFrame = {
+    require(gap > 0, s"session gap must be positive, got $gap")
+    import org.apache.spark.sql.Encoders
+    val entryEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+    // (idx, start, end, lastTie, n)
+    val stEnc = Encoders.product[(Long, Long, Long, Long, Long)]
+    val outEnc = Encoders.product[(Long, Long, Long, Long, Long)]
+    val keyed = events.select(
+        col(keyCol).cast("long").as("_1"),
+        col(tsCol).cast("long").as("_2"),
+        col(tieCol).cast("long").as("_3")).as(entryEnc)
+    keyed.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long)],
+         st: GroupState[(Long, Long, Long, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          var cur = st.getOption
+          sorted.foreach { case (_, ts, tie) =>
+            cur match {
+              case Some((idx, start, end, lastTie, n)) =>
+                if (ts > end || (ts == end && tie > lastTie)) {
+                  if (ts - end > gap) {
+                    out += ((key, idx, n, start, end))
+                    cur = Some((idx + 1, ts, ts, tie, 1L))
+                  } else cur = Some((idx, start, ts, tie, n + 1))
+                } // else: late arrival older than the cursor — dropped
+              case None => cur = Some((0L, ts, ts, tie, 1L))
+            }
+          }
+          cur.foreach(st.update)
+          out.result().iterator
+      }(stEnc, outEnc)
+      .toDF("__key", "session_idx", "n_events", "session_start",
+        "session_end")
+  }
+
   /** Streaming face of [[graft.operators.Temporal.ewmaHalfLife]]: per
     * key, the truncated α=1/2 EWMA over the last `lags+1` values,
     * emitted PER EVENT and BIT-IDENTICAL to the batch operator — the

@@ -456,6 +456,81 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream edge semantics: gap boundary inclusive, late drop, per-key indexing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val out = CdcStream.sessionizeStream(
+      in.toDF.toDF("u", "ts", "tie"), "u", "ts", "tie", gap = 10L)
+    val q = out.writeStream.format("memory").queryName("graft_sess_unit")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, 100L, 1L), (1L, 110L, 2L), // exactly gap: SAME session
+        (1L, 121L, 3L),                 // gap+1 after 110: closes s0
+        (2L, 100L, 1L))                 // second key: own idx space
+      q.processAllAvailable()
+      // a late event older than key 1's cursor must not splice in
+      in.addData((1L, 50L, 0L))
+      q.processAllAvailable()
+      // close key 1's second session so it becomes visible
+      in.addData((1L, 200L, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("graft_sess_unit")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // s0 = [100..110] with 2 events (the boundary event joined, the
+      // late 50 didn't); s1 = [121..121] closed by the 200 event
+      assert(rows == Set((1L, 0L, 2L, 100L, 110L), (1L, 1L, 1L, 121L, 121L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: closed sessions equal the batch frame minus each key's final session, across a restart") {
+    import graft.operators.Temporal
+    val gap = 1800000000L // 30 min, the q_concurrency sessionize gap
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sn").toString
+    val ev = eventsUs().select($"user_id", $"ts", $"event_id")
+    // early split so open sessions genuinely span the restart
+    val split = ev.agg(expr("percentile(ts, 0.05D)")).first().getDouble(0).toLong
+    ev.filter($"ts" <= split).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runPhase(): Unit = {
+      val stream = CdcStream.readFiles(spark, s"$dir/in", schema,
+        maxFilesPerTrigger = 4)
+      val q = CdcStream.sessionizeStream(stream, "user_id", "ts",
+          "event_id", gap)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runPhase()
+    val n1 = spark.read.parquet(s"$dir/out").count()
+    ev.filter($"ts" > split).write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"__key", $"session_idx", $"n_events", $"session_start",
+        $"session_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    // ground truth: the batch sessionize frame minus each key's FINAL
+    // session (never closed by a later event, so never emitted)
+    val batchFrame = Temporal.sessionize(ev, "user_id", "ts", gap,
+      tieCol = "event_id")
+    val lastIdx = batchFrame.groupBy($"user_id".as("k"))
+      .agg(max($"session_idx").as("last"))
+    val batch = batchFrame
+      .join(lastIdx, batchFrame("user_id") === lastIdx("k") &&
+        batchFrame("session_idx") === lastIdx("last"), "left_anti")
+      .select($"user_id", $"session_idx", $"n_events", $"session_start",
+        $"session_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(n1 > 0 && streamed.size > n1.toInt,
+      "phase 2 must close sessions across the restart")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} closed sessions vs batch ${batch.size}")
+  }
+
   test("ewmaStream: per-event EWMA equals the batch operator BIT-FOR-BIT across a checkpoint restart") {
     import graft.operators.Temporal
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ew").toString
