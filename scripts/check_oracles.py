@@ -10,6 +10,7 @@ Usage: python3 scripts/check_oracles.py <sfDir> <outDir>
 import json
 import math
 import sys
+import os
 
 import duckdb
 
@@ -62,8 +63,12 @@ def dtype_mismatches(con, name, sql, out_dir):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; derived fixtures (the scale
+        # probe's Nx dirs) are Spark-written DIRECTORIES of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
