@@ -1285,6 +1285,22 @@ private[graft] object Oracles {
        "  doc_id) AS rn FROM documents) " +
        "SELECT r.doc_id, r.source FROM r JOIN q USING (source) " +
        "WHERE r.rn <= q.quota"),
+    // systematic weighted replay: md5-ordered integer cumulative cents,
+    // a pick per stride boundary the row's weight interval crosses
+    "q_sample_systematic" ->
+      ("WITH e AS (SELECT o_orderkey, " +
+       "  CAST(floor(o_totalprice * 100) AS BIGINT) AS w, " +
+       "  CAST(concat('0x', substr(md5('42:sys:' || " +
+       "  CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+       "  FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0), " +
+       "c AS (SELECT o_orderkey, w, CAST(sum(w) OVER (ORDER BY h, " +
+       "  o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM e), " +
+       "t AS (SELECT greatest(CAST(sum(w) AS BIGINT) // 500, 1) " +
+       "  AS stride FROM e) " +
+       "SELECT o_orderkey, w AS w_cents, cw AS cum_cents, " +
+       "CAST(cw // stride - (cw - w) // stride AS BIGINT) AS picks " +
+       "FROM c CROSS JOIN t " +
+       "WHERE cw // stride - (cw - w) // stride >= 1"),
     // thresholds embedded from the SAME double arithmetic as the query
     // (0.8 + 0.1 binds the float64 sum, not a 0.9 literal)
     "q_split_assign" ->
@@ -3300,6 +3316,21 @@ private[graft] object Oracles {
       "CAST(row_number() OVER (PARTITION BY item_a ORDER BY lift_ppm " +
       "  DESC, item_b ASC) AS BIGINT) AS rec_rank " +
       "FROM l QUALIFY rec_rank <= 3"),
+    // resource-allocation index: per shared neighbor z, weight
+    // 1e6 div deg(z) summed per candidate pair — all exact integers
+    "q_link_predict_ra" -> (
+      "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT) AS a, " +
+      "  CAST(o_custkey*2 AS BIGINT) AS b " +
+      "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "  WHERE l_quantity = 50), " +
+      "ud AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+      "w AS (SELECT a AS b, 1000000 // CAST(count(*) AS BIGINT) AS wz " +
+      "  FROM ud GROUP BY 1), " +
+      "p AS (SELECT u1.a AS v1, u2.a AS v2, CAST(count(*) AS BIGINT) " +
+      "  AS common, CAST(sum(w.wz) AS BIGINT) AS ra_ppm " +
+      "  FROM ud u1 JOIN ud u2 ON u1.b = u2.b AND u1.a < u2.a " +
+      "  JOIN w ON w.b = u1.b GROUP BY 1, 2) " +
+      "SELECT v1, v2, common, ra_ppm FROM p WHERE ra_ppm >= 200000"),
     "q_link_predict" -> (
       "WITH e0 AS (SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT) AS a, " +
       "  CAST(o_custkey*2 AS BIGINT) AS b " +

@@ -1033,6 +1033,14 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("source")),
           "source", "doc_id", budget = 100)
         .select(col("doc_id"), col("source"))),
+    // systematic weighted sample (~500 rows, probability proportional
+    // to order value): md5-ordered cumulative cents cross stride
+    // boundaries — exact integers, distributed cumsum, no global sort
+    "q_sample_systematic" -> ((s, dir) =>
+      graft.operators.Sampling.systematicWeighted(
+        t(s, dir, "orders")
+          .withColumn("cents", floor(col("o_totalprice") * 100).cast("long")),
+        "o_orderkey", "cents", k = 500)),
     // deterministic 80/10/10 train/val/test assignment — membership a
     // pure function of doc_id, exact SQL replay like the whole family
     "q_split_assign" -> ((s, dir) =>
@@ -2924,6 +2932,19 @@ object SparkEntry {
         k = 3)),
     // link prediction: neighbor-set Jaccard >= 0.5 over the
     // quantity-50 shipment graph (triangle-count join shape)
+    // resource-allocation index on the same bipartite co-edge graph:
+    // sum of 1e6 div deg(z) over shared neighbors — the exact-integer
+    // link-prediction score (Adamic-Adar's 1/log d cannot replay)
+    "q_link_predict_ra" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      graft.operators.Graph.resourceAllocation(edges, thresholdPpm = 200000L)
+    }),
     "q_link_predict" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")

@@ -350,6 +350,34 @@ object Graph {
     * degree table is |V|-sized, so a forced broadcast would ship a
     * multi-GB table to every executor at 100x scale; AQE broadcasts it
     * anyway when the runtime size is under the threshold. */
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009,
+    * "Predicting missing links via local information" — RA beats
+    * Adamic–Adar on most graphs): candidate pair (v1, v2) scores
+    * Σ_{z ∈ N(v1)∩N(v2)} 1/deg(z), here in EXACT ppm integers
+    * (`1e6 div deg(z)` — a shared neighbor always has deg ≥ 2, so each
+    * term ≤ 5e5; the sum replays bit-for-bit, unlike Adamic–Adar's
+    * 1/log d, which is why RA is the index an oracle-checked engine
+    * ships). Same wedge-join shape as [[neighborJaccard]]: pairs exist
+    * only through shared neighbors (never all-pairs), each z
+    * contributes its weight once per wedge, and the threshold prunes
+    * the report. */
+  def resourceAllocation(edges: DataFrame, thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 1, s"thresholdPpm must be >= 1: $thresholdPpm")
+    val ud = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+    val w = ud.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      .select(col("v").as("b"), expr("1000000L div d").as("__w"))
+    val u1 = ud.select(col("a").as("v1"), col("b"))
+    val u2 = ud.select(col("a").as("v2"), col("b"))
+    u1.join(u2, Seq("b")).filter(col("v1") < col("v2"))
+      .join(w, Seq("b"))
+      .groupBy(col("v1"), col("v2"))
+      .agg(count(lit(1)).as("common"), sum(col("__w")).as("ra_ppm"))
+      .filter(col("ra_ppm") >= thresholdPpm)
+      .select(col("v1"), col("v2"), col("common"), col("ra_ppm"))
+  }
+
   def neighborJaccard(edges: DataFrame, thresholdPpm: Long): DataFrame = {
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000L)
     val ud = edges.select(col("id_a").as("a"), col("id_b").as("b"))

@@ -189,6 +189,38 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** Deterministic systematic WEIGHTED sample of ~k rows (Madow 1949's
+    * systematic PPS selection, with the random start replaced by the
+    * content-hash ordering — fully replayable): rows line up in md5
+    * order, the integer cumulative weight rides
+    * [[Analytics.distributedCumSum]] (no global-sort window), and a
+    * row is picked once per stride boundary its weight interval
+    * crosses (`stride = max(total div k, 1)`), so selection
+    * probability is proportional to weight WITHOUT replacement and a
+    * heavy row reports its multiplicity in `picks`. All arithmetic is
+    * exact Long (weights are cents), so the sample replays bit-for-bit
+    * in any engine. Zero/negative-weight rows are excluded by
+    * contract (they carry no selection mass). */
+  def systematicWeighted(df: DataFrame, keyCol: String, weightCol: String,
+                         k: Int, seed: Long = FakeGen.DefaultSeed,
+                         domain: String = "sys"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hv = conv(sampleHex(col(keyCol), domain, seed), 16, 10).cast("long")
+    val keyed = df.select(col(keyCol), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .withColumn("__h", hv)
+    val cum = Analytics.distributedCumSum(keyed, "__h", Seq("__w"),
+      tieCols = Seq(keyCol))
+    val tot = keyed.agg(sum(col("__w")).as("__t"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__stride", greatest(expr(s"__t div ${k}L"), lit(1L)))
+      .withColumn("picks",
+        expr("cum___w div __stride - (cum___w - __w) div __stride"))
+      .filter(col("picks") >= 1L)
+      .select(col(keyCol), col("__w").as("w_cents"),
+        col("cum___w").as("cum_cents"), col("picks").cast("long").as("picks"))
+  }
+
   /** Weighted deterministic mix of datasets (a training mixture):
     * each source is hash-subsampled to its weight, then unioned with a
     * provenance column. Weights in [0, 1] are independent keep-rates

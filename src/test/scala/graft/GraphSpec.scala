@@ -196,6 +196,31 @@ class GraphSpec extends SparkTestBase {
       4L -> ((1L, 0L, 0L))))
   }
 
+  test("resourceAllocation: hand graph — shared-neighbor 1/deg weights, threshold prunes, no wedge -> no pair") {
+    import spark.implicits._
+    // path 1-3, 2-3 plus 3-4 (hub 3 has deg 3) and square 1-5, 2-5
+    // (5 has deg 2):
+    //  pair (1,2): shared z=3 (deg 3 -> 333333) and z=5 (deg 2 ->
+    //    500000) -> ra = 833333, common 2
+    //  pair (3,5): shared z=1, z=2 (deg 2 each) -> ra = 1000000
+    //  pair (1,4)/(2,4): shared z=3 only -> ra = 333333, common 1
+    //  pair (4,5): no shared neighbor -> no row at all
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (1L, 5L), (2L, 5L))
+      .toDF("id_a", "id_b")
+    val all = Graph.resourceAllocation(edges, thresholdPpm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(all === Map(
+      (1L, 2L) -> ((2L, 833333L)),
+      (3L, 5L) -> ((2L, 1000000L)),
+      (1L, 4L) -> ((1L, 333333L)),
+      (2L, 4L) -> ((1L, 333333L))))
+    // threshold prunes the weak pairs
+    val strong = Graph.resourceAllocation(edges, thresholdPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong === Set((3L, 5L)))
+  }
+
   test("labelPropagation: two bridged triangles settle into their own communities; replay is deterministic") {
     // triangles {1,2,3} and {4,5,6} joined by bridge 3-4; hand-traced
     // 3 synchronous rounds (min-label ties) end at communities 1 and 3

@@ -226,6 +226,36 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("systematicWeighted: stride coverage, heavy-row multiplicity, determinism, zero-weight exclusion") {
+    import graft.operators.Sampling
+    // 200 rows of weight 10 (total 2000), k=20 -> stride 100: exactly
+    // one pick per 100-cents block, so EXACTLY 20 distinct rows picked
+    val even = (1L to 200L).map(i => (i, 10L)).toDF("id", "w")
+    val picked = Sampling.systematicWeighted(even, "id", "w", k = 20)
+    assert(picked.count() == 20)
+    assert(picked.agg(sum($"picks")).as[Long].head() == 20L)
+    // deterministic and partition-invariant (content-hash order)
+    val again = Sampling.systematicWeighted(even.repartition(7), "id", "w",
+      k = 20).select("id").as[Long].collect().toSet
+    assert(again == picked.select("id").as[Long].collect().toSet)
+    // a row heavier than the stride is picked with multiplicity: one
+    // whale of weight 1000 among 100 minnows of 10 (total 2000, k=20,
+    // stride 100) must carry ~10 picks — weight-proportional without
+    // replacement
+    val whale = ((1L to 100L).map(i => (i, 10L)) :+ (999L, 1000L))
+      .toDF("id", "w")
+    val wp = Sampling.systematicWeighted(whale, "id", "w", k = 20)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("picks")).toMap
+    assert(wp(999L) >= 9L && wp(999L) <= 11L,
+      s"whale picks ${wp.get(999L)} not ~10")
+    assert(wp.values.sum == 20L)
+    // zero/negative weights carry no mass and never appear
+    val withZero = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("id", "w")
+    val z = Sampling.systematicWeighted(withZero, "id", "w", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(z == Set(3L))
+  }
+
   test("nestedSamples: levels are strict subsets (same hash, rising thresholds); stats are exact") {
     val df = spark.range(2000).toDF("id").withColumn("cents", $"id" * 3)
     val out = Sampling.nestedSamples(df, "id", "cents",
