@@ -78,6 +78,25 @@ private[graft] object Oracles {
   private val exactJaccardSql: String =
     s"WITH $jaccardCtesSql SELECT id_a, id_b, jaccard FROM jj"
 
+  /** Explain-report replica: the exact-pair CTEs' common/size counts
+    * plus document lengths, all facets in integer ppm; the ppm filter
+    * keeps the identical ≥0.5 pair set (floor(c·1e6/u) ≥ 5e5 ⟺
+    * c/u ≥ 0.5). */
+  private val nearDupExplainSql: String =
+    s"WITH $jaccardCtesSql, " +
+    "x AS (SELECT id_a, id_b, CAST(common AS BIGINT) AS common, " +
+    "  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b " +
+    "  FROM jp JOIN sz sa ON sa.doc_id = id_a " +
+    "  JOIN sz sb ON sb.doc_id = id_b), " +
+    "l AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len FROM documents) " +
+    "SELECT id_a, id_b, common, " +
+    "common * 1000000 // (sz_a + sz_b - common) AS jaccard_ppm, " +
+    "common * 1000000 // least(sz_a, sz_b) AS containment_ppm, " +
+    "least(la.len, lb.len) * 1000000 // greatest(la.len, lb.len, 1) " +
+    "  AS len_ratio_ppm " +
+    "FROM x JOIN l la ON la.doc_id = id_a JOIN l lb ON lb.doc_id = id_b " +
+    "WHERE common * 1000000 // (sz_a + sz_b - common) >= 500000"
+
   /** Yield curve over the same exact-pair CTEs at the looser 0.3 floor
     * (the shared CTE builder parameterized by threshold), then
     * per-threshold pair/doc counts with zero-yield thresholds kept via
@@ -1690,6 +1709,18 @@ private[graft] object Oracles {
     // is a true oracle wherever the pruner's recall is 1 (it is, on the
     // planted corpus — pinned in TextDedupSpec).
     "q_dedup_minhash" -> exactJaccardSql,
+    "q_neardup_explain" -> nearDupExplainSql,
+    // rare-category consolidation: ppm shares against the broadcast
+    // total, sub-threshold nations merged into __OTHER__
+    "q_rare_merge" ->
+      ("WITH c AS (SELECT CAST(c_nationkey AS VARCHAR) AS cat, " +
+       "  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1), " +
+       "t AS (SELECT greatest(CAST(sum(n) AS BIGINT), 1) AS t FROM c), " +
+       "m AS (SELECT CASE WHEN n * 1000000 // t >= 40000 THEN cat " +
+       "  ELSE '__OTHER__' END AS category, n, t FROM c CROSS JOIN t) " +
+       "SELECT category, CAST(sum(n) AS BIGINT) AS n_rows, " +
+       "CAST(sum(n) AS BIGINT) * 1000000 // max(t) AS share_ppm " +
+       "FROM m GROUP BY 1"),
     // NOT the exact-jaccard oracle: simhash prunes by HAMMING, and
     // true-jaccard pairs reach hamming 13 on this data (HammingAudit)
     // — the oracle replicates the pruner's exact semantics instead

@@ -1099,6 +1099,11 @@ object SparkEntry {
     "q_key_skew_profile" -> ((s, dir) =>
       graft.operators.Skew.keySkewProfile(events(s, dir),
         Seq("user_id"), topK = 10)),
+    // cardinality control before encoding/mixing: nations under a 4%
+    // corpus share collapse into __OTHER__, exact ppm arithmetic
+    "q_rare_merge" -> ((s, dir) =>
+      graft.operators.Analytics.rareCategoryMerge(
+        t(s, dir, "customer"), "c_nationkey", minSharePpm = 40000L)),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),
@@ -1364,6 +1369,12 @@ object SparkEntry {
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dedupCorpus(docsSplit(s, dir), "doc_id", "text",
         shingleWidth = 3, numHashes = 128, bands = 32, threshold = 0.5)),
+    // governance explain row per verified pair: jaccard / containment /
+    // length-ratio facets in exact ppm (excerpt vs duplicate triage)
+    "q_neardup_explain" -> ((s, dir) =>
+      Dedup.nearDupExplain(docsSplit(s, dir), "doc_id", "text",
+        lenCol = "n_chars", shingleWidth = 3, numHashes = 128,
+        bands = 32, candThreshold = 0.35, threshold = 0.5)),
     // quality-aware variant: each cluster keeps its LONGEST member
     // (n_chars desc, id asc) — the RefinedWeb/Dolma curation rule —
     // instead of the minimum id; cluster structure identical

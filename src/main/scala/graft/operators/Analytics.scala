@@ -256,6 +256,35 @@ object Analytics {
           expr("__w * 1000000L div __tot").as("credit_ppm")): _*)
   }
 
+  /** Rare-category consolidation: categories whose corpus share falls
+    * below `minSharePpm` collapse into `otherLabel` — the standard
+    * cardinality-control step before one-hot/target encoding or
+    * per-category mixing (a 100 TB tail of near-empty categories
+    * wrecks both). Output is the MERGED distribution (category, n_rows,
+    * share_ppm) in exact ppm integers, so the policy replays
+    * bit-for-bit in any engine.
+    *
+    * Scale shape: one map-side-combined count keyed by category, a
+    * single-row total broadcast (the scalar-attach pattern), then a
+    * category-sized re-aggregation — nothing after the first shuffle
+    * touches corpus rows. */
+  def rareCategoryMerge(df: DataFrame, catCol: String, minSharePpm: Long,
+                        otherLabel: String = "__OTHER__"): DataFrame = {
+    require(minSharePpm >= 1 && minSharePpm <= 1000000L,
+      s"minSharePpm must be in [1, 1e6], got $minSharePpm")
+    val c = df.groupBy(col(catCol).cast("string").as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = c.agg(greatest(sum(col("__n")), lit(1L)).as("__t"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("category",
+        when(expr(s"__n * 1000000L div __t >= ${minSharePpm}L"), col("__cat"))
+          .otherwise(lit(otherLabel)))
+      .groupBy(col("category"))
+      .agg(sum(col("__n")).as("n_rows"), max(col("__t")).as("__t"))
+      .withColumn("share_ppm", expr("n_rows * 1000000L div __t"))
+      .drop("__t")
+  }
+
   /** Distributed prefix sums over a totally-ordered axis: cum_<col>
     * running totals of each `valCols` in `orderCol` order, without a
     * global-sort window. Two-phase: range-bucket the axis (bounds from

@@ -538,6 +538,56 @@ object Dedup {
         candThreshold, seed),
       shingleWidth, threshold)
 
+  /** Near-dup pair EXPLAIN report: every minhash-verified pair with
+    * its three similarity facets in exact ppm — Jaccard, CONTAINMENT
+    * (common / min size: the facet that catches subset-style
+    * near-dups Jaccard underrates — Broder 1997 distinguishes
+    * resemblance from containment for exactly this reason), and the
+    * raw length ratio. The governance row a human reviews before a
+    * dedup policy deletes at corpus scale: a high-containment /
+    * low-jaccard pair is an excerpt, not a duplicate. The ppm
+    * threshold keeps the SAME pair set as [[minhashVerifiedPairs]]
+    * (floor(c·1e6/u) ≥ t·1e6 ⟺ c/u ≥ t for integral t·1e6).
+    *
+    * Scale shape: identical prune-then-verify cost to the verified
+    * tier (banded candidates, candidate-doc pruned shingles) plus two
+    * bounded joins for sizes and lengths — all keyed on candidate
+    * pairs, never the corpus. */
+  def nearDupExplain(df: DataFrame, idCol: String, textCol: String,
+                     lenCol: String, shingleWidth: Int = 3,
+                     numHashes: Int = 128, bands: Int = 32,
+                     candThreshold: Double = 0.35, threshold: Double = 0.5,
+                     seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    val cand = materializeShared(
+      minhashPairs(df, idCol, textCol, shingleWidth, numHashes, bands,
+        candThreshold, seed)
+        .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b"))
+    val docs = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+    val candDocs = df.join(docs, Seq(idCol), "left_semi")
+    val shC = shingleSets(candDocs, idCol, textCol, shingleWidth)
+    val sizes = shingleSizes(candDocs, idCol, textCol, shingleWidth)
+    val lens = candDocs.select(col(idCol).as("id"),
+      col(lenCol).cast("long").as("len"))
+    cand
+      .join(shC.select(col("id").as("id_a"), col("sh")), Seq("id_a"))
+      .join(shC.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("__sa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("__sb")), Seq("id_b"))
+      .join(lens.select(col("id").as("id_a"), col("len").as("__la")), Seq("id_a"))
+      .join(lens.select(col("id").as("id_b"), col("len").as("__lb")), Seq("id_b"))
+      .withColumn("jaccard_ppm",
+        expr("common * 1000000L div (__sa + __sb - common)"))
+      .filter(col("jaccard_ppm") >= lit((threshold * 1e6).toLong))
+      .withColumn("containment_ppm",
+        expr("common * 1000000L div least(__sa, __sb)"))
+      .withColumn("len_ratio_ppm",
+        expr("least(__la, __lb) * 1000000L div greatest(__la, __lb, 1L)"))
+      .select(col("id_a"), col("id_b"), col("common"), col("jaccard_ppm"),
+        col("containment_ppm"), col("len_ratio_ppm"))
+  }
+
   /** SimHash-banded candidates verified by EXACT n-gram Jaccard — same
     * prune-then-verify shape with the hamming-pigeonhole pruner. */
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,

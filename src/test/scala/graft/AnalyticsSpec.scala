@@ -278,6 +278,25 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("rareCategoryMerge: sub-threshold tail collapses into OTHER with exact ppm shares") {
+    // 10 rows: a x6, b x2, c x1, d x1 — threshold 150000 ppm (15%)
+    // keeps a (600000) and b (200000); c+d merge to __OTHER__ (200000)
+    val d = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "cat")
+    val got = Analytics.rareCategoryMerge(d, "cat", minSharePpm = 150000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      "a" -> ((6L, 600000L)),
+      "b" -> ((2L, 200000L)),
+      "__OTHER__" -> ((2L, 200000L))))
+    // threshold above every share: everything merges to one row
+    val all = Analytics.rareCategoryMerge(d, "cat", minSharePpm = 700000L)
+      .collect()
+    assert(all.length == 1 && all(0).getString(0) == "__OTHER__" &&
+      all(0).getLong(1) == 10L && all(0).getLong(2) == 1000000L)
+  }
+
   test("attributionDecay: power-of-two credits, fresh touch outweighs stale 2:1 per half-life") {
     // anchor at ts 100s; touches at 100s (0 half-lives) and 61s ago
     // (1 half-life at 60s): weights 2:1 -> credits 666666 / 333333

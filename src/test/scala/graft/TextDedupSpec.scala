@@ -102,6 +102,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Seq((2L, "x"), (9L, "y")))
   }
 
+  test("nearDupExplain: containment flags the excerpt jaccard underrates; facets are exact ppm") {
+    // doc 2 is a strict PREFIX of doc 1: 12 tokens -> 10 shingles vs
+    // 9 tokens -> 7 shingles, all shared. common 7, union 10:
+    // jaccard 700000 (passes 0.5), containment 7/7 = 1000000 — the
+    // excerpt signature. Lengths 120/90 -> ratio 750000.
+    val full = (1 to 12).map(i => s"t$i").mkString(" ")
+    val excerpt = (1 to 9).map(i => s"t$i").mkString(" ")
+    val other = (100 to 111).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, full, 120L), (2L, excerpt, 90L), (3L, other, 50L))
+      .toDF("id", "t", "n_chars")
+    val got = Dedup.nearDupExplain(df, "id", "t", lenCol = "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === Map((2L, 1L) -> ((7L, 700000L, 1000000L, 750000L))) ||
+      got === Map((1L, 2L) -> ((7L, 700000L, 1000000L, 750000L))),
+      s"unexpected explain rows: $got")
+  }
+
   test("minhash LSH finds near-dups, skips unrelated, deterministic") {
     val df = Seq((1L, docA), (2L, docAnear), (3L, docB), (4L, docA)).toDF("id", "t")
     val pairs = Dedup.minhashPairs(df, "id", "t", threshold = 0.4)
