@@ -1710,6 +1710,25 @@ private[graft] object Oracles {
     // planted corpus — pinned in TextDedupSpec).
     "q_dedup_minhash" -> exactJaccardSql,
     "q_neardup_explain" -> nearDupExplainSql,
+    // Fellegi-Sunter replica: same three comparators, same fixed ppm
+    // weights, same nation blocking and id_a < id_b triangle
+    "q_linkage_score" ->
+      ("WITH c AS (SELECT c_custkey AS id, c_nationkey AS blk, " +
+       "  c_mktsegment AS seg, CAST(floor(c_acctbal * 100) AS BIGINT) " +
+       "  AS bal, substr(c_name, length(c_name) - 1, 2) AS sfx " +
+       "  FROM customer), " +
+       "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+       "  concat(CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.sfx = b.sfx THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END + " +
+       "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 350000 " +
+       "      ELSE -150000 END + " +
+       "    CASE WHEN a.sfx = b.sfx THEN 370000 ELSE -160000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 550000"),
     // rare-category consolidation: ppm shares against the broadcast
     // total, sub-threshold nations merged into __OTHER__
     "q_rare_merge" ->

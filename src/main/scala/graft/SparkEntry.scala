@@ -1104,6 +1104,21 @@ object SparkEntry {
     "q_rare_merge" -> ((s, dir) =>
       graft.operators.Analytics.rareCategoryMerge(
         t(s, dir, "customer"), "c_nationkey", minSharePpm = 40000L)),
+    // Fellegi-Sunter record linkage: nation-blocked customer pairs
+    // scored by three field comparators with fixed ppm log-odds
+    // weights; links = pairs at or above the decision threshold
+    "q_linkage_score" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val c = t(s, dir, "customer")
+        .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
+        .withColumn("name_sfx", expr("substr(c_name, length(c_name) - 1, 2)"))
+      Linkage.scorePairs(c, "c_custkey", Seq("c_nationkey"), Seq(
+        Linkage.eq("c_mktsegment", 280000L, 120000L),
+        Linkage.FieldRule("bal_cents",
+          (a, b) => abs(a - b) <= lit(10000L), 350000L, 150000L),
+        Linkage.eq("name_sfx", 370000L, 160000L)),
+        thresholdPpm = 550000L)
+    }),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),

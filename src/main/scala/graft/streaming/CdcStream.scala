@@ -327,6 +327,39 @@ object CdcStream {
       .toDF("from_state", "to_state")
   }
 
+  /** Streaming first-arrival exact dedup — the always-on face of
+    * [[graft.operators.Dedup.exact]]: per dedup key, the FIRST row to
+    * arrive is emitted and every later duplicate is suppressed, with
+    * the suppression SURVIVING checkpoint restarts (the property a
+    * nightly batch dedup cannot give an always-on ingest: a duplicate
+    * that spans the restart must still be dropped —
+    * StreamingValidatorSpec pins exactly that). Within a micro-batch,
+    * ties resolve to the minimum `idCol` so a single replay is
+    * deterministic; across batches the contract is arrival order (the
+    * streaming analogue of keep-min-id, which presumes a total view no
+    * stream has). State per key is its emitted id — O(distinct keys),
+    * independent of stream length. Output: (__key, id). */
+  def dedupFirstSeenStream(rows: DataFrame, keyCol: String,
+                           idCol: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val entryEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val keyed = rows.select(
+        col(keyCol).cast("string").as("_1"),
+        col(idCol).cast("long").as("_2")).as(entryEnc)
+    keyed.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Long)], st: GroupState[Long]) =>
+          if (st.exists) { batch.foreach(_ => ()); Iterator.empty }
+          else {
+            val first = batch.map(_._2).min
+            st.update(first)
+            Iterator.single((key, first))
+          }
+      }(Encoders.scalaLong, entryEnc)
+      .toDF("__key", "id")
+  }
+
   /** Streaming gap sessionizer — the stateful face of
     * [[graft.operators.Temporal.sessionize]]: per key, the open
     * session is one (idx, start, end, lastTie, n) tuple; an event more

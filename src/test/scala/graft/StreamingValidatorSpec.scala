@@ -456,6 +456,70 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupFirstSeenStream: duplicate suppression survives a checkpoint restart; min-id within a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // unit semantics: within-batch tie -> min id; later dup dropped
+    val in = MemoryStream[(String, Long)]
+    val q = CdcStream.dedupFirstSeenStream(
+        in.toDF.toDF("k", "id"), "k", "id")
+      .writeStream.format("memory").queryName("graft_dedup_unit")
+      .outputMode("append").start()
+    try {
+      in.addData(("x", 7L), ("x", 3L), ("y", 1L))
+      q.processAllAvailable()
+      in.addData(("x", 1L), ("z", 9L)) // x already emitted: 1L dropped
+      q.processAllAvailable()
+      val rows = spark.table("graft_dedup_unit")
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("x", 3L), ("y", 1L), ("z", 9L)))
+    } finally q.stop()
+
+    // restart parity: dup keys split across the checkpoint boundary
+    // must still collapse to ONE emitted row per key
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dd").toString
+    // key carries a coarse event_id quartile so the later quartiles'
+    // keys genuinely FIRST-appear in phase 2 (a key built only from
+    // user/event_type saturates in phase 1 on this dense fixture)
+    val maxId = eventsUs().agg(max($"event_id")).first().getLong(0)
+    val ev = eventsUs().select(
+      concat_ws(":", $"user_id" % 20, $"event_type",
+        expr(s"event_id * 4 div ${maxId + 1}")).as("k"), $"event_id")
+    val split = ev.agg(expr("percentile(event_id, 0.5D)")).first()
+      .getDouble(0).toLong
+    ev.filter($"event_id" <= split).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runPhase(): Unit = {
+      val stream = CdcStream.readFiles(spark, s"$dir/in", schema,
+        maxFilesPerTrigger = 4)
+      val s = CdcStream.dedupFirstSeenStream(stream, "k", "event_id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      s.awaitTermination(120000)
+    }
+    runPhase()
+    val phase1Keys = spark.read.parquet(s"$dir/out")
+      .select($"__key").as[String].collect().toSet
+    ev.filter($"event_id" > split).write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    val out = spark.read.parquet(s"$dir/out")
+    val emitted = out.select($"__key").as[String].collect()
+    val expectedKeys = ev.select($"k").distinct().as[String].collect().toSet
+    // every key exactly once — a key seen in phase 1 whose duplicates
+    // arrive in phase 2 must NOT re-emit (state recovered from ckpt)
+    assert(emitted.length == emitted.toSet.size,
+      "a key was emitted twice across the restart")
+    assert(emitted.toSet == expectedKeys)
+    assert(phase1Keys.nonEmpty && phase1Keys.size < expectedKeys.size,
+      "split must leave some keys to first-appear in phase 2")
+    // each emitted id really belongs to its key's group
+    val pairs = out.as[(String, Long)].collect().toSet
+    val valid = ev.as[(String, Long)].collect().toSet
+    assert(pairs.subsetOf(valid))
+  }
+
   test("sessionizeStream edge semantics: gap boundary inclusive, late drop, per-key indexing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
