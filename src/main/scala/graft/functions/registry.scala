@@ -85,6 +85,10 @@ object registry {
         intArg(args, 1, 16), intArg(args, 2, 64))),
       // Z-order (Morton) interleave — the multi-dimensional layout key
       "zorder2" -> (args => ZOrderExpr(args(0), args(1))),
+      // N-dim curve: zorder_n(x1, ..., xn, bits) — trailing literal is
+      // the per-dim bit width (n*bits <= 63, enforced by the expr)
+      "zorder_n" -> (args => ZOrderNExpr(args.init,
+        intArg(args, args.length - 1, 20))),
       // perceptual hash as struct(hi, lo); pair with bit_count(a ^ b)
       // for hamming distance in pure SQL
       "image_dhash" -> (args => graft.operators.ImageDHashExpr(args.head)),

@@ -65,6 +65,16 @@ class SqlAndDmsSpec extends SparkTestBase {
     assert(cc.getString(0) == cc.getString(1))
   }
 
+  test("SQL surface: zorder_n matches the kernel; zorder2 equivalence at n=2") {
+    registry.registerAll(spark)
+    val r = spark.sql(
+      "SELECT zorder_n(1L, 2L, 3L, 2) AS z3, " +
+      "zorder_n(12345L, 67890L, 31) AS z2, zorder2(12345L, 67890L) AS z2ref")
+      .collect()(0)
+    assert(r.getLong(0) == 53L) // hand-computed in LayoutSpec
+    assert(r.getLong(1) == r.getLong(2))
+  }
+
   test("SQL surface: image_dhash + bit_count = hamming near-dup in pure SQL") {
     registry.registerAll(spark)
     // PNG recompression preserves pixels => identical hash, hamming 0
