@@ -1710,6 +1710,21 @@ private[graft] object Oracles {
     // planted corpus — pinned in TextDedupSpec).
     "q_dedup_minhash" -> exactJaccardSql,
     "q_neardup_explain" -> nearDupExplainSql,
+    // wedge-closure audit over the same exact >= 0.5 pair set
+    "q_dedup_transitivity" -> (
+      s"WITH $jaccardCtesSql, " +
+      "pr AS (SELECT id_a, id_b FROM jj), " +
+      "ud AS (SELECT id_a AS m, id_b AS e FROM pr " +
+      "  UNION ALL SELECT id_b, id_a FROM pr), " +
+      "wdg AS (SELECT u1.e AS x, u2.e AS y FROM ud u1 " +
+      "  JOIN ud u2 ON u1.m = u2.m AND u1.e < u2.e), " +
+      "cnt AS (SELECT CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_pairs, " +
+      "  CAST((SELECT count(*) FROM wdg) AS BIGINT) AS n_wedges, " +
+      "  CAST((SELECT count(*) FROM wdg JOIN pr ON pr.id_a = wdg.x " +
+      "    AND pr.id_b = wdg.y) AS BIGINT) AS n_closed) " +
+      "SELECT n_pairs, n_wedges, n_closed, " +
+      "n_closed * 1000000 // greatest(n_wedges, 1) AS closure_ppm " +
+      "FROM cnt"),
     // Fellegi-Sunter replica: same three comparators, same fixed ppm
     // weights, same nation blocking and id_a < id_b triangle
     "q_linkage_score" ->

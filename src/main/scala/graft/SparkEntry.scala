@@ -1390,6 +1390,13 @@ object SparkEntry {
       Dedup.nearDupExplain(docsSplit(s, dir), "doc_id", "text",
         lenCol = "n_chars", shingleWidth = 3, numHashes = 128,
         bands = 32, candThreshold = 0.35, threshold = 0.5)),
+    // cluster-quality audit: wedge closure share of the verified pair
+    // set — low closure = transitive-closure merges grow by CHAINING
+    "q_dedup_transitivity" -> ((s, dir) =>
+      Dedup.transitivityAudit(
+        Dedup.minhashVerifiedPairs(docsSplit(s, dir), "doc_id", "text",
+          shingleWidth = 3, numHashes = 128, bands = 32,
+          candThreshold = 0.35, threshold = 0.5))),
     // quality-aware variant: each cluster keeps its LONGEST member
     // (n_chars desc, id asc) — the RefinedWeb/Dolma curation rule —
     // instead of the minimum id; cluster structure identical

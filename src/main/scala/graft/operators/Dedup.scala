@@ -588,6 +588,37 @@ object Dedup {
         col("containment_ppm"), col("len_ratio_ppm"))
   }
 
+  /** Transitivity audit over a verified near-dup pair set: of all
+    * WEDGES (a~m, m~b through a shared middle), how many close into a
+    * triangle (a~b is itself a pair)? Transitive-closure dedup merges
+    * clusters THROUGH wedges, so a low closure share means cluster
+    * growth is CHAINING — documents merged because each resembles the
+    * next, not each other — the known failure mode that deletes
+    * non-duplicates at corpus scale and the reason keep-best policies
+    * audit their clusters. One row: n_pairs, n_wedges (instances, one
+    * per middle), n_closed, closure_ppm.
+    *
+    * Scale shape: the wedge join is keyed on the middle vertex of the
+    * PAIR set (dup-rate-sized, never the corpus); closure is one
+    * left-semi back onto the pairs. The same degree-bounded wedge
+    * arithmetic as triangle counting, on a far smaller input. */
+  def transitivityAudit(pairs: DataFrame): DataFrame = {
+    val pr = pairs.select(col("id_a"), col("id_b"))
+    val ud = pr.select(col("id_a").as("m"), col("id_b").as("e"))
+      .unionByName(pr.select(col("id_b").as("m"), col("id_a").as("e")))
+    val wedges = ud.select(col("m"), col("e").as("x"))
+      .join(ud.select(col("m"), col("e").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+    val closed = wedges.join(
+      pr.select(col("id_a").as("x"), col("id_b").as("y")),
+      Seq("x", "y"), "left_semi")
+    pr.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_closed"))))
+      .withColumn("closure_ppm",
+        expr("n_closed * 1000000L div greatest(n_wedges, 1L)"))
+  }
+
   /** SimHash-banded candidates verified by EXACT n-gram Jaccard — same
     * prune-then-verify shape with the hamming-pigeonhole pruner. */
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,

@@ -120,6 +120,23 @@ class TextDedupSpec extends SparkTestBase {
       s"unexpected explain rows: $got")
   }
 
+  test("transitivityAudit: an open chain scores 0, a triangle 1e6, wedges count per middle") {
+    // chain 1~2~3: one wedge through middle 2, no closing pair
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val c = Dedup.transitivityAudit(chain).first()
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((2L, 1L, 0L, 0L)))
+    // triangle: every vertex middles one closed wedge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val t = Dedup.transitivityAudit(tri).first()
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)) ==
+      ((3L, 3L, 3L, 1000000L)))
+    // empty pair set: zero everything, no division blowup
+    val e = Dedup.transitivityAudit(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).first()
+    assert(e.getLong(0) == 0L && e.getLong(3) == 0L)
+  }
+
   test("minhash LSH finds near-dups, skips unrelated, deterministic") {
     val df = Seq((1L, docA), (2L, docAnear), (3L, docB), (4L, docA)).toDF("id", "t")
     val pairs = Dedup.minhashPairs(df, "id", "t", threshold = 0.4)
