@@ -190,6 +190,66 @@ private[graft] object Oracles {
     "  FROM wh, pw GROUP BY doc_id, b)"
   }
 
+  /** Fellegi–Sunter EM replay (q_linkage_em): the Spark side runs 20
+    * EM iterations over the ≤2^3-row agreement-pattern frame in ppm
+    * integer arithmetic (Linkage.emEstimate); this oracle UNROLLS the
+    * same 20 iterations as generated CTE pairs (w_k = per-pattern
+    * posterior under state s_k; s_{k+1} = the M-step aggregates) with
+    * identical fold order and truncating division, so the final
+    * posteriors match bit-for-bit. Same pair generator as
+    * q_linkage_score plus the deterministic 10% duplicate injection
+    * that gives EM a real match class to find. */
+  private lazy val linkageEmOracle: String = {
+    val iters = 20
+    // posterior under the state columns (p, m1..3, u1..3) visible via
+    // CROSS JOIN — the exact ppm fold of Linkage.posteriorPpm
+    val pm = (1 to 3).foldLeft("1000000")((acc, i) =>
+      s"(($acc * (CASE WHEN substr(pattern,$i,1)='A' THEN m$i ELSE 1000000 - m$i END)) // 1000000)")
+    val pu = (1 to 3).foldLeft("1000000")((acc, i) =>
+      s"(($acc * (CASE WHEN substr(pattern,$i,1)='A' THEN u$i ELSE 1000000 - u$i END)) // 1000000)")
+    val wExpr =
+      s"(((p * $pm) // 1000000) * 1000000) // " +
+      s"greatest(((p * $pm) // 1000000) + ((((1000000 - p)) * $pu) // 1000000), 1)"
+    val bigW = "CAST(sum(n*w) AS BIGINT)"
+    val bigN = "CAST(sum(n) AS BIGINT)"
+    def clamp(x: String) = s"least(greatest($x, 1), 999999)"
+    def mStep(i: Int) = clamp(
+      s"(CAST(sum(CASE WHEN substr(pattern,$i,1)='A' THEN n*w ELSE 0 END) AS BIGINT) * 1000) " +
+      s"// greatest($bigW // 1000, 1)") + s" AS m$i"
+    def uStep(i: Int) = clamp(
+      s"(CAST(sum(CASE WHEN substr(pattern,$i,1)='A' THEN n*(1000000-w) ELSE 0 END) AS BIGINT) * 1000) " +
+      s"// greatest(($bigN * 1000000 - $bigW) // 1000, 1)") + s" AS u$i"
+    val stateCols = (clamp(s"$bigW // $bigN") + " AS p") +: (
+      (1 to 3).map(mStep) ++ (1 to 3).map(uStep))
+    val iterCtes = (0 until iters).map { k =>
+      s"w$k AS (SELECT pattern, n, CAST($wExpr AS BIGINT) AS w FROM pr CROSS JOIN s$k), " +
+      s"s${k + 1} AS (SELECT ${stateCols.mkString(", ")} FROM w$k)"
+    }.mkString(", ")
+    "WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+    "  c_mktsegment FROM customer UNION ALL " +
+    "  SELECT c_custkey + 1000000000, c_name, c_nationkey, c_acctbal, " +
+    "  c_mktsegment FROM customer WHERE c_custkey % 10 = 0), " +
+    "c AS (SELECT c_custkey AS id, " +
+    "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
+    "  c_nationkey AS nat, c_mktsegment AS seg, " +
+    "  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM base), " +
+    "pr AS (SELECT concat(" +
+    "  CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+    "  CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END, " +
+    "  CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 'A' ELSE 'D' END) AS pattern, " +
+    "  CAST(count(*) AS BIGINT) AS n " +
+    "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id GROUP BY 1), " +
+    "s0 AS (SELECT CAST(100000 AS BIGINT) AS p, " +
+    "  CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2, " +
+    "  CAST(900000 AS BIGINT) AS m3, CAST(100000 AS BIGINT) AS u1, " +
+    "  CAST(100000 AS BIGINT) AS u2, CAST(100000 AS BIGINT) AS u3), " +
+    s"$iterCtes, " +
+    s"fin AS (SELECT pattern, n, CAST($wExpr AS BIGINT) AS w " +
+    s"  FROM pr CROSS JOIN s$iters) " +
+    "SELECT pattern, n AS n_pairs, w AS posterior_ppm, " +
+    "w >= 500000 AS is_link FROM fin"
+  }
+
   /** SimHash flag-rate eval: the shared-shingle pair frame bucketed by
     * exact-jaccard decile with the hd ≤ 6 share, replaying the same
     * bit table as the dedup row. */
@@ -1727,19 +1787,22 @@ private[graft] object Oracles {
       "FROM cnt"),
     // Fellegi-Sunter replica: same three comparators, same fixed ppm
     // weights, same nation blocking and id_a < id_b triangle
+    "q_linkage_em" -> linkageEmOracle,
     "q_linkage_score" ->
-      ("WITH c AS (SELECT c_custkey AS id, c_nationkey AS blk, " +
-       "  c_mktsegment AS seg, CAST(floor(c_acctbal * 100) AS BIGINT) " +
-       "  AS bal, substr(c_name, length(c_name) - 1, 2) AS sfx " +
+      ("WITH c AS (SELECT c_custkey AS id, " +
+       "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
+       "  c_nationkey AS nat, c_mktsegment AS seg, " +
+       "  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal " +
        "  FROM customer), " +
        "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
-       "  concat(CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END, " +
-       "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 'A' ELSE 'D' END, " +
-       "    CASE WHEN a.sfx = b.sfx THEN 'A' ELSE 'D' END) AS pattern, " +
-       "  CAST(CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END + " +
+       "  concat(CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 'A' ELSE 'D' END) " +
+       "    AS pattern, " +
+       "  CAST(CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END + " +
        "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 350000 " +
-       "      ELSE -150000 END + " +
-       "    CASE WHEN a.sfx = b.sfx THEN 370000 ELSE -160000 END " +
+       "      ELSE -150000 END " +
        "    AS BIGINT) AS score_ppm " +
        "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
        "SELECT id_a, id_b, pattern, score_ppm FROM p " +

@@ -1104,20 +1104,51 @@ object SparkEntry {
     "q_rare_merge" -> ((s, dir) =>
       graft.operators.Analytics.rareCategoryMerge(
         t(s, dir, "customer"), "c_nationkey", minSharePpm = 40000L)),
-    // Fellegi-Sunter record linkage: nation-blocked customer pairs
-    // scored by three field comparators with fixed ppm log-odds
-    // weights; links = pairs at or above the decision threshold
+    // Fellegi-Sunter record linkage: customer pairs blocked on the
+    // NAME PREFIX (all but the last two characters — a band of ~100
+    // adjacent keys, so block CARDINALITY grows with corpus size and
+    // per-block pair work stays bounded; blocking on a fixed-domain
+    // attribute like nation makes pair work ~N²/25, the classic
+    // "green at sf0.1, dead at 100x" ER mistake), scored by three
+    // field comparators with fixed ppm log-odds weights; links =
+    // pairs at or above the decision threshold
     "q_linkage_score" -> ((s, dir) => {
       import graft.operators.Linkage
       val c = t(s, dir, "customer")
         .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
-        .withColumn("name_sfx", expr("substr(c_name, length(c_name) - 1, 2)"))
-      Linkage.scorePairs(c, "c_custkey", Seq("c_nationkey"), Seq(
+        .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+      Linkage.scorePairs(c, "c_custkey", Seq("name_blk"), Seq(
+        Linkage.eq("c_nationkey", 370000L, 160000L),
         Linkage.eq("c_mktsegment", 280000L, 120000L),
         Linkage.FieldRule("bal_cents",
-          (a, b) => abs(a - b) <= lit(10000L), 350000L, 150000L),
-        Linkage.eq("name_sfx", 370000L, 160000L)),
+          (a, b) => abs(a - b) <= lit(10000L), 350000L, 150000L)),
         thresholdPpm = 550000L)
+    }),
+    // EM-estimated Fellegi-Sunter weights (Winkler 1988) over the same
+    // blocked pair generator, seeded with a deterministic 10% duplicate
+    // injection (every 10th customer re-appears under a new id — the
+    // standard ER eval setup) so the estimator has a real match class:
+    // 20 ppm-integer EM iterations over the <= 2^3-row pattern frame on
+    // the driver, output = pattern posteriors + threshold decisions
+    "q_linkage_em" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val base = cust.unionByName(
+        cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(1000000000L)))
+      val c = base
+        .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
+        .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+      Linkage.emPatternWeights(c, "c_custkey", Seq("name_blk"), Seq(
+        ("c_nationkey",
+          (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+            a === b),
+        ("c_mktsegment",
+          (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+            a === b),
+        ("bal_cents",
+          (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+            abs(a - b) <= lit(10000L))))
     }),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(

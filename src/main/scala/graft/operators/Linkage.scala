@@ -37,17 +37,27 @@ object Linkage {
   def eq(col: String, wAgreePpm: Long, wDisagreePpm: Long): FieldRule =
     FieldRule(col, (a, b) => a === b, wAgreePpm, wDisagreePpm)
 
-  def scorePairs(df: DataFrame, idCol: String, blockCols: Seq[String],
-                 rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
+  /** Blocked candidate pairs with their agreement pattern — the shared
+    * front half of scoring and EM estimation. Pair work is Σ_b |b|². */
+  private def pairedWithPattern(df: DataFrame, idCol: String,
+      blockCols: Seq[String], cols: Seq[String],
+      sames: Seq[(Column, Column) => Column]): (DataFrame, Seq[Column]) = {
     require(blockCols.nonEmpty, "linkage needs at least one block key")
-    require(rules.nonEmpty, "linkage needs at least one field rule")
+    require(cols.nonEmpty, "linkage needs at least one field rule")
     def side(tag: String) = df.select(
       (col(idCol).as(s"id_$tag") +: blockCols.map(col)) ++
-        rules.map(r => col(r.col).as(s"__${tag}_${r.col}")): _*)
+        cols.map(c => col(c).as(s"__${tag}_$c")): _*)
     val paired = side("a").join(side("b"), blockCols)
       .filter(col("id_a") < col("id_b"))
-    val agrees = rules.map(r =>
-      coalesce(r.same(col(s"__a_${r.col}"), col(s"__b_${r.col}")), lit(false)))
+    val agrees = cols.zip(sames).map { case (c, same) =>
+      coalesce(same(col(s"__a_$c"), col(s"__b_$c")), lit(false)) }
+    (paired, agrees)
+  }
+
+  def scorePairs(df: DataFrame, idCol: String, blockCols: Seq[String],
+                 rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
+    val (paired, agrees) = pairedWithPattern(df, idCol, blockCols,
+      rules.map(_.col), rules.map(_.same))
     val score = rules.zip(agrees).map { case (r, ok) =>
       when(ok, lit(r.wAgreePpm)).otherwise(lit(-r.wDisagreePpm))
     }.reduce(_ + _)
@@ -57,5 +67,91 @@ object Linkage {
       .withColumn("score_ppm", score.cast("long"))
       .filter(col("score_ppm") >= thresholdPpm)
       .select(col("id_a"), col("id_b"), col("pattern"), col("score_ppm"))
+  }
+
+  private val M = 1000000L
+  private def clampPpm(x: Long): Long = math.max(1L, math.min(M - 1, x))
+
+  /** Fixed-iteration EM over agreement-PATTERN counts (Winkler 1988's
+    * estimator for the Fellegi–Sunter m/u probabilities under
+    * conditional independence) in pure ppm-integer arithmetic: every
+    * product is `a * b div 1e6` folded left in field order, every ratio
+    * is a truncating integer division — so the whole trajectory replays
+    * bit-for-bit in any engine with 64-bit integer division (the same
+    * determinism contract as the DP cutpoint bake). The ×1000/÷1000
+    * split in the M-step keeps `Σ n·w × 1e6` out of Int64 overflow up
+    * to ~9e9 pairs at the cost of three trailing digits — identical
+    * truncation on both sides, so still oracle-exact.
+    *
+    * Input: (patternString, count) rows, pattern = 'A'/'D' per field.
+    * Returns (pPpm, mPpm per field, uPpm per field) after `iters`
+    * iterations, each clamped to [1, 1e6-1] so no class degenerates.
+    */
+  def emEstimate(patternCounts: Seq[(String, Long)], k: Int, iters: Int,
+                 initPPpm: Long = 100000L, initMPpm: Long = 900000L,
+                 initUPpm: Long = 100000L): (Long, Array[Long], Array[Long]) = {
+    require(patternCounts.nonEmpty, "EM needs at least one pattern row")
+    require(patternCounts.forall(_._1.length == k), s"patterns must have $k fields")
+    var p = initPPpm
+    val m = Array.fill(k)(initMPpm)
+    val u = Array.fill(k)(initUPpm)
+    val bits = patternCounts.map { case (s, n) =>
+      (s.map(c => if (c == 'A') 1 else 0).toArray, n) }
+    for (_ <- 0 until iters) {
+      val rows = bits.map { case (b, n) =>
+        (b, n, posteriorPpm(b, p, m, u)) }
+      val nTot = rows.map(_._2).sum
+      val w = rows.map { case (_, n, wp) => n * wp }.sum
+      val uDen = nTot * M - w
+      val (m1, u1) = (0 until k).map { i =>
+        val mNum = rows.collect { case (b, n, wp) if b(i) == 1 => n * wp }.sum
+        val uNum = rows.collect { case (b, n, wp) if b(i) == 1 => n * (M - wp) }.sum
+        (clampPpm(mNum * 1000L / math.max(w / 1000L, 1L)),
+         clampPpm(uNum * 1000L / math.max(uDen / 1000L, 1L)))
+      }.unzip
+      p = clampPpm(w / nTot)
+      (0 until k).foreach { i => m(i) = m1(i); u(i) = u1(i) }
+    }
+    (p, m, u)
+  }
+
+  /** Match posterior of one agreement pattern under (p, m, u), the same
+    * ppm fold the EM E-step uses. */
+  def posteriorPpm(patternBits: Array[Int], pPpm: Long,
+                   mPpm: Array[Long], uPpm: Array[Long]): Long = {
+    var pm = M; var pu = M
+    for (i <- patternBits.indices) {
+      pm = pm * (if (patternBits(i) == 1) mPpm(i) else M - mPpm(i)) / M
+      pu = pu * (if (patternBits(i) == 1) uPpm(i) else M - uPpm(i)) / M
+    }
+    val num = pPpm * pm / M
+    val alt = (M - pPpm) * pu / M
+    num * M / math.max(num + alt, 1L)
+  }
+
+  /** EM-estimated linkage over blocked pairs: computes the agreement
+    * pattern frame (one distributed groupBy — ≤ 2^k rows), collects it
+    * (driver-bounded by construction), runs [[emEstimate]], and returns
+    * the pattern frame with each pattern's match posterior and its
+    * threshold decision. The heavy work is the pair generation; EM
+    * itself touches only the 2^k summary. */
+  def emPatternWeights(df: DataFrame, idCol: String, blockCols: Seq[String],
+      comparators: Seq[(String, (Column, Column) => Column)],
+      iters: Int = 20, linkThresholdPpm: Long = 500000L): DataFrame = {
+    val (paired, agrees) = pairedWithPattern(df, idCol, blockCols,
+      comparators.map(_._1), comparators.map(_._2))
+    val pattern = concat(agrees.map(ok => when(ok, lit("A")).otherwise(lit("D"))): _*)
+    val counts = paired.select(pattern.as("pattern"))
+      .groupBy("pattern").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val k = comparators.size
+    val (p, m, u) = emEstimate(counts, k, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    counts.map { case (s, n) =>
+      val post = posteriorPpm(s.map(c => if (c == 'A') 1 else 0).toArray, p, m, u)
+      (s, n, post, post >= linkThresholdPpm)
+    }.toDF("pattern", "n_pairs", "posterior_ppm", "is_link")
   }
 }

@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   *     offsets — the derived co-purchase and supplier→customer graphs
   *     become N disjoint isomorphic components, so BSP rounds carry N×
   *     the edges with the original per-component diameter.
+  *   - customer: custkey offset (the SAME offset orders.o_custkey uses,
+  *     so referential integrity survives) and c_name REWRITTEN to the
+  *     offset key ("Customer#" + 9-digit pad) — the ER tier blocks on
+  *     name-derived bands, so scaled copies must mint NEW band values
+  *     or blocking degenerates back to the fixed-domain quadratic.
+  *   - embeddings: vec_id offset; each copy's vectors are CIRCULARLY
+  *     SHIFTED by the copy id. Cosine is invariant under a permutation
+  *     applied to both sides, so every copy's intra-copy similarity
+  *     structure (near-dup pairs, kNN graphs) is exactly isomorphic to
+  *     copy 0, while cross-copy cosines scatter — verbatim copies would
+  *     instead make every vector an exact dup of its N−1 clones and
+  *     square the pair count (a different workload, not a bigger one).
   * The remaining tables are copied unscaled (none of the probed
   * queries read them beyond Bench's warmup).
   */
@@ -88,8 +100,32 @@ object ScaleProbe {
       .withColumn("o_custkey", col("o_custkey") + c * 100000000L)
       .drop("__c"), "orders")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "embeddings"))
+    // customer: same custkey offset as orders.o_custkey; name rewritten
+    // so name-derived block keys mint new values per copy (see scaladoc)
+    write(scaled(read("customer"))
+      .withColumn("c_custkey", col("c_custkey") + c * 100000000L)
+      // lpad TRUNCATES over-length strings (offset keys pass 9 digits
+      // at factor >= 11), so pad only when the key fits
+      .withColumn("c_name", concat(lit("Customer#"),
+        when(length(col("c_custkey").cast("string")) <= 9,
+          lpad(col("c_custkey").cast("string"), 9, "0"))
+          .otherwise(col("c_custkey").cast("string"))))
+      .drop("__c"), "customer")
+
+    // embeddings: per-copy circular dimension shift (see scaladoc);
+    // copy 0 verbatim, copy k shifts by k mod dim
+    val dim = size(col("embedding"))
+    val shift = (c % dim.cast("long")).cast("int")
+    val shifted = concat(
+      slice(col("embedding"), shift + 1, dim - shift),
+      slice(col("embedding"), lit(1), shift))
+    write(scaled(read("embeddings"))
+      .withColumn("vec_id", col("vec_id") + c * 100000000L)
+      .withColumn("embedding",
+        when(c === 0, col("embedding")).otherwise(shifted))
+      .drop("__c"), "embeddings")
+
+    for (t <- Seq("region", "nation", "supplier", "part"))
       write(read(t), t)
 
     done.getParentFile.mkdirs()

@@ -35,6 +35,50 @@ class LinkageSpec extends SparkTestBase {
     assert(links === Set((1L, 2L)))
   }
 
+  test("emEstimate: recovers planted match/unmatch structure") {
+    // planted world: matches agree on all 3 fields ~always, unmatches
+    // rarely — EM from the generic init must pull m_i high, u_i low,
+    // and put the all-agree pattern's posterior above the threshold
+    val counts = Seq(
+      ("AAA", 150L), ("AAD", 20L),          // mostly the match class
+      ("ADD", 300L), ("DAD", 2000L),
+      ("DDA", 150L), ("DDD", 8000L))        // the unmatch bulk
+    val (p, m, u) = Linkage.emEstimate(counts, k = 3, iters = 20)
+    assert(p > 5000L && p < 200000L, s"match share ppm out of range: $p")
+    (0 until 3).foreach { i =>
+      assert(m(i) > u(i), s"field $i: m=${m(i)} !> u=${u(i)}")
+    }
+    val postAAA = Linkage.posteriorPpm(Array(1, 1, 1), p, m, u)
+    val postDDD = Linkage.posteriorPpm(Array(0, 0, 0), p, m, u)
+    assert(postAAA >= 500000L, s"all-agree posterior too low: $postAAA")
+    assert(postDDD < 100000L, s"all-disagree posterior too high: $postDDD")
+  }
+
+  test("emPatternWeights: pattern frame posteriors and decisions") {
+    // two clean blocks: dup pair (1,2) agrees everywhere; filler pairs
+    // disagree everywhere — with many blocks EM separates the classes
+    val rows = (0 until 40).flatMap { b =>
+      Seq((b * 10L + 1, b, "X", 100L + b * 1000L, "01"),
+          (b * 10L + 2, b, "X", 100L + b * 1000L, "01"),
+          (b * 10L + 3, b, "Y", 500L + b * 1000L, "02"))
+    }
+    val df = rows.toDF("id", "blk", "seg", "bal", "sfx")
+    val out = Linkage.emPatternWeights(df, "id", Seq("blk"), Seq(
+      ("seg", (a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) => a === b),
+      ("bal", (a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) => abs(a - b) <= lit(10L)),
+      ("sfx", (a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) => a === b)))
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet === Set("AAA", "DDD"))
+    assert(out("AAA")._1 == 40L && out("DDD")._1 == 80L)
+    assert(out("AAA")._3 && !out("DDD")._3,
+      s"decisions did not separate the planted classes: $out")
+  }
+
   test("scorePairs: NULL field compares as disagreement, not NULL score") {
     val df = Seq(
       (1L, 0, Some("X"), 100L, "01"),
