@@ -60,19 +60,27 @@ bench_in() {
 }
 
 echo "# benching working tree (min-of-$RUNS)..."
+GATED_OURS=$(cut -d' ' -f1 /proc/loadavg)
 bench_in . /tmp/bench_cmp_ours.json
 wait_idle
 echo "# benching $REF in $WT (min-of-$RUNS, includes its compile)..."
+GATED_THEIRS=$(cut -d' ' -f1 /proc/loadavg)
 bench_in "$WT" /tmp/bench_cmp_theirs.json
 
+# stamp the loadavg each leg was GATED on (an old-Bench leg measures
+# load after its own compile burst, which reads misleadingly high)
+export GATED_OURS GATED_THEIRS
 python3 - "$REF" <<'EOF'
 import json, sys
 ours = json.load(open('/tmp/bench_cmp_ours.json'))
 theirs = json.load(open('/tmp/bench_cmp_theirs.json'))
 qo, qt = ours['queries'], theirs['queries']
 rows = {k: {'ours': qo.get(k), 'theirs': qt.get(k)} for k in sorted(set(qo) | set(qt))}
+import os
 out = {'ref': sys.argv[1],
        'load': {'ours': ours.get('load'), 'theirs': theirs.get('load')},
+       'gated_loadavg': {'ours': float(os.environ['GATED_OURS']),
+                         'theirs': float(os.environ['GATED_THEIRS'])},
        'total': {'ours': round(sum(qo.values()), 3),
                  'theirs': round(sum(qt.values()), 3)},
        'queries': rows}

@@ -338,12 +338,19 @@ object CdcStream {
     * deterministic; across batches the contract is arrival order (the
     * streaming analogue of keep-min-id, which presumes a total view no
     * stream has). State per key is its emitted id — O(distinct keys),
-    * independent of stream length. Output: (__key, id). */
+    * independent of stream length. Output: (__key, id).
+    *
+    * Rows with a NULL dedup key or NULL id are FILTERED before the
+    * stateful operator (a NULL key has no identity to dedup on, and
+    * the non-nullable state encoder would otherwise crash the whole
+    * query at runtime on the first NULL). */
   def dedupFirstSeenStream(rows: DataFrame, keyCol: String,
                            idCol: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val entryEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
-    val keyed = rows.select(
+    val keyed = rows
+      .filter(col(keyCol).isNotNull && col(idCol).isNotNull)
+      .select(
         col(keyCol).cast("string").as("_1"),
         col(idCol).cast("long").as("_2")).as(entryEnc)
     keyed.groupByKey(_._1)(Encoders.STRING)
@@ -367,51 +374,95 @@ object CdcStream {
     * identical to the batch operator's (key, session_idx, n_events,
     * session_start, session_end) grouping — session_idx counts gap
     * breaks from 0, exactly the batch cumsum) and opens the next.
-    * Sessions still OPEN when the stream pauses stay in state and are
-    * emitted by whichever later batch closes them — so on a replayed
-    * fixture the emitted rows are the batch frame MINUS each key's
-    * final (never-closed) session, the pairing the restart-parity spec
-    * asserts. Rows older than the key's cursor are dropped (the
-    * watermark-style late contract shared by [[transitionsStream]] /
-    * [[ewmaStream]]); within a micro-batch rows sort by (ts, tie).
+    *
+    * IDLE sessions also close: `tsCol` (µs epoch) carries an event-time
+    * watermark delayed by `lateness` (default = gap), and each open
+    * session arms a [[GroupStateTimeout.EventTimeTimeout]] at
+    * session_end + gap — when the watermark passes it, the session is
+    * EMITTED and the state collapses to a flushed-cursor marker
+    * (n = 0: next idx + the late-drop cursor, still one tuple), so a
+    * key that goes quiet forever still yields its final session once
+    * the frontier moves past it. On a fully-replayed fixture whose
+    * frontier then advances `lateness + gap` past the last event, the
+    * emitted rows equal the FULL batch frame — the parity the
+    * restart spec asserts. Late contract: rows older than the
+    * watermark are dropped by the engine (the standard tradeoff —
+    * streams whose disorder stays under `lateness` replay the batch
+    * frame exactly), and rows at or older than the per-key cursor
+    * drop as before; a row newer than the cursor of an
+    * already-flushed session opens the NEXT session index, keeping
+    * idx parity with batch. Duplicate (ts, tie) rows of the cursor
+    * COUNT into the open session, matching the batch operator's
+    * every-row count. Within a micro-batch rows sort by (ts, tie).
     * State per key is ONE tuple — O(keys), independent of stream
     * length. */
   def sessionizeStream(events: DataFrame, keyCol: String, tsCol: String,
-                       tieCol: String, gap: Long): DataFrame = {
+                       tieCol: String, gap: Long,
+                       lateness: Option[Long] = None): DataFrame = {
     require(gap > 0, s"session gap must be positive, got $gap")
+    val late = lateness.getOrElse(gap)
+    require(late >= 0, s"lateness must be non-negative, got $late")
     import org.apache.spark.sql.Encoders
+    // the watermark attribute must reach the stateful operator's
+    // child output (Spark's event-time-timeout check), so the entry
+    // tuple carries the timestamp column through
     val entryEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-      Encoders.scalaLong)
-    // (idx, start, end, lastTie, n)
+      Encoders.scalaLong, Encoders.TIMESTAMP)
+    // (idx, start, end, lastTie, n); n == 0 marks a FLUSHED session:
+    // idx = next session's index, end/lastTie = the late-drop cursor
     val stEnc = Encoders.product[(Long, Long, Long, Long, Long)]
     val outEnc = Encoders.product[(Long, Long, Long, Long, Long)]
-    val keyed = events.select(
+    val keyed = events
+      .withColumn("__wm", timestamp_micros(col(tsCol).cast("long")))
+      .withWatermark("__wm", s"${late / 1000L} milliseconds")
+      .select(
         col(keyCol).cast("long").as("_1"),
         col(tsCol).cast("long").as("_2"),
-        col(tieCol).cast("long").as("_3")).as(entryEnc)
+        col(tieCol).cast("long").as("_3"),
+        col("__wm").as("_4")).as(entryEnc)
     keyed.groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState[(Long, Long, Long, Long, Long),
         (Long, Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
          st: GroupState[(Long, Long, Long, Long, Long)]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-          val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
-          var cur = st.getOption
-          sorted.foreach { case (_, ts, tie) =>
-            cur match {
-              case Some((idx, start, end, lastTie, n)) =>
-                if (ts > end || (ts == end && tie > lastTie)) {
-                  if (ts - end > gap) {
-                    out += ((key, idx, n, start, end))
-                    cur = Some((idx + 1, ts, ts, tie, 1L))
-                  } else cur = Some((idx, start, ts, tie, n + 1))
-                } // else: late arrival older than the cursor — dropped
-              case None => cur = Some((0L, ts, ts, tie, 1L))
+          if (st.hasTimedOut) {
+            st.getOption match {
+              case Some((idx, start, end, lastTie, n)) if n > 0L =>
+                st.update((idx + 1L, end, end, lastTie, 0L))
+                Iterator.single((key, idx, n, start, end))
+              case _ => Iterator.empty
             }
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+            var cur = st.getOption
+            sorted.foreach { case (_, ts, tie, _) =>
+              cur match {
+                case Some((idx, _, end, lastTie, 0L)) =>
+                  // flushed marker: cursor-only late drop, then reopen
+                  if (ts > end || (ts == end && tie > lastTie))
+                    cur = Some((idx, ts, ts, tie, 1L))
+                case Some((idx, start, end, lastTie, n)) =>
+                  if (ts > end || (ts == end && tie >= lastTie)) {
+                    if (ts - end > gap) {
+                      out += ((key, idx, n, start, end))
+                      cur = Some((idx + 1, ts, ts, tie, 1L))
+                    } else cur = Some((idx, start, ts, tie, n + 1))
+                  } // else: late arrival older than the cursor — dropped
+                case None => cur = Some((0L, ts, ts, tie, 1L))
+              }
+            }
+            cur.foreach { c =>
+              st.update(c)
+              if (c._5 > 0L)
+                // ms-granular flush clock; must stay above the current
+                // watermark or Spark rejects the registration
+                st.setTimeoutTimestamp(math.max((c._3 + gap) / 1000L + 1L,
+                  st.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
           }
-          cur.foreach(st.update)
-          out.result().iterator
       }(stEnc, outEnc)
       .toDF("__key", "session_idx", "n_events", "session_start",
         "session_end")

@@ -520,6 +520,44 @@ class StreamingValidatorSpec extends SparkTestBase {
     assert(pairs.subsetOf(valid))
   }
 
+  test("dedupFirstSeenStream: a re-delivered duplicate batch emits nothing new; NULL key/id rows are filtered, not fatal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dd2").toString
+    val rows = Seq(("a", Some(5L)), ("a", Some(7L)), ("b", Some(2L)))
+      .toDF("k", "id")
+    rows.write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runPhase(): Unit = {
+      val stream = CdcStream.readFiles(spark, s"$dir/in", schema,
+        maxFilesPerTrigger = 4)
+      val s = CdcStream.dedupFirstSeenStream(stream, "k", "id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      s.awaitTermination(120000)
+    }
+    runPhase()
+    // the at-least-once failure mode: the SAME batch content arrives
+    // again after a crash-restart (source replay) — the winners must
+    // not re-emit, state recovered from the checkpoint suppresses them
+    rows.write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    val out1 = spark.read.parquet(s"$dir/out").as[(String, Long)]
+      .collect()
+    assert(out1.length == 2 && out1.toSet == Set(("a", 5L), ("b", 2L)),
+      s"re-delivered batch changed the output: ${out1.toSeq}")
+    // NULL dedup key / NULL id rows are dropped by contract (no
+    // identity to dedup on), not a runtime crash of the query
+    Seq((Option("c"), Some(3L)), (None: Option[String], Some(9L)),
+        (Option("d"), None: Option[Long]))
+      .toDF("k", "id").write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    val out2 = spark.read.parquet(s"$dir/out").as[(String, Long)]
+      .collect().toSet
+    assert(out2 == Set(("a", 5L), ("b", 2L), ("c", 3L)),
+      s"NULL rows leaked or crashed the phase: $out2")
+  }
+
   test("sessionizeStream edge semantics: gap boundary inclusive, late drop, per-key indexing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -548,20 +586,27 @@ class StreamingValidatorSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("sessionizeStream: closed sessions equal the batch frame minus each key's final session, across a restart") {
+  test("sessionizeStream: emitted sessions equal the FULL batch frame once the event-time flush fires, across a restart") {
     import graft.operators.Temporal
     val gap = 1800000000L // 30 min, the q_concurrency sessionize gap
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_sn").toString
     val ev = eventsUs().select($"user_id", $"ts", $"event_id")
     // early split so open sessions genuinely span the restart
     val split = ev.agg(expr("percentile(ts, 0.05D)")).first().getDouble(0).toLong
+    val Array(minTs, maxTs) = ev.agg(min($"ts"), max($"ts")).first() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    // lateness spanning the whole fixture: part files inside a phase
+    // cover arbitrary ts subsets, so the watermark must not flush a
+    // key mid-stream while genuinely-newer rows are still in flight
+    val lateness = maxTs - minTs + gap // strictly covers any in-flight disorder
     ev.filter($"ts" <= split).write.parquet(s"$dir/in")
     val schema = spark.read.parquet(s"$dir/in").schema
     def runPhase(): Unit = {
       val stream = CdcStream.readFiles(spark, s"$dir/in", schema,
         maxFilesPerTrigger = 4)
       val q = CdcStream.sessionizeStream(stream, "user_id", "ts",
-          "event_id", gap)
+          "event_id", gap, lateness = Some(lateness))
         .writeStream.outputMode("append").format("parquet")
         .option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt")
@@ -572,27 +617,98 @@ class StreamingValidatorSpec extends SparkTestBase {
     val n1 = spark.read.parquet(s"$dir/out").count()
     ev.filter($"ts" > split).write.mode("append").parquet(s"$dir/in")
     runPhase()
+    val nData = spark.read.parquet(s"$dir/out").count()
+    // two sentinel phases on a reserved key: the first advances the
+    // watermark past every session_end + gap, the second runs a data
+    // batch under that watermark so all armed timeouts FIRE (no-data
+    // batches may do it earlier; either way is fine)
+    Seq((-1L, maxTs + lateness + 2 * gap, 0L))
+      .toDF("user_id", "ts", "event_id")
+      .write.mode("append").parquet(s"$dir/in")
+    runPhase()
+    Seq((-1L, maxTs + lateness + 4 * gap, 1L))
+      .toDF("user_id", "ts", "event_id")
+      .write.mode("append").parquet(s"$dir/in")
+    runPhase()
     val streamed = spark.read.parquet(s"$dir/out")
+      .filter($"__key" >= 0) // sentinel sessions are not under test
       .select($"__key", $"session_idx", $"n_events", $"session_start",
         $"session_end")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
 
-    // ground truth: the batch sessionize frame minus each key's FINAL
-    // session (never closed by a later event, so never emitted)
-    val batchFrame = Temporal.sessionize(ev, "user_id", "ts", gap,
-      tieCol = "event_id")
-    val lastIdx = batchFrame.groupBy($"user_id".as("k"))
-      .agg(max($"session_idx").as("last"))
-    val batch = batchFrame
-      .join(lastIdx, batchFrame("user_id") === lastIdx("k") &&
-        batchFrame("session_idx") === lastIdx("last"), "left_anti")
+    // ground truth: the FULL batch frame — the event-time flush closes
+    // every key's final session, the exact gap the NoTimeout version
+    // left open (it could only pin batch-minus-final parity)
+    val batch = Temporal.sessionize(ev, "user_id", "ts", gap,
+        tieCol = "event_id")
       .select($"user_id", $"session_idx", $"n_events", $"session_start",
         $"session_end")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
-    assert(n1 > 0 && streamed.size > n1.toInt,
+    assert(n1 > 0 && nData > n1,
       "phase 2 must close sessions across the restart")
+    assert(streamed.size > nData.toInt,
+      "the sentinel phases must flush final sessions beyond the data-closed ones")
     assert(streamed == batch,
-      s"streamed ${streamed.size} closed sessions vs batch ${batch.size}")
+      s"streamed ${streamed.size} sessions vs full batch frame ${batch.size}")
+  }
+
+  test("sessionizeStream: duplicate cursor rows count into the open session like batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = CdcStream.sessionizeStream(
+        in.toDF.toDF("u", "ts", "tie"), "u", "ts", "tie", gap = 10L)
+      .writeStream.format("memory").queryName("graft_sess_dup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 100L, 1L), (1L, 100L, 1L)) // same row twice in-batch
+      q.processAllAvailable()
+      in.addData((1L, 100L, 1L)) // cursor-equal re-delivery across batches
+      q.processAllAvailable()
+      in.addData((1L, 121L, 2L)) // gap break closes s0
+      q.processAllAvailable()
+      val rows = spark.table("graft_sess_dup")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      // batch Temporal.sessionize counts every row: n = 3
+      assert(rows == Set((1L, 0L, 3L, 100L, 100L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: event-time timeout flushes an idle session; the key reopens at the NEXT idx with the cursor intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = 10000000L // 10 s in µs
+    val t0 = 1000000000000L
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = CdcStream.sessionizeStream(
+        in.toDF.toDF("u", "ts", "tie"), "u", "ts", "tie", gap,
+        lateness = Some(0L))
+      .writeStream.format("memory").queryName("graft_sess_flush")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, t0, 1L))
+      q.processAllAvailable()
+      in.addData((2L, t0 + 60000000L, 1L)) // wm -> t0+60s after this batch
+      q.processAllAvailable()
+      in.addData((2L, t0 + 61000000L, 2L)) // batch under the new wm: key 1 times out
+      q.processAllAvailable()
+      val flushed = spark.table("graft_sess_flush")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(flushed.contains((1L, 0L, 1L, t0, t0)),
+        s"idle session was not flushed: $flushed")
+      // a row at/older than the flushed cursor stays dropped; a newer
+      // one reopens the key at idx 1 (batch's idx continuity)
+      in.addData((1L, t0, 1L), (1L, t0 + 70000000L, 2L))
+      q.processAllAvailable()
+      in.addData((1L, t0 + 90000000L, 3L)) // 20 s > gap: closes idx 1
+      q.processAllAvailable()
+      val rows = spark.table("graft_sess_flush")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(rows.contains((1L, 1L, 1L, t0 + 70000000L, t0 + 70000000L)),
+        s"reopened session did not continue at idx 1: $rows")
+      assert(!rows.exists(r => r._1 == 1L && r._2 == 1L && r._3 > 1L),
+        "the dropped cursor-aged row leaked into the reopened session")
+    } finally q.stop()
   }
 
   test("ewmaStream: per-event EWMA equals the batch operator BIT-FOR-BIT across a checkpoint restart") {
