@@ -190,6 +190,29 @@ private[graft] object Oracles {
     "  FROM wh, pw GROUP BY doc_id, b)"
   }
 
+  /** Fellegi–Sunter scorer replica (shared by q_linkage_score and its
+    * pure-SQL twin): same name-prefix blocking, comparators, fixed ppm
+    * weights, and id_a < id_b triangle. */
+  private lazy val linkageScoreOracle: String =
+    "WITH c AS (SELECT c_custkey AS id, " +
+    "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
+    "  c_nationkey AS nat, c_mktsegment AS seg, " +
+    "  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal " +
+    "  FROM customer), " +
+    "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+    "  concat(CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+    "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END, " +
+    "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 'A' ELSE 'D' END) " +
+    "    AS pattern, " +
+    "  CAST(CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+    "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END + " +
+    "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 350000 " +
+    "      ELSE -150000 END " +
+    "    AS BIGINT) AS score_ppm " +
+    "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
+    "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+    "WHERE score_ppm >= 550000"
+
   /** Fellegi–Sunter EM replay (q_linkage_em): the Spark side runs 20
     * EM iterations over the ≤2^3-row agreement-pattern frame in ppm
     * integer arithmetic (Linkage.emEstimate); this oracle UNROLLS the
@@ -1788,25 +1811,9 @@ private[graft] object Oracles {
     // Fellegi-Sunter replica: same three comparators, same fixed ppm
     // weights, same nation blocking and id_a < id_b triangle
     "q_linkage_em" -> linkageEmOracle,
-    "q_linkage_score" ->
-      ("WITH c AS (SELECT c_custkey AS id, " +
-       "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
-       "  c_nationkey AS nat, c_mktsegment AS seg, " +
-       "  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal " +
-       "  FROM customer), " +
-       "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
-       "  concat(CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
-       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END, " +
-       "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 'A' ELSE 'D' END) " +
-       "    AS pattern, " +
-       "  CAST(CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
-       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END + " +
-       "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 350000 " +
-       "      ELSE -150000 END " +
-       "    AS BIGINT) AS score_ppm " +
-       "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
-       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
-       "WHERE score_ppm >= 550000"),
+    "q_linkage_score" -> linkageScoreOracle,
+    // the SQL-surface twin runs the same pairs/weights/threshold
+    "q_linkage_score_sql" -> linkageScoreOracle,
     // rare-category consolidation: ppm shares against the broadcast
     // total, sub-threshold nations merged into __OTHER__
     "q_rare_merge" ->
@@ -1818,6 +1825,17 @@ private[graft] object Oracles {
        "SELECT category, CAST(sum(n) AS BIGINT) AS n_rows, " +
        "CAST(sum(n) AS BIGINT) * 1000000 // max(t) AS share_ppm " +
        "FROM m GROUP BY 1"),
+    // apply-variant: per-row relabel against the same keep policy
+    "q_rare_merge_apply" ->
+      ("WITH c AS (SELECT CAST(c_nationkey AS VARCHAR) AS cat, " +
+       "  CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1), " +
+       "t AS (SELECT greatest(CAST(sum(n) AS BIGINT), 1) AS t FROM c), " +
+       "k AS (SELECT cat FROM c CROSS JOIN t " +
+       "  WHERE n * 1000000 // t >= 40000) " +
+       "SELECT c_custkey, CASE WHEN EXISTS (SELECT 1 FROM k WHERE " +
+       "  k.cat IS NOT DISTINCT FROM CAST(c_nationkey AS VARCHAR)) " +
+       "  THEN CAST(c_nationkey AS VARCHAR) ELSE '__OTHER__' END " +
+       "  AS c_nationkey FROM customer"),
     // NOT the exact-jaccard oracle: simhash prunes by HAMMING, and
     // true-jaccard pairs reach hamming 13 on this data (HammingAudit)
     // — the oracle replicates the pruner's exact semantics instead

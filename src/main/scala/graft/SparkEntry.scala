@@ -1104,6 +1104,12 @@ object SparkEntry {
     "q_rare_merge" -> ((s, dir) =>
       graft.operators.Analytics.rareCategoryMerge(
         t(s, dir, "customer"), "c_nationkey", minSharePpm = 40000L)),
+    // the apply-variant a pipeline consumes: rows relabeled in place,
+    // keep-set broadcast (category-sized), corpus touched once
+    "q_rare_merge_apply" -> ((s, dir) =>
+      graft.operators.Analytics.applyRareMerge(
+        t(s, dir, "customer"), "c_nationkey", minSharePpm = 40000L)
+        .select(col("c_custkey"), col("c_nationkey"))),
     // Fellegi-Sunter record linkage: customer pairs blocked on the
     // NAME PREFIX (all but the last two characters — a band of ~100
     // adjacent keys, so block CARDINALITY grows with corpus size and
@@ -1123,6 +1129,31 @@ object SparkEntry {
         Linkage.FieldRule("bal_cents",
           (a, b) => abs(a - b) <= lit(10000L), 350000L, 150000L)),
         thresholdPpm = 550000L)
+    }),
+    // the linkage scorer on the PURE-SQL surface: blocked pair join in
+    // plain SQL, pattern/score via the fs_pattern / fs_score functions
+    // — same comparators, weights, and threshold as q_linkage_score,
+    // same oracle
+    "q_linkage_score_sql" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      t(s, dir, "customer").createOrReplaceTempView("graft_fs_customer")
+      s.sql("""
+        WITH c AS (SELECT c_custkey AS id,
+            substr(c_name, 1, length(c_name) - 2) AS blk,
+            c_nationkey AS nat, c_mktsegment AS seg,
+            CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+          FROM graft_fs_customer),
+        p AS (SELECT a.id AS id_a, b.id AS id_b,
+            fs_pattern(a.nat = b.nat, a.seg = b.seg,
+                       abs(a.bal - b.bal) <= 10000) AS pattern
+          FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+        SELECT id_a, id_b, pattern,
+               fs_score(pattern, 370000, 160000, 280000, 120000,
+                        350000, 150000) AS score_ppm
+        FROM p
+        WHERE fs_score(pattern, 370000, 160000, 280000, 120000,
+                       350000, 150000) >= 550000
+      """)
     }),
     // EM-estimated Fellegi-Sunter weights (Winkler 1988) over the same
     // blocked pair generator, seeded with a deterministic 10% duplicate

@@ -85,10 +85,24 @@ object registry {
         intArg(args, 1, 16), intArg(args, 2, 64))),
       // Z-order (Morton) interleave — the multi-dimensional layout key
       "zorder2" -> (args => ZOrderExpr(args(0), args(1))),
-      // N-dim curve: zorder_n(x1, ..., xn, bits) — trailing literal is
-      // the per-dim bit width (n*bits <= 63, enforced by the expr)
-      "zorder_n" -> (args => ZOrderNExpr(args.init,
-        intArg(args, args.length - 1, 20))),
+      // N-dim curve: zorder_n(x1, ..., xn, bits) — the FINAL argument
+      // is ALWAYS consumed as the per-dim bit width (n*bits <= 63,
+      // enforced by the expr). Hazard guarded loudly: a non-literal or
+      // out-of-range trailing arg means the caller put a dim column or
+      // a data value in the bits position (e.g. zorder_n(a, b, c)
+      // meaning 3 dims) — silently reinterpreting it would emit the
+      // wrong curve, so it errors instead.
+      "zorder_n" -> (args => {
+        val bits = longLiteral(args, args.length - 1, "zorder_n bits")
+          .getOrElse(throw new IllegalArgumentException(
+            "zorder_n: the final argument is the per-dim bit width and " +
+            "must be an integer LITERAL — zorder_n(x1, ..., xn, bits); " +
+            "wrap a constant dim in an explicit extra dim instead"))
+        require(bits >= 1 && bits <= 31,
+          s"zorder_n: bits must be in [1, 31], got $bits — is a dim " +
+          "value sitting in the trailing bits position?")
+        ZOrderNExpr(args.init, bits.toInt)
+      }),
       // perceptual hash as struct(hi, lo); pair with bit_count(a ^ b)
       // for hamming distance in pure SQL
       "image_dhash" -> (args => graft.operators.ImageDHashExpr(args.head)),
@@ -105,6 +119,36 @@ object registry {
       //   slice(array_sort(collect_set(kmv_hash(v))), 1, k)
       // k (and quantile q) are literals — they parameterize the
       // expression shape, exactly like the Scala signatures. ----------
+      // Fellegi-Sunter linkage on the SQL surface: fs_pattern encodes
+      // per-field agreement predicates as an 'A'/'D' string (NULL
+      // counts as disagreement — the FS missing-field contract), and
+      // fs_score(pattern, wA1, wD1, ..., wAk, wDk) sums the fixed ppm
+      // log-odds weights — the blocked pair join itself is plain SQL
+      "fs_pattern" -> (args => sketchCol(
+        org.apache.spark.sql.functions.concat(args.map(e =>
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.coalesce(colOf(e),
+              org.apache.spark.sql.functions.lit(false)),
+            "A").otherwise("D")): _*))),
+      "fs_score" -> (args => {
+        val k = (args.length - 1) / 2
+        require(k >= 1 && args.length == 1 + 2 * k,
+          "fs_score(pattern, wAgree1, wDisagree1, ..., wAgreeK, wDisagreeK)")
+        import org.apache.spark.sql.functions.{lit, substring, when}
+        val pat = colOf(args.head)
+        val terms = (0 until k).map { i =>
+          val wa = longLiteral(args, 1 + 2 * i, "fs_score wAgree")
+            .getOrElse(throw new IllegalArgumentException(
+              "fs_score weights must be integer ppm literals"))
+          val wd = longLiteral(args, 2 + 2 * i, "fs_score wDisagree")
+            .getOrElse(throw new IllegalArgumentException(
+              "fs_score weights must be integer ppm literals"))
+          require(wa > 0 && wd > 0,
+            s"fs_score weights must be positive ppm, got +$wa/-$wd")
+          when(substring(pat, i + 1, 1) === "A", lit(wa)).otherwise(lit(-wd))
+        }
+        sketchCol(terms.reduce(_ + _).cast("long"))
+      }),
       "kmv_hash" -> (args => sketchCol(graft.operators.Sketch.kmvHash(
         colOf(args.head)))),
       "kmv_estimate" -> (args => sketchCol(graft.operators.Sketch.kmvEstimate(

@@ -285,6 +285,37 @@ object Analytics {
       .drop("__t")
   }
 
+  /** Apply-variant of [[rareCategoryMerge]]: returns the INPUT ROWS
+    * with `catCol` rewritten — categories below the share threshold
+    * become `otherLabel`, everything else passes through (NULL
+    * categories count as a category of their own via the same string
+    * cast, so their share decides like any other). This is what a
+    * pipeline consumes; the sibling returns the merged distribution.
+    *
+    * Scale shape: the keep-set is at most distinct(cat) rows and
+    * arrives at the corpus via a BROADCAST join — corpus rows are
+    * touched exactly once, no corpus-sized shuffle. */
+  def applyRareMerge(df: DataFrame, catCol: String, minSharePpm: Long,
+                     otherLabel: String = "__OTHER__"): DataFrame = {
+    require(minSharePpm >= 1 && minSharePpm <= 1000000L,
+      s"minSharePpm must be in [1, 1e6], got $minSharePpm")
+    val c = df.groupBy(col(catCol).cast("string").as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = c.agg(greatest(sum(col("__n")), lit(1L)).as("__t"))
+    // the survival marker is a separate flag: a surviving NULL
+    // category must pass through as NULL, which __cat itself can't
+    // signal after the null-safe join
+    val keep = c.crossJoin(broadcast(tot))
+      .filter(expr(s"__n * 1000000L div __t >= ${minSharePpm}L"))
+      .select(col("__cat"), lit(1).as("__keep"))
+    df.join(broadcast(keep),
+        col(catCol).cast("string") <=> col("__cat"), "left")
+      .withColumn(catCol,
+        when(col("__keep").isNotNull, col(catCol).cast("string"))
+          .otherwise(lit(otherLabel)))
+      .drop("__cat", "__keep")
+  }
+
   /** Distributed prefix sums over a totally-ordered axis: cum_<col>
     * running totals of each `valCols` in `orderCol` order, without a
     * global-sort window. Two-phase: range-bucket the axis (bounds from

@@ -601,9 +601,19 @@ object Dedup {
     * Scale shape: the wedge join is keyed on the middle vertex of the
     * PAIR set (dup-rate-sized, never the corpus); closure is one
     * left-semi back onto the pairs. The same degree-bounded wedge
-    * arithmetic as triangle counting, on a far smaller input. */
+    * arithmetic as triangle counting, on a far smaller input.
+    *
+    * Input pairs are normalized INSIDE the operator (canonical
+    * id_a < id_b orientation, duplicates dropped): a caller passing
+    * reversed or repeated pairs would otherwise get silently wrong
+    * closure counts — the (x, y) semi-join can't match a (y, x) row
+    * and repeated rows inflate the wedge count. */
   def transitivityAudit(pairs: DataFrame): DataFrame = {
-    val pr = pairs.select(col("id_a"), col("id_b"))
+    val pr = pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val ud = pr.select(col("id_a").as("m"), col("id_b").as("e"))
       .unionByName(pr.select(col("id_b").as("m"), col("id_a").as("e")))
     val wedges = ud.select(col("m"), col("e").as("x"))

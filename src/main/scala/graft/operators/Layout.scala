@@ -61,6 +61,37 @@ object Layout {
     * (production implementations use per-column range ranks for the
     * same reason; linear min/max bucketing is the one-pass variant and
     * right for id-like columns). */
+  /** Exact overflow-safe linear bucket of a named column into
+    * [0, nb), in pure 64-bit integer arithmetic either way:
+    *   - range ≤ nb (scale UP): (c − lo) · nb div range — the product
+    *     is ≤ 2^62, exact, and fills the whole bit range so neither
+    *     dim's high bits own the curve (the normalization the curve
+    *     needs).
+    *   - range > nb (scale DOWN): (c − lo) div ceil(range / nb) —
+    *     divide-before-multiply, because the multiply-first form
+    *     overflows Long past ~2^51 and Spark's `/` is double
+    *     division, which can mis-bucket past 2^53; id-like wide
+    *     columns hit both.
+    * Dims whose span exceeds the Long envelope are rejected loudly
+    * (pre-scale them). */
+  private def linearBucket(c: String, lo: Long, hi: Long,
+                           nb: Long): Column =
+    if (hi <= lo) lit(0L)
+    else {
+      val range = BigInt(hi) - BigInt(lo) + 1
+      require(range <= BigInt(Long.MaxValue),
+        s"z-order dim `$c` spans $range distinct values — beyond the " +
+        "exact 64-bit bucketing envelope; pre-scale the column")
+      val b =
+        if (range <= BigInt(nb))
+          expr(s"(CAST(`$c` AS BIGINT) - (${lo}L)) * ${nb}L div ${range.toLong}L")
+        else {
+          val stride = ((range + nb - 1) / nb).toLong
+          expr(s"(CAST(`$c` AS BIGINT) - (${lo}L)) div ${stride}L")
+        }
+      least(lit(nb - 1), b)
+    }
+
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
                     dir: String, nFiles: Int, bitsPerDim: Int = 12): Unit = {
     require(bitsPerDim > 0 && bitsPerDim <= 31, s"bitsPerDim: $bitsPerDim")
@@ -68,14 +99,9 @@ object Layout {
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
     val nb = 1L << bitsPerDim
-    def bucket(c: Column, lo: Long, hi: Long): Column =
-      if (hi <= lo) lit(0L)
-      else least(lit(nb - 1),
-        floor((c.cast("long") - lit(lo)) * lit(nb) / lit(hi - lo + 1)))
-        .cast("long")
     df.withColumn("__z", zorder2(
-        bucket(col(xCol), b.getLong(0), b.getLong(1)),
-        bucket(col(yCol), b.getLong(2), b.getLong(3))))
+        linearBucket(xCol, b.getLong(0), b.getLong(1), nb),
+        linearBucket(yCol, b.getLong(2), b.getLong(3), nb)))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -98,13 +124,8 @@ object Layout {
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val b = df.agg(aggs.head, aggs.tail: _*).head()
     val nb = 1L << bitsPerDim
-    def bucket(c: Column, lo: Long, hi: Long): Column =
-      if (hi <= lo) lit(0L)
-      else least(lit(nb - 1),
-        floor((c.cast("long") - lit(lo)) * lit(nb) / lit(hi - lo + 1)))
-        .cast("long")
     val keyed = dims.zipWithIndex.map { case (c, i) =>
-      bucket(col(c), b.getLong(2 * i), b.getLong(2 * i + 1))
+      linearBucket(c, b.getLong(2 * i), b.getLong(2 * i + 1), nb)
     }
     df.withColumn("__z", zorderN(keyed, bitsPerDim))
       .repartitionByRange(nFiles, col("__z"))

@@ -297,6 +297,29 @@ class AnalyticsSpec extends SparkTestBase {
       all(0).getLong(1) == 10L && all(0).getLong(2) == 1000000L)
   }
 
+  test("applyRareMerge: rows come back relabeled, survivors untouched, NULL is its own category") {
+    // a x6, b x2, null x1, d x1 — threshold 15%: a and b survive;
+    // null and d (10% each) relabel to __OTHER__
+    val d = ((Seq.fill(6)(Option("a")) ++ Seq.fill(2)(Option("b")) ++
+      Seq(None, Option("d"))): Seq[Option[String]])
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "cat")
+    val got = Analytics.applyRareMerge(d, "cat", minSharePpm = 150000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 10)
+    assert((0 to 5).forall(i => got(i.toLong) == "a"))
+    assert(got(6L) == "b" && got(7L) == "b")
+    assert(got(8L) == "__OTHER__" && got(9L) == "__OTHER__")
+    // a NULL category ABOVE threshold survives as the string "NULL"?
+    // no — it stays whatever the cast gives; pin that it is kept, not
+    // merged, when its share clears the bar
+    val d2 = (Seq.fill(5)(None: Option[String]) ++ Seq.fill(5)(Option("x")))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "cat")
+    val got2 = Analytics.applyRareMerge(d2, "cat", minSharePpm = 400000L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got2(0L).isEmpty, "above-threshold NULL category must pass through as NULL")
+    assert(got2(9L).contains("x"))
+  }
+
   test("attributionDecay: power-of-two credits, fresh touch outweighs stale 2:1 per half-life") {
     // anchor at ts 100s; touches at 100s (0 half-lives) and 61s ago
     // (1 half-life at 60s): weights 2:1 -> credits 666666 / 333333
