@@ -1962,7 +1962,7 @@ private[graft] object Oracles {
       "FROM aug a JOIN aug b ON a.vec_id < b.vec_id, " +
       "LATERAL (SELECT list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
       "CAST(b.embedding AS DOUBLE[])) AS cos) c " +
-      "WHERE c.cos >= 0.7"),
+      "WHERE c.cos >= 0.95"),
 
     // exact cross-split jaccard pairs decide contamination; survivors =
     // corpus docs with no >=0.5 partner in the reference split

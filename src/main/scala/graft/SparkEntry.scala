@@ -1482,9 +1482,16 @@ object SparkEntry {
     // 0.9988 vs a 0.51 background max), find them via bucket join +
     // exact-cosine verify. Oracle = exact all-pairs SQL on the same
     // augmented table, so recall shortfalls fail the hash check.
+    // the LSH tier in its DESIGNED regime (near-dup threshold, bucket
+    // space derived from corpus size): the r16 10x probe caught the
+    // fixed-8-bit similarity-regime registration at 44x wall for 10x
+    // data (n^2 * collision-tail); auto-bits holds bucket occupancy
+    // constant so candidates stay ~linear, and at threshold 0.95 the
+    // per-bit flip probability of a true pair is small enough that
+    // probe-2 recall survives the growing bit count
     "q_dedup_embedding_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairsLsh(plantedEmbeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.7, nBits = 8, probeHamming = 2)),
+      Dedup.embeddingNearDupPairsLshAuto(plantedEmbeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.95, probeHamming = 2)),
 
     // decontamination: docs 0..19 play the eval set; every other doc
     // near-duplicating one of them (planted pairs straddling the split)

@@ -1270,6 +1270,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** [[embeddingNearDupPairsLsh]] with the bucket-space dial derived
+    * from the corpus size: the smallest `nBits` whose unrelated-pair
+    * collision tail `P[Bin(nBits, 1/2) <= probeHamming]` keeps the
+    * expected candidate partners per row at or under `targetPartners`.
+    * Bucket occupancy then stays CONSTANT as the corpus grows, so
+    * candidate volume stays ~targetPartners·n/2 — linear — instead of
+    * the fixed-bits `n² · tail` blow-up the 10× scale probe caught
+    * (44× wall for 10× data at a constant nBits = 8). One bounded
+    * `count()` picks the dial (the componentsAuto probe pattern).
+    *
+    * Recall note: multi-probe covers sketches within `probeHamming`
+    * flips, and a true pair's per-bit flip probability is θ/π — in
+    * the operator's designed near-dup regime (threshold near 1,
+    * θ/π ≪ 1/nBits) recall stays ~1 as nBits grows with the corpus;
+    * at similarity-regime thresholds it does not, and the IVF-blocked
+    * semantic tier is the right tool instead. */
+  def embeddingNearDupPairsLshAuto(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, probeHamming: Int = 2,
+      targetPartners: Int = 8, minBits: Int = 6, maxBits: Int = 24,
+      seed: Long = FakeGen.DefaultSeed): DataFrame = {
+    val n = math.max(df.count(), 2L)
+    val nBits = autoLshBits(n, probeHamming, targetPartners, minBits, maxBits)
+    embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, nBits,
+      probeHamming, seed)
+  }
+
+  /** The [[embeddingNearDupPairsLshAuto]] dial as a pure function:
+    * smallest b in [minBits, maxBits] with
+    * (Σ_{k<=probe} C(b,k)) / 2^b · (n−1) ≤ targetPartners. */
+  private[graft] def autoLshBits(n: Long, probeHamming: Int,
+      targetPartners: Int, minBits: Int, maxBits: Int): Int = {
+    require(minBits >= 1 && maxBits <= 62 && minBits <= maxBits,
+      s"bits range out of order: [$minBits, $maxBits]")
+    def tail(b: Int): Double = {
+      var s = 0.0; var c = 1.0
+      for (k <- 0 to probeHamming) { s += c; c = c * (b - k) / (k + 1) }
+      s / math.pow(2.0, b)
+    }
+    (minBits to maxBits).find(b => tail(b) * (n - 1) <= targetPartners)
+      .getOrElse(maxBits)
+  }
+
   /** INCREMENTAL exact dedup: filter a NEW batch against an existing
     * corpus's fingerprint index without rescanning the corpus — the
     * continuous-curation shape (every ingest batch dedups against

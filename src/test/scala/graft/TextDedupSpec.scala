@@ -381,11 +381,12 @@ class TextDedupSpec extends SparkTestBase {
 
   test("embedding LSH: recall==1 at the q_dedup_embedding_lsh oracle config (pinned)") {
     // The driver oracle for q_dedup_embedding_lsh is EXACT all-pairs SQL;
-    // it passes only because this configuration (threshold 0.7, nBits 8,
-    // probeHamming 2, default seed) achieves full recall on the sf0.01
-    // planted near-copies. That equality is INTENTIONAL — this test pins
-    // it, so a seed/parameter/testdata change surfaces here as a recall
-    // shortfall instead of an opaque oracle hash mismatch.
+    // it passes only because the registered configuration (threshold
+    // 0.95, AUTO bits, probeHamming 2, default seed) achieves full
+    // recall on the sf0.01 planted near-copies. That equality is
+    // INTENTIONAL — this test pins it, so a seed/parameter/testdata
+    // change surfaces here as a recall shortfall instead of an opaque
+    // oracle hash mismatch.
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
     val planted = emb.filter($"vec_id" < 25)
@@ -393,13 +394,34 @@ class TextDedupSpec extends SparkTestBase {
         concat(array(element_at($"embedding", 1) + lit(0.05f)),
           slice($"embedding", 2, 100000)).as("embedding"))
     val aug = emb.unionByName(planted)
-    val lsh = Dedup.embeddingNearDupPairsLsh(aug, "vec_id", "embedding",
-      threshold = 0.7, nBits = 8, probeHamming = 2)
+    val lsh = Dedup.embeddingNearDupPairsLshAuto(aug, "vec_id", "embedding",
+      threshold = 0.95, probeHamming = 2)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = Dedup.embeddingNearDupPairs(aug, "vec_id", "embedding", 0.7)
+    val exact = Dedup.embeddingNearDupPairs(aug, "vec_id", "embedding", 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"recall<1 at the pinned oracle config: " +
       s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("auto LSH bits: occupancy dial grows with corpus, bounded, keeps candidates linear") {
+    // smallest b with tail(b) * (n-1) <= target; monotone in n
+    val b1k = Dedup.autoLshBits(1000L, 2, 8, 6, 24)
+    val b10k = Dedup.autoLshBits(10000L, 2, 8, 6, 24)
+    val b100k = Dedup.autoLshBits(100000L, 2, 8, 6, 24)
+    val b10m = Dedup.autoLshBits(10000000L, 2, 8, 6, 24)
+    assert(b1k < b10k && b10k < b100k && b100k < b10m,
+      s"bits not growing: $b1k $b10k $b100k $b10m")
+    assert(b10m <= 24 && b1k >= 6)
+    // the dial's defining inequality holds at the chosen bits
+    def tail(b: Int): Double =
+      (0 to 2).map(k => (0 until k).map(j => (b - j).toDouble / (j + 1))
+        .product).sum / math.pow(2.0, b)
+    Seq((1000L, b1k), (10000L, b10k), (100000L, b100k)).foreach {
+      case (n, b) =>
+        assert(tail(b) * (n - 1) <= 8.0, s"occupancy target missed at n=$n")
+        assert(b == 6 || tail(b - 1) * (n - 1) > 8.0,
+          s"not the smallest qualifying bits at n=$n")
+    }
   }
 
   test("semantic (SemDeDup) dedup: planted pairs CO-PROBE at every SF, matching the all-pairs oracle") {
