@@ -190,11 +190,11 @@ private[graft] object Oracles {
     "  FROM wh, pw GROUP BY doc_id, b)"
   }
 
-  /** Fellegi–Sunter scorer replica (shared by q_linkage_score and its
-    * pure-SQL twin): same name-prefix blocking, comparators, fixed ppm
-    * weights, and id_a < id_b triangle. */
-  private lazy val linkageScoreOracle: String =
-    "WITH c AS (SELECT c_custkey AS id, " +
+  /** The ER tier's shared pair frame (c + p CTEs): name-prefix
+    * blocking, three comparators, fixed ppm weights, id_a < id_b
+    * triangle — every q_linkage_* oracle composes on top of it. */
+  private lazy val linkagePairCtes: String =
+    "c AS (SELECT c_custkey AS id, " +
     "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
     "  c_nationkey AS nat, c_mktsegment AS seg, " +
     "  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal " +
@@ -209,9 +209,27 @@ private[graft] object Oracles {
     "    CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 350000 " +
     "      ELSE -150000 END " +
     "    AS BIGINT) AS score_ppm " +
-    "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
+    "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)"
+
+  /** Fellegi–Sunter scorer replica (shared by q_linkage_score and its
+    * pure-SQL twin). */
+  private lazy val linkageScoreOracle: String =
+    s"WITH $linkagePairCtes " +
     "SELECT id_a, id_b, pattern, score_ppm FROM p " +
     "WHERE score_ppm >= 550000"
+
+  /** Min-label connected components over the decided links (the
+    * resolveEntities replay): transitive closure via a recursive CTE —
+    * link sets are dup-rate-sized, so the closure frame stays tiny. */
+  private lazy val linkageEntityCtes: String =
+    "lk AS (SELECT id_a, id_b FROM p WHERE score_ppm >= 550000), " +
+    "e AS (SELECT id_a AS a, id_b AS b FROM lk " +
+    "  UNION ALL SELECT id_b, id_a FROM lk), " +
+    "nn AS (SELECT DISTINCT a AS id FROM e), " +
+    "reach(id, lab) AS (SELECT id, id FROM nn " +
+    "  UNION SELECT e.b, r.lab FROM reach r JOIN e ON e.a = r.id), " +
+    "ent AS (SELECT id, CAST(min(lab) AS BIGINT) AS entity_id " +
+    "  FROM reach GROUP BY id)"
 
   /** Fellegi–Sunter EM replay (q_linkage_em): the Spark side runs 20
     * EM iterations over the ≤2^3-row agreement-pattern frame in ppm
@@ -1814,6 +1832,35 @@ private[graft] object Oracles {
     "q_linkage_score" -> linkageScoreOracle,
     // the SQL-surface twin runs the same pairs/weights/threshold
     "q_linkage_score_sql" -> linkageScoreOracle,
+    // three-way decision triage per agreement pattern
+    "q_linkage_triage" ->
+      (s"WITH $linkagePairCtes " +
+       "SELECT pattern, CASE WHEN score_ppm >= 550000 THEN 'link' " +
+       "  WHEN score_ppm >= 300000 THEN 'possible' ELSE 'nonlink' END " +
+       "  AS decision, " +
+       "CAST(count(*) AS BIGINT) AS n_pairs, " +
+       "CAST(max(score_ppm) AS BIGINT) AS score_ppm " +
+       "FROM p GROUP BY 1, 2"),
+    // entity clusters: min-reachable-id labels over the links
+    "q_linkage_entities" ->
+      (s"WITH RECURSIVE $linkagePairCtes, $linkageEntityCtes " +
+       "SELECT entity_id, CAST(id AS BIGINT) AS id FROM ent"),
+    // survivorship golden records over the resolved entities
+    "q_linkage_golden" ->
+      (s"WITH RECURSIVE $linkagePairCtes, $linkageEntityCtes, " +
+       "mem AS (SELECT ent.entity_id, cu.c_mktsegment, " +
+       "  CAST(floor(cu.c_acctbal * 100) AS BIGINT) AS bal " +
+       "  FROM ent JOIN customer cu ON cu.c_custkey = ent.id), " +
+       "segp AS (SELECT entity_id, seg FROM (SELECT entity_id, " +
+       "  c_mktsegment AS seg, row_number() OVER (PARTITION BY entity_id " +
+       "  ORDER BY count(*) DESC, c_mktsegment) AS rn " +
+       "  FROM mem GROUP BY entity_id, c_mktsegment) WHERE rn = 1), " +
+       "agg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members, " +
+       "  CAST(max(bal) AS BIGINT) AS bal_cents_max FROM mem GROUP BY 1) " +
+       "SELECT a.entity_id, a.n_members, s.seg, a.bal_cents_max, " +
+       "cu.c_name AS rep_name " +
+       "FROM agg a JOIN segp s USING (entity_id) " +
+       "JOIN customer cu ON cu.c_custkey = a.entity_id"),
     // rare-category consolidation: ppm shares against the broadcast
     // total, sub-threshold nations merged into __OTHER__
     "q_rare_merge" ->

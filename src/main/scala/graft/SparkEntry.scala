@@ -1118,17 +1118,42 @@ object SparkEntry {
     // "green at sf0.1, dead at 100x" ER mistake), scored by three
     // field comparators with fixed ppm log-odds weights; links =
     // pairs at or above the decision threshold
-    "q_linkage_score" -> ((s, dir) => {
+    "q_linkage_score" -> ((s, dir) =>
+      graft.operators.Linkage.scorePairs(linkageCustomer(s, dir),
+        "c_custkey", Seq("name_blk"), linkageRules, thresholdPpm = 550000L)),
+    // the paper's actual three-way output: link / clerical-review /
+    // nonlink counts per agreement pattern — the report that sizes the
+    // review queue before thresholds are committed
+    "q_linkage_triage" -> ((s, dir) =>
+      graft.operators.Linkage.triage(linkageCustomer(s, dir), "c_custkey",
+        Seq("name_blk"), linkageRules, lowerPpm = 300000L,
+        upperPpm = 550000L)),
+    // linked pairs -> entity clusters (min-member-id representative);
+    // hybrid union-find under the driver bound, min-label BSP above it
+    "q_linkage_entities" -> ((s, dir) =>
+      graft.operators.Linkage.resolveEntities(
+        graft.operators.Linkage.scorePairs(linkageCustomer(s, dir),
+          "c_custkey", Seq("name_blk"), linkageRules, 550000L)
+          .select(col("id_a"), col("id_b")))),
+    // survivorship: one golden record per entity — modal segment (ties
+    // to the smaller value), max balance, the representative's name
+    "q_linkage_golden" -> ((s, dir) => {
       import graft.operators.Linkage
-      val c = t(s, dir, "customer")
+      val ents = Linkage.resolveEntities(
+        Linkage.scorePairs(linkageCustomer(s, dir), "c_custkey",
+          Seq("name_blk"), linkageRules, 550000L)
+          .select(col("id_a"), col("id_b")))
+      val cust = t(s, dir, "customer")
+      val mem = ents.join(cust, ents("id") === cust("c_custkey"))
         .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
-        .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
-      Linkage.scorePairs(c, "c_custkey", Seq("name_blk"), Seq(
-        Linkage.eq("c_nationkey", 370000L, 160000L),
-        Linkage.eq("c_mktsegment", 280000L, 120000L),
-        Linkage.FieldRule("bal_cents",
-          (a, b) => abs(a - b) <= lit(10000L), 350000L, 150000L)),
-        thresholdPpm = 550000L)
+        .select(col("entity_id"), col("c_mktsegment"), col("bal_cents"))
+      Linkage.goldenRecords(mem, "entity_id",
+          modalCols = Seq("c_mktsegment"), maxCols = Seq("bal_cents"))
+        .join(cust.select(col("c_custkey").as("entity_id"),
+          col("c_name").as("rep_name")), "entity_id")
+        .select(col("entity_id"), col("n_members"),
+          col("c_mktsegment").as("seg"), col("bal_cents_max"),
+          col("rep_name"))
     }),
     // the linkage scorer on the PURE-SQL surface: blocked pair join in
     // plain SQL, pattern/score via the fs_pattern / fs_score functions
@@ -3426,6 +3451,24 @@ object SparkEntry {
     * nudge is bit-identical in Spark and DuckDB). Shared input of the
     * LSH-pairs / corpus-dedup / semantic-dedup queries and their
     * all-pairs SQL oracles. */
+  /** The ER tier's shared frame: customer with the scale-safe NAME
+    * PREFIX block key (bands of ~100 adjacent keys — block cardinality
+    * grows with corpus size) and integer balance cents. */
+  private def linkageCustomer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
+      .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+
+  /** The ER tier's shared comparator set with its fixed ppm weights. */
+  private lazy val linkageRules: Seq[graft.operators.Linkage.FieldRule] = {
+    import graft.operators.Linkage
+    Seq(
+      Linkage.eq("c_nationkey", 370000L, 160000L),
+      Linkage.eq("c_mktsegment", 280000L, 120000L),
+      Linkage.FieldRule("bal_cents",
+        (a, b) => abs(a - b) <= lit(10000L), 350000L, 150000L))
+  }
+
   private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val planted = emb.filter(col("vec_id") < 25)

@@ -129,6 +129,71 @@ object Linkage {
     num * M / math.max(num + alt, 1L)
   }
 
+  /** The full Fellegi–Sunter THREE-WAY decision (the 1969 paper's
+    * actual output): pairs at or above `upperPpm` are links, pairs in
+    * [lowerPpm, upperPpm) go to CLERICAL REVIEW ("possible"), the rest
+    * are non-links. Returns the triage summary — one row per
+    * (pattern, decision) with the pair count and the pattern's score —
+    * the report an ER operator reads to size the review queue before
+    * committing thresholds.
+    *
+    * Scale shape: same blocked pair generation as [[scorePairs]],
+    * then one map-side-combined groupBy over ≤ 2^k·3 rows. */
+  def triage(df: DataFrame, idCol: String, blockCols: Seq[String],
+             rules: Seq[FieldRule], lowerPpm: Long,
+             upperPpm: Long): DataFrame = {
+    require(lowerPpm <= upperPpm,
+      s"triage thresholds out of order: $lowerPpm > $upperPpm")
+    scorePairs(df, idCol, blockCols, rules, Long.MinValue + 1)
+      .withColumn("decision",
+        when(col("score_ppm") >= upperPpm, lit("link"))
+          .when(col("score_ppm") >= lowerPpm, lit("possible"))
+          .otherwise(lit("nonlink")))
+      .groupBy(col("pattern"), col("decision"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("score_ppm")).as("score_ppm"))
+  }
+
+  /** Entity resolution tail: linked pairs → entity clusters. Each
+    * member maps to its entity id = the minimum reachable member id
+    * (the canonical representative). Delegates to the hybrid
+    * [[Dedup.componentsAuto]] — link sets are dup-rate-sized, so the
+    * bounded driver union-find branch almost always applies; above the
+    * bound the distributed min-label BSP runs unchanged. */
+  def resolveEntities(links: DataFrame): DataFrame =
+    graft.operators.Dedup.componentsAuto(links)
+      .select(col("component").as("entity_id"), col("id"))
+
+  /** Survivorship: one GOLDEN record per entity. Deterministic field
+    * rules — the standard MDM policy set, each oracle-replayable:
+    *   - `modalCols`: the entity's most frequent value, ties to the
+    *     smallest value (per-entity window over entity-sized groups);
+    *   - `maxCols`: the entity's maximum (as `<col>_max`);
+    *   - `n_members` always.
+    * `members` is (entityCol, attribute columns…) — one row per
+    * member, e.g. [[resolveEntities]] joined back to the source.
+    *
+    * Scale shape: every aggregate/window is keyed by entity — entity
+    * groups are cluster-sized (bounded by the dedup rate), never
+    * corpus-sized partitions. */
+  def goldenRecords(members: DataFrame, entityCol: String,
+                    modalCols: Seq[String],
+                    maxCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = members.groupBy(col(entityCol)).agg(
+      count(lit(1)).as("n_members"),
+      maxCols.map(c => max(col(c)).as(s"${c}_max")): _*)
+    modalCols.foldLeft(base) { (acc, c) =>
+      val w = Window.partitionBy(col(entityCol))
+        .orderBy(col("__n").desc, col(c).asc)
+      val pick = members.groupBy(col(entityCol), col(c))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(entityCol), col(c))
+      acc.join(pick, entityCol)
+    }
+  }
+
   /** EM-estimated linkage over blocked pairs: computes the agreement
     * pattern frame (one distributed groupBy — ≤ 2^k rows), collects it
     * (driver-bounded by construction), runs [[emEstimate]], and returns

@@ -79,6 +79,42 @@ class LinkageSpec extends SparkTestBase {
       s"decisions did not separate the planted classes: $out")
   }
 
+  test("triage: three-way decision counts per pattern") {
+    val df = Seq(
+      (1L, 0, "X", 100L, "01"),  // 1-2: AAA = 1000000 -> link
+      (2L, 0, "X", 105L, "01"),
+      (3L, 0, "X", 9000L, "01"), // 1-3/2-3: ADA = 500000 -> possible
+      (4L, 0, "Y", 9000L, "02")) // vs 1/2: DDD; vs 3: DDA? compute below
+      .toDF("id", "blk", "seg", "bal", "sfx")
+    // pair (3,4): seg X/Y = D, bal equal = A, sfx 01/02 = D -> DAD?
+    // rule order is (seg, bal, sfx): pattern DAD = -120+350-160 = 70000
+    val got = Linkage.triage(df, "id", Seq("blk"), rules,
+        lowerPpm = 300000L, upperPpm = 550000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("AAA", "link")) == ((1L, 1000000L)))
+    assert(got(("ADA", "possible")) == ((2L, 500000L)))
+    assert(got(("DAD", "nonlink")) == ((1L, 70000L)))
+    assert(got(("DDD", "nonlink"))._1 == 2L) // (1,4) and (2,4)
+  }
+
+  test("resolveEntities + goldenRecords: clusters, modal tie-break, max rule") {
+    val links = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val ents = Linkage.resolveEntities(links)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(ents === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // survivorship: entity 1 has segs X,X,Y -> modal X; entity 7 has
+    // Y,Z split 1-1 -> tie breaks to the smaller value Y; max bal wins
+    val members = Seq(
+      (1L, "X", 10L), (1L, "Y", 30L), (1L, "X", 20L),
+      (7L, "Z", 5L), (7L, "Y", 4L)).toDF("entity_id", "seg", "bal")
+    val g = Linkage.goldenRecords(members, "entity_id",
+        modalCols = Seq("seg"), maxCols = Seq("bal"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(g === Map(1L -> ((3L, 30L, "X")), 7L -> ((2L, 5L, "Y"))))
+  }
+
   test("scorePairs: NULL field compares as disagreement, not NULL score") {
     val df = Seq(
       (1L, 0, Some("X"), 100L, "01"),
