@@ -1872,6 +1872,44 @@ private[graft] object Oracles {
        "SELECT category, CAST(sum(n) AS BIGINT) AS n_rows, " +
        "CAST(sum(n) AS BIGINT) * 1000000 // max(t) AS share_ppm " +
        "FROM m GROUP BY 1"),
+    // Cramér's V over segment x nation: full chi-square replica (the
+    // operator's two-step cell division), then V from the same
+    // two-step quotient and an IEEE sqrt floor
+    "q_cramers_v" ->
+      ("WITH cells AS (SELECT c_mktsegment AS a, c_nationkey AS b, " +
+       "  CAST(count(*) AS BIGINT) AS o FROM customer GROUP BY 1, 2), " +
+       "rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+       "ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+       "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), " +
+       "grid AS (SELECT rt.r, ct.c, coalesce(cells.o, 0) AS o " +
+       "  FROM rt CROSS JOIN ct LEFT JOIN cells " +
+       "  ON cells.a = rt.a AND cells.b = ct.b), " +
+       "term AS (SELECT (o * n - r * c) AS d, (r * c * n) AS m " +
+       "  FROM grid CROSS JOIN tot), " +
+       "lv AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS al, " +
+       "  CAST(count(DISTINCT b) AS BIGINT) AS bl FROM cells), " +
+       "s AS (SELECT CAST(sum((d * d // m) * 1000000 + " +
+       "  ((d * d) % m) * 1000000 // m) AS BIGINT) AS chi2_ppm FROM term), " +
+       "f AS (SELECT n, (al - 1) * (bl - 1) AS dof, chi2_ppm, " +
+       "  n * greatest(least(al, bl) - 1, 1) AS m2 " +
+       "  FROM tot CROSS JOIN lv CROSS JOIN s) " +
+       "SELECT n, dof, chi2_ppm, " +
+       "CAST(floor(sqrt(CAST((chi2_ppm // m2) * 1000000 + " +
+       "  (chi2_ppm % m2) * 1000000 // m2 AS DOUBLE))) AS BIGINT) AS v_ppm " +
+       "FROM f"),
+    // exact-ppm Herfindahl concentration per nation over segments,
+    // with the operator's self-switching overflow-safe division
+    "q_hhi" ->
+      ("WITH c AS (SELECT c_nationkey, c_mktsegment, " +
+       "  CAST(count(*) AS BIGINT) AS nn FROM customer GROUP BY 1, 2), " +
+       "g AS (SELECT c_nationkey, CAST(sum(nn) AS BIGINT) AS n, " +
+       "  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS k_categories, " +
+       "  CAST(sum(nn * nn) AS BIGINT) AS ss FROM c GROUP BY 1) " +
+       "SELECT c_nationkey, n, k_categories, " +
+       "CASE WHEN n <= 3000000 THEN ss * 1000000 // (n * n) " +
+       "ELSE (ss // (n * n)) * 1000000 + " +
+       "  (ss % (n * n)) // greatest((n * n) // 1000000, 1) END AS hhi_ppm " +
+       "FROM g"),
     // apply-variant: per-row relabel against the same keep policy
     "q_rare_merge_apply" ->
       ("WITH c AS (SELECT CAST(c_nationkey AS VARCHAR) AS cat, " +

@@ -1206,6 +1206,15 @@ object SparkEntry {
           (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
             abs(a - b) <= lit(10000L))))
     }),
+    // effect size over the segment x nation contingency: Cramér's V in
+    // exact ppm (two-step division + IEEE sqrt, engine-identical)
+    "q_cramers_v" -> ((s, dir) =>
+      graft.operators.Stats.cramersV(t(s, dir, "customer"),
+        "c_mktsegment", "c_nationkey")),
+    // market-concentration read per nation over segments: exact-ppm HHI
+    "q_hhi" -> ((s, dir) =>
+      graft.operators.Analytics.concentrationIndex(t(s, dir, "customer"),
+        "c_nationkey", "c_mktsegment")),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),

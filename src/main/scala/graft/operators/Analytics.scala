@@ -285,6 +285,35 @@ object Analytics {
       .drop("__t")
   }
 
+  /** Herfindahl–Hirschman concentration per group: HHI = Σ share_i²
+    * over `catCol` within each `groupCol`, in exact ppm — 1e6/k for a
+    * uniform split over k categories, 1e6 for a monopoly. The
+    * concentration read a mixing pipeline runs per source/shard before
+    * trusting a "balanced" corpus. Integer arithmetic self-switches
+    * (the chiSquareSampled pattern — same CASE in the oracle): the
+    * direct Σ n_i²·1e6 div N² while N ≤ 3e6 (provably no Int64
+    * overflow), else quotient·1e6 plus the remainder against a
+    * 1e-6-truncated divisor — deterministic in both engines, exact to
+    * the last ppm digit in the regime the small fixtures exercise.
+    * N² itself must fit Int64 (groups ≤ ~3e9 rows; shard beyond).
+    * Output: group, n, k_categories, hhi_ppm.
+    *
+    * Scale shape: one map-side-combined (group, cat) count, then a
+    * group-keyed re-aggregation over category-sized frames. */
+  def concentrationIndex(df: DataFrame, groupCol: String,
+                         catCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n"),
+        countDistinct(col("__cat")).cast("long").as("k_categories"),
+        sum(col("__n") * col("__n")).as("__ss"))
+      .withColumn("hhi_ppm", expr(
+        "CASE WHEN n <= 3000000L THEN __ss * 1000000L div (n * n) " +
+        "ELSE (__ss div (n * n)) * 1000000L + " +
+        "(__ss % (n * n)) div greatest((n * n) div 1000000L, 1L) END"))
+      .drop("__ss")
+
   /** Apply-variant of [[rareCategoryMerge]]: returns the INPUT ROWS
     * with `catCol` rewritten — categories below the share threshold
     * become `otherLabel`, everything else passes through (NULL

@@ -511,6 +511,28 @@ object Stats {
         expr("(a_levels - 1) * (b_levels - 1)").as("dof"), col("chi2_ppm"))
   }
 
+  /** Effect size for [[chiSquare]]: Cramér's V = sqrt(χ² / (n·d)),
+    * d = min(a_levels, b_levels) − 1 — the [0, 1] association measure
+    * a raw χ² (which grows with n) can't give. Integer ppm throughout:
+    * V²·1e12 comes from the same two-step division the χ² cell term
+    * uses (quotient·1e6 + remainder·1e6 div m — each addend ≤ 1e12, so
+    * no Long overflow at any n), then V_ppm = floor(sqrt(·)) — IEEE
+    * sqrt is correctly rounded, so the double step is engine-exact on
+    * integers ≤ 2^53. Output: n, dof, chi2_ppm, v_ppm.
+    *
+    * Scale shape: inherits [[chiSquare]]'s (level-sized frames after
+    * one corpus aggregate); the V projection touches one row. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquare(df, aCol, bCol)
+      .withColumn("__d", expr("greatest(least(a_levels, b_levels) - 1, 1L)"))
+      .withColumn("__m", expr("n * __d"))
+      .withColumn("__v2",
+        expr("(chi2_ppm div __m) * 1000000L + " +
+             "(chi2_ppm % __m) * 1000000L div __m"))
+      .withColumn("v_ppm",
+        floor(sqrt(col("__v2").cast("double"))).cast("long"))
+      .select(col("n"), col("dof"), col("chi2_ppm"), col("v_ppm"))
+
   /** Deterministic half-sample bootstrap of a mean: B resamples, row r
     * belongs to resample i iff BIT i of its salted 52-bit md5 value is
     * set — one hash per ROW (not per row×resample; a good hash's bits

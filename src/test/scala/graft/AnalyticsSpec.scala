@@ -297,6 +297,18 @@ class AnalyticsSpec extends SparkTestBase {
       all(0).getLong(1) == 10L && all(0).getLong(2) == 1000000L)
   }
 
+  test("concentrationIndex: monopoly reads 1e6, uniform split reads 1e6/k") {
+    val d = (Seq.fill(8)((1L, "only")) ++
+      Seq.fill(5)((2L, "a")) ++ Seq.fill(5)((2L, "b")) ++
+      Seq.fill(5)((2L, "c")) ++ Seq.fill(5)((2L, "d")))
+      .toDF("grp", "cat")
+    val got = Analytics.concentrationIndex(d, "grp", "cat")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((8L, 1L, 1000000L)))
+    assert(got(2L) == ((20L, 4L, 250000L)))
+  }
+
   test("applyRareMerge: rows come back relabeled, survivors untouched, NULL is its own category") {
     // a x6, b x2, null x1, d x1 — threshold 15%: a and b survive;
     // null and d (10% each) relabel to __OTHER__

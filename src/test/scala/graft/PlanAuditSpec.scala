@@ -133,7 +133,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)",
     "q_chi_square" -> ("(c) marginal DOMAIN x DOMAIN densify (|langs| x " +
-      "|sources| rows, fixed by the schema — zero cells must enter the statistic)"))
+      "|sources| rows, fixed by the schema — zero cells must enter the statistic)"),
+    "q_cramers_v" -> ("(c) marginal DOMAIN x DOMAIN densify (|segments| x " +
+      "|nations| rows, fixed by the schema — the same chiSquare cross)"))
 
   // Partition-less WindowExec nodes serialize their input into ONE
   // task, so each one must be provably bounded. Every allowance names

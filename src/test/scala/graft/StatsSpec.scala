@@ -37,6 +37,23 @@ class StatsSpec extends SparkTestBase {
       "spread" -> ((5L, 1L, 3.0, 1.0))))
   }
 
+  test("cramersV: perfect association reads ~1e6, independence reads 0") {
+    // 2x2 perfect association: a determines b
+    val perfect = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val vp = graft.operators.Stats.cramersV(perfect, "a", "b")
+      .select("v_ppm", "dof").collect()(0)
+    assert(vp.getLong(1) == 1L)
+    assert(vp.getLong(0) >= 999000L && vp.getLong(0) <= 1000000L,
+      s"perfect association v_ppm=${vp.getLong(0)}")
+    // independence: uniform 2x2 grid -> chi2 = 0 -> v = 0
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .flatMap(Seq.fill(5)(_)).toDF("a", "b")
+    val vi = graft.operators.Stats.cramersV(indep, "a", "b")
+      .select("v_ppm").collect()(0).getLong(0)
+    assert(vi == 0L, s"independent grid v_ppm=$vi")
+  }
+
   test("winsorize: exact order-statistic bounds, only input values appear") {
     // group g: values 1..20; rlo = ceil(0.05*20) = 1 -> lo = 1,
     // rhi = ceil(0.95*20) = 19 -> hi = 19; so 20 clips to 19 and the
