@@ -2828,6 +2828,7 @@ private[graft] object Oracles {
       "SELECT x.s AS id_a, x.t AS id_b, x.cos AS cos FROM best x " +
       "JOIN best y ON x.t = y.s AND y.t = x.s WHERE x.s < x.t"),
     "q_kcore" -> kCoreOracle,
+    "q_ktruss" -> kTrussOracle,
     "q_degree_dist" -> (
       s"WITH $coPartEdgesSql, " +
       "d AS (SELECT v, count(*) AS dd FROM " +
@@ -3904,6 +3905,43 @@ private[graft] object Oracles {
     "  WHERE l_orderkey % 5 = 0), " +
     "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM li a " +
     "  JOIN li b ON a.ok = b.ok AND a.p < b.p)"
+
+  /** SQL replica of Graph.kTruss's 3 fixed peel rounds at k = 5: each
+    * round recomputes degree-oriented per-edge triangle support on the
+    * surviving subgraph (one oriented wedge join + closure join, each
+    * triangle credited to its three undirected edges) and keeps edges
+    * with support ≥ k − 2; the final support recomputes once more on
+    * the survivors. CTEs are MATERIALIZED — each o/t frame is
+    * referenced three times, and DuckDB's default inlining would
+    * recompute the wedge join exponentially across rounds. */
+  private lazy val kTrussOracle: String = {
+    val k = 5; val rounds = 3
+    def supportCtes(i: Int): String = {
+      val p = i - 1
+      s"d$i AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM " +
+      s"(SELECT a AS v FROM e$p UNION ALL SELECT b FROM e$p) GROUP BY 1), " +
+      s"o$i AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR " +
+      s"(da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src, " +
+      s"CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) " +
+      s"THEN e.b ELSE e.a END AS dst " +
+      s"FROM e$p e JOIN d$i da ON da.v = e.a JOIN d$i db ON db.v = e.b), " +
+      s"t$i AS MATERIALIZED (SELECT w1.src AS u, w1.dst AS v, w2.dst AS w " +
+      s"FROM o$i w1 JOIN o$i w2 ON w1.dst = w2.src " +
+      s"JOIN o$i c ON c.src = w1.src AND c.dst = w2.dst), " +
+      s"s$i AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS sup " +
+      s"FROM (SELECT least(u, v) AS a, greatest(u, v) AS b FROM t$i " +
+      s"UNION ALL SELECT least(v, w), greatest(v, w) FROM t$i " +
+      s"UNION ALL SELECT least(u, w), greatest(u, w) FROM t$i) GROUP BY 1, 2)"
+    }
+    val peel = (1 to rounds).map(i => supportCtes(i) + ", " +
+      s"e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e " +
+      s"LEFT JOIN s$i s ON s.a = e.a AND s.b = e.b " +
+      s"WHERE coalesce(s.sup, 0) >= ${k - 2})").mkString(", ")
+    s"WITH $coPartEdgesSql, e0 AS MATERIALIZED (SELECT a, b FROM e), " +
+    peel + ", " + supportCtes(rounds + 1) +
+    s" SELECT e.a AS id_a, e.b AS id_b, coalesce(s.sup, 0) AS support " +
+    s"FROM e$rounds e LEFT JOIN s${rounds + 1} s ON s.a = e.a AND s.b = e.b"
+  }
 
   /** SQL replica of Graph.kCore's 4 fixed peel rounds at k = 16: each
     * round keeps vertices with ≥ k surviving-degree and restricts the

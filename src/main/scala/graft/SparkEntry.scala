@@ -2534,6 +2534,13 @@ object SparkEntry {
     // the co-purchase graph (fixed-round contract, like q_graph_bfs)
     "q_kcore" -> ((s, dir) =>
       graft.operators.Graph.kCore(coPartEdges(s, dir), k = 16, rounds = 4)),
+    // edge-cohesion strengthening of the core: 3 peel rounds toward
+    // the 5-truss (every surviving edge in >= 3 triangles of the
+    // subgraph), same fixed-round contract; output keeps each
+    // surviving edge's final triangle support
+    "q_ktruss" -> ((s, dir) =>
+      graft.operators.Graph.kTruss(coPartEdges(s, dir), k = 5, rounds = 3)
+        .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))),
     // deterministic synchronous label propagation (3 rounds, min-label
     // ties) on the same co-purchase graph as q_graph_components — the
     // local-community view between connectivity and k-core density

@@ -322,6 +322,78 @@ object Graph {
     lab.select(col("v").as("id"), col("lbl").as("community"))
   }
 
+  /** Per-edge triangle SUPPORT of a canonical (a < b) edge list: how
+    * many triangles contain each edge, zero-support edges included.
+    * Degree-oriented exactly like [[triangleCount]] — every triangle
+    * materializes as ONE oriented wedge + closure (the oriented
+    * triangle has a unique source), so no hub blows up the wedge join;
+    * each triangle then credits its three edges. */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("v"))
+      .unionByName(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val tri = o.select(col("src").as("u"), col("dst").as("v"))
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+      .join(o.select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"), "left_semi")
+    val credits = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__sup"))
+    und.join(credits, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("__sup"), lit(0L)).as("support"))
+  }
+
+  /** k-truss peeling under the same fixed-round contract as [[kCore]]
+    * (Cohen 2008, "Trusses: cohesive subgraphs for social network
+    * analysis"): each round recomputes per-edge triangle support on
+    * the SURVIVING subgraph and drops edges with support < k − 2; the
+    * output is the surviving edge list with its final support. The
+    * truss is the edge-cohesion strengthening of the k-core (every
+    * edge sits in ≥ k − 2 triangles of the subgraph), the standard
+    * community-core extractor one notch stronger than degree peeling.
+    * Convergence within `rounds` is the caller's contract (spec'd on
+    * the fixtures); a production sweep sizes rounds from the peel
+    * profile the same way kCore does.
+    *
+    * Scale shape: per round, one degree-oriented wedge join (bounded
+    * by the orientation, never hub-quadratic), one explode ×3 of the
+    * triangle frame, one map-side-combined count — all equi-joins; the
+    * edge frame is lineage-cut per round like every BSP loop here. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    var und = LineageCut.cut(
+      edges.select(
+          least(col("id_a"), col("id_b")).cast("long").as("a"),
+          greatest(col("id_a"), col("id_b")).cast("long").as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    for (_ <- 1 to rounds) {
+      val next = LineageCut.cut(
+        edgeSupport(und).filter(col("support") >= k - 2)
+          .select(col("a"), col("b")))
+      LineageCut.release(und)
+      und = next
+    }
+    edgeSupport(und)
+  }
+
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")

@@ -178,6 +178,25 @@ class GraphSpec extends SparkTestBase {
     assert(r3 == r2)
   }
 
+  test("kTruss: K4 core survives, attached triangle and pendant peel; supports recompute on the subgraph") {
+    import graft.operators.Graph
+    // K4 {1,2,3,4} (every edge in 2 triangles) + triangle {4,5,6}
+    // (each edge in 1 triangle) + pendant 6-7 (0 triangles)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("id_a", "id_b")
+    // 4-truss (support >= 2): only the K4 edges, each with support 2
+    val got = Graph.kTruss(edges, k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == k4.map(_ -> 2L).toMap, s"got $got")
+    // 3-truss (support >= 1): the attached triangle also survives; the
+    // pendant edge peels; K4 supports stay 2, triangle supports 1
+    val t3 = Graph.kTruss(edges, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == (k4.map(_ -> 2L) ++
+      Seq((4L, 5L) -> 1L, (4L, 6L) -> 1L, (5L, 6L) -> 1L)).toMap, s"got $t3")
+  }
+
   test("clusteringCoefficient: triangle + pendant hand graph; each triangle hits all three corners") {
     import spark.implicits._
     // K3 {1,2,3} with pendant 4 hanging off 1:
