@@ -656,6 +656,38 @@ private[graft] object Oracles {
     "  AS u2_a, 2 * n0 * na AS u2_max " +
     "FROM cum CROSS JOIN tot GROUP BY n0, na"
 
+  /** Kruskal–Wallis replay: the same value-grouped doubled-midrank
+    * frame as mannWhitneySql (floor cents — the new-query convention),
+    * per-group rank sums, then the H finish in HUGEINT with truncating
+    * division at exactly the points the Spark driver's BigInt
+    * truncates. */
+  private val kruskalWallisSql: String =
+    "WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v, " +
+    "  event_type AS g FROM events), " +
+    "bv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1), " +
+    "cum AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v " +
+    "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM bv), " +
+    "r2 AS (SELECT v, 2 * (cc - c) + c + 1 AS r2v FROM cum), " +
+    "gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cg " +
+    "  FROM e GROUP BY 1, 2), " +
+    "grp AS (SELECT g, CAST(sum(cg) AS BIGINT) AS ni, " +
+    "  CAST(sum(cg * r2v) AS BIGINT) AS r2i " +
+    "  FROM gv JOIN r2 USING (v) GROUP BY 1), " +
+    "tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n, " +
+    "  CAST(count(*) AS BIGINT) AS k FROM grp), " +
+    "ties AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS ts FROM bv), " +
+    "s AS (SELECT sum((CAST(r2i AS HUGEINT) * r2i * 1000000) // ni) " +
+    "  AS s FROM grp), " +
+    "f AS (SELECT n, k, " +
+    "  (3 * s.s) // (CAST(n AS HUGEINT) * (n + 1)) " +
+    "    - 3 * (CAST(n AS HUGEINT) + 1) * 1000000 AS hraw, " +
+    "  1000000 - (ties.ts * 1000000) // " +
+    "    (CAST(n AS HUGEINT) * n * n - n) AS cppm " +
+    "  FROM tot, s, ties) " +
+    "SELECT n, k AS k_groups, k - 1 AS dof, " +
+    "CAST(CASE WHEN n < 2 OR k < 2 OR cppm <= 0 THEN 0 " +
+    "  ELSE (hraw * 1000000) // cppm END AS BIGINT) AS h_ppm FROM f"
+
   private val conformalSql: String =
     "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v " +
     "  FROM events), " +
@@ -2711,6 +2743,7 @@ private[graft] object Oracles {
     "q_pareto" -> paretoSql,
     "q_lang_purity" -> langPuritySql,
     "q_mann_whitney" -> mannWhitneySql,
+    "q_kruskal_wallis" -> kruskalWallisSql,
     "q_conformal" -> conformalSql,
     "q_encoding_advisor" -> encodingAdvisorSql,
     "q_label_prop" -> labelPropSql,

@@ -1206,6 +1206,14 @@ object SparkEntry {
           (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
             abs(a - b) <= lit(10000L))))
     }),
+    // rank-based k-group test over event values by type (the k-group
+    // extension of q_mann_whitney): exact doubled-midranks + BigInt/
+    // HUGEINT finish, tie-corrected H in ppm
+    "q_kruskal_wallis" -> ((s, dir) =>
+      graft.operators.Stats.kruskalWallisH(
+        events(s, dir).withColumn("cents",
+          floor(col("value") * 100).cast("long")),
+        "cents", "event_type")),
     // effect size over the segment x nation contingency: Cramér's V in
     // exact ppm (two-step division + IEEE sqrt, engine-identical)
     "q_cramers_v" -> ((s, dir) =>

@@ -411,6 +411,57 @@ object Stats {
         expr("2 * __n0 * __na").as("u2_max"))
   }
 
+  /** Kruskal–Wallis H (the k-group extension of [[mannWhitneyU]]):
+    * rank-based one-way test over integer cents, midranks for ties via
+    * the DOUBLED-rank trick (2·midrank is always an integer), tie
+    * correction C = 1 − Σ(t³−t)/(N³−N), all in exact integer
+    * arithmetic. The distributed part produces the value-grouped rank
+    * frame (one [[Analytics.distributedCumSum]] pass — no global-sort
+    * window) and the k-row per-group (n_i, Σ 2·rank) frame; the k-row
+    * finish runs on the driver in BigInt (squares reach N⁴, past
+    * Int64) with truncating division at the same points DuckDB's
+    * HUGEINT replay truncates — so h_ppm replays bit-for-bit. Output:
+    * one row (n, k_groups, dof, h_ppm); degenerate inputs (all values
+    * tied, or a single group) report h_ppm = 0.
+    *
+    * Scale shape: two map-side-combined aggregates + the cumsum pass;
+    * nothing after them touches corpus rows; the collect is k rows. */
+  def kruskalWallisH(df: DataFrame, centsCol: String,
+                     groupCol: String): DataFrame = {
+    val v = df.select(col(centsCol).cast("long").as("__v"),
+      col(groupCol).cast("string").as("__g"))
+    val byVal = v.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val r2 = Analytics.distributedCumSum(byVal, "__v", Seq("__c"))
+      .select(col("__v"),
+        expr("2 * (cum___c - __c) + __c + 1").as("__r2v"))
+    val grp = v.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__cg"))
+      .join(r2, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cg")).as("__ni"),
+        sum(expr("__cg * __r2v")).as("__r2i"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val tieSum = BigInt(byVal
+      .agg(sum(expr("CAST(__c AS DECIMAL(38,0)) * __c * __c - __c")).as("t"))
+      .head().getDecimal(0).toBigInteger)
+    val n = BigInt(grp.map(_._1).sum)
+    val k = grp.length.toLong
+    val m = BigInt(1000000L)
+    val hPpm: Long =
+      if (n < 2 || k < 2 || n * n * n - n == 0) 0L
+      else {
+        val s = grp.map { case (ni, r2i) =>
+          BigInt(r2i) * r2i * m / ni }.sum
+        val hraw = BigInt(3) * s / (n * (n + 1)) - BigInt(3) * (n + 1) * m
+        val cPpm = m - tieSum * m / (n * n * n - n)
+        if (cPpm <= 0) 0L else (hraw * m / cPpm).toLong
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n.toLong, k, k - 1, hPpm))
+      .toDF("n", "k_groups", "dof", "h_ppm")
+  }
+
   /** Split-conformal prediction thresholds (Vovk et al. 2005; Lei et
     * al. 2018): for each miscoverage α, the ⌈(n+1)(1−α)⌉-th smallest
     * calibration score — the radius that makes prediction sets cover

@@ -37,6 +37,27 @@ class StatsSpec extends SparkTestBase {
       "spread" -> ((5L, 1L, 3.0, 1.0))))
   }
 
+  test("kruskalWallisH: hand-computed tie-corrected H; degenerate inputs read 0") {
+    // A=[1,2,3], B=[4,5,6], C=[1,1,6]: doubled midranks give per-group
+    // rank2 sums (22, 43, 25); H = 2.9913043 corrected -> 2991301 ppm
+    // under the truncating integer pipeline (hand-replayed)
+    val d = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L),
+      ("B", 6L), ("C", 1L), ("C", 1L), ("C", 6L)).toDF("g", "cents")
+    val r = graft.operators.Stats.kruskalWallisH(d, "cents", "g")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((9L, 3L, 2L, 2991301L)))
+    // all values tied: C = 0 -> h_ppm 0 by contract
+    val tied = Seq(("A", 5L), ("A", 5L), ("B", 5L), ("B", 5L))
+      .toDF("g", "cents")
+    assert(graft.operators.Stats.kruskalWallisH(tied, "cents", "g")
+      .collect()(0).getLong(3) == 0L)
+    // single group: h_ppm 0
+    val one = Seq(("A", 1L), ("A", 2L)).toDF("g", "cents")
+    assert(graft.operators.Stats.kruskalWallisH(one, "cents", "g")
+      .collect()(0).getLong(3) == 0L)
+  }
+
   test("cramersV: perfect association reads ~1e6, independence reads 0") {
     // 2x2 perfect association: a determines b
     val perfect = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
