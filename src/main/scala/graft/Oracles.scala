@@ -1929,6 +1929,28 @@ private[graft] object Oracles {
        "CAST(floor(sqrt(CAST((chi2_ppm // m2) * 1000000 + " +
        "  (chi2_ppm % m2) * 1000000 // m2 AS DOUBLE))) AS BIGINT) AS v_ppm " +
        "FROM f"),
+    // rank-based Gini per event type with the operator's three-branch
+    // self-switching ppm division
+    "q_gini" ->
+      ("WITH e AS (SELECT event_type AS g, " +
+       "  CAST(floor(value * 100) AS BIGINT) AS x, event_id " +
+       "  FROM events WHERE value >= 0), " +
+       "r AS (SELECT g, x, CAST(row_number() OVER (PARTITION BY g " +
+       "  ORDER BY x, event_id) AS BIGINT) AS rk FROM e), " +
+       "a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
+       "  CAST(sum(x) AS BIGINT) AS sx, " +
+       "  CAST(sum(rk * x) AS BIGINT) AS srx FROM r GROUP BY 1), " +
+       "f AS (SELECT g, n, sx, 2 * srx - (n + 1) * sx AS num, " +
+       "  n * sx AS den FROM a) " +
+       "SELECT g AS event_type, n, sx AS sum_cents, " +
+       "CASE WHEN den <= 0 THEN 0 " +
+       "WHEN den <= 9000000000000 THEN num * 1000000 // den " +
+       "WHEN den <= 9000000000000000 THEN " +
+       "  (num // den) * 1000000 + " +
+       "  ((num % den) * 1000) // greatest(den // 1000, 1) " +
+       "ELSE (num // den) * 1000000 + " +
+       "  (num % den) // greatest(den // 1000000, 1) END AS gini_ppm " +
+       "FROM f"),
     // exact-ppm Herfindahl concentration per nation over segments,
     // with the operator's self-switching overflow-safe division
     "q_hhi" ->

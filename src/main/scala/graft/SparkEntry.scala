@@ -1223,6 +1223,14 @@ object SparkEntry {
     "q_hhi" -> ((s, dir) =>
       graft.operators.Analytics.concentrationIndex(t(s, dir, "customer"),
         "c_nationkey", "c_mktsegment")),
+    // inequality of the VALUE distribution per event type: rank-based
+    // Gini in exact ppm on the bucketed two-phase rank (no per-group
+    // window task)
+    "q_gini" -> ((s, dir) =>
+      graft.operators.Analytics.giniIndex(
+        events(s, dir).filter(col("value") >= 0)
+          .withColumn("cents", floor(col("value") * 100).cast("long")),
+        "event_type", "cents", tieCols = Seq("event_id"))),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),

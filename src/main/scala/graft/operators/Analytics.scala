@@ -285,6 +285,42 @@ object Analytics {
       .drop("__t")
   }
 
+  /** Gini coefficient per group over NON-NEGATIVE integer cents — the
+    * rank-based inequality read for continuous values (the
+    * [[concentrationIndex]] sibling for a numeric column):
+    * G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), ranks ascending by
+    * (value, ties). Tied values contribute a rank-sum independent of
+    * tie-break order, so the statistic is deterministic. Integer ppm
+    * with a THREE-branch self-switching division (exact ×1e6 while
+    * n·Σx ≤ 9e12, then the ×1000 and ×1 remainder splits — identical
+    * CASE in the oracle). Output: group, n, sum_cents, gini_ppm.
+    *
+    * Scale shape: ranks ride [[bucketedGroupRank]] (two-phase, no
+    * group ever serializes into one task), then one
+    * map-side-combined aggregate. Envelope: Σ rank·x must fit Int64
+    * (~n²·x̄ — shard groups past ~1e8 rows of large cents). */
+  def giniIndex(df: DataFrame, groupCol: String, centsCol: String,
+                tieCols: Seq[String], buckets: Int = 64): DataFrame = {
+    val ranked = bucketedGroupRank(
+      df.select((col(groupCol) +: col(centsCol).cast("long").as("__x") +:
+        tieCols.map(col)): _*), groupCol, "__x", tieCols, buckets)
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__gn")).as("n"),
+        sum(col("__x")).as("sum_cents"),
+        sum(expr("__rank * __x")).as("__srx"))
+      .withColumn("__num", expr("2 * __srx - (n + 1) * sum_cents"))
+      .withColumn("__den", expr("n * sum_cents"))
+      .withColumn("gini_ppm", expr(
+        "CASE WHEN __den <= 0 THEN 0L " +
+        "WHEN __den <= 9000000000000L THEN __num * 1000000L div __den " +
+        "WHEN __den <= 9000000000000000L THEN " +
+        "  (__num div __den) * 1000000L + " +
+        "  ((__num % __den) * 1000L) div greatest(__den div 1000L, 1L) " +
+        "ELSE (__num div __den) * 1000000L + " +
+        "  (__num % __den) div greatest(__den div 1000000L, 1L) END"))
+      .select(col(groupCol), col("n"), col("sum_cents"), col("gini_ppm"))
+  }
+
   /** Herfindahl–Hirschman concentration per group: HHI = Σ share_i²
     * over `catCol` within each `groupCol`, in exact ppm — 1e6/k for a
     * uniform split over k categories, 1e6 for a monopoly. The

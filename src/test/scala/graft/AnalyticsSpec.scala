@@ -297,6 +297,24 @@ class AnalyticsSpec extends SparkTestBase {
       all(0).getLong(1) == 10L && all(0).getLong(2) == 1000000L)
   }
 
+  test("giniIndex: equality reads 0, extreme concentration reads (n-1)/n, tie-order invariant") {
+    // group A: all equal -> G = 0; group B: one holder of everything
+    // among 4 rows -> G = (n-1)/n = 750000 ppm
+    val d = (Seq.fill(4)(("A", 10L)) ++ Seq(("B", 0L), ("B", 0L),
+      ("B", 0L), ("B", 40L))).zipWithIndex
+      .map { case ((g, x), i) => (g, x, i.toLong) }.toDF("g", "cents", "tie")
+    val got = Analytics.giniIndex(d, "g", "cents", Seq("tie"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("A") == ((4L, 40L, 0L)))
+    assert(got("B") == ((4L, 40L, 750000L)))
+    // tie-break order cannot move the statistic: reversed tie ids
+    val d2 = d.withColumn("tie", -col("tie"))
+    val got2 = Analytics.giniIndex(d2, "g", "cents", Seq("tie"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got2("A") == 0L && got2("B") == 750000L)
+  }
+
   test("concentrationIndex: monopoly reads 1e6, uniform split reads 1e6/k") {
     val d = (Seq.fill(8)((1L, "only")) ++
       Seq.fill(5)((2L, "a")) ++ Seq.fill(5)((2L, "b")) ++
