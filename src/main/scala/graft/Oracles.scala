@@ -262,9 +262,14 @@ private[graft] object Oracles {
       s"// greatest(($bigN * 1000000 - $bigW) // 1000, 1)") + s" AS u$i"
     val stateCols = (clamp(s"$bigW // $bigN") + " AS p") +: (
       (1 to 3).map(mStep) ++ (1 to 3).map(uStep))
+    // AS MATERIALIZED: each state column (p, m1..3, u1..3) appears
+    // many times inside wExpr, so CTE INLINING duplicates the whole
+    // upstream subtree per reference — 20 chained iterations then
+    // explode exponentially (the kTrussOracle lesson: 400 s -> 0.2 s).
+    // Materializing pins each iteration to one tiny evaluated frame.
     val iterCtes = (0 until iters).map { k =>
-      s"w$k AS (SELECT pattern, n, CAST($wExpr AS BIGINT) AS w FROM pr CROSS JOIN s$k), " +
-      s"s${k + 1} AS (SELECT ${stateCols.mkString(", ")} FROM w$k)"
+      s"w$k AS MATERIALIZED (SELECT pattern, n, CAST($wExpr AS BIGINT) AS w FROM pr CROSS JOIN s$k), " +
+      s"s${k + 1} AS MATERIALIZED (SELECT ${stateCols.mkString(", ")} FROM w$k)"
     }.mkString(", ")
     "WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
     "  c_mktsegment FROM customer UNION ALL " +
@@ -274,7 +279,7 @@ private[graft] object Oracles {
     "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
     "  c_nationkey AS nat, c_mktsegment AS seg, " +
     "  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM base), " +
-    "pr AS (SELECT concat(" +
+    "pr AS MATERIALIZED (SELECT concat(" +
     "  CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
     "  CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END, " +
     "  CASE WHEN abs(a.bal - b.bal) <= 10000 THEN 'A' ELSE 'D' END) AS pattern, " +
@@ -686,7 +691,8 @@ private[graft] object Oracles {
     "  FROM tot, s, ties) " +
     "SELECT n, k AS k_groups, k - 1 AS dof, " +
     "CAST(CASE WHEN n < 2 OR k < 2 OR cppm <= 0 THEN 0 " +
-    "  ELSE (hraw * 1000000) // cppm END AS BIGINT) AS h_ppm FROM f"
+    "  ELSE (greatest(hraw, 0) * 1000000) // cppm END AS BIGINT) " +
+    "  AS h_ppm FROM f"
 
   private val conformalSql: String =
     "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v " +
@@ -1906,10 +1912,19 @@ private[graft] object Oracles {
        "FROM m GROUP BY 1"),
     // Cramér's V over segment x nation: full chi-square replica (the
     // operator's two-step cell division), then V from the same
-    // two-step quotient and an IEEE sqrt floor
+    // two-step quotient and an IEEE sqrt floor; the pre CTE replays
+    // chiSquareSampled's self-disabling exactness guard (all-keep
+    // while N <= 4e4 — identical integers in both engines)
     "q_cramers_v" ->
-      ("WITH cells AS (SELECT c_mktsegment AS a, c_nationkey AS b, " +
-       "  CAST(count(*) AS BIGINT) AS o FROM customer GROUP BY 1, 2), " +
+      ("WITH nn AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS nn " +
+       "  FROM customer), " +
+       "pre AS (SELECT c_mktsegment, c_nationkey FROM customer CROSS JOIN nn " +
+       "  WHERE CAST(concat('0x', substr(md5(concat('" +
+       s"${graft.fakegen.FakeGen.DefaultSeed}:chi2:', " +
+       "  CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) " +
+       s"  < ${40000L * 4294967296L} // nn), " +
+       "cells AS (SELECT c_mktsegment AS a, c_nationkey AS b, " +
+       "  CAST(count(*) AS BIGINT) AS o FROM pre GROUP BY 1, 2), " +
        "rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), " +
        "ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), " +
        "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), " +

@@ -1215,10 +1215,13 @@ object SparkEntry {
           floor(col("value") * 100).cast("long")),
         "cents", "event_type")),
     // effect size over the segment x nation contingency: Cramér's V in
-    // exact ppm (two-step division + IEEE sqrt, engine-identical)
+    // exact ppm (two-step division + IEEE sqrt, engine-identical); the
+    // sampled wrapper enforces the N<=4e4 exactness bound the way
+    // q_chi_square does (self-disabling content-hash sample — all-keep
+    // at these SFs, a real guard at sf1+ where customer passes 150k)
     "q_cramers_v" -> ((s, dir) =>
-      graft.operators.Stats.cramersV(t(s, dir, "customer"),
-        "c_mktsegment", "c_nationkey")),
+      graft.operators.Stats.cramersVSampled(t(s, dir, "customer"),
+        "c_custkey", "c_mktsegment", "c_nationkey")),
     // market-concentration read per nation over segments: exact-ppm HHI
     "q_hhi" -> ((s, dir) =>
       graft.operators.Analytics.concentrationIndex(t(s, dir, "customer"),

@@ -384,14 +384,29 @@ object Graph {
           least(col("id_a"), col("id_b")).cast("long").as("a"),
           greatest(col("id_a"), col("id_b")).cast("long").as("b"))
         .filter(col("a") =!= col("b")).distinct())
-    for (_ <- 1 to rounds) {
+    // Convergence short-circuit: the peel is a monotone fixed point —
+    // once a round drops NO edge, every later round is the identity
+    // and the final support equals the support just computed, so the
+    // fixed-round output is unchanged by construction (spec-pinned
+    // against the non-short-circuit path). Each round keeps its
+    // support column so the converged round IS the answer — the
+    // full-recompute finale only runs when the peel is still moving
+    // after `rounds` (one bounded count() per round buys up to
+    // rounds+1 saved edge-support passes, each ~a triangle count).
+    var result: DataFrame = null
+    var r = 0
+    while (r < rounds && result == null) {
+      val before = und.count()
       val next = LineageCut.cut(
-        edgeSupport(und).filter(col("support") >= k - 2)
-          .select(col("a"), col("b")))
+        edgeSupport(und.select(col("a"), col("b")))
+          .filter(col("support") >= k - 2))
       LineageCut.release(und)
       und = next
+      if (und.count() == before) result = und
+      r += 1
     }
-    edgeSupport(und)
+    if (result == null) result = edgeSupport(und.select(col("a"), col("b")))
+    result.select(col("a"), col("b"), col("support"))
   }
 
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {

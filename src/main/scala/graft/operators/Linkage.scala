@@ -203,6 +203,14 @@ object Linkage {
   def emPatternWeights(df: DataFrame, idCol: String, blockCols: Seq[String],
       comparators: Seq[(String, (Column, Column) => Column)],
       iters: Int = 20, linkThresholdPpm: Long = 500000L): DataFrame = {
+    // the pattern frame is collected to the driver BOUNDED BY 2^k —
+    // that bound is a contract, not a hope (the maxDriverPairs
+    // discipline): 20 comparators cap the collect at ~1e6 rows; a
+    // 30-comparator caller would collect 2^30
+    require(comparators.size <= 20,
+      s"emPatternWeights collects the 2^k agreement-pattern frame to " +
+      s"the driver; k = ${comparators.size} > 20 would collect up to " +
+      s"2^${comparators.size} rows — reduce the comparator set")
     val (paired, agrees) = pairedWithPattern(df, idCol, blockCols,
       comparators.map(_._1), comparators.map(_._2))
     val pattern = concat(agrees.map(ok => when(ok, lit("A")).otherwise(lit("D"))): _*)

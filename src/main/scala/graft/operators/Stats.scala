@@ -452,7 +452,13 @@ object Stats {
       else {
         val s = grp.map { case (ni, r2i) =>
           BigInt(r2i) * r2i * m / ni }.sum
-        val hraw = BigInt(3) * s / (n * (n + 1)) - BigInt(3) * (n + 1) * m
+        // clamp: near H=0 with uneven ties the truncations in s can
+        // push hraw to -1 where exact H is a tiny positive — and Scala
+        // BigInt division truncates toward zero while DuckDB's //
+        // floors, so a negative numerator would differ by 1 ppm
+        // between engines; H >= 0 mathematically, so clamp both sides
+        val hraw = (BigInt(3) * s / (n * (n + 1)) -
+          BigInt(3) * (n + 1) * m).max(BigInt(0))
         val cPpm = m - tieSum * m / (n * n * n - n)
         if (cPpm <= 0) 0L else (hraw * m / cPpm).toLong
       }
@@ -574,7 +580,21 @@ object Stats {
     * Scale shape: inherits [[chiSquare]]'s (level-sized frames after
     * one corpus aggregate); the V projection touches one row. */
   def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
-    chiSquare(df, aCol, bCol)
+    cramersVFinish(chiSquare(df, aCol, bCol))
+
+  /** [[cramersV]] with [[chiSquareSampled]]'s exactness guard: the
+    * same self-disabling content-hash sample caps the evaluated slice
+    * at `maxN` so d² = (o·N − r·c)² stays inside BIGINT — the bare
+    * operator's N ≤ ~5e4 envelope enforced instead of documented
+    * (identical filter arithmetic in the oracle, all-keep when
+    * N ≤ maxN). */
+  def cramersVSampled(df: DataFrame, idCol: String, aCol: String,
+                      bCol: String, maxN: Long = 40000L,
+                      seed: Long = graft.fakegen.FakeGen.DefaultSeed): DataFrame =
+    cramersVFinish(chiSquareSampled(df, idCol, aCol, bCol, maxN, seed))
+
+  private def cramersVFinish(chi: DataFrame): DataFrame =
+    chi
       .withColumn("__d", expr("greatest(least(a_levels, b_levels) - 1, 1L)"))
       .withColumn("__m", expr("n * __d"))
       .withColumn("__v2",

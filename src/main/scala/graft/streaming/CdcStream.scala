@@ -414,7 +414,10 @@ object CdcStream {
     val outEnc = Encoders.product[(Long, Long, Long, Long, Long)]
     val keyed = events
       .withColumn("__wm", timestamp_micros(col(tsCol).cast("long")))
-      .withWatermark("__wm", s"${late / 1000L} milliseconds")
+      // ceiling division: a truncating late/1000 would shave up to
+      // 999us off the lateness contract — rows disordered by slightly
+      // less than `lateness` must never be engine-dropped
+      .withWatermark("__wm", s"${(late + 999L) / 1000L} milliseconds")
       .select(
         col(keyCol).cast("long").as("_1"),
         col(tsCol).cast("long").as("_2"),

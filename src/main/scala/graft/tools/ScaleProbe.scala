@@ -113,9 +113,13 @@ object ScaleProbe {
       .drop("__c"), "customer")
 
     // embeddings: per-copy circular dimension shift (see scaladoc);
-    // copy 0 verbatim, copy k shifts by k mod dim
+    // copy 0 verbatim, copy k shifts by 1 + k mod (dim-1) — NEVER 0
+    // for k > 0 (a plain k mod dim would make copies dim, 2*dim, ...
+    // verbatim clones of copy 0, squaring the pair count — the exact
+    // workload distortion the shift exists to avoid)
     val dim = size(col("embedding"))
-    val shift = (c % dim.cast("long")).cast("int")
+    val shift = (lit(1L) +
+      (c - 1L) % greatest(dim.cast("long") - 1L, lit(1L))).cast("int")
     val shifted = concat(
       slice(col("embedding"), shift + 1, dim - shift),
       slice(col("embedding"), lit(1), shift))

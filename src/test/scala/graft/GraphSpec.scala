@@ -197,6 +197,23 @@ class GraphSpec extends SparkTestBase {
       Seq((4L, 5L) -> 1L, (4L, 6L) -> 1L, (5L, 6L) -> 1L)).toMap, s"got $t3")
   }
 
+  test("kTruss: convergence short-circuit equals the fixed-round path") {
+    import graft.operators.Graph
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("id_a", "id_b")
+    def run(rounds: Int) = Graph.kTruss(edges, k = 4, rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // rounds=1 never converges in-loop (round 1 drops the triangle +
+    // pendant edges) -> the full-recompute finale runs; rounds=8
+    // short-circuits at round 2 (nothing drops) and returns the cached
+    // support frame — all round budgets must emit identical rows
+    val r1 = run(1)
+    assert(r1 == k4.map(_ -> 2L).toMap, s"got $r1")
+    assert(run(2) == r1)
+    assert(run(8) == r1)
+  }
+
   test("clusteringCoefficient: triangle + pendant hand graph; each triangle hits all three corners") {
     import spark.implicits._
     // K3 {1,2,3} with pendant 4 hanging off 1:

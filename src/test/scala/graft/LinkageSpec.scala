@@ -79,6 +79,20 @@ class LinkageSpec extends SparkTestBase {
       s"decisions did not separate the planted classes: $out")
   }
 
+  test("emPatternWeights: >20 comparators is a loud contract error") {
+    // the pattern-frame collect is bounded by 2^k — that bound is a
+    // contract (the maxDriverPairs discipline), so k > 20 must fail
+    // loudly instead of collecting up to 2^k rows to the driver
+    val df = Seq((1L, 0, "X")).toDF("id", "blk", "seg")
+    val comps = (0 until 21).map(_ => ("seg",
+      (a: org.apache.spark.sql.Column,
+       b: org.apache.spark.sql.Column) => a === b))
+    val ex = intercept[IllegalArgumentException] {
+      Linkage.emPatternWeights(df, "id", Seq("blk"), comps)
+    }
+    assert(ex.getMessage.contains("2^21"), ex.getMessage)
+  }
+
   test("triage: three-way decision counts per pattern") {
     val df = Seq(
       (1L, 0, "X", 100L, "01"),  // 1-2: AAA = 1000000 -> link
