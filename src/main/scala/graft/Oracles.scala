@@ -231,6 +231,27 @@ private[graft] object Oracles {
     "ent AS (SELECT id, CAST(min(lab) AS BIGINT) AS entity_id " +
     "  FROM reach GROUP BY id)"
 
+  /** resolveEntities replay — shared by q_linkage_entities and (by the
+    * quotient-graph parity argument in Linkage.linkIncremental's
+    * scaladoc) q_linkage_incremental. */
+  private lazy val linkageEntitiesOracle: String =
+    s"WITH RECURSIVE $linkagePairCtes, $linkageEntityCtes " +
+    "SELECT entity_id, CAST(id AS BIGINT) AS id FROM ent"
+
+  /** Exact-ppm Herfindahl replica with the operator's self-switching
+    * overflow-safe division — shared by q_hhi and its pure-SQL twin. */
+  private lazy val hhiOracle: String =
+    "WITH c AS (SELECT c_nationkey, c_mktsegment, " +
+    "  CAST(count(*) AS BIGINT) AS nn FROM customer GROUP BY 1, 2), " +
+    "g AS (SELECT c_nationkey, CAST(sum(nn) AS BIGINT) AS n, " +
+    "  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS k_categories, " +
+    "  CAST(sum(nn * nn) AS BIGINT) AS ss FROM c GROUP BY 1) " +
+    "SELECT c_nationkey, n, k_categories, " +
+    "CASE WHEN n <= 3000000 THEN ss * 1000000 // (n * n) " +
+    "ELSE (ss // (n * n)) * 1000000 + " +
+    "  (ss % (n * n)) // greatest((n * n) // 1000000, 1) END AS hhi_ppm " +
+    "FROM g"
+
   /** Fellegi–Sunter EM replay (q_linkage_em): the Spark side runs 20
     * EM iterations over the ≤2^3-row agreement-pattern frame in ppm
     * integer arithmetic (Linkage.emEstimate); this oracle UNROLLS the
@@ -1880,24 +1901,59 @@ private[graft] object Oracles {
        "CAST(max(score_ppm) AS BIGINT) AS score_ppm " +
        "FROM p GROUP BY 1, 2"),
     // entity clusters: min-reachable-id labels over the links
-    "q_linkage_entities" ->
-      (s"WITH RECURSIVE $linkagePairCtes, $linkageEntityCtes " +
-       "SELECT entity_id, CAST(id AS BIGINT) AS id FROM ent"),
+    "q_linkage_entities" -> linkageEntitiesOracle,
+    // incremental linkage over the 80/20 split must EQUAL the full
+    // batch re-run over the union — the quotient-graph parity the
+    // operator's scaladoc proves, so the oracle IS the entities oracle
+    "q_linkage_incremental" -> linkageEntitiesOracle,
+    // graded-string linkage: same levenshtein band + exact fields and
+    // fixed ppm weights as the Spark side, over the typo'd injection
+    "q_linkage_fuzzy" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer UNION ALL " +
+       "  SELECT c_custkey + 1000000000, " +
+       "  concat(substr(c_name, 1, length(c_name) - 1), 'Z'), " +
+       "  c_nationkey, c_mktsegment FROM customer " +
+       "  WHERE c_custkey % 10 = 0), " +
+       "c AS (SELECT c_custkey AS id, " +
+       "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
+       "  c_name AS nm, c_nationkey AS nat, c_mktsegment AS seg " +
+       "  FROM base), " +
+       "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+       "  concat(" +
+       "    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN levenshtein(a.nm, b.nm) <= 2 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
     // survivorship golden records over the resolved entities
     "q_linkage_golden" ->
       (s"WITH RECURSIVE $linkagePairCtes, $linkageEntityCtes, " +
-       "mem AS (SELECT ent.entity_id, cu.c_mktsegment, " +
+       "mem AS (SELECT ent.entity_id, ent.id, cu.c_mktsegment, " +
        "  CAST(floor(cu.c_acctbal * 100) AS BIGINT) AS bal " +
        "  FROM ent JOIN customer cu ON cu.c_custkey = ent.id), " +
        "segp AS (SELECT entity_id, seg FROM (SELECT entity_id, " +
        "  c_mktsegment AS seg, row_number() OVER (PARTITION BY entity_id " +
        "  ORDER BY count(*) DESC, c_mktsegment) AS rn " +
        "  FROM mem GROUP BY entity_id, c_mktsegment) WHERE rn = 1), " +
+       // latest-non-null balance by member id, ts ties to the larger
+       // value — the goldenRecords recency rule replayed
+       "recp AS (SELECT entity_id, bal AS bal_cents_latest FROM " +
+       "  (SELECT entity_id, bal, row_number() OVER " +
+       "    (PARTITION BY entity_id ORDER BY id DESC, bal DESC) AS rn " +
+       "   FROM mem WHERE bal IS NOT NULL) WHERE rn = 1), " +
        "agg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members, " +
        "  CAST(max(bal) AS BIGINT) AS bal_cents_max FROM mem GROUP BY 1) " +
        "SELECT a.entity_id, a.n_members, s.seg, a.bal_cents_max, " +
-       "cu.c_name AS rep_name " +
+       "r.bal_cents_latest, cu.c_name AS rep_name " +
        "FROM agg a JOIN segp s USING (entity_id) " +
+       "LEFT JOIN recp r USING (entity_id) " +
        "JOIN customer cu ON cu.c_custkey = a.entity_id"),
     // rare-category consolidation: ppm shares against the broadcast
     // total, sub-threshold nations merged into __OTHER__
@@ -1968,17 +2024,10 @@ private[graft] object Oracles {
        "FROM f"),
     // exact-ppm Herfindahl concentration per nation over segments,
     // with the operator's self-switching overflow-safe division
-    "q_hhi" ->
-      ("WITH c AS (SELECT c_nationkey, c_mktsegment, " +
-       "  CAST(count(*) AS BIGINT) AS nn FROM customer GROUP BY 1, 2), " +
-       "g AS (SELECT c_nationkey, CAST(sum(nn) AS BIGINT) AS n, " +
-       "  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS k_categories, " +
-       "  CAST(sum(nn * nn) AS BIGINT) AS ss FROM c GROUP BY 1) " +
-       "SELECT c_nationkey, n, k_categories, " +
-       "CASE WHEN n <= 3000000 THEN ss * 1000000 // (n * n) " +
-       "ELSE (ss // (n * n)) * 1000000 + " +
-       "  (ss % (n * n)) // greatest((n * n) // 1000000, 1) END AS hhi_ppm " +
-       "FROM g"),
+    "q_hhi" -> hhiOracle,
+    // the pure-SQL twin (registered hhi_ppm function) shares the
+    // operator query's oracle
+    "q_hhi_sql" -> hhiOracle,
     // apply-variant: per-row relabel against the same keep policy
     "q_rare_merge_apply" ->
       ("WITH c AS (SELECT CAST(c_nationkey AS VARCHAR) AS cat, " +

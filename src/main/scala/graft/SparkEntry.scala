@@ -1136,7 +1136,9 @@ object SparkEntry {
           "c_custkey", Seq("name_blk"), linkageRules, 550000L)
           .select(col("id_a"), col("id_b")))),
     // survivorship: one golden record per entity — modal segment (ties
-    // to the smaller value), max balance, the representative's name
+    // to the smaller value), max balance, latest-non-null balance by
+    // member id (the "most recent system wins" MDM rule, ties on the
+    // timestamp to the larger value), the representative's name
     "q_linkage_golden" -> ((s, dir) => {
       import graft.operators.Linkage
       val ents = Linkage.resolveEntities(
@@ -1146,14 +1148,53 @@ object SparkEntry {
       val cust = t(s, dir, "customer")
       val mem = ents.join(cust, ents("id") === cust("c_custkey"))
         .withColumn("bal_cents", floor(col("c_acctbal") * 100).cast("long"))
-        .select(col("entity_id"), col("c_mktsegment"), col("bal_cents"))
+        .select(col("entity_id"), col("id"), col("c_mktsegment"),
+          col("bal_cents"))
       Linkage.goldenRecords(mem, "entity_id",
-          modalCols = Seq("c_mktsegment"), maxCols = Seq("bal_cents"))
+          modalCols = Seq("c_mktsegment"), maxCols = Seq("bal_cents"),
+          recencyCols = Seq(("bal_cents", "id")))
         .join(cust.select(col("c_custkey").as("entity_id"),
           col("c_name").as("rep_name")), "entity_id")
         .select(col("entity_id"), col("n_members"),
           col("c_mktsegment").as("seg"), col("bal_cents_max"),
-          col("rep_name"))
+          col("bal_cents_latest"), col("rep_name"))
+    }),
+    // incremental linkage — the continuous-curation shape: a 20% ingest
+    // batch links against the 80% resolved corpus via the block index,
+    // never regenerating existing x existing pairs; the quotient
+    // construction makes the output EQUAL the full batch re-run over
+    // the union (the oracle is exactly q_linkage_entities'), including
+    // batch records that bridge two existing entities
+    "q_linkage_incremental" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val c = linkageCustomer(s, dir)
+      val existing = c.filter(col("c_custkey") % 5 =!= 0)
+      val batch = c.filter(col("c_custkey") % 5 === 0)
+      val ents = Linkage.resolveEntities(
+        Linkage.scorePairs(existing, "c_custkey", Seq("name_blk"),
+          linkageRules, 550000L).select(col("id_a"), col("id_b")))
+      Linkage.linkIncremental(existing, ents, batch, "c_custkey",
+        Seq("name_blk"), linkageRules, 550000L)
+    }),
+    // graded-string linkage: every 10th customer re-appears under a new
+    // id with the LAST name character typo'd (block key unchanged — the
+    // block is all but the last two chars); the edit-distance band
+    // comparator links the planted typo pair that exact name equality
+    // misses, with nation + segment as corroborating exact fields
+    "q_linkage_fuzzy" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val typo = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      val c = cust.unionByName(typo)
+        .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+      Linkage.scorePairs(c, "c_custkey", Seq("name_blk"), Seq(
+        Linkage.editBand("c_name", maxDist = 2, 500000L, 300000L),
+        Linkage.eq("c_nationkey", 370000L, 160000L),
+        Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
     }),
     // the linkage scorer on the PURE-SQL surface: blocked pair join in
     // plain SQL, pattern/score via the fs_pattern / fs_score functions
@@ -1226,6 +1267,24 @@ object SparkEntry {
     "q_hhi" -> ((s, dir) =>
       graft.operators.Analytics.concentrationIndex(t(s, dir, "customer"),
         "c_nationkey", "c_mktsegment")),
+    // the same HHI on the PURE-SQL surface: grouping in plain SQL, the
+    // self-switching exact-ppm finish via the registered hhi_ppm
+    // function — same oracle as the operator query
+    "q_hhi_sql" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      t(s, dir, "customer").createOrReplaceTempView("graft_hhi_customer")
+      s.sql("""
+        WITH c AS (SELECT c_nationkey, c_mktsegment,
+            CAST(count(1) AS BIGINT) AS cnt
+          FROM graft_hhi_customer GROUP BY 1, 2),
+        g AS (SELECT c_nationkey, CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(count(1) AS BIGINT) AS k_categories,
+            CAST(sum(cnt * cnt) AS BIGINT) AS ss
+          FROM c GROUP BY 1)
+        SELECT c_nationkey, n, k_categories, hhi_ppm(ss, n) AS hhi_ppm
+        FROM g
+      """)
+    }),
     // inequality of the VALUE distribution per event type: rank-based
     // Gini in exact ppm on the bucketed two-phase rank (no per-group
     // window task)

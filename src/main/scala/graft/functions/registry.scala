@@ -149,6 +149,22 @@ object registry {
         }
         sketchCol(terms.reduce(_ + _).cast("long"))
       }),
+      // exact-ppm Herfindahl finish: hhi_ppm(sum_sq, n) over the
+      // (Σ n_i², N) aggregates a plain GROUP BY produces — the same
+      // self-switching overflow arithmetic as
+      // Analytics.concentrationIndex, so the SQL surface shares the
+      // operator query's oracle
+      "hhi_ppm" -> (args => {
+        require(args.length == 2, "hhi_ppm(sum_sq, n)")
+        import org.apache.spark.sql.functions.{greatest, lit, when}
+        val ss = colOf(args(0)).cast("long")
+        val n = colOf(args(1)).cast("long")
+        val n2 = n * n
+        sketchCol(
+          when(n <= lit(3000000L), idiv(ss * lit(1000000L), n2))
+            .otherwise(idiv(ss, n2) * lit(1000000L) +
+              idiv(ss % n2, greatest(idiv(n2, lit(1000000L)), lit(1L)))))
+      }),
       "kmv_hash" -> (args => sketchCol(graft.operators.Sketch.kmvHash(
         colOf(args.head)))),
       "kmv_estimate" -> (args => sketchCol(graft.operators.Sketch.kmvEstimate(
@@ -167,6 +183,14 @@ object registry {
     org.apache.spark.sql.graftbridge.Bridge.column(e)
   private def sketchCol(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.toExpression(c)
+  /** Integer division as a Column (the SQL `div` operator — the Column
+    * DSL has no integral-divide method; `/` is float division). */
+  private def idiv(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(a),
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(b)))
 
   private def intArg(args: Seq[Expression], at: Int, default: Int): Int =
     longLiteral(args, at, s"argument $at").map(_.toInt).getOrElse(default)

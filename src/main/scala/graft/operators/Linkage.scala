@@ -37,6 +37,36 @@ object Linkage {
   def eq(col: String, wAgreePpm: Long, wDisagreePpm: Long): FieldRule =
     FieldRule(col, (a, b) => a === b, wAgreePpm, wDisagreePpm)
 
+  /** GRADED string comparator: agreement = Levenshtein edit distance
+    * within `maxDist` — the approximate-match rule real ER needs where
+    * exact equality misses typo'd duplicates (Winkler's motivating
+    * case). Spark's `levenshtein` and DuckDB's `levenshtein` compute
+    * the same standard unit-cost edit distance over codepoints, so the
+    * agreement bit replays engine-exactly. NULL on either side is
+    * disagreement, per the FieldRule contract. */
+  def editBand(col: String, maxDist: Int, wAgreePpm: Long,
+               wDisagreePpm: Long): FieldRule = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    FieldRule(col, (a, b) => levenshtein(a, b) <= lit(maxDist),
+      wAgreePpm, wDisagreePpm)
+  }
+
+  /** One side's projection for the blocked pair join: the id (tagged),
+    * the block keys (join columns), and the comparator fields (tagged
+    * so both sides survive the join). */
+  private def sideProj(df: DataFrame, tag: String, idCol: String,
+      blockCols: Seq[String], cols: Seq[String]): DataFrame =
+    df.select(
+      (col(idCol).as(s"id_$tag") +: blockCols.map(col)) ++
+        cols.map(c => col(c).as(s"__${tag}_$c")): _*)
+
+  /** Per-field agreement predicates over a paired frame built from
+    * [[sideProj]] sides. */
+  private def agreeCols(cols: Seq[String],
+      sames: Seq[(Column, Column) => Column]): Seq[Column] =
+    cols.zip(sames).map { case (c, same) =>
+      coalesce(same(col(s"__a_$c"), col(s"__b_$c")), lit(false)) }
+
   /** Blocked candidate pairs with their agreement pattern — the shared
     * front half of scoring and EM estimation. Pair work is Σ_b |b|². */
   private def pairedWithPattern(df: DataFrame, idCol: String,
@@ -44,14 +74,10 @@ object Linkage {
       sames: Seq[(Column, Column) => Column]): (DataFrame, Seq[Column]) = {
     require(blockCols.nonEmpty, "linkage needs at least one block key")
     require(cols.nonEmpty, "linkage needs at least one field rule")
-    def side(tag: String) = df.select(
-      (col(idCol).as(s"id_$tag") +: blockCols.map(col)) ++
-        cols.map(c => col(c).as(s"__${tag}_$c")): _*)
-    val paired = side("a").join(side("b"), blockCols)
+    val paired = sideProj(df, "a", idCol, blockCols, cols)
+      .join(sideProj(df, "b", idCol, blockCols, cols), blockCols)
       .filter(col("id_a") < col("id_b"))
-    val agrees = cols.zip(sames).map { case (c, same) =>
-      coalesce(same(col(s"__a_$c"), col(s"__b_$c")), lit(false)) }
-    (paired, agrees)
+    (paired, agreeCols(cols, sames))
   }
 
   def scorePairs(df: DataFrame, idCol: String, blockCols: Seq[String],
@@ -153,6 +179,78 @@ object Linkage {
       .agg(count(lit(1)).as("n_pairs"), max(col("score_ppm")).as("score_ppm"))
   }
 
+  /** INCREMENTAL linkage — the continuous-curation shape: every ingest
+    * batch links against the EXISTING resolved corpus without ever
+    * regenerating existing×existing pairs (the [[Dedup.incrementalNearDup]]
+    * posture applied to ER). `existing` is the accepted source rows
+    * (the persistable block index: project it to idCol + blockCols +
+    * rule fields and write it as parquet partitioned by block);
+    * `existingEntities` is the prior (entity_id, id) assignment from
+    * [[resolveEntities]] over those rows. Ids must be disjoint across
+    * the two sides (same contract as the dedup tier).
+    *
+    * Exactly equal to the full batch re-run by the QUOTIENT argument:
+    * contracting each existing entity to its representative node
+    * (entity_id = the cluster's min member id) preserves component
+    * structure, because existing-side links are already complete and
+    * every new edge lands on a batch id or an entity node. The final
+    * label = min over quotient nodes = min(entity mins, batch ids) =
+    * the true min member id — bit-for-bit the batch answer, including
+    * when one new record BRIDGES two existing entities (they merge via
+    * their entity nodes). Output: (entity_id, id) for every linked
+    * member, existing and new — directly comparable to
+    * [[resolveEntities]] over the union (the parity the oracle pins).
+    *
+    * Scale shape: batch-internal pairs are Σ_b |batch_b|²; cross pairs
+    * are a block equi-join of the batch-sized probe against the
+    * existing index (AQE broadcasts the probe side); the component
+    * pass rides [[Dedup.componentsAuto]] over link-rate-sized edges;
+    * the relabel is one entity-keyed equi-join. Nothing rescans
+    * existing×existing. */
+  def linkIncremental(existing: DataFrame, existingEntities: DataFrame,
+      batch: DataFrame, idCol: String, blockCols: Seq[String],
+      rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
+    require(blockCols.nonEmpty, "linkage needs at least one block key")
+    require(rules.nonEmpty, "linkage needs at least one field rule")
+    val cols = rules.map(_.col)
+    // batch-internal links: the standard id_a < id_b triangle
+    val bb = scorePairs(batch, idCol, blockCols, rules, thresholdPpm)
+      .select(col("id_a"), col("id_b"))
+    // batch × existing links: block equi-join ACROSS the two frames —
+    // no ordering filter (the sides are disjoint), agreement is
+    // symmetric so the score equals the union run's for either order
+    val paired = sideProj(batch, "a", idCol, blockCols, cols)
+      .join(sideProj(existing, "b", idCol, blockCols, cols), blockCols)
+    val score = rules.zip(agreeCols(cols, rules.map(_.same)))
+      .map { case (r, ok) =>
+        when(ok, lit(r.wAgreePpm)).otherwise(lit(-r.wDisagreePpm)) }
+      .reduce(_ + _).cast("long")
+    val cross = paired.filter(score >= thresholdPpm)
+      .select(col("id_a"), col("id_b"))
+    // contract existing members to their ENTITY node (quotient graph);
+    // an existing row never linked before is its own node
+    val entOf = existingEntities.select(col("id").as("id_b"),
+      col("entity_id").as("__ent"))
+    val edges = bb.unionByName(
+      cross.join(entOf, Seq("id_b"), "left")
+        .select(col("id_a"), coalesce(col("__ent"), col("id_b")).as("id_b"))
+        .distinct())
+    val comp = graft.operators.Dedup.componentsAuto(edges)
+    // existing members follow their entity's (possibly merged) label;
+    // entities the batch never touched keep their label
+    val relabel = comp.select(col("id").as("entity_id"),
+      col("component").as("__new"))
+    val existingOut = existingEntities.join(relabel, Seq("entity_id"), "left")
+      .select(coalesce(col("__new"), col("entity_id")).as("entity_id"),
+        col("id"))
+    // comp's non-entity nodes are the NEW members: batch ids plus
+    // existing singletons pulled into a cluster for the first time
+    val entIds = existingEntities.select(col("entity_id").as("id")).distinct()
+    val fresh = comp.join(entIds, Seq("id"), "left_anti")
+      .select(col("component").as("entity_id"), col("id"))
+    fresh.unionByName(existingOut)
+  }
+
   /** Entity resolution tail: linked pairs → entity clusters. Each
     * member maps to its entity id = the minimum reachable member id
     * (the canonical representative). Delegates to the hybrid
@@ -168,6 +266,11 @@ object Linkage {
     *   - `modalCols`: the entity's most frequent value, ties to the
     *     smallest value (per-entity window over entity-sized groups);
     *   - `maxCols`: the entity's maximum (as `<col>_max`);
+    *   - `recencyCols`: (valueCol, tsCol) pairs — the LATEST NON-NULL
+    *     value by the timestamp column (as `<col>_latest`), ties on the
+    *     timestamp broken by the larger value — the third standard MDM
+    *     rule ("most recent system wins"). Entities whose column is
+    *     all-NULL report NULL (left join);
     *   - `n_members` always.
     * `members` is (entityCol, attribute columns…) — one row per
     * member, e.g. [[resolveEntities]] joined back to the source.
@@ -177,12 +280,13 @@ object Linkage {
     * corpus-sized partitions. */
   def goldenRecords(members: DataFrame, entityCol: String,
                     modalCols: Seq[String],
-                    maxCols: Seq[String]): DataFrame = {
+                    maxCols: Seq[String],
+                    recencyCols: Seq[(String, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = members.groupBy(col(entityCol)).agg(
       count(lit(1)).as("n_members"),
       maxCols.map(c => max(col(c)).as(s"${c}_max")): _*)
-    modalCols.foldLeft(base) { (acc, c) =>
+    val withModal = modalCols.foldLeft(base) { (acc, c) =>
       val w = Window.partitionBy(col(entityCol))
         .orderBy(col("__n").desc, col(c).asc)
       val pick = members.groupBy(col(entityCol), col(c))
@@ -191,6 +295,15 @@ object Linkage {
         .filter(col("__rn") === 1)
         .select(col(entityCol), col(c))
       acc.join(pick, entityCol)
+    }
+    recencyCols.foldLeft(withModal) { case (acc, (c, ts)) =>
+      val w = Window.partitionBy(col(entityCol))
+        .orderBy(col(ts).desc, col(c).desc)
+      val pick = members.filter(col(c).isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(entityCol), col(c).as(s"${c}_latest"))
+      acc.join(pick, Seq(entityCol), "left")
     }
   }
 

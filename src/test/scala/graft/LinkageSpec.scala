@@ -93,6 +93,83 @@ class LinkageSpec extends SparkTestBase {
     assert(ex.getMessage.contains("2^21"), ex.getMessage)
   }
 
+  test("editBand: links a planted typo'd duplicate that exact equality misses") {
+    // (1, 2) is the same entity with one character typo'd in the name
+    val df = Seq(
+      (1L, 0, "smith", "X"),
+      (2L, 0, "smyth", "X"),   // edit distance 1 from smith
+      (3L, 0, "jones", "X"))   // distance 4/5 from both
+      .toDF("id", "blk", "name", "seg")
+    val fuzzy = Seq(
+      Linkage.editBand("name", maxDist = 1, 500000L, 300000L),
+      Linkage.eq("seg", 280000L, 120000L))
+    val exact = Seq(
+      Linkage.eq("name", 500000L, 300000L),
+      Linkage.eq("seg", 280000L, 120000L))
+    def links(rules: Seq[Linkage.FieldRule]) =
+      Linkage.scorePairs(df, "id", Seq("blk"), rules, 700000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(links(fuzzy) === Set((1L, 2L)))
+    assert(links(exact) === Set.empty, "exact equality must miss the typo")
+  }
+
+  test("linkIncremental: equals the full batch re-run, including an entity bridge") {
+    // existing corpus: entities {1,2} and {3,4} share a block but DON'T
+    // link to each other (balance band too far), singleton 5,
+    // untouched entity {6,7}; batch: 10 sits between the two balance
+    // bands and BRIDGES the entities, 11 pulls singleton 5 into an
+    // entity, 12-13 form a batch-only pair, 14 links nothing
+    val existing = Seq(
+      (1L, 0, "alpha", 0L), (2L, 0, "alpha", 10L),
+      (3L, 0, "alpha", 100L), (4L, 0, "alpha", 110L),
+      (5L, 1, "gamma", 0L),
+      (6L, 2, "delta", 0L), (7L, 2, "delta", 0L))
+      .toDF("id", "blk", "name", "bal")
+    val batch = Seq(
+      (10L, 0, "alpha", 55L),  // |55-10| and |55-100| both within 50
+      (11L, 1, "gamma", 0L),
+      (12L, 3, "kappa", 0L), (13L, 3, "kappa", 0L),
+      (14L, 4, "sigma", 0L))
+      .toDF("id", "blk", "name", "bal")
+    val irules = Seq(
+      Linkage.eq("name", 500000L, 300000L),
+      Linkage.FieldRule("bal", (a, b) => abs(a - b) <= lit(50L),
+        280000L, 120000L))
+    val thr = 700000L
+    val fe = Linkage.resolveEntities(
+      Linkage.scorePairs(existing.unionByName(batch), "id", Seq("blk"),
+        irules, thr).select(col("id_a"), col("id_b")))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val ents = Linkage.resolveEntities(
+      Linkage.scorePairs(existing, "id", Seq("blk"), irules, thr)
+        .select(col("id_a"), col("id_b")))
+    // fixture pre-check: the existing-only run keeps {1,2} and {3,4}
+    // separate — the merge can only come from the batch record
+    assert(ents.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 6L -> 6L, 7L -> 6L))
+    val inc = Linkage.linkIncremental(existing, ents, batch, "id",
+        Seq("blk"), irules, thr)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(inc === fe, s"parity broke: $inc vs $fe")
+    assert(fe === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L,
+      5L -> 5L, 11L -> 5L, 6L -> 6L, 7L -> 6L, 12L -> 12L, 13L -> 12L))
+  }
+
+  test("goldenRecords: recency rule — latest non-null by ts, ties to larger value, all-null entity reports NULL") {
+    val members = Seq(
+      (1L, Some(10L), 100L), (1L, Some(30L), 200L), (1L, None, 300L),
+      (2L, Some(7L), 50L), (2L, Some(9L), 50L),  // ts tie at 50: larger value 9
+      (3L, Option.empty[Long], 10L))             // all-null value column
+      .toDF("entity_id", "v", "ts")
+    val got = Linkage.goldenRecords(members, "entity_id",
+        modalCols = Nil, maxCols = Nil, recencyCols = Seq(("v", "ts")))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // entity 1: latest ts with non-null v is 200 -> v=30; the NULL v at
+    // ts 300 must not win; entity 2: both at ts 50 -> larger v = 9
+    assert(got === Map(1L -> Some(30L), 2L -> Some(9L), 3L -> None))
+  }
+
   test("triage: three-way decision counts per pattern") {
     val df = Seq(
       (1L, 0, "X", 100L, "01"),  // 1-2: AAA = 1000000 -> link
