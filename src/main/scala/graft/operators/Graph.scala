@@ -328,7 +328,15 @@ object Graph {
     * materializes as ONE oriented wedge + closure (the oriented
     * triangle has a unique source), so no hub blows up the wedge join;
     * each triangle then credits its three edges. */
-  private def edgeSupport(und: DataFrame): DataFrame = {
+  private def edgeSupport(und: DataFrame): DataFrame =
+    withSupport(und, orientedTriangles(und))
+
+  /** Oriented triangle ENUMERATION of a canonical (a < b) edge list —
+    * each triangle exactly once (the oriented triangle has a unique
+    * source under the degree orientation), carrying its three canonical
+    * edges as columns so downstream passes can prune by edge without
+    * re-joining. */
+  private def orientedTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -346,13 +354,19 @@ object Graph {
       .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
       .join(o.select(col("src").as("u"), col("dst").as("w")),
         Seq("u", "w"), "left_semi")
-    val credits = tri.select(explode(array(
-        struct(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b")),
-        struct(least(col("v"), col("w")).as("a"),
-          greatest(col("v"), col("w")).as("b")),
-        struct(least(col("u"), col("w")).as("a"),
-          greatest(col("u"), col("w")).as("b")))).as("e"))
+    tri.select(
+      least(col("u"), col("v")).as("a1"), greatest(col("u"), col("v")).as("b1"),
+      least(col("v"), col("w")).as("a2"), greatest(col("v"), col("w")).as("b2"),
+      least(col("u"), col("w")).as("a3"), greatest(col("u"), col("w")).as("b3"))
+  }
+
+  /** Per-edge support of `und` given the triangle frame: each triangle
+    * credits its three edges; zero-support edges included. */
+  private def withSupport(und: DataFrame, tris: DataFrame): DataFrame = {
+    val credits = tris.select(explode(array(
+        struct(col("a1").as("a"), col("b1").as("b")),
+        struct(col("a2").as("a"), col("b2").as("b")),
+        struct(col("a3").as("a"), col("b3").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__sup"))
     und.join(credits, Seq("a", "b"), "left")
@@ -372,41 +386,63 @@ object Graph {
     * the fixtures); a production sweep sizes rounds from the peel
     * profile the same way kCore does.
     *
-    * Scale shape: per round, one degree-oriented wedge join (bounded
-    * by the orientation, never hub-quadratic), one explode ×3 of the
-    * triangle frame, one map-side-combined count — all equi-joins; the
-    * edge frame is lineage-cut per round like every BSP loop here. */
+    * Scale shape: ONE degree-oriented wedge join total (bounded by the
+    * orientation, never hub-quadratic) enumerates the triangle frame;
+    * each round is three anti-joins of that frame against the dropped
+    * set plus one explode ×3 + map-side-combined count — all
+    * equi-joins; triangle and support frames are lineage-cut per round
+    * like every BSP loop here, and the peel short-circuits at its
+    * fixed point. */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
-    var und = LineageCut.cut(
+    val und0 = LineageCut.cut(
       edges.select(
           least(col("id_a"), col("id_b")).cast("long").as("a"),
           greatest(col("id_a"), col("id_b")).cast("long").as("b"))
         .filter(col("a") =!= col("b")).distinct())
-    // Convergence short-circuit: the peel is a monotone fixed point —
-    // once a round drops NO edge, every later round is the identity
-    // and the final support equals the support just computed, so the
-    // fixed-round output is unchanged by construction (spec-pinned
-    // against the non-short-circuit path). Each round keeps its
-    // support column so the converged round IS the answer — the
-    // full-recompute finale only runs when the peel is still moving
-    // after `rounds` (one bounded count() per round buys up to
-    // rounds+1 saved edge-support passes, each ~a triangle count).
-    var result: DataFrame = null
+    // DECREMENTAL peel: triangles are enumerated ONCE — the wedge join
+    // is the expensive pass, and the old per-round full recompute paid
+    // it rounds+1 times. Dropping edges can only REMOVE triangles, and
+    // a triangle of the surviving subgraph IS a triangle of the
+    // original graph with all three edges surviving — so each round
+    // prunes the carried triangle frame with three anti-joins against
+    // the (peel-rate-sized) dropped set and recounts. Support per
+    // round is therefore IDENTICAL to the full recompute (spec-pinned
+    // on the fixtures and by the unchanged oracle), at one wedge join
+    // total. Convergence short-circuits: once no edge drops, the peel
+    // is at its monotone fixed point and the current frame is final.
+    // Memory trade: the triangle frame is lineage-cut and shrinks
+    // every round — the standard distributed truss-decomposition
+    // posture (triangles ≤ Σ_e support(e), bounded by the wedge join
+    // the old path already materialized transiently each round).
+    var tri = LineageCut.cut(orientedTriangles(und0))
+    var sup = LineageCut.cut(withSupport(und0.select(col("a"), col("b")), tri))
+    LineageCut.release(und0)
     var r = 0
-    while (r < rounds && result == null) {
-      val before = und.count()
-      val next = LineageCut.cut(
-        edgeSupport(und.select(col("a"), col("b")))
-          .filter(col("support") >= k - 2))
-      LineageCut.release(und)
-      und = next
-      if (und.count() == before) result = und
+    var converged = false
+    while (r < rounds && !converged) {
+      val cnt = sup.agg(count(lit(1)).as("n"),
+        count(when(col("support") >= k - 2, 1)).as("keep")).head()
+      if (cnt.getLong(0) == cnt.getLong(1)) converged = true
+      else {
+        val dropped = sup.filter(col("support") < k - 2)
+          .select(col("a"), col("b"))
+        val tri2 = LineageCut.cut(
+          Seq(1, 2, 3).foldLeft(tri) { (t, i) =>
+            t.join(dropped.select(col("a").as(s"a$i"), col("b").as(s"b$i")),
+              Seq(s"a$i", s"b$i"), "left_anti")
+          })
+        val sup2 = LineageCut.cut(withSupport(
+          sup.filter(col("support") >= k - 2).select(col("a"), col("b")),
+          tri2))
+        LineageCut.release(tri); tri = tri2
+        LineageCut.release(sup); sup = sup2
+      }
       r += 1
     }
-    if (result == null) result = edgeSupport(und.select(col("a"), col("b")))
-    result.select(col("a"), col("b"), col("support"))
+    LineageCut.release(tri)
+    sup.select(col("a"), col("b"), col("support"))
   }
 
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
