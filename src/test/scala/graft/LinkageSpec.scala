@@ -155,6 +155,26 @@ class LinkageSpec extends SparkTestBase {
       5L -> 5L, 11L -> 5L, 6L -> 6L, 7L -> 6L, 12L -> 12L, 13L -> 12L))
   }
 
+  test("linkIncremental: first-batch bootstrap (empty existing corpus) equals the batch run") {
+    val empty = Seq.empty[(Long, Int, String, Long)]
+      .toDF("id", "blk", "name", "bal")
+    val batch = Seq(
+      (1L, 0, "alpha", 0L), (2L, 0, "alpha", 10L),
+      (3L, 1, "beta", 0L))
+      .toDF("id", "blk", "name", "bal")
+    val brules = Seq(
+      Linkage.eq("name", 500000L, 300000L),
+      Linkage.FieldRule("bal", (a, b) => abs(a - b) <= lit(50L),
+        280000L, 120000L))
+    val emptyEnts = Linkage.resolveEntities(
+      Linkage.scorePairs(empty, "id", Seq("blk"), brules, 700000L)
+        .select(col("id_a"), col("id_b")))
+    val got = Linkage.linkIncremental(empty, emptyEnts, batch, "id",
+        Seq("blk"), brules, 700000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("goldenRecords: recency rule — latest non-null by ts, ties to larger value, all-null entity reports NULL") {
     val members = Seq(
       (1L, Some(10L), 100L), (1L, Some(30L), 200L), (1L, None, 300L),
