@@ -2022,6 +2022,51 @@ private[graft] object Oracles {
        "ELSE (num // den) * 1000000 + " +
        "  (num % den) // greatest(den // 1000000, 1) END AS gini_ppm " +
        "FROM f"),
+    // Simpson concentration per source over languages: the without-
+    // replacement sibling of HHI, same self-switching division
+    "q_simpson" ->
+      ("WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nn " +
+       "  FROM documents GROUP BY 1, 2), " +
+       "g AS (SELECT source, CAST(sum(nn) AS BIGINT) AS n, " +
+       "  CAST(count(DISTINCT lang) AS BIGINT) AS k_categories, " +
+       "  CAST(sum(nn * (nn - 1)) AS BIGINT) AS ss FROM c GROUP BY 1) " +
+       "SELECT source, n, k_categories, " +
+       "CASE WHEN n < 2 THEN 0 " +
+       "WHEN n <= 3000000 THEN ss * 1000000 // (n * (n - 1)) " +
+       "ELSE (ss // (n * (n - 1))) * 1000000 + " +
+       "  (ss % (n * (n - 1))) // greatest((n * (n - 1)) // 1000000, 1) " +
+       "END AS simpson_ppm FROM g"),
+    // blocking-quality audit: reduction ratio over block-count sums
+    // (never materializing candidate pairs) + pair completeness of the
+    // planted truth under the conjunctive name-prefix key
+    "q_linkage_blocking_eval" ->
+      ("WITH base AS (SELECT c_custkey, c_name FROM customer " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat(substr(c_name, 1, length(c_name) - 1), 'Z') " +
+       "    FROM customer WHERE c_custkey % 10 = 0 " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat('X', substr(c_name, 2)) " +
+       "    FROM customer WHERE c_custkey % 10 = 5), " +
+       "k AS (SELECT c_custkey AS id, " +
+       "  substr(c_name, 1, length(c_name) - 2) AS blk FROM base), " +
+       "cand AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) " +
+       "  AS n_candidate_pairs FROM " +
+       "  (SELECT CAST(count(*) AS BIGINT) AS c FROM k GROUP BY blk)), " +
+       "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM k), " +
+       "tp AS (SELECT c_custkey AS id_a, c_custkey + 1000000000 AS id_b " +
+       "  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5), " +
+       "cap AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, " +
+       "  CAST(count(CASE WHEN ka.blk = kb.blk THEN 1 END) AS BIGINT) " +
+       "  AS n_captured " +
+       "  FROM tp JOIN k ka ON ka.id = tp.id_a " +
+       "  JOIN k kb ON kb.id = tp.id_b) " +
+       "SELECT n_records, n_candidate_pairs, n_true_pairs, n_captured, " +
+       "CASE WHEN n_records < 2 THEN 1000000 ELSE " +
+       "  1000000 - n_candidate_pairs * 1000000 // " +
+       "  (n_records * (n_records - 1) // 2) END AS reduction_ppm, " +
+       "CASE WHEN n_true_pairs = 0 THEN 1000000 ELSE " +
+       "  n_captured * 1000000 // n_true_pairs END AS completeness_ppm " +
+       "FROM tot CROSS JOIN cand CROSS JOIN cap"),
     // exact-ppm Herfindahl concentration per nation over segments,
     // with the operator's self-switching overflow-safe division
     "q_hhi" -> hhiOracle,

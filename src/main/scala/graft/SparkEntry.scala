@@ -1293,6 +1293,38 @@ object SparkEntry {
         events(s, dir).filter(col("value") >= 0)
           .withColumn("cents", floor(col("value") * 100).cast("long")),
         "event_type", "cents", tieCols = Seq("event_id"))),
+    // Simpson concentration per source over languages — probability two
+    // random docs of a source share a language, without replacement
+    // (1e6 - simpson_ppm = Gini-Simpson diversity); exact ppm, the
+    // HHI's unbiased without-replacement sibling
+    "q_simpson" -> ((s, dir) =>
+      graft.operators.Analytics.simpsonIndex(t(s, dir, "documents"),
+        "source", "lang")),
+    // blocking-quality audit (Christen's reduction ratio + pair
+    // completeness) against a planted truth set: every 10th customer
+    // re-appears block-PRESERVED (last-char typo), every (10k+5)th
+    // block-BROKEN (first-char typo) — the report says how much of the
+    // quadratic the name-prefix blocking prunes and which share of the
+    // true pairs it keeps reachable (the %5 injections, by design, are
+    // the ones it loses)
+    "q_linkage_blocking_eval" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val kept = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      val broken = cust.filter(col("c_custkey") % 10 === 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name", expr("concat('X', substr(c_name, 2))"))
+      val truth = cust
+        .filter(col("c_custkey") % 10 === 0 || col("c_custkey") % 10 === 5)
+        .select(col("c_custkey").as("id_a"),
+          (col("c_custkey") + lit(1000000000L)).as("id_b"))
+      val corpus = cust.unionByName(kept).unionByName(broken)
+        .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+      Linkage.blockingQuality(corpus, "c_custkey", Seq("name_blk"), truth)
+    }),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),

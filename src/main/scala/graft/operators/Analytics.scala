@@ -350,6 +350,33 @@ object Analytics {
         "(__ss % (n * n)) div greatest((n * n) div 1000000L, 1L) END"))
       .drop("__ss")
 
+  /** Simpson concentration index per group (Simpson 1949, "Measurement
+    * of diversity"): the probability two random rows drawn WITHOUT
+    * replacement share a category — Σ n_i(n_i−1) / (N(N−1)) in exact
+    * ppm (1e6 − simpson_ppm is the Gini–Simpson diversity). The
+    * without-replacement form is the unbiased estimator and the one
+    * whose numerator stays integral; the [[concentrationIndex]] HHI is
+    * its with-replacement sibling. Groups with fewer than two rows
+    * report 0 (no pair to draw). Same self-switching overflow split
+    * and N ≤ ~3e9 envelope as HHI — identical CASE in the oracle.
+    *
+    * Scale shape: one map-side-combined (group, cat) count, then a
+    * group-keyed re-aggregation over category-sized frames. */
+  def simpsonIndex(df: DataFrame, groupCol: String,
+                   catCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n"),
+        countDistinct(col("__cat")).cast("long").as("k_categories"),
+        sum(col("__n") * (col("__n") - 1)).as("__ss"))
+      .withColumn("simpson_ppm", expr(
+        "CASE WHEN n < 2 THEN 0L " +
+        "WHEN n <= 3000000L THEN __ss * 1000000L div (n * (n - 1)) " +
+        "ELSE (__ss div (n * (n - 1))) * 1000000L + " +
+        "(__ss % (n * (n - 1))) div greatest((n * (n - 1)) div 1000000L, 1L) END"))
+      .drop("__ss")
+
   /** Apply-variant of [[rareCategoryMerge]]: returns the INPUT ROWS
     * with `catCol` rewritten — categories below the share threshold
     * become `otherLabel`, everything else passes through (NULL

@@ -179,6 +179,52 @@ object Linkage {
       .agg(count(lit(1)).as("n_pairs"), max(col("score_ppm")).as("score_ppm"))
   }
 
+  /** Blocking-quality audit (Christen 2012, "Data Matching", ch. 4's
+    * standard pair-level metrics): how good a blocking scheme is,
+    * BEFORE any scoring runs —
+    *   - reduction ratio = 1 − candidates / allPairs, the share of the
+    *     quadratic the blocking prunes (allPairs = N(N−1)/2);
+    *   - pair completeness = captured / |truth|, the share of TRUE
+    *     pairs the blocking keeps reachable (a conjunctive block key
+    *     captures a pair iff both sides agree on every block column).
+    * All exact ppm integers. One output row: n_records,
+    * n_candidate_pairs, n_true_pairs, n_captured, reduction_ppm,
+    * completeness_ppm. `truePairs` is the planted/labelled truth set
+    * (id_a, id_b).
+    *
+    * Scale shape: candidates come from one map-side-combined block
+    * count (Σ_b c_b(c_b−1)/2 — never materializing the pairs);
+    * completeness is two id-keyed equi-joins of the truth set (truth
+    * is label-sized); the three single-row frames meet on broadcasts. */
+  def blockingQuality(df: DataFrame, idCol: String, blockCols: Seq[String],
+                      truePairs: DataFrame): DataFrame = {
+    require(blockCols.nonEmpty, "blocking audit needs block columns")
+    val keyed = df.select(col(idCol).as("__id"),
+      // struct, not string concat: two different column tuples can
+      // concat to the same string, a struct cannot
+      struct(blockCols.map(col): _*).as("__blk"))
+    val cand = keyed.groupBy(col("__blk")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L))
+        .as("n_candidate_pairs"))
+    val tot = keyed.agg(count(lit(1)).as("n_records"))
+    val cap = truePairs
+      .join(keyed.select(col("__id").as("id_a"), col("__blk").as("__ba")),
+        Seq("id_a"))
+      .join(keyed.select(col("__id").as("id_b"), col("__blk").as("__bb")),
+        Seq("id_b"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count(when(col("__ba") === col("__bb"), 1)).as("n_captured"))
+    tot.crossJoin(broadcast(cand)).crossJoin(broadcast(cap))
+      .select(col("n_records"), col("n_candidate_pairs"),
+        col("n_true_pairs"), col("n_captured"),
+        expr("CASE WHEN n_records < 2 THEN 1000000L ELSE " +
+          "1000000L - n_candidate_pairs * 1000000L div " +
+          "(n_records * (n_records - 1) div 2) END").as("reduction_ppm"),
+        expr("CASE WHEN n_true_pairs = 0 THEN 1000000L ELSE " +
+          "n_captured * 1000000L div n_true_pairs END")
+          .as("completeness_ppm"))
+  }
+
   /** INCREMENTAL linkage — the continuous-curation shape: every ingest
     * batch links against the EXISTING resolved corpus without ever
     * regenerating existing×existing pairs (the [[Dedup.incrementalNearDup]]

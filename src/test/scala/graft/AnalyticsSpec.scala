@@ -327,6 +327,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got(2L) == ((20L, 4L, 250000L)))
   }
 
+  test("simpsonIndex: without-replacement pair probability; singleton group reads 0") {
+    // group 1: cats x,x,y -> sum n(n-1) = 2 over 3*2 draws = 333333;
+    // group 2: monopoly of 4 -> 12/12 = 1e6; group 3: one row -> 0
+    val d = (Seq((1L, "x"), (1L, "x"), (1L, "y")) ++
+      Seq.fill(4)((2L, "only")) ++ Seq((3L, "z")))
+      .toDF("grp", "cat")
+    val got = Analytics.simpsonIndex(d, "grp", "cat")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 2L, 333333L)))
+    assert(got(2L) == ((4L, 1L, 1000000L)))
+    assert(got(3L) == ((1L, 1L, 0L)))
+  }
+
   test("applyRareMerge: rows come back relabeled, survivors untouched, NULL is its own category") {
     // a x6, b x2, null x1, d x1 — threshold 15%: a and b survive;
     // null and d (10% each) relabel to __OTHER__

@@ -175,6 +175,18 @@ class LinkageSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("blockingQuality: reduction over block-count sums, completeness vs planted truth") {
+    // blocks: {0: [1,2,3], 1: [4]} -> candidates = 3 of allPairs 6 ->
+    // reduction 500000; truth (1,2) captured, (1,4) crosses blocks ->
+    // completeness 500000
+    val df = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("id", "blk")
+    val truth = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = Linkage.blockingQuality(df, "id", Seq("blk"), truth).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ===
+      ((4L, 3L, 2L, 1L, 500000L, 500000L)))
+  }
+
   test("goldenRecords: recency rule — latest non-null by ts, ties to larger value, all-null entity reports NULL") {
     val members = Seq(
       (1L, Some(10L), 100L), (1L, Some(30L), 200L), (1L, None, 300L),
