@@ -2922,6 +2922,8 @@ private[graft] object Oracles {
       "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
       "FROM reach GROUP BY s"),
     "q_pagerank" -> pagerankOracle,
+    // HITS hubs/authorities, L1-ppm-normalized integer recurrence
+    "q_hits" -> hitsOracle,
     "q_pagerank_personalized" -> pprOracle,
     // reliability curve: nearest-centroid top-1 (the confusion oracle's
     // d/p CTEs), corpus ranked by confidence, exact-integer decile
@@ -4162,6 +4164,41 @@ private[graft] object Oracles {
       s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id, nn)"
     }.mkString
     head + steps + " SELECT id, pr AS rank_scaled FROM r5"
+  }
+
+  /** HITS replay: the L1-ppm-normalized hub/auth recurrence unrolled
+    * as MATERIALIZED CTE pairs (the q_linkage_em lesson — chained
+    * iteration CTEs inline exponentially without it), same `//`
+    * truncation points as the Spark side. */
+  private lazy val hitsOracle: String = {
+    val head =
+      "WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
+      "CAST(o_custkey + 100000 AS BIGINT) AS dst " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_quantity >= 48), " +
+      "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+      "h0 AS MATERIALIZED (SELECT id, CAST(1000000 // n AS BIGINT) AS h " +
+      "FROM nodes, nn)"
+    val steps = (1 to 4).map { i =>
+      s", ar$i AS MATERIALIZED (SELECT e.dst AS id, " +
+      s"CAST(sum(h.h) AS BIGINT) AS ar " +
+      s"FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1)" +
+      s", at$i AS (SELECT greatest(CAST(sum(ar) AS BIGINT), 1) AS t FROM ar$i)" +
+      s", a$i AS MATERIALIZED (SELECT nodes.id, " +
+      s"CAST(coalesce(ar$i.ar, 0) * 1000000 // t AS BIGINT) AS a " +
+      s"FROM nodes LEFT JOIN ar$i ON nodes.id = ar$i.id, at$i)" +
+      s", hr$i AS MATERIALIZED (SELECT e.src AS id, " +
+      s"CAST(sum(a.a) AS BIGINT) AS hr " +
+      s"FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1)" +
+      s", ht$i AS (SELECT greatest(CAST(sum(hr) AS BIGINT), 1) AS t FROM hr$i)" +
+      s", h$i AS MATERIALIZED (SELECT nodes.id, " +
+      s"CAST(coalesce(hr$i.hr, 0) * 1000000 // t AS BIGINT) AS h " +
+      s"FROM nodes LEFT JOIN hr$i ON nodes.id = hr$i.id, ht$i)"
+    }.mkString
+    head + steps +
+    " SELECT h4.id, h4.h AS hub_ppm, a4.a AS auth_ppm " +
+    "FROM h4 JOIN a4 ON h4.id = a4.id"
   }
 
   /** Personalized-PageRank replay: the pagerankOracle recurrence with

@@ -2726,6 +2726,19 @@ object SparkEntry {
           (col("o_custkey") + 100000).cast("long").as("dst"))
       graft.operators.Graph.pageRankScaled(edges, "src", "dst", iters = 5)
     }),
+    // HITS hubs/authorities on the same directed shipment graph:
+    // suppliers are the hubs, customers the authorities; 4 full rounds
+    // of the L1-ppm-normalized recurrence (engine-exact, unlike the
+    // paper's float L2)
+    "q_hits" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") >= 48)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey") + 100000).cast("long").as("dst"))
+      graft.operators.Graph.hitsScaled(edges, "src", "dst", iters = 4)
+    }),
     // personalized PageRank from a trusted supplier seed set: proximity
     // to the seeds over the same supplier->customer graph — the
     // graph-curation primitive ("expand from what we trust")

@@ -69,6 +69,61 @@ object Graph {
     rank.select(col("id"), col("pr").as("rank_scaled"))
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999, "Authoritative sources in
+    * a hyperlinked environment") under the same scaled-integer BSP
+    * discipline as [[pageRankScaled]]: auth(v) = Σ hub over in-edges,
+    * hub(u) = Σ auth over out-edges, each L1-NORMALIZED at ppm scale
+    * per half-step (`raw·1e6 div Σraw` — the paper's float L2 is not
+    * engine-replayable; L1 preserves the ranking order and keeps every
+    * intermediate provably inside Int64 for ANY graph: scores sum to
+    * ≤ 1e6 after each normalize, so a raw sum over distinct
+    * predecessors is ≤ 1e6 and raw·1e6 ≤ 1e12). hub₀ is uniform.
+    * Output: (id, hub_ppm, auth_ppm) after `iters` full rounds.
+    *
+    * Scale shape: per half-step one equi-join + one map-side-combined
+    * aggregate; the normalizer is a single-row broadcast (the BM25
+    * attach pattern); frames are lineage-cut per round like every BSP
+    * loop here. */
+  def hitsScaled(edges: DataFrame, srcCol: String, dstCol: String,
+                 iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters out of range: $iters")
+    val e = LineageCut.cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct())
+    val nodes = LineageCut.cut(e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct())
+    val nDf = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+    var hub = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
+      .select(col("id"), expr("1000000L div n_nodes").as("h")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
+      val aTot = aRaw.agg(greatest(sum(col("ar")), lit(1L)).as("at"))
+      val nextAuth = LineageCut.cut(
+        nodes.join(aRaw, Seq("id"), "left")
+          .crossJoin(broadcast(aTot))
+          .select(col("id"),
+            expr("coalesce(ar, 0L) * 1000000L div at").as("a")))
+      if (auth != null) LineageCut.release(auth)
+      auth = nextAuth
+      val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
+      val hTot = hRaw.agg(greatest(sum(col("hr")), lit(1L)).as("ht"))
+      val nextHub = LineageCut.cut(
+        nodes.join(hRaw, Seq("id"), "left")
+          .crossJoin(broadcast(hTot))
+          .select(col("id"),
+            expr("coalesce(hr, 0L) * 1000000L div ht").as("h")))
+      LineageCut.release(hub)
+      hub = nextHub
+    }
+    val out = hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+    out
+  }
+
   /** Personalized PageRank (Jeh & Widom, WWW 2003): the teleport mass
     * returns to the `seeds` set instead of spreading uniformly, so
     * scores measure proximity TO THE SEEDS — the graph-based curation

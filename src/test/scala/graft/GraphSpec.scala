@@ -214,6 +214,34 @@ class GraphSpec extends SparkTestBase {
     assert(run(8) == r1)
   }
 
+  test("hitsScaled: matches the local integer recurrence; hub mass concentrates on the big out-fan") {
+    import graft.operators.Graph
+    // 1 points at 10,11,12; 2 points at 10; 3 points at 13 — node 1 is
+    // the strongest hub, node 10 the strongest authority
+    val es = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (3L, 13L))
+    val got = Graph.hitsScaled(es.toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent driver-side replay of the exact integer recurrence
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> 1000000L / nodes.size).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val ar = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map(e => hub(e._1)).sum }
+      val at = math.max(ar.values.sum, 1L)
+      auth = nodes.map(v => v -> ar.getOrElse(v, 0L) * 1000000L / at).toMap
+      val hr = es.groupBy(_._1).map { case (s, g) =>
+        s -> g.map(e => auth(e._2)).sum }
+      val ht = math.max(hr.values.sum, 1L)
+      hub = nodes.map(v => v -> hr.getOrElse(v, 0L) * 1000000L / ht).toMap
+    }
+    assert(got === nodes.map(v => v -> ((hub(v), auth(v)))).toMap)
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 >= got(3L)._1,
+      s"hub order wrong: $got")
+    assert(got(10L)._2 > got(11L)._2, s"auth order wrong: $got")
+  }
+
   test("clusteringCoefficient: triangle + pendant hand graph; each triangle hits all three corners") {
     import spark.implicits._
     // K3 {1,2,3} with pendant 4 hanging off 1:
