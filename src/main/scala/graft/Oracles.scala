@@ -2922,6 +2922,8 @@ private[graft] object Oracles {
       "SELECT s AS id, CAST(least(s, min(t)) AS BIGINT) AS component " +
       "FROM reach GROUP BY s"),
     "q_pagerank" -> pagerankOracle,
+    // weight-proportional mass splits over the same shipment graph
+    "q_pagerank_weighted" -> pagerankWeightedOracle,
     // HITS hubs/authorities, L1-ppm-normalized integer recurrence
     "q_hits" -> hitsOracle,
     "q_pagerank_personalized" -> pprOracle,
@@ -4160,6 +4162,35 @@ private[graft] object Oracles {
       s"FROM e JOIN $p r ON e.src = r.id JOIN od o ON e.src = o.src " +
       "GROUP BY e.dst)" +
       s", r$i AS (SELECT nodes.id, CAST(((15 * $S) // (100 * n)) + " +
+      s"((85 * coalesce(s$i.m, 0)) // 100) AS BIGINT) AS pr " +
+      s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id, nn)"
+    }.mkString
+    head + steps + " SELECT id, pr AS rank_scaled FROM r5"
+  }
+
+  /** Weighted-PageRank replay: the pagerankOracle recurrence with
+    * weight-proportional splits (pr·w // W(u)), parallel edges
+    * weight-summed first. */
+  private lazy val pagerankWeightedOracle: String = {
+    val S = "1000000000000"
+    val head =
+      "WITH e AS (SELECT CAST(l_suppkey AS BIGINT) AS src, " +
+      "CAST(o_custkey + 100000 AS BIGINT) AS dst, " +
+      "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_quantity >= 48 GROUP BY 1, 2), " +
+      "nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+      "ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY src), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+      s"r0 AS (SELECT id, CAST($S // n AS BIGINT) AS pr FROM nodes, nn)"
+    val steps = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s", s$i AS MATERIALIZED (SELECT e.dst AS id, " +
+      "CAST(sum(r.pr * e.w // o.ow) AS BIGINT) AS m " +
+      s"FROM e JOIN $p r ON e.src = r.id JOIN ow o ON e.src = o.src " +
+      "GROUP BY e.dst)" +
+      s", r$i AS MATERIALIZED (SELECT nodes.id, " +
+      s"CAST(((15 * $S) // (100 * n)) + " +
       s"((85 * coalesce(s$i.m, 0)) // 100) AS BIGINT) AS pr " +
       s"FROM nodes LEFT JOIN s$i ON nodes.id = s$i.id, nn)"
     }.mkString

@@ -2726,6 +2726,20 @@ object SparkEntry {
           (col("o_custkey") + 100000).cast("long").as("dst"))
       graft.operators.Graph.pageRankScaled(edges, "src", "dst", iters = 5)
     }),
+    // edge-weighted PageRank on the same shipment graph, weights =
+    // summed shipped quantity per (supplier, customer) pair — mass
+    // follows volume, not edge count
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") >= 48)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("o_custkey") + 100000).cast("long").as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      graft.operators.Graph.pageRankWeightedScaled(edges, "src", "dst",
+        "w", iters = 5)
+    }),
     // HITS hubs/authorities on the same directed shipment graph:
     // suppliers are the hubs, customers the authorities; 4 full rounds
     // of the L1-ppm-normalized recurrence (engine-exact, unlike the

@@ -214,6 +214,33 @@ class GraphSpec extends SparkTestBase {
     assert(run(8) == r1)
   }
 
+  test("pageRankWeightedScaled: uniform weights equal the unweighted rank exactly; heavy edges pull mass") {
+    import graft.operators.Graph
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    // floor(pr*w / (od*w)) == floor(pr/od) — uniform weights cancel
+    // INSIDE the integer division, so equality is exact, not approximate
+    val un = Graph.pageRankScaled(es.toDF("s", "d"), "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uw = Graph.pageRankWeightedScaled(
+      es.map { case (a, b) => (a, b, 7L) }.toDF("s", "d", "w"),
+      "s", "d", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uw === un)
+    // skewed weights: 1 sends 9/10 of its mass to 2 -> node 2 must
+    // outrank its uniform-split self and node 3 lose mass
+    val sk = Graph.pageRankWeightedScaled(
+      Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+        .toDF("s", "d", "w"), "s", "d", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(2L) > un(2L) && sk(3L) < un(3L), s"weights ignored: $sk vs $un")
+    // invalid weights are a loud contract error
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankWeightedScaled(
+        Seq((1L, 2L, 0L)).toDF("s", "d", "w"), "s", "d", "w", iters = 1)
+    }
+    assert(ex.getMessage.contains("positive"), ex.getMessage)
+  }
+
   test("hitsScaled: matches the local integer recurrence; hub mass concentrates on the big out-fan") {
     import graft.operators.Graph
     // 1 points at 10,11,12; 2 points at 10; 3 points at 13 — node 1 is
