@@ -682,6 +682,27 @@ private[graft] object Oracles {
     "  AS u2_a, 2 * n0 * na AS u2_max " +
     "FROM cum CROSS JOIN tot GROUP BY n0, na"
 
+  /** KS replay: per-distinct-value cohort counts, window prefix sums,
+    * the same guarded ppm CDF divisions and max — raw counts reported. */
+  private val ksTestSql: String =
+    "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, " +
+    "  CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 ELSE 1 END " +
+    "  AS h FROM events), " +
+    "g AS (SELECT v, " +
+    "  CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+    "  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
+    "  FROM e GROUP BY 1), " +
+    "cum AS (SELECT v, " +
+    "  CAST(sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k0, " +
+    "  CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k1 " +
+    "  FROM g), " +
+    "tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, " +
+    "  CAST(sum(c1) AS BIGINT) AS n1 FROM g) " +
+    "SELECT n0, n1, " +
+    "CAST(max(abs(k0 * 1000000 // greatest(n0, 1) - " +
+    "  k1 * 1000000 // greatest(n1, 1))) AS BIGINT) AS d_ppm " +
+    "FROM cum CROSS JOIN tot GROUP BY n0, n1"
+
   /** Kruskal–Wallis replay: the same value-grouped doubled-midrank
     * frame as mannWhitneySql (floor cents — the new-query convention),
     * per-group rank sums, then the H finish in HUGEINT with truncating
@@ -2874,6 +2895,8 @@ private[graft] object Oracles {
     "q_pareto" -> paretoSql,
     "q_lang_purity" -> langPuritySql,
     "q_mann_whitney" -> mannWhitneySql,
+    // exact sup-norm CDF distance between the same two cohorts
+    "q_ks_test" -> ksTestSql,
     "q_kruskal_wallis" -> kruskalWallisSql,
     "q_conformal" -> conformalSql,
     "q_encoding_advisor" -> encodingAdvisorSql,

@@ -3079,6 +3079,15 @@ object SparkEntry {
           when(expr("ts div 86400000000") < 19738, 0).otherwise(1)
             .as("half")),
         "cents", "half")),
+    // two-sample Kolmogorov-Smirnov D over the same cohort split: the
+    // exact sup-norm CDF distance (bin-free, unlike q_dist_drift's TV)
+    "q_ks_test" -> ((s, dir) =>
+      graft.operators.Stats.ksStatistic(
+        events(s, dir).select(
+          round(col("value") * 100).cast("long").as("cents"),
+          when(expr("ts div 86400000000") < 19738, 0).otherwise(1)
+            .as("half")),
+        "cents", "half")),
     // split-conformal calibration: the ceil((n+1)(1-alpha))-th smallest
     // score at alpha = 10%/5%, selected via the distributed cumsum
     "q_conformal" -> ((s, dir) =>

@@ -411,6 +411,39 @@ object Stats {
         expr("2 * __n0 * __na").as("u2_max"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over integer cents, in
+    * EXACT ppm: D = max_v |F₀(v) − F₁(v)| with F the empirical CDFs —
+    * the sup-norm distribution-distance whose binned sibling is
+    * [[distributionDrift]]'s total variation (KS needs no bin choice
+    * and is the classic two-sample location/shape test; compare
+    * D·sqrt(n₀n₁/(n₀+n₁)) to the Kolmogorov quantile downstream if a
+    * p-value is wanted). The CDF steps are evaluated at every distinct
+    * value, which is where the sup over the whole real line is
+    * attained. Integer throughout: cum·1e6 div n per cohort, abs diff,
+    * max. An empty cohort divides by a guarded 1 (reported counts stay
+    * raw).
+    *
+    * Scale shape: one distinct-value aggregation, prefix counts for
+    * BOTH cohorts on one [[Analytics.distributedCumSum]] pass (no
+    * global-sort window), one single-row total attach, one max. */
+  def ksStatistic(df: DataFrame, centsCol: String,
+                  cohortCol: String): DataFrame = {
+    val v = df.select(col(centsCol).cast("long").as("__v"),
+        col(cohortCol).cast("int").as("__h"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("__c1"))
+    val cum = Analytics.distributedCumSum(v, "__v", Seq("__c0", "__c1"))
+    val tot = v.agg(sum(col("__c0")).as("__n0"), sum(col("__c1")).as("__n1"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__n0"), col("__n1"),
+        abs(expr("cum___c0 * 1000000L div greatest(__n0, 1L)") -
+          expr("cum___c1 * 1000000L div greatest(__n1, 1L)")).as("__d"))
+      .groupBy(col("__n0"), col("__n1"))
+      .agg(max(col("__d")).as("d_ppm"))
+      .select(col("__n0").as("n0"), col("__n1").as("n1"), col("d_ppm"))
+  }
+
   /** Kruskal–Wallis H (the k-group extension of [[mannWhitneyU]]):
     * rank-based one-way test over integer cents, midranks for ties via
     * the DOUBLED-rank trick (2·midrank is always an integer), tie

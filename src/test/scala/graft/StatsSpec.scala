@@ -360,6 +360,22 @@ class StatsSpec extends SparkTestBase {
       (900000L, 3L, 3L)))
   }
 
+  test("ksStatistic: hand CDFs — step diffs at every distinct value, identical cohorts read 0") {
+    import graft.operators.Stats
+    // cohort 0 = {1,2,3}, cohort 1 = {3,4}:
+    //   F0*1e6 at v=1,2,3,4: 333333, 666666, 1e6, 1e6
+    //   F1*1e6:                   0,      0, 5e5, 1e6
+    // max |diff| = 666666 at v=2
+    val d = (Seq(1L, 2L, 3L).map((_, 0)) ++ Seq(3L, 4L).map((_, 1)))
+      .toDF("cents", "half")
+    val r = Stats.ksStatistic(d, "cents", "half").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 666666L)))
+    // identical cohorts: D = 0
+    val same = (Seq(5L, 6L, 7L).map((_, 0)) ++ Seq(5L, 6L, 7L).map((_, 1)))
+      .toDF("cents", "half")
+    assert(Stats.ksStatistic(same, "cents", "half").head().getLong(2) == 0L)
+  }
+
   test("mannWhitneyU: hand ranks with and without ties; U2_a + U2_b = 2*n0*n1") {
     // no ties: c0 {1,3}, c1 {2,4} -> R_A = 2+4 = 6, U = 3 -> u2 = 6
     val a = Stats.mannWhitneyU(Seq((1L, 0), (3L, 0), (2L, 1), (4L, 1))
