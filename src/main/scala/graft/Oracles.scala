@@ -2895,6 +2895,25 @@ private[graft] object Oracles {
     "q_pareto" -> paretoSql,
     "q_lang_purity" -> langPuritySql,
     "q_mann_whitney" -> mannWhitneySql,
+    // ROC AUC: the mann-whitney doubled-U frame re-labelled on
+    // purchase-vs-rest and finished as u2_a/u2_max in ppm
+    "q_auc" ->
+      ("WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, " +
+       "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS h " +
+       "  FROM events), " +
+       "g AS (SELECT v, CAST(count(*) AS BIGINT) AS c, " +
+       "  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca " +
+       "  FROM e GROUP BY 1), " +
+       "cum AS (SELECT v, c, ca, CAST(sum(c) OVER (ORDER BY v " +
+       "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM g), " +
+       "tot AS (SELECT CAST(sum(c - ca) AS BIGINT) AS n0, " +
+       "  CAST(sum(ca) AS BIGINT) AS na FROM g), " +
+       "u AS (SELECT n0, na, " +
+       "  CAST(sum(ca * (2 * (cc - c) + c + 1)) AS BIGINT) " +
+       "    - na * (na + 1) AS u2a, 2 * n0 * na AS u2max " +
+       "  FROM cum CROSS JOIN tot GROUP BY n0, na) " +
+       "SELECT n0 AS n_neg, na AS n_pos, " +
+       "u2a * 1000000 // greatest(u2max, 1) AS auc_ppm FROM u"),
     // exact sup-norm CDF distance between the same two cohorts
     "q_ks_test" -> ksTestSql,
     "q_kruskal_wallis" -> kruskalWallisSql,

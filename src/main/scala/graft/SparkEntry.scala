@@ -3079,6 +3079,15 @@ object SparkEntry {
           when(expr("ts div 86400000000") < 19738, 0).otherwise(1)
             .as("half")),
         "cents", "half")),
+    // ROC AUC of "does the value score separate purchases from the
+    // rest": exact-ppm U/(n0*n1) with standard half-credit ties
+    "q_auc" -> ((s, dir) =>
+      graft.operators.Stats.aucPpm(
+        events(s, dir).select(
+          round(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("label")),
+        "cents", "label")),
     // two-sample Kolmogorov-Smirnov D over the same cohort split: the
     // exact sup-norm CDF distance (bin-free, unlike q_dist_drift's TV)
     "q_ks_test" -> ((s, dir) =>

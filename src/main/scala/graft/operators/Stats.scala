@@ -411,6 +411,22 @@ object Stats {
         expr("2 * __n0 * __na").as("u2_max"))
   }
 
+  /** ROC AUC from integer-cents scores and a 0/1 label, exact ppm:
+    * AUC = P(score of a positive > score of a negative) + ½·P(tie) —
+    * algebraically U₁/(n₀n₁), taken from [[mannWhitneyU]]'s doubled
+    * tie-averaged rank sums (u2_a div u2_max — the doubling gives ties
+    * their standard half credit without a float), so it inherits the
+    * no-global-sort scale shape. The classifier-eval primitive next to
+    * recall@k / MRR. Output: n_neg, n_pos, auc_ppm.
+    * Envelope: u2_a·1e6 must fit Int64 — n₀·n₁ ≤ ~4.6e12; sample or
+    * shard a bigger eval set first (the audit is about the ranking,
+    * not the row count). */
+  def aucPpm(df: DataFrame, scoreCentsCol: String,
+             labelCol: String): DataFrame =
+    mannWhitneyU(df, scoreCentsCol, labelCol)
+      .select(col("n0").as("n_neg"), col("n1").as("n_pos"),
+        expr("u2_a * 1000000L div greatest(u2_max, 1L)").as("auc_ppm"))
+
   /** Two-sample Kolmogorov–Smirnov statistic over integer cents, in
     * EXACT ppm: D = max_v |F₀(v) − F₁(v)| with F the empirical CDFs —
     * the sup-norm distribution-distance whose binned sibling is

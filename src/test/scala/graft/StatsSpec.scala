@@ -360,6 +360,19 @@ class StatsSpec extends SparkTestBase {
       (900000L, 3L, 3L)))
   }
 
+  test("aucPpm: perfect separation reads 1e6, full tie reads 5e5, one inversion drops a quarter") {
+    import graft.operators.Stats
+    def auc(rows: Seq[(Long, Int)]): Long =
+      Stats.aucPpm(rows.toDF("cents", "label"), "cents", "label")
+        .head().getLong(2)
+    // positives {3,4} all above negatives {1,2}
+    assert(auc(Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))) == 1000000L)
+    // a single tied value across classes: half credit
+    assert(auc(Seq((2L, 0), (2L, 1))) == 500000L)
+    // one of 4 (pos, neg) comparisons inverted: 3/4
+    assert(auc(Seq((1L, 0), (3L, 0), (2L, 1), (4L, 1))) == 750000L)
+  }
+
   test("ksStatistic: hand CDFs — step diffs at every distinct value, identical cohorts read 0") {
     import graft.operators.Stats
     // cohort 0 = {1,2,3}, cohort 1 = {3,4}:
