@@ -35,11 +35,17 @@ if [ "$FAST" != "fast" ]; then
   verify_at sf0.1
 fi
 
-step "bench (writes BENCH.json, min of 3)"
+step "bench (writes BENCH.json, min of 3; refuses a loaded box)"
+# REFUSE_LOADED: Bench already waits up to 10 min for loadavg decay;
+# if the box is STILL above SPARK_GRAFT_MAX_LOAD after that, fail the
+# round check loudly instead of committing contention noise (the r17
+# driver snapshot carried 20-50x outliers from a contended window).
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-3} \
+SPARK_GRAFT_MAX_LOAD=${SPARK_GRAFT_MAX_LOAD:-2.0} \
+SPARK_GRAFT_BENCH_REFUSE_LOADED=1 \
   sbt -batch "runMain graft.Bench" >/tmp/round_check_bench.log 2>&1 \
-  || { echo "BENCH FAILED"; fail=1; }
+  || { echo "BENCH FAILED (or box too loaded to bench — see log)"; fail=1; }
 python3 -c "
 import json
 d = json.load(open('BENCH.json'))

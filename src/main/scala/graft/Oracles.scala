@@ -688,8 +688,10 @@ private[graft] object Oracles {
     "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, " +
     "  CASE WHEN epoch_us(ts) // 86400000000 < 19738 THEN 0 ELSE 1 END " +
     "  AS h FROM events), " +
+    // non-1 is cohort 0, mirroring ksStatistic's mannWhitneyU
+    // convention — no row is dropped on non-binary input
     "g AS (SELECT v, " +
-    "  CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+    "  CAST(sum(CASE WHEN h = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c0, " +
     "  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
     "  FROM e GROUP BY 1), " +
     "cum AS (SELECT v, " +
@@ -2074,7 +2076,11 @@ private[graft] object Oracles {
        "  AS n_candidate_pairs FROM " +
        "  (SELECT CAST(count(*) AS BIGINT) AS c FROM k GROUP BY blk)), " +
        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM k), " +
-       "tp AS (SELECT c_custkey AS id_a, c_custkey + 1000000000 AS id_b " +
+       // canonical (least, greatest) + DISTINCT mirrors
+       // blockingQuality's truth-pair canonicalization
+       "tp AS (SELECT DISTINCT " +
+       "  least(c_custkey, c_custkey + 1000000000) AS id_a, " +
+       "  greatest(c_custkey, c_custkey + 1000000000) AS id_b " +
        "  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5), " +
        "cap AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, " +
        "  CAST(count(CASE WHEN ka.blk = kb.blk THEN 1 END) AS BIGINT) " +
@@ -2082,9 +2088,16 @@ private[graft] object Oracles {
        "  FROM tp JOIN k ka ON ka.id = tp.id_a " +
        "  JOIN k kb ON kb.id = tp.id_b) " +
        "SELECT n_records, n_candidate_pairs, n_true_pairs, n_captured, " +
-       "CASE WHEN n_records < 2 THEN 1000000 ELSE " +
+       "CASE WHEN n_records < 2 THEN 1000000 " +
+       "WHEN n_candidate_pairs <= 9000000000000 THEN " +
        "  1000000 - n_candidate_pairs * 1000000 // " +
-       "  (n_records * (n_records - 1) // 2) END AS reduction_ppm, " +
+       "  (n_records * (n_records - 1) // 2) " +
+       "ELSE 1000000 - " +
+       "  ((n_candidate_pairs // (n_records * (n_records - 1) // 2)) " +
+       "  * 1000000 + (n_candidate_pairs % " +
+       "  (n_records * (n_records - 1) // 2)) // " +
+       "  greatest((n_records * (n_records - 1) // 2) // 1000000, 1)) " +
+       "END AS reduction_ppm, " +
        "CASE WHEN n_true_pairs = 0 THEN 1000000 ELSE " +
        "  n_captured * 1000000 // n_true_pairs END AS completeness_ppm " +
        "FROM tot CROSS JOIN cand CROSS JOIN cap"),
@@ -2913,7 +2926,11 @@ private[graft] object Oracles {
        "    - na * (na + 1) AS u2a, 2 * n0 * na AS u2max " +
        "  FROM cum CROSS JOIN tot GROUP BY n0, na) " +
        "SELECT n0 AS n_neg, na AS n_pos, " +
-       "u2a * 1000000 // greatest(u2max, 1) AS auc_ppm FROM u"),
+       "CASE WHEN u2max <= 9000000000000 " +
+       "THEN u2a * 1000000 // greatest(u2max, 1) " +
+       "ELSE (u2a // u2max) * 1000000 + " +
+       "(u2a % u2max) // greatest(u2max // 1000000, 1) END " +
+       "AS auc_ppm FROM u"),
     // exact sup-norm CDF distance between the same two cohorts
     "q_ks_test" -> ksTestSql,
     "q_kruskal_wallis" -> kruskalWallisSql,

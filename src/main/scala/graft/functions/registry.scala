@@ -159,7 +159,10 @@ object registry {
         import org.apache.spark.sql.functions.{greatest, lit, when}
         val ss = colOf(args(0)).cast("long")
         val n = colOf(args(1)).cast("long")
-        val n2 = n * n
+        // greatest(n2, 1): caller-supplied aggregates can hand n = 0,
+        // which must not divide by zero under ANSI (defensive-guard
+        // style of the other registry functions)
+        val n2 = greatest(n * n, lit(1L))
         sketchCol(
           when(n <= lit(3000000L), idiv(ss * lit(1000000L), n2))
             .otherwise(idiv(ss, n2) * lit(1000000L) +

@@ -26,7 +26,16 @@ object Linkage {
   /** One field comparator: `col` is projected from both sides, `same`
     * builds the agreement predicate over (left, right). A NULL
     * comparison counts as disagreement (standard FS treatment of
-    * missing fields: no evidence FOR the link). */
+    * missing fields: no evidence FOR the link).
+    *
+    * HARD CONTRACT: `same` must be SYMMETRIC — same(a, b) ≡ same(b, a)
+    * for all inputs. [[scorePairs]] orients pairs id_a < id_b, but
+    * [[linkIncremental]] scores cross pairs with the batch always on
+    * the 'a' side regardless of id order; its bit-for-bit parity with
+    * the full batch re-run holds ONLY for symmetric comparators.
+    * [[eq]] and [[editBand]] are symmetric; a caller-supplied
+    * asymmetric predicate (e.g. prefix-of) breaks the parity
+    * silently. */
   final case class FieldRule(col: String, same: (Column, Column) => Column,
                              wAgreePpm: Long, wDisagreePpm: Long) {
     require(wAgreePpm > 0 && wDisagreePpm > 0,
@@ -190,7 +199,13 @@ object Linkage {
     * All exact ppm integers. One output row: n_records,
     * n_candidate_pairs, n_true_pairs, n_captured, reduction_ppm,
     * completeness_ppm. `truePairs` is the planted/labelled truth set
-    * (id_a, id_b).
+    * (id_a, id_b) — CANONICALIZED here: each pair is reordered to
+    * (least, greatest) and deduplicated, so reversed or repeated truth
+    * rows cannot double-count (ids must be non-null). The reduction
+    * ratio self-switches on overflow (the HHI CASE, identical in the
+    * oracle), so candidate counts past 9e12 stay exact to the divisor
+    * truncation; allPairs = N(N−1)/2 itself must fit Int64
+    * (N ≤ ~4.3e9 records; shard the audit beyond).
     *
     * Scale shape: candidates come from one map-side-combined block
     * count (Σ_b c_b(c_b−1)/2 — never materializing the pairs);
@@ -207,7 +222,10 @@ object Linkage {
       .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L))
         .as("n_candidate_pairs"))
     val tot = keyed.agg(count(lit(1)).as("n_records"))
-    val cap = truePairs
+    val truth = truePairs.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    val cap = truth
       .join(keyed.select(col("__id").as("id_a"), col("__blk").as("__ba")),
         Seq("id_a"))
       .join(keyed.select(col("__id").as("id_b"), col("__blk").as("__bb")),
@@ -217,9 +235,16 @@ object Linkage {
     tot.crossJoin(broadcast(cand)).crossJoin(broadcast(cap))
       .select(col("n_records"), col("n_candidate_pairs"),
         col("n_true_pairs"), col("n_captured"),
-        expr("CASE WHEN n_records < 2 THEN 1000000L ELSE " +
+        expr("CASE WHEN n_records < 2 THEN 1000000L " +
+          "WHEN n_candidate_pairs <= 9000000000000L THEN " +
           "1000000L - n_candidate_pairs * 1000000L div " +
-          "(n_records * (n_records - 1) div 2) END").as("reduction_ppm"),
+          "(n_records * (n_records - 1) div 2) " +
+          "ELSE 1000000L - " +
+          "((n_candidate_pairs div (n_records * (n_records - 1) div 2)) " +
+          "* 1000000L + (n_candidate_pairs % " +
+          "(n_records * (n_records - 1) div 2)) div " +
+          "greatest((n_records * (n_records - 1) div 2) div 1000000L, 1L)) " +
+          "END").as("reduction_ppm"),
         expr("CASE WHEN n_true_pairs = 0 THEN 1000000L ELSE " +
           "n_captured * 1000000L div n_true_pairs END")
           .as("completeness_ppm"))
@@ -233,7 +258,15 @@ object Linkage {
     * rule fields and write it as parquet partitioned by block);
     * `existingEntities` is the prior (entity_id, id) assignment from
     * [[resolveEntities]] over those rows. Ids must be disjoint across
-    * the two sides (same contract as the dedup tier).
+    * the two sides (same contract as the dedup tier) — ENFORCED here
+    * by a left-semi probe of the batch ids against the existing ids
+    * (one column-pruned pass over the index, short-circuited at the
+    * first hit): a colliding id would silently corrupt the quotient
+    * graph and the output labels. Entity ids are min member ids, so
+    * the existing-id check covers entity-node collisions too. Field
+    * comparators must be symmetric (the [[FieldRule]] contract) —
+    * cross pairs are scored batch-on-'a' in whatever id order they
+    * arrive.
     *
     * Exactly equal to the full batch re-run by the QUOTIENT argument:
     * contracting each existing entity to its representative node
@@ -258,6 +291,10 @@ object Linkage {
       rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
     require(blockCols.nonEmpty, "linkage needs at least one block key")
     require(rules.nonEmpty, "linkage needs at least one field rule")
+    require(batch.select(col(idCol))
+      .join(existing.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
+      "linkIncremental: batch ids must be disjoint from existing ids — " +
+      "a colliding id corrupts the quotient graph (re-key the batch)")
     val cols = rules.map(_.col)
     // batch-internal links: the standard id_a < id_b triangle
     val bb = scorePairs(batch, idCol, blockCols, rules, thresholdPpm)

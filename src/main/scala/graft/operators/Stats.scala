@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-shape operators: equi-width histograms and robust
@@ -418,14 +418,27 @@ object Stats {
     * their standard half credit without a float), so it inherits the
     * no-global-sort scale shape. The classifier-eval primitive next to
     * recall@k / MRR. Output: n_neg, n_pos, auc_ppm.
-    * Envelope: u2_a·1e6 must fit Int64 — n₀·n₁ ≤ ~4.6e12; sample or
-    * shard a bigger eval set first (the audit is about the ranking,
-    * not the row count). */
+    * The ppm finish SELF-SWITCHES on overflow (the HHI/Simpson CASE,
+    * identical in the oracle): direct u2_a·1e6 div u2_max while
+    * u2_max ≤ 9e12 (u2_a ≤ u2_max, so the product provably fits
+    * Int64), else quotient·1e6 plus the remainder against the
+    * 1e-6-truncated divisor — deterministic in both engines at ANY
+    * n₀·n₁, no envelope. */
   def aucPpm(df: DataFrame, scoreCentsCol: String,
              labelCol: String): DataFrame =
     mannWhitneyU(df, scoreCentsCol, labelCol)
       .select(col("n0").as("n_neg"), col("n1").as("n_pos"),
-        expr("u2_a * 1000000L div greatest(u2_max, 1L)").as("auc_ppm"))
+        aucFinish.as("auc_ppm"))
+
+  /** The self-switching exact-ppm finish of [[aucPpm]] over the
+    * (u2_a, u2_max) doubled-U columns, factored out so the overflow
+    * branch is testable on synthetic frames past the direct branch's
+    * 9e12 switch point without materializing 4.6e12 row pairs. */
+  private[graft] def aucFinish: Column =
+    expr("CASE WHEN u2_max <= 9000000000000L " +
+      "THEN u2_a * 1000000L div greatest(u2_max, 1L) " +
+      "ELSE (u2_a div u2_max) * 1000000L + " +
+      "(u2_a % u2_max) div greatest(u2_max div 1000000L, 1L) END")
 
   /** Two-sample Kolmogorov–Smirnov statistic over integer cents, in
     * EXACT ppm: D = max_v |F₀(v) − F₁(v)| with F the empirical CDFs —
@@ -437,7 +450,9 @@ object Stats {
     * value, which is where the sup over the whole real line is
     * attained. Integer throughout: cum·1e6 div n per cohort, abs diff,
     * max. An empty cohort divides by a guarded 1 (reported counts stay
-    * raw).
+    * raw). Cohort convention is [[mannWhitneyU]]'s: rows with
+    * `cohortCol` = 1 are cohort 1, EVERY other value is cohort 0 — no
+    * row is silently dropped on non-binary input.
     *
     * Scale shape: one distinct-value aggregation, prefix counts for
     * BOTH cohorts on one [[Analytics.distributedCumSum]] pass (no
@@ -447,7 +462,7 @@ object Stats {
     val v = df.select(col(centsCol).cast("long").as("__v"),
         col(cohortCol).cast("int").as("__h"))
       .groupBy(col("__v"))
-      .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("__c0"),
+      .agg(sum(when(col("__h") === 1, 0L).otherwise(1L)).as("__c0"),
         sum(when(col("__h") === 1, 1L).otherwise(0L)).as("__c1"))
     val cum = Analytics.distributedCumSum(v, "__v", Seq("__c0", "__c1"))
     val tot = v.agg(sum(col("__c0")).as("__n0"), sum(col("__c1")).as("__n1"))

@@ -187,6 +187,33 @@ class LinkageSpec extends SparkTestBase {
       ((4L, 3L, 2L, 1L, 500000L, 500000L)))
   }
 
+  test("blockingQuality: reversed and duplicated truth rows canonicalize to one pair") {
+    val df = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1)).toDF("id", "blk")
+    // the same two true pairs as above, but each stated twice and one
+    // of them reversed — canonical (least, greatest) + distinct must
+    // count them once each
+    val truth = Seq((1L, 2L), (2L, 1L), (1L, 4L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val r = Linkage.blockingQuality(df, "id", Seq("blk"), truth).head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(5)) ===
+      ((2L, 1L, 500000L)))
+  }
+
+  test("linkIncremental: a batch id colliding with an existing id is a loud contract error") {
+    val existing = Seq((1L, 0, "alpha", 0L), (2L, 0, "alpha", 10L))
+      .toDF("id", "blk", "name", "bal")
+    val irules = Seq(Linkage.eq("name", 500000L, 300000L))
+    val ents = Linkage.resolveEntities(
+      Linkage.scorePairs(existing, "id", Seq("blk"), irules, 400000L)
+        .select(col("id_a"), col("id_b")))
+    val clash = Seq((2L, 0, "alpha", 5L)).toDF("id", "blk", "name", "bal")
+    val e = intercept[IllegalArgumentException] {
+      Linkage.linkIncremental(existing, ents, clash, "id", Seq("blk"),
+        irules, 400000L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("goldenRecords: recency rule — latest non-null by ts, ties to larger value, all-null entity reports NULL") {
     val members = Seq(
       (1L, Some(10L), 100L), (1L, Some(30L), 200L), (1L, None, 300L),

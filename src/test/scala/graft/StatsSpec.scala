@@ -373,6 +373,47 @@ class StatsSpec extends SparkTestBase {
     assert(auc(Seq((1L, 0), (3L, 0), (2L, 1), (4L, 1))) == 750000L)
   }
 
+  test("aucPpm: past the 9e12 switch point the self-switching finish stays exact — no Int64 overflow") {
+    import graft.operators.Stats
+    import org.apache.spark.sql.functions._
+    // 4.4M rows, n0 = n1 = 2.2e6 -> u2_max = 2*n0*n1 = 9.68e12 > 9e12:
+    // the direct branch's u2_a*1e6 would overflow Int64 (~1.9e19);
+    // the CASE must route through the quotient+remainder split. 1000
+    // distinct score values, labels balanced WITHIN each value.
+    val df = spark.range(4400000L).select(
+      (col("id") % 1000L).as("cents"),
+      ((col("id") / 1000L) % 2L).cast("int").as("label"))
+    val got = Stats.aucPpm(df, "cents", "label").head()
+    assert((got.getLong(0), got.getLong(1)) === ((2200000L, 2200000L)))
+    // independent BigInt replay of the doubled-U frame + the same CASE
+    val grouped = df.groupBy(col("cents")).agg(
+        count(lit(1)).as("c"), sum(col("label")).as("ca"))
+      .orderBy("cents").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    var before = BigInt(0); var r2a = BigInt(0)
+    grouped.foreach { case (c, ca) =>
+      r2a += BigInt(ca) * (2 * before + c + 1); before += c }
+    val n1 = BigInt(grouped.map(_._2).sum)
+    val n0 = BigInt(grouped.map(_._1).sum) - n1
+    val u2a = r2a - n1 * (n1 + 1)
+    val u2max = 2 * n0 * n1
+    assert(u2max > BigInt(9000000000000L), "fixture must exercise the overflow branch")
+    val expect = (u2a / u2max) * 1000000 +
+      (u2a % u2max) / (u2max / 1000000)
+    assert(got.getLong(2) === expect.toLong)
+    // balanced labels within every value => exact half credit
+    assert(got.getLong(2) === 500000L)
+  }
+
+  test("ksStatistic: non-1 cohort values count as cohort 0 (the mannWhitneyU convention), never dropped") {
+    import graft.operators.Stats
+    // h = 2 joins cohort 0: c0 = {1, 2}, c1 = {1}
+    //   F0*1e6 at v=1,2: 500000, 1e6; F1*1e6: 1e6, 1e6 -> D = 500000
+    val d = Seq((1L, 0), (2L, 2), (1L, 1)).toDF("cents", "half")
+    val r = Stats.ksStatistic(d, "cents", "half").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 500000L)))
+  }
+
   test("ksStatistic: hand CDFs — step diffs at every distinct value, identical cohorts read 0") {
     import graft.operators.Stats
     // cohort 0 = {1,2,3}, cohort 1 = {3,4}:
