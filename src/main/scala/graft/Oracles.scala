@@ -1955,6 +1955,63 @@ private[graft] object Oracles {
        "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
        "SELECT id_a, id_b, pattern, score_ppm FROM p " +
        "WHERE score_ppm >= 800000"),
+    // sorted-neighborhood: global rank by (name, id), pairs = the 11
+    // rank-successors of each record, same comparators/weights as the
+    // fuzzy scorer; id_a = the lower-ranked record (the operator's
+    // orientation, score symmetric)
+    "q_linkage_sorted_nbhd" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer UNION ALL " +
+       "  SELECT c_custkey + 1000000000, " +
+       "  concat(substr(c_name, 1, length(c_name) - 1), 'Z'), " +
+       "  c_nationkey, c_mktsegment FROM customer " +
+       "  WHERE c_custkey % 10 = 0), " +
+       "r AS (SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nat, " +
+       "  c_mktsegment AS seg, " +
+       "  row_number() OVER (ORDER BY c_name, c_custkey) AS rk " +
+       "  FROM base), " +
+       "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+       "  concat(" +
+       "    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN levenshtein(a.nm, b.nm) <= 2 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 11) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
+    // Jaro-Winkler graded linkage: DuckDB's native
+    // jaro_winkler_similarity IS the kernel's reference
+    // implementation (bit-identical by JwParitySpec), so the band
+    // decision replays with no tolerance
+    "q_linkage_jw" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer UNION ALL " +
+       "  SELECT c_custkey + 1000000000, " +
+       "  concat(substr(c_name, 1, length(c_name) - 1), 'Z'), " +
+       "  c_nationkey, c_mktsegment FROM customer " +
+       "  WHERE c_custkey % 10 = 0), " +
+       "c AS (SELECT c_custkey AS id, " +
+       "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
+       "  c_name AS nm, c_nationkey AS nat, c_mktsegment AS seg " +
+       "  FROM base), " +
+       "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+       "  concat(" +
+       "    CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.9 " +
+       "      THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN jaro_winkler_similarity(a.nm, b.nm) >= 0.9 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
     // survivorship golden records over the resolved entities
     "q_linkage_golden" ->
       (s"WITH RECURSIVE $linkagePairCtes, $linkageEntityCtes, " +
@@ -2101,6 +2158,44 @@ private[graft] object Oracles {
        "CASE WHEN n_true_pairs = 0 THEN 1000000 ELSE " +
        "  n_captured * 1000000 // n_true_pairs END AS completeness_ppm " +
        "FROM tot CROSS JOIN cand CROSS JOIN cap"),
+    // multi-pass blocking: the UNION (deduped) of the prefix-pass and
+    // suffix-pass pair sets, scored once per unique pair with the
+    // fuzzy-linkage comparators — the suffix pass recovers the
+    // first-char-typo pairs the prefix pass loses
+    "q_linkage_multiblock" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat(substr(c_name, 1, length(c_name) - 1), 'Z'), " +
+       "    c_nationkey, c_mktsegment FROM customer " +
+       "    WHERE c_custkey % 10 = 0 " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat('X', substr(c_name, 2)), " +
+       "    c_nationkey, c_mktsegment FROM customer " +
+       "    WHERE c_custkey % 10 = 5), " +
+       "c AS (SELECT c_custkey AS id, c_name AS nm, " +
+       "  substr(c_name, 1, length(c_name) - 2) AS pre_blk, " +
+       "  substr(c_name, 2) AS suf_blk, " +
+       "  c_nationkey AS nat, c_mktsegment AS seg FROM base), " +
+       // UNION (not ALL) = the cross-pass (id_a, id_b) dedup
+       "pr AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b " +
+       "  ON a.pre_blk = b.pre_blk AND a.id < b.id " +
+       "  UNION " +
+       "  SELECT a.id, b.id FROM c a JOIN c b " +
+       "  ON a.suf_blk = b.suf_blk AND a.id < b.id), " +
+       "p AS (SELECT pr.id_a, pr.id_b, " +
+       "  concat(" +
+       "    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN levenshtein(a.nm, b.nm) <= 2 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM pr JOIN c a ON a.id = pr.id_a JOIN c b ON b.id = pr.id_b) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
     // exact-ppm Herfindahl concentration per nation over segments,
     // with the operator's self-switching overflow-safe division
     "q_hhi" -> hhiOracle,

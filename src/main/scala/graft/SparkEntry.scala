@@ -1196,6 +1196,44 @@ object SparkEntry {
         Linkage.eq("c_mktsegment", 280000L, 120000L)),
         thresholdPpm = 800000L)
     }),
+    // sorted-neighborhood blocking (Hernandez & Stolfo 1998): no block
+    // key at all — the corpus is ordered by name and each record pairs
+    // with its 11 successors; the planted last-char typos land within
+    // the window (at most the 9 intervening digit-suffix names apart),
+    // candidate pairs are <= n*(w-1) by construction
+    "q_linkage_sorted_nbhd" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val typo = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      Linkage.scorePairsSortedNeighborhood(cust.unionByName(typo),
+        "c_custkey", sortKey = Seq("c_name"), window = 12, Seq(
+          Linkage.editBand("c_name", maxDist = 2, 500000L, 300000L),
+          Linkage.eq("c_nationkey", 370000L, 160000L),
+          Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
+    }),
+    // Jaro-Winkler graded linkage over the same typo'd injection: the
+    // standard name comparator (Winkler 1990) as a band at jw >= 0.9 —
+    // the custom kernel is pinned bit-identical to DuckDB's
+    // jaro_winkler_similarity, so the band decision replays exactly
+    "q_linkage_jw" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val typo = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      val c = cust.unionByName(typo)
+        .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+      Linkage.scorePairs(c, "c_custkey", Seq("name_blk"), Seq(
+        Linkage.jwBand("c_name", minSimPpm = 900000L, 500000L, 300000L),
+        Linkage.eq("c_nationkey", 370000L, 160000L),
+        Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
+    }),
     // the linkage scorer on the PURE-SQL surface: blocked pair join in
     // plain SQL, pattern/score via the fs_pattern / fs_score functions
     // — same comparators, weights, and threshold as q_linkage_score,
@@ -1324,6 +1362,32 @@ object SparkEntry {
       val corpus = cust.unionByName(kept).unionByName(broken)
         .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
       Linkage.blockingQuality(corpus, "c_custkey", Seq("name_blk"), truth)
+    }),
+    // multi-pass (disjunctive) blocking over the SAME planted corpus:
+    // pass 1 blocks on the name prefix (captures the last-char typos),
+    // pass 2 on the name suffix (recovers the first-char typos pass 1
+    // loses — the Christen ch. 4 argument for running several passes);
+    // candidate pairs dedup on (id_a, id_b) before the fuzzy scorer,
+    // so each levenshtein evaluates once per unique pair
+    "q_linkage_multiblock" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val kept = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      val broken = cust.filter(col("c_custkey") % 10 === 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name", expr("concat('X', substr(c_name, 2))"))
+      val corpus = cust.unionByName(kept).unionByName(broken)
+        .withColumn("pre_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+        .withColumn("suf_blk", expr("substr(c_name, 2)"))
+      Linkage.scorePairsMultiBlock(corpus, "c_custkey",
+        Seq(Seq("pre_blk"), Seq("suf_blk")), Seq(
+          Linkage.editBand("c_name", maxDist = 2, 500000L, 300000L),
+          Linkage.eq("c_nationkey", 370000L, 160000L),
+          Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
     }),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(

@@ -108,6 +108,45 @@ case class SigAgreementExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** DuckDB-pinned Jaro similarity (TextKernels.jaroSim): the standard
+  * name-comparator primitive, codegen'd so a blocked ER pair join
+  * evaluates it inside whole-stage codegen like `levenshtein`. */
+case class JaroSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaro_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroSim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.jaroSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** DuckDB-pinned Jaro–Winkler similarity (TextKernels.jaroWinklerSim)
+  * — Winkler's 0.1-weighted prefix boost above jaro 0.7, the
+  * comparator his m/u weight calibration was built around. */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaro_winkler_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinklerSim(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.jaroWinklerSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** One-pass [alphaChars, punctChars, nTokens, stopwordHits] — see
   * TextKernels.qualityStats. Referenced several times inside the quality
   * projection; whole-stage codegen's subexpression elimination evaluates

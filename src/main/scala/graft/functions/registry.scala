@@ -61,6 +61,9 @@ object registry {
         seed = seedOf(args, 3))),
       "simhash" -> (args => SimHashExpr(args.head, seedOf(args, 1))),
       "sig_agreement" -> (args => SigAgreementExpr(args(0), args(1))),
+      // DuckDB-pinned string comparators (ER name matching)
+      "jaro_sim" -> (args => JaroSimExpr(args(0), args(1))),
+      "jaro_winkler_sim" -> (args => JaroWinklerExpr(args(0), args(1))),
       "cosine_sim" -> (args => CosineSimExpr(args(0), args(1))),
       "vec_dot" -> (args => DotExpr(args(0), args(1))),
       "vec_norm" -> (args => NormExpr(args.head)),

@@ -130,6 +130,21 @@ object text {
   def simhash(c: Column, seed: Long = FakeGen.DefaultSeed): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c.cast("string")), seed))
 
+  /** Jaro similarity (double in [0,1]), bit-identical to DuckDB's
+    * `jaro_similarity` — see TextKernels.jaroSim for the pinned
+    * semantics (UTF-8 byte-based, either side empty ⇒ 0.0). */
+  def jaroSim(a: Column, b: Column): Column =
+    Bridge.column(JaroSimExpr(Bridge.expression(a.cast("string")),
+      Bridge.expression(b.cast("string"))))
+
+  /** Jaro–Winkler similarity (double in [0,1]), bit-identical to
+    * DuckDB's `jaro_winkler_similarity`: prefix boost 0.1·ℓ (ℓ ≤ 4
+    * bytes) applied when jaro > 0.7 — the standard ER name
+    * comparator (Winkler 1990). */
+  def jaroWinklerSim(a: Column, b: Column): Column =
+    Bridge.column(JaroWinklerExpr(Bridge.expression(a.cast("string")),
+      Bridge.expression(b.cast("string"))))
+
   /** Heuristic language ID: "en","de","fr","es","pt","it","nl","zh" or
     * "und". */
   def langId(c: Column): Column =

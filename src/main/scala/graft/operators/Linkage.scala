@@ -60,6 +60,26 @@ object Linkage {
       wAgreePpm, wDisagreePpm)
   }
 
+  /** Jaro–Winkler band comparator — THE standard name comparator
+    * (Winkler 1990; the m/u weights of his 1988 EM estimator were
+    * calibrated on exactly this similarity): agreement = jw ≥
+    * minSimPpm/1e6. Engine-exact decision by construction: the kernel
+    * ([[graft.functions.TextKernels.jaroWinklerSim]]) is pinned
+    * BIT-IDENTICAL to DuckDB's `jaro_winkler_similarity` (live-DuckDB
+    * fuzz in JwParitySpec), and the threshold double minSimPpm/1e6
+    * equals the oracle's decimal literal (both are
+    * correctly-rounded from exact inputs) — identical doubles compared
+    * with ≥ give identical booleans, so there is no boundary case.
+    * Symmetric (jw(a,b) = jw(b,a): the matching window and prefix are
+    * side-symmetric), per the [[FieldRule]] contract. */
+  def jwBand(col: String, minSimPpm: Long, wAgreePpm: Long,
+             wDisagreePpm: Long): FieldRule = {
+    require(minSimPpm >= 1 && minSimPpm <= 1000000L,
+      s"minSimPpm must be in [1, 1e6], got $minSimPpm")
+    FieldRule(col, (a, b) => graft.functions.text.jaroWinklerSim(a, b) >=
+      lit(minSimPpm.toDouble / 1000000.0), wAgreePpm, wDisagreePpm)
+  }
+
   /** One side's projection for the blocked pair join: the id (tagged),
     * the block keys (join columns), and the comparator fields (tagged
     * so both sides survive the join). */
@@ -93,6 +113,13 @@ object Linkage {
                  rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
     val (paired, agrees) = pairedWithPattern(df, idCol, blockCols,
       rules.map(_.col), rules.map(_.same))
+    scoreAndCut(paired, agrees, rules, thresholdPpm)
+  }
+
+  /** Shared scoring tail: agreement pattern + weight sum + threshold
+    * cut over an already-paired frame. */
+  private def scoreAndCut(paired: DataFrame, agrees: Seq[Column],
+      rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
     val score = rules.zip(agrees).map { case (r, ok) =>
       when(ok, lit(r.wAgreePpm)).otherwise(lit(-r.wDisagreePpm))
     }.reduce(_ + _)
@@ -102,6 +129,117 @@ object Linkage {
       .withColumn("score_ppm", score.cast("long"))
       .filter(col("score_ppm") >= thresholdPpm)
       .select(col("id_a"), col("id_b"), col("pattern"), col("score_ppm"))
+  }
+
+  /** MULTI-PASS (disjunctive) blocking (Christen 2012 ch. 4): run
+    * SEVERAL blocking passes and score the UNION of their candidate
+    * pairs — the production ER posture, because one conjunctive key's
+    * pair completeness is never 1.0 on dirty data (a typo in the block
+    * field hides the pair from that pass; a second key over different
+    * fields recovers it). Each element of `blockKeys` is one pass's
+    * conjunctive key. Candidate pairs are deduplicated on (id_a, id_b)
+    * BEFORE scoring, so a pair found by two passes scores once; output
+    * and semantics otherwise equal [[scorePairs]] — with a single pass
+    * the result is identical.
+    *
+    * Scale shape: each pass is its own block equi-join producing only
+    * (id_a, id_b) — Σ_pass Σ_b |b|², the same bound as running
+    * scorePairs per pass; the dedup is one shuffle of the pair-id set
+    * (blocked-bounded, never corpus²); comparator fields arrive AFTER
+    * the dedup via two id-keyed equi-joins, so each comparator
+    * evaluates once per unique pair, not once per pass. */
+  def scorePairsMultiBlock(df: DataFrame, idCol: String,
+      blockKeys: Seq[Seq[String]], rules: Seq[FieldRule],
+      thresholdPpm: Long): DataFrame = {
+    require(blockKeys.nonEmpty, "multi-block linkage needs at least one pass")
+    require(rules.nonEmpty, "linkage needs at least one field rule")
+    val pairs = blockKeys.map { bk =>
+      require(bk.nonEmpty, "every blocking pass needs at least one column")
+      df.select(col(idCol).as("id_a") +: bk.map(col): _*)
+        .join(df.select(col(idCol).as("id_b") +: bk.map(col): _*), bk)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_.unionByName(_)).distinct()
+    val cols = rules.map(_.col)
+    val fa = df.select(col(idCol).as("id_a") +:
+      cols.map(c => col(c).as(s"__a_$c")): _*)
+    val fb = df.select(col(idCol).as("id_b") +:
+      cols.map(c => col(c).as(s"__b_$c")): _*)
+    val paired = pairs.join(fa, "id_a").join(fb, "id_b")
+    scoreAndCut(paired, agreeCols(cols, rules.map(_.same)), rules,
+      thresholdPpm)
+  }
+
+  /** Global dense row rank over `orderCols` (must be a total order —
+    * append the id as tie-break) WITHOUT a single-task window: one
+    * range-partitioned shuffle, per-partition counts rolled into
+    * prefix offsets (a partition-count-sized window), rank = prefix +
+    * local row_number. */
+  private def globalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.repartitionByRange(orderCols.map(c => col(c).asc): _*)
+      .withColumn("__pid", spark_partition_id())
+    val prefix = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__pn"))
+      .withColumn("__prefix", coalesce(sum(col("__pn")).over(
+        Window.orderBy(col("__pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pn")
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    parts.join(broadcast(prefix), Seq("__pid"))
+      .withColumn("__rank", col("__prefix") + row_number().over(wLocal))
+      .drop("__pid", "__prefix")
+  }
+
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1998): order the
+    * corpus by a sorting key and pair every record with its `window−1`
+    * successors in that order. The classic complement to equality
+    * blocking — a typo ANYWHERE after the first sort-key character
+    * still lands near its original in the sorted order, where an
+    * equality block key would send it to a different block entirely.
+    * Candidate pairs ≤ n·(window−1) BY CONSTRUCTION — the knob bounds
+    * pair work linearly in corpus size, with no hot-block quadratic.
+    * Output and scoring semantics match [[scorePairs]], with id_a the
+    * LOWER-RANKED record of each pair (comparators are symmetric per
+    * the [[FieldRule]] contract, so orientation does not affect the
+    * score; the oracle replays the same rank orientation).
+    *
+    * Scale shape: the global order is ONE range-partitioned shuffle
+    * (rank = partition-prefix + local row_number — no single-task
+    * window; the prefix roll-up window is partition-count-sized);
+    * pairing is two rank-bucket equi-joins (bucket = rank div window:
+    * a successor within window−1 ranks lives in the same bucket or the
+    * next one), so each record meets ≤ 2·window candidates; comparator
+    * fields arrive via two id-keyed joins after pair generation. */
+  def scorePairsSortedNeighborhood(df: DataFrame, idCol: String,
+      sortKey: Seq[String], window: Int, rules: Seq[FieldRule],
+      thresholdPpm: Long): DataFrame = {
+    require(sortKey.nonEmpty, "sorted-neighborhood needs a sort key")
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(rules.nonEmpty, "linkage needs at least one field rule")
+    val ranked = globalRank(
+      df.select((idCol +: sortKey).distinct.map(col): _*),
+      sortKey :+ idCol)
+    val a = ranked.select(col(idCol).as("id_a"), col("__rank").as("__ra"),
+      (col("__rank") / window).cast("long").as("__ba"))
+    val b = ranked.select(col(idCol).as("id_b"), col("__rank").as("__rb"),
+      (col("__rank") / window).cast("long").as("__bb"))
+    val near = (lo: Column, hi: Column) =>
+      hi - lo >= 1 && hi - lo <= window - 1
+    val pairs = a.join(b, col("__ba") === col("__bb") &&
+        near(col("__ra"), col("__rb")))
+      .select(col("id_a"), col("id_b"))
+      .unionByName(a.join(b, col("__ba") + 1 === col("__bb") &&
+          near(col("__ra"), col("__rb")))
+        .select(col("id_a"), col("id_b")))
+    val cols = rules.map(_.col)
+    val fa = df.select(col(idCol).as("id_a") +:
+      cols.map(c => col(c).as(s"__a_$c")): _*)
+    val fb = df.select(col(idCol).as("id_b") +:
+      cols.map(c => col(c).as(s"__b_$c")): _*)
+    val paired = pairs.join(fa, "id_a").join(fb, "id_b")
+    scoreAndCut(paired, agreeCols(cols, rules.map(_.same)), rules,
+      thresholdPpm)
   }
 
   private val M = 1000000L
@@ -222,16 +360,27 @@ object Linkage {
       .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L))
         .as("n_candidate_pairs"))
     val tot = keyed.agg(count(lit(1)).as("n_records"))
-    val truth = truePairs.select(
-      least(col("id_a"), col("id_b")).as("id_a"),
-      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
-    val cap = truth
+    val cap = canonicalTruth(truePairs)
       .join(keyed.select(col("__id").as("id_a"), col("__blk").as("__ba")),
         Seq("id_a"))
       .join(keyed.select(col("__id").as("id_b"), col("__blk").as("__bb")),
         Seq("id_b"))
       .agg(count(lit(1)).as("n_true_pairs"),
         count(when(col("__ba") === col("__bb"), 1)).as("n_captured"))
+    qualityFinish(tot, cand, cap)
+  }
+
+  /** Canonicalize a truth-pair frame: (least, greatest) id order +
+    * distinct, so reversed or repeated rows count once. */
+  private def canonicalTruth(truePairs: DataFrame): DataFrame =
+    truePairs.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+
+  /** Shared ppm finish of the blocking audits: reduction ratio with
+    * the self-switching overflow split, guarded completeness. */
+  private def qualityFinish(tot: DataFrame, cand: DataFrame,
+      cap: DataFrame): DataFrame =
     tot.crossJoin(broadcast(cand)).crossJoin(broadcast(cap))
       .select(col("n_records"), col("n_candidate_pairs"),
         col("n_true_pairs"), col("n_captured"),
@@ -248,6 +397,46 @@ object Linkage {
         expr("CASE WHEN n_true_pairs = 0 THEN 1000000L ELSE " +
           "n_captured * 1000000L div n_true_pairs END")
           .as("completeness_ppm"))
+
+  /** [[blockingQuality]] for a MULTI-PASS (disjunctive) scheme — the
+    * audit that justifies adding a second blocking pass: candidates =
+    * |union of the per-pass pair sets| (deduplicated, matching what
+    * [[scorePairsMultiBlock]] actually scores), a truth pair is
+    * captured iff ANY pass agrees on its full conjunctive key. Same
+    * output row and ppm arithmetic as the single-pass audit; with one
+    * pass the two are identical.
+    *
+    * Scale shape: unlike the single-pass audit (a map-side block-count
+    * sum), the cross-pass dedup REQUIRES materializing the pair-id
+    * union — the audit costs what the multi-block scorer's pair
+    * generation costs (blocked-bounded, never corpus²); completeness
+    * stays two label-sized equi-joins against the per-pass key
+    * structs. */
+  def blockingQualityMulti(df: DataFrame, idCol: String,
+      blockKeys: Seq[Seq[String]], truePairs: DataFrame): DataFrame = {
+    require(blockKeys.nonEmpty, "blocking audit needs at least one pass")
+    val pairs = blockKeys.map { bk =>
+      require(bk.nonEmpty, "every blocking pass needs at least one column")
+      df.select(col(idCol).as("id_a") +: bk.map(col): _*)
+        .join(df.select(col(idCol).as("id_b") +: bk.map(col): _*), bk)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_.unionByName(_)).distinct()
+    val cand = pairs.agg(count(lit(1)).as("n_candidate_pairs"))
+    val tot = df.agg(count(lit(1)).as("n_records"))
+    val keyed = df.select(col(idCol).as("__id") +:
+      blockKeys.zipWithIndex.map { case (bk, i) =>
+        struct(bk.map(col): _*).as(s"__blk$i") }: _*)
+    val idxs = blockKeys.indices
+    val cap = canonicalTruth(truePairs)
+      .join(keyed.select(col("__id").as("id_a") +:
+        idxs.map(i => col(s"__blk$i").as(s"__ba$i")): _*), Seq("id_a"))
+      .join(keyed.select(col("__id").as("id_b") +:
+        idxs.map(i => col(s"__blk$i").as(s"__bb$i")): _*), Seq("id_b"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count(when(idxs.map(i => col(s"__ba$i") === col(s"__bb$i"))
+          .reduce(_ || _), 1)).as("n_captured"))
+    qualityFinish(tot, cand, cap)
   }
 
   /** INCREMENTAL linkage — the continuous-curation shape: every ingest

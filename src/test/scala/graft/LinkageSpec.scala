@@ -214,6 +214,115 @@ class LinkageSpec extends SparkTestBase {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("scorePairsMultiBlock: single pass equals scorePairs; a second pass recovers a block-broken pair and dedups overlaps") {
+    // blk1 splits {1,2,3} from {4}; blk2 re-unites 3 and 4 (the pair
+    // blk1 loses) and ALSO re-finds (1,2) — which must score once
+    val df = Seq(
+      (1L, 0, 9, "X", 100L), (2L, 0, 9, "X", 105L),
+      (3L, 0, 7, "Y", 9000L), (4L, 1, 7, "Y", 9010L))
+      .toDF("id", "blk1", "blk2", "seg", "bal")
+    val rulesMb = Seq(
+      Linkage.eq("seg", 500000L, 300000L),
+      Linkage.FieldRule("bal", (a, b) => abs(a - b) <= lit(50L),
+        280000L, 120000L))
+    val single = Linkage.scorePairs(df, "id", Seq("blk1"), rulesMb,
+      Long.MinValue + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    val singleViaMulti = Linkage.scorePairsMultiBlock(df, "id",
+      Seq(Seq("blk1")), rulesMb, Long.MinValue + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(singleViaMulti === single)
+    assert(!single.contains((3L, 4L)), "fixture: pass 1 must lose (3,4)")
+    val multi = Linkage.scorePairsMultiBlock(df, "id",
+      Seq(Seq("blk1"), Seq("blk2")), rulesMb, Long.MinValue + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // (3,4) recovered by pass 2 with full agreement; (1,2) found by
+    // BOTH passes appears once (a Map would hide a dup — check counts)
+    assert(multi((3L, 4L)) === (("AA", 780000L)))
+    assert(multi((1L, 2L)) === (("AA", 780000L)))
+    val rows = Linkage.scorePairsMultiBlock(df, "id",
+      Seq(Seq("blk1"), Seq("blk2")), rulesMb, Long.MinValue + 1)
+      .groupBy("id_a", "id_b").count().collect()
+    assert(rows.forall(_.getLong(2) == 1L), "cross-pass dedup must hold")
+  }
+
+  test("blockingQualityMulti: the second pass lifts completeness on the planted block-breaking pair") {
+    val df = Seq(
+      (1L, 0, 9), (2L, 0, 9), (3L, 0, 7), (4L, 1, 7)).toDF("id", "blk1", "blk2")
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val one = Linkage.blockingQualityMulti(df, "id", Seq(Seq("blk1")), truth)
+      .head()
+    // single pass: candidates {12,13,23}, captures only (1,2)
+    assert((one.getLong(1), one.getLong(3), one.getLong(5)) ===
+      ((3L, 1L, 500000L)))
+    // single-pass parity with blockingQuality
+    val bq = Linkage.blockingQuality(df, "id", Seq("blk1"), truth).head()
+    assert(one.toSeq === bq.toSeq)
+    val two = Linkage.blockingQualityMulti(df, "id",
+      Seq(Seq("blk1"), Seq("blk2")), truth).head()
+    // pass 2 adds pairs {12, 34}: candidates dedup to 4, both truths
+    // captured -> completeness 1e6 (up from 5e5)
+    assert((two.getLong(1), two.getLong(3), two.getLong(5)) ===
+      ((4L, 2L, 1000000L)))
+  }
+
+  test("scorePairsSortedNeighborhood: exactly the w-1 rank successors pair, including across bucket boundaries") {
+    // keys a..f give ids 1..6 ranks 1..6; window 3 => each record
+    // pairs with its next two. Buckets (rank div 3) split at 2|3 and
+    // 5|6 — the cross-bucket pairs come from the second join leg.
+    val df = Seq(
+      (1L, "a", "X"), (2L, "b", "X"), (3L, "c", "X"),
+      (4L, "d", "X"), (5L, "e", "Y"), (6L, "f", "Y"))
+      .toDF("id", "k", "seg")
+    val got = Linkage.scorePairsSortedNeighborhood(df, "id", Seq("k"),
+        window = 3, Seq(Linkage.eq("seg", 500000L, 300000L)),
+        Long.MinValue + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)))
+    assert(got((1L, 2L)) === 500000L)   // X-X agrees
+    assert(got((4L, 5L)) === -300000L)  // X-Y disagrees
+  }
+
+  test("linkIncremental: parquet-persisted block index + entities round-trip equals the in-memory run") {
+    val existing = Seq(
+      (1L, 0, "alpha", 0L), (2L, 0, "alpha", 10L),
+      (3L, 0, "alpha", 100L), (4L, 0, "alpha", 110L),
+      (5L, 1, "gamma", 0L),
+      (6L, 2, "delta", 0L), (7L, 2, "delta", 0L))
+      .toDF("id", "blk", "name", "bal")
+    val batch = Seq(
+      (10L, 0, "alpha", 55L), (11L, 1, "gamma", 0L),
+      (12L, 3, "kappa", 0L), (13L, 3, "kappa", 0L))
+      .toDF("id", "blk", "name", "bal")
+    val irules = Seq(
+      Linkage.eq("name", 500000L, 300000L),
+      Linkage.FieldRule("bal", (a, b) => abs(a - b) <= lit(50L),
+        280000L, 120000L))
+    val ents = Linkage.resolveEntities(
+      Linkage.scorePairs(existing, "id", Seq("blk"), irules, 700000L)
+        .select(col("id_a"), col("id_b")))
+    val mem = Linkage.linkIncremental(existing, ents, batch, "id",
+        Seq("blk"), irules, 700000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // persist the block index (scaladoc contract: id + block cols +
+    // rule fields, partitioned by block) and the entity assignment,
+    // reload from disk, link the same batch — bit-for-bit equal
+    val dir = java.nio.file.Files.createTempDirectory("graft_linkidx")
+      .toString
+    existing.write.partitionBy("blk").parquet(s"$dir/index")
+    ents.write.parquet(s"$dir/entities")
+    val gotDisk = Linkage.linkIncremental(
+        spark.read.parquet(s"$dir/index"),
+        spark.read.parquet(s"$dir/entities"),
+        batch, "id", Seq("blk"), irules, 700000L)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(gotDisk === mem)
+  }
+
   test("goldenRecords: recency rule — latest non-null by ts, ties to larger value, all-null entity reports NULL") {
     val members = Seq(
       (1L, Some(10L), 100L), (1L, Some(30L), 200L), (1L, None, 300L),
