@@ -1983,6 +1983,36 @@ private[graft] object Oracles {
        "  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 11) " +
        "SELECT id_a, id_b, pattern, score_ppm FROM p " +
        "WHERE score_ppm >= 800000"),
+    // Damerau-Levenshtein linkage: DuckDB's native damerau_levenshtein
+    // is the kernel's pinned reference (Lowrance-Wagner, byte-based);
+    // the swapped-last-two-chars injection keeps the block key intact
+    "q_linkage_dl" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer UNION ALL " +
+       "  SELECT c_custkey + 1000000000, " +
+       "  concat(substr(c_name, 1, length(c_name) - 2), " +
+       "    substr(c_name, length(c_name), 1), " +
+       "    substr(c_name, length(c_name) - 1, 1)), " +
+       "  c_nationkey, c_mktsegment FROM customer " +
+       "  WHERE c_custkey % 10 = 0), " +
+       "c AS (SELECT c_custkey AS id, " +
+       "  substr(c_name, 1, length(c_name) - 2) AS blk, " +
+       "  c_name AS nm, c_nationkey AS nat, c_mktsegment AS seg " +
+       "  FROM base), " +
+       "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+       "  concat(" +
+       "    CASE WHEN damerau_levenshtein(a.nm, b.nm) <= 1 " +
+       "      THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN damerau_levenshtein(a.nm, b.nm) <= 1 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
     // Jaro-Winkler graded linkage: DuckDB's native
     // jaro_winkler_similarity IS the kernel's reference
     // implementation (bit-identical by JwParitySpec), so the band

@@ -1215,6 +1215,27 @@ object SparkEntry {
           Linkage.eq("c_mktsegment", 280000L, 120000L)),
         thresholdPpm = 800000L)
     }),
+    // Damerau-Levenshtein linkage: every 10th customer re-appears with
+    // its last two name chars SWAPPED — the classic transposition typo
+    // (Damerau 1964) that true DL prices at 1 while plain levenshtein
+    // charges 2; dl <= 1 bands it in, exact-integer oracle replay
+    "q_linkage_dl" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val typo = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name", expr(
+          "concat(substr(c_name, 1, length(c_name) - 2), " +
+          "substr(c_name, length(c_name), 1), " +
+          "substr(c_name, length(c_name) - 1, 1))"))
+      val c = cust.unionByName(typo)
+        .withColumn("name_blk", expr("substr(c_name, 1, length(c_name) - 2)"))
+      Linkage.scorePairs(c, "c_custkey", Seq("name_blk"), Seq(
+        Linkage.dlBand("c_name", maxDist = 1, 500000L, 300000L),
+        Linkage.eq("c_nationkey", 370000L, 160000L),
+        Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
+    }),
     // Jaro-Winkler graded linkage over the same typo'd injection: the
     // standard name comparator (Winkler 1990) as a band at jw >= 0.9 —
     // the custom kernel is pinned bit-identical to DuckDB's

@@ -127,6 +127,28 @@ case class JaroSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** DuckDB-pinned TRUE Damerau–Levenshtein distance
+  * (TextKernels.damerauLevenshtein): the transposition-aware edit
+  * distance — a swapped adjacent pair costs 1, where plain
+  * levenshtein charges 2. Exact integer, so band decisions replay in
+  * the oracle with no float contract. */
+case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "damerau_levenshtein"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.damerauLevenshtein(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** DuckDB-pinned Jaro–Winkler similarity (TextKernels.jaroWinklerSim)
   * — Winkler's 0.1-weighted prefix boost above jaro 0.7, the
   * comparator his m/u weight calibration was built around. */

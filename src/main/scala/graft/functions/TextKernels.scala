@@ -569,6 +569,53 @@ object TextKernels {
     (m.toDouble / lp + m.toDouble / lt + (m - half).toDouble / m) / 3.0
   }
 
+  /** TRUE (unrestricted) Damerau–Levenshtein distance over UTF-8
+    * BYTES, pinned to DuckDB's `damerau_levenshtein` (probed: the
+    * Lowrance–Wagner 1975 algorithm with the last-occurrence frame —
+    * `CA → ABC` = 2, distinguishing it from the restricted/OSA
+    * variant's 3; byte-based like [[jaroSim]]). Exact integers, so the
+    * oracle replay needs no float contract at all. Pinned by
+    * JwParitySpec's live-DuckDB fuzz (60k pairs in development, a
+    * seeded subset in CI). */
+  def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
+    val p = a.getBytes; val t = b.getBytes
+    val la = p.length; val lt = t.length
+    if (la == 0) return lt
+    if (lt == 0) return la
+    val maxd = la + lt
+    val da = new Array[Int](256)
+    val d = Array.ofDim[Int](la + 2, lt + 2)
+    d(0)(0) = maxd
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = maxd; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lt) { d(0)(j + 1) = maxd; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lt) {
+        val k = da(t(j - 1) & 0xFF)
+        val l = db
+        var cost = 1
+        if (p(i - 1) == t(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trn = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        var best = sub
+        if (ins < best) best = ins
+        if (del < best) best = del
+        if (trn < best) best = trn
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da(p(i - 1) & 0xFF) = i
+      i += 1
+    }
+    d(la + 1)(lt + 1)
+  }
+
   /** Jaro–Winkler similarity, pinned bit-identical to DuckDB's
     * `jaro_winkler_similarity`: [[jaroSim]] plus Winkler's prefix
     * boost `sim + ℓ·0.1·(1−sim)` applied ONLY when jaro > 0.7

@@ -64,6 +64,8 @@ object registry {
       // DuckDB-pinned string comparators (ER name matching)
       "jaro_sim" -> (args => JaroSimExpr(args(0), args(1))),
       "jaro_winkler_sim" -> (args => JaroWinklerExpr(args(0), args(1))),
+      "damerau_levenshtein" -> (args =>
+        DamerauLevenshteinExpr(args(0), args(1))),
       "cosine_sim" -> (args => CosineSimExpr(args(0), args(1))),
       "vec_dot" -> (args => DotExpr(args(0), args(1))),
       "vec_norm" -> (args => NormExpr(args.head)),

@@ -145,6 +145,12 @@ object text {
     Bridge.column(JaroWinklerExpr(Bridge.expression(a.cast("string")),
       Bridge.expression(b.cast("string"))))
 
+  /** True Damerau–Levenshtein distance (int), pinned to DuckDB's
+    * `damerau_levenshtein` — adjacent transpositions cost 1. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    Bridge.column(DamerauLevenshteinExpr(Bridge.expression(a.cast("string")),
+      Bridge.expression(b.cast("string"))))
+
   /** Heuristic language ID: "en","de","fr","es","pt","it","nl","zh" or
     * "und". */
   def langId(c: Column): Column =

@@ -50,9 +50,14 @@ object Linkage {
     * within `maxDist` — the approximate-match rule real ER needs where
     * exact equality misses typo'd duplicates (Winkler's motivating
     * case). Spark's `levenshtein` and DuckDB's `levenshtein` compute
-    * the same standard unit-cost edit distance over codepoints, so the
-    * agreement bit replays engine-exactly. NULL on either side is
-    * disagreement, per the FieldRule contract. */
+    * the same standard unit-cost DP, so the agreement bit replays
+    * engine-exactly on ASCII; CAVEAT for non-ASCII fields: Spark
+    * counts CODEPOINTS while DuckDB counts UTF-8 BYTES (probed:
+    * DuckDB levenshtein('éa','ea') = 2, Spark = 1), so a multi-byte
+    * typo can sit on different sides of the band — normalize to ASCII
+    * first, or use [[dlBand]]/[[jwBand]], whose kernels are byte-based
+    * like DuckDB's. NULL on either side is disagreement, per the
+    * FieldRule contract. */
   def editBand(col: String, maxDist: Int, wAgreePpm: Long,
                wDisagreePpm: Long): FieldRule = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
@@ -78,6 +83,23 @@ object Linkage {
       s"minSimPpm must be in [1, 1e6], got $minSimPpm")
     FieldRule(col, (a, b) => graft.functions.text.jaroWinklerSim(a, b) >=
       lit(minSimPpm.toDouble / 1000000.0), wAgreePpm, wDisagreePpm)
+  }
+
+  /** TRUE Damerau–Levenshtein band comparator: agreement = DL distance
+    * within `maxDist`. The transposition-aware [[editBand]] — a
+    * swapped adjacent character pair ("10" → "01", the classic data-
+    * entry error Damerau 1964 measured at >80% of misspellings
+    * together with the single-char edits) costs 1 where levenshtein
+    * charges 2. The kernel
+    * ([[graft.functions.TextKernels.damerauLevenshtein]]) is pinned to
+    * DuckDB's `damerau_levenshtein` (Lowrance–Wagner, byte-based) and
+    * returns exact integers, so the band replays with no float
+    * contract. Symmetric, per the [[FieldRule]] contract. */
+  def dlBand(col: String, maxDist: Int, wAgreePpm: Long,
+             wDisagreePpm: Long): FieldRule = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    FieldRule(col, (a, b) => graft.functions.text.damerauLevenshtein(a, b)
+      <= lit(maxDist), wAgreePpm, wDisagreePpm)
   }
 
   /** One side's projection for the blocked pair join: the id (tagged),

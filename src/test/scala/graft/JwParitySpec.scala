@@ -84,6 +84,49 @@ class JwParitySpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("damerauLevenshtein: true-DL classics (CA->ABC = 2), byte-based, bit-equal to DuckDB on a seeded fuzz") {
+    def dl(a: String, b: String): Int =
+      TextKernels.damerauLevenshtein(u(a), u(b))
+    // the OSA discriminator: restricted DL says 3, true DL says 2
+    assert(dl("CA", "ABC") == 2)
+    assert(dl("ab", "ba") == 1 && dl("martha", "marhta") == 1)
+    assert(dl("", "") == 0 && dl("a", "") == 1 && dl("", "ab") == 2)
+    assert(dl("éa", "ea") == 2, "byte-based, like DuckDB")
+    assert(dl("日本語", "日本誤") == 1)
+    val conn = DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val ps = conn.prepareStatement("SELECT damerau_levenshtein(?, ?)")
+      val rnd = new scala.util.Random(7)
+      Seq(("ab", 12), ("abcde", 25), ("abcXYZ é", 30)).foreach {
+        case (alpha, maxLen) =>
+          (1 to 2500).foreach { _ =>
+            val a = Seq.fill(rnd.nextInt(maxLen + 1))(
+              alpha(rnd.nextInt(alpha.length))).mkString
+            val b = Seq.fill(rnd.nextInt(maxLen + 1))(
+              alpha(rnd.nextInt(alpha.length))).mkString
+            ps.setString(1, a); ps.setString(2, b)
+            val rs = ps.executeQuery(); rs.next()
+            assert(dl(a, b) == rs.getInt(1),
+              s"DL mismatch on (${a.take(40)}, ${b.take(40)})")
+          }
+      }
+    } finally conn.close()
+  }
+
+  test("dlBand: a swapped adjacent pair is distance 1 (editBand at 1 would miss it)") {
+    val df = Seq(
+      (1L, 0, "form1024", "X"), (2L, 0, "form1042", "X"))  // "24" -> "42"
+      .toDF("id", "blk", "name", "seg")
+    val viaDl = Linkage.scorePairs(df, "id", Seq("blk"), Seq(
+        Linkage.dlBand("name", maxDist = 1, 500000L, 300000L),
+        Linkage.eq("seg", 280000L, 120000L)), 700000L).collect()
+    assert(viaDl.length == 1 && viaDl.head.getLong(3) == 780000L)
+    val viaLev = Linkage.scorePairs(df, "id", Seq("blk"), Seq(
+        Linkage.editBand("name", maxDist = 1, 500000L, 300000L),
+        Linkage.eq("seg", 280000L, 120000L)), 700000L).collect()
+    assert(viaLev.isEmpty, "levenshtein prices the transposition at 2")
+  }
+
   test("jwBand: links a planted typo'd duplicate; the column/SQL surfaces agree") {
     val df = Seq(
       (1L, 0, "martha", "X"), (2L, 0, "marhta", "X"),
