@@ -2556,6 +2556,40 @@ private[graft] object Oracles {
       "CAST(count(CASE WHEN is_rel THEN 1 END) AS BIGINT) AS n_rel, " +
       "count(CASE WHEN is_rel THEN 1 END) * 1000000 // 20 AS precision_ppm " +
       "FROM rel GROUP BY 1"),
+    // nDCG@20 with the SAME baked integer log2 discounts as the
+    // operator (Eval.ndcgWeights — one source of truth, the
+    // transcendental never crosses the engine boundary); ideal
+    // ordering = per-query relevance re-sort, self-switching finish
+    "q_ndcg" -> (
+      "WITH q AS (SELECT vec_id + 200000 AS query_id, label AS qlabel, " +
+      "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+      "  FROM embeddings WHERE vec_id < 5), " +
+      "ranked AS (SELECT query_id, qlabel, c.vec_id AS corpus_id, " +
+      "  c.label AS clabel, " +
+      s"  row_number() OVER (PARTITION BY query_id ORDER BY $annCosSql DESC, " +
+      "    c.vec_id ASC) AS rank " +
+      "  FROM q JOIN embeddings c ON query_id != c.vec_id " +
+      "  QUALIFY rank <= 20), " +
+      "rel AS (SELECT query_id, rank, " +
+      "  CASE WHEN corpus_id = query_id - 200000 THEN 3 " +
+      "    WHEN clabel = qlabel THEN 1 ELSE 0 END AS rel FROM ranked), " +
+      s"w AS (SELECT [${graft.operators.Eval.ndcgWeights(20).mkString(", ")}] " +
+      "  AS wa), " +
+      "g AS (SELECT query_id, rank, rel, wa[rank] AS w, " +
+      "  wa[row_number() OVER (PARTITION BY query_id " +
+      "    ORDER BY rel DESC, rank ASC)] AS iw " +
+      "  FROM rel CROSS JOIN w), " +
+      "a AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked, " +
+      "  CAST(sum(rel * w) AS BIGINT) AS dcg_scaled, " +
+      "  CAST(sum(rel * iw) AS BIGINT) AS idcg_scaled FROM g GROUP BY 1) " +
+      "SELECT query_id, n_ranked, dcg_scaled, idcg_scaled, " +
+      "CAST(CASE WHEN idcg_scaled <= 0 THEN 0 " +
+      "WHEN dcg_scaled <= 9000000000000 THEN " +
+      "  dcg_scaled * 1000000 // idcg_scaled " +
+      "ELSE (dcg_scaled // idcg_scaled) * 1000000 + " +
+      "  (dcg_scaled % idcg_scaled) // " +
+      "  greatest(idcg_scaled // 1000000, 1) END AS BIGINT) AS ndcg_ppm " +
+      "FROM a"),
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
     // deleted ids (100..110) are never the planted top-1, so deletion

@@ -1841,6 +1841,26 @@ object SparkEntry {
           col("corpus_id") =!= col("query_id") - 200000)
       graft.operators.Eval.rankingQuality(rel, "__is_rel", k = 20)
     }),
+    // graded-relevance ranking quality: nDCG@20 of the exact ranking
+    // with grade 3 for the planted near-copy, 1 for same-label, 0 else
+    // — the log2 discounts are BAKED integer literals shared with the
+    // oracle (Eval.ndcgWeights), so the metric replays bit-for-bit
+    "q_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(emb, annQueries(emb),
+        "vec_id", "embedding", k = 20)
+      val ql = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 200000).as("query_id"),
+          col("label").as("__qlabel"))
+      val cl = emb.select(col("vec_id").as("corpus_id"),
+        col("label").as("__clabel"))
+      val rel = ranked.join(broadcast(ql), Seq("query_id"))
+        .join(cl, Seq("corpus_id"))
+        .withColumn("rel",
+          when(col("corpus_id") === col("query_id") - 200000, 3L)
+            .when(col("__clabel") === col("__qlabel"), 1L).otherwise(0L))
+      graft.operators.Eval.ndcgAtK(rel, "rel", k = 20)
+    }),
     // class-balanced downsample: every label keeps min-class-count
     // rows by content-keyed hash order
     "q_balance_labels" -> ((s, dir) =>

@@ -46,6 +46,30 @@ class EvalSpec extends SparkTestBase {
       (2L, -1L, 0L, 0L, 0L)))
   }
 
+  test("ndcgAtK: baked weights match hand log2 discounts; DCG/IDCG from the ideal re-sort; edge conventions") {
+    // w_i = round(1e6/log2(i+1)): positions 1..4
+    assert(Eval.ndcgWeights(4) === Seq(1000000L, 630930L, 500000L, 430677L))
+    // one query, rels by rank = (0, 3, 1, 0):
+    //   DCG  = 3*630930 + 1*500000            = 2392790
+    //   IDCG = 3*1000000 + 1*630930 (re-sort) = 3630930
+    val df = Seq((7L, 1, 0L), (7L, 2, 3L), (7L, 3, 1L), (7L, 4, 0L))
+      .toDF("query_id", "rank", "rel")
+    val r = Eval.ndcgAtK(df, "rel", k = 4).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 2392790L, 3630930L)))
+    assert(r.getLong(4) === 2392790L * 1000000L / 3630930L)
+    // perfect ordering reads exactly 1e6
+    val perfect = Seq((1L, 1, 3L), (1L, 2, 1L), (1L, 3, 0L))
+      .toDF("query_id", "rank", "rel")
+    assert(Eval.ndcgAtK(perfect, "rel", 3).head().getLong(4) === 1000000L)
+    // all-irrelevant query: IDCG = 0 -> ndcg 0 by convention
+    val none = Seq((2L, 1, 0L), (2L, 2, 0L)).toDF("query_id", "rank", "rel")
+    assert(Eval.ndcgAtK(none, "rel", 2).head().getLong(4) === 0L)
+    // ranks past k are ignored
+    val past = Seq((3L, 1, 1L), (3L, 9, 3L)).toDF("query_id", "rank", "rel")
+    assert(Eval.ndcgAtK(past, "rel", 2).head().getLong(2) === 1000000L)
+  }
+
   test("nearestCentroidConfusion: separable labels classify; a planted outlier crosses over") {
     // label 0: two vectors at (1,0) plus one mislabeled at (0,1);
     // label 1: two at (0,1). Integer centroids: c0 = (666666, 333333),
