@@ -530,8 +530,10 @@ object TextKernels {
     * bit-identity is empirically pinned by JwParitySpec's live-DuckDB
     * fuzz (230k+ adversarial pairs during development; a seeded
     * subset re-runs in CI via the DuckDB JDBC driver). */
-  def jaroSim(a: UTF8String, b: UTF8String): Double = {
-    val p = a.getBytes; val t = b.getBytes
+  def jaroSim(a: UTF8String, b: UTF8String): Double =
+    jaroCore(a.getBytes, b.getBytes)
+
+  private def jaroCore(p: Array[Byte], t: Array[Byte]): Double = {
     val lp = p.length; val lt = t.length
     if (lp == 0 || lt == 0) return 0.0
     var bound = (if (lp > lt) lp else lt) / 2 - 1
@@ -623,9 +625,11 @@ object TextKernels {
     * first mismatch. Same double-operation order as the reference
     * ((ℓ·0.1)·(1−sim), then one add). */
   def jaroWinklerSim(a: UTF8String, b: UTF8String): Double = {
-    var sim = jaroSim(a, b)
+    // extract bytes ONCE per pair (getBytes may copy): this runs per
+    // candidate pair inside the blocked join's codegen
+    val p = a.getBytes; val t = b.getBytes
+    var sim = jaroCore(p, t)
     if (sim > 0.7) {
-      val p = a.getBytes; val t = b.getBytes
       val lim = { val n = if (p.length < t.length) p.length else t.length
         if (n < 4) n else 4 }
       var pref = 0
