@@ -1925,6 +1925,14 @@ private[graft] object Oracles {
        "FROM p GROUP BY 1, 2"),
     // entity clusters: min-reachable-id labels over the links
     "q_linkage_entities" -> linkageEntitiesOracle,
+    // star clusters: min over the CLOSED NEIGHBORHOOD, no closure
+    "q_linkage_star" ->
+      (s"WITH $linkagePairCtes, " +
+       "lk AS (SELECT id_a, id_b FROM p WHERE score_ppm >= 550000), " +
+       "e AS (SELECT id_a AS m, id_b AS e FROM lk " +
+       "  UNION ALL SELECT id_b, id_a FROM lk) " +
+       "SELECT CAST(least(min(e), m) AS BIGINT) AS cluster_id, " +
+       "CAST(m AS BIGINT) AS id FROM e GROUP BY m"),
     // incremental linkage over the 80/20 split must EQUAL the full
     // batch re-run over the union — the quotient-graph parity the
     // operator's scaladoc proves, so the oracle IS the entities oracle

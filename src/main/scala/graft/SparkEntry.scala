@@ -1135,6 +1135,15 @@ object SparkEntry {
         graft.operators.Linkage.scorePairs(linkageCustomer(s, dir),
           "c_custkey", Seq("name_blk"), linkageRules, 550000L)
           .select(col("id_a"), col("id_b")))),
+    // star clusters over the same decided links: one-hop min-label
+    // contraction — the over-merge-averse read next to
+    // q_linkage_entities' transitive closure (a dirty chain cannot
+    // pull its endpoints together; cluster diameter <= 2)
+    "q_linkage_star" -> ((s, dir) =>
+      graft.operators.Linkage.starClusters(
+        graft.operators.Linkage.scorePairs(linkageCustomer(s, dir),
+          "c_custkey", Seq("name_blk"), linkageRules, 550000L)
+          .select(col("id_a"), col("id_b")))),
     // survivorship: one golden record per entity — modal segment (ties
     // to the smaller value), max balance, latest-non-null balance by
     // member id (the "most recent system wins" MDM rule, ties on the

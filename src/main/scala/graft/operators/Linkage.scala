@@ -545,6 +545,31 @@ object Linkage {
     fresh.unionByName(existingOut)
   }
 
+  /** STAR clusters over decided links — the over-merge-averse
+    * alternative to [[resolveEntities]]' transitive closure: every
+    * linked record takes the MINIMUM id over its CLOSED NEIGHBORHOOD
+    * (itself + direct link partners) as its cluster label — one hop,
+    * no closure — so two records share a cluster only through a
+    * directly-shared hub, and a dirty chain a–b–c cannot pull a and c
+    * into one entity the way connected components do (the classic ER
+    * chain-merge failure, Christen 2012 §6.11; the one-hop min-id form
+    * of star clustering, Aslam, Pelekhov & Rus 2004). Note the label
+    * is an id, not a "center" guarantee: a hub can itself label lower
+    * (in a–b–c, b labels a while c labels b) — the partition is by
+    * LABEL EQUALITY, with cluster diameter ≤ 2 by construction.
+    * Output: (cluster_id, id) for every id appearing in `links`.
+    *
+    * Scale shape: one symmetric edge union + one map-side-combined min
+    * aggregation — no iteration, no closure frame, no driver state. */
+  def starClusters(links: DataFrame): DataFrame = {
+    val ud = links.select(col("id_a").as("__m"), col("id_b").as("__e"))
+      .unionByName(links.select(col("id_b").as("__m"), col("id_a").as("__e")))
+    ud.groupBy(col("__m"))
+      .agg(min(col("__e")).as("__me"))
+      .select(least(col("__me"), col("__m")).as("cluster_id"),
+        col("__m").as("id"))
+  }
+
   /** Entity resolution tail: linked pairs → entity clusters. Each
     * member maps to its entity id = the minimum reachable member id
     * (the canonical representative). Delegates to the hybrid

@@ -323,6 +323,25 @@ class LinkageSpec extends SparkTestBase {
     assert(gotDisk === mem)
   }
 
+  test("starClusters: a chain stays cut (vs resolveEntities' closure); a triangle and a hub merge fully") {
+    // chain 1-2-3: closure puts all three in entity 1; star labels
+    // 1->1, 2->1, 3->2 — the endpoints never meet
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val star = Linkage.starClusters(chain)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    val cc = Linkage.resolveEntities(chain)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a triangle (and any shared-hub star) collapses to one label
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Linkage.starClusters(tri).collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+    val hub = Seq((5L, 7L), (5L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    assert(Linkage.starClusters(hub).collect()
+      .map(_.getLong(0)).toSet === Set(5L))
+  }
+
   test("goldenRecords: recency rule — latest non-null by ts, ties to larger value, all-null entity reports NULL") {
     val members = Seq(
       (1L, Some(10L), 100L), (1L, Some(30L), 200L), (1L, None, 300L),
