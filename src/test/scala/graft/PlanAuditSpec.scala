@@ -79,6 +79,32 @@ class PlanAuditSpec extends SparkTestBase {
     orderedByBucket && bucketAgg(w.child)
   }
 
+  /** The PARTITION-prefix sibling of the bucket-prefix frame:
+    * Linkage.globalRank rolls per-range-partition counts into rank
+    * offsets with a window ordered solely by the internal `__pid`
+    * (spark_partition_id — bounded by the shuffle partition COUNT, a
+    * config, never by corpus rows) and fed by an aggregate grouped by
+    * that same `__pid`, so the window input has at most
+    * spark.sql.shuffle.partitions rows at ANY corpus size. Same
+    * anti-spoof rule as `__b`: a column merely NAMED __pid without the
+    * __pid-keyed aggregate beneath is flagged. */
+  private def benignPartitionPrefixWindow(w: WindowExec): Boolean = {
+    val orderedByPid = w.orderSpec.nonEmpty && w.orderSpec.forall(_.child match {
+      case a: Attribute => a.name == "__pid"
+      case _ => false
+    })
+    def pidAgg(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+          case at: Attribute => at.name == "__pid"
+          case e => e.foldable
+        }
+      case u if u.children.length == 1 => pidAgg(u.children.head)
+      case _ => false
+    }
+    orderedByPid && pidAgg(w.child)
+  }
+
   /** collect over the physical tree INCLUDING physical subquery plans;
     * pre-preparation subquery expressions can still wrap LOGICAL plans
     * (which collectWithSubqueries would feed this partial function,
@@ -98,7 +124,8 @@ class PlanAuditSpec extends SparkTestBase {
 
   private def nonBenignGlobalWindows(tree: SparkPlan): Seq[WindowExec] =
     collectPhysical(tree) {
-      case w: WindowExec if w.partitionSpec.isEmpty && !benignBucketPrefixWindow(w) => w
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+        !benignBucketPrefixWindow(w) && !benignPartitionPrefixWindow(w) => w
     }
 
   // BroadcastNestedLoopJoin is allowed ONLY where it is the intended
@@ -131,6 +158,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_epoch_order" -> ("bucketedGroupRank bounds attach with a joined " +
       "build side (bounded, as q_centroid_calibration)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
+    "q_ndcg" -> "(a) brute-force eval ranking: corpus x 5 planted queries (the q_retrieval_mrr frame, graded)",
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)",
     "q_chi_square" -> ("(c) marginal DOMAIN x DOMAIN densify (|langs| x " +
       "|sources| rows, fixed by the schema — zero cells must enter the statistic)"),
@@ -493,6 +521,29 @@ class PlanAuditSpec extends SparkTestBase {
       .withColumn("cum", sum(col("s")).over(Window.orderBy(col("user_id").asc)))
     assert(nonBenignGlobalWindows(badPerKey.queryExecution.sparkPlan).nonEmpty,
       "a per-key (corpus-growing) global window must still be flagged")
+
+    // (4b) the partition-prefix sibling: sorted-neighborhood's global
+    // rank rolls per-range-partition counts (<= shuffle partitions
+    // rows, a CONFIG bound) through a __pid-ordered window fed by the
+    // __pid-keyed aggregate — benign structurally, no allowlist entry
+    val sn = graft.operators.Linkage.scorePairsSortedNeighborhood(
+      ev.select(col("event_id").as("id"), col("ts"), col("user_id")),
+      "id", Seq("ts"), window = 3,
+      Seq(graft.operators.Linkage.eq("user_id", 500000L, 300000L)),
+      Long.MinValue + 1)
+    val snW = sn.queryExecution.sparkPlan.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(snW.nonEmpty, "expected the __pid partition-prefix window")
+    assert(snW.forall(benignPartitionPrefixWindow),
+      "the partition-prefix window must be structurally benign")
+
+    // (4c) adversarial: naming a corpus-cardinality column `__pid` is
+    // not enough — without the __pid-keyed aggregate beneath, flagged
+    val badPid = ev.withColumn("__pid", col("user_id"))
+      .withColumn("cum", sum(col("v")).over(Window.orderBy(col("__pid").asc)))
+    assert(nonBenignGlobalWindows(badPid.queryExecution.sparkPlan).nonEmpty,
+      "a column merely NAMED __pid must not satisfy the partition-prefix allowance")
 
     // (5) an actual all-pairs nested loop (non-equi corpus x corpus
     // self-join) must NOT pass the scalar-attach allowance
