@@ -2234,6 +2234,48 @@ private[graft] object Oracles {
        "  FROM pr JOIN c a ON a.id = pr.id_a JOIN c b ON b.id = pr.id_b) " +
        "SELECT id_a, id_b, pattern, score_ppm FROM p " +
        "WHERE score_ppm >= 800000"),
+    // sorted-neighborhood audit: closed-form candidates (every record
+    // pairs with its <= 11 rank successors), captured iff within 11
+    // global ranks; same canonical truth + ppm finish as the blocking
+    // audits
+    "q_linkage_sn_eval" ->
+      ("WITH base AS (SELECT c_custkey, c_name FROM customer " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat(substr(c_name, 1, length(c_name) - 1), 'Z') " +
+       "    FROM customer WHERE c_custkey % 10 = 0 " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat('X', substr(c_name, 2)) " +
+       "    FROM customer WHERE c_custkey % 10 = 5), " +
+       "r AS (SELECT c_custkey AS id, " +
+       "  row_number() OVER (ORDER BY c_name, c_custkey) AS rk FROM base), " +
+       "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM r), " +
+       "cand AS (SELECT CAST(CASE WHEN n_records >= 12 THEN " +
+       "  n_records * 11 - 12 * 11 // 2 " +
+       "  ELSE n_records * (n_records - 1) // 2 END AS BIGINT) " +
+       "  AS n_candidate_pairs FROM tot), " +
+       "tp AS (SELECT DISTINCT " +
+       "  least(c_custkey, c_custkey + 1000000000) AS id_a, " +
+       "  greatest(c_custkey, c_custkey + 1000000000) AS id_b " +
+       "  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5), " +
+       "cap AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, " +
+       "  CAST(count(CASE WHEN abs(ra.rk - rb.rk) <= 11 THEN 1 END) " +
+       "  AS BIGINT) AS n_captured " +
+       "  FROM tp JOIN r ra ON ra.id = tp.id_a " +
+       "  JOIN r rb ON rb.id = tp.id_b) " +
+       "SELECT n_records, n_candidate_pairs, n_true_pairs, n_captured, " +
+       "CASE WHEN n_records < 2 THEN 1000000 " +
+       "WHEN n_candidate_pairs <= 9000000000000 THEN " +
+       "  1000000 - n_candidate_pairs * 1000000 // " +
+       "  (n_records * (n_records - 1) // 2) " +
+       "ELSE 1000000 - " +
+       "  ((n_candidate_pairs // (n_records * (n_records - 1) // 2)) " +
+       "  * 1000000 + (n_candidate_pairs % " +
+       "  (n_records * (n_records - 1) // 2)) // " +
+       "  greatest((n_records * (n_records - 1) // 2) // 1000000, 1)) " +
+       "END AS reduction_ppm, " +
+       "CASE WHEN n_true_pairs = 0 THEN 1000000 ELSE " +
+       "  n_captured * 1000000 // n_true_pairs END AS completeness_ppm " +
+       "FROM tot CROSS JOIN cand CROSS JOIN cap"),
     // exact-ppm Herfindahl concentration per nation over segments,
     // with the operator's self-switching overflow-safe division
     "q_hhi" -> hhiOracle,

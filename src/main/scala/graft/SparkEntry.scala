@@ -1419,6 +1419,29 @@ object SparkEntry {
           Linkage.eq("c_mktsegment", 280000L, 120000L)),
         thresholdPpm = 800000L)
     }),
+    // the sorted-neighborhood audit over the SAME planted corpus as
+    // q_linkage_blocking_eval: the last-char typos sit within 11 ranks
+    // of their originals (captured), the first-char typos sort far
+    // away (lost) — the complementary capture profile to the
+    // name-prefix equality blocking, measured before any scoring
+    "q_linkage_sn_eval" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val kept = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      val broken = cust.filter(col("c_custkey") % 10 === 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name", expr("concat('X', substr(c_name, 2))"))
+      val truth = cust
+        .filter(col("c_custkey") % 10 === 0 || col("c_custkey") % 10 === 5)
+        .select(col("c_custkey").as("id_a"),
+          (col("c_custkey") + lit(1000000000L)).as("id_b"))
+      Linkage.blockingQualitySortedNeighborhood(
+        cust.unionByName(kept).unionByName(broken), "c_custkey",
+        sortKey = Seq("c_name"), window = 12, truth)
+    }),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),

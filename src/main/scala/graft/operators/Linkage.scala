@@ -461,6 +461,45 @@ object Linkage {
     qualityFinish(tot, cand, cap)
   }
 
+  /** [[blockingQuality]] for a SORTED-NEIGHBORHOOD scheme — the audit
+    * that sizes `window` before [[scorePairsSortedNeighborhood]] runs:
+    * candidates come from the CLOSED FORM (every record pairs with its
+    * ≤ window−1 rank successors: n(w−1) − w(w−1)/2 for n ≥ w, else
+    * n(n−1)/2 — never materialized), a truth pair is captured iff its
+    * two records sit within window−1 GLOBAL RANKS of each other. Same
+    * output row, truth canonicalization, and ppm arithmetic as the
+    * blocking audits.
+    *
+    * Scale shape: one [[globalRank]] pass (range-partitioned shuffle,
+    * no single-task window); completeness is two label-sized equi-joins
+    * of the truth set against the rank frame; candidates are pure
+    * arithmetic on the single-row count. */
+  def blockingQualitySortedNeighborhood(df: DataFrame, idCol: String,
+      sortKey: Seq[String], window: Int, truePairs: DataFrame): DataFrame = {
+    require(sortKey.nonEmpty, "sorted-neighborhood needs a sort key")
+    require(window >= 2, s"window must be >= 2, got $window")
+    val ranked = globalRank(
+      df.select((idCol +: sortKey).distinct.map(col): _*),
+      sortKey :+ idCol)
+      .select(col(idCol).as("__id"), col("__rank"))
+    val tot = ranked.agg(count(lit(1)).as("n_records"))
+    val w = window
+    val cand = tot.select(expr(
+      s"CASE WHEN n_records >= $w THEN " +
+      s"n_records * ($w - 1) - $w * ($w - 1) div 2 " +
+      "ELSE n_records * (n_records - 1) div 2 END")
+      .as("n_candidate_pairs"))
+    val cap = canonicalTruth(truePairs)
+      .join(ranked.select(col("__id").as("id_a"), col("__rank").as("__ra")),
+        Seq("id_a"))
+      .join(ranked.select(col("__id").as("id_b"), col("__rank").as("__rb")),
+        Seq("id_b"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count(when(abs(col("__ra") - col("__rb")) <= w - 1, 1))
+          .as("n_captured"))
+    qualityFinish(tot, cand, cap)
+  }
+
   /** INCREMENTAL linkage — the continuous-curation shape: every ingest
     * batch links against the EXISTING resolved corpus without ever
     * regenerating existing×existing pairs (the [[Dedup.incrementalNearDup]]

@@ -287,6 +287,22 @@ class LinkageSpec extends SparkTestBase {
     assert(got((4L, 5L)) === -300000L)  // X-Y disagrees
   }
 
+  test("blockingQualitySortedNeighborhood: closed-form candidates, rank-distance capture, small-n branch") {
+    // keys a..d rank ids 1..4; window 3 => candidates = 4*2 - 3 = 5;
+    // truth (1,2) at rank distance 1 captured, (1,4) at 3 lost
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "k")
+    val truth = Seq((1L, 2L), (4L, 1L)).toDF("id_a", "id_b")
+    val r = Linkage.blockingQualitySortedNeighborhood(df, "id", Seq("k"),
+      window = 3, truth).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(5)) === ((4L, 5L, 2L, 1L, 500000L)))
+    // n < window: the quadratic branch (all pairs are candidates)
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val t2 = Linkage.blockingQualitySortedNeighborhood(tiny, "id", Seq("k"),
+      window = 5, Seq((1L, 2L)).toDF("id_a", "id_b")).head()
+    assert((t2.getLong(1), t2.getLong(5)) === ((1L, 1000000L)))
+  }
+
   test("linkIncremental: parquet-persisted block index + entities round-trip equals the in-memory run") {
     val existing = Seq(
       (1L, 0, "alpha", 0L), (2L, 0, "alpha", 10L),
