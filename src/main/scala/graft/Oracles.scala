@@ -2276,12 +2276,121 @@ private[graft] object Oracles {
        "CASE WHEN n_true_pairs = 0 THEN 1000000 ELSE " +
        "  n_captured * 1000000 // n_true_pairs END AS completeness_ppm " +
        "FROM tot CROSS JOIN cand CROSS JOIN cap"),
+    // hybrid disjunctive candidates: suffix-equality pairs UNION
+    // (deduped, canonicalized to id_a < id_b) the sorted-neighborhood
+    // rank pairs, scored once per unique pair with the fuzzy-linkage
+    // comparators — each scheme recovers the typo class the other loses
+    "q_linkage_hybrid" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat(substr(c_name, 1, length(c_name) - 1), 'Z'), " +
+       "    c_nationkey, c_mktsegment FROM customer " +
+       "    WHERE c_custkey % 10 = 0 " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat('X', substr(c_name, 2)), " +
+       "    c_nationkey, c_mktsegment FROM customer " +
+       "    WHERE c_custkey % 10 = 5), " +
+       "c AS (SELECT c_custkey AS id, c_name AS nm, " +
+       "  substr(c_name, 2) AS suf_blk, " +
+       "  c_nationkey AS nat, c_mktsegment AS seg FROM base), " +
+       "r AS (SELECT id, row_number() OVER (ORDER BY nm, id) AS rk " +
+       "  FROM c), " +
+       // UNION (not ALL) = the cross-scheme (id_a, id_b) dedup; the SN
+       // leg canonicalizes its rank orientation to id order first
+       "pr AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b " +
+       "  ON a.suf_blk = b.suf_blk AND a.id < b.id " +
+       "  UNION " +
+       "  SELECT least(a.id, b.id), greatest(a.id, b.id) " +
+       "  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 11), " +
+       "p AS (SELECT pr.id_a, pr.id_b, " +
+       "  concat(" +
+       "    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN levenshtein(a.nm, b.nm) <= 2 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM pr JOIN c a ON a.id = pr.id_a JOIN c b ON b.id = pr.id_b) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
+    // hybrid audit: candidates = |suffix pairs ∪ SN pairs| (the dedup
+    // the hybrid scorer actually scores), captured iff the suffix key
+    // agrees OR the pair sits within 11 global ranks; same canonical
+    // truth + ppm finish as the other blocking audits
+    "q_linkage_hybrid_eval" ->
+      ("WITH base AS (SELECT c_custkey, c_name FROM customer " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat(substr(c_name, 1, length(c_name) - 1), 'Z') " +
+       "    FROM customer WHERE c_custkey % 10 = 0 " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat('X', substr(c_name, 2)) " +
+       "    FROM customer WHERE c_custkey % 10 = 5), " +
+       "c AS (SELECT c_custkey AS id, c_name AS nm, " +
+       "  substr(c_name, 2) AS suf_blk FROM base), " +
+       "r AS (SELECT id, row_number() OVER (ORDER BY nm, id) AS rk " +
+       "  FROM c), " +
+       "pr AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b " +
+       "  ON a.suf_blk = b.suf_blk AND a.id < b.id " +
+       "  UNION " +
+       "  SELECT least(a.id, b.id), greatest(a.id, b.id) " +
+       "  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 11), " +
+       "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM c), " +
+       "cand AS (SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs " +
+       "  FROM pr), " +
+       "tp AS (SELECT DISTINCT " +
+       "  least(c_custkey, c_custkey + 1000000000) AS id_a, " +
+       "  greatest(c_custkey, c_custkey + 1000000000) AS id_b " +
+       "  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 10 = 5), " +
+       "cap AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, " +
+       "  CAST(count(CASE WHEN ca.suf_blk = cb.suf_blk " +
+       "    OR abs(ra.rk - rb.rk) <= 11 THEN 1 END) " +
+       "  AS BIGINT) AS n_captured " +
+       "  FROM tp JOIN c ca ON ca.id = tp.id_a " +
+       "  JOIN c cb ON cb.id = tp.id_b " +
+       "  JOIN r ra ON ra.id = tp.id_a " +
+       "  JOIN r rb ON rb.id = tp.id_b) " +
+       "SELECT n_records, n_candidate_pairs, n_true_pairs, n_captured, " +
+       "CASE WHEN n_records < 2 THEN 1000000 " +
+       "WHEN n_candidate_pairs <= 9000000000000 THEN " +
+       "  1000000 - n_candidate_pairs * 1000000 // " +
+       "  (n_records * (n_records - 1) // 2) " +
+       "ELSE 1000000 - " +
+       "  ((n_candidate_pairs // (n_records * (n_records - 1) // 2)) " +
+       "  * 1000000 + (n_candidate_pairs % " +
+       "  (n_records * (n_records - 1) // 2)) // " +
+       "  greatest((n_records * (n_records - 1) // 2) // 1000000, 1)) " +
+       "END AS reduction_ppm, " +
+       "CASE WHEN n_true_pairs = 0 THEN 1000000 ELSE " +
+       "  n_captured * 1000000 // n_true_pairs END AS completeness_ppm " +
+       "FROM tot CROSS JOIN cand CROSS JOIN cap"),
     // exact-ppm Herfindahl concentration per nation over segments,
     // with the operator's self-switching overflow-safe division
     "q_hhi" -> hhiOracle,
     // the pure-SQL twin (registered hhi_ppm function) shares the
     // operator query's oracle
     "q_hhi_sql" -> hhiOracle,
+    // the SQL-registered comparators against DuckDB's NATIVE
+    // jaro_similarity / jaro_winkler_similarity / damerau_levenshtein
+    // — a genuinely independent oracle for the registration surface
+    // (the kernels are pinned bit-identical, so floor(sim·1e6) matches
+    // micro-for-micro)
+    "q_comparator_sql" ->
+      ("WITH p AS (SELECT c_custkey, c_name AS a, " +
+       "  concat(substr(c_name, 1, length(c_name) - 1), 'Z') AS b, " +
+       "  concat(substr(c_name, 1, length(c_name) - 2), " +
+       "         substr(c_name, length(c_name), 1), " +
+       "         substr(c_name, length(c_name) - 1, 1)) AS c " +
+       "  FROM customer) " +
+       "SELECT c_custkey, " +
+       "CAST(floor(jaro_similarity(a, b) * 1000000) AS BIGINT) " +
+       "  AS jaro_micro, " +
+       "CAST(floor(jaro_winkler_similarity(a, b) * 1000000) AS BIGINT) " +
+       "  AS jw_micro, " +
+       "CAST(damerau_levenshtein(a, c) AS BIGINT) AS dl_dist " +
+       "FROM p"),
     // apply-variant: per-row relabel against the same keep policy
     "q_rare_merge_apply" ->
       ("WITH c AS (SELECT CAST(c_nationkey AS VARCHAR) AS cat, " +
@@ -2640,6 +2749,33 @@ private[graft] object Oracles {
       "  (dcg_scaled % idcg_scaled) // " +
       "  greatest(idcg_scaled // 1000000, 1) END AS BIGINT) AS ndcg_ppm " +
       "FROM a"),
+    // average precision @20 over the MRR relevance frame: per relevant
+    // hit, precision@hit = cum_rel·1e6 // rank; AP = Σ // n_rel — all
+    // integer, ranks are row_numbers so the cumulative window is
+    // tie-free
+    "q_map" -> (
+      "WITH q AS (SELECT vec_id + 200000 AS query_id, label AS qlabel, " +
+      "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+      "  FROM embeddings WHERE vec_id < 5), " +
+      "ranked AS (SELECT query_id, qlabel, c.vec_id AS corpus_id, " +
+      "  c.label AS clabel, " +
+      s"  row_number() OVER (PARTITION BY query_id ORDER BY $annCosSql DESC, " +
+      "    c.vec_id ASC) AS rank " +
+      "  FROM q JOIN embeddings c ON query_id != c.vec_id " +
+      "  QUALIFY rank <= 20), " +
+      "rel AS (SELECT query_id, rank, " +
+      "  clabel = qlabel AND corpus_id != query_id - 200000 AS is_rel " +
+      "  FROM ranked), " +
+      "g AS (SELECT query_id, rank, is_rel, " +
+      "  CAST(count(CASE WHEN is_rel THEN 1 END) OVER " +
+      "    (PARTITION BY query_id ORDER BY rank) AS BIGINT) AS c " +
+      "  FROM rel) " +
+      "SELECT query_id, CAST(count(*) AS BIGINT) AS n_ranked, " +
+      "CAST(count(CASE WHEN is_rel THEN 1 END) AS BIGINT) AS n_rel, " +
+      "CAST(CASE WHEN count(CASE WHEN is_rel THEN 1 END) = 0 THEN 0 " +
+      "  ELSE sum(CASE WHEN is_rel THEN c * 1000000 // rank END) // " +
+      "    count(CASE WHEN is_rel THEN 1 END) END AS BIGINT) AS ap_ppm " +
+      "FROM g GROUP BY 1"),
     "q_ann_ivf" -> annTop1Sql,
     "q_ann_ivf_index" -> annTop1Sql,
     // deleted ids (100..110) are never the planted top-1, so deletion
@@ -3140,6 +3276,36 @@ private[graft] object Oracles {
        "ELSE (u2a // u2max) * 1000000 + " +
        "(u2a % u2max) // greatest(u2max // 1000000, 1) END " +
        "AS auc_ppm FROM u"),
+    // Brier score of the clamped cents score vs purchase-vs-rest: the
+    // hi/lo split carries Σd² exactly (d² = hi·1e6 + lo per row), and
+    // the finish replays the operator's lossless two-step floor
+    "q_brier" ->
+      ("WITH e AS (SELECT " +
+       "  (CAST(round(value * 100) AS BIGINT) * 7919) % 1000001 AS s, " +
+       "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l " +
+       "  FROM events), " +
+       "d AS (SELECT l, s - l * 1000000 AS d FROM e), " +
+       "h AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+       "  CAST(sum(l) AS BIGINT) AS n_pos, " +
+       "  CAST(sum(d * d // 1000000) AS BIGINT) AS shi, " +
+       "  CAST(sum(d * d % 1000000) AS BIGINT) AS slo FROM d) " +
+       "SELECT n, n_pos, " +
+       "shi // greatest(n, 1) + " +
+       "((shi % greatest(n, 1)) * 1000000 + slo) // " +
+       "(greatest(n, 1) * 1000000) AS brier_ppm FROM h"),
+    // decile reliability bins over the same clamped score: per bin the
+    // count, positives, truncating mean score, and positive rate
+    "q_calibration_bins" ->
+      ("WITH e AS (SELECT " +
+       "  (CAST(round(value * 100) AS BIGINT) * 7919) % 1000001 AS s, " +
+       "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l " +
+       "  FROM events) " +
+       "SELECT least(s * 10 // 1000000, 9) AS bin, " +
+       "CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(sum(l) AS BIGINT) AS n_pos, " +
+       "CAST(sum(s) // count(*) AS BIGINT) AS mean_score_ppm, " +
+       "CAST(sum(l) * 1000000 // count(*) AS BIGINT) AS frac_pos_ppm " +
+       "FROM e GROUP BY 1"),
     // exact sup-norm CDF distance between the same two cohorts
     "q_ks_test" -> ksTestSql,
     "q_kruskal_wallis" -> kruskalWallisSql,

@@ -1338,6 +1338,31 @@ object SparkEntry {
     // the same HHI on the PURE-SQL surface: grouping in plain SQL, the
     // self-switching exact-ppm finish via the registered hhi_ppm
     // function — same oracle as the operator query
+    // the three DuckDB-pinned comparators on the PURE-SQL surface:
+    // jaro_sim / jaro_winkler_sim / damerau_levenshtein called through
+    // their registered SQL spellings, oracle = DuckDB's NATIVE
+    // functions — end-to-end registration coverage (a registration typo
+    // or arg-order slip would compile and pass the operator-path
+    // queries; this row catches it). floor(sim·1e6) keeps the surface
+    // integer: the kernels are bit-identical (JwParitySpec), so the
+    // same double floors to the same micro on both engines.
+    "q_comparator_sql" -> ((s, dir) => {
+      graft.functions.registry.registerAll(s)
+      t(s, dir, "customer").createOrReplaceTempView("graft_cmp_customer")
+      s.sql("""
+        WITH p AS (SELECT c_custkey, c_name AS a,
+            concat(substr(c_name, 1, length(c_name) - 1), 'Z') AS b,
+            concat(substr(c_name, 1, length(c_name) - 2),
+                   substr(c_name, length(c_name), 1),
+                   substr(c_name, length(c_name) - 1, 1)) AS c
+          FROM graft_cmp_customer)
+        SELECT c_custkey,
+          CAST(floor(jaro_sim(a, b) * 1000000D) AS BIGINT) AS jaro_micro,
+          CAST(floor(jaro_winkler_sim(a, b) * 1000000D) AS BIGINT)
+            AS jw_micro,
+          CAST(damerau_levenshtein(a, c) AS BIGINT) AS dl_dist
+        FROM p""")
+    }),
     "q_hhi_sql" -> ((s, dir) => {
       graft.functions.registry.registerAll(s)
       t(s, dir, "customer").createOrReplaceTempView("graft_hhi_customer")
@@ -1441,6 +1466,59 @@ object SparkEntry {
       Linkage.blockingQualitySortedNeighborhood(
         cust.unionByName(kept).unionByName(broken), "c_custkey",
         sortKey = Seq("c_name"), window = 12, truth)
+    }),
+    // HYBRID disjunctive candidate generation (Christen ch. 4: MIX
+    // scheme types): suffix equality blocking (captures the first-char
+    // typos, misses the last-char ones — a last-char typo changes the
+    // suffix) UNIONED with a sorted-neighborhood pass by name (captures
+    // the last-char typos, misses the first-char ones), deduped on
+    // (id_a, id_b) before the fuzzy scorer — the two miss profiles are
+    // complementary, so the hybrid links BOTH planted typo classes no
+    // single scheme reaches
+    "q_linkage_hybrid" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val kept = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      val broken = cust.filter(col("c_custkey") % 10 === 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name", expr("concat('X', substr(c_name, 2))"))
+      val corpus = cust.unionByName(kept).unionByName(broken)
+        .withColumn("suf_blk", expr("substr(c_name, 2)"))
+      Linkage.scorePairsHybrid(corpus, "c_custkey",
+        blockKeys = Seq(Seq("suf_blk")), sortKey = Seq("c_name"),
+        window = 12, Seq(
+          Linkage.editBand("c_name", maxDist = 2, 500000L, 300000L),
+          Linkage.eq("c_nationkey", 370000L, 160000L),
+          Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
+    }),
+    // the hybrid scheme's audit over the SAME planted corpus: captured
+    // iff the suffix pass agrees OR the pair sits within 11 global
+    // ranks — completeness strictly above BOTH single-scheme audits
+    // (the suffix-only and SN-only capture profiles are complementary,
+    // LinkageSpec pins the strict inequality)
+    "q_linkage_hybrid_eval" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val kept = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      val broken = cust.filter(col("c_custkey") % 10 === 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name", expr("concat('X', substr(c_name, 2))"))
+      val truth = cust
+        .filter(col("c_custkey") % 10 === 0 || col("c_custkey") % 10 === 5)
+        .select(col("c_custkey").as("id_a"),
+          (col("c_custkey") + lit(1000000000L)).as("id_b"))
+      val corpus = cust.unionByName(kept).unionByName(broken)
+        .withColumn("suf_blk", expr("substr(c_name, 2)"))
+      Linkage.blockingQualityHybrid(corpus, "c_custkey",
+        blockKeys = Seq(Seq("suf_blk")), sortKey = Seq("c_name"),
+        window = 12, truth)
     }),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
@@ -1892,6 +1970,25 @@ object SparkEntry {
           when(col("corpus_id") === col("query_id") - 200000, 3L)
             .when(col("__clabel") === col("__qlabel"), 1L).otherwise(0L))
       graft.operators.Eval.ndcgAtK(rel, "rel", k = 20)
+    }),
+    // average precision @20 (the per-query half of MAP) over the SAME
+    // relevance frame as q_retrieval_mrr: AP = Σ_hits precision@hit /
+    // n_rel in exact all-integer ppm — no transcendental, so no
+    // baked-literal machinery; mean over queries = MAP downstream
+    "q_map" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(emb, annQueries(emb),
+        "vec_id", "embedding", k = 20)
+      val ql = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 200000).as("query_id"),
+          col("label").as("__qlabel"))
+      val cl = emb.select(col("vec_id").as("corpus_id"),
+        col("label").as("__clabel"))
+      val rel = ranked.join(broadcast(ql), Seq("query_id"))
+        .join(cl, Seq("corpus_id"))
+        .withColumn("__is_rel", col("__clabel") === col("__qlabel") &&
+          col("corpus_id") =!= col("query_id") - 200000)
+      graft.operators.Eval.averagePrecisionAtK(rel, "__is_rel", k = 20)
     }),
     // class-balanced downsample: every label keeps min-class-count
     // rows by content-keyed hash order
@@ -3225,6 +3322,33 @@ object SparkEntry {
           when(col("event_type") === "purchase", 1).otherwise(0)
             .as("label")),
         "cents", "label")),
+    // Brier score of a deterministic ppm score against purchase-vs-
+    // rest: the CALIBRATION grade AUC cannot see (AUC is invariant to
+    // monotone rescaling; Brier is the mean squared probability error)
+    // — exact ppm via the hi/lo sum split. The score is the cents value
+    // hash-spread over [0, 1e6] ((cents·7919) mod 1000001 — the raw
+    // cents occupy only the bottom decile at any SF), so the fixture
+    // exercises the whole probability range; identical arithmetic in
+    // the oracle
+    "q_brier" -> ((s, dir) =>
+      graft.operators.Stats.brierScore(
+        events(s, dir).select(
+          expr("(CAST(round(value * 100) AS BIGINT) * 7919L) % 1000001L")
+            .as("score_ppm"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("label")),
+        "score_ppm", "label")),
+    // the binned reliability curve next to the single Brier number:
+    // decile score bins, each with n / positives / mean score / actual
+    // positive rate — a calibrated scorer has the last two ≈ equal
+    "q_calibration_bins" -> ((s, dir) =>
+      graft.operators.Stats.calibrationBins(
+        events(s, dir).select(
+          expr("(CAST(round(value * 100) AS BIGINT) * 7919L) % 1000001L")
+            .as("score_ppm"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("label")),
+        "score_ppm", "label", bins = 10)),
     // two-sample Kolmogorov-Smirnov D over the same cohort split: the
     // exact sup-norm CDF distance (bin-free, unlike q_dist_drift's TV)
     "q_ks_test" -> ((s, dir) =>

@@ -579,9 +579,26 @@ object TextKernels {
     * oracle replay needs no float contract at all. Pinned by
     * JwParitySpec's live-DuckDB fuzz (60k pairs in development, a
     * seeded subset in CI). */
+  /** Byte-length envelope of [[damerauLevenshtein]]: the Lowrance–
+    * Wagner frame allocates a full (la+2)×(lt+2) Int matrix per
+    * evaluated pair, so a pathological field (a 100 KB value reaching a
+    * blocked join) would mean multi-GB per-row allocations and an
+    * executor OOM — unlike the O(min) rolling-row levenshtein. 2048
+    * bytes per side caps the matrix at ~16 MB and covers every
+    * name/code/address field ER compares; longer values fail FAST with
+    * a named error instead of OOMing the executor. DuckDB parity is
+    * unaffected: within the envelope the kernel is pinned bit-identical
+    * (JwParitySpec), and beyond it this side refuses loudly. */
+  val MaxDamerauBytes = 2048
+
   def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
     val p = a.getBytes; val t = b.getBytes
     val la = p.length; val lt = t.length
+    if (la > MaxDamerauBytes || lt > MaxDamerauBytes)
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein: input exceeds the $MaxDamerauBytes-byte " +
+        s"envelope (got $la/$lt bytes) — the Lowrance-Wagner matrix is " +
+        "quadratic per pair; truncate or pre-filter long fields")
     if (la == 0) return lt
     if (lt == 0) return la
     val maxd = la + lt

@@ -161,15 +161,21 @@ object registry {
       // operator query's oracle
       "hhi_ppm" -> (args => {
         require(args.length == 2, "hhi_ppm(sum_sq, n)")
-        import org.apache.spark.sql.functions.{greatest, lit, when}
+        import org.apache.spark.sql.functions.{concat, greatest, lit,
+          raise_error, when}
         val ss = colOf(args(0)).cast("long")
         val n = colOf(args(1)).cast("long")
-        // greatest(n2, 1): caller-supplied aggregates can hand n = 0,
-        // which must not divide by zero under ANSI (defensive-guard
-        // style of the other registry functions)
-        val n2 = greatest(n * n, lit(1L))
+        // n >= 1 is a LOUD contract, not a silent guard: a GROUP
+        // BY-produced (Σ n_i², N) aggregate never emits N = 0 (a group
+        // needs a member), so n <= 0 means a caller-supplied frame is
+        // malformed — returning ss·1e6 (the old greatest(n², 1) path)
+        // would be a garbage concentration the oracle can't match
+        val n2 = n * n
         sketchCol(
-          when(n <= lit(3000000L), idiv(ss * lit(1000000L), n2))
+          when(n <= lit(0L), raise_error(concat(
+            lit("hhi_ppm: n must be >= 1 (GROUP BY aggregates never " +
+              "emit an empty group), got "), n.cast("string"))))
+            .when(n <= lit(3000000L), idiv(ss * lit(1000000L), n2))
             .otherwise(idiv(ss, n2) * lit(1000000L) +
               idiv(ss % n2, greatest(idiv(n2, lit(1000000L)), lit(1L)))))
       }),

@@ -123,19 +123,92 @@ object Eval {
       .orderBy(col("__rel").desc, col("rank").asc)
     ranked.filter(col("rank") <= k)
       .withColumn("__rel", col(relCol).cast("long"))
-      .withColumn("__w", element_at(wArr, col("rank").cast("int")))
+      // LOUD rank contract (the bounded-contract discipline): a rank
+      // < 1 would silently index the weight array FROM THE END
+      // (element_at's negative-index semantics) — a wrong DCG with no
+      // error — so malformed input fails the job instead
+      .withColumn("__w", guardRankGe1("ndcgAtK",
+        element_at(wArr, col("rank").cast("int"))))
       .withColumn("__iw", element_at(wArr, row_number().over(iw)))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_ranked"),
+        count_distinct(col("rank")).as("__nd"),
         sum(col("__rel") * col("__w")).as("dcg_scaled"),
         sum(col("__rel") * col("__iw")).as("idcg_scaled"))
-      .withColumn("ndcg_ppm", expr(
-        "CASE WHEN idcg_scaled <= 0 THEN 0L " +
-        "WHEN dcg_scaled <= 9000000000000L THEN " +
-        "dcg_scaled * 1000000L div idcg_scaled " +
-        "ELSE (dcg_scaled div idcg_scaled) * 1000000L + " +
-        "(dcg_scaled % idcg_scaled) div " +
-        "greatest(idcg_scaled div 1000000L, 1L) END"))
+      // duplicate ranks within a query would double-count position
+      // weights undetected — same loud failure, caught on the
+      // queries×k aggregate (one integer compare per query)
+      .withColumn("ndcg_ppm",
+        when(col("__nd") =!= col("n_ranked"), raise_error(concat(
+          lit("ndcgAtK: duplicate ranks within query_id "),
+          col("query_id").cast("string"),
+          lit(" — position weights would double-count; fix the " +
+            "upstream ranking"))))
+        .otherwise(expr(
+          "CASE WHEN idcg_scaled <= 0 THEN 0L " +
+          "WHEN dcg_scaled <= 9000000000000L THEN " +
+          "dcg_scaled * 1000000L div idcg_scaled " +
+          "ELSE (dcg_scaled div idcg_scaled) * 1000000L + " +
+          "(dcg_scaled % idcg_scaled) div " +
+          "greatest(idcg_scaled div 1000000L, 1L) END")))
+      .drop("__nd")
+  }
+
+  /** The shared loud rank guard of [[ndcgAtK]] and
+    * [[averagePrecisionAtK]]: pass `value` through when rank ≥ 1, fail
+    * the job with a named error otherwise (a malformed upstream ranking
+    * must never silently mis-weight). */
+  private def guardRankGe1(op: String,
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(col("rank") >= 1, value).otherwise(raise_error(concat(
+      lit(s"$op: rank must be >= 1, got "), col("rank").cast("string"),
+      lit(" — fix the upstream ranking"))))
+
+  /** Average precision @k per query (the per-query half of Mean Average
+    * Precision, the standard rank-weighted retrieval metric next to
+    * [[rankingQuality]]'s MRR/precision and [[ndcgAtK]]): AP =
+    * (Σ over relevant hits at rank r of precision@r) / n_rel, with
+    * n_rel the relevant count INSIDE the top k (the AP@k convention —
+    * the audit grades the list it can see) — in exact ppm, all-integer
+    * (precision@r = cum_rel(r)·1e6 div r; AP = Σ div n_rel — no
+    * transcendental, so no baked-literal machinery needed). A query
+    * with no relevant hit in the top k reports 0, matching the MRR
+    * convention. Mean over queries = MAP, one trivial avg downstream.
+    * Shares [[ndcgAtK]]'s loud rank contract: rank < 1 or duplicate
+    * ranks within a query fail the job instead of mis-scoring.
+    * Input: (query_id, rank, relCol boolean). Output: query_id,
+    * n_ranked, n_rel, ap_ppm.
+    *
+    * Scale shape: inputs are queries×k rows; the cumulative-hit window
+    * is per-query over ≤ k rows; one map-side-combined groupBy
+    * finishes. */
+  def averagePrecisionAtK(ranked: DataFrame, relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked.filter(col("rank") <= k)
+      .withColumn("__r", guardRankGe1("averagePrecisionAtK",
+        when(col(relCol), 1L).otherwise(0L)))
+      .withColumn("__cum", sum(col("__r")).over(w))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+        count_distinct(col("rank")).as("__nd"),
+        sum(col("__r")).as("n_rel"),
+        // cum ≤ k and rank ≤ k, so the ppm product is ≤ k·1e6 — no
+        // overflow split needed at any sane k
+        sum(when(col("__r") === 1L, expr("__cum * 1000000L div rank")))
+          .as("__psum"))
+      .withColumn("ap_ppm",
+        when(col("__nd") =!= col("n_ranked"), raise_error(concat(
+          lit("averagePrecisionAtK: duplicate ranks within query_id "),
+          col("query_id").cast("string"),
+          lit(" — precision@r would mis-count; fix the upstream " +
+            "ranking"))))
+        .when(col("n_rel") === 0, lit(0L))
+        .otherwise(expr("__psum div n_rel")))
+      .select(col("query_id"), col("n_ranked"), col("n_rel"), col("ap_ppm"))
   }
 
   /** KMV cardinality-sketch error report: per group, the k-minimum-

@@ -175,13 +175,31 @@ object Linkage {
       thresholdPpm: Long): DataFrame = {
     require(blockKeys.nonEmpty, "multi-block linkage needs at least one pass")
     require(rules.nonEmpty, "linkage needs at least one field rule")
-    val pairs = blockKeys.map { bk =>
+    scoreIdPairs(df, idCol, multiBlockPairs(df, idCol, blockKeys), rules,
+      thresholdPpm)
+  }
+
+  /** The deduplicated (id_a < id_b) candidate-pair union of a multi-pass
+    * equality blocking scheme — the shared front of
+    * [[scorePairsMultiBlock]], [[blockingQualityMulti]], and the hybrid
+    * scheme. Σ_pass Σ_b |b|² pair work; the dedup shuffles only pair
+    * ids. */
+  private def multiBlockPairs(df: DataFrame, idCol: String,
+      blockKeys: Seq[Seq[String]]): DataFrame =
+    blockKeys.map { bk =>
       require(bk.nonEmpty, "every blocking pass needs at least one column")
       df.select(col(idCol).as("id_a") +: bk.map(col): _*)
         .join(df.select(col(idCol).as("id_b") +: bk.map(col): _*), bk)
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
     }.reduce(_.unionByName(_)).distinct()
+
+  /** Shared scoring tail over a bare (id_a, id_b) candidate frame:
+    * comparator fields arrive via two id-keyed equi-joins (each
+    * comparator evaluates once per unique pair), then the
+    * [[scoreAndCut]] finish. */
+  private def scoreIdPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
     val cols = rules.map(_.col)
     val fa = df.select(col(idCol).as("id_a") +:
       cols.map(c => col(c).as(s"__a_$c")): _*)
@@ -239,29 +257,71 @@ object Linkage {
     require(sortKey.nonEmpty, "sorted-neighborhood needs a sort key")
     require(window >= 2, s"window must be >= 2, got $window")
     require(rules.nonEmpty, "linkage needs at least one field rule")
+    scoreIdPairs(df, idCol,
+      sortedNeighborhoodPairs(df, idCol, sortKey, window), rules,
+      thresholdPpm)
+  }
+
+  /** The rank-oriented (id_a = lower-ranked) candidate pairs of a
+    * sorted-neighborhood pass — the shared front of
+    * [[scorePairsSortedNeighborhood]] and the hybrid scheme. Bucket ids
+    * use INTEGER division (`div`, not the float `/`), so the
+    * same-or-next-bucket invariant the pair join relies on is exact by
+    * construction at any rank — a float floor is only guaranteed up to
+    * ~2^52/window. ≤ n·(window−1) pairs by construction. */
+  private def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortKey: Seq[String], window: Int): DataFrame = {
     val ranked = globalRank(
       df.select((idCol +: sortKey).distinct.map(col): _*),
       sortKey :+ idCol)
     val a = ranked.select(col(idCol).as("id_a"), col("__rank").as("__ra"),
-      (col("__rank") / window).cast("long").as("__ba"))
+      expr(s"__rank div $window").as("__ba"))
     val b = ranked.select(col(idCol).as("id_b"), col("__rank").as("__rb"),
-      (col("__rank") / window).cast("long").as("__bb"))
+      expr(s"__rank div $window").as("__bb"))
     val near = (lo: Column, hi: Column) =>
       hi - lo >= 1 && hi - lo <= window - 1
-    val pairs = a.join(b, col("__ba") === col("__bb") &&
+    a.join(b, col("__ba") === col("__bb") &&
         near(col("__ra"), col("__rb")))
       .select(col("id_a"), col("id_b"))
       .unionByName(a.join(b, col("__ba") + 1 === col("__bb") &&
           near(col("__ra"), col("__rb")))
         .select(col("id_a"), col("id_b")))
-    val cols = rules.map(_.col)
-    val fa = df.select(col(idCol).as("id_a") +:
-      cols.map(c => col(c).as(s"__a_$c")): _*)
-    val fb = df.select(col(idCol).as("id_b") +:
-      cols.map(c => col(c).as(s"__b_$c")): _*)
-    val paired = pairs.join(fa, "id_a").join(fb, "id_b")
-    scoreAndCut(paired, agreeCols(cols, rules.map(_.same)), rules,
-      thresholdPpm)
+  }
+
+  /** HYBRID disjunctive candidate generation (Christen 2012 ch. 4's
+    * recommendation to MIX scheme types): the union of a multi-pass
+    * EQUALITY blocking's and a SORTED-NEIGHBORHOOD pass's candidate
+    * pairs, deduplicated on (id_a, id_b) before scoring — the
+    * production ER posture, because the two schemes' miss profiles are
+    * complementary (a typo in the block field hides a pair from every
+    * equality pass but leaves it near its original in the sorted order;
+    * a typo in the sort key's first characters moves a record far in
+    * the order but leaves other block fields intact). Candidate pairs
+    * are CANONICALIZED to id_a < id_b before the union (the
+    * sorted-neighborhood front orients by rank), so the cross-scheme
+    * dedup is exact; scoring orientation is immaterial because field
+    * comparators are symmetric per the [[FieldRule]] contract. With an
+    * empty sortKey contribution this degrades to
+    * [[scorePairsMultiBlock]]; output and semantics otherwise match
+    * [[scorePairs]].
+    *
+    * Scale shape: Σ_pass Σ_b |b|² + n·(window−1) candidate pairs — each
+    * front keeps its own bound; the dedup shuffles only pair ids;
+    * comparator fields arrive once per unique pair via two id-keyed
+    * joins ([[scoreIdPairs]]). */
+  def scorePairsHybrid(df: DataFrame, idCol: String,
+      blockKeys: Seq[Seq[String]], sortKey: Seq[String], window: Int,
+      rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
+    require(blockKeys.nonEmpty, "hybrid linkage needs at least one equality pass")
+    require(sortKey.nonEmpty, "hybrid linkage needs a sort key")
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(rules.nonEmpty, "linkage needs at least one field rule")
+    val sn = sortedNeighborhoodPairs(df, idCol, sortKey, window)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val pairs = multiBlockPairs(df, idCol, blockKeys)
+      .unionByName(sn).distinct()
+    scoreIdPairs(df, idCol, pairs, rules, thresholdPpm)
   }
 
   private val M = 1000000L
@@ -496,6 +556,56 @@ object Linkage {
         Seq("id_b"))
       .agg(count(lit(1)).as("n_true_pairs"),
         count(when(abs(col("__ra") - col("__rb")) <= w - 1, 1))
+          .as("n_captured"))
+    qualityFinish(tot, cand, cap)
+  }
+
+  /** [[blockingQuality]] for the HYBRID scheme — the audit that
+    * justifies [[scorePairsHybrid]]: candidates = |equality-pass pair
+    * union ∪ sorted-neighborhood pairs| (deduplicated across schemes,
+    * matching exactly what the hybrid scorer scores), a truth pair is
+    * captured iff ANY equality pass agrees on its full conjunctive key
+    * OR its two records sit within window−1 global ranks. On a fixture
+    * where the two schemes miss complementary pair classes, hybrid
+    * completeness is strictly above both single-scheme audits — the
+    * Christen ch. 4 argument, spec-pinned. Same output row, truth
+    * canonicalization, and ppm arithmetic as the other audits.
+    *
+    * Scale shape: the cross-scheme dedup requires materializing both
+    * pair-id sets (blocked-bounded + n·(window−1) — what the hybrid
+    * scorer's pair generation costs anyway); completeness is two
+    * label-sized equi-joins carrying the pass keys and the rank. */
+  def blockingQualityHybrid(df: DataFrame, idCol: String,
+      blockKeys: Seq[Seq[String]], sortKey: Seq[String], window: Int,
+      truePairs: DataFrame): DataFrame = {
+    require(blockKeys.nonEmpty, "hybrid audit needs at least one equality pass")
+    require(sortKey.nonEmpty, "hybrid audit needs a sort key")
+    require(window >= 2, s"window must be >= 2, got $window")
+    val sn = sortedNeighborhoodPairs(df, idCol, sortKey, window)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val pairs = multiBlockPairs(df, idCol, blockKeys)
+      .unionByName(sn).distinct()
+    val cand = pairs.agg(count(lit(1)).as("n_candidate_pairs"))
+    val tot = df.agg(count(lit(1)).as("n_records"))
+    val ranked = globalRank(
+      df.select((idCol +: sortKey).distinct.map(col): _*),
+      sortKey :+ idCol)
+      .select(col(idCol).as("__id"), col("__rank"))
+    val keyed = df.select(col(idCol).as("__id") +:
+      blockKeys.zipWithIndex.map { case (bk, i) =>
+        struct(bk.map(col): _*).as(s"__blk$i") }: _*)
+      .join(ranked, Seq("__id"))
+    val idxs = blockKeys.indices
+    val cap = canonicalTruth(truePairs)
+      .join(keyed.select(col("__id").as("id_a") +: col("__rank").as("__ra") +:
+        idxs.map(i => col(s"__blk$i").as(s"__ba$i")): _*), Seq("id_a"))
+      .join(keyed.select(col("__id").as("id_b") +: col("__rank").as("__rb") +:
+        idxs.map(i => col(s"__blk$i").as(s"__bb$i")): _*), Seq("id_b"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        count(when(idxs.map(i => col(s"__ba$i") === col(s"__bb$i"))
+            .reduce(_ || _) ||
+          abs(col("__ra") - col("__rb")) <= window - 1, 1))
           .as("n_captured"))
     qualityFinish(tot, cand, cap)
   }

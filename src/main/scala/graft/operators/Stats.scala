@@ -440,6 +440,86 @@ object Stats {
       "ELSE (u2_a div u2_max) * 1000000L + " +
       "(u2_a % u2_max) div greatest(u2_max div 1000000L, 1L) END")
 
+  /** Brier score (Brier 1950) of a ppm probability score against a 0/1
+    * label, in EXACT ppm — the CALIBRATION grade next to [[aucPpm]]'s
+    * ranking grade (AUC is invariant to any monotone rescaling of the
+    * scores; Brier is exactly what it cannot see): mean over rows of
+    * (score/1e6 − label)², reported ×1e6. All-integer via the hi/lo sum
+    * split: with d = score_ppm − label·1e6 (|d| ≤ 1e6 under the score
+    * contract), Σd² is carried as (Σ d² div 1e6, Σ d² % 1e6) — each
+    * component ≤ n·1e6, so the pair stays in Int64 at ANY n the final
+    * division supports — and the ppm finish
+    * `Σd² div (n·1e6) = s_hi div n + ((s_hi % n)·1e6 + s_lo) div (n·1e6)`
+    * is the exact floor (derivation in the source; every term
+    * non-negative, so Spark's truncation and DuckDB's floor agree).
+    * Envelope: exact for n ≤ 4.6e12 rows (the (s_hi % n)·1e6 term) —
+    * far past any eval frame; shard beyond. The score contract
+    * (0 ≤ score_ppm ≤ 1e6) is LOUD: an out-of-range score fails the
+    * job (a mis-scaled score column would otherwise report a
+    * plausible-but-wrong calibration). Output: n, n_pos, brier_ppm
+    * (0 = perfectly calibrated confident truth, 1e6 = maximally wrong;
+    * the always-p baseline scores p(1−p) — ~250000 at p = 0.5).
+    *
+    * Scale shape: one map-side-combined single-row aggregate; nothing
+    * shuffles more than partial sums. */
+  def brierScore(df: DataFrame, scorePpmCol: String,
+                 labelCol: String): DataFrame = {
+    val s = col(scorePpmCol).cast("long")
+    val guarded = when(s >= 0L && s <= 1000000L, s)
+      .otherwise(raise_error(concat(
+        lit("brierScore: score_ppm must be in [0, 1e6], got "),
+        s.cast("string"), lit(" — rescale the score column"))))
+    df.select(guarded.as("__s"), col(labelCol).cast("long").as("__l"))
+      .select(col("__l"), expr("__s - __l * 1000000L").as("__d"))
+      .select(col("__l"), expr("__d * __d div 1000000L").as("__dhi"),
+        expr("__d * __d % 1000000L").as("__dlo"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__l")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__dhi")), lit(0L)).as("__shi"),
+        coalesce(sum(col("__dlo")), lit(0L)).as("__slo"))
+      .select(col("n"), col("n_pos"),
+        // Σd² = __shi·1e6 + __slo; with __shi = q·n + r the exact floor
+        // Σd² div (n·1e6) = q + (r·1e6 + __slo) div (n·1e6) — the
+        // first term is a multiple of the divisor, so the split is
+        // lossless at any magnitude of the remainder term. greatest
+        // guards the n = 0 empty frame (reports 0).
+        expr("__shi div greatest(n, 1L) + " +
+          "((__shi % greatest(n, 1L)) * 1000000L + __slo) div " +
+          "(greatest(n, 1L) * 1000000L)").as("brier_ppm"))
+  }
+
+  /** Reliability (calibration) bins next to [[brierScore]]'s single
+    * number — the binned curve a calibration audit actually reads
+    * (DeGroot & Fienberg 1983's reliability diagram): scores bucket
+    * into `bins` equal-width ppm bins (bin = score·bins div 1e6,
+    * clamped so score_ppm = 1e6 lands in the top bin), and each bin
+    * reports its row count, mean score, and empirical positive rate —
+    * a calibrated scorer has mean_score_ppm ≈ frac_pos_ppm per bin.
+    * Exact integers: Σscore ≤ n·1e6 and Σlabel·1e6 ≤ n·1e6 both fit
+    * Int64 for n ≤ 9.2e12 rows per bin; divisions truncate identically
+    * in both engines (non-negative numerators). Shares [[brierScore]]'s
+    * loud score contract. Empty bins are absent (a GROUP BY row needs a
+    * member), which is the honest report. Output: bin, n, n_pos,
+    * mean_score_ppm, frac_pos_ppm.
+    *
+    * Scale shape: one map-side-combined groupBy onto ≤ `bins` rows. */
+  def calibrationBins(df: DataFrame, scorePpmCol: String,
+                      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val s = col(scorePpmCol).cast("long")
+    val guarded = when(s >= 0L && s <= 1000000L, s)
+      .otherwise(raise_error(concat(
+        lit("calibrationBins: score_ppm must be in [0, 1e6], got "),
+        s.cast("string"), lit(" — rescale the score column"))))
+    df.select(guarded.as("__s"), col(labelCol).cast("long").as("__l"))
+      .select(expr(s"least(__s * $bins div 1000000L, ${bins - 1}L)")
+        .as("bin"), col("__s"), col("__l"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("n_pos"),
+        expr("sum(__s) div count(1)").as("mean_score_ppm"),
+        expr("sum(__l) * 1000000L div count(1)").as("frac_pos_ppm"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic over integer cents, in
     * EXACT ppm: D = max_v |F₀(v) − F₁(v)| with F the empirical CDFs —
     * the sup-norm distribution-distance whose binned sibling is

@@ -70,6 +70,52 @@ class EvalSpec extends SparkTestBase {
     assert(Eval.ndcgAtK(past, "rel", 2).head().getLong(2) === 1000000L)
   }
 
+  test("averagePrecisionAtK: hand AP over precision-at-hits; no-hit query reports 0; ranks past k ignored") {
+    // query 1: rel at ranks 1 and 3 of 4 — AP = (p@1 + p@3)/2 =
+    // (1000000 + 2000000 div 3) div 2 = 833333; query 2: no hit -> 0
+    val d = Seq((1L, 1, true), (1L, 2, false), (1L, 3, true),
+      (1L, 4, false), (2L, 1, false), (2L, 2, false))
+      .toDF("query_id", "rank", "rel")
+    val r = Eval.averagePrecisionAtK(d, "rel", k = 4).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r === Map(1L -> ((4L, 2L, 833333L)), 2L -> ((2L, 0L, 0L))))
+    // a relevant hit past k neither scores nor counts in n_rel (the
+    // AP@k convention: grade the list you can see)
+    val past = Seq((3L, 1, true), (3L, 9, true)).toDF("query_id", "rank", "rel")
+    val p = Eval.averagePrecisionAtK(past, "rel", k = 2).head()
+    assert((p.getLong(1), p.getLong(2), p.getLong(3)) ===
+      ((1L, 1L, 1000000L)))
+  }
+
+  test("ndcgAtK / averagePrecisionAtK: rank < 1 and duplicate ranks are LOUD contract errors; valid input unchanged") {
+    // a negative rank would silently read the weight array from the
+    // END (element_at's negative-index semantics) — it must fail
+    val neg = Seq((1L, -1, 2L), (1L, 1, 1L)).toDF("query_id", "rank", "rel")
+    val e1 = intercept[Exception](Eval.ndcgAtK(neg, "rel", 5).collect())
+    assert(e1.getMessage.contains("rank must be >= 1"))
+    val zero = Seq((1L, 0, 2L)).toDF("query_id", "rank", "rel")
+    val e2 = intercept[Exception](Eval.ndcgAtK(zero, "rel", 5).collect())
+    assert(e2.getMessage.contains("rank must be >= 1"))
+    // duplicate ranks within a query would double-count weights
+    val dup = Seq((1L, 2, 2L), (1L, 2, 1L), (1L, 1, 0L))
+      .toDF("query_id", "rank", "rel")
+    val e3 = intercept[Exception](Eval.ndcgAtK(dup, "rel", 5).collect())
+    assert(e3.getMessage.contains("duplicate ranks"))
+    // same contract on the AP side
+    val negB = Seq((1L, -1, true)).toDF("query_id", "rank", "rel")
+    val e4 = intercept[Exception](
+      Eval.averagePrecisionAtK(negB, "rel", 5).collect())
+    assert(e4.getMessage.contains("rank must be >= 1"))
+    val dupB = Seq((1L, 3, true), (1L, 3, false)).toDF("query_id", "rank", "rel")
+    val e5 = intercept[Exception](
+      Eval.averagePrecisionAtK(dupB, "rel", 5).collect())
+    assert(e5.getMessage.contains("duplicate ranks"))
+    // well-formed rankings still flow through both operators
+    val ok = Seq((1L, 1, 1L), (1L, 2, 0L)).toDF("query_id", "rank", "rel")
+    assert(Eval.ndcgAtK(ok, "rel", 2).head().getLong(4) === 1000000L)
+  }
+
   test("nearestCentroidConfusion: separable labels classify; a planted outlier crosses over") {
     // label 0: two vectors at (1,0) plus one mislabeled at (0,1);
     // label 1: two at (0,1). Integer centroids: c0 = (666666, 333333),

@@ -84,6 +84,17 @@ class JwParitySpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("damerauLevenshtein: beyond the 2048-byte envelope fails FAST with a named error (no quadratic-matrix OOM)") {
+    val big = "a" * (TextKernels.MaxDamerauBytes + 1)
+    val e = intercept[IllegalArgumentException](
+      TextKernels.damerauLevenshtein(u(big), u("x")))
+    assert(e.getMessage.contains("envelope"))
+    // the boundary itself still computes (the envelope is inclusive)
+    val edge = "a" * TextKernels.MaxDamerauBytes
+    assert(TextKernels.damerauLevenshtein(u(edge), u("")) ==
+      TextKernels.MaxDamerauBytes)
+  }
+
   test("damerauLevenshtein: true-DL classics (CA->ABC = 2), byte-based, bit-equal to DuckDB on a seeded fuzz") {
     def dl(a: String, b: String): Int =
       TextKernels.damerauLevenshtein(u(a), u(b))

@@ -419,4 +419,60 @@ class LinkageSpec extends SparkTestBase {
     assert(got.length == 1 && got(0).getString(2) == "DAA" &&
       got(0).getLong(3) == -120000L + 350000L + 370000L)
   }
+
+  // hybrid fixture: sorted by k the ids rank 1,3,4,2 (aaa,mmm,mmn,zzz);
+  // (1,2) share a block but sit 3 ranks apart (equality-only capture);
+  // (1,3) are rank-adjacent but block-split (SN-only capture); (3,4)
+  // share a block AND are rank-adjacent (found by BOTH schemes — the
+  // cross-scheme dedup case)
+  private val hybridDf = Seq(
+    (1L, "B", "aaa", "X"), (2L, "B", "zzz", "X"),
+    (3L, "C", "mmm", "X"), (4L, "C", "mmn", "X"))
+    .toDF("id", "blk", "k", "seg")
+  private val hybridRules = Seq(Linkage.eq("seg", 500000L, 300000L))
+
+  test("scorePairsHybrid: equality ∪ sorted-neighborhood candidates, canonicalized and deduped, links both scheme-exclusive pair classes") {
+    val eqOnly = Linkage.scorePairsMultiBlock(hybridDf, "id",
+      Seq(Seq("blk")), hybridRules, Long.MinValue + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snOnly = Linkage.scorePairsSortedNeighborhood(hybridDf, "id",
+      Seq("k"), window = 2, hybridRules, Long.MinValue + 1).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // the fixture's premise: each scheme misses a pair the other finds
+    assert(eqOnly === Set((1L, 2L), (3L, 4L)), "equality misses (1,3)")
+    assert(snOnly === Set((1L, 3L), (3L, 4L), (2L, 4L)),
+      "SN misses (1,2) — rank distance 3 > window-1")
+    val hybrid = Linkage.scorePairsHybrid(hybridDf, "id", Seq(Seq("blk")),
+      Seq("k"), window = 2, hybridRules, Long.MinValue + 1)
+    val got = hybrid.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.keySet === (eqOnly ++ snOnly),
+      "hybrid = the canonicalized union")
+    assert(got((1L, 2L)) === 500000L && got((1L, 3L)) === 500000L)
+    // (3,4) found by both schemes must score exactly once
+    val counts = hybrid.groupBy("id_a", "id_b").count().collect()
+    assert(counts.forall(_.getLong(2) == 1L), "cross-scheme dedup must hold")
+  }
+
+  test("blockingQualityHybrid: completeness strictly above BOTH single-scheme audits on complementary-miss truth") {
+    val truth = Seq((1L, 2L), (3L, 1L)).toDF("id_a", "id_b")
+    val eqA = Linkage.blockingQualityMulti(hybridDf, "id", Seq(Seq("blk")),
+      truth).head()
+    val snA = Linkage.blockingQualitySortedNeighborhood(hybridDf, "id",
+      Seq("k"), window = 2, truth).head()
+    val hyA = Linkage.blockingQualityHybrid(hybridDf, "id", Seq(Seq("blk")),
+      Seq("k"), window = 2, truth).head()
+    // each single scheme captures exactly one of the two truths
+    assert(eqA.getAs[Long]("completeness_ppm") === 500000L)
+    assert(snA.getAs[Long]("completeness_ppm") === 500000L)
+    assert(hyA.getAs[Long]("completeness_ppm") === 1000000L,
+      "hybrid captures both — strictly above each single scheme")
+    // candidates = |{(1,2),(3,4)} ∪ {(1,3),(3,4),(2,4)}| = 4, the
+    // dedup the hybrid scorer actually scores
+    assert(hyA.getAs[Long]("n_candidate_pairs") === 4L)
+    assert(hyA.getAs[Long]("n_records") === 4L &&
+      hyA.getAs[Long]("n_true_pairs") === 2L &&
+      hyA.getAs[Long]("n_captured") === 2L)
+  }
 }

@@ -159,6 +159,7 @@ class PlanAuditSpec extends SparkTestBase {
       "build side (bounded, as q_centroid_calibration)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
     "q_ndcg" -> "(a) brute-force eval ranking: corpus x 5 planted queries (the q_retrieval_mrr frame, graded)",
+    "q_map" -> "(a) brute-force eval ranking: corpus x 5 planted queries (the q_retrieval_mrr frame, AP-scored)",
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)",
     "q_chi_square" -> ("(c) marginal DOMAIN x DOMAIN densify (|langs| x " +
       "|sources| rows, fixed by the schema — zero cells must enter the statistic)"),

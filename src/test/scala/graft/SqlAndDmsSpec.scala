@@ -30,6 +30,19 @@ class SqlAndDmsSpec extends SparkTestBase {
     assert(ok.getString(0).nonEmpty)
   }
 
+  test("SQL surface: hhi_ppm n = 0 is a LOUD contract error; n >= 1 unchanged") {
+    registry.registerAll(spark)
+    // a GROUP BY-produced (Σn², N) aggregate never emits N = 0, so a
+    // zero divisor means the caller's frame is malformed — the old
+    // silent greatest(n², 1) guard returned ss·1e6 (garbage the oracle
+    // can't match); now it fails with a named error
+    val e = intercept[Exception](spark.sql("SELECT hhi_ppm(5, 0)").collect())
+    assert(e.getMessage.contains("n must be >= 1"))
+    // in-contract inputs keep the exact self-switching arithmetic
+    assert(spark.sql("SELECT hhi_ppm(8, 2) AS h").head().getLong(0) ===
+      2000000L)
+  }
+
   test("SQL surface: fakers, hashes, vectors callable from pure SQL") {
     registry.registerAll(spark)
     spark.read.parquet(sf() + "/customer.parquet").createOrReplaceTempView("sql_customer")

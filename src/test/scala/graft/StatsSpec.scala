@@ -522,4 +522,54 @@ class StatsSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("a", "b", "a", 3L, 750000L),
       ("b", "a", "b", 1L, 250000L)))
   }
+
+  test("brierScore: hand values; hi/lo sum split equals a BigInt replay on a pseudorandom frame") {
+    // (1e6,1) and (0,0) are perfect (d = 0); (5e5,1) and (25e4,0) miss
+    // by 5e5 and 25e4 — Σd² = 25e10 + 6.25e10 = 3.125e11,
+    // brier = 3.125e11 div (4·1e6) = 78125
+    val d = Seq((1000000L, 1), (0L, 0), (500000L, 1), (250000L, 0))
+      .toDF("score_ppm", "label")
+    val r = Stats.brierScore(d, "score_ppm", "label").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((4L, 2L, 78125L)))
+    // the hi/lo split must equal floor(Σ BigInt(d)² / (n·1e6)) exactly
+    // on a frame whose Σd² crosses the naive-sum comfort zone shape
+    val rows = (0 until 20000).map { i =>
+      ((i.toLong * 7919L) % 1000001L, if (i % 3 == 0) 1 else 0) }
+    val big = rows.map { case (s, l) =>
+      val dd = BigInt(s - l * 1000000L); dd * dd }.sum
+    val expected = (big / (BigInt(rows.size) * 1000000)).toLong
+    val g = Stats.brierScore(rows.toDF("score_ppm", "label"),
+      "score_ppm", "label").head()
+    assert(g.getLong(2) === expected)
+    // empty frame: n = 0 reports brier 0, not a divide-by-zero null
+    val empty = Seq.empty[(Long, Int)].toDF("score_ppm", "label")
+    val e = Stats.brierScore(empty, "score_ppm", "label").head()
+    assert((e.getLong(0), e.getLong(2)) === ((0L, 0L)))
+  }
+
+  test("brierScore / calibrationBins: an out-of-range score is a LOUD contract error") {
+    val bad = Seq((1000001L, 1)).toDF("score_ppm", "label")
+    val e1 = intercept[Exception](
+      Stats.brierScore(bad, "score_ppm", "label").collect())
+    assert(e1.getMessage.contains("score_ppm must be in [0, 1e6]"))
+    val neg = Seq((-1L, 0)).toDF("score_ppm", "label")
+    val e2 = intercept[Exception](
+      Stats.calibrationBins(neg, "score_ppm", "label").collect())
+    assert(e2.getMessage.contains("score_ppm must be in [0, 1e6]"))
+  }
+
+  test("calibrationBins: decile assignment with the top-bin clamp, truncating means and rates") {
+    // 0 and 99999 land in bin 0; 100000 tips into bin 1; the exact
+    // 1e6 score clamps into bin 9 (not a phantom bin 10)
+    val d = Seq((0L, 0), (99999L, 1), (100000L, 0), (1000000L, 1))
+      .toDF("score_ppm", "label")
+    val got = Stats.calibrationBins(d, "score_ppm", "label", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      0L -> ((2L, 1L, 49999L, 500000L)),
+      1L -> ((1L, 0L, 100000L, 0L)),
+      9L -> ((1L, 1L, 1000000L, 1000000L))))
+  }
 }
