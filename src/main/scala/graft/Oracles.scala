@@ -2276,6 +2276,34 @@ private[graft] object Oracles {
        "CASE WHEN n_true_pairs = 0 THEN 1000000 ELSE " +
        "  n_captured * 1000000 // n_true_pairs END AS completeness_ppm " +
        "FROM tot CROSS JOIN cand CROSS JOIN cap"),
+    // incremental sorted-neighborhood: rank over the MERGED order, the
+    // usual 11-successor pairs, cut to pairs touching a batch id
+    // (>= 1e9) — existing×existing pairs never regenerate
+    "q_linkage_sn_incremental" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer UNION ALL " +
+       "  SELECT c_custkey + 1000000000, " +
+       "  concat(substr(c_name, 1, length(c_name) - 1), 'Z'), " +
+       "  c_nationkey, c_mktsegment FROM customer " +
+       "  WHERE c_custkey % 10 = 0), " +
+       "r AS (SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nat, " +
+       "  c_mktsegment AS seg, " +
+       "  row_number() OVER (ORDER BY c_name, c_custkey) AS rk " +
+       "  FROM base), " +
+       "p AS (SELECT a.id AS id_a, b.id AS id_b, " +
+       "  concat(" +
+       "    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN levenshtein(a.nm, b.nm) <= 2 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 11 " +
+       "  WHERE a.id >= 1000000000 OR b.id >= 1000000000) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
     // hybrid disjunctive candidates: suffix-equality pairs UNION
     // (deduped, canonicalized to id_a < id_b) the sorted-neighborhood
     // rank pairs, scored once per unique pair with the fuzzy-linkage

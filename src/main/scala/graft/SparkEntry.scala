@@ -1467,6 +1467,26 @@ object SparkEntry {
         cust.unionByName(kept).unionByName(broken), "c_custkey",
         sortKey = Seq("c_name"), window = 12, truth)
     }),
+    // incremental sorted-neighborhood: the typo'd injection arrives as
+    // an ingest BATCH against the existing customer corpus — pairs =
+    // batch×(rank-neighbors in the merged order) only, never
+    // existing×existing (those were decided when the corpus was built);
+    // the containment/divergence contract vs a full re-run is
+    // spec-pinned (LinkageSpec), the oracle replays the batch-sided cut
+    "q_linkage_sn_incremental" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+      val batch = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+      Linkage.linkIncrementalSortedNeighborhood(cust, batch,
+        "c_custkey", sortKey = Seq("c_name"), window = 12, Seq(
+          Linkage.editBand("c_name", maxDist = 2, 500000L, 300000L),
+          Linkage.eq("c_nationkey", 370000L, 160000L),
+          Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
+    }),
     // HYBRID disjunctive candidate generation (Christen ch. 4: MIX
     // scheme types): suffix equality blocking (captures the first-char
     // typos, misses the last-char ones — a last-char typo changes the

@@ -324,6 +324,84 @@ object Linkage {
     scoreIdPairs(df, idCol, pairs, rules, thresholdPpm)
   }
 
+  /** INCREMENTAL sorted-neighborhood candidate generation — the SN
+    * analog of [[linkIncremental]]'s no-rescan posture: an ingest batch
+    * inserts into the corpus's sort order and pairs ONLY with its
+    * rank-neighbors in the MERGED order (both batch×existing and
+    * batch×batch sides), never regenerating existing×existing pairs.
+    * Returns the new candidate pairs (id_a = lower-ranked, every pair
+    * has ≥ 1 batch side); ids must be disjoint across the two frames
+    * (enforced loudly, the [[linkIncremental]] contract).
+    *
+    * UNLIKE [[linkIncremental]], exact batch-vs-full parity does NOT
+    * carry here, and CANNOT: inserting a batch record into the order
+    * shifts ranks, and a batch row that lands between two existing
+    * records can push one past the other's window — the full re-run
+    * then LOSES that existing×existing pair, while the incremental run
+    * keeps whatever was already decided. What DOES hold, and what this
+    * operator guarantees (spec-pinned with a divergence witness), is
+    * CONTAINMENT: rank distances between existing records only GROW
+    * under insertion, so every existing×existing pair of the full
+    * re-run was already a pair of the prior run, and every other full
+    * pair has a batch side and is generated here —
+    *   fullPairs(existing ∪ batch) ⊆ priorPairs(existing) ∪ newPairs.
+    * Union the scored new pairs with the retained prior links and the
+    * incremental corpus is a SUPERSET of the full re-run's links — the
+    * monotone "no decided link is forgotten on ingest" semantics, which
+    * is the production curation posture (equality on append-only sort
+    * keys, e.g. monotone ingest timestamps, where no squeeze can
+    * occur). A curator wanting strict full-run semantics re-runs
+    * [[scorePairsSortedNeighborhood]] over the union.
+    *
+    * Scale shape: ONE [[globalRank]] pass over the union (rank only —
+    * no pairing); the batch-sided cut happens on the bare pair-id
+    * frame BEFORE comparator fields attach, so scoring work is
+    * ~ |batch|·2(w−1), not corpus-sized; the anti-join cut is against
+    * the batch id set (batch-sized broadcast). */
+  def sortedNeighborhoodPairsIncremental(existing: DataFrame,
+      batch: DataFrame, idCol: String, sortKey: Seq[String],
+      window: Int): DataFrame = {
+    require(sortKey.nonEmpty, "sorted-neighborhood needs a sort key")
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(batch.select(col(idCol))
+      .join(existing.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
+      "sortedNeighborhoodPairsIncremental: batch ids must be disjoint " +
+      "from existing ids (re-key the batch)")
+    val union = existing.select((idCol +: sortKey).distinct.map(col): _*)
+      .unionByName(batch.select((idCol +: sortKey).distinct.map(col): _*))
+    val batchIds = batch.select(col(idCol))
+    // pairs in the merged order, cut to those touching a batch id:
+    // drop pairs whose BOTH sides are existing (one anti-join per side
+    // would mis-cut — a pair survives iff either side is in the batch)
+    sortedNeighborhoodPairs(union, idCol, sortKey, window)
+      .join(batchIds.select(col(idCol).as("id_a"))
+          .withColumn("__ba", lit(true)), Seq("id_a"), "left")
+      .join(batchIds.select(col(idCol).as("id_b"))
+          .withColumn("__bb", lit(true)), Seq("id_b"), "left")
+      .filter(coalesce(col("__ba"), lit(false)) ||
+        coalesce(col("__bb"), lit(false)))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** [[linkIncremental]]'s decision tail over the SN front: score the
+    * incremental candidate pairs with the field rules and return the
+    * links — union with the retained prior links for the monotone
+    * incremental corpus (see [[sortedNeighborhoodPairsIncremental]] for
+    * the containment guarantee and the documented divergence from a
+    * full re-run). Comparators must be symmetric per the [[FieldRule]]
+    * contract (pairs arrive rank-oriented). */
+  def linkIncrementalSortedNeighborhood(existing: DataFrame,
+      batch: DataFrame, idCol: String, sortKey: Seq[String], window: Int,
+      rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
+    require(rules.nonEmpty, "linkage needs at least one field rule")
+    val cols = (idCol +: rules.map(_.col)).distinct
+    val union = existing.select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
+    scoreIdPairs(union, idCol,
+      sortedNeighborhoodPairsIncremental(existing, batch, idCol, sortKey,
+        window), rules, thresholdPpm)
+  }
+
   private val M = 1000000L
   private def clampPpm(x: Long): Long = math.max(1L, math.min(M - 1, x))
 

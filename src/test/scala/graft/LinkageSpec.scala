@@ -455,6 +455,56 @@ class LinkageSpec extends SparkTestBase {
     assert(counts.forall(_.getLong(2) == 1L), "cross-scheme dedup must hold")
   }
 
+  test("sortedNeighborhoodPairsIncremental: containment always, exact parity on append, pinned divergence on a window squeeze") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    def allPairs(df: org.apache.spark.sql.DataFrame, w: Int) =
+      canon(Linkage.scorePairsSortedNeighborhood(df, "id", Seq("k"), w,
+        Seq(Linkage.eq("seg", 500000L, 300000L)), Long.MinValue + 1)
+        .select("id_a", "id_b"))
+    // APPEND case: the batch sorts entirely after the existing corpus,
+    // so no window is squeezed — prior ∪ incremental == full re-run
+    val existing = Seq((1L, "a", "X"), (2L, "b", "X"), (3L, "c", "X"))
+      .toDF("id", "k", "seg")
+    val batch = Seq((10L, "x", "X"), (11L, "y", "X")).toDF("id", "k", "seg")
+    val prior = allPairs(existing, 3)
+    val inc = canon(Linkage.sortedNeighborhoodPairsIncremental(
+      existing, batch, "id", Seq("k"), window = 3))
+    assert(inc === Set((2L, 10L), (3L, 10L), (3L, 11L), (10L, 11L)),
+      "every incremental pair touches a batch id")
+    assert(prior ++ inc === allPairs(existing.unionByName(batch), 3),
+      "append parity: no squeeze, so the union equals the full re-run")
+    // SQUEEZE case: a batch row lands BETWEEN two existing neighbors at
+    // the window edge — the full re-run loses their pair, the monotone
+    // incremental corpus keeps it; the divergence is EXACTLY that pair
+    val ex2 = Seq((1L, "a", "X"), (2L, "c", "X")).toDF("id", "k", "seg")
+    val b2 = Seq((10L, "b", "X")).toDF("id", "k", "seg")
+    val prior2 = allPairs(ex2, 2)
+    assert(prior2 === Set((1L, 2L)))
+    val inc2 = canon(Linkage.sortedNeighborhoodPairsIncremental(
+      ex2, b2, "id", Seq("k"), window = 2))
+    val full2 = allPairs(ex2.unionByName(b2), 2)
+    assert(inc2 === Set((1L, 10L), (2L, 10L)))
+    assert(full2 === inc2, "the full re-run dropped the squeezed pair")
+    assert((prior2 ++ inc2) -- full2 === Set((1L, 2L)),
+      "containment holds; the divergence is exactly the squeezed pair")
+    // id collision across the frames is a loud contract error
+    val e = intercept[IllegalArgumentException](
+      Linkage.sortedNeighborhoodPairsIncremental(ex2,
+        Seq((1L, "z", "X")).toDF("id", "k", "seg"), "id", Seq("k"), 2))
+    assert(e.getMessage.contains("disjoint"))
+    // the scoring tail carries the FieldRule pattern/score semantics
+    val scored = Linkage.linkIncrementalSortedNeighborhood(ex2, b2, "id",
+      Seq("k"), window = 2, Seq(Linkage.eq("seg", 500000L, 300000L)),
+      thresholdPpm = Long.MinValue + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(scored.keys.map(p => (math.min(p._1, p._2),
+      math.max(p._1, p._2))).toSet === inc2)
+    assert(scored.values.toSet === Set(("A", 500000L)))
+  }
+
   test("blockingQualityHybrid: completeness strictly above BOTH single-scheme audits on complementary-miss truth") {
     val truth = Seq((1L, 2L), (3L, 1L)).toDF("id_a", "id_b")
     val eqA = Linkage.blockingQualityMulti(hybridDf, "id", Seq(Seq("blk")),
