@@ -2716,6 +2716,52 @@ private[graft] object Oracles {
       "CAST(row_number() OVER (PARTITION BY query_id " +
       "  ORDER BY rrf_score DESC, corpus_id ASC) AS INT) AS rank " +
       "FROM f QUALIFY rank <= 10"),
+    // Kendall tau of the quantized int-dot ranking vs the exact cosine
+    // ranking over the shared top-20 items: sign sums over the
+    // per-query pair frame, magnitude-divided ppm (negative numerators
+    // never divide — Spark truncation == DuckDB floor)
+    "q_kendall_tau" -> (
+      "WITH q AS (SELECT vec_id + 200000 AS query_id, " +
+      "  list_prepend(embedding[1] + CAST(0.02 AS FLOAT), embedding[2:]) AS qv " +
+      "  FROM embeddings WHERE vec_id < 5), " +
+      "ex AS (SELECT query_id, c.vec_id AS corpus_id, " +
+      s"  row_number() OVER (PARTITION BY query_id ORDER BY $annCosSql DESC, " +
+      "    c.vec_id ASC) AS rank " +
+      "  FROM q JOIN embeddings c ON query_id != c.vec_id " +
+      "  QUALIFY rank <= 20), " +
+      "q8 AS (SELECT query_id, list_transform(qv, x -> greatest(-7, " +
+      "  least(7, CAST(floor(CAST(x AS DOUBLE)*7 + 0.5) AS BIGINT)))) AS qa " +
+      "  FROM q), " +
+      "c8 AS (SELECT vec_id, list_transform(embedding, x -> greatest(-7, " +
+      "  least(7, CAST(floor(CAST(x AS DOUBLE)*7 + 0.5) AS BIGINT)))) AS ca " +
+      "  FROM embeddings), " +
+      "ax AS (SELECT query_id, vec_id AS corpus_id, " +
+      "  CAST(list_sum(list_transform(range(1, len(qa) + 1), " +
+      "    i -> qa[i] * ca[i])) AS BIGINT) AS dot " +
+      "  FROM q8 JOIN c8 ON query_id != vec_id), " +
+      "ar AS (SELECT query_id, corpus_id, " +
+      "  row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, " +
+      "    corpus_id ASC) AS rank FROM ax QUALIFY rank <= 20), " +
+      "j AS (SELECT ex.query_id, ex.corpus_id, " +
+      "  CAST(ex.rank AS BIGINT) AS ra, CAST(ar.rank AS BIGINT) AS rb " +
+      "  FROM ex JOIN ar ON ex.query_id = ar.query_id " +
+      "  AND ex.corpus_id = ar.corpus_id), " +
+      "m AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_items " +
+      "  FROM j GROUP BY 1), " +
+      "p AS (SELECT x.query_id, " +
+      "  CAST(sign((x.ra - y.ra) * (x.rb - y.rb)) AS BIGINT) AS s " +
+      "  FROM j x JOIN j y ON x.query_id = y.query_id " +
+      "  AND x.corpus_id < y.corpus_id), " +
+      "c AS (SELECT query_id, CAST(sum(s) AS BIGINT) AS cd " +
+      "  FROM p GROUP BY 1) " +
+      "SELECT m.query_id, m.n_items, " +
+      "CAST(coalesce(c.cd, 0) AS BIGINT) AS cd, " +
+      "CAST(CASE WHEN m.n_items < 2 THEN 0 " +
+      "WHEN coalesce(c.cd, 0) >= 0 THEN " +
+      "  coalesce(c.cd, 0) * 1000000 // (m.n_items * (m.n_items - 1) // 2) " +
+      "ELSE -((-coalesce(c.cd, 0)) * 1000000 // " +
+      "  (m.n_items * (m.n_items - 1) // 2)) END AS BIGINT) AS tau_ppm " +
+      "FROM m LEFT JOIN c ON m.query_id = c.query_id"),
     // dense per-epoch positions: rank of md5('42:epoch1:' || id)
     "q_epoch_order" -> (
       "SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
@@ -3334,6 +3380,22 @@ private[graft] object Oracles {
        "CAST(sum(s) // count(*) AS BIGINT) AS mean_score_ppm, " +
        "CAST(sum(l) * 1000000 // count(*) AS BIGINT) AS frac_pos_ppm " +
        "FROM e GROUP BY 1"),
+    // ECE: the bin-size-weighted |mean score − positive rate| roll-up
+    // of the same decile bins into one ppm number
+    "q_ece" ->
+      ("WITH e AS (SELECT " +
+       "  (CAST(round(value * 100) AS BIGINT) * 7919) % 1000001 AS s, " +
+       "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l " +
+       "  FROM events), " +
+       "b AS (SELECT least(s * 10 // 1000000, 9) AS bin, " +
+       "  CAST(count(*) AS BIGINT) AS n, " +
+       "  CAST(sum(s) // count(*) AS BIGINT) AS ms, " +
+       "  CAST(sum(l) * 1000000 // count(*) AS BIGINT) AS fp " +
+       "  FROM e GROUP BY 1) " +
+       "SELECT CAST(sum(n) AS BIGINT) AS n, " +
+       "CAST(count(*) AS BIGINT) AS n_bins, " +
+       "CAST(sum(n * abs(ms - fp)) // greatest(sum(n), 1) AS BIGINT) " +
+       "  AS ece_ppm FROM b"),
     // exact sup-norm CDF distance between the same two cohorts
     "q_ks_test" -> ksTestSql,
     "q_kruskal_wallis" -> kruskalWallisSql,

@@ -1945,6 +1945,19 @@ object SparkEntry {
         Similarity.quantizedTopK(emb, q, "vec_id", "embedding", k = 20,
           scale = 7)), k = 60, topK = 10)
     }),
+    // Kendall rank correlation of the quantized serving ranking against
+    // the exact one — do the two lists ORDER the shared items the same
+    // way (finer than q_recall_at_k's set overlap: equal sets can still
+    // invert every pair); C−D sign sums over the per-query pair frame,
+    // magnitude-divided ppm so both engines truncate identically
+    "q_kendall_tau" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = annQueries(emb)
+      graft.operators.Eval.kendallTau(
+        Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 20),
+        Similarity.quantizedTopK(emb, q, "vec_id", "embedding", k = 20,
+          scale = 7), k = 20)
+    }),
     // deterministic per-epoch training order: dense global positions
     // from the content-keyed hash rank, different permutation per epoch
     "q_epoch_order" -> ((s, dir) =>
@@ -3363,6 +3376,17 @@ object SparkEntry {
     // positive rate — a calibrated scorer has the last two ≈ equal
     "q_calibration_bins" -> ((s, dir) =>
       graft.operators.Stats.calibrationBins(
+        events(s, dir).select(
+          expr("(CAST(round(value * 100) AS BIGINT) * 7919L) % 1000001L")
+            .as("score_ppm"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("label")),
+        "score_ppm", "label", bins = 10)),
+    // expected calibration error: the bin-weighted |confidence −
+    // accuracy| roll-up of the reliability bins into ONE number — the
+    // calibration summary Brier mixes with refinement
+    "q_ece" -> ((s, dir) =>
+      graft.operators.Stats.expectedCalibrationError(
         events(s, dir).select(
           expr("(CAST(round(value * 100) AS BIGINT) * 7919L) % 1000001L")
             .as("score_ppm"),

@@ -211,6 +211,54 @@ object Eval {
       .select(col("query_id"), col("n_ranked"), col("n_rel"), col("ap_ppm"))
   }
 
+  /** Kendall rank correlation (tau-a numerator over the matched items)
+    * between TWO rankings of the same per-query candidate sets — "do
+    * the approximate and exact rankings ORDER the corpus the same
+    * way", a strictly finer agreement read than [[recallAtK]]'s set
+    * overlap (two rankings can share every item and still invert every
+    * pair). Per query over the items PRESENT IN BOTH top-k lists
+    * (inner join — an item one ranking missed has no pair order to
+    * compare; recall measures that miss): C − D = Σ over item pairs of
+    * sign((ra_x − ra_y)·(rb_x − rb_y)), tau = (C − D)/(m(m−1)/2). All
+    * exact integers; tau_ppm keeps Spark's truncate-toward-zero and
+    * DuckDB's floor identical by dividing the MAGNITUDE and re-applying
+    * the sign (the Kruskal–Wallis negative-numerator lesson). Rankings
+    * are row_number-style (ties impossible within a query); a tied
+    * pair would contribute 0, per tau-a. Single-item overlap (m ≤ 1)
+    * reports tau 0. Output: query_id, n_items, cd (= C − D), tau_ppm.
+    *
+    * Scale shape: inputs are queries×k rows; the pair frame is the
+    * per-query self-join — queries×k² rows bounded by the k knob, the
+    * same budget as one extra ranking pass; one map-side-combined
+    * groupBy finishes. */
+  def kendallTau(rankedA: DataFrame, rankedB: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val a = rankedA.filter(col("rank") <= k).select(col("query_id"),
+      col("corpus_id"), col("rank").cast("long").as("__ra"))
+    val b = rankedB.filter(col("rank") <= k).select(col("query_id"),
+      col("corpus_id"), col("rank").cast("long").as("__rb"))
+    val j = a.join(b, Seq("query_id", "corpus_id"))
+    val m = j.groupBy(col("query_id")).agg(count(lit(1)).as("n_items"))
+    val x = j.select(col("query_id"), col("corpus_id").as("__ca"),
+      col("__ra").as("__rax"), col("__rb").as("__rbx"))
+    val y = j.select(col("query_id"), col("corpus_id").as("__cb"),
+      col("__ra").as("__ray"), col("__rb").as("__rby"))
+    val cd = x.join(y, Seq("query_id")).filter(col("__ca") < col("__cb"))
+      .select(col("query_id"),
+        signum((col("__rax") - col("__ray")) * (col("__rbx") - col("__rby")))
+          .cast("long").as("__s"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__s")).as("cd"))
+    m.join(cd, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_items"),
+        coalesce(col("cd"), lit(0L)).as("cd"))
+      .withColumn("tau_ppm", expr(
+        "CASE WHEN n_items < 2 THEN 0L " +
+        "WHEN cd >= 0 THEN cd * 1000000L div (n_items * (n_items - 1) div 2) " +
+        "ELSE -((-cd) * 1000000L div (n_items * (n_items - 1) div 2)) " +
+        "END"))
+  }
+
   /** KMV cardinality-sketch error report: per group, the k-minimum-
     * values estimate next to the exact distinct count and the relative
     * error in ppm — the accuracy audit run before trusting sketch

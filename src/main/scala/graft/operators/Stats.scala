@@ -520,6 +520,29 @@ object Stats {
         expr("sum(__l) * 1000000L div count(1)").as("frac_pos_ppm"))
   }
 
+  /** Expected calibration error (Naeini, Cooper & Hauskrecht 2015) —
+    * the ONE-NUMBER roll-up of [[calibrationBins]]: the bin-size-
+    * weighted mean of |mean score − positive rate| over the non-empty
+    * bins, `Σ_b n_b·|conf_b − acc_b| div n`, in exact ppm (bin means
+    * are the bins' truncating ppm divisions; n_b·|diff| ≤ n·1e6 keeps
+    * the weighted sum in Int64 to 9.2e12 rows). The standard
+    * calibration summary next to [[brierScore]] — Brier mixes
+    * calibration with refinement, ECE isolates the calibration gap.
+    * Inherits the bins' loud score contract. Output: one row (n,
+    * n_bins = non-empty bins, ece_ppm).
+    *
+    * Scale shape: [[calibrationBins]]' one map-side-combined groupBy
+    * onto ≤ bins rows, then a ≤ bins-row aggregate. */
+  def expectedCalibrationError(df: DataFrame, scorePpmCol: String,
+      labelCol: String, bins: Int = 10): DataFrame =
+    calibrationBins(df, scorePpmCol, labelCol, bins)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        count(lit(1)).as("n_bins"),
+        coalesce(sum(expr("n * abs(mean_score_ppm - frac_pos_ppm)")),
+          lit(0L)).as("__w"))
+      .select(col("n"), col("n_bins"),
+        expr("__w div greatest(n, 1L)").as("ece_ppm"))
+
   /** Two-sample Kolmogorov–Smirnov statistic over integer cents, in
     * EXACT ppm: D = max_v |F₀(v) − F₁(v)| with F the empirical CDFs —
     * the sup-norm distribution-distance whose binned sibling is

@@ -88,6 +88,28 @@ class EvalSpec extends SparkTestBase {
       ((1L, 1L, 1000000L)))
   }
 
+  test("kendallTau: hand concordance — perfect, inverted, one-inversion, single-item, and intersection-only scoring") {
+    val a = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3),
+      (4L, 40L, 1), (4L, 99L, 2))
+    val b = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),   // same order
+      (2L, 20L, 3), (2L, 21L, 2), (2L, 22L, 1),               // reversed
+      (3L, 30L, 2), (3L, 31L, 1), (3L, 32L, 3),               // one inversion
+      (4L, 40L, 1), (4L, 98L, 2))                             // one shared item
+    val r = Eval.kendallTau(a, b, k = 3).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) === ((3L, 3L, 1000000L)))
+    assert(r(2L) === ((3L, -3L, -1000000L)))
+    // (30,31) inverted, (30,32) and (31,32) concordant: cd = 1,
+    // tau = 1e6 div 3 — and the negative twin divides the MAGNITUDE
+    assert(r(3L) === ((3L, 1L, 333333L)))
+    // items 99/98 exist in only one list: the intersection is {40}
+    // alone — no pair to order, tau 0 by convention
+    assert(r(4L) === ((1L, 0L, 0L)))
+  }
+
   test("ndcgAtK / averagePrecisionAtK: rank < 1 and duplicate ranks are LOUD contract errors; valid input unchanged") {
     // a negative rank would silently read the weight array from the
     // END (element_at's negative-index semantics) — it must fail

@@ -155,6 +155,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_recall_at_k" -> "(a) brute + quantized-dot eval rankings: corpus x 5 planted queries",
     "q_recall_curve" -> "(a) brute + quantized-dot rankings at 3 scales: corpus x 5 planted queries",
     "q_rrf_fusion" -> "(a) brute + quantized-dot rankings being fused: corpus x 5 planted queries",
+    "q_kendall_tau" -> "(a) brute + quantized-dot rankings being rank-correlated: corpus x 5 planted queries",
     "q_epoch_order" -> ("bucketedGroupRank bounds attach with a joined " +
       "build side (bounded, as q_centroid_calibration)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",

@@ -572,4 +572,19 @@ class StatsSpec extends SparkTestBase {
       1L -> ((1L, 0L, 100000L, 0L)),
       9L -> ((1L, 1L, 1000000L, 1000000L))))
   }
+
+  test("expectedCalibrationError: bin-weighted |confidence - accuracy|; perfectly calibrated extremes read 0") {
+    // the calibrationBins fixture: ECE = (2·|49999−500000| +
+    // 1·|100000−0| + 1·|1000000−1000000|) div 4 = 1000002 div 4
+    val d = Seq((0L, 0), (99999L, 1), (100000L, 0), (1000000L, 1))
+      .toDF("score_ppm", "label")
+    val r = Stats.expectedCalibrationError(d, "score_ppm", "label").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((4L, 3L, 250000L)))
+    // confident and correct at both extremes: every bin's mean score
+    // equals its positive rate exactly
+    val cal = Seq((0L, 0), (0L, 0), (1000000L, 1)).toDF("score_ppm", "label")
+    val c = Stats.expectedCalibrationError(cal, "score_ppm", "label").head()
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) === ((3L, 2L, 0L)))
+  }
 }
