@@ -13,7 +13,7 @@ set -eu
 cd "$(dirname "$0")/.."
 FACTOR=${1:-10}
 RUNS=${2:-3}
-QUERIES=${3:-q_dedup_corpus,q_dedup_minhash,q_pagerank,q_kcore,q_weighted_quartiles,q_concurrency,q_linkage_score,q_dedup_embedding_lsh,q_ann_ivf,q_mutual_nn,q_semantic_dedup,q_ktruss,q_clustering_coeff,q_triangle_count,q_linkage_incremental,q_linkage_fuzzy,q_hits,q_pagerank_weighted,q_ks_test,q_neardup_incremental,q_dedup_substring,q_linkage_multiblock,q_linkage_sorted_nbhd,q_linkage_jw,q_auc,q_linkage_dl,q_linkage_star,q_ndcg,q_lead_time_percentiles,q_dedup_transitivity,q_label_prop,q_linkage_hybrid,q_linkage_sn_incremental,q_map,q_brier,q_calibration_bins,q_comparator_sql,q_ece,q_kendall_tau}
+QUERIES=${3:-q_dedup_corpus,q_dedup_minhash,q_pagerank,q_kcore,q_weighted_quartiles,q_concurrency,q_linkage_score,q_dedup_embedding_lsh,q_ann_ivf,q_mutual_nn,q_semantic_dedup,q_ktruss,q_clustering_coeff,q_triangle_count,q_linkage_incremental,q_linkage_fuzzy,q_hits,q_pagerank_weighted,q_ks_test,q_neardup_incremental,q_dedup_substring,q_linkage_multiblock,q_linkage_sorted_nbhd,q_linkage_jw,q_auc,q_linkage_dl,q_linkage_star,q_ndcg,q_lead_time_percentiles,q_dedup_transitivity,q_label_prop,q_linkage_hybrid,q_linkage_sn_incremental,q_map,q_brier,q_calibration_bins,q_comparator_sql,q_ece,q_kendall_tau,q_community_quality,q_modularity,q_cliffs_delta,q_fairness_report}
 SFDIR=${4:-/root/testdata/sf0.1}
 OUT=/tmp/graft_scale/x$FACTOR
 MAX_LOAD=${MAX_LOAD:-2}

@@ -779,23 +779,71 @@ private[graft] object Oracles {
   /** 3 synchronous LPA rounds unrolled (most-frequent neighbor label,
     * min-label ties) over the q_graph_components co-purchase edges —
     * per-vertex fixpoint, the full determinism pin. */
-  private val labelPropSql: String = {
+  /** The 3 unrolled LPA rounds as a shared CTE prefix (final labels in
+    * `lp`, MATERIALIZED so multi-reference consumers don't re-inline
+    * the whole chain) — used by the label-prop oracle and the
+    * community-quality audit. */
+  private val labelPropCtes: String = {
     def round(i: Int, prev: String): String =
       s"n$i AS (SELECT ud.a AS v, l.lbl, count(*) AS c FROM ud " +
       s"  JOIN $prev l ON ud.b = l.v GROUP BY 1, 2), " +
       s"m$i AS (SELECT v, max(c) AS mc FROM n$i GROUP BY 1), " +
       s"l$i AS (SELECT n$i.v, min(n$i.lbl) AS lbl FROM n$i " +
       s"  JOIN m$i ON n$i.v = m$i.v AND n$i.c = m$i.mc GROUP BY 1)"
-    "WITH e AS (SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
+    "e AS (SELECT DISTINCT CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
     "  CAST(o_custkey * 2 AS BIGINT) AS b " +
     "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
     "  WHERE l_quantity = 50 AND l_linenumber = 7), " +
     "ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e), " +
     "v AS (SELECT DISTINCT a AS v FROM ud), " +
     "l0 AS (SELECT v, v AS lbl FROM v), " +
-    round(1, "l0") + ", " + round(2, "l1") + ", " + round(3, "l2") + " " +
-    "SELECT v AS id, lbl AS community FROM l3"
+    round(1, "l0") + ", " + round(2, "l1") + ", " + round(3, "l2") + ", " +
+    "lp AS MATERIALIZED (SELECT v, lbl FROM l3)"
   }
+
+  /** 3 synchronous LPA rounds unrolled (most-frequent neighbor label,
+    * min-label ties) over the co-purchase edges — per-vertex fixpoint,
+    * the full determinism pin. */
+  private val labelPropSql: String =
+    s"WITH $labelPropCtes SELECT v AS id, lbl AS community FROM lp"
+
+  /** Conductance + per-community Newman modularity term over the LPA
+    * assignment: the same canonical-edge tag, explode-credited cut and
+    * volume, and the overflow-free (vol·1e6 div 2m)² div 1e6 square as
+    * Graph.communityQuality. */
+  private val communityQualitySql: String =
+    s"WITH $labelPropCtes, " +
+    "u2 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e " +
+    "  WHERE a != b), " +
+    "tg AS MATERIALIZED (SELECT u2.a, u2.b, la.lbl AS ca, lb.lbl AS cb " +
+    "  FROM u2 JOIN lp la ON la.v = u2.a JOIN lp lb ON lb.v = u2.b), " +
+    "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tg), " +
+    "ei AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in " +
+    "  FROM tg WHERE ca = cb GROUP BY 1), " +
+    "ct AS (SELECT community, CAST(count(*) AS BIGINT) AS cut FROM " +
+    "  (SELECT ca AS community FROM tg WHERE ca != cb " +
+    "   UNION ALL SELECT cb FROM tg WHERE ca != cb) GROUP BY 1), " +
+    "vl AS (SELECT community, CAST(count(*) AS BIGINT) AS vol FROM " +
+    "  (SELECT ca AS community FROM tg " +
+    "   UNION ALL SELECT cb FROM tg) GROUP BY 1), " +
+    "nd AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes " +
+    "  FROM lp GROUP BY 1) " +
+    "SELECT nd.community, nd.n_nodes, " +
+    "coalesce(vl.vol, 0) AS vol, coalesce(ei.e_in, 0) AS e_in, " +
+    "coalesce(ct.cut, 0) AS cut, " +
+    "CAST(CASE WHEN least(coalesce(vl.vol, 0), " +
+    "    2 * mm.m - coalesce(vl.vol, 0)) <= 0 THEN 0 " +
+    "  ELSE coalesce(ct.cut, 0) * 1000000 // " +
+    "    least(coalesce(vl.vol, 0), 2 * mm.m - coalesce(vl.vol, 0)) END " +
+    "  AS BIGINT) AS conductance_ppm, " +
+    "CAST(CASE WHEN mm.m <= 0 THEN 0 ELSE " +
+    "  (coalesce(ei.e_in, 0) * 1000000 // mm.m) - " +
+    "  (((coalesce(vl.vol, 0) * 1000000 // (2 * mm.m)) * " +
+    "    (coalesce(vl.vol, 0) * 1000000 // (2 * mm.m))) // 1000000) END " +
+    "  AS BIGINT) AS modularity_term_ppm " +
+    "FROM nd LEFT JOIN vl ON nd.community = vl.community " +
+    "LEFT JOIN ei ON nd.community = ei.community " +
+    "LEFT JOIN ct ON nd.community = ct.community CROSS JOIN mm"
 
   private val weightedQuartilesSql: String =
     "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
@@ -3350,6 +3398,49 @@ private[graft] object Oracles {
        "ELSE (u2a // u2max) * 1000000 + " +
        "(u2a % u2max) // greatest(u2max // 1000000, 1) END " +
        "AS auc_ppm FROM u"),
+    // per-cohort selection rate / TPR / FPR at the 5e5 threshold;
+    // undefined rates (no positives / no negatives) stay NULL
+    "q_fairness_report" ->
+      ("WITH e AS (SELECT CAST(user_id % 3 AS BIGINT) AS grp, " +
+       "  (CAST(round(value * 100) AS BIGINT) * 7919) % 1000001 AS s, " +
+       "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l " +
+       "  FROM events) " +
+       "SELECT grp, CAST(count(*) AS BIGINT) AS n, " +
+       "CAST(count(CASE WHEN l = 1 THEN 1 END) AS BIGINT) AS n_pos, " +
+       "CAST(count(CASE WHEN s >= 500000 THEN 1 END) AS BIGINT) AS n_sel, " +
+       "count(CASE WHEN s >= 500000 THEN 1 END) * 1000000 // count(*) " +
+       "  AS sel_ppm, " +
+       "CASE WHEN count(CASE WHEN l = 1 THEN 1 END) > 0 THEN " +
+       "  count(CASE WHEN l = 1 AND s >= 500000 THEN 1 END) * 1000000 // " +
+       "  count(CASE WHEN l = 1 THEN 1 END) END AS tpr_ppm, " +
+       "CASE WHEN count(CASE WHEN l != 1 THEN 1 END) > 0 THEN " +
+       "  count(CASE WHEN l != 1 AND s >= 500000 THEN 1 END) * 1000000 // " +
+       "  count(CASE WHEN l != 1 THEN 1 END) END AS fpr_ppm " +
+       "FROM e GROUP BY 1"),
+    // Cliff's delta = 2·AUC − 1 off the same doubled-U frame: the
+    // division stays on the non-negative AUC, the sign arrives by
+    // subtraction — no negative numerator ever divides
+    "q_cliffs_delta" ->
+      ("WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v, " +
+       "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS h " +
+       "  FROM events), " +
+       "g AS (SELECT v, CAST(count(*) AS BIGINT) AS c, " +
+       "  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca " +
+       "  FROM e GROUP BY 1), " +
+       "cum AS (SELECT v, c, ca, CAST(sum(c) OVER (ORDER BY v " +
+       "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM g), " +
+       "tot AS (SELECT CAST(sum(c - ca) AS BIGINT) AS n0, " +
+       "  CAST(sum(ca) AS BIGINT) AS na FROM g), " +
+       "u AS (SELECT n0, na, " +
+       "  CAST(sum(ca * (2 * (cc - c) + c + 1)) AS BIGINT) " +
+       "    - na * (na + 1) AS u2a, 2 * n0 * na AS u2max " +
+       "  FROM cum CROSS JOIN tot GROUP BY n0, na) " +
+       "SELECT n0, na AS n1, " +
+       "(CASE WHEN u2max <= 9000000000000 " +
+       "THEN u2a * 1000000 // greatest(u2max, 1) " +
+       "ELSE (u2a // u2max) * 1000000 + " +
+       "(u2a % u2max) // greatest(u2max // 1000000, 1) END) * 2 " +
+       "- 1000000 AS delta_ppm FROM u"),
     // Brier score of the clamped cents score vs purchase-vs-rest: the
     // hi/lo split carries Σd² exactly (d² = hi·1e6 + lo per row), and
     // the finish replays the operator's lossless two-step floor
@@ -3402,6 +3493,16 @@ private[graft] object Oracles {
     "q_conformal" -> conformalSql,
     "q_encoding_advisor" -> encodingAdvisorSql,
     "q_label_prop" -> labelPropSql,
+    // conductance + modularity terms over the SAME LPA assignment
+    "q_community_quality" -> communityQualitySql,
+    // Q roll-up: signed sum of the per-community terms, edge count
+    // reconstructed as Σe_in + Σcut/2 (each boundary edge credited
+    // twice across the per-community rows)
+    "q_modularity" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_communities, " +
+       "CAST(sum(e_in) + sum(cut) // 2 AS BIGINT) AS m_edges, " +
+       "CAST(sum(modularity_term_ppm) AS BIGINT) AS q_ppm " +
+       s"FROM ($communityQualitySql) t"),
     "q_weighted_quartiles" -> weightedQuartilesSql,
     "q_chi_square" -> chiSquareSql,
     "q_nested_samples" -> nestedSamplesSql,

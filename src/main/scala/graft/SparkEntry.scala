@@ -2932,6 +2932,40 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(edges, "id_a", "id_b",
         rounds = 3)
     }),
+    // community-quality audit over the SAME LPA assignment: per
+    // community, conductance (cut over min-side volume — the
+    // separation read) and the Newman modularity term (intra share
+    // minus the degree-null square, overflow-free at any edge count
+    // via the (vol·1e6 div 2m)² div 1e6 form); Σ terms = Q downstream
+    "q_community_quality" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
+        "id_b", rounds = 3)
+        .select(col("id"), col("community"))
+      graft.operators.Graph.communityQuality(edges, lpa)
+    }),
+    // Newman modularity Q of the same LPA partition: the one-number
+    // partition grade (Σ per-community terms — a pure signed sum, no
+    // division after the per-community exactness)
+    "q_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
+        "id_b", rounds = 3)
+        .select(col("id"), col("community"))
+      graft.operators.Graph.modularity(edges, lpa)
+    }),
     // weighted quartiles of extended price, weighted by quantity — the
     // revenue-weighted distribution read; prefix weights ride the
     // distributed cumsum (no global-sort window at any scale)
@@ -3393,6 +3427,28 @@ object SparkEntry {
           when(col("event_type") === "purchase", 1).otherwise(0)
             .as("label")),
         "score_ppm", "label", bins = 10)),
+    // group-fairness report: selection rate / TPR / FPR per synthetic
+    // user cohort for the thresholded spread score against
+    // purchase-vs-rest — demographic parity and equalized-odds
+    // coordinates in exact ppm, undefined rates honestly NULL
+    "q_fairness_report" -> ((s, dir) =>
+      graft.operators.Stats.fairnessReport(
+        events(s, dir).select(
+          (col("user_id") % 3).cast("long").as("cohort"),
+          expr("(CAST(round(value * 100) AS BIGINT) * 7919L) % 1000001L")
+            .as("score_ppm"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("label")),
+        "cohort", "score_ppm", "label", thresholdPpm = 500000L)),
+    // Cliff's delta effect size off the same doubled-U frame: 2·AUC−1,
+    // the nonparametric magnitude companion to the U test's verdict
+    "q_cliffs_delta" -> ((s, dir) =>
+      graft.operators.Stats.cliffsDelta(
+        events(s, dir).select(
+          round(col("value") * 100).cast("long").as("cents"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("label")),
+        "cents", "label")),
     // two-sample Kolmogorov-Smirnov D over the same cohort split: the
     // exact sup-norm CDF distance (bin-free, unlike q_dist_drift's TV)
     "q_ks_test" -> ((s, dir) =>

@@ -431,6 +431,95 @@ object Graph {
     lab.select(col("v").as("id"), col("lbl").as("community"))
   }
 
+  /** Community-quality audit — the measurement half of
+    * [[labelPropagation]] (and any other partition: connected
+    * components, star clusters): per community, the two standard
+    * quality reads, in exact integer ppm —
+    *   - CONDUCTANCE (Kannan, Vempala & Vetta 2004): cut/min(vol,
+    *     2m−vol), the share of the community's edge volume that leaks
+    *     out — low = well-separated;
+    *   - the per-community NEWMAN MODULARITY term (Newman & Girvan
+    *     2004): e_in/m − (vol/2m)², intra-edge share minus the share a
+    *     degree-preserving random graph would give; Σ over communities
+    *     = Q (one trivial sum downstream, no division — so the signed
+    *     roll-up never meets the truncate-vs-floor divergence).
+    * Exactness form chosen for UNBOUNDED scale: the modularity square
+    * is computed as r = vol·1e6 div 2m (≤ 1e6 since vol ≤ 2m), then
+    * r² div 1e6 — two documented truncations, every intermediate ≤
+    * 1e12, NO overflow at any edge count (the naive vol²·1e6 div 4m²
+    * dies at vol > 3e6); both engines replay the same two floors.
+    * Nodes missing from `assignment` fail loudly via the inner-join
+    * count check the caller can run; here an unassigned endpoint's
+    * edges simply drop from the audit (inner join — document upstream).
+    * Input: `edges` (id_a, id_b), `assignment` (id, community).
+    * Output per community: community, n_nodes, vol (degree sum), e_in,
+    * cut, conductance_ppm, modularity_term_ppm.
+    *
+    * Scale shape: one canonical-edge distinct, one degree aggregation,
+    * two assignment equi-joins onto the edge list, then map-side-
+    * combined groupBys keyed by community — no iteration, no window,
+    * nothing beyond the edge shuffles. */
+  def communityQuality(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val lab = assignment.select(col("id"), col("community"))
+    val tagged = und
+      .join(lab.select(col("id").as("a"), col("community").as("__ca")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("community").as("__cb")), Seq("b"))
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    // per-community intra edges; cut edges credit BOTH sides
+    val eIn = tagged.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val cut = tagged.filter(col("__ca") =!= col("__cb"))
+      .select(explode(array(col("__ca"), col("__cb"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("cut"))
+    // degree volume per community over the TAGGED subgraph (both
+    // endpoints assigned), so vol_c sums to exactly 2m
+    val vol = tagged
+      .select(explode(array(col("__ca"), col("__cb"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("vol"))
+    val nodes = lab.join(
+        und.select(explode(array(col("a"), col("b"))).as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+    nodes.join(vol, Seq("community"), "left")
+      .join(eIn, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        col("__m"))
+      .select(col("community"), col("n_nodes"), col("vol"), col("e_in"),
+        col("cut"),
+        expr("CASE WHEN least(vol, 2 * __m - vol) <= 0 THEN 0L " +
+          "ELSE cut * 1000000L div least(vol, 2 * __m - vol) END")
+          .as("conductance_ppm"),
+        expr("CASE WHEN __m <= 0 THEN 0L ELSE " +
+          "e_in * 1000000L div __m - " +
+          "(vol * 1000000L div (2 * __m)) * " +
+          "(vol * 1000000L div (2 * __m)) div 1000000L END")
+          .as("modularity_term_ppm"))
+  }
+
+  /** Newman modularity Q of a partition — the one-number roll-up of
+    * [[communityQuality]]: Q_ppm = Σ_c modularity_term_ppm (a pure sum
+    * of the already-exact per-community integers — no division, so the
+    * signed total never meets an engine rounding divergence). Also
+    * reports the community count and the audited edge count. */
+  def modularity(edges: DataFrame, assignment: DataFrame): DataFrame =
+    communityQuality(edges, assignment)
+      .agg(count(lit(1)).as("n_communities"),
+        coalesce(sum(col("e_in")), lit(0L)).as("__ei"),
+        // Σ_c cut_c credits each boundary edge twice (once per side)
+        coalesce(sum(col("cut")), lit(0L)).as("__ct"),
+        coalesce(sum(col("modularity_term_ppm")), lit(0L)).as("q_ppm"))
+      .select(col("n_communities"),
+        expr("__ei + __ct div 2").as("m_edges"), col("q_ppm"))
+
   /** Per-edge triangle SUPPORT of a canonical (a < b) edge list: how
     * many triangles contain each edge, zero-support edges included.
     * Degree-oriented exactly like [[triangleCount]] — every triangle

@@ -543,6 +543,64 @@ object Stats {
       .select(col("n"), col("n_bins"),
         expr("__w div greatest(n, 1L)").as("ece_ppm"))
 
+  /** Group-fairness report of a thresholded score against a 0/1 label
+    * — the governance-tier read next to the privacy operators: per
+    * group, the three standard classification-fairness quantities
+    * (Hardt, Price & Srebro 2016's equalized-odds components plus the
+    * demographic-parity selection rate), in exact ppm —
+    *   - sel_ppm: P(score ≥ t) within the group (demographic parity
+    *     compares these across groups);
+    *   - tpr_ppm: P(score ≥ t | label = 1) (equal opportunity);
+    *   - fpr_ppm: P(score ≥ t | label = 0) (the second equalized-odds
+    *     coordinate).
+    * A group with no positives (or no negatives) reports NULL for the
+    * undefined rate rather than a fake 0 — the honest report (the CASE
+    * is mirrored in the oracle). Counts ride along so the reader can
+    * judge statistical weight. Label convention is [[mannWhitneyU]]'s:
+    * label = 1 is positive, EVERY other value negative. Output per
+    * group: grp (avoiding the reserved word), n, n_pos, n_sel,
+    * sel_ppm, tpr_ppm, fpr_ppm.
+    *
+    * Scale shape: ONE map-side-combined groupBy onto |groups| rows;
+    * nothing else touches corpus data. */
+  def fairnessReport(df: DataFrame, groupCol: String, scorePpmCol: String,
+                     labelCol: String, thresholdPpm: Long): DataFrame = {
+    val pos = col(labelCol).cast("int") === 1
+    val sel = col(scorePpmCol).cast("long") >= thresholdPpm
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        count(when(pos, 1)).as("n_pos"),
+        count(when(sel, 1)).as("n_sel"),
+        count(when(pos && sel, 1)).as("__tp"),
+        count(when(!pos && sel, 1)).as("__fp"))
+      .select(col("grp"), col("n"), col("n_pos"), col("n_sel"),
+        expr("n_sel * 1000000L div n").as("sel_ppm"),
+        expr("CASE WHEN n_pos > 0 THEN __tp * 1000000L div n_pos END")
+          .as("tpr_ppm"),
+        expr("CASE WHEN n - n_pos > 0 THEN __fp * 1000000L div (n - n_pos) " +
+          "END").as("fpr_ppm"))
+  }
+
+  /** Cliff's delta (Cliff 1993) — the standard nonparametric EFFECT
+    * SIZE companion to [[mannWhitneyU]]'s test statistic: δ =
+    * P(x₁ > x₀) − P(x₁ < x₀) over cross-cohort pairs, in exact ppm.
+    * Algebraically δ = 2·U₁/(n₀n₁) − 1 = 2·AUC − 1, so it reads
+    * straight off the doubled-U frame: delta_ppm = 2·auc_ppm − 1e6 —
+    * the division happens on the NON-NEGATIVE AUC (inheriting
+    * [[aucPpm]]'s self-switching overflow finish), and the sign
+    * arrives by pure subtraction, so the negative result never meets
+    * the truncate-vs-floor engine divergence. |δ| ≥ 0.474 is Romano's
+    * "large" threshold; 0 = stochastically equal cohorts. Output:
+    * n0, n1, delta_ppm ∈ [−1e6, 1e6].
+    *
+    * Scale shape: identical to [[mannWhitneyU]] — one distinct-value
+    * aggregation + prefix counts, no global sort. */
+  def cliffsDelta(df: DataFrame, centsCol: String,
+                  cohortCol: String): DataFrame =
+    mannWhitneyU(df, centsCol, cohortCol)
+      .select(col("n0"), col("n1"),
+        (aucFinish * lit(2L) - lit(1000000L)).as("delta_ppm"))
+
   /** Two-sample Kolmogorov–Smirnov statistic over integer cents, in
     * EXACT ppm: D = max_v |F₀(v) − F₁(v)| with F the empirical CDFs —
     * the sup-norm distribution-distance whose binned sibling is

@@ -324,4 +324,32 @@ class GraphSpec extends SparkTestBase {
       4L -> 3L, 5L -> 3L, 6L -> 3L))
     assert(got === run(), "synchronous sweep must replay identically")
   }
+
+  test("communityQuality: hand conductance and modularity terms on the bridged triangles; degenerate one-community graph reads 0/0") {
+    // triangles {1,2,3} / {4,5,6} + bridge 3-4: m = 7; each community
+    // has n_nodes 3, vol 7 (degrees 2+2+3), e_in 3, cut 1 —
+    // conductance = 1e6 div min(7, 14-7) = 142857; r = 7e6 div 14 =
+    // 500000, r² div 1e6 = 250000, term = 3e6 div 7 - 250000 = 178571
+    // (Σ terms = 357142 ≈ the true Q = 0.357)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val asg = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (4L, 200L), (5L, 200L), (6L, 200L)).toDF("id", "community")
+    val r = Graph.communityQuality(edges, asg).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    assert(r(100L) === ((3L, 7L, 3L, 1L, 142857L, 178571L)))
+    assert(r(200L) === ((3L, 7L, 3L, 1L, 142857L, 178571L)))
+    // the whole graph as ONE community: no cut, min-side volume 0 ->
+    // conductance 0; e_in/m = 1 and (2m/2m)² = 1 -> modularity term 0
+    val one = asg.select(asg("id"), (asg("community") * 0).as("community"))
+    val g = Graph.communityQuality(edges, one).collect()
+    assert(g.length === 1)
+    assert((g(0).getLong(4), g(0).getLong(5)) === ((0L, 0L)))
+    // Q roll-up: 2 communities, m reconstructed as Σe_in + Σcut/2 = 7,
+    // Q = 2·178571 = 357142 (the true modularity is 0.357143)
+    val q = Graph.modularity(edges, asg).head()
+    assert((q.getLong(0), q.getLong(1), q.getLong(2)) ===
+      ((2L, 7L, 357142L)))
+  }
 }

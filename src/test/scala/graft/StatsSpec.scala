@@ -523,6 +523,43 @@ class StatsSpec extends SparkTestBase {
       ("b", "a", "b", 1L, 250000L)))
   }
 
+  test("fairnessReport: per-cohort selection/TPR/FPR by hand; undefined rates stay NULL") {
+    val d = Seq(
+      (0L, 600000L, 1), (0L, 400000L, 1), (0L, 700000L, 0), (0L, 100000L, 0),
+      (1L, 900000L, 1),
+      (2L, 100000L, 0))
+      .toDF("grp", "s", "l")
+    val r = Stats.fairnessReport(d, "grp", "s", "l", thresholdPpm = 500000L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          Option(x.get(5)).map(_.asInstanceOf[Long]),
+          Option(x.get(6)).map(_.asInstanceOf[Long]))).toMap
+    // cohort 0: 2/4 selected; TP 1 of 2 positives; FP 1 of 2 negatives
+    assert(r(0L) === ((4L, 2L, 2L, 500000L, Some(500000L), Some(500000L))))
+    // cohort 1 has no negatives -> FPR is honestly NULL, not 0
+    assert(r(1L) === ((1L, 1L, 1L, 1000000L, Some(1000000L), None)))
+    // cohort 2 has no positives -> TPR NULL; nothing selected -> FPR 0
+    assert(r(2L) === ((1L, 0L, 0L, 0L, None, Some(0L))))
+  }
+
+  test("cliffsDelta: perfect separation ±1e6, identical cohorts 0, one inversion by hand") {
+    // cohort 1 entirely above cohort 0 -> delta = +1e6
+    val sep = Seq((1L, 0), (2L, 0), (10L, 1), (20L, 1)).toDF("c", "h")
+    val s = Stats.cliffsDelta(sep, "c", "h").head()
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) === ((2L, 2L, 1000000L)))
+    // reversed -> -1e6 (the sign arrives by subtraction, never a
+    // negative numerator meeting div)
+    val rev = Seq((10L, 0), (20L, 0), (1L, 1), (2L, 1)).toDF("c", "h")
+    assert(Stats.cliffsDelta(rev, "c", "h").head().getLong(2) === -1000000L)
+    // identical single-value cohorts: all ties -> AUC 1/2 -> delta 0
+    val tie = Seq((5L, 0), (5L, 0), (5L, 1)).toDF("c", "h")
+    assert(Stats.cliffsDelta(tie, "c", "h").head().getLong(2) === 0L)
+    // one inversion among 4 cross pairs: wins 3, losses 1 ->
+    // delta = (3-1)/4 = 500000
+    val inv = Seq((1L, 0), (3L, 0), (2L, 1), (4L, 1)).toDF("c", "h")
+    assert(Stats.cliffsDelta(inv, "c", "h").head().getLong(2) === 500000L)
+  }
+
   test("brierScore: hand values; hi/lo sum split equals a BigInt replay on a pseudorandom frame") {
     // (1e6,1) and (0,0) are perfect (d = 0); (5e5,1) and (25e4,0) miss
     // by 5e5 and 25e4 — Σd² = 25e10 + 6.25e10 = 3.125e11,
