@@ -827,23 +827,35 @@ private[graft] object Oracles {
     "  (SELECT ca AS community FROM tg " +
     "   UNION ALL SELECT cb FROM tg) GROUP BY 1), " +
     "nd AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes " +
-    "  FROM lp GROUP BY 1) " +
-    "SELECT nd.community, nd.n_nodes, " +
-    "coalesce(vl.vol, 0) AS vol, coalesce(ei.e_in, 0) AS e_in, " +
-    "coalesce(ct.cut, 0) AS cut, " +
-    "CAST(CASE WHEN least(coalesce(vl.vol, 0), " +
-    "    2 * mm.m - coalesce(vl.vol, 0)) <= 0 THEN 0 " +
-    "  ELSE coalesce(ct.cut, 0) * 1000000 // " +
-    "    least(coalesce(vl.vol, 0), 2 * mm.m - coalesce(vl.vol, 0)) END " +
+    "  FROM lp GROUP BY 1), " +
+    "q0 AS (SELECT nd.community, nd.n_nodes, " +
+    "  coalesce(vl.vol, 0) AS vol, coalesce(ei.e_in, 0) AS e_in, " +
+    "  coalesce(ct.cut, 0) AS cut, mm.m AS m " +
+    "  FROM nd LEFT JOIN vl ON nd.community = vl.community " +
+    "  LEFT JOIN ei ON nd.community = ei.community " +
+    "  LEFT JOIN ct ON nd.community = ct.community CROSS JOIN mm) " +
+    // each ppm division self-switches on its divisor at 9e12, exactly
+    // mirroring Graph.communityQuality's aucFinish-pattern CASE
+    "SELECT community, n_nodes, vol, e_in, cut, " +
+    "CAST(CASE WHEN least(vol, 2 * m - vol) <= 0 THEN 0 " +
+    "  WHEN least(vol, 2 * m - vol) <= 9000000000000 " +
+    "  THEN cut * 1000000 // least(vol, 2 * m - vol) " +
+    "  ELSE (cut // least(vol, 2 * m - vol)) * 1000000 + " +
+    "  (cut % least(vol, 2 * m - vol)) // " +
+    "  greatest(least(vol, 2 * m - vol) // 1000000, 1) END " +
     "  AS BIGINT) AS conductance_ppm, " +
-    "CAST(CASE WHEN mm.m <= 0 THEN 0 ELSE " +
-    "  (coalesce(ei.e_in, 0) * 1000000 // mm.m) - " +
-    "  (((coalesce(vl.vol, 0) * 1000000 // (2 * mm.m)) * " +
-    "    (coalesce(vl.vol, 0) * 1000000 // (2 * mm.m))) // 1000000) END " +
-    "  AS BIGINT) AS modularity_term_ppm " +
-    "FROM nd LEFT JOIN vl ON nd.community = vl.community " +
-    "LEFT JOIN ei ON nd.community = ei.community " +
-    "LEFT JOIN ct ON nd.community = ct.community CROSS JOIN mm"
+    "CAST(CASE WHEN m <= 0 THEN 0 ELSE " +
+    "  (CASE WHEN m <= 9000000000000 THEN e_in * 1000000 // m " +
+    "   ELSE (e_in // m) * 1000000 + " +
+    "   (e_in % m) // greatest(m // 1000000, 1) END) - " +
+    "  (CASE WHEN m <= 4500000000000 THEN vol * 1000000 // (2 * m) " +
+    "   ELSE (vol // (2 * m)) * 1000000 + " +
+    "   (vol % (2 * m)) // greatest(2 * m // 1000000, 1) END) * " +
+    "  (CASE WHEN m <= 4500000000000 THEN vol * 1000000 // (2 * m) " +
+    "   ELSE (vol // (2 * m)) * 1000000 + " +
+    "   (vol % (2 * m)) // greatest(2 * m // 1000000, 1) END) " +
+    "  // 1000000 END AS BIGINT) AS modularity_term_ppm " +
+    "FROM q0"
 
   private val weightedQuartilesSql: String =
     "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
@@ -3498,10 +3510,14 @@ private[graft] object Oracles {
     // Q roll-up: signed sum of the per-community terms, edge count
     // reconstructed as Σe_in + Σcut/2 (each boundary edge credited
     // twice across the per-community rows)
+    // coalesced sums so the empty-community-frame row matches the
+    // operator's coalesce(sum(...), 0) exactly (n_communities=0,
+    // m_edges=0, q_ppm=0 — not NULLs) at any scale factor
     "q_modularity" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_communities, " +
-       "CAST(sum(e_in) + sum(cut) // 2 AS BIGINT) AS m_edges, " +
-       "CAST(sum(modularity_term_ppm) AS BIGINT) AS q_ppm " +
+       "CAST(coalesce(sum(e_in), 0) + coalesce(sum(cut), 0) // 2 " +
+       "  AS BIGINT) AS m_edges, " +
+       "CAST(coalesce(sum(modularity_term_ppm), 0) AS BIGINT) AS q_ppm " +
        s"FROM ($communityQualitySql) t"),
     "q_weighted_quartiles" -> weightedQuartilesSql,
     "q_chi_square" -> chiSquareSql,

@@ -447,10 +447,25 @@ object Graph {
     * is computed as r = vol·1e6 div 2m (≤ 1e6 since vol ≤ 2m), then
     * r² div 1e6 — two documented truncations, every intermediate ≤
     * 1e12, NO overflow at any edge count (the naive vol²·1e6 div 4m²
-    * dies at vol > 3e6); both engines replay the same two floors.
+    * dies at vol > 3e6); both engines replay the same two floors. The
+    * three ppm DIVISIONS (cut·1e6 div d, e_in·1e6 div m, vol·1e6 div
+    * 2m) each SELF-SWITCH on overflow exactly like [[Stats.aucPpm]]'s
+    * finish — direct while the divisor ≤ 9e12 (each numerator is ≤ its
+    * divisor: cut ≤ min(vol, 2m−vol) because every boundary edge also
+    * credits the complement's volume; e_in ≤ m; vol ≤ 2m — so the
+    * product provably fits Int64), else quotient·1e6 plus the
+    * remainder against the 1e-6-truncated divisor — deterministic in
+    * both engines at ANY edge count, no envelope anywhere in the row.
     * Nodes missing from `assignment` fail loudly via the inner-join
     * count check the caller can run; here an unassigned endpoint's
     * edges simply drop from the audit (inner join — document upstream).
+    * ISOLATED communities (every member node absent from the edge
+    * list) are likewise absent from the output BY DESIGN: the audit
+    * measures edge structure, and a community with no incident edges
+    * has no volume, no cut, and no modularity term to report — the
+    * inner-join semantics are intended, and GraphSpec pins them. A
+    * caller auditing assignment coverage left-joins the assignment's
+    * community list against this output.
     * Input: `edges` (id_a, id_b), `assignment` (id, community).
     * Output per community: community, n_nodes, vol (degree sum), e_in,
     * cut, conductance_ppm, modularity_term_ppm.
@@ -495,13 +510,31 @@ object Graph {
         col("__m"))
       .select(col("community"), col("n_nodes"), col("vol"), col("e_in"),
         col("cut"),
+        // each division self-switches on its divisor at 9e12 (the
+        // aucFinish pattern): numerator ≤ divisor in all three, so the
+        // direct branch's product provably fits Int64, and the switch
+        // branch replays identically in the oracle
         expr("CASE WHEN least(vol, 2 * __m - vol) <= 0 THEN 0L " +
-          "ELSE cut * 1000000L div least(vol, 2 * __m - vol) END")
+          "WHEN least(vol, 2 * __m - vol) <= 9000000000000L " +
+          "THEN cut * 1000000L div least(vol, 2 * __m - vol) " +
+          "ELSE (cut div least(vol, 2 * __m - vol)) * 1000000L + " +
+          "(cut % least(vol, 2 * __m - vol)) div " +
+          "greatest(least(vol, 2 * __m - vol) div 1000000L, 1L) END")
           .as("conductance_ppm"),
         expr("CASE WHEN __m <= 0 THEN 0L ELSE " +
-          "e_in * 1000000L div __m - " +
-          "(vol * 1000000L div (2 * __m)) * " +
-          "(vol * 1000000L div (2 * __m)) div 1000000L END")
+          "(CASE WHEN __m <= 9000000000000L " +
+          " THEN e_in * 1000000L div __m " +
+          " ELSE (e_in div __m) * 1000000L + " +
+          " (e_in % __m) div greatest(__m div 1000000L, 1L) END) - " +
+          "(CASE WHEN __m <= 4500000000000L " +
+          " THEN vol * 1000000L div (2 * __m) " +
+          " ELSE (vol div (2 * __m)) * 1000000L + " +
+          " (vol % (2 * __m)) div greatest(2 * __m div 1000000L, 1L) END) * " +
+          "(CASE WHEN __m <= 4500000000000L " +
+          " THEN vol * 1000000L div (2 * __m) " +
+          " ELSE (vol div (2 * __m)) * 1000000L + " +
+          " (vol % (2 * __m)) div greatest(2 * __m div 1000000L, 1L) END) " +
+          "div 1000000L END")
           .as("modularity_term_ppm"))
   }
 

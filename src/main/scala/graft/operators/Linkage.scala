@@ -353,6 +353,18 @@ object Linkage {
     * occur). A curator wanting strict full-run semantics re-runs
     * [[scorePairsSortedNeighborhood]] over the union.
     *
+    * LOUD CONTRACTS, both EAGER at DataFrame-construction time (two
+    * bounded Spark jobs before any action on the result — the
+    * documented price of failing at the call site instead of deep in a
+    * downstream stage): (1) batch ids must be DISJOINT from existing
+    * ids (left-semi emptiness probe, short-circuited at the first
+    * hit); (2) batch ids must be UNIQUE (one single-row count vs
+    * count-distinct aggregate over the batch) — a duplicated batch id
+    * would silently enter the rank order twice and multiply its
+    * candidate pairs, corrupting the scored output with no visible
+    * symptom. [[linkIncrementalSortedNeighborhood]] re-triggers both
+    * probes on every call.
+    *
     * Scale shape: ONE [[globalRank]] pass over the union (rank only —
     * no pairing); the batch-sided cut happens on the bare pair-id
     * frame BEFORE comparator fields attach, so scoring work is
@@ -367,6 +379,18 @@ object Linkage {
       .join(existing.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
       "sortedNeighborhoodPairsIncremental: batch ids must be disjoint " +
       "from existing ids (re-key the batch)")
+    // count(1) vs count(DISTINCT id): a duplicated OR NULL batch id
+    // makes the row count exceed the distinct-id count — both are
+    // corruption (a dup multiplies its candidate pairs; a NULL id
+    // can't be paired back), so both fail the same loud probe
+    val idStats = batch.agg(count(lit(1)).as("n"),
+      countDistinct(col(idCol)).as("nd")).head()
+    require(idStats.getLong(0) == idStats.getLong(1),
+      s"sortedNeighborhoodPairsIncremental: batch ids must be unique " +
+      s"and non-null — got ${idStats.getLong(0)} rows over " +
+      s"${idStats.getLong(1)} distinct non-null ids; a duplicated id " +
+      "multiplies its candidate pairs silently (distinct the batch " +
+      "or re-key it)")
     val union = existing.select((idCol +: sortKey).distinct.map(col): _*)
       .unionByName(batch.select((idCol +: sortKey).distinct.map(col): _*))
     val batchIds = batch.select(col(idCol))

@@ -465,10 +465,15 @@ object Stats {
   def brierScore(df: DataFrame, scorePpmCol: String,
                  labelCol: String): DataFrame = {
     val s = col(scorePpmCol).cast("long")
+    // coalesce inside the concat: a NULL score fails the same guard
+    // (NULL comparison falls to otherwise), and without it the raised
+    // message itself would be NULL (concat with NULL is NULL) — the
+    // contract error must NAME the offending value, "NULL" included
     val guarded = when(s >= 0L && s <= 1000000L, s)
       .otherwise(raise_error(concat(
         lit("brierScore: score_ppm must be in [0, 1e6], got "),
-        s.cast("string"), lit(" — rescale the score column"))))
+        coalesce(s.cast("string"), lit("NULL")),
+        lit(" — rescale the score column"))))
     df.select(guarded.as("__s"), col(labelCol).cast("long").as("__l"))
       .select(col("__l"), expr("__s - __l * 1000000L").as("__d"))
       .select(col("__l"), expr("__d * __d div 1000000L").as("__dhi"),
@@ -507,10 +512,12 @@ object Stats {
                       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
     val s = col(scorePpmCol).cast("long")
+    // same NULL-naming coalesce as brierScore's guard
     val guarded = when(s >= 0L && s <= 1000000L, s)
       .otherwise(raise_error(concat(
         lit("calibrationBins: score_ppm must be in [0, 1e6], got "),
-        s.cast("string"), lit(" — rescale the score column"))))
+        coalesce(s.cast("string"), lit("NULL")),
+        lit(" — rescale the score column"))))
     df.select(guarded.as("__s"), col(labelCol).cast("long").as("__l"))
       .select(expr(s"least(__s * $bins div 1000000L, ${bins - 1}L)")
         .as("bin"), col("__s"), col("__l"))
@@ -557,9 +564,15 @@ object Stats {
     * undefined rate rather than a fake 0 — the honest report (the CASE
     * is mirrored in the oracle). Counts ride along so the reader can
     * judge statistical weight. Label convention is [[mannWhitneyU]]'s:
-    * label = 1 is positive, EVERY other value negative. Output per
-    * group: grp (avoiding the reserved word), n, n_pos, n_sel,
-    * sel_ppm, tpr_ppm, fpr_ppm.
+    * label = 1 is positive, every other NON-NULL value negative; a
+    * NULL label is NEITHER — it counts in n (the group saw the row)
+    * but is excluded from both the TPR and FPR denominators (negatives
+    * are counted explicitly as label ≠ 1, not derived as n − n_pos, so
+    * a NULL label can never deflate fpr_ppm). A NULL score counts as
+    * not-selected everywhere (threshold comparison with NULL is NULL)
+    * — both conventions replay identically in the oracle's CASE
+    * filters. Output per group: grp (avoiding the reserved word), n,
+    * n_pos, n_sel, sel_ppm, tpr_ppm, fpr_ppm.
     *
     * Scale shape: ONE map-side-combined groupBy onto |groups| rows;
     * nothing else touches corpus data. */
@@ -570,6 +583,11 @@ object Stats {
     df.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n"),
         count(when(pos, 1)).as("n_pos"),
+        // negatives counted EXPLICITLY (label ≠ 1 is NULL on a NULL
+        // label, so NULL-label rows fall out of the FPR denominator
+        // exactly as they fall out of the __fp numerator — n − n_pos
+        // would silently count them as negatives)
+        count(when(!pos, 1)).as("__nneg"),
         count(when(sel, 1)).as("n_sel"),
         count(when(pos && sel, 1)).as("__tp"),
         count(when(!pos && sel, 1)).as("__fp"))
@@ -577,8 +595,8 @@ object Stats {
         expr("n_sel * 1000000L div n").as("sel_ppm"),
         expr("CASE WHEN n_pos > 0 THEN __tp * 1000000L div n_pos END")
           .as("tpr_ppm"),
-        expr("CASE WHEN n - n_pos > 0 THEN __fp * 1000000L div (n - n_pos) " +
-          "END").as("fpr_ppm"))
+        expr("CASE WHEN __nneg > 0 THEN __fp * 1000000L div __nneg END")
+          .as("fpr_ppm"))
   }
 
   /** Cliff's delta (Cliff 1993) — the standard nonparametric EFFECT
