@@ -857,6 +857,128 @@ private[graft] object Oracles {
     "  // 1000000 END AS BIGINT) AS modularity_term_ppm " +
     "FROM q0"
 
+  /** One unrolled weighted-LPA round: neighbor votes are edge-weight
+    * SUMS (max weight, min-label ties) — the weighted mirror of
+    * [[labelPropCtes]]' count votes. */
+  private def weightedLpaRound(i: Int, prev: String): String =
+    s"n$i AS (SELECT ud.a AS v, l.lbl, CAST(sum(ud.w) AS BIGINT) AS c " +
+    s"  FROM ud JOIN $prev l ON ud.b = l.v GROUP BY 1, 2), " +
+    s"m$i AS (SELECT v, max(c) AS mc FROM n$i GROUP BY 1), " +
+    s"l$i AS (SELECT n$i.v, min(n$i.lbl) AS lbl FROM n$i " +
+    s"  JOIN m$i ON n$i.v = m$i.v AND n$i.c = m$i.mc GROUP BY 1)"
+
+  /** 3 weighted-LPA rounds over the quantity-weighted supplier-customer
+    * graph; parallel edges coalesce by summed weight before round 1,
+    * exactly as Graph.labelPropagationWeighted. */
+  private val labelPropWeightedSql: String =
+    "WITH e0 AS (SELECT CAST(l_suppkey * 2 + 1 AS BIGINT) AS a, " +
+    "  CAST(o_custkey * 2 AS BIGINT) AS b, " +
+    "  CAST(l_quantity AS BIGINT) AS w " +
+    "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+    "  WHERE l_quantity >= 49 AND l_linenumber = 7), " +
+    "ud AS MATERIALIZED (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM " +
+    "  (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0) " +
+    "  GROUP BY 1, 2), " +
+    "v AS (SELECT DISTINCT a AS v FROM ud), " +
+    "l0 AS (SELECT v, v AS lbl FROM v), " +
+    weightedLpaRound(1, "l0") + ", " + weightedLpaRound(2, "l1") + ", " +
+    weightedLpaRound(3, "l2") + " " +
+    "SELECT v AS id, lbl AS community FROM l3"
+
+  /** The per-community Newman modularity term over columns (e_in, vol,
+    * m) with the self-switching overflow CASE — the exact expression
+    * Graph.communityQuality plans, shared by every oracle that sums a
+    * Q. */
+  private val modTermCaseSql: String =
+    "CASE WHEN m <= 0 THEN 0 ELSE " +
+    "(CASE WHEN m <= 9000000000000 THEN e_in * 1000000 // m " +
+    " ELSE (e_in // m) * 1000000 + " +
+    " (e_in % m) // greatest(m // 1000000, 1) END) - " +
+    "(CASE WHEN m <= 4500000000000 THEN vol * 1000000 // (2 * m) " +
+    " ELSE (vol // (2 * m)) * 1000000 + " +
+    " (vol % (2 * m)) // greatest(2 * m // 1000000, 1) END) * " +
+    "(CASE WHEN m <= 4500000000000 THEN vol * 1000000 // (2 * m) " +
+    " ELSE (vol // (2 * m)) * 1000000 + " +
+    " (vol % (2 * m)) // greatest(2 * m // 1000000, 1) END) " +
+    "// 1000000 END"
+
+  /** One unrolled synchronous Louvain local-move round over frozen
+    * assignment `prev` (v, c), given MATERIALIZED CTEs `adj` (v, u),
+    * `dg` (v, k), `mm` (m): candidates = neighbor communities ∪ own
+    * (zero-count union), score = 2m·l − vol(c∖v)·k (division-free
+    * integer ΔQ order), move iff the best strictly beats staying, ties
+    * to the lowest community id — Graph.louvainRefine's exact sweep. */
+  private def louvainRound(i: Int, prev: String): String =
+    s"vg$i AS (SELECT l.c AS c, CAST(sum(dg.k) AS BIGINT) AS vol " +
+    s"  FROM dg JOIN $prev l ON dg.v = l.v GROUP BY 1), " +
+    s"lv$i AS (SELECT adj.v, lu.c, CAST(count(*) AS BIGINT) AS l " +
+    s"  FROM adj JOIN $prev lu ON adj.u = lu.v GROUP BY 1, 2), " +
+    s"cd$i AS (SELECT v, c, max(l) AS l FROM " +
+    s"  (SELECT v, c, l FROM lv$i " +
+    s"   UNION ALL SELECT v, c, 0 FROM $prev) GROUP BY 1, 2), " +
+    s"sc$i AS MATERIALIZED (SELECT cd.v, cd.c, cur.c AS own, " +
+    s"  2 * mm.m * cd.l - (vg.vol - CASE WHEN cd.c = cur.c " +
+    s"  THEN dg.k ELSE 0 END) * dg.k AS s " +
+    s"  FROM cd$i cd JOIN $prev cur ON cd.v = cur.v " +
+    s"  JOIN dg ON dg.v = cd.v JOIN vg$i vg ON vg.c = cd.c " +
+    s"  CROSS JOIN mm), " +
+    s"bs$i AS (SELECT v, max(s) AS bs FROM sc$i GROUP BY 1), " +
+    s"bc$i AS (SELECT sc.v, min(sc.c) AS bc, bs.bs FROM sc$i sc " +
+    s"  JOIN bs$i bs ON sc.v = bs.v AND sc.s = bs.bs " +
+    s"  GROUP BY sc.v, bs.bs), " +
+    s"g$i AS MATERIALIZED (SELECT bc.v, CASE WHEN bc.bs > own.s " +
+    s"  THEN bc.bc ELSE own.own END AS c FROM bc$i bc " +
+    s"  JOIN sc$i own ON bc.v = own.v AND own.c = own.own)"
+
+  /** Shared prelude for the Louvain oracles: the LPA seeding
+    * ([[labelPropCtes]]) plus the canonical undirected frame, the
+    * symmetrized adjacency, per-vertex degrees, the edge count, and
+    * the seeded assignment g0 — then 2 unrolled rounds ending in g2. */
+  private val louvainCtes: String =
+    labelPropCtes + ", " +
+    "und2 AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b " +
+    "  FROM e WHERE a != b), " +
+    "adj AS MATERIALIZED (SELECT a AS v, b AS u FROM und2 " +
+    "  UNION ALL SELECT b, a FROM und2), " +
+    "dg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS k " +
+    "  FROM adj GROUP BY 1), " +
+    "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und2), " +
+    "g0 AS MATERIALIZED (SELECT lp.v, lp.lbl AS c FROM lp " +
+    "  JOIN dg ON dg.v = lp.v), " +
+    louvainRound(1, "g0") + ", " + louvainRound(2, "g1")
+
+  private val louvainSql: String =
+    s"WITH $louvainCtes SELECT v AS id, c AS community FROM g2"
+
+  /** One-row modularity roll-up of assignment CTE `lab` (v, c) over
+    * und2, as qq$sfx (nc, q) — the communityQuality Q with the shared
+    * self-switching term. */
+  private def modularityOver(lab: String, sfx: String): String =
+    s"tg$sfx AS (SELECT la.c AS ca, lb.c AS cb FROM und2 " +
+    s"  JOIN $lab la ON la.v = und2.a JOIN $lab lb ON lb.v = und2.b), " +
+    s"mt$sfx AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tg$sfx), " +
+    s"ei$sfx AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_in " +
+    s"  FROM tg$sfx WHERE ca = cb GROUP BY 1), " +
+    s"vl$sfx AS (SELECT c, CAST(count(*) AS BIGINT) AS vol FROM " +
+    s"  (SELECT ca AS c FROM tg$sfx UNION ALL SELECT cb FROM tg$sfx) " +
+    s"  GROUP BY 1), " +
+    s"qt$sfx AS (SELECT vl.c, vl.vol, coalesce(ei.e_in, 0) AS e_in, " +
+    s"  mt.m FROM vl$sfx vl LEFT JOIN ei$sfx ei ON vl.c = ei.c " +
+    s"  CROSS JOIN mt$sfx mt), " +
+    s"qq$sfx AS (SELECT CAST(count(*) AS BIGINT) AS nc, " +
+    s"  CAST(coalesce(sum($modTermCaseSql), 0) AS BIGINT) AS q " +
+    s"  FROM qt$sfx)"
+
+  /** Before/after Q of the Louvain refinement vs its LPA seeding. */
+  private val louvainGainSql: String =
+    s"WITH $louvainCtes, " +
+    "lpa0 AS (SELECT v, lbl AS c FROM lp), " +
+    modularityOver("lpa0", "b") + ", " +
+    modularityOver("g2", "a") + " " +
+    "SELECT qqb.nc AS n_communities_before, qqb.q AS q_before_ppm, " +
+    "qqa.nc AS n_communities_after, qqa.q AS q_after_ppm " +
+    "FROM qqb CROSS JOIN qqa"
+
   private val weightedQuartilesSql: String =
     "WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, " +
     "  CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber " +
@@ -3505,6 +3627,15 @@ private[graft] object Oracles {
     "q_conformal" -> conformalSql,
     "q_encoding_advisor" -> encodingAdvisorSql,
     "q_label_prop" -> labelPropSql,
+    // weight-summed votes (max weight, min-label ties), 3 unrolled
+    // rounds over the quantity-weighted graph
+    "q_label_prop_weighted" -> labelPropWeightedSql,
+    // 2 unrolled synchronous Louvain local-move rounds over the LPA
+    // seeding: division-free integer ΔQ argmax, strict-improvement
+    // moves, min-community-id ties
+    "q_louvain" -> louvainSql,
+    // Q of the LPA seeding vs Q after the Louvain rounds, one row
+    "q_louvain_gain" -> louvainGainSql,
     // conductance + modularity terms over the SAME LPA assignment
     "q_community_quality" -> communityQualitySql,
     // Q roll-up: signed sum of the per-community terms, edge count

@@ -2966,6 +2966,65 @@ object SparkEntry {
         .select(col("id"), col("community"))
       graft.operators.Graph.modularity(edges, lpa)
     }),
+    // edge-WEIGHTED label propagation on the supplier-customer graph
+    // with line quantity as the edge weight: votes are weight SUMS
+    // (max weight, min-label ties), parallel supplier-customer edges
+    // coalesce by summed weight before round 1 — the community half of
+    // the weighted-graph story next to q_pagerank_weighted
+    "q_label_prop_weighted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") >= 49 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"),
+          col("l_quantity").cast("long").as("w"))
+      graft.operators.Graph.labelPropagationWeighted(edges, "id_a",
+        "id_b", "w", rounds = 3)
+    }),
+    // one-level Louvain local-move refinement (2 synchronous rounds,
+    // exact division-free integer ΔQ, ties to the lowest community id)
+    // over the SAME LPA seeding as q_modularity — the greedy capstone
+    // of the community tier; q_louvain_gain reads the before/after Q
+    "q_louvain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
+        "id_b", rounds = 3)
+        .select(col("id"), col("community"))
+      graft.operators.Graph.louvainRefine(edges, lpa, rounds = 2)
+    }),
+    // the refinement's report card: Q of the LPA seeding vs Q after
+    // the Louvain rounds, side by side in one row (synchronous rounds
+    // are not monotone in general — the honest read is measured, not
+    // assumed; on this graph the sweep must not LOSE quality, which
+    // the oracle pins by replaying both numbers)
+    "q_louvain_gain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+          (col("o_custkey") * 2).cast("long").as("id_b"))
+        .distinct()
+      val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
+        "id_b", rounds = 3)
+        .select(col("id"), col("community"))
+      val refined = graft.operators.Graph.louvainRefine(edges, lpa,
+        rounds = 2)
+      val before = graft.operators.Graph.modularity(edges, lpa)
+        .select(col("n_communities").as("n_communities_before"),
+          col("q_ppm").as("q_before_ppm"))
+      val after = graft.operators.Graph.modularity(edges, refined)
+        .select(col("n_communities").as("n_communities_after"),
+          col("q_ppm").as("q_after_ppm"))
+      before.crossJoin(after)
+    }),
     // weighted quartiles of extended price, weighted by quantity — the
     // revenue-weighted distribution read; prefix weights ride the
     // distributed cumsum (no global-sort window at any scale)

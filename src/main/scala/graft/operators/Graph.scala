@@ -431,6 +431,150 @@ object Graph {
     lab.select(col("v").as("id"), col("lbl").as("community"))
   }
 
+  /** Edge-WEIGHTED synchronous label propagation — [[labelPropagation]]
+    * with weight-SUMMED votes (Raghavan et al. 2007 §III's weighted
+    * variant): every vertex simultaneously adopts the label whose
+    * incident edge weights sum highest among its neighbors, ties broken
+    * by MIN label — the same two total-order rules that make the
+    * unweighted sweep oracle-replayable. Parallel edges COALESCE by
+    * weight sum before the first round (the weighted analog of the
+    * unweighted symmetrize-distinct), so a repeated edge votes once
+    * with its combined weight; weights are cast to long and must be
+    * non-negative for the max-vote to mean anything (a zero-weight
+    * edge contributes a zero vote — present but powerless). With all
+    * weights 1 and no parallel edges this is exactly
+    * [[labelPropagation]]. Output: (id, community); feeds
+    * [[communityQuality]] unchanged.
+    *
+    * Scale shape: identical to the unweighted sweep — per round ONE
+    * edge⋈label shuffle + two map-side-combined aggregations keyed by
+    * vertex, per-iteration [[LineageCut]] under the BSP checkpoint
+    * discipline. */
+  def labelPropagationWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds out of range: $rounds")
+    val ud = LineageCut.cut(edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"), col(wCol).cast("long").as("w"))
+      .unionByName(edges
+        .select(col(dstCol).cast("long").as("a"),
+          col(srcCol).cast("long").as("b"), col(wCol).cast("long").as("w")))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
+    var lab = LineageCut.cut(
+      ud.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+    for (_ <- 1 to rounds) {
+      val nl = ud.join(lab.select(col("v").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a").as("v"), col("lbl")).agg(sum(col("w")).as("__c"))
+      val mx = nl.groupBy(col("v")).agg(max(col("__c")).as("__mc"))
+      val next = LineageCut.cut(nl.join(mx, Seq("v"))
+        .filter(col("__c") === col("__mc"))
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+      LineageCut.release(lab)
+      lab = next
+    }
+    LineageCut.release(ud)
+    lab.select(col("v").as("id"), col("lbl").as("community"))
+  }
+
+  /** ONE-LEVEL LOUVAIN local-move refinement (Blondel et al. 2008 §2,
+    * the local-move phase, run SYNCHRONOUSLY for a fixed `rounds`):
+    * every vertex simultaneously evaluates moving from its current
+    * community to each NEIGHBORING community — all assignments frozen
+    * at the previous round's state, the BSP discipline every other
+    * iteration here uses — and moves iff the best candidate's
+    * modularity gain is STRICTLY higher than staying, ties among
+    * equal-gain candidates to the lowest community id. The gain
+    * comparison is EXACT INTEGER, division-free: for vertex v with
+    * degree k moving into community c, classic Louvain compares
+    * ΔQ ∝ l(v,c)/m − vol(c∖v)·k/(2m²) across candidates; multiplying
+    * through by the positive 2m² leaves the total order unchanged, so
+    * the operator scores each candidate as
+    *   score(c) = 2m·l(v,c) − vol(c∖v)·k
+    * (l(v,c) = edges from v into c; vol(c∖v) = c's degree volume with
+    * v's own degree removed when c is v's current community) and every
+    * engine replays the same argmax. DIVERGENCE from the classic
+    * sequential sweep, stated precisely: Blondel's algorithm visits
+    * vertices one at a time and each move updates the state the next
+    * vertex sees; a synchronous round freezes the state, so two
+    * adjacent vertices can move on mutually stale views (the classic
+    * parallel-Louvain oscillation) and a single synchronous round is
+    * NOT guaranteed to raise Q. What IS pinned (GraphSpec): the sweep
+    * is deterministic and replayable, a vertex with no strictly
+    * improving candidate never moves (so a local optimum is a fixed
+    * point), and on the bridged-triangles fixture one round strictly
+    * raises Q over a deliberately mis-assigned start. Run with small
+    * `rounds` (1–4) as a REFINEMENT pass over a cheap seeding
+    * ([[labelPropagation]], [[Dedup.components]]) and read the
+    * before/after Q ([[modularity]]) — the production posture.
+    * Exactness envelope, stated honestly: scores reach 2m·k_max, so
+    * the total order is exact while m·k_max ≤ 4.6e18 (at 9.2e12 edges
+    * that allows max degree 5e5; beyond, shard the graph) — unlike the
+    * division forms there is no self-switching rescue for a product
+    * comparison, so the envelope is a contract, not a claim.
+    * Input: `edges` (id_a, id_b), `assignment` (id, community) covering
+    * every edge endpoint (inner joins — an unassigned endpoint's edges
+    * drop, as in [[communityQuality]]). Output: (id, community).
+    *
+    * Scale shape: per round, one assignment⋈adjacency shuffle for the
+    * neighbor-community counts l(v,c), one community-keyed volume
+    * aggregation, and vertex-keyed argmax aggregations — candidate
+    * rows are Σ_v |neighbor communities of v| ≤ |symmetrized edges|,
+    * never vertices × communities; the single-row m attaches by
+    * broadcast; per-iteration [[LineageCut]] checkpoints. */
+  def louvainRefine(edges: DataFrame, assignment: DataFrame,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds out of range: $rounds")
+    val und = LineageCut.cut(edges.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") < col("b")).distinct())
+    val adj = und.select(col("a").as("v"), col("b").as("u"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("u")))
+    val deg = LineageCut.cut(
+      adj.groupBy(col("v")).agg(count(lit(1)).as("__k")))
+    val m = und.agg(count(lit(1)).as("__m"))
+    var lab = LineageCut.cut(assignment
+      .select(col("id").as("v"), col("community").cast("long").as("c"))
+      .join(deg.select(col("v")), Seq("v"), "left_semi"))
+    for (_ <- 1 to rounds) {
+      // l(v,c): how many of v's edges land in community c under the
+      // FROZEN assignment; the own-community candidate rides along via
+      // a zero-count union (max recovers the true count when v has
+      // neighbors at home, and keeps the stay-option row when not)
+      val lvc = adj.join(lab.select(col("v").as("u"), col("c")), Seq("u"))
+        .groupBy(col("v"), col("c")).agg(count(lit(1)).as("__l"))
+        .unionByName(lab.select(col("v"), col("c"), lit(0L).as("__l")))
+        .groupBy(col("v"), col("c")).agg(max(col("__l")).as("__l"))
+      val vol = lab.join(deg, Seq("v"))
+        .groupBy(col("c")).agg(sum(col("__k")).as("__vol"))
+      val scored = lvc
+        .join(lab.select(col("v"), col("c").as("__own")), Seq("v"))
+        .join(deg, Seq("v"))
+        .join(vol, Seq("c"))
+        .crossJoin(broadcast(m))
+        .select(col("v"), col("c"), col("__own"),
+          (lit(2L) * col("__m") * col("__l") -
+            (col("__vol") - when(col("c") === col("__own"), col("__k"))
+              .otherwise(lit(0L))) * col("__k")).as("__s"))
+      val best = scored.groupBy(col("v")).agg(max(col("__s")).as("__bs"))
+      val bestC = scored.join(best, Seq("v"))
+        .filter(col("__s") === col("__bs"))
+        .groupBy(col("v")).agg(min(col("c")).as("__bc"), max(col("__bs")).as("__bs"))
+      val own = scored.filter(col("c") === col("__own"))
+        .select(col("v"), col("__s").as("__os"))
+      val next = LineageCut.cut(bestC.join(own, Seq("v"))
+        .join(lab, Seq("v"))
+        .select(col("v"),
+          when(col("__bs") > col("__os"), col("__bc")).otherwise(col("c"))
+            .as("c")))
+      LineageCut.release(lab)
+      lab = next
+    }
+    LineageCut.release(und)
+    LineageCut.release(deg)
+    lab.select(col("v").as("id"), col("c").as("community"))
+  }
+
   /** Community-quality audit — the measurement half of
     * [[labelPropagation]] (and any other partition: connected
     * components, star clusters): per community, the two standard

@@ -352,4 +352,93 @@ class GraphSpec extends SparkTestBase {
     assert((q.getLong(0), q.getLong(1), q.getLong(2)) ===
       ((2L, 7L, 357142L)))
   }
+
+  test("labelPropagationWeighted: heavy edge outvotes two light ones; parallel edges coalesce; unit weights equal the unweighted sweep") {
+    // node 10 has two unit edges into {1,2} (label mass 2 after round
+    // 1? no — round 1 votes use INITIAL labels) — hand-trace round 1:
+    // votes at 10: lbl 1 (w 1), lbl 2 (w 1), lbl 3 (w 5) -> adopts 3;
+    // an unweighted sweep would tie {1,2,3} and adopt min = 1
+    val e = Seq((1L, 10L, 1L), (2L, 10L, 1L), (3L, 10L, 5L))
+      .toDF("id_a", "id_b", "w")
+    val got = Graph.labelPropagationWeighted(e, "id_a", "id_b", "w",
+      rounds = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) === 3L, "the weight-5 edge must outvote two unit edges")
+    val unw = Graph.labelPropagation(
+      e.select("id_a", "id_b"), "id_a", "id_b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unw(10L) === 1L, "the unweighted sweep ties to the min label")
+    // parallel edges coalesce by SUM before round 1: two weight-2
+    // copies of (1,10) beat one weight-3 edge (3,10)
+    val par = Seq((1L, 10L, 2L), (1L, 10L, 2L), (3L, 10L, 3L))
+      .toDF("id_a", "id_b", "w")
+    val gotPar = Graph.labelPropagationWeighted(par, "id_a", "id_b", "w",
+      rounds = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPar(10L) === 1L, "coalesced weight 4 must beat weight 3")
+    // unit weights on a simple graph == the unweighted sweep, every
+    // vertex, every round
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val triW = tri.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val a = Graph.labelPropagation(tri, "id_a", "id_b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagationWeighted(triW, "id_a", "id_b", "w",
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "unit weights must reproduce the unweighted sweep")
+  }
+
+  test("louvainRefine: one round strictly raises Q on a mis-assigned start; a local optimum is a fixed point; replay is deterministic") {
+    // bridged triangles {1,2,3}/{4,5,6}, bridge 3-4; start with node 3
+    // deliberately on the WRONG side. Hand ΔQ for node 3 (m=7, k=3):
+    // own c=200: vol(200∖3) = 10-3 = 7, l(3,200)=1 -> s = 14-21 = -7;
+    // c=100: vol=4, l(3,100)=2 -> s = 28-12 = 16 > -7 -> move. Every
+    // other node's best is its own community, so ONE round lands the
+    // optimal partition.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val bad = Seq((1L, 100L), (2L, 100L), (3L, 200L),
+      (4L, 200L), (5L, 200L), (6L, 200L)).toDF("id", "community")
+    def run() = Graph.louvainRefine(edges, bad, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(got === Map(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 200L, 5L -> 200L, 6L -> 200L))
+    assert(got === run(), "synchronous sweep must replay identically")
+    // measured gain: Q(bad) < Q(refined) — the report-card read
+    val qBad = Graph.modularity(edges, bad).head().getLong(2)
+    val refined = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (4L, 200L), (5L, 200L), (6L, 200L)).toDF("id", "community")
+    val qGood = Graph.modularity(edges, refined).head().getLong(2)
+    assert(qGood > qBad, s"one move must raise Q: $qBad -> $qGood")
+    // the optimal partition is a FIXED POINT: no strictly improving
+    // move exists, so further rounds change nothing
+    val again = Graph.louvainRefine(edges, refined, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === Map(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 200L, 5L -> 200L, 6L -> 200L),
+      "a local optimum must not move under more rounds")
+  }
+
+  test("communityQuality: an isolated community (no incident edges) is absent by design; edge-touching communities unaffected") {
+    // triangle {1,2,3} plus an assignment-only community {7,8} whose
+    // members never appear in the edge list: the audit measures edge
+    // structure, so the isolated community has no row (the documented
+    // inner-join semantics) — and its absence does not perturb the
+    // edge-backed community's numbers
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val asg = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (7L, 900L), (8L, 900L)).toDF("id", "community")
+    val rows = Graph.communityQuality(edges, asg).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(100L),
+      "isolated community 900 must be absent from the audit")
+    val r = rows.head
+    // one 3-cycle community holding the whole graph: vol 6 = 2m,
+    // e_in 3 = m, cut 0 -> conductance 0 (min-side volume 0),
+    // modularity term 1e6/1e6 - 1² = 0
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((3L, 6L, 3L, 0L, 0L, 0L)))
+    // modularity's roll-up likewise counts only the edge-backed
+    // community — the assignment-side coverage audit is the caller's
+    // left join, not this operator
+    assert(Graph.modularity(edges, asg).head().getLong(0) === 1L)
+  }
 }

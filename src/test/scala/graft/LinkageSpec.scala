@@ -494,6 +494,13 @@ class LinkageSpec extends SparkTestBase {
       Linkage.sortedNeighborhoodPairsIncremental(ex2,
         Seq((1L, "z", "X")).toDF("id", "k", "seg"), "id", Seq("k"), 2))
     assert(e.getMessage.contains("disjoint"))
+    // a DUPLICATED batch id is equally loud: it would enter the rank
+    // order twice and silently multiply its candidate pairs
+    val dup = intercept[IllegalArgumentException](
+      Linkage.sortedNeighborhoodPairsIncremental(ex2,
+        Seq((10L, "b", "X"), (10L, "d", "X")).toDF("id", "k", "seg"),
+        "id", Seq("k"), 2))
+    assert(dup.getMessage.contains("unique"))
     // the scoring tail carries the FieldRule pattern/score semantics
     val scored = Linkage.linkIncrementalSortedNeighborhood(ex2, b2, "id",
       Seq("k"), window = 2, Seq(Linkage.eq("seg", 500000L, 300000L)),

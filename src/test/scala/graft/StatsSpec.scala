@@ -542,6 +542,27 @@ class StatsSpec extends SparkTestBase {
     assert(r(2L) === ((1L, 0L, 0L, 0L, None, Some(0L))))
   }
 
+  test("fairnessReport: NULL labels drop out of BOTH rate denominators; NULL scores count as not-selected") {
+    // group 0: 1 pos (selected), 1 neg (selected), 2 NULL labels — the
+    // NULL-label rows count in n but in NEITHER rate denominator, so
+    // TPR = 1/1 and FPR = 1/1 (the old n − n_pos form would have read
+    // FPR = 1/3, silently deflated by the unlabeled rows)
+    val d = Seq(
+      (0L, Some(600000L), Option(1)), (0L, Some(700000L), Option(0)),
+      (0L, Some(900000L), None), (0L, Some(100000L), None),
+      // group 1: a NULL score is not-selected (sel and __fp both skip
+      // it) but IS a real negative in the FPR denominator
+      (1L, Some(800000L), Option(0)), (1L, None, Option(0)))
+      .toDF("grp", "s", "l")
+    val r = Stats.fairnessReport(d, "grp", "s", "l", thresholdPpm = 500000L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          Option(x.get(5)).map(_.asInstanceOf[Long]),
+          Option(x.get(6)).map(_.asInstanceOf[Long]))).toMap
+    assert(r(0L) === ((4L, 1L, 3L, 750000L, Some(1000000L), Some(1000000L))))
+    assert(r(1L) === ((2L, 0L, 1L, 500000L, None, Some(500000L))))
+  }
+
   test("cliffsDelta: perfect separation ±1e6, identical cohorts 0, one inversion by hand") {
     // cohort 1 entirely above cohort 0 -> delta = +1e6
     val sep = Seq((1L, 0), (2L, 0), (10L, 1), (20L, 1)).toDF("c", "h")
