@@ -2526,6 +2526,49 @@ private[graft] object Oracles {
        "  FROM pr JOIN c a ON a.id = pr.id_a JOIN c b ON b.id = pr.id_b) " +
        "SELECT id_a, id_b, pattern, score_ppm FROM p " +
        "WHERE score_ppm >= 800000"),
+    // incremental hybrid: equality pairs (suffix block, >= 1 batch
+    // side — batch×existing plus the batch triangle, never
+    // existing×existing) UNION the incremental SN rank pairs, both
+    // canonicalized to id_a < id_b and deduped before one scoring pass
+    "q_linkage_hybrid_incremental" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_nationkey, " +
+       "  c_mktsegment FROM customer " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat(substr(c_name, 1, length(c_name) - 1), 'Z'), " +
+       "    c_nationkey, c_mktsegment FROM customer " +
+       "    WHERE c_custkey % 10 = 0 " +
+       "  UNION ALL SELECT c_custkey + 1000000000, " +
+       "    concat('X', substr(c_name, 2)), " +
+       "    c_nationkey, c_mktsegment FROM customer " +
+       "    WHERE c_custkey % 10 = 5), " +
+       "c AS (SELECT c_custkey AS id, c_name AS nm, " +
+       "  substr(c_name, 2) AS suf_blk, " +
+       "  c_nationkey AS nat, c_mktsegment AS seg FROM base), " +
+       "r AS (SELECT id, row_number() OVER (ORDER BY nm, id) AS rk " +
+       "  FROM c), " +
+       // equality front keeps only pairs touching a batch id (>= 1e9);
+       // the SN front is the incremental batch-sided rank cut — UNION
+       // (not ALL) is the cross-front canonical dedup
+       "pr AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b " +
+       "  ON a.suf_blk = b.suf_blk AND a.id < b.id " +
+       "  WHERE a.id >= 1000000000 OR b.id >= 1000000000 " +
+       "  UNION " +
+       "  SELECT least(a.id, b.id), greatest(a.id, b.id) " +
+       "  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 11 " +
+       "  WHERE a.id >= 1000000000 OR b.id >= 1000000000), " +
+       "p AS (SELECT pr.id_a, pr.id_b, " +
+       "  concat(" +
+       "    CASE WHEN levenshtein(a.nm, b.nm) <= 2 THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.nat = b.nat THEN 'A' ELSE 'D' END, " +
+       "    CASE WHEN a.seg = b.seg THEN 'A' ELSE 'D' END) AS pattern, " +
+       "  CAST(CASE WHEN levenshtein(a.nm, b.nm) <= 2 " +
+       "      THEN 500000 ELSE -300000 END + " +
+       "    CASE WHEN a.nat = b.nat THEN 370000 ELSE -160000 END + " +
+       "    CASE WHEN a.seg = b.seg THEN 280000 ELSE -120000 END " +
+       "    AS BIGINT) AS score_ppm " +
+       "  FROM pr JOIN c a ON a.id = pr.id_a JOIN c b ON b.id = pr.id_b) " +
+       "SELECT id_a, id_b, pattern, score_ppm FROM p " +
+       "WHERE score_ppm >= 800000"),
     // hybrid audit: candidates = |suffix pairs ∪ SN pairs| (the dedup
     // the hybrid scorer actually scores), captured iff the suffix key
     // agrees OR the pair sits within 11 global ranks; same canonical

@@ -1540,6 +1540,33 @@ object SparkEntry {
         blockKeys = Seq(Seq("suf_blk")), sortKey = Seq("c_name"),
         window = 12, truth)
     }),
+    // incremental HYBRID: BOTH typo classes arrive as one ingest batch
+    // against the existing corpus — the suffix-equality front links
+    // the first-char typos (batch×existing block matches + the
+    // batch triangle, never existing×existing), the incremental SN
+    // front links the last-char typos (rank neighbors in the merged
+    // order), deduped on the canonical pair id before one scoring
+    // pass; equality side exact, SN side containment (LinkageSpec)
+    "q_linkage_hybrid_incremental" -> ((s, dir) => {
+      import graft.operators.Linkage
+      val cust = t(s, dir, "customer")
+        .withColumn("suf_blk", expr("substr(c_name, 2)"))
+      val batch = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+        .withColumn("c_name",
+          expr("concat(substr(c_name, 1, length(c_name) - 1), 'Z')"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 5)
+          .withColumn("c_custkey", col("c_custkey") + lit(1000000000L))
+          .withColumn("c_name", expr("concat('X', substr(c_name, 2))")))
+        .withColumn("suf_blk", expr("substr(c_name, 2)"))
+      Linkage.linkIncrementalHybrid(cust, batch, "c_custkey",
+        blockKeys = Seq(Seq("suf_blk")), sortKey = Seq("c_name"),
+        window = 12, Seq(
+          Linkage.editBand("c_name", maxDist = 2, 500000L, 300000L),
+          Linkage.eq("c_nationkey", 370000L, 160000L),
+          Linkage.eq("c_mktsegment", 280000L, 120000L)),
+        thresholdPpm = 800000L)
+    }),
     "q_mix_weighted" -> ((s, dir) =>
       graft.operators.Sampling.weightedMix(Seq(
         ("docs", t(s, dir, "documents").select(col("doc_id").as("id")), 0.5),

@@ -426,6 +426,82 @@ object Linkage {
         window), rules, thresholdPpm)
   }
 
+  /** INCREMENTAL HYBRID candidate generation — the ingest-batch analog
+    * of [[scorePairsHybrid]], unioning the two incremental fronts the
+    * way the batch hybrid unions the two batch fronts:
+    *   - the EQUALITY front ([[linkIncremental]]'s shape): per blocking
+    *     pass, batch×existing block matches plus the batch-internal
+    *     id_a < id_b triangle — never existing×existing;
+    *   - the SORTED-NEIGHBORHOOD front:
+    *     [[sortedNeighborhoodPairsIncremental]]'s rank-neighbor pairs
+    *     in the merged order, every pair touching ≥ 1 batch id.
+    * Both fronts are canonicalized to id_a < id_b and deduplicated on
+    * the pair id BEFORE any scoring — one score per unique pair, the
+    * [[scorePairsHybrid]] discipline.
+    *
+    * The CONTRACT is exactly the INTERSECTION of the two fronts'
+    * guarantees, stated precisely:
+    *   - EQUALITY side EXACT: an equality block never shifts under
+    *     insertion, so every full-re-run equality pair with ≥ 1 batch
+    *     side is generated here, and every existing×existing equality
+    *     pair was already a prior-run pair (the [[linkIncremental]]
+    *     quotient argument needs no window geometry);
+    *   - SN side CONTAINMENT: rank distances between existing records
+    *     only grow under insertion, so
+    *       fullHybridPairs(existing ∪ batch)
+    *         ⊆ priorHybridPairs(existing) ∪ thesePairs,
+    *     with exact parity when the batch's sort keys are append-only
+    *     (no squeeze — see [[sortedNeighborhoodPairsIncremental]] for
+    *     the divergence witness); union with the retained prior links
+    *     for the monotone "no decided link forgotten" corpus.
+    * Inherits the SN front's loud eager contracts (batch ids disjoint
+    * from existing, unique, non-null).
+    *
+    * Scale shape: equality pairs are Σ_pass (Σ_b |batch_b|·|existing_b|
+    * + Σ_b |batch_b|²) — the batch-sided block join AQE broadcasts;
+    * SN pairs ~ |batch|·2(window−1); the cross-front dedup shuffles
+    * only pair ids; comparator fields attach once per unique pair. */
+  def hybridPairsIncremental(existing: DataFrame, batch: DataFrame,
+      idCol: String, blockKeys: Seq[Seq[String]], sortKey: Seq[String],
+      window: Int): DataFrame = {
+    require(blockKeys.nonEmpty, "hybrid linkage needs at least one equality pass")
+    val eq = blockKeys.map { bk =>
+      require(bk.nonEmpty, "every blocking pass needs at least one column")
+      val cross = batch.select(col(idCol).as("id_a") +: bk.map(col): _*)
+        .join(existing.select(col(idCol).as("id_b") +: bk.map(col): _*), bk)
+        .select(col("id_a"), col("id_b"))
+      val bb = batch.select(col(idCol).as("id_a") +: bk.map(col): _*)
+        .join(batch.select(col(idCol).as("id_b") +: bk.map(col): _*), bk)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      cross.unionByName(bb)
+    }.reduce(_.unionByName(_))
+    eq.unionByName(
+        sortedNeighborhoodPairsIncremental(existing, batch, idCol,
+          sortKey, window))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+  }
+
+  /** The decision tail over [[hybridPairsIncremental]]: score the
+    * deduplicated incremental hybrid candidates with the field rules
+    * over the union frame and return the links (same output row as
+    * [[scorePairs]]). Comparators must be symmetric per the
+    * [[FieldRule]] contract (pairs arrive canonicalized, not
+    * rank-oriented). */
+  def linkIncrementalHybrid(existing: DataFrame, batch: DataFrame,
+      idCol: String, blockKeys: Seq[Seq[String]], sortKey: Seq[String],
+      window: Int, rules: Seq[FieldRule], thresholdPpm: Long): DataFrame = {
+    require(rules.nonEmpty, "linkage needs at least one field rule")
+    val cols = (idCol +: rules.map(_.col)).distinct
+    val union = existing.select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
+    scoreIdPairs(union, idCol,
+      hybridPairsIncremental(existing, batch, idCol, blockKeys, sortKey,
+        window), rules, thresholdPpm)
+  }
+
   private val M = 1000000L
   private def clampPpm(x: Long): Long = math.max(1L, math.min(M - 1, x))
 

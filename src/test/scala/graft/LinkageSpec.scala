@@ -512,6 +512,55 @@ class LinkageSpec extends SparkTestBase {
     assert(scored.values.toSet === Set(("A", 500000L)))
   }
 
+  test("hybridPairsIncremental: equality side exact, SN side containment, cross-front dedup, every pair touches the batch") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    def fullHybrid(df: org.apache.spark.sql.DataFrame, w: Int) =
+      canon(Linkage.scorePairsHybrid(df, "id", Seq(Seq("blk")), Seq("k"),
+        w, hybridRules, Long.MinValue + 1).select("id_a", "id_b"))
+    // split the hybrid fixture: {1,3} existing, {2,4} batch — the
+    // batch carries one equality-only pair (1,2 share blk B, far
+    // apart in k) and one SN-only pair (3,4 adjacent in k, blocks
+    // C vs C — also equality; so plant a blk-breaking row instead)
+    val existing = Seq((1L, "B", "aaa", "X"), (3L, "C", "mmm", "X"))
+      .toDF("id", "blk", "k", "seg")
+    val batch = Seq((2L, "B", "zzz", "X"), (4L, "D", "mmn", "X"))
+      .toDF("id", "blk", "k", "seg")
+    val inc = canon(Linkage.hybridPairsIncremental(existing, batch, "id",
+      Seq(Seq("blk")), Seq("k"), window = 2))
+    // (1,2): equality-front only (ranks by k: aaa=1, mmm=2, mmn=3,
+    // zzz=4 — distance 3 > w-1). (3,4): SN-front only (blk C vs D,
+    // adjacent ranks). (2,4): neither (no shared blk, rank distance 1?
+    // mmn=3, zzz=4 adjacent -> SN catches the batch-batch pair too)
+    assert(inc === Set((1L, 2L), (3L, 4L), (2L, 4L)))
+    assert(inc.forall { case (a, b) => Set(2L, 4L).contains(a) ||
+      Set(2L, 4L).contains(b) }, "every incremental pair touches the batch")
+    // containment: full hybrid pairs ⊆ prior hybrid pairs ∪ inc
+    val prior = fullHybrid(existing, 2)
+    val full = fullHybrid(existing.unionByName(batch), 2)
+    assert(full.subsetOf(prior ++ inc),
+      "containment: the full re-run must never exceed prior ∪ incremental")
+    // this fixture has no squeeze (no existing pair sits at the window
+    // edge), so parity is exact — the equality-side guarantee plus
+    // append-parity on the SN side
+    assert(full === prior ++ inc, "no squeeze here: exact parity")
+    // the scoring tail dedups across fronts: one row per unique pair
+    val scored = Linkage.linkIncrementalHybrid(existing, batch, "id",
+      Seq(Seq("blk")), Seq("k"), window = 2, hybridRules,
+      Long.MinValue + 1).collect()
+    assert(scored.length === 3, "one scored row per unique candidate pair")
+    assert(scored.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (3L, 4L), (2L, 4L)),
+      "pairs arrive canonicalized id_a < id_b")
+    // loud contracts ride along from the SN front
+    val e = intercept[IllegalArgumentException](
+      Linkage.hybridPairsIncremental(existing,
+        Seq((1L, "B", "q", "X")).toDF("id", "blk", "k", "seg"),
+        "id", Seq(Seq("blk")), Seq("k"), 2))
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("blockingQualityHybrid: completeness strictly above BOTH single-scheme audits on complementary-miss truth") {
     val truth = Seq((1L, 2L), (3L, 1L)).toDF("id_a", "id_b")
     val eqA = Linkage.blockingQualityMulti(hybridDf, "id", Seq(Seq("blk")),
