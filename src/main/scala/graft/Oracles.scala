@@ -3648,6 +3648,32 @@ private[graft] object Oracles {
        "CAST(sum(s) // count(*) AS BIGINT) AS mean_score_ppm, " +
        "CAST(sum(l) * 1000000 // count(*) AS BIGINT) AS frac_pos_ppm " +
        "FROM e GROUP BY 1"),
+    // isotonic recalibration: PAV over the same decile bins via the
+    // minimax closed form — interval rates with ONE truncating
+    // division, then max-over-j of min-over-k across straddling
+    // intervals; monotone by construction in both engines
+    "q_isotonic" ->
+      ("WITH e AS (SELECT " +
+       "  (CAST(round(value * 100) AS BIGINT) * 7919) % 1000001 AS s, " +
+       "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l " +
+       "  FROM events), " +
+       "b AS MATERIALIZED (SELECT least(s * 10 // 1000000, 9) AS bin, " +
+       "  CAST(count(*) AS BIGINT) AS n, " +
+       "  CAST(sum(l) AS BIGINT) AS n_pos, " +
+       "  CAST(sum(s) // count(*) AS BIGINT) AS mean_score_ppm, " +
+       "  CAST(sum(l) * 1000000 // count(*) AS BIGINT) AS frac_pos_ppm " +
+       "  FROM e GROUP BY 1), " +
+       "iv AS (SELECT j.bin AS j, k.bin AS k, " +
+       "  CAST(sum(m.n_pos) * 1000000 // sum(m.n) AS BIGINT) AS r " +
+       "  FROM b j JOIN b k ON j.bin <= k.bin " +
+       "  JOIN b m ON m.bin >= j.bin AND m.bin <= k.bin " +
+       "  GROUP BY 1, 2), " +
+       "mn AS (SELECT i.bin AS bin, iv.j, min(iv.r) AS mn FROM b i " +
+       "  JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin GROUP BY 1, 2), " +
+       "ft AS (SELECT bin, CAST(max(mn) AS BIGINT) AS fit_ppm " +
+       "  FROM mn GROUP BY 1) " +
+       "SELECT b.bin, b.n, b.n_pos, b.mean_score_ppm, b.frac_pos_ppm, " +
+       "ft.fit_ppm FROM b JOIN ft ON b.bin = ft.bin"),
     // ECE: the bin-size-weighted |mean score − positive rate| roll-up
     // of the same decile bins into one ppm number
     "q_ece" ->

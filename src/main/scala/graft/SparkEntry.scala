@@ -3513,6 +3513,19 @@ object SparkEntry {
           when(col("event_type") === "purchase", 1).otherwise(0)
             .as("label")),
         "score_ppm", "label", bins = 10)),
+    // isotonic recalibration over the same decile reliability bins:
+    // PAV via the minimax closed form (fit_i = max_{j<=i} min_{k>=i}
+    // pooled rate over bins j..k) — pure relational algebra on the
+    // <= bins-row frame, one truncating division per interval, so the
+    // monotone fit replays bit-for-bit in the oracle
+    "q_isotonic" -> ((s, dir) =>
+      graft.operators.Stats.isotonicCalibration(
+        events(s, dir).select(
+          expr("(CAST(round(value * 100) AS BIGINT) * 7919L) % 1000001L")
+            .as("score_ppm"),
+          when(col("event_type") === "purchase", 1).otherwise(0)
+            .as("label")),
+        "score_ppm", "label", bins = 10)),
     // group-fairness report: selection rate / TPR / FPR per synthetic
     // user cohort for the thresholded spread score against
     // purchase-vs-rest — demographic parity and equalized-odds

@@ -550,6 +550,62 @@ object Stats {
       .select(col("n"), col("n_bins"),
         expr("__w div greatest(n, 1L)").as("ece_ppm"))
 
+  /** ISOTONIC RECALIBRATION over the reliability bins — the fixing
+    * half next to [[expectedCalibrationError]]'s measuring half: fit
+    * the monotone-non-decreasing step function closest (weighted least
+    * squares) to the bins' empirical positive rates, i.e. pool-adjacent-
+    * violators (Ayer et al. 1955; Zadrozny & Elkan 2002 for the
+    * calibration use) — but computed via the MINIMAX CLOSED FORM
+    * instead of the sequential pooling loop:
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} rate(j..k),
+    * rate(j..k) = Σ n_pos over bins j..k ×1e6 div Σ n — the textbook
+    * identity for the isotonic-regression solution, chosen because it
+    * is pure relational algebra (three bounded self-joins + two
+    * aggregations) with ONE truncating division per (j,k) interval:
+    * no sequential state, so both engines replay it bit-for-bit.
+    * Truncation note: the floor applies to each interval rate BEFORE
+    * the max-min; truncation is monotone, so the fit is still
+    * non-decreasing in i (spec-pinned), and on rates that divide
+    * exactly it IS classic PAV's output (spec-pinned against a
+    * hand-pooled fixture). Empty bins are absent upstream
+    * ([[calibrationBins]]) and the fit pools over the PRESENT bins in
+    * bin order — the honest read (an absent bin contributes no rows
+    * to pool). Inherits the bins' loud score contract. Output per
+    * non-empty bin: bin, n, n_pos, mean_score_ppm, frac_pos_ppm,
+    * fit_ppm (the recalibrated probability for scores landing in that
+    * bin).
+    *
+    * Scale shape: the corpus touch is [[calibrationBins]]' ONE
+    * map-side-combined groupBy onto ≤ `bins` rows; everything after
+    * runs on frames bounded by bins³ div 6 tuples (≤ 1.7e8 at the
+    * 1000-bin cap, ~220 at the default 10) — bounded by a CONSTRUCTOR
+    * ARGUMENT, never by the corpus, so the non-equi joins are
+    * broadcast nested loops over provably tiny sides. */
+  def isotonicCalibration(df: DataFrame, scorePpmCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    val b = calibrationBins(df, scorePpmCol, labelCol, bins)
+    // interval rates over present-bin ranges [j, k]: one row per
+    // ordered bin pair, pooled counts via the membership join
+    val j = b.select(col("bin").as("__j"))
+    val k = b.select(col("bin").as("__k"))
+    val member = b.select(col("bin").as("__b2"), col("n").as("__n"),
+      col("n_pos").as("__p"))
+    val rate = j.join(k, col("__j") <= col("__k"))
+      .join(member, col("__b2") >= col("__j") && col("__b2") <= col("__k"))
+      .groupBy(col("__j"), col("__k"))
+      .agg(expr("sum(__p) * 1000000L div sum(__n)").as("__r"))
+    // fit_i = max_{j<=i} min_{k>=i} rate(j,k): the (i,j,k) triples are
+    // exactly the pairs straddling i
+    val fit = rate.join(b.select(col("bin").as("__i")),
+        col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__i"), col("__j")).agg(min(col("__r")).as("__mn"))
+      .groupBy(col("__i")).agg(max(col("__mn")).as("fit_ppm"))
+      .select(col("__i").as("bin"), col("fit_ppm"))
+    b.join(fit, Seq("bin"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_score_ppm"),
+        col("frac_pos_ppm"), col("fit_ppm"))
+  }
+
   /** Group-fairness report of a thresholded score against a 0/1 label
     * — the governance-tier read next to the privacy operators: per
     * group, the three standard classification-fairness quantities

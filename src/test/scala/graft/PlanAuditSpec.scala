@@ -161,6 +161,9 @@ class PlanAuditSpec extends SparkTestBase {
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
     "q_ndcg" -> "(a) brute-force eval ranking: corpus x 5 planted queries (the q_retrieval_mrr frame, graded)",
     "q_map" -> "(a) brute-force eval ranking: corpus x 5 planted queries (the q_retrieval_mrr frame, AP-scored)",
+    "q_isotonic" -> ("(c) PAV minimax interval frame: self-joins of the " +
+      "reliability-bin aggregate (<= bins <= 1000 rows per side, a " +
+      "constructor argument — never corpus-sized)"),
     "q_t_closeness" -> "(c) sensitive-category DOMAIN densify (schema-bounded rows)",
     "q_chi_square" -> ("(c) marginal DOMAIN x DOMAIN densify (|langs| x " +
       "|sources| rows, fixed by the schema — zero cells must enter the statistic)"),

@@ -542,6 +542,32 @@ class StatsSpec extends SparkTestBase {
     assert(r(2L) === ((1L, 0L, 0L, 0L, None, Some(0L))))
   }
 
+  test("isotonicCalibration: minimax fit equals hand-pooled PAV; already-monotone bins pass through; fit is non-decreasing") {
+    // rates by decile bin: [1/2, 1/4, 3/4] with weight 4 each — classic
+    // PAV pools the violating first two bins: (2+1)/(4+4) = 3/8 =
+    // 375000 ppm exactly, then [375000, 375000, 750000]
+    def rows(bin: Int, n: Int, pos: Int) = (0 until n)
+      .map(i => (bin * 100000L + 50000L, if (i < pos) 1 else 0))
+    val d = (rows(0, 4, 2) ++ rows(1, 4, 1) ++ rows(2, 4, 3)).toDF("s", "l")
+    val r = Stats.isotonicCalibration(d, "s", "l", bins = 10)
+      .orderBy("bin").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(4),
+        x.getLong(5)))
+    assert(r.toSeq === Seq(
+      (0L, 4L, 2L, 500000L, 375000L),
+      (1L, 4L, 1L, 250000L, 375000L),
+      (2L, 4L, 3L, 750000L, 750000L)))
+    assert(r.map(_._5).sliding(2).forall(p => p(0) <= p(1)),
+      "fit must be non-decreasing across bins")
+    // an already-monotone curve is a PAV fixed point: fit == rate
+    val mono = (rows(0, 4, 1) ++ rows(1, 4, 2) ++ rows(2, 4, 3))
+      .toDF("s", "l")
+    val rm = Stats.isotonicCalibration(mono, "s", "l", bins = 10)
+      .orderBy("bin").collect()
+    assert(rm.forall(x => x.getLong(5) === x.getLong(4)),
+      "monotone input must pass through unpooled")
+  }
+
   test("fairnessReport: NULL labels drop out of BOTH rate denominators; NULL scores count as not-selected") {
     // group 0: 1 pos (selected), 1 neg (selected), 2 NULL labels — the
     // NULL-label rows count in n but in NEITHER rate denominator, so
