@@ -4149,6 +4149,34 @@ private[graft] object Oracles {
       "WHERE r.n_tokens BETWEEN 20 AND 1000 " +
       s"AND round($qQualitySql, 6) >= 0.55 " +
       "AND r.dwr <= 0.6 AND r.tbr <= 0.1"),
+    // DSIR importance weights: hashed word-bigram buckets (the 52-bit
+    // md5 bucket every hashing oracle replays), per-bucket smoothed
+    // target/source count ratio, per-doc truncating mean; zero-bigram
+    // docs keep an honest NULL weight via the left join
+    "q_importance_weights" -> (
+      "WITH tk AS (SELECT doc_id, lang, list_filter(" +
+      "  regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '') " +
+      "  AS toks FROM documents), " +
+      "bg AS MATERIALIZED (SELECT doc_id, lang, " +
+      "  CAST(concat('0x', substr(md5(g), 1, 13)) AS BIGINT) % 8192 " +
+      "  AS bkt FROM (SELECT doc_id, lang, " +
+      "  unnest(list_transform(range(len(toks) - 1), " +
+      "    i -> toks[i + 1] || ' ' || toks[i + 2])) AS g FROM tk)), " +
+      "tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS t FROM bg " +
+      "  WHERE lang = 'en' GROUP BY 1), " +
+      "sc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS s FROM bg " +
+      "  GROUP BY 1), " +
+      "rt AS (SELECT sc.bkt, " +
+      "  (coalesce(tc.t, 0) + 1) * 1000000 // (sc.s + 1) AS r " +
+      "  FROM sc LEFT JOIN tc ON sc.bkt = tc.bkt), " +
+      "pd AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "  CAST(sum(rt.r) // count(*) AS BIGINT) AS w " +
+      "  FROM bg JOIN rt ON bg.bkt = rt.bkt GROUP BY 1) " +
+      "SELECT d.doc_id, " +
+      "CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams, " +
+      "pd.w AS weight_ppm " +
+      "FROM (SELECT DISTINCT doc_id FROM documents) d " +
+      "LEFT JOIN pd ON d.doc_id = pd.doc_id"),
     // hashing-trick vectorizer: same 52-bit md5 bucket + independent
     // md5 sign bit as Corpus.featureHash
     "q_feature_hash" -> (

@@ -3205,6 +3205,20 @@ object SparkEntry {
         keyCol = "doc_id", tokenCol = "__tok", totalBudget = 6000L)
         .select(col("doc_id"), col("__source"))
     }),
+    // DSIR-style importance weights (integer variant): every document
+    // scored by how English-target-like its hashed word-bigram profile
+    // is — per-bucket add-one-smoothed count ratio, per-doc MEAN ratio
+    // (the documented linear-ratio divergence from the paper's
+    // log-likelihood ratio — ranking-equivalent use, no transcendental)
+    // — the principled resampling signal above q_mix_weighted's dials
+    "q_importance_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Corpus.importanceWeights(
+        docs.select(col("doc_id"), col("text")),
+        docs.filter(col("lang") === "en")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", buckets = 8192)
+    }),
     // deterministic shard + position assignment (training-data export)
     "q_shard_assign" -> ((s, dir) =>
       graft.operators.Sampling.shardAssign(

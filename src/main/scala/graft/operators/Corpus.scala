@@ -714,6 +714,84 @@ object Corpus {
     * cancel are kept (the hashed vector's true coordinate is 0).
     * Both hashes ride the engine-portable 52-bit md5 ([[Sketch.kmvHash]]),
     * so the vectors replay bit-for-bit in any engine. */
+  /** The (id, hashed word-bigram bucket) occurrence rows of a corpus —
+    * the shared feature front of [[importanceWeights]]: whitespace
+    * tokens (lower/trim, empties dropped), adjacent-pair bigrams built
+    * ARRAY-SIDE (zip_with over two slices — no positional self-join,
+    * so nothing shuffles until the consumer aggregates), each bigram
+    * hashed to `buckets` buckets via the 52-bit md5 hash every
+    * sampling-family oracle replays ([[Sketch.kmvHash]]). Documents
+    * with < 2 tokens contribute no rows. */
+  private def bigramBucketRows(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    df.select(col(idCol),
+        expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), " +
+          "t -> length(t) > 0)").as("__toks"))
+      .select(col(idCol), explode(expr(
+        "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), " +
+        "slice(__toks, 2, greatest(size(__toks) - 1, 0)), " +
+        "(a, b) -> concat(a, ' ', b))")).as("__g"))
+      .select(col(idCol),
+        (Sketch.kmvHash(col("__g")) % buckets).as("__bkt"))
+
+  /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), integer variant:
+    * score every SOURCE document by how target-like its hashed
+    * word-bigram profile is, so the mixture tier can resample the raw
+    * corpus toward a quality target — the principled upgrade to the
+    * heuristic mix dials. Per bucket b of `buckets` hashed bigram
+    * buckets, the add-one-smoothed importance ratio
+    *   ratio_ppm(b) = (t_cnt(b) + 1) · 1e6 div (s_cnt(b) + 1)
+    * (t/s = bigram occurrences in the target/source corpus); per
+    * source document, weight_ppm = Σ_g ratio_ppm(bucket(g)) div
+    * n_bigrams — the MEAN ratio over the document's bigram
+    * occurrences; 1e6 ≈ "looks like the source average", higher =
+    * more target-like. DOCUMENTED DIVERGENCE from the paper: DSIR
+    * ranks by the log-likelihood ratio Σ_g (log p_target(g) −
+    * log p_source(g)); this operator ranks by the mean LINEAR ratio
+    * instead — no transcendental ever crosses the engine boundary, at
+    * the cost of the log's outlier damping (one extreme bucket can
+    * dominate a mean where it would only add a constant to a log sum)
+    * — acceptable for RANKING a resampling pool, which is the DSIR
+    * use. A document with no bigram (< 2 tokens) reports n_bigrams =
+    * 0 and an honest NULL weight (no profile to score). Exactness
+    * envelope: Σ_doc ratio ≤ n_bigrams · max_b ratio_ppm must fit
+    * Int64 — with smoothing, ratio_ppm ≤ (T+1)·5e5 (T = total target
+    * bigrams), so pathological single-hot-bucket corpora overflow
+    * before balanced ones; at the default 8192 buckets a balanced
+    * corpus has ratio_ppm ~ (T/S)·1e6 and the envelope is ~9e18 /
+    * (doc bigrams · T/S) — shard the target if T/S exceeds ~1e6.
+    * Output per source doc: doc_id (idCol's name), n_bigrams,
+    * weight_ppm.
+    *
+    * Scale shape: bigrams build array-side (no positional join); the
+    * bucket tallies are TWO map-side-combined aggregations onto ≤
+    * `buckets` rows; the ratio attaches to source occurrences by a
+    * broadcast-sized bucket join; the per-doc mean is one doc-keyed
+    * aggregation; the final left join returns every source doc
+    * exactly once. */
+  def importanceWeights(source: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2 && buckets <= 1048576,
+      s"buckets must be in [2, 1048576], got $buckets")
+    val srcRows = bigramBucketRows(source, idCol, textCol, buckets)
+    val tCnt = bigramBucketRows(target, idCol, textCol, buckets)
+      .groupBy(col("__bkt")).agg(count(lit(1)).as("__t"))
+    val sCnt = srcRows.groupBy(col("__bkt")).agg(count(lit(1)).as("__s"))
+    val ratio = sCnt.join(tCnt, Seq("__bkt"), "left")
+      .select(col("__bkt"),
+        expr("(coalesce(__t, 0L) + 1L) * 1000000L div (__s + 1L)")
+          .as("__r"))
+    val perDoc = srcRows.join(ratio, Seq("__bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(__r) div count(1)").as("weight_ppm"))
+    source.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("weight_ppm"))
+  }
+
   def featureHash(df: DataFrame, idCol: String, textCol: String,
                   dim: Int = 64): DataFrame = {
     require(dim >= 2, s"dim must be >= 2, got $dim")

@@ -491,4 +491,28 @@ class CorpusOpsSpec extends SparkTestBase {
       (2L, 2L, 5L, 3L),   // b c: only c is new
       (4L, 2L, 7L, 4L)))  // c d: d new; doc 3 (whitespace) omitted
   }
+
+  test("importanceWeights: target-like doc outranks source-like; hand ratios; zero-bigram doc reports 0/NULL") {
+    import graft.operators.Corpus
+    // target has "the cat" twice plus "cat sat"/"cat ran" once each;
+    // source doc 1 shares the target's bigrams, doc 2 shares none,
+    // doc 3 has one token (no bigram)
+    val target = Seq((100L, "the cat sat"), (101L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val source = Seq((1L, "the cat sat"), (2L, "zq xw vv"), (3L, "one"))
+      .toDF("doc_id", "text")
+    val r = Corpus.importanceWeights(source, target, "doc_id", "text",
+        buckets = 1024).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Long]))).toMap
+    // doc 1: "the cat" (t=2, s=1 -> 3e6//2 = 1500000), "cat sat"
+    // (t=1, s=1 -> 1000000) -> mean 1250000; doc 2: two unseen
+    // bigrams (t=0, s=1 -> 500000 each) -> 500000
+    assert(r(1L) === ((2L, Some(1250000L))))
+    assert(r(2L) === ((2L, Some(500000L))))
+    assert(r(1L)._2.get > r(2L)._2.get,
+      "the target-like document must outrank the source-like one")
+    // a document with < 2 tokens has no profile: honest NULL, not 1e6
+    assert(r(3L) === ((0L, None)))
+  }
 }
