@@ -2948,30 +2948,20 @@ object SparkEntry {
     // deterministic synchronous label propagation (3 rounds, min-label
     // ties) on the same co-purchase graph as q_graph_components — the
     // local-community view between connectivity and k-core density
-    "q_label_prop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
-        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
-          (col("o_custkey") * 2).cast("long").as("id_b"))
-        .distinct()
-      graft.operators.Graph.labelPropagation(edges, "id_a", "id_b",
-        rounds = 3)
-    }),
+    "q_label_prop" -> ((s, dir) =>
+      // single consumer: the lazy frame flows straight into the sweep
+      graft.operators.Graph.labelPropagation(lpaEdges(s, dir), "id_a",
+        "id_b", rounds = 3)),
     // community-quality audit over the SAME LPA assignment: per
     // community, conductance (cut over min-side volume — the
     // separation read) and the Newman modularity term (intra share
     // minus the degree-null square, overflow-free at any edge count
     // via the (vol·1e6 div 2m)² div 1e6 form); Σ terms = Q downstream
     "q_community_quality" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
-        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
-          (col("o_custkey") * 2).cast("long").as("id_b"))
-        .distinct()
+      // the edge frame feeds TWO consumers (the LPA seeding and the
+      // audit) — cut it once so the lineitem⋈orders join runs once,
+      // not once per consumer (guide §2.4 / §5 caching-for-reuse)
+      val edges = graft.operators.LineageCut.cut(lpaEdges(s, dir))
       val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
         "id_b", rounds = 3)
         .select(col("id"), col("community"))
@@ -2981,13 +2971,8 @@ object SparkEntry {
     // partition grade (Σ per-community terms — a pure signed sum, no
     // division after the per-community exactness)
     "q_modularity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
-        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
-          (col("o_custkey") * 2).cast("long").as("id_b"))
-        .distinct()
+      // two consumers (LPA + the audit roll-up): cut once, scan once
+      val edges = graft.operators.LineageCut.cut(lpaEdges(s, dir))
       val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
         "id_b", rounds = 3)
         .select(col("id"), col("community"))
@@ -3014,13 +2999,8 @@ object SparkEntry {
     // over the SAME LPA seeding as q_modularity — the greedy capstone
     // of the community tier; q_louvain_gain reads the before/after Q
     "q_louvain" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
-        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
-          (col("o_custkey") * 2).cast("long").as("id_b"))
-        .distinct()
+      // two consumers (LPA seeding + the refinement sweep): cut once
+      val edges = graft.operators.LineageCut.cut(lpaEdges(s, dir))
       val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
         "id_b", rounds = 3)
         .select(col("id"), col("community"))
@@ -3032,13 +3012,13 @@ object SparkEntry {
     // assumed; on this graph the sweep must not LOSE quality, which
     // the oracle pins by replaying both numbers)
     "q_louvain_gain" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
-        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
-          (col("o_custkey") * 2).cast("long").as("id_b"))
-        .distinct()
+      // FOUR consumers of the edge frame (LPA, the refinement, and the
+      // before/after modularity audits): cut once — the old shape
+      // re-ran the lineitem⋈orders join + distinct four times
+      val edges = graft.operators.LineageCut.cut(lpaEdges(s, dir))
+      // the LPA seeding likewise feeds the refinement AND the before-Q
+      // audit; labelPropagation's tail is already a checkpoint, so no
+      // extra cut is needed
       val lpa = graft.operators.Graph.labelPropagation(edges, "id_a",
         "id_b", rounds = 3)
         .select(col("id"), col("community"))
@@ -3146,10 +3126,13 @@ object SparkEntry {
     "q_pagerank_personalized" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_quantity") >= 48)
-        .select(col("l_suppkey").cast("long").as("src"),
-          (col("o_custkey") + 100000).cast("long").as("dst"))
+      // the edge frame feeds the PPR loop AND the seed derivation: cut
+      // once so the lineitem⋈orders join runs once, not twice
+      val edges = graft.operators.LineageCut.cut(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_suppkey").cast("long").as("src"),
+            (col("o_custkey") + 100000).cast("long").as("dst")))
       val nodes = edges.select(col("src").as("id"))
         .unionByName(edges.select(col("dst").as("id"))).distinct()
       val seeds = nodes.filter(col("id") < 100000 && col("id") % 7 === 0)
@@ -4138,6 +4121,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Oracles.all
+
+  /** Supplier–customer community graph shared by the LPA/Louvain/
+    * modularity queries: distinct (odd supplier id, even customer id)
+    * pairs from the quantity-50/line-7 lineitem cut. LAZY — callers
+    * with more than one consumer wrap it in [[graft.operators.LineageCut.cut]]. */
+  private def lpaEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_quantity") === 50 && col("l_linenumber") === 7)
+      .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+        (col("o_custkey") * 2).cast("long").as("id_b"))
+      .distinct()
+  }
 
   /** Part co-purchase graph shared by the triangle/degree queries:
     * distinct part pairs sharing an order (1-in-5 order subsample). */

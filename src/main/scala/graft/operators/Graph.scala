@@ -40,21 +40,29 @@ object Graph {
     // lineage cuts via LineageCut: eager localCheckpoint by default,
     // opt-in reliable checkpoint (spark.graft.bsp.checkpoint=reliable)
     // for clusters where executor loss must not kill the loop
-    val e = LineageCut.cut(edges
+    // out-degree attached to the edge frame ONCE, outside the loop, via
+    // a src-keyed count window folded into the SAME cut as the distinct
+    // (one materialization, one pass): the old shape re-aggregated and
+    // re-joined outdeg per power step — one avoidable shuffle + join
+    // per iteration (guide §2.4); pr div od per edge is unchanged, so
+    // the mass arithmetic is bit-identical. The cut also pins the
+    // src-partitioning, so per-iteration joins reshuffle only the rank
+    // table, never the edge frame.
+    val eo = LineageCut.cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()) // consumed by outdeg + every iteration
-    val nodes = LineageCut.cut(e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct())
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .distinct()
+      .withColumn("od", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    val nodes = LineageCut.cut(eo.select(col("src").as("id"))
+      .unionByName(eo.select(col("dst").as("id"))).distinct())
     val nDf = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
     var rank = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
       .select(col("id"), expr(s"${scale}L div n_nodes").as("pr"),
         col("n_nodes")))
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = eo
         .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), expr("pr div od").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
       val next = LineageCut.cut(rank.select(col("id"), col("n_nodes"))
@@ -86,29 +94,35 @@ object Graph {
                              scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(scale >= 1000000L, s"scale too small for ppm precision: $scale")
-    val e = LineageCut.cut(edges
+    // out-weight attached ONCE via a src-keyed sum window folded into
+    // the same cut as the parallel-edge coalesce (the pageRankScaled
+    // discipline): saves one shuffle + join per power step; the
+    // per-edge pr * __w div ow is unchanged
+    val eo = LineageCut.cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("__w"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w")))
-    val probe = e.agg(coalesce(min(col("__w")), lit(1L)).as("lo"),
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      .withColumn("ow", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    // the weight-envelope probe reads the CHECKPOINTED frame — same
+    // loud contract, cheaper scan
+    val probe = eo.agg(coalesce(min(col("__w")), lit(1L)).as("lo"),
       coalesce(max(col("__w")), lit(1L)).as("hi")).head()
     require(probe.getLong(0) >= 1L,
       s"edge weights must be positive, found ${probe.getLong(0)}")
     require(probe.getLong(1) <= Long.MaxValue / scale,
       s"max edge weight ${probe.getLong(1)} breaks the pr*w Int64 " +
       s"envelope at scale $scale — rescale the weights")
-    val nodes = LineageCut.cut(e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct())
-    val outw = e.groupBy(col("src")).agg(sum(col("__w")).as("ow"))
+    val nodes = LineageCut.cut(eo.select(col("src").as("id"))
+      .unionByName(eo.select(col("dst").as("id"))).distinct())
     val nDf = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
     var rank = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
       .select(col("id"), expr(s"${scale}L div n_nodes").as("pr"),
         col("n_nodes")))
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = eo
         .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(outw, Seq("src"))
         .select(col("dst").as("id"), expr("pr * __w div ow").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
       val next = LineageCut.cut(rank.select(col("id"), col("n_nodes"))
@@ -151,30 +165,36 @@ object Graph {
     var hub = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
       .select(col("id"), expr("1000000L div n_nodes").as("h")))
     var auth: DataFrame = null
+    // Scores stay SPARSE inside the loop (only nodes with a non-zero
+    // raw sum carry a row): a zero-score node contributes exactly 0 to
+    // the next half-step's sum and 0 to the L1 normalizer, so dropping
+    // its row changes nothing — and the old per-half-step |V|-row
+    // nodes-left-join (two shuffles per iteration) disappears (guide
+    // §2.4). Zeros are re-densified ONCE at the end, so the output is
+    // bit-identical.
     for (_ <- 1 to iters) {
       val aRaw = e.join(hub.select(col("id").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
       val aTot = aRaw.agg(greatest(sum(col("ar")), lit(1L)).as("at"))
       val nextAuth = LineageCut.cut(
-        nodes.join(aRaw, Seq("id"), "left")
-          .crossJoin(broadcast(aTot))
-          .select(col("id"),
-            expr("coalesce(ar, 0L) * 1000000L div at").as("a")))
+        aRaw.crossJoin(broadcast(aTot))
+          .select(col("id"), expr("ar * 1000000L div at").as("a")))
       if (auth != null) LineageCut.release(auth)
       auth = nextAuth
       val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
       val hTot = hRaw.agg(greatest(sum(col("hr")), lit(1L)).as("ht"))
       val nextHub = LineageCut.cut(
-        nodes.join(hRaw, Seq("id"), "left")
-          .crossJoin(broadcast(hTot))
-          .select(col("id"),
-            expr("coalesce(hr, 0L) * 1000000L div ht").as("h")))
+        hRaw.crossJoin(broadcast(hTot))
+          .select(col("id"), expr("hr * 1000000L div ht").as("h")))
       LineageCut.release(hub)
       hub = nextHub
     }
-    val out = hub.join(auth, Seq("id"))
-      .select(col("id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+    val out = nodes
+      .join(hub, Seq("id"), "left")
+      .join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_ppm"),
+        coalesce(col("a"), lit(0L)).as("auth_ppm"))
     out
   }
 
@@ -194,16 +214,20 @@ object Graph {
                                  scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(scale >= 1000000L, s"scale too small for ppm precision: $scale")
-    val e = LineageCut.cut(edges
+    // out-degree attached ONCE via a src-keyed count window folded into
+    // the same cut as the distinct (the pageRankScaled discipline): one
+    // fewer shuffle + join per power step, same per-edge math
+    val eo = LineageCut.cut(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct())
-    val nodes = LineageCut.cut(e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct())
+      .distinct()
+      .withColumn("od", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    val nodes = LineageCut.cut(eo.select(col("src").as("id"))
+      .unionByName(eo.select(col("dst").as("id"))).distinct())
     val seed = seeds.select(col("id").cast("long").as("id"))
       .distinct()
       .withColumn("__isSeed", lit(true))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val nsDf = seed.agg(count(lit(1)).cast("long").as("n_seeds"))
     val base = LineageCut.cut(nodes
       .join(seed, Seq("id"), "left")
@@ -214,9 +238,8 @@ object Graph {
       when(col("__isSeed"), expr(s"${scale}L div n_seeds"))
         .otherwise(lit(0L)).as("pr")))
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = eo
         .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), expr("pr div od").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
       val next = LineageCut.cut(base
@@ -417,10 +440,16 @@ object Graph {
     for (_ <- 1 to rounds) {
       val nl = ud.join(lab.select(col("v").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("v"), col("lbl")).agg(count(lit(1)).as("__c"))
-      val mx = nl.groupBy(col("v")).agg(max(col("__c")).as("__mc"))
-      val next = LineageCut.cut(nl.join(mx, Seq("v"))
-        .filter(col("__c") === col("__mc"))
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+      // argmax in ONE aggregation: min over struct(-count, label) is
+      // lexicographic, so it picks max count then min label among ties
+      // — the same (votes desc, label asc) total order the old
+      // max-then-join-then-filter shape implemented, minus one shuffle
+      // + one join per round (guide §2.4). Counts are >= 1, so the
+      // negation can never overflow.
+      val next = LineageCut.cut(nl.groupBy(col("v"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l")))
+          .as("__b"))
+        .select(col("v"), col("__b.l").as("lbl")))
       LineageCut.release(lab)
       lab = next
     }
@@ -465,10 +494,14 @@ object Graph {
     for (_ <- 1 to rounds) {
       val nl = ud.join(lab.select(col("v").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("v"), col("lbl")).agg(sum(col("w")).as("__c"))
-      val mx = nl.groupBy(col("v")).agg(max(col("__c")).as("__mc"))
-      val next = LineageCut.cut(nl.join(mx, Seq("v"))
-        .filter(col("__c") === col("__mc"))
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl")))
+      // single-aggregation argmax (see [[labelPropagation]]): min over
+      // struct(-voteSum, label) = (votes desc, label asc). Vote sums
+      // are non-negative (weights are cast longs >= 0 per the
+      // contract), so the negation can never overflow.
+      val next = LineageCut.cut(nl.groupBy(col("v"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l")))
+          .as("__b"))
+        .select(col("v"), col("__b.l").as("lbl")))
       LineageCut.release(lab)
       lab = next
     }
@@ -556,17 +589,21 @@ object Graph {
           (lit(2L) * col("__m") * col("__l") -
             (col("__vol") - when(col("c") === col("__own"), col("__k"))
               .otherwise(lit(0L))) * col("__k")).as("__s"))
-      val best = scored.groupBy(col("v")).agg(max(col("__s")).as("__bs"))
-      val bestC = scored.join(best, Seq("v"))
-        .filter(col("__s") === col("__bs"))
-        .groupBy(col("v")).agg(min(col("c")).as("__bc"), max(col("__bs")).as("__bs"))
-      val own = scored.filter(col("c") === col("__own"))
-        .select(col("v"), col("__s").as("__os"))
-      val next = LineageCut.cut(bestC.join(own, Seq("v"))
-        .join(lab, Seq("v"))
+      // argmax + own-score + own-community in ONE aggregation over the
+      // scored frame (the old shape re-derived `scored` three times and
+      // paid two v-keyed joins per round): min over struct(-score,
+      // community) is (score desc, community asc) — the same argmax /
+      // min-id tie-break — and the own-community row always exists (the
+      // zero-count union above guarantees it), so max(when(own)) is the
+      // stay score. Scores are bounded by 2m·k_max (the documented
+      // envelope), so the negation can never overflow.
+      val next = LineageCut.cut(scored.groupBy(col("v"))
+        .agg(min(struct((-col("__s")).as("ns"), col("c").as("cc"))).as("__b"),
+          max(when(col("c") === col("__own"), col("__s"))).as("__os"),
+          min(col("__own")).as("__oc"))
         .select(col("v"),
-          when(col("__bs") > col("__os"), col("__bc")).otherwise(col("c"))
-            .as("c")))
+          when(-col("__b.ns") > col("__os"), col("__b.cc"))
+            .otherwise(col("__oc")).as("c")))
       LineageCut.release(lab)
       lab = next
     }
