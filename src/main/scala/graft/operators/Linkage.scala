@@ -125,8 +125,15 @@ object Linkage {
       sames: Seq[(Column, Column) => Column]): (DataFrame, Seq[Column]) = {
     require(blockCols.nonEmpty, "linkage needs at least one block key")
     require(cols.nonEmpty, "linkage needs at least one field rule")
-    val paired = sideProj(df, "a", idCol, blockCols, cols)
-      .join(sideProj(df, "b", idCol, blockCols, cols), blockCols)
+    // Gated parallelism repair (Repartitioning scaladoc): the block
+    // join broadcasts one side and streams the other directly off the
+    // scan, so a single-split input serializes EVERY comparator
+    // evaluation (Σ_b |b|² levenshtein/jw/dl calls in one task). On a
+    // healthy multi-split layout the gate declines and the plan is
+    // unchanged.
+    val src = Repartitioning.ensureParallelism(df, col(idCol))
+    val paired = sideProj(src, "a", idCol, blockCols, cols)
+      .join(sideProj(src, "b", idCol, blockCols, cols), blockCols)
       .filter(col("id_a") < col("id_b"))
     (paired, agreeCols(cols, sames))
   }

@@ -56,17 +56,32 @@ object Repartitioning extends Logging {
     * logs the observed/target counts — on a production corpus this
     * firing means compacted/undersplit input and a full-input shuffle,
     * which should be visible, not silent.
+    *
+    * The repair PINS the partition count to the session's default
+    * parallelism (`repartition(n, key)`, shuffle origin
+    * REPARTITION_BY_NUM) instead of the keyless-count form
+    * (`repartition(key)`, REPARTITION_BY_COL). The difference is AQE:
+    * coalescePartitions folds a BY_COL shuffle back down BY BYTES
+    * (minPartitionSize, 1 MB), and the starved inputs this repair
+    * exists for are exactly the byte-small / CPU-heavy ones (a few MB
+    * of ids+text feeding comparator or shingle kernels) — AQE would
+    * merge the repaired shuffle straight back to 1-2 tasks and
+    * re-serialize the kernel. BY_NUM is exempt from coalescing, and
+    * one-task-per-core is the correct repair for a starved scan by
+    * construction: the count derives from the session (8-core driver
+    * run => 8), never from a constant, and a healthy production layout
+    * never reaches this branch at all.
     */
   def ensureParallelism(df: DataFrame, key: Column,
                         minFraction: Double = 0.5): DataFrame = {
-    val target = math.max(1,
-      math.ceil(df.sparkSession.sparkContext.defaultParallelism * minFraction).toInt)
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val target = math.max(1, math.ceil(cores * minFraction).toInt)
     val observed = scanPartitions(df)
     if (observed < target) {
       logWarning(s"ensureParallelism: scan is starved ($observed splits < " +
         s"target $target = ceil($minFraction x defaultParallelism)); " +
-        s"repartitioning by $key — a full-input shuffle")
-      df.repartition(key)
+        s"repartitioning to $cores by $key — a full-input shuffle")
+      df.repartition(cores, key)
     } else df
   }
 }
