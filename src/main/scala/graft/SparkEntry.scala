@@ -2582,13 +2582,13 @@ object SparkEntry {
     // the detection half of suffix-array substring dedup, distributed
     // as a gram-keyed groupBy (shuffle ∝ distinct grams, never pairs)
     "q_dedup_substring" -> ((s, dir) =>
-      Dedup.duplicatedNgramStats(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.duplicatedNgramStats(docsSplit(s, dir), "doc_id", "text",
         n = 5, minDocs = 2)),
     // the removal half: tokens covered by any cross-doc duplicated
     // 5-gram deleted, survivors re-joined in order — output in the
     // tier's normalized token space, like q_dedup_chunks
     "q_dedup_substring_clean" -> ((s, dir) =>
-      Dedup.removeDuplicatedNgrams(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.removeDuplicatedNgrams(docsSplit(s, dir), "doc_id", "text",
         n = 5, minDocs = 2)),
     // the SAME clean, expressed entirely through the registered SQL
     // surface: the dup-set aggregate is plain SQL; the removal half is
@@ -2599,7 +2599,10 @@ object SparkEntry {
     // SqlAndDmsSpec; same oracle as q_dedup_substring_clean.
     "q_substring_clean_sql" -> ((s, dir) => {
       graft.functions.registry.registerAll(s)
-      t(s, dir, "documents").createOrReplaceTempView("graft_substr_docs")
+      // the gated parallelism repair applies to the SQL surface too:
+      // the view is the (possibly repaired) scan, so the tokenize +
+      // gram explode below runs 32-way instead of on the single split
+      docsSplit(s, dir).createOrReplaceTempView("graft_substr_docs")
       s.sql("""
         WITH tk AS (
           SELECT doc_id, filter(split(lower(trim(text)), '\\s+'),
@@ -2674,7 +2677,7 @@ object SparkEntry {
     // order docs the unigram tier scores as fine; both models trained
     // on the corpus, scoring a pure projection
     "q_lm_bigram" -> ((s, dir) =>
-      graft.operators.Corpus.bigramScore(t(s, dir, "documents"),
+      graft.operators.Corpus.bigramScore(docsSplit(s, dir),
         idCol = "doc_id", textCol = "text", vocabSize = 20, bigramSize = 30)),
     // calendar dimension build: one row per day of the order span with
     // the usual attributes — ISO day-of-week via weekday+1 (Spark's

@@ -566,9 +566,13 @@ object Graph {
     val deg = LineageCut.cut(
       adj.groupBy(col("v")).agg(count(lit(1)).as("__k")))
     val m = und.agg(count(lit(1)).as("__m"))
+    // the label frame CARRIES the (static) degree: vol and scored read
+    // k straight off lab instead of re-joining the deg table every
+    // round — two fewer per-round joins (guide §2.4); the inner join
+    // here keeps the old left-semi's "assigned ∩ has-edges" filter
     var lab = LineageCut.cut(assignment
       .select(col("id").as("v"), col("community").cast("long").as("c"))
-      .join(deg.select(col("v")), Seq("v"), "left_semi"))
+      .join(deg, Seq("v")))
     for (_ <- 1 to rounds) {
       // l(v,c): how many of v's edges land in community c under the
       // FROZEN assignment; the own-community candidate rides along via
@@ -578,14 +582,12 @@ object Graph {
         .groupBy(col("v"), col("c")).agg(count(lit(1)).as("__l"))
         .unionByName(lab.select(col("v"), col("c"), lit(0L).as("__l")))
         .groupBy(col("v"), col("c")).agg(max(col("__l")).as("__l"))
-      val vol = lab.join(deg, Seq("v"))
-        .groupBy(col("c")).agg(sum(col("__k")).as("__vol"))
+      val vol = lab.groupBy(col("c")).agg(sum(col("__k")).as("__vol"))
       val scored = lvc
-        .join(lab.select(col("v"), col("c").as("__own")), Seq("v"))
-        .join(deg, Seq("v"))
+        .join(lab.select(col("v"), col("c").as("__own"), col("__k")), Seq("v"))
         .join(vol, Seq("c"))
         .crossJoin(broadcast(m))
-        .select(col("v"), col("c"), col("__own"),
+        .select(col("v"), col("c"), col("__own"), col("__k"),
           (lit(2L) * col("__m") * col("__l") -
             (col("__vol") - when(col("c") === col("__own"), col("__k"))
               .otherwise(lit(0L))) * col("__k")).as("__s"))
@@ -600,10 +602,14 @@ object Graph {
       val next = LineageCut.cut(scored.groupBy(col("v"))
         .agg(min(struct((-col("__s")).as("ns"), col("c").as("cc"))).as("__b"),
           max(when(col("c") === col("__own"), col("__s"))).as("__os"),
-          min(col("__own")).as("__oc"))
+          min(col("__own")).as("__oc"),
+          // k is constant per v (carried off lab); keep it on the new
+          // label frame so the next round needs no deg re-join
+          min(col("__k")).as("__k"))
         .select(col("v"),
           when(-col("__b.ns") > col("__os"), col("__b.cc"))
-            .otherwise(col("__oc")).as("c")))
+            .otherwise(col("__oc")).as("c"),
+          col("__k")))
       LineageCut.release(lab)
       lab = next
     }
