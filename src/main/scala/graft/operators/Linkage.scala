@@ -382,22 +382,37 @@ object Linkage {
       window: Int): DataFrame = {
     require(sortKey.nonEmpty, "sorted-neighborhood needs a sort key")
     require(window >= 2, s"window must be >= 2, got $window")
-    require(batch.select(col(idCol))
-      .join(existing.select(col(idCol)), Seq(idCol), "left_semi").isEmpty,
+    // BOTH loud contracts (batch∩existing = ∅; batch ids unique and
+    // non-null) in ONE eager probe job — the old shape paid two
+    // driver actions (a left-semi isEmpty + a count/countDistinct
+    // agg), re-scanning the batch twice and existing once more per
+    // call (r19 ADVICE perf note). Same contract, same construction-
+    // time IllegalArgumentException, half the probe cost: one
+    // side-tagged union, one id-keyed count, one roll-up.
+    //   - a NULL batch id is a uniqueness violation (it can't be
+    //     paired back), and NULLs are EXCLUDED from the collision
+    //     count — the old left-semi join never matched NULLs, so a
+    //     NULL-vs-NULL overlap stays a "unique" error, not "disjoint"
+    val probe = batch.select(col(idCol).as("__id"), lit(1).as("__s"))
+      .unionByName(existing.select(col(idCol).as("__id"), lit(2).as("__s")))
+      .groupBy(col("__id"))
+      .agg(sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__nb"),
+        sum(when(col("__s") === 2, 1L).otherwise(0L)).as("__ne"))
+      .agg(
+        sum(when(col("__nb") > 0 && col("__ne") > 0 &&
+          col("__id").isNotNull, 1L).otherwise(0L)).as("colls"),
+        sum(when(col("__nb") > 1, 1L).otherwise(0L)).as("dups"),
+        sum(when(col("__id").isNull, col("__nb")).otherwise(0L)).as("nulls"))
+      .head()
+    require(probe.getLong(0) == 0L,
       "sortedNeighborhoodPairsIncremental: batch ids must be disjoint " +
-      "from existing ids (re-key the batch)")
-    // count(1) vs count(DISTINCT id): a duplicated OR NULL batch id
-    // makes the row count exceed the distinct-id count — both are
-    // corruption (a dup multiplies its candidate pairs; a NULL id
-    // can't be paired back), so both fail the same loud probe
-    val idStats = batch.agg(count(lit(1)).as("n"),
-      countDistinct(col(idCol)).as("nd")).head()
-    require(idStats.getLong(0) == idStats.getLong(1),
-      s"sortedNeighborhoodPairsIncremental: batch ids must be unique " +
-      s"and non-null — got ${idStats.getLong(0)} rows over " +
-      s"${idStats.getLong(1)} distinct non-null ids; a duplicated id " +
-      "multiplies its candidate pairs silently (distinct the batch " +
-      "or re-key it)")
+      s"from existing ids (re-key the batch) — ${probe.getLong(0)} " +
+      "colliding id(s)")
+    require(probe.getLong(1) == 0L && probe.getLong(2) == 0L,
+      "sortedNeighborhoodPairsIncremental: batch ids must be unique " +
+      s"and non-null — got ${probe.getLong(1)} duplicated and " +
+      s"${probe.getLong(2)} NULL id(s); a duplicated id multiplies its " +
+      "candidate pairs silently (distinct the batch or re-key it)")
     val union = existing.select((idCol +: sortKey).distinct.map(col): _*)
       .unionByName(batch.select((idCol +: sortKey).distinct.map(col): _*))
     val batchIds = batch.select(col(idCol))

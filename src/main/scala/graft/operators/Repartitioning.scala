@@ -76,6 +76,17 @@ object Repartitioning extends Logging {
                         minFraction: Double = 0.5): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val target = math.max(1, math.ceil(cores * minFraction).toInt)
+    // A plan that already shuffles is already parallel downstream of
+    // that exchange (its width comes from shuffle partitions + AQE,
+    // not from the scan's split count) — repairing it would stack a
+    // second full exchange on top of the first for nothing. Broadcast
+    // exchanges don't count: a broadcast join's STREAM side is still
+    // scan-shaped.
+    val alreadyShuffled = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+    if (alreadyShuffled) return df
     val observed = scanPartitions(df)
     if (observed < target) {
       logWarning(s"ensureParallelism: scan is starved ($observed splits < " +
