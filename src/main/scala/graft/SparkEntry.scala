@@ -3813,11 +3813,16 @@ object SparkEntry {
     "q_graph_bfs" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
-      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .filter(col("l_quantity") === 50)
-        .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
-          (col("o_custkey") * 2).cast("long").as("id_b"))
-        .distinct()
+      // TWO consumers of the shipment-edge join (bfsDepth's symmetrize
+      // + the seed filter): cut once — only broadcast subtrees are
+      // reused across consumers, so without the cut the lineitem⋈orders
+      // join + distinct executed twice (the q_louvain_gain lesson)
+      val edges = graft.operators.LineageCut.cut(
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_quantity") === 50)
+          .select((col("l_suppkey") * 2 + 1).cast("long").as("id_a"),
+            (col("o_custkey") * 2).cast("long").as("id_b"))
+          .distinct())
       val seeds = edges.filter(expr("(id_a - 1) div 2 % 25 = 0"))
         .select(col("id_a").as("v")).distinct()
       graft.operators.Graph.bfsDepth(edges, seeds, maxIter = 6)
