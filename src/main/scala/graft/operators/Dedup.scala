@@ -943,15 +943,19 @@ object Dedup {
   def componentsAuto(pairs: DataFrame, maxDriverPairs: Long = 2000000L,
                      maxIter: Int = 25): DataFrame = {
     val norm = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    // branch probe: all we need is "does the edge list exceed the
-    // bound", so count a LIMIT(bound+1) slice — Spark stops scanning
-    // once the limit is hit, instead of paying a full count of a
-    // possibly-expensive upstream (the near-dup pair join) just to
-    // pick a branch. probe <= bound iff the true count <= bound.
+    // branch probe AND data in ONE action: collect a LIMIT(bound+1)
+    // slice — under the bound, limit(n) with n > count is the full
+    // edge list, so the union-find input is already in hand and the
+    // possibly-expensive upstream (the near-dup pair verify) runs
+    // once, not twice (the old count-then-collect shape re-ran it per
+    // action; only the banded candidates are materialized upstream).
+    // Over the bound the slice is discarded and the distributed
+    // fixpoint takes over — bound+1 rows (~16 bytes each) is the same
+    // driver-memory class as the under-bound collect the old path
+    // already paid.
     val probeCap = math.min(maxDriverPairs + 1, Int.MaxValue.toLong).toInt
-    val n = norm.limit(probeCap).count()
-    if (n <= maxDriverPairs) {
-      val arr = norm.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val arr = norm.limit(probeCap).collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (arr.length <= maxDriverPairs) {
       val comp = unionFindComponents(arr).toSeq
       val s = pairs.sparkSession
       import s.implicits._
