@@ -609,11 +609,18 @@ object Dedup {
     * closure counts — the (x, y) semi-join can't match a (y, x) row
     * and repeated rows inflate the wedge count. */
   def transitivityAudit(pairs: DataFrame): DataFrame = {
-    val pr = pairs.select(
+    // materialize once: the canonical pair frame feeds SIX subtrees
+    // below (two symmetrize legs × two wedge-join sides, the closure
+    // semi-join's right side, and the n_pairs aggregate), and for the
+    // wired caller `pairs` is the minhash VERIFY — only its banded
+    // candidates are materialized upstream, so without this cut the
+    // signature-attach + exact-jaccard verify re-ran per consumer
+    // (the componentsAuto lesson, same round)
+    val pr = materializeShared(pairs.select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b"))
     val ud = pr.select(col("id_a").as("m"), col("id_b").as("e"))
       .unionByName(pr.select(col("id_b").as("m"), col("id_a").as("e")))
     val wedges = ud.select(col("m"), col("e").as("x"))
