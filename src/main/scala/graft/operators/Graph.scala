@@ -575,40 +575,60 @@ object Graph {
       .join(deg, Seq("v")))
     for (_ <- 1 to rounds) {
       // l(v,c): how many of v's edges land in community c under the
-      // FROZEN assignment; the own-community candidate rides along via
-      // a zero-count union (max recovers the true count when v has
-      // neighbors at home, and keeps the stay-option row when not)
-      val lvc = adj.join(lab.select(col("v").as("u"), col("c")), Seq("u"))
+      // FROZEN assignment. Candidate rows exist only through real
+      // neighbors — the stay option no longer rides a zero-count union
+      // (whose second groupBy re-shuffled the candidate frame, the
+      // round's biggest exchange): the stay score is reconstructed in
+      // the argmax aggregation below from the own-volume carried on the
+      // label frame, bit-identically (guide §2.4, one fewer
+      // candidate-frame shuffle + one fewer aggregation per round).
+      val cand = adj.join(lab.select(col("v").as("u"), col("c")), Seq("u"))
         .groupBy(col("v"), col("c")).agg(count(lit(1)).as("__l"))
-        .unionByName(lab.select(col("v"), col("c"), lit(0L).as("__l")))
-        .groupBy(col("v"), col("c")).agg(max(col("__l")).as("__l"))
+      // one lab shuffle by c serves BOTH volume reads: the per-own
+      // attach (window) and the candidate-side volume table (groupBy)
+      // share their exchange via ReuseExchange
+      val labv = lab.withColumn("__vo", sum(col("__k")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("c"))))
+        .select(col("v"), col("c").as("__own"), col("__k"), col("__vo"))
       val vol = lab.groupBy(col("c")).agg(sum(col("__k")).as("__vol"))
-      val scored = lvc
-        .join(lab.select(col("v"), col("c").as("__own"), col("__k")), Seq("v"))
-        .join(vol, Seq("c"))
+      // left joins keep every assigned vertex: a v with no assigned
+      // neighbor carries a NULL candidate row (the old shape's
+      // zero-union row played this role) and resolves to "stay" below
+      val scored = labv.join(cand, Seq("v"), "left")
+        .join(vol, Seq("c"), "left")
         .crossJoin(broadcast(m))
         .select(col("v"), col("c"), col("__own"), col("__k"),
-          (lit(2L) * col("__m") * col("__l") -
-            (col("__vol") - when(col("c") === col("__own"), col("__k"))
-              .otherwise(lit(0L))) * col("__k")).as("__s"))
-      // argmax + own-score + own-community in ONE aggregation over the
-      // scored frame (the old shape re-derived `scored` three times and
-      // paid two v-keyed joins per round): min over struct(-score,
-      // community) is (score desc, community asc) — the same argmax /
-      // min-id tie-break — and the own-community row always exists (the
-      // zero-count union above guarantees it), so max(when(own)) is the
-      // stay score. Scores are bounded by 2m·k_max (the documented
-      // envelope), so the negation can never overflow.
+          // the stay score when v has NO neighbor at home:
+          // s(own) = 2m·0 − (vol(own)−k)·k — exactly what the old
+          // zero-count union row evaluated to
+          (-(col("__vo") - col("__k")) * col("__k")).as("__st0"),
+          when(col("c").isNotNull,
+            lit(2L) * col("__m") * col("__l") -
+              (col("__vol") - when(col("c") === col("__own"), col("__k"))
+                .otherwise(lit(0L))) * col("__k")).as("__s"))
+      // argmax + stay-score + own-community in ONE aggregation: min
+      // over struct(-score, community) is (score desc, community asc) —
+      // the same argmax / min-id tie-break. The stay score is the own
+      // candidate row's score when v has neighbors at home (__osr),
+      // else the reconstructed zero-neighbor score (__st0) — the
+      // decision "move iff the best candidate STRICTLY beats staying"
+      // is unchanged: when the old argmax picked the own row, the best
+      // non-own candidate here cannot strictly beat the own score
+      // either (ties lose to stay in both shapes). Scores are bounded
+      // by 2m·k_max (the documented envelope), so the negation can
+      // never overflow.
       val next = LineageCut.cut(scored.groupBy(col("v"))
-        .agg(min(struct((-col("__s")).as("ns"), col("c").as("cc"))).as("__b"),
-          max(when(col("c") === col("__own"), col("__s"))).as("__os"),
+        .agg(min(when(col("c").isNotNull,
+            struct((-col("__s")).as("ns"), col("c").as("cc")))).as("__b"),
+          max(when(col("c") === col("__own"), col("__s"))).as("__osr"),
           min(col("__own")).as("__oc"),
           // k is constant per v (carried off lab); keep it on the new
           // label frame so the next round needs no deg re-join
-          min(col("__k")).as("__k"))
+          min(col("__k")).as("__k"),
+          min(col("__st0")).as("__st0"))
         .select(col("v"),
-          when(-col("__b.ns") > col("__os"), col("__b.cc"))
-            .otherwise(col("__oc")).as("c"),
+          when(-col("__b.ns") > coalesce(col("__osr"), col("__st0")),
+            col("__b.cc")).otherwise(col("__oc")).as("c"),
           col("__k")))
       LineageCut.release(lab)
       lab = next
@@ -667,9 +687,15 @@ object Graph {
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") < col("b")).distinct()
     val lab = assignment.select(col("id"), col("community"))
-    val tagged = und
+    // materialize once: the tagged edge frame feeds FOUR aggregate
+    // consumers below (m, e_in, cut, vol) — ReuseExchange only dedups
+    // the distinct's exchange, so without the cut the canonical-edge
+    // aggregation + the two assignment joins re-ran per consumer (the
+    // transitivityAudit lesson, same round). Scope-tracked eager
+    // checkpoint: freed at the caller's candidate-scope exit.
+    val tagged = Dedup.materializeShared(und
       .join(lab.select(col("id").as("a"), col("community").as("__ca")), Seq("a"))
-      .join(lab.select(col("id").as("b"), col("community").as("__cb")), Seq("b"))
+      .join(lab.select(col("id").as("b"), col("community").as("__cb")), Seq("b")))
     val m = tagged.agg(count(lit(1)).as("__m"))
     // per-community intra edges; cut edges credit BOTH sides
     val eIn = tagged.filter(col("__ca") === col("__cb"))
