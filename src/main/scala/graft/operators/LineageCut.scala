@@ -40,7 +40,21 @@ object LineageCut {
         s"$ModeKey=reliable requires sparkContext.setCheckpointDir to a " +
           "cluster-visible path")
       df.checkpoint(eager = true)
-    } else df.localCheckpoint(eager = true)
+    } else {
+      // layout-keeping variant: a plain localCheckpoint under AQE
+      // forgets the materialized rows' partitioning/ordering (the
+      // adaptive plan is a leaf reporting UnknownPartitioning), so the
+      // NEXT iteration's same-keyed aggregation or window re-shuffles
+      // rows that are already laid out right — once per BSP round. The
+      // bridge re-reads both facts from the final adaptive plan, which
+      // is what produced the checkpointed blocks — GATED on the layout
+      // being at least defaultParallelism wide: keeping a coalesced
+      // 1–4-partition local layout would pin every downstream same-key
+      // stage to that width (measured +110 % on q_label_prop), while a
+      // production-width layout keeps its per-round exchange elision.
+      org.apache.spark.sql.graftbridge.Bridge.localCheckpointKeepingLayout(
+        df, df.sparkSession.sparkContext.defaultParallelism)
+    }
 
   /** Free a superseded cut — block-manager blocks always, plus the
     * snapshot files in reliable mode. The df must not be re-executed

@@ -122,6 +122,90 @@ object Bridge {
     found
   }
 
+  /** Eager localCheckpoint that KEEPS the executed plan's partitioning
+    * and ordering. `Dataset.localCheckpoint` records
+    * `executedPlan.outputPartitioning` on the LogicalRDD it returns —
+    * but under AQE the executed plan is an AdaptiveSparkPlanExec, a
+    * leaf node whose outputPartitioning is UnknownPartitioning, so
+    * every checkpoint in an AQE session silently forgets how its rows
+    * are laid out and every downstream join/aggregation keyed the same
+    * way re-shuffles from scratch (the BSP loops checkpoint per
+    * iteration, so they pay this once per round). This wrapper runs the
+    * normal eager localCheckpoint, then re-reads the partitioning /
+    * ordering from the adaptive plan's FINAL physical plan — the facts
+    * Spark itself would have used had the plan continued without the
+    * checkpoint — and rewraps the LogicalRDD with them. Declared
+    * metadata only ever comes from the executed plan that produced the
+    * checkpointed rows, so it is true of the RDD by construction.
+    * Expression ids are shared between the logical output and the
+    * physical partitioning (physical planning preserves them), so the
+    * rewritten LogicalRDD's partitioning resolves against its own
+    * output; when it does not (defensive), the plain checkpoint is
+    * returned unchanged.
+    *
+    * SCALE GATE (`minPartitions`): the layout is kept only when it
+    * carries at least that many partitions. Declaring a narrower
+    * layout is TRUE but HARMFUL — every downstream same-key stage then
+    * elides its exchange and runs at the checkpoint's width, and under
+    * local AQE partition coalescing that width is 1–4 tasks (measured:
+    * the ungated form serialized every BSP round's aggregation —
+    * q_label_prop +110 %, q_louvain +133 % at sf0.1). Callers pass the
+    * session's defaultParallelism: a production-width layout (shuffle
+    * partitions ≥ cores) keeps its exchange elision, a coalesced
+    * local layout falls back to the plain checkpoint — the same
+    * don't-starve-the-box rule as the starved-scan repair. */
+  def localCheckpointKeepingLayout(df: org.apache.spark.sql.DataFrame,
+      minPartitions: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val ck = df.localCheckpoint(eager = true)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case pc: PartitioningCollection => firstLeaf(pc.partitionings.head)
+      case other                      => other
+    }
+    val part = firstLeaf(finalPlan.outputPartitioning)
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD if !part.isInstanceOf[UnknownPartitioning] &&
+          part.numPartitions >= minPartitions =>
+        val outIds = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(lr.output)
+        val ordering = finalPlan.outputOrdering
+          .filter(_.references.subsetOf(outIds))
+        val partOk = part match {
+          case e: org.apache.spark.sql.catalyst.expressions.Expression =>
+            e.references.subsetOf(outIds)
+          case _ => true
+        }
+        if (!partOk) ck
+        else {
+          // the plain checkpoint's LogicalRDD (built by Spark's own
+          // fromDataset) already carries the origin stats/constraints
+          // the optimizer needs for broadcast decisions; they sit in
+          // the private curried parameter list, so the partitioning-
+          // corrected twin reads them reflectively rather than dropping
+          // them (a stats-less LogicalRDD reports defaultSizeInBytes
+          // and would never auto-broadcast again)
+          def priv[T](name: String): T = {
+            val f = classOf[LogicalRDD].getDeclaredField(name)
+            f.setAccessible(true)
+            f.get(lr).asInstanceOf[T]
+          }
+          ofRows(df.sparkSession, new LogicalRDD(lr.output, lr.rdd, part,
+            ordering, lr.isStreaming,
+            priv[Option[org.apache.spark.sql.connector.read.streaming.SparkDataStream]]("stream"))(
+            priv[org.apache.spark.sql.classic.SparkSession]("session"),
+            priv[Option[org.apache.spark.sql.catalyst.plans.logical.Statistics]]("originStats"),
+            priv[Option[org.apache.spark.sql.catalyst.expressions.ExpressionSet]]("originConstraints")))
+        }
+      case _ => ck
+    }
+  }
+
   /** Whether the session's CacheManager holds any cached plan — the
     * lifecycle assertion tests need (CacheManager is private[sql] and
     * exposes no public count). */
