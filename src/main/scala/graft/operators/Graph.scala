@@ -267,14 +267,21 @@ object Graph {
     * power-law graphs. One row out: the count. */
   def triangleCount(pairs: DataFrame, aCol: String = "id_a",
                     bCol: String = "id_b"): DataFrame = {
-    val und = pairs.select(
+    // materialize once, twice (the communityQuality discipline): the
+    // canonical edge list feeds THREE subtrees (two degree legs + the
+    // orientation join's base) and the oriented frame feeds three more
+    // (two wedge-join sides + the closure semi-join) — only exchanges
+    // are reused across consumers, so without the cuts the upstream
+    // `pairs` derivation (a lineitem self-join for the wired caller)
+    // re-ran per consumer. Scope-tracked, freed at candidate-scope exit.
+    val und = Dedup.materializeShared(pairs.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val o = und
+    val o = Dedup.materializeShared(und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(
@@ -283,7 +290,7 @@ object Graph {
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst")))
           .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val wedges = o.select(col("src").as("u"), col("dst").as("v"))
       .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
     wedges
@@ -382,14 +389,17 @@ object Graph {
     * no all-pairs stage. */
   def clusteringCoefficient(pairs: DataFrame, aCol: String = "id_a",
                             bCol: String = "id_b"): DataFrame = {
-    val und = pairs.select(
+    // same two materializations as [[triangleCount]] — here `deg` is
+    // additionally the final output's left side, so the edge-list cut
+    // serves FOUR consumers
+    val und = Dedup.materializeShared(pairs.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct())
     val deg = und.select(col("a").as("v"))
       .unionByName(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val o = und
+    val o = Dedup.materializeShared(und
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(
@@ -398,7 +408,7 @@ object Graph {
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst")))
           .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val tri = o.select(col("src").as("u"), col("dst").as("v"))
       .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
       .join(o.select(col("src").as("u"), col("dst").as("w")), Seq("u", "w"))
@@ -794,9 +804,14 @@ object Graph {
           .otherwise(struct(col("b").as("src"), col("a").as("dst")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val tri = o.select(col("src").as("u"), col("dst").as("v"))
-      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
-      .join(o.select(col("src").as("u"), col("dst").as("w")),
+    // the oriented frame feeds three subtrees (two wedge-join sides +
+    // the closure semi-join); materialize once (the caller's input is
+    // already a checkpoint, so only the deg + orientation joins were
+    // re-running — but three times)
+    val oM = Dedup.materializeShared(o)
+    val tri = oM.select(col("src").as("u"), col("dst").as("v"))
+      .join(oM.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+      .join(oM.select(col("src").as("u"), col("dst").as("w")),
         Seq("u", "w"), "left_semi")
     tri.select(
       least(col("u"), col("v")).as("a1"), greatest(col("u"), col("v")).as("b1"),
@@ -930,9 +945,13 @@ object Graph {
     * the report. */
   def resourceAllocation(edges: DataFrame, thresholdPpm: Long): DataFrame = {
     require(thresholdPpm >= 1, s"thresholdPpm must be >= 1: $thresholdPpm")
-    val ud = edges.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct()
+    // the symmetrized adjacency feeds three subtrees (the 1/deg weight
+    // table + both wedge-join sides): materialize once so the upstream
+    // edge derivation runs once, not three times
+    val ud = Dedup.materializeShared(
+      edges.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+        .distinct())
     val w = ud.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
       .select(col("v").as("b"), expr("1000000L div d").as("__w"))
     val u1 = ud.select(col("a").as("v1"), col("b"))
@@ -947,9 +966,12 @@ object Graph {
 
   def neighborJaccard(edges: DataFrame, thresholdPpm: Long): DataFrame = {
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000L)
-    val ud = edges.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct()
+    // three consumers of the symmetrized adjacency (degree table + both
+    // wedge-join sides) — materialize once, as in [[resourceAllocation]]
+    val ud = Dedup.materializeShared(
+      edges.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(edges.select(col("id_b").as("a"), col("id_a").as("b")))
+        .distinct())
     val deg = ud.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     val u1 = ud.select(col("a").as("v1"), col("b"))
     val u2 = ud.select(col("a").as("v2"), col("b"))
