@@ -241,8 +241,15 @@ object Similarity {
   def centroidCalibration(df: DataFrame, idCol: String, labelCol: String,
                           vecCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
-    val top = nearestCentroid(df, idCol, labelCol, vecCol)
-      .withColumn("__g", lit(0))
+    // bucketedGroupRank makes THREE passes over its input, and here
+    // that input is the nearest-centroid distance kernel (a per-vector
+    // scan over every centroid) — materialize it once so the kernel
+    // runs once, not per pass. Call-site cut, not an operator-wide one:
+    // the rank operator's other callers feed it cheap scans where a
+    // write would cost more than the re-read (the r12/wave-4 A/Bs).
+    val top = Dedup.materializeShared(
+      nearestCentroid(df, idCol, labelCol, vecCol)
+        .withColumn("__g", lit(0)))
     val ranked = Analytics.bucketedGroupRank(top, "__g", "__dist",
       tieCols = Seq("id"))
     ranked
@@ -294,8 +301,14 @@ object Similarity {
     * per-id window top-1, one self-equi-join; the corpus-sized work
     * already happened in the (bucketed) candidate generator. */
   def mutualTopMatches(pairs: DataFrame): DataFrame = {
-    val both = pairs.select(col("id_a"), col("id_b"), col("cos"))
-      .unionByName(pairs.select(col("id_b").as("id_a"),
+    // the scored candidate list feeds both symmetrize legs, and for the
+    // wired caller it is the LSH-bucketed embedding verify — without a
+    // cut that generator re-ran per leg (only its exchanges are shared).
+    // Candidate-list-sized, scope-tracked, freed at scope exit.
+    val pr = Dedup.materializeShared(
+      pairs.select(col("id_a"), col("id_b"), col("cos")))
+    val both = pr
+      .unionByName(pr.select(col("id_b").as("id_a"),
         col("id_a").as("id_b"), col("cos")))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b").asc)

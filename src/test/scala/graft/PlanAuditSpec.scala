@@ -149,15 +149,16 @@ class PlanAuditSpec extends SparkTestBase {
     "q_vocab_coverage" -> ("top-cutoff frame (<= 20 rows) x cutoff list " +
       "x totals attach (the <=20-row side is an agg-derived LIMIT, not " +
       "a single row, so the structural rule can't prove it)"),
-    "q_centroid_calibration" -> ("bucketedGroupRank bounds attach whose " +
-      "build side nests the k-row centroid subquery (bounded by k, " +
-      "carried through a join the structural spine-walk stops at)"),
+    // (q_centroid_calibration's entry retired: the nearest-centroid
+    // input is materialized before the rank pass now, so the bounds
+    // attach sits on a leaf the structural rule proves by itself)
     "q_recall_at_k" -> "(a) brute + quantized-dot eval rankings: corpus x 5 planted queries",
     "q_recall_curve" -> "(a) brute + quantized-dot rankings at 3 scales: corpus x 5 planted queries",
     "q_rrf_fusion" -> "(a) brute + quantized-dot rankings being fused: corpus x 5 planted queries",
     "q_kendall_tau" -> "(a) brute + quantized-dot rankings being rank-correlated: corpus x 5 planted queries",
     "q_epoch_order" -> ("bucketedGroupRank bounds attach with a joined " +
-      "build side (bounded, as q_centroid_calibration)"),
+      "build side (bounded by the bucket count, which the structural " +
+      "spine-walk can't see past the join)"),
     "q_retrieval_mrr" -> "(a) brute-force eval ranking: corpus x 5 planted queries",
     "q_ndcg" -> "(a) brute-force eval ranking: corpus x 5 planted queries (the q_retrieval_mrr frame, graded)",
     "q_map" -> "(a) brute-force eval ranking: corpus x 5 planted queries (the q_retrieval_mrr frame, AP-scored)",
@@ -190,10 +191,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q_user_growth" -> "cumulative users over one row per day",
     "q_period_over_period" -> "lag over one row per day",
     "q_skyline" -> "bucket-frontier running max: one row per bucket",
-    "q_centroid_calibration" -> ("bucketedGroupRank <= 64-row bucket-prefix " +
-      "window whose input carries a join the structural rule stops at"),
+    // (q_centroid_calibration's entry retired: its rank input is
+    // materialized now, so benignBucketPrefixWindow proves the shape)
     "q_epoch_order" -> ("bucketedGroupRank <= 64-row bucket-prefix window " +
-      "(same joined-input shape as q_centroid_calibration)"),
+      "whose input carries a join the structural rule stops at"),
     "q_survival_hazard" -> ("reverse-cumulative at-risk over one row per " +
       "DISTINCT lifetime — bounded by the corpus day span, not by keys"))
 
