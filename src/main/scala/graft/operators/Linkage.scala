@@ -277,10 +277,16 @@ object Linkage {
     * construction at any rank — a float floor is only guaranteed up to
     * ~2^52/window. ≤ n·(window−1) pairs by construction. */
   private def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
-      sortKey: Seq[String], window: Int): DataFrame = {
-    val ranked = globalRank(
+      sortKey: Seq[String], window: Int): DataFrame =
+    snPairsFromRanked(globalRank(
       df.select((idCol +: sortKey).distinct.map(col): _*),
-      sortKey :+ idCol)
+      sortKey :+ idCol), idCol, window)
+
+  /** The rank-bucket pair join over an ALREADY-ranked frame (idCol,
+    * __rank) — split out so callers that need the rank frame for other
+    * joins too ([[blockingQualityHybrid]]) can compute it once. */
+  private def snPairsFromRanked(ranked: DataFrame, idCol: String,
+      window: Int): DataFrame = {
     val a = ranked.select(col(idCol).as("id_a"), col("__rank").as("__ra"),
       expr(s"__rank div $window").as("__ba"))
     val b = ranked.select(col(idCol).as("id_b"), col("__rank").as("__rb"),
@@ -634,10 +640,14 @@ object Linkage {
   def blockingQuality(df: DataFrame, idCol: String, blockCols: Seq[String],
                       truePairs: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "blocking audit needs block columns")
-    val keyed = df.select(col(idCol).as("__id"),
+    // the narrow (id, block-key) frame feeds four subtrees (the
+    // candidate-count aggregate, the record count, and both truth
+    // joins) — materialize once so the corpus derivation runs once
+    // (scope-tracked eager checkpoint, the wedge-tier discipline)
+    val keyed = Dedup.materializeShared(df.select(col(idCol).as("__id"),
       // struct, not string concat: two different column tuples can
       // concat to the same string, a struct cannot
-      struct(blockCols.map(col): _*).as("__blk"))
+      struct(blockCols.map(col): _*).as("__blk")))
     val cand = keyed.groupBy(col("__blk")).agg(count(lit(1)).as("__c"))
       .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L))
         .as("n_candidate_pairs"))
@@ -706,9 +716,12 @@ object Linkage {
     }.reduce(_.unionByName(_)).distinct()
     val cand = pairs.agg(count(lit(1)).as("n_candidate_pairs"))
     val tot = df.agg(count(lit(1)).as("n_records"))
-    val keyed = df.select(col(idCol).as("__id") +:
-      blockKeys.zipWithIndex.map { case (bk, i) =>
-        struct(bk.map(col): _*).as(s"__blk$i") }: _*)
+    // both truth joins read this narrow pass-key frame — materialize
+    // once so the corpus derivation runs once
+    val keyed = Dedup.materializeShared(
+      df.select(col(idCol).as("__id") +:
+        blockKeys.zipWithIndex.map { case (bk, i) =>
+          struct(bk.map(col): _*).as(s"__blk$i") }: _*))
     val idxs = blockKeys.indices
     val cap = canonicalTruth(truePairs)
       .join(keyed.select(col("__id").as("id_a") +:
@@ -738,10 +751,13 @@ object Linkage {
       sortKey: Seq[String], window: Int, truePairs: DataFrame): DataFrame = {
     require(sortKey.nonEmpty, "sorted-neighborhood needs a sort key")
     require(window >= 2, s"window must be >= 2, got $window")
-    val ranked = globalRank(
+    // the narrow (id, rank) frame feeds the record count and both
+    // truth joins — materialize once so the range shuffle + rank
+    // windows run once, not three times
+    val ranked = Dedup.materializeShared(globalRank(
       df.select((idCol +: sortKey).distinct.map(col): _*),
       sortKey :+ idCol)
-      .select(col(idCol).as("__id"), col("__rank"))
+      .select(col(idCol).as("__id"), col("__rank")))
     val tot = ranked.agg(count(lit(1)).as("n_records"))
     val w = window
     val cand = tot.select(expr(
@@ -781,17 +797,22 @@ object Linkage {
     require(blockKeys.nonEmpty, "hybrid audit needs at least one equality pass")
     require(sortKey.nonEmpty, "hybrid audit needs a sort key")
     require(window >= 2, s"window must be >= 2, got $window")
-    val sn = sortedNeighborhoodPairs(df, idCol, sortKey, window)
+    // ONE materialized global rank serves the SN candidate front (two
+    // rank-bucket join sides) AND the capture joins' rank attach — the
+    // old shape ran the range shuffle + rank windows twice (once
+    // inside sortedNeighborhoodPairs, once for `ranked`) and re-ran
+    // them per consumer on top
+    val rankedAll = Dedup.materializeShared(globalRank(
+      df.select((idCol +: sortKey).distinct.map(col): _*),
+      sortKey :+ idCol))
+    val sn = snPairsFromRanked(rankedAll, idCol, window)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
     val pairs = multiBlockPairs(df, idCol, blockKeys)
       .unionByName(sn).distinct()
     val cand = pairs.agg(count(lit(1)).as("n_candidate_pairs"))
     val tot = df.agg(count(lit(1)).as("n_records"))
-    val ranked = globalRank(
-      df.select((idCol +: sortKey).distinct.map(col): _*),
-      sortKey :+ idCol)
-      .select(col(idCol).as("__id"), col("__rank"))
+    val ranked = rankedAll.select(col(idCol).as("__id"), col("__rank"))
     val keyed = df.select(col(idCol).as("__id") +:
       blockKeys.zipWithIndex.map { case (bk, i) =>
         struct(bk.map(col): _*).as(s"__blk$i") }: _*)
