@@ -3,8 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry
-  * query on SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
-  * seconds.
+  * query on SPARK_GRAFT_SF_DIR and prints the full JSON line with
+  * per-query seconds, followed by a COMPACT totals-only JSON line as
+  * the LAST stdout line (same `metric`/`value`/`unit`/`sf` keys). The
+  * full line is also written to BENCH.json (or $SPARK_GRAFT_BENCH_OUT)
+  * and to a cpus-stamped BENCH_c$CPUS.json so multi-config runs never
+  * clobber each other. Rationale: the full line is ~25 KB for 351
+  * queries and a consumer that keeps only a log tail starts mid-line
+  * and can parse nothing (r19/r20); the compact trailer is the
+  * machine-readable summary, the files carry the detail.
   *
   * Each query is forced through the `noop` sink — a real write of every
   * row with no I/O — so projections (fakers, fingerprints, features)
@@ -97,21 +104,26 @@ object Bench {
     }
     // (the load gate ran at main entry, before the session's own
     // startup burst could inflate the measurement)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .flatMap { case (name, fn) =>
-      val loadAtStart = osBean.getSystemLoadAverage
-      // min over SUCCESSFUL runs only: a query that throws fails fast,
-      // and recording its elapsed time would let min-of-N report a
-      // bogus small number for a broken query (r7 advisor finding). A
-      // query with zero successful runs is omitted from the JSON
-      // entirely — absence is diagnosable, a fake timing is not.
-      val times = (1 to runs).flatMap { _ =>
+    //
+    // min over SUCCESSFUL runs only: a query that throws fails fast,
+    // and recording its elapsed time would let min-of-N report a
+    // bogus small number for a broken query (r7 advisor finding). A
+    // query with zero successful runs is omitted from the JSON
+    // entirely — absence is diagnosable, a fake timing is not.
+    // loadavg is sampled at the start of EVERY run and the chosen
+    // (min-wall) run's sample is what the artifact records — the r20
+    // closing snapshot recorded per-query start load but still
+    // committed contended numbers because nothing acted on it.
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  attempts: Int): Option[(Double, Double, Double)] = {
+      val times = (1 to attempts).flatMap { _ =>
         // clear cached plans so run 2+ times the cold plan under test,
         // not run 1's cache (library ops like IvfIndex cache(); the
         // dedup tier's eager checkpoints are per-construction and
         // re-made fresh each run regardless)
         spark.catalog.clearCache()
+        val loadAtRun = osBean.getSystemLoadAverage
         val t0 = System.nanoTime()
         val cpu0 = processCpuNs
         try {
@@ -128,21 +140,53 @@ object Bench {
           val cpuRatio =
             if (cpu0 >= 0 && cpu1 >= 0 && wall > 0) (cpu1 - cpu0) / 1e9 / wall
             else -1.0
-          Some((wall, cpuRatio))
+          Some((wall, cpuRatio, loadAtRun))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
         }
       }
-      if (times.isEmpty) {
-        System.err.println(s"[bench] $name: no successful run; omitted")
-        None
-      } else {
-        val (wall, cpuRatio) = times.minBy(_._1)
-        Some(name -> (wall, cpuRatio, loadAtStart))
+      times.sortBy(_._1).headOption
+    }
+    val declared = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val firstPass = declared.flatMap { case (name, fn) =>
+      timeQuery(name, fn, runs) match {
+        case None =>
+          System.err.println(s"[bench] $name: no successful run; omitted")
+          None
+        case Some(t) => Some(name -> t)
       }
     }
+    // Contended-query re-time (r20 verdict #2): a mid-run load burst
+    // poisons exactly the queries it overlaps — the artifact recorded
+    // it in band but the committed number was still wrong. Any query
+    // whose CHOSEN run started above the gate gets one more min-of-N
+    // after the burst decays; the overall min of all successful runs is
+    // what ships. Strictly the same estimator (min over runs of the
+    // same cold plan), just with the contended samples given a fair
+    // rival. Bounded: one retry pass, ≤10 min decay wait total.
+    val contended = firstPass.filter(_._2._3 > maxLoad).map(_._1)
+    val results: Seq[(String, (Double, Double, Double))] =
+      if (contended.isEmpty) firstPass
+      else {
+        System.err.println(s"[bench] ${contended.size} queries ran contended " +
+          s"(loadavg > $maxLoad); waiting for decay, then re-timing: " +
+          contended.mkString(", "))
+        var w = 0
+        while (osBean.getSystemLoadAverage > maxLoad && w < 20) {
+          Thread.sleep(30000); w += 1
+        }
+        val byName = declared.toMap
+        firstPass.map { case (name, best) =>
+          if (best._3 <= maxLoad) name -> best
+          else timeQuery(name, byName(name), runs) match {
+            case Some(retry) if retry._1 < best._1 => name -> retry
+            case _ => name -> best
+          }
+        }
+      }
     val qs = results.map { case (k, (v, _, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val ratios = results.map { case (k, (_, r, _)) => "\"" + k + f"\":$r%.2f" }
@@ -154,12 +198,27 @@ object Bench {
     val load = f""""load":{"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"cpus":$cpus}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec",$loadWarning"queries":$qs,"cpu_ratio":$ratios,"loadavg":$loads,$load,"sf":"$sfDir"}"""
+    // The full per-query line is ~25 KB for 351 queries — too long for
+    // a log-tail consumer (the r19/r20 driver kept a ~2 KB tail and
+    // parsed nothing, two rounds of perf comparisons lost). So: the
+    // full line goes to the artifact FILES (and stdout, unchanged, for
+    // anyone with the whole log), and a COMPACT totals-only line —
+    // same keys, guaranteed to fit any sane tail — is printed LAST.
     println(line)
-    // stdout is wrapped in sbt [info] noise; give the driver a clean
-    // machine-readable copy at the repo root.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
-      (line + "\n").getBytes("UTF-8"))
+    val stamped = s"BENCH_c$cpus.json"
+    val outPaths = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      // explicit destination wins; still add the cpus-stamped copy so
+      // a multi-config caller never clobbers one config with another
+      case Some(p) => Seq(p, stamped)
+      case None    => Seq("BENCH.json", stamped)
+    }
+    outPaths.distinct.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$loadWarning"n_queries":${results.size},"queries_file":"$stamped",$load,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

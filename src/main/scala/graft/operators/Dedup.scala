@@ -51,7 +51,17 @@ object Dedup {
     * returned Dataset becomes unreachable — no clearCache() hygiene
     * required of callers. [[withCandidateScope]] frees them
     * deterministically at scope exit for long-lived sessions.
-    */
+    *
+    * CALLER CONTRACT (applies transitively to every operator built on
+    * this: the dedup/minhash tier, communityQuality, the wedge tier,
+    * blockingQuality*, centroidCalibration, mutualTopMatches, ...):
+    * (1) construction is EAGER — building the frame launches Spark
+    * jobs; (2) if construction happens inside a [[withCandidateScope]],
+    * the returned frame's data is freed — unrecoverably, since a local
+    * checkpoint has no lineage — at that scope's exit, so the terminal
+    * action (write/collect) MUST run inside the same scope. Building a
+    * frame inside a scope and executing it after exit reads freed
+    * blocks. */
   private[graft] def materializeShared(df: DataFrame): DataFrame =
     track(df.localCheckpoint(eager = true))
 

@@ -264,7 +264,11 @@ object Graph {
     * u→w, and — the point of the orientation — no vertex's out-degree
     * exceeds O(√m), so the wedge join is O(m^1.5) worst case instead
     * of the hub-degree² blowup a naive shared-neighbor join hits on
-    * power-law graphs. One row out: the count. */
+    * power-law graphs. One row out: the count.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def triangleCount(pairs: DataFrame, aCol: String = "id_a",
                     bCol: String = "id_b"): DataFrame = {
     // materialize once, twice (the communityQuality discipline): the
@@ -386,7 +390,11 @@ object Graph {
     *
     * Scale shape: degree agg + two wedge joins keyed on vertex ids +
     * one explode(3)·count — all equi-joins, map-side-combined counts,
-    * no all-pairs stage. */
+    * no all-pairs stage.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def clusteringCoefficient(pairs: DataFrame, aCol: String = "id_a",
                             bCol: String = "id_b"): DataFrame = {
     // same two materializations as [[triangleCount]] — here `deg` is
@@ -690,7 +698,11 @@ object Graph {
     * Scale shape: one canonical-edge distinct, one degree aggregation,
     * two assignment equi-joins onto the edge list, then map-side-
     * combined groupBys keyed by community — no iteration, no window,
-    * nothing beyond the edge shuffles. */
+    * nothing beyond the edge shuffles.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def communityQuality(edges: DataFrame, assignment: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("id_a"), col("id_b")).as("a"),
@@ -942,7 +954,11 @@ object Graph {
     * ships). Same wedge-join shape as [[neighborJaccard]]: pairs exist
     * only through shared neighbors (never all-pairs), each z
     * contributes its weight once per wedge, and the threshold prunes
-    * the report. */
+    * the report.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def resourceAllocation(edges: DataFrame, thresholdPpm: Long): DataFrame = {
     require(thresholdPpm >= 1, s"thresholdPpm must be >= 1: $thresholdPpm")
     // the symmetrized adjacency feeds three subtrees (the 1/deg weight
@@ -964,6 +980,10 @@ object Graph {
       .select(col("v1"), col("v2"), col("common"), col("ra_ppm"))
   }
 
+  /** Eager + scope-bound: construction launches Spark jobs
+    * (Dedup.materializeShared inside); when built inside a
+    * withCandidateScope, the terminal action must run before scope
+    * exit or the materialized blocks are already freed. */
   def neighborJaccard(edges: DataFrame, thresholdPpm: Long): DataFrame = {
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000L)
     // three consumers of the symmetrized adjacency (degree table + both

@@ -636,7 +636,11 @@ object Linkage {
     * Scale shape: candidates come from one map-side-combined block
     * count (Σ_b c_b(c_b−1)/2 — never materializing the pairs);
     * completeness is two id-keyed equi-joins of the truth set (truth
-    * is label-sized); the three single-row frames meet on broadcasts. */
+    * is label-sized); the three single-row frames meet on broadcasts.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def blockingQuality(df: DataFrame, idCol: String, blockCols: Seq[String],
                       truePairs: DataFrame): DataFrame = {
     require(blockCols.nonEmpty, "blocking audit needs block columns")
@@ -703,7 +707,11 @@ object Linkage {
     * union — the audit costs what the multi-block scorer's pair
     * generation costs (blocked-bounded, never corpus²); completeness
     * stays two label-sized equi-joins against the per-pass key
-    * structs. */
+    * structs.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def blockingQualityMulti(df: DataFrame, idCol: String,
       blockKeys: Seq[Seq[String]], truePairs: DataFrame): DataFrame = {
     require(blockKeys.nonEmpty, "blocking audit needs at least one pass")
@@ -746,7 +754,11 @@ object Linkage {
     * Scale shape: one [[globalRank]] pass (range-partitioned shuffle,
     * no single-task window); completeness is two label-sized equi-joins
     * of the truth set against the rank frame; candidates are pure
-    * arithmetic on the single-row count. */
+    * arithmetic on the single-row count.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def blockingQualitySortedNeighborhood(df: DataFrame, idCol: String,
       sortKey: Seq[String], window: Int, truePairs: DataFrame): DataFrame = {
     require(sortKey.nonEmpty, "sorted-neighborhood needs a sort key")
@@ -790,7 +802,11 @@ object Linkage {
     * Scale shape: the cross-scheme dedup requires materializing both
     * pair-id sets (blocked-bounded + n·(window−1) — what the hybrid
     * scorer's pair generation costs anyway); completeness is two
-    * label-sized equi-joins carrying the pass keys and the rank. */
+    * label-sized equi-joins carrying the pass keys and the rank.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def blockingQualityHybrid(df: DataFrame, idCol: String,
       blockKeys: Seq[Seq[String]], sortKey: Seq[String], window: Int,
       truePairs: DataFrame): DataFrame = {

@@ -237,7 +237,11 @@ object Similarity {
     * ([[Analytics.bucketedGroupRank]] under a constant group), so no
     * corpus-sized window serializes into one task; bin boundaries are
     * exact-integer rank arithmetic ((rank-1)·bins div n), replayed
-    * verbatim by the oracle. */
+    * verbatim by the oracle.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def centroidCalibration(df: DataFrame, idCol: String, labelCol: String,
                           vecCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
@@ -299,7 +303,11 @@ object Similarity {
     *
     * Scale shape: candidate-list-sized only — one symmetrize, one
     * per-id window top-1, one self-equi-join; the corpus-sized work
-    * already happened in the (bucketed) candidate generator. */
+    * already happened in the (bucketed) candidate generator.
+    *
+    * Eager + scope-bound: construction launches Spark jobs (Dedup.materializeShared
+    * inside); when built inside a withCandidateScope, the terminal action must
+    * run before scope exit or the materialized blocks are already freed. */
   def mutualTopMatches(pairs: DataFrame): DataFrame = {
     // the scored candidate list feeds both symmetrize legs, and for the
     // wired caller it is the LSH-bucketed embedding verify — without a

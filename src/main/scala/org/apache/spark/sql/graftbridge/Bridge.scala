@@ -174,8 +174,13 @@ object Bridge {
           part.numPartitions >= minPartitions =>
         val outIds = org.apache.spark.sql.catalyst.expressions
           .AttributeSet(lr.output)
+        // takeWhile, not filter: outputOrdering is positional — rows are
+        // sorted by (k1, k2, ...) lexicographically, so a surviving k2
+        // WITHOUT its k1 would falsely declare "sorted by k2" and let a
+        // downstream SortExec elide a sort the rows do not satisfy. Only
+        // a true PREFIX of the executed ordering may be kept.
         val ordering = finalPlan.outputOrdering
-          .filter(_.references.subsetOf(outIds))
+          .takeWhile(_.references.subsetOf(outIds))
         val partOk = part match {
           case e: org.apache.spark.sql.catalyst.expressions.Expression =>
             e.references.subsetOf(outIds)
@@ -195,12 +200,18 @@ object Bridge {
             f.setAccessible(true)
             f.get(lr).asInstanceOf[T]
           }
-          ofRows(df.sparkSession, new LogicalRDD(lr.output, lr.rdd, part,
-            ordering, lr.isStreaming,
-            priv[Option[org.apache.spark.sql.connector.read.streaming.SparkDataStream]]("stream"))(
-            priv[org.apache.spark.sql.classic.SparkSession]("session"),
-            priv[Option[org.apache.spark.sql.catalyst.plans.logical.Statistics]]("originStats"),
-            priv[Option[org.apache.spark.sql.catalyst.expressions.ExpressionSet]]("originConstraints")))
+          // the field names match Spark 4.1.2; on any future rename the
+          // rewrap must DEGRADE to the plain checkpoint (correct, just
+          // without the layout), never turn every lineage cut into a
+          // NoSuchFieldException
+          scala.util.Try {
+            ofRows(df.sparkSession, new LogicalRDD(lr.output, lr.rdd, part,
+              ordering, lr.isStreaming,
+              priv[Option[org.apache.spark.sql.connector.read.streaming.SparkDataStream]]("stream"))(
+              priv[org.apache.spark.sql.classic.SparkSession]("session"),
+              priv[Option[org.apache.spark.sql.catalyst.plans.logical.Statistics]]("originStats"),
+              priv[Option[org.apache.spark.sql.catalyst.expressions.ExpressionSet]]("originConstraints")))
+          }.getOrElse(ck)
         }
       case _ => ck
     }
