@@ -162,17 +162,30 @@ object Bench {
     // Contended-query re-time (r20 verdict #2): a mid-run load burst
     // poisons exactly the queries it overlaps — the artifact recorded
     // it in band but the committed number was still wrong. Any query
-    // whose CHOSEN run started above the gate gets one more min-of-N
-    // after the burst decays; the overall min of all successful runs is
-    // what ships. Strictly the same estimator (min over runs of the
-    // same cold plan), just with the contended samples given a fair
-    // rival. Bounded: one retry pass, ≤10 min decay wait total.
-    val contended = firstPass.filter(_._2._3 > maxLoad).map(_._1)
+    // whose CHOSEN run started clearly above the run's own load floor
+    // gets one more min-of-N after the burst decays; the overall min of
+    // all successful runs is what ships. Strictly the same estimator
+    // (min over runs of the same cold plan), just with the contended
+    // samples given a fair rival. Bounded: one retry pass, ≤10 min
+    // decay wait total.
+    //
+    // The gate is ADAPTIVE: a running 32-thread bench keeps the 1-min
+    // loadavg at 2–6 all by itself, so an absolute threshold flags
+    // nearly every query (measured: 331/351 on an idle box). An
+    // EXTERNAL burst instead stands out against the run's own median
+    // (the r20 contamination: a q_f* block at 5.5–6.9 vs ~2
+    // elsewhere) — retry only above max(maxLoad, 2×median).
+    val chosenLoads = firstPass.map(_._2._3).sorted
+    val medianLoad =
+      if (chosenLoads.isEmpty) 0.0 else chosenLoads(chosenLoads.size / 2)
+    val retryGate = math.max(maxLoad, 2.0 * medianLoad)
+    val contended = firstPass.filter(_._2._3 > retryGate).map(_._1)
     val results: Seq[(String, (Double, Double, Double))] =
       if (contended.isEmpty) firstPass
       else {
-        System.err.println(s"[bench] ${contended.size} queries ran contended " +
-          s"(loadavg > $maxLoad); waiting for decay, then re-timing: " +
+        System.err.println(f"[bench] ${contended.size} queries ran contended " +
+          f"(loadavg > $retryGate%.1f = max(gate, 2x median " +
+          f"$medianLoad%.1f)); waiting for decay, then re-timing: " +
           contended.mkString(", "))
         var w = 0
         while (osBean.getSystemLoadAverage > maxLoad && w < 20) {
@@ -180,7 +193,7 @@ object Bench {
         }
         val byName = declared.toMap
         firstPass.map { case (name, best) =>
-          if (best._3 <= maxLoad) name -> best
+          if (best._3 <= retryGate) name -> best
           else timeQuery(name, byName(name), runs) match {
             case Some(retry) if retry._1 < best._1 => name -> retry
             case _ => name -> best

@@ -872,7 +872,7 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_component"))
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
       // pointer jumping (path-halving): component := label(component).
@@ -881,15 +881,23 @@ object Dedup {
       // O(diameter) to O(log diameter) — on a long chain that is the
       // difference between 30 rounds of fixed per-round job overhead
       // and 6. One extra self-join of the label table per round.
+      //
+      // The PREVIOUS round's label rides through the cut as __old so
+      // the convergence probe is a filter over the checkpoint blocks —
+      // the old probe re-joined two materialized |V|-row frames
+      // (shuffle both sides by id) every round for one boolean. 8
+      // bytes/row of extra checkpoint width buys two exchanges + a
+      // join per round; the decision ("any label changed") and the
+      // returned labels are identical.
       val next = LineageCut.cut(stepped.as("s")
         .join(stepped.select(col("id").as("__cid"),
           col("component").as("__cc")),
           col("s.component") === col("__cid"), "left")
-        .select(col("s.id").as("id"),
+        .select(col("s.id").as("id"), col("s.__old").as("__old"),
           least(col("s.component"), coalesce(col("__cc"), col("s.component")))
             .as("component")))
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
+      val changed = next.filter(col("component") =!= col("__old"))
+        .limit(1).count()
       // the superseded round's checkpoint blocks are dead the moment
       // `changed` is computed (next is itself checkpointed, so nothing
       // downstream re-reads them): free immediately instead of holding
@@ -901,7 +909,8 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    track(labels)
+    // the probe column is internal; output stays (id, component)
+    track(labels.drop("__old"))
   }
 
   /** Driver-side union-find over a collected pair list — the fast path

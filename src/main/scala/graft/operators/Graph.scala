@@ -57,22 +57,27 @@ object Graph {
     val nodes = LineageCut.cut(eo.select(col("src").as("id"))
       .unionByName(eo.select(col("dst").as("id"))).distinct())
     val nDf = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
-    var rank = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
-      .select(col("id"), expr(s"${scale}L div n_nodes").as("pr"),
-        col("n_nodes")))
+    // static (id, n_nodes) base — the personalizedPageRankScaled shape:
+    // the iterated frame carries only (id, pr) (a third narrower per
+    // round, guide §2.3) and is referenced ONCE per round, which is
+    // exactly the PeriodicCut chain contract — rounds between cuts stay
+    // lazy, so the per-round driver barrier + |V|-row materialization
+    // is paid every K rounds instead of every round (same shuffles,
+    // same arithmetic, bit-identical ranks)
+    val base = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
+      .select(col("id"), col("n_nodes")))
+    val pc = new LineageCut.PeriodicCut(edges.sparkSession)
+    var rank = base.select(col("id"), expr(s"${scale}L div n_nodes").as("pr"))
     for (_ <- 1 to iters) {
       val contribs = eo
         .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("id"), expr("pr div od").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
-      val next = LineageCut.cut(rank.select(col("id"), col("n_nodes"))
+      rank = pc.step(base
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           expr(s"((15 * ${scale}L) div (100 * n_nodes)) + " +
-            "((85 * coalesce(m, 0L)) div 100)").as("pr"),
-          col("n_nodes")))
-      LineageCut.release(rank)
-      rank = next
+            "((85 * coalesce(m, 0L)) div 100)").as("pr")))
     }
     rank.select(col("id"), col("pr").as("rank_scaled"))
   }
@@ -117,22 +122,23 @@ object Graph {
     val nodes = LineageCut.cut(eo.select(col("src").as("id"))
       .unionByName(eo.select(col("dst").as("id"))).distinct())
     val nDf = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
-    var rank = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
-      .select(col("id"), expr(s"${scale}L div n_nodes").as("pr"),
-        col("n_nodes")))
+    // static (id, n_nodes) base + (id, pr)-only iterated frame under
+    // the PeriodicCut chain (see pageRankScaled) — same shuffles, K
+    // fewer barriers/materializations, bit-identical arithmetic
+    val base = LineageCut.cut(nodes.crossJoin(broadcast(nDf))
+      .select(col("id"), col("n_nodes")))
+    val pc = new LineageCut.PeriodicCut(edges.sparkSession)
+    var rank = base.select(col("id"), expr(s"${scale}L div n_nodes").as("pr"))
     for (_ <- 1 to iters) {
       val contribs = eo
         .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("id"), expr("pr * __w div ow").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
-      val next = LineageCut.cut(rank.select(col("id"), col("n_nodes"))
+      rank = pc.step(base
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           expr(s"((15 * ${scale}L) div (100 * n_nodes)) + " +
-            "((85 * coalesce(m, 0L)) div 100)").as("pr"),
-          col("n_nodes")))
-      LineageCut.release(rank)
-      rank = next
+            "((85 * coalesce(m, 0L)) div 100)").as("pr")))
     }
     rank.select(col("id"), col("pr").as("rank_scaled"))
   }
@@ -234,23 +240,25 @@ object Graph {
       .crossJoin(broadcast(nsDf))
       .select(col("id"), coalesce(col("__isSeed"), lit(false)).as("__isSeed"),
         col("n_seeds")))
-    var rank = LineageCut.cut(base.select(col("id"),
+    // already the single-reference chain shape (static cut `base`,
+    // (id, pr)-only iterated frame): rounds between PeriodicCut cuts
+    // stay lazy — K fewer barriers/materializations, same shuffles
+    val pc = new LineageCut.PeriodicCut(edges.sparkSession)
+    var rank = base.select(col("id"),
       when(col("__isSeed"), expr(s"${scale}L div n_seeds"))
-        .otherwise(lit(0L)).as("pr")))
+        .otherwise(lit(0L)).as("pr"))
     for (_ <- 1 to iters) {
       val contribs = eo
         .join(rank.select(col("id").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("id"), expr("pr div od").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
-      val next = LineageCut.cut(base
+      rank = pc.step(base
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (when(col("__isSeed"),
             expr(s"(15 * ${scale}L) div (100 * n_seeds)"))
             .otherwise(lit(0L)) +
             expr("(85 * coalesce(m, 0L)) div 100")).as("pr")))
-      LineageCut.release(rank)
-      rank = next
     }
     rank.select(col("id"), col("pr").as("rank_scaled"))
   }
@@ -453,8 +461,11 @@ object Graph {
       .unionByName(edges
         .select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct())
-    var lab = LineageCut.cut(
-      ud.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+    // single-reference chain (lab appears once per round): rounds
+    // between PeriodicCut cuts stay lazy — one barrier per K rounds
+    val pc = new LineageCut.PeriodicCut(edges.sparkSession)
+    var lab: DataFrame =
+      ud.select(col("a").as("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
       val nl = ud.join(lab.select(col("v").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("v"), col("lbl")).agg(count(lit(1)).as("__c"))
@@ -464,16 +475,15 @@ object Graph {
       // max-then-join-then-filter shape implemented, minus one shuffle
       // + one join per round (guide §2.4). Counts are >= 1, so the
       // negation can never overflow.
-      val next = LineageCut.cut(nl.groupBy(col("v"))
+      lab = pc.step(nl.groupBy(col("v"))
         .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l")))
           .as("__b"))
         .select(col("v"), col("__b.l").as("lbl")))
-      LineageCut.release(lab)
-      lab = next
     }
-    // The result depends only on the final `lab` checkpoint; the
-    // symmetrized edge frame is superseded once the rounds finish
-    // (bfs/kCore release theirs the same way).
+    // The result depends only on the final `lab` checkpoint — finish()
+    // forces one if the last round was lazy, BEFORE the edge frame it
+    // would otherwise still reference is released.
+    lab = pc.finish(lab)
     LineageCut.release(ud)
     lab.select(col("v").as("id"), col("lbl").as("community"))
   }
@@ -507,8 +517,10 @@ object Graph {
         .select(col(dstCol).cast("long").as("a"),
           col(srcCol).cast("long").as("b"), col(wCol).cast("long").as("w")))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
-    var lab = LineageCut.cut(
-      ud.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+    // single-reference chain under PeriodicCut (see labelPropagation)
+    val pc = new LineageCut.PeriodicCut(edges.sparkSession)
+    var lab: DataFrame =
+      ud.select(col("a").as("v")).distinct().withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
       val nl = ud.join(lab.select(col("v").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("v"), col("lbl")).agg(sum(col("w")).as("__c"))
@@ -516,13 +528,12 @@ object Graph {
       // struct(-voteSum, label) = (votes desc, label asc). Vote sums
       // are non-negative (weights are cast longs >= 0 per the
       // contract), so the negation can never overflow.
-      val next = LineageCut.cut(nl.groupBy(col("v"))
+      lab = pc.step(nl.groupBy(col("v"))
         .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l")))
           .as("__b"))
         .select(col("v"), col("__b.l").as("lbl")))
-      LineageCut.release(lab)
-      lab = next
     }
+    lab = pc.finish(lab)
     LineageCut.release(ud)
     lab.select(col("v").as("id"), col("lbl").as("community"))
   }
